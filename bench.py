@@ -1,0 +1,69 @@
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is executed to completion (collect) so the measured time covers
+scan + shuffle + aggregation, not just plan construction.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q01_pricing_summary",
+    "q03_star_join_revenue",
+    "q05_dedup_latest",
+    "q06_window_topn_per_customer",
+    "q10_scd2_versions",
+    "q11_asof_join",
+    "q13_uniqueness_audit",
+    "q16_set_ops",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from modular_etl_data_platform_spark.session import get_spark
+    from modular_etl_data_platform_spark.queries.catalog import QUERIES
+
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM + parquet footers with the flagship once (not measured)
+    QUERIES["q01_pricing_summary"](spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        df = QUERIES[name](spark, sf_dir)
+        df.collect()
+        timings[name] = round(time.time() - t0, 3)
+
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,599 @@
+"""Named query catalog: one entry per implemented operator (SURVEY §2).
+
+Each query is a ``(spark, sf_dir) -> DataFrame`` callable plus an
+equivalent ANSI SQL string for the DuckDB oracle. Conventions that keep
+the two engines hash-identical:
+
+- **Exact aggregation**: doubles are cast to ``DECIMAL(18,6)`` *before*
+  SUM/AVG in both engines. Decimal sums are exact and order-independent;
+  float sums are not (parallel summation order differs), so raw
+  ``SUM(double)`` would differ in the last bits between Spark and DuckDB.
+  Final values are cast back to DOUBLE (sum) or divided by COUNT (avg) —
+  deterministic once the decimal sum is exact.
+- **Deterministic top-k**: every LIMIT is preceded by a total order
+  (unique tie-break key).
+- **Deterministic windows**: every row_number/rank orders by a unique key
+  suffix.
+- Every computed column is aliased identically in Spark and SQL.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from modular_etl_data_platform_spark.operators.dedup import dedupe_latest, duplicate_keys
+from modular_etl_data_platform_spark.operators.joins import asof_join, ri_orphans
+from modular_etl_data_platform_spark.operators.date_dim import build_dim_date
+from modular_etl_data_platform_spark.operators.scd2 import scd2_from_history
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        return _events(spark, sf_dir)
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet stores ``ts`` as TIMESTAMP(NANOS), which Spark's
+    vectorized reader rejects. Read it as long (``nanosAsLong``) and
+    floor-truncate to microseconds — exactly what DuckDB does when it
+    coerces TIMESTAMP_NS to its microsecond TIMESTAMP, so both engines see
+    identical values and identical ordering ties."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def dsum(col, alias: str, scale: int = 6):
+    """Exact, engine-portable sum of a double column (see module docstring)."""
+    return F.sum(col.cast(f"decimal(18,{scale})")).cast("double").alias(alias)
+
+
+def davg(col, alias: str, scale: int = 6):
+    return (
+        F.sum(col.cast(f"decimal(18,{scale})")).cast("double") / F.count(col)
+    ).alias(alias)
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Aggregations (SURVEY §2.5 A1/A2) — flagship pricing summary
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q01_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+           CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-aggregate pricing summary (TPC-H Q1 shape; A1/A2).
+
+    Scale: partial aggregation map-side, single shuffle on the 2-column
+    group key (6 groups) — the canonical Spark hash-agg plan.
+    """
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        dsum(F.col("l_quantity"), "sum_qty"),
+        dsum(F.col("l_extendedprice"), "sum_base_price"),
+        dsum(disc_price, "sum_disc_price"),
+        dsum(charge, "sum_charge"),
+        davg(F.col("l_quantity"), "avg_qty"),
+        davg(F.col("l_discount"), "avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scan / filter / projection (S3, P1, T8)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q02_filter_project",
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity,
+           l_extendedprice * (1 - l_discount) AS net_price,
+           l_returnflag
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      AND l_quantity > 45
+    """,
+)
+def q02_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate + projection pushed to the parquet scan (P1, per-row T8
+    arithmetic stays double: IEEE ops are deterministic per row)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_quantity") > 45)
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net_price"),
+        "l_returnflag",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Star joins (J7) + broadcast dimension chain
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q03_star_join_revenue",
+    """
+    SELECT n.n_name AS nation,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+           COUNT(*) AS line_count
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+    """,
+)
+def q03_star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema equi-join chain (J7) with broadcast dims.
+
+    Scale: nation/region/customer broadcast (no shuffle of lineitem for
+    them); the only big shuffle is lineitem⋈orders on orderkey, which AQE
+    converts to broadcast at small SF and sort-merge at 100 TB.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    dim = F.broadcast(
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("c_custkey", "n_name")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(dim, o.o_custkey == dim.c_custkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+            F.count(F.lit(1)).alias("line_count"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sort + deterministic top-k (§2.7)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q04_topk_orders",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 10
+    """,
+)
+def q04_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k (TakeOrderedAndProject — no full sort materialized)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup keep-latest (W1) on the events stream table
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q05_dedup_latest",
+    """
+    SELECT user_id, event_id, ts, event_type, value
+    FROM (
+      SELECT user_id, event_id, ts, event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) t
+    WHERE rn = 1
+    """,
+)
+def q05_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed dedup keep-latest (W1) via the engine's dedupe_latest operator."""
+    ev = _t(spark, sf_dir, "events")
+    return dedupe_latest(ev, ["user_id"], "ts", tiebreakers=["event_id"]).select(
+        "user_id", "event_id", "ts", "event_type", "value"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Ranking window (W3)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q06_window_topn_per_customer",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice, rn
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      FROM orders
+    ) t
+    WHERE rn <= 3
+    """,
+)
+def q06_window_topn_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key top-n via ranking window (W3); single shuffle on the key."""
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        _t(spark, sf_dir, "orders")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Anti / semi joins (J5 referential integrity)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q07_anti_join_customers_no_orders",
+    """
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def q07_anti_join_customers_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti orphan detection (J5) via the engine's ri_orphans."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return ri_orphans(c, o, fk="c_custkey", pk="o_custkey").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@query(
+    "q08_semi_join_active_customers",
+    """
+    SELECT c_mktsegment, COUNT(*) AS active_customers
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c_mktsegment
+    """,
+)
+def q08_semi_join_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o.select(F.col("o_custkey").alias("c_custkey")).dropDuplicates(), "c_custkey", "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("active_customers"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Date dimension generator (G1/C6)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q09_date_dim",
+    """
+    WITH dates AS (
+      SELECT CAST(unnest(generate_series(DATE '2024-01-01', DATE '2026-12-31', INTERVAL 1 DAY)) AS DATE) AS date
+    )
+    SELECT CAST(strftime(date, '%Y%m%d') AS INT) AS date_key,
+           date,
+           CAST(year(date) AS INT) AS year,
+           CAST(quarter(date) AS INT) AS quarter,
+           CAST(month(date) AS INT) AS month,
+           monthname(date) AS month_name,
+           CAST(day(date) AS INT) AS day_of_month,
+           CAST(dayofweek(date) + 1 AS INT) AS day_of_week,
+           dayname(date) AS day_name,
+           CAST(weekofyear(date) AS INT) AS week_of_year,
+           dayofweek(date) IN (0, 6) AS is_weekend
+    FROM dates
+    """,
+)
+def q09_date_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar dimension 2024-01-01 → 2026-12-31 (1,096 rows; G1/C6).
+
+    DuckDB ``dayofweek`` is 0=Sunday..6; Spark is 1=Sunday..7 — the oracle
+    shifts by +1 (the reference's own description/formula mismatch is
+    documented at functions/scalar.py::is_weekend).
+    """
+    return build_dim_date(spark, "2024-01-01", "2026-12-31")
+
+
+# ---------------------------------------------------------------------------
+# SCD Type 2 built from a change stream (C4 semantics, SQL-checkable)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q10_scd2_versions",
+    """
+    SELECT user_id,
+           ts AS valid_from,
+           COALESCE(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC),
+                    TIMESTAMP '9999-12-31 00:00:00') AS valid_to,
+           LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) IS NULL AS is_current,
+           CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS INT) AS version,
+           event_type AS attr
+    FROM events
+    WHERE event_type IN ('signup', 'purchase', 'error')
+    """,
+)
+def q10_scd2_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 version chains from a change history (C4): valid_from/valid_to
+    intervals, exactly one current row per key — the Gold invariants
+    (reference: config/gold/schema/README.md:345-357) hold by construction."""
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("signup", "purchase", "error")
+    )
+    return scd2_from_history(
+        ev,
+        keys=["user_id"],
+        change_time="ts",
+        attr_cols={"attr": "event_type"},
+        tiebreakers=["event_id"],
+    )
+
+
+# ---------------------------------------------------------------------------
+# As-of join (J1 as-of variant)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q11_asof_join",
+    """
+    SELECT l.event_id, l.user_id, l.ts, l.value,
+           r.best_ts AS asof_ts, r.best_value AS asof_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') l
+    LEFT JOIN LATERAL (
+      SELECT e.ts AS best_ts, e.value AS best_value
+      FROM events e
+      WHERE e.event_type = 'error' AND e.user_id = l.user_id AND e.ts <= l.ts
+      ORDER BY e.ts DESC, e.event_id DESC
+      LIMIT 1
+    ) r ON TRUE
+    """,
+)
+def q11_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each click joined to the user's latest error at-or-before
+    it (J1 as-of variant). Uses the linear union+window formulation — no
+    pair expansion (see operators/joins.py::asof_join)."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", F.col("ts"), F.col("value"), F.col("event_id").alias("err_id")
+    )
+    joined = asof_join(
+        clicks,
+        errors.withColumnRenamed("ts", "err_ts").withColumnRenamed("value", "err_value"),
+        on="user_id",
+        left_time="ts",
+        right_time="err_ts",
+        value_cols=["err_ts", "err_value"],
+        tiebreaker="err_id",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.col("asof_err_ts").alias("asof_ts"),
+        F.col("asof_err_value").alias("asof_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Declarative DQ validation (C3 / P4-P7 / A7)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q12_dq_metrics",
+    """
+    SELECT
+      SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS null_custkey_fails,
+      SUM(CASE WHEN NOT (o_orderstatus IN ('O','F','P')) THEN 1 ELSE 0 END) AS status_domain_fails,
+      SUM(CASE WHEN NOT (o_totalprice >= 0) THEN 1 ELSE 0 END) AS totalprice_range_fails,
+      SUM(CASE WHEN NOT regexp_matches(o_orderpriority, '^[1-5]-') THEN 1 ELSE 0 END) AS priority_format_fails,
+      COUNT(*) AS total_rows
+    FROM orders
+    """,
+)
+def q12_dq_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative rule engine (C3): null/set/range/regex rules compiled to
+    Columns, pass/fail metrics aggregated in one pass (A7)."""
+    from modular_etl_data_platform_spark.operators.validate import RuleSet
+
+    rules = RuleSet.from_config(
+        {
+            "null_checks": ["o_custkey"],
+            "value_constraints": {
+                "o_orderstatus": ["O", "F", "P"],
+                "o_totalprice": ">= 0",
+            },
+            "format_validations": {"o_orderpriority": "^[1-5]-"},
+        }
+    )
+    df = _t(spark, sf_dir, "orders")
+    return rules.metrics_wide(
+        df,
+        alias_map={
+            "null_check:o_custkey": "null_custkey_fails",
+            "value_constraint:o_orderstatus": "status_domain_fails",
+            "value_constraint:o_totalprice": "totalprice_range_fails",
+            "format_validation:o_orderpriority": "priority_format_fails",
+        },
+    )
+
+
+# ---------------------------------------------------------------------------
+# Uniqueness audit (A6)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q13_uniqueness_audit",
+    """
+    SELECT l_orderkey, COUNT(*) AS dup_count
+    FROM lineitem
+    GROUP BY l_orderkey
+    HAVING COUNT(*) > 1
+    """,
+)
+def q13_uniqueness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return duplicate_keys(li, ["l_orderkey"])
+
+
+# ---------------------------------------------------------------------------
+# Semi-additive aggregation (A5): last value per key, then aggregate
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q14_semi_additive_last",
+    """
+    SELECT event_type,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_last_value,
+           COUNT(*) AS n_users
+    FROM (
+      SELECT user_id, event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) t
+    WHERE rn = 1
+    GROUP BY event_type
+    """,
+)
+def q14_semi_additive_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-additive measure (A5): LAST across time per (user, type), SUM
+    across users (reference: config/gold/schema/README.md:255-261)."""
+    ev = _t(spark, sf_dir, "events")
+    last = dedupe_latest(ev, ["user_id", "event_type"], "ts", tiebreakers=["event_id"])
+    return last.groupBy("event_type").agg(
+        dsum(F.col("value"), "sum_last_value"),
+        F.count(F.lit(1)).alias("n_users"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental watermark filter (P3)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q15_incremental_filter",
+    """
+    SELECT event_type, COUNT(*) AS new_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events
+    WHERE ts > TIMESTAMP '2024-01-15 00:00:00'
+    GROUP BY event_type
+    """,
+)
+def q15_incremental_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-style incremental filter (P3): only rows after the stored
+    high-water mark are processed (partition-pruned when the layout is
+    partitioned by the watermark column)."""
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("ts") > F.lit("2024-01-15 00:00:00").cast("timestamp")
+    )
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("new_events"),
+        dsum(F.col("value"), "sum_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations (§2.7)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q16_set_ops",
+    """
+    SELECT c_custkey FROM (
+      SELECT DISTINCT o_custkey AS c_custkey FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'
+      EXCEPT
+      SELECT DISTINCT o_custkey AS c_custkey FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+    ) t
+    """,
+)
+def q16_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT over yearly active-customer sets (§2.7 set ops)."""
+    o = _t(spark, sf_dir, "orders")
+
+    def actives(year: int):
+        return (
+            o.filter(
+                (F.col("o_orderdate") >= F.lit(f"{year}-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit(f"{year + 1}-01-01").cast("timestamp"))
+            )
+            .select(F.col("o_custkey").alias("c_custkey"))
+            .distinct()
+        )
+
+    return actives(1995).exceptAll(actives(1996)).distinct()
+
+
+def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The driver smoke-check query."""
+    return q01_pricing_summary(spark, sf_dir)

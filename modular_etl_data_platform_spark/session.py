@@ -1,0 +1,74 @@
+"""SparkSession factory with scale-minded defaults.
+
+Local testing runs on ``local[$SPARK_GRAFT_CPUS]``; the same configuration
+keys are what you would set on a 1000-executor cluster — AQE for runtime
+re-planning (skew joins, coalescing post-shuffle partitions), Arrow for any
+Pandas-UDF path, and a shuffle-partition count sized to the parallelism.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "modular-etl-data-platform-spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession tuned for this engine.
+
+    At 100 TB the same knobs apply: AQE coalesces / skew-splits shuffle
+    partitions at runtime, broadcast threshold keeps dimension joins
+    shuffle-free, and ``maxPartitionBytes`` bounds scan-task memory.
+    """
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if shuffle_partitions is None:
+        shuffle_partitions = max(cpus, 32)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None):
+    """Register the testdata parquet tables as temp views; return dict of DFs."""
+    if names is None:
+        names = [
+            "region",
+            "nation",
+            "customer",
+            "supplier",
+            "part",
+            "orders",
+            "lineitem",
+            "events",
+            "documents",
+            "embeddings",
+        ]
+    dfs = {}
+    for name in names:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            df = spark.read.parquet(path)
+            df.createOrReplaceTempView(name)
+            dfs[name] = df
+    return dfs

@@ -1,0 +1,64 @@
+"""Schema-first source readers (SURVEY §2.1 S1-S5).
+
+Every read is performed with an explicit schema — no inference — matching
+the reference's contract (reference: config/bronze/schema/README.md:72-75).
+Glob paths (S4, e.g. ``raw/inventory_*.json``) work natively through
+Spark's file listing; per-file lineage comes from ``input_file_name()`` in
+the audit columns (sources/audit.py).
+
+Scale note: schema-first reads keep the scan vectorized and enable filter
+pushdown + column pruning; at 100 TB the parquet/CSV listing is
+parallelized by Spark's driver-side InMemoryFileIndex, and
+``maxPartitionBytes`` bounds per-task input.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from modular_etl_data_platform_spark.schema.registry import TableConfig
+
+
+def read_source(
+    spark: SparkSession,
+    config: TableConfig,
+    base_path: str | None = None,
+    path_override: str | None = None,
+) -> DataFrame:
+    """Read a configured source (csv/json/parquet) with its declared schema."""
+    info = config.source_info
+    fmt = (info.get("file_format") or "parquet").lower()
+    path = path_override or info.get("file_path")
+    if path is None:
+        raise ValueError(f"table {config.table_name} declares no file_path")
+    if base_path:
+        path = f"{base_path.rstrip('/')}/{path}"
+    schema = config.spark_schema(include_metadata=False)
+    return read_path(spark, path, fmt, schema, info)
+
+
+def read_path(
+    spark: SparkSession,
+    path: str,
+    fmt: str,
+    schema: T.StructType | None = None,
+    options: dict | None = None,
+) -> DataFrame:
+    options = options or {}
+    fmt = fmt.lower()
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    if fmt == "csv":
+        return reader.options(
+            header=str(bool(options.get("header", True))).lower(),
+            sep=options.get("delimiter", ","),
+            mode="PERMISSIVE",
+        ).csv(path)
+    if fmt == "json":
+        # raw files in the reference are JSON arrays -> multiLine
+        return reader.option("multiLine", "true").json(path)
+    if fmt == "parquet":
+        return reader.parquet(path)
+    raise ValueError(f"Unsupported file_format: {fmt}")

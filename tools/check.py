@@ -1,0 +1,134 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every ``queries()`` entry on Spark at the given SF dir, runs the
+matching ``oracle_sql()`` in DuckDB over the same parquet files, and
+compares row count, sorted column names, and an order-insensitive value
+hash. Usage: python tools/check.py [sf_dir] [query_name ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import os
+import sys
+import time
+import traceback
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def norm_value(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(norm_value(x) for x in v) + "]"
+    return str(v)
+
+
+def table_hash(rows, colnames):
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+    lines = sorted(
+        "\x1f".join(norm_value(row[i]) for i in order) for row in rows
+    )
+    h = hashlib.sha256()
+    for line in lines:
+        h.update(line.encode())
+        h.update(b"\n")
+    return h.hexdigest()[:16]
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as entrymod
+    from modular_etl_data_platform_spark.session import get_spark
+
+    spark = get_spark("check")
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+    results = {}
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            t0 = time.time()
+            sdf = fn(spark, sf_dir)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+            stime = time.time() - t0
+        except Exception:
+            print(f"FAIL  {name}: spark error")
+            traceback.print_exc()
+            results[name] = "spark_error"
+            continue
+        if name not in oracles:
+            print(f"rows  {name}: {len(srows)} rows (no oracle) [{stime:.1f}s]")
+            results[name] = "rows_only"
+            continue
+        try:
+            cur = con.execute(oracles[name])
+            dcols = [d[0] for d in cur.description]
+            drows = cur.fetchall()
+        except Exception:
+            print(f"FAIL  {name}: duckdb error")
+            traceback.print_exc()
+            results[name] = "oracle_error"
+            continue
+        ok_count = len(srows) == len(drows)
+        ok_schema = sorted(scols) == sorted(dcols)
+        sh = table_hash(srows, scols)
+        dh = table_hash(drows, dcols)
+        ok_hash = sh == dh
+        status = "PASS" if (ok_count and ok_schema and ok_hash) else "FAIL"
+        results[name] = status
+        print(
+            f"{status}  {name}: rows {len(srows)}/{len(drows)} "
+            f"schema={'ok' if ok_schema else f'{sorted(scols)} vs {sorted(dcols)}'} "
+            f"hash={'ok' if ok_hash else f'{sh} vs {dh}'} [{stime:.1f}s]"
+        )
+        if status == "FAIL" and ok_count and ok_schema:
+            # print first differing rows for debugging
+            order = sorted(range(len(scols)), key=lambda i: scols[i])
+            snorm = sorted("\x1f".join(norm_value(r[i]) for i in order) for r in srows)
+            dorder = sorted(range(len(dcols)), key=lambda i: dcols[i])
+            dnorm = sorted("\x1f".join(norm_value(r[i]) for i in dorder) for r in drows)
+            shown = 0
+            for a, b in zip(snorm, dnorm):
+                if a != b:
+                    print(f"   spark : {a[:300]}")
+                    print(f"   duckdb: {b[:300]}")
+                    shown += 1
+                    if shown >= 3:
+                        break
+
+    n_pass = sum(1 for v in results.values() if v == "PASS")
+    print(f"\n{n_pass}/{len(results)} PASS; "
+          f"{sum(1 for v in results.values() if v == 'rows_only')} rows-only")
+    spark.stop()
+    return 0 if all(v in ("PASS", "rows_only") for v in results.values()) else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
