@@ -1,0 +1,266 @@
+"""Corpus deduplication: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale design (the whole point of these operators):
+
+- **Exact**: hash-groupBy on a content fingerprint — one shuffle on the
+  md5, which is uniformly distributed → no skew. Keep min(doc_id) as the
+  canonical representative.
+- **MinHash + LSH**: per-row signature computation is a pure projection
+  (shingle → k seeded md5 minima). Banding turns the O(n²) all-pairs
+  problem into a groupBy on (band_id, band_value) — only documents sharing
+  a band bucket are ever paired. At 100 TB: cap bucket sizes (a bucket with
+  B docs yields B² candidate pairs; drop or salt buckets over a threshold —
+  they're near-identical boilerplate anyway) and dedupe candidates before
+  the expensive verify join.
+- **SimHash**: one explode + groupBy(doc) to fold token bit-votes; near-dup
+  = small Hamming distance. Bit-sliced bucketing (split the 16 bits into
+  4 nibbles; candidates must share a nibble) gives the same LSH-style
+  candidate bound.
+- **Verify**: true n-gram Jaccard only on candidate pairs (never all
+  pairs), via ``array_intersect``/``array_union`` on distinct shingles.
+
+All hashes are md5-string based — deterministic and portable to the DuckDB
+oracle (engine-native ``xxhash64`` would be faster but not comparable
+cross-engine; swap ``_seeded_hash`` for production).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# shared expression builders (Spark SQL + DuckDB SQL twins)
+# ---------------------------------------------------------------------------
+
+
+def shingles_sql(text_col: str, n: int = 3) -> str:
+    """Spark SQL expression: word n-gram shingles of ``text_col``."""
+    w = f"split({text_col}, ' ')"
+    return (
+        f"transform(sequence(0, size({w}) - {n}), "
+        f"i -> concat_ws(' ', slice({w}, i+1, {n})))"
+    )
+
+
+def shingles_duckdb(text_col: str, n: int = 3) -> str:
+    w = f"string_split({text_col}, ' ')"
+    return (
+        f"list_transform(range(0, len({w}) - {n - 1}), "
+        f"i -> array_to_string({w}[i+1:i+{n}], ' '))"
+    )
+
+
+def minhash_sql(text_col: str, seed: int, n: int = 3) -> str:
+    return (
+        f"array_min(transform({shingles_sql(text_col, n)}, "
+        f"s -> md5(concat('s{seed}|', s))))"
+    )
+
+
+def minhash_duckdb(text_col: str, seed: int, n: int = 3) -> str:
+    return (
+        f"list_min(list_transform({shingles_duckdb(text_col, n)}, "
+        f"s -> md5('s{seed}|' || s)))"
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup by content hash: one row per distinct text, canonical
+    representative = min(id), with the duplicate count."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("fingerprint"), F.col(id_col))
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    shingle: int = 3,
+) -> DataFrame:
+    """Per-document MinHash signature: k seeded-md5 minima over word
+    shingles. Pure projection — zero shuffle."""
+    cols = [F.col(id_col)] + [
+        F.expr(minhash_sql(text_col, s, shingle)).alias(f"mh{s}") for s in range(k)
+    ]
+    return df.select(*cols)
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, id_col: str = "doc_id", k: int = 8, bands: int = 4
+) -> DataFrame:
+    """Band the k-hash signature into ``bands`` buckets; documents sharing
+    any band bucket become a candidate pair (id_a < id_b).
+
+    One explode + self-equi-join on (band_id, band_key) — never all-pairs.
+    """
+    rows = k // bands
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.concat_ws("|", *[F.col(f"mh{b * rows + r}") for r in range(rows)]).alias(
+                    "band_key"
+                ),
+            )
+            for b in range(bands)
+        ]
+    )
+    exploded = sigs.select(F.col(id_col), F.explode(band_structs).alias("band")).select(
+        id_col, "band.band_id", "band.band_key"
+    )
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .dropDuplicates()
+    )
+
+
+def jaccard_verify(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """True n-gram Jaccard on candidate pairs only; keep pairs ≥ threshold.
+
+    |A∩B| and |A∪B| are integers → the ratio is the same double in every
+    engine.
+    """
+    sh = df.select(
+        F.col(id_col),
+        F.array_distinct(F.expr(shingles_sql(text_col, shingle))).alias("sh"),
+    )
+    j = (
+        pairs.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return j
+
+
+def minhash_lsh_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    bands: int = 4,
+    shingle: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """End-to-end fuzzy dedup: signatures → LSH candidates → Jaccard verify."""
+    sigs = minhash_signatures(df, id_col, text_col, k, shingle)
+    cands = lsh_candidate_pairs(sigs, id_col, k, bands)
+    return jaccard_verify(df, cands, id_col, text_col, shingle, threshold)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash_bit_sql(token_expr: str, bit: int) -> str:
+    """±1 vote of a token on simhash bit ``bit``: parity of the (bit+1)-th
+    hex char of the token's md5. ascii()%2 is portable to DuckDB."""
+    return f"(ascii(substr(md5({token_expr}), {bit + 1}, 1)) % 2) * 2 - 1"
+
+
+def simhash(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 16
+) -> DataFrame:
+    """Per-document SimHash: sum each bit's ±1 token votes; bit set when the
+    vote sum ≥ 0. One explode + one groupBy(doc) shuffle."""
+    tok = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok")
+    )
+    aggs = [
+        F.sum(F.expr(simhash_bit_sql("tok", b))).alias(f"v{b}") for b in range(bits)
+    ]
+    votes = tok.groupBy(id_col).agg(*aggs)
+    value = None
+    for b in range(bits):
+        bit = F.when(F.col(f"v{b}") >= 0, F.lit(1 << b)).otherwise(F.lit(0))
+        value = bit if value is None else (value + bit)
+    return votes.select(F.col(id_col), value.cast("long").alias("simhash"))
+
+
+def simhash_hamming_pairs(
+    sh: DataFrame, id_col: str = "doc_id", max_hamming: int = 3, bits: int = 16
+) -> DataFrame:
+    """Near-dup candidates by SimHash: bit-slice the hash into 4 slices —
+    any pair within Hamming distance 3 must agree on ≥1 slice (pigeonhole)
+    — then verify the true Hamming distance on candidates only."""
+    slices = bits // 4
+    slice_arr = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("slice_id"),
+                F.shiftright(F.col("simhash"), i * slices)
+                .bitwiseAND(F.lit((1 << slices) - 1))
+                .alias("slice_key"),
+            )
+            for i in range(4)
+        ]
+    )
+    ex = sh.select(id_col, "simhash", F.explode(slice_arr).alias("s")).select(
+        id_col, "simhash", "s.slice_id", "s.slice_key"
+    )
+    a, b = ex.alias("a"), ex.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.slice_id") == F.col("b.slice_id"))
+            & (F.col("a.slice_key") == F.col("b.slice_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cands.withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1,0 +1,134 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Model: media payloads are opaque ``binary`` columns alongside typed
+metadata (mime, width/height, sample rate, …). The Spark-side plumbing —
+schemas, partitioning, Arrow batch shape, ``mapInPandas`` signatures — is
+real and tested; the actual codecs (PIL/ffmpeg/torchaudio) are NOT in this
+container, so decode bodies are stubbed behind ``_HAS_CODECS`` with a
+deterministic fake used for tests (clearly marked).
+
+Scale design:
+- Decode/feature-extract runs as ``mapInPandas`` — Arrow-batched, one
+  Python worker per core, no JVM round-trips per row. Batch size is
+  governed by ``spark.sql.execution.arrow.maxRecordsPerBatch``; for large
+  media rows set it low (e.g. 64) so a batch fits in worker memory.
+- Media tables should be written with the payload column LAST and
+  metadata columns first, so metadata-only queries never touch payload
+  pages (parquet column pruning).
+- Frame sampling / resizing emit one row per frame via the iterator
+  form of ``mapInPandas`` — constant memory per batch.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+try:  # real codecs are not installed in this environment
+    import PIL.Image  # noqa: F401
+
+    _HAS_CODECS = True
+except ImportError:
+    _HAS_CODECS = False
+
+IMAGE_META_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("mime", T.StringType()),
+        T.StructField("byte_len", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("feature", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def attach_binary_payload(
+    df: DataFrame, source_col: str, mime: str, id_col: str = "doc_id"
+) -> DataFrame:
+    """Treat a column's bytes as an opaque media payload with typed
+    metadata (the storage shape every multimodal table uses)."""
+    payload = F.encode(F.col(source_col), "utf-8")
+    return df.select(
+        F.col(id_col),
+        F.lit(mime).alias("mime"),
+        F.length(payload).cast("long").alias("byte_len"),
+        payload.alias("payload"),
+    )
+
+
+def _fake_decode(payload: bytes) -> dict[str, Any]:
+    """Deterministic stand-in for an image decoder (tests only): derives
+    'dimensions' and a tiny 'feature' vector from the bytes themselves."""
+    n = len(payload)
+    width = 16 + (n % 64)
+    height = 16 + ((n // 64) % 64)
+    feature = [float((payload[i % n] if n else 0) % 17) for i in range(4)]
+    return {"width": width, "height": height, "feature": feature}
+
+
+def decode_image_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """``mapInPandas`` body: payload → (dims, feature vector).
+
+    With real codecs this is where PIL/libvips decodes each payload; the
+    Arrow batch shape, output schema and iterator protocol are identical.
+    """
+    for pdf in batches:
+        if _HAS_CODECS:  # pragma: no cover - codecs absent in this env
+            raise NotImplementedError(
+                "real image decode not wired: install PIL and replace _fake_decode"
+            )
+        decoded = [_fake_decode(p) for p in pdf["payload"]]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "mime": pdf["mime"],
+                "byte_len": pdf["byte_len"].astype("int64"),
+                "width": [d["width"] for d in decoded],
+                "height": [d["height"] for d in decoded],
+                "feature": [d["feature"] for d in decoded],
+            }
+        )
+
+
+def decode_images(media: DataFrame) -> DataFrame:
+    """Decode/feature-extract a media table (payload binary + metadata)."""
+    return media.mapInPandas(decode_image_batches, schema=IMAGE_META_SCHEMA)
+
+
+def sample_frames(
+    media: DataFrame, every_n_bytes: int = 1024, id_col: str = "doc_id"
+) -> DataFrame:
+    """'Frame sampling' plumbing demo: emit one row per sampled offset of
+    each payload — the row-expanding iterator shape a video frame sampler
+    uses (one input row → many output rows, constant memory)."""
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("frame_no", T.IntegerType()),
+            T.StructField("offset", T.LongType()),
+            T.StructField("chunk", T.BinaryType()),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                payload = r["payload"]
+                for i, off in enumerate(range(0, len(payload), every_n_bytes)):
+                    rows.append(
+                        (r[id_col], i, off, payload[off : off + every_n_bytes])
+                    )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_no", "offset", "chunk"]
+            )
+
+    return media.mapInPandas(gen, schema=out_schema)

@@ -1,0 +1,196 @@
+"""Embedding similarity search over ``array<float>`` columns.
+
+Scale design:
+
+- **Brute-force top-k** (the exactness baseline): cosine against a
+  broadcast query vector is a pure projection + TakeOrdered — no shuffle
+  of the corpus, linear scan. This is already the right plan for a single
+  query at any corpus size; the cost is one pass over the embeddings.
+- **IVF-style ANN** (the scale path for many queries / lower latency):
+  partition vectors into coarse cells (here: exact elementwise-sum
+  centroids per cell), probe only the nearest cell(s). The centroid build
+  is one groupBy; the probe prunes the scan to ~1/cells of the data.
+  A production variant would k-means the cells and store them
+  partitioned-by-cell so probes are partition-pruned at the file level.
+- **Random-hyperplane LSH** signatures (:func:`hyperplane_signature`) give
+  a shuffle-free bucket key for all-pairs near-dup joins on embeddings —
+  same banding trick as MinHash (corpus/dedup.py).
+
+All folds are explicit left-to-right ``F.aggregate`` over doubles —
+deterministic, identical to the DuckDB oracle's ``list_reduce``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: str | Column, b: str | Column) -> Column:
+    """Left-to-right fold dot product over two array<float/double> columns."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: str | Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine(a: str | Column, b: str | Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    emb: DataFrame,
+    query_id: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors of one corpus vector (brute-force baseline).
+
+    The query row is broadcast; ties break on ``id_col`` so results are
+    total-ordered and engine-portable.
+    """
+    q = emb.filter(F.col(id_col) == query_id).select(F.col(vec_col).alias("__q"))
+    scored = emb.crossJoin(F.broadcast(q)).select(
+        F.col(id_col),
+        cosine(vec_col, "__q").alias("cos_sim"),
+    )
+    return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col).asc()).limit(k)
+
+
+def centroids_exact(
+    emb: DataFrame,
+    cell_col: str = "label",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Per-cell UNNORMALIZED centroid: elementwise exact decimal sum.
+
+    Sums (not means) keep cosine ranking identical (cosine is
+    scale-invariant) while avoiding order-dependent float division — the
+    centroid is bit-identical regardless of aggregation order or engine.
+    """
+    per_dim = [
+        F.sum(F.element_at(vec_col, d + 1).cast("decimal(27,8)"))
+        .cast("double")
+        .alias(f"c{d}")
+        for d in range(dim)
+    ]
+    agg = emb.groupBy(cell_col).agg(*per_dim)
+    return agg.select(
+        F.col(cell_col).alias("cell"),
+        F.array(*[F.col(f"c{d}") for d in range(dim)]).alias("centroid"),
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query_id: int,
+    k: int = 5,
+    cell_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    probes: int = 1,
+) -> DataFrame:
+    """IVF-style ANN: route the query to its nearest coarse cell(s), then
+    exact top-k within those cells only. Returns (vec_id, cell, cos_sim)."""
+    cents = centroids_exact(emb, cell_col, vec_col, dim)
+    q = emb.filter(F.col(id_col) == query_id).select(F.col(vec_col).alias("__q"))
+    best_cells = (
+        cents.crossJoin(F.broadcast(q))
+        .select("cell", cosine("centroid", "__q").alias("cell_sim"))
+        .orderBy(F.col("cell_sim").desc(), F.col("cell").asc())
+        .limit(probes)
+    )
+    pruned = emb.join(
+        F.broadcast(best_cells.select(F.col("cell").alias(cell_col))), cell_col
+    )
+    scored = pruned.crossJoin(F.broadcast(q)).select(
+        F.col(id_col),
+        F.col(cell_col).alias("cell"),
+        cosine(vec_col, "__q").alias("cos_sim"),
+    )
+    return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col).asc()).limit(k)
+
+
+def hyperplane_signature(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: int = 16,
+    dim: int = 64,
+) -> DataFrame:
+    """Random-hyperplane LSH signature: bit j = sign(⟨plane_j, x⟩).
+
+    Plane weights are deterministic ±1 derived from md5 parity (portable,
+    reproducible across runs/engines); a production variant would use
+    seeded Gaussian planes. Pure projection — no shuffle.
+    """
+    sig = None
+    for j in range(planes):
+        # ±1 weight per dimension, folded into the projection sum
+        proj = F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                F.expr(
+                    "transform(sequence(0, %d), d -> "
+                    "(ascii(substr(md5(concat('p%d|', d)), 1, 1)) %% 2) * 2 - 1)"
+                    % (dim - 1, j)
+                ),
+                lambda x, w: x.cast("double") * w.cast("double"),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bit = F.when(proj >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+        sig = bit if sig is None else (sig + bit)
+    return emb.select(F.col(id_col), sig.cast("long").alias("lsh_sig"))
+
+
+def embedding_near_dup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    use_lsh_prefilter: bool = True,
+) -> DataFrame:
+    """All near-duplicate embedding pairs (cos ≥ threshold, id_a < id_b).
+
+    With ``use_lsh_prefilter`` the self-join is on the 16-bit hyperplane
+    signature (candidates must agree exactly — high-cosine pairs almost
+    always do), turning O(n²) into bucket-local joins. Without it, a full
+    cross self-join (only for small n / oracle validation).
+    """
+    base = emb.select(F.col(id_col), F.col(vec_col))
+    if use_lsh_prefilter:
+        sigs = hyperplane_signature(emb, id_col, vec_col)
+        base = base.join(sigs, id_col)
+        a = base.alias("a")
+        b = base.alias("b")
+        joined = a.join(
+            b,
+            (F.col("a.lsh_sig") == F.col("b.lsh_sig"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+    else:
+        a = base.alias("a")
+        b = base.alias("b")
+        joined = a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    out = joined.select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+        cosine(f"a.{vec_col}", f"b.{vec_col}").alias("cos_sim"),
+    )
+    return out.filter(F.col("cos_sim") >= threshold)

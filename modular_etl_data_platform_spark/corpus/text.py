@@ -1,0 +1,128 @@
+"""Text analysis operators: tokenization, quality scoring, language ID,
+fingerprinting.
+
+Everything is built from native array/lambda expressions
+(``split``/``transform``/``filter``/``aggregate``) so the hot path stays
+JVM-side and vectorized — no Python UDFs. Each builder has an exactly
+equivalent DuckDB SQL form (used by the oracle queries); the shared
+constants below keep the two in lockstep.
+
+Scale: all operators are embarrassingly parallel per-row projections — no
+shuffle at all. At 100 TB the only consideration is scan parallelism
+(``maxPartitionBytes``) and avoiding regex catastrophes; token splits here
+are plain single-char splits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Stopword lists for the n-gram/stopword language heuristic. Deliberately
+# tiny: language ID at corpus scale is a per-row lookup against small
+# broadcast sets. Tie-break is alphabetical (deterministic).
+STOPWORDS: dict[str, list[str]] = {
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit"],
+    "en": ["the", "a", "of", "and", "is", "to", "in", "that"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "por"],
+    "fr": ["le", "la", "de", "et", "est", "un", "une", "que"],
+    "zh": ["的", "是", "了", "在", "我", "有", "和", "不"],
+}
+
+
+def tokens(text_col: str = "text") -> Column:
+    return F.split(F.col(text_col), " ")
+
+
+def token_count(text_col: str = "text") -> Column:
+    """Whitespace token count. For a BPE-ish estimate see
+    :func:`subword_count`."""
+    return F.size(tokens(text_col)).cast("long")
+
+
+def subword_count(text_col: str = "text") -> Column:
+    """BPE-ish token estimate: split on word boundaries AND every 4 chars
+    inside long words — a cheap, deterministic proxy for subword tokenizer
+    length (≈ chars/4 for long words, 1 per short word)."""
+    words = tokens(text_col)
+    return F.aggregate(
+        words,
+        F.lit(0).cast("long"),
+        lambda acc, w: acc + F.greatest(F.lit(1), F.ceil(F.length(w) / 4)).cast("long"),
+    )
+
+
+def stopword_hits(text_col: str, lang: str) -> Column:
+    sw = STOPWORDS[lang]
+    quoted = ", ".join(f"'{w}'" for w in sw)
+    return F.expr(
+        f"size(filter(split({text_col}, ' '), x -> x IN ({quoted})))"
+    ).cast("long")
+
+
+def language_id(text_col: str = "text") -> Column:
+    """Stopword-vote language heuristic: the language whose stopword list
+    hits the most tokens wins; ties break alphabetically (deterministic,
+    engine-portable)."""
+    langs = sorted(STOPWORDS)
+    best_lang = F.lit(langs[0])
+    best_score = stopword_hits(text_col, langs[0])
+    for lang in langs[1:]:
+        score = stopword_hits(text_col, lang)
+        improved = score > best_score
+        best_lang = F.when(improved, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(improved, score).otherwise(best_score)
+    return best_lang
+
+
+def language_id_oracle_sql(text_col: str = "text") -> str:
+    """DuckDB twin of :func:`language_id` (same vote + tie-break)."""
+    langs = sorted(STOPWORDS)
+
+    def hits(lang: str) -> str:
+        quoted = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+        return f"len(list_filter(string_split({text_col}, ' '), x -> x IN ({quoted})))"
+
+    expr_lang, expr_score = f"'{langs[0]}'", hits(langs[0])
+    for lang in langs[1:]:
+        s = hits(lang)
+        expr_lang = f"CASE WHEN {s} > {expr_score} THEN '{lang}' ELSE {expr_lang} END"
+        expr_score = f"CASE WHEN {s} > {expr_score} THEN {s} ELSE {expr_score} END"
+    return expr_lang
+
+
+def quality_score(text_col: str = "text") -> Column:
+    """Deterministic document quality heuristic in [0,1]:
+    0.6·min(tokens/200, 1) + 0.4·stopword_ratio(en). Integer inputs →
+    identical double arithmetic in any engine."""
+    n = token_count(text_col).cast("double")
+    stop_ratio = stopword_hits(text_col, "en").cast("double") / n
+    return F.least(n / F.lit(200.0), F.lit(1.0)) * 0.6 + stop_ratio * 0.4
+
+
+def fingerprint(text_col: str = "text") -> Column:
+    """Exact-content fingerprint (md5 hex)."""
+    return F.md5(F.col(text_col))
+
+
+def rolling_fingerprint(text_col: str = "text", window: int = 8) -> Column:
+    """Winnowing-style rolling fingerprint: minimum md5 over all
+    ``window``-token windows — robust to small prefix/suffix edits, still
+    a pure projection (no shuffle)."""
+    return F.expr(
+        f"array_min(transform(sequence(0, greatest(size(split({text_col}, ' ')) - {window}, 0)),"
+        f" i -> md5(concat_ws(' ', slice(split({text_col}, ' '), i+1, {window})))))"
+    )
+
+
+def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Convenience: attach token/char counts, quality and language."""
+    return df.withColumns(
+        {
+            "n_tokens": token_count(text_col),
+            "n_subwords": subword_count(text_col),
+            "quality_score": quality_score(text_col),
+            "predicted_lang": language_id(text_col),
+            "fingerprint": fingerprint(text_col),
+        }
+    )

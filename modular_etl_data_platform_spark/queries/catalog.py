@@ -597,3 +597,7 @@ def q16_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The driver smoke-check query."""
     return q01_pricing_summary(spark, sf_dir)
+
+
+# corpus (LLM-data-pipeline) queries register themselves on import
+from modular_etl_data_platform_spark.queries import corpus_queries  # noqa: E402,F401

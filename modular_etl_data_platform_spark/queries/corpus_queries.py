@@ -1,0 +1,301 @@
+"""Catalog entries for the corpus (LLM-data-pipeline) operators.
+
+Oracle SQL for the hash/vector operators is generated from the same
+constants as the Spark expressions (corpus/dedup.py, corpus/text.py) so
+the two engines stay in lockstep. See catalog.py's module docstring for
+the cross-engine determinism conventions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from modular_etl_data_platform_spark.queries.catalog import _t, query
+from modular_etl_data_platform_spark.corpus import dedup as cdedup
+from modular_etl_data_platform_spark.corpus import similarity as csim
+from modular_etl_data_platform_spark.corpus import text as ctext
+from modular_etl_data_platform_spark.corpus.multimodal import attach_binary_payload
+
+# ---------------------------------------------------------------------------
+# DuckDB expression twins
+# ---------------------------------------------------------------------------
+
+
+def _dd_dot(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_transform(range(1, len({a})+1), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (x,y) -> x+y)"
+    )
+
+
+def _dd_cos(a: str, b: str) -> str:
+    return f"({_dd_dot(a, b)} / (sqrt({_dd_dot(a, a)}) * sqrt({_dd_dot(b, b)})))"
+
+
+def _dd_subwords(text_col: str = "text") -> str:
+    w = f"string_split({text_col}, ' ')"
+    return (
+        f"list_reduce(list_transform({w}, "
+        f"t -> greatest(CAST(1 AS BIGINT), CAST(ceil(len(t)/4.0) AS BIGINT))), (a,b) -> a+b)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis (token counting, quality, language-ID, fingerprint)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q17_text_stats",
+    f"""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           {_dd_subwords()} AS n_subwords,
+           md5(text) AS fingerprint
+    FROM documents
+    """,
+)
+def q17_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace + BPE-ish subword estimate) and exact
+    content fingerprint — pure projections, zero shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        ctext.token_count().alias("n_tokens"),
+        ctext.subword_count().alias("n_subwords"),
+        ctext.fingerprint().alias("fingerprint"),
+    )
+
+
+@query(
+    "q18_text_quality",
+    """
+    SELECT doc_id,
+           least(CAST(len(string_split(text,' ')) AS DOUBLE) / 200.0, 1.0) * 0.6
+             + (CAST(len(list_filter(string_split(text,' '),
+                  x -> x IN ('the','a','of','and','is','to','in','that'))) AS DOUBLE)
+                / CAST(len(string_split(text,' ')) AS DOUBLE)) * 0.4 AS quality_score
+    FROM documents
+    """,
+)
+def q18_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality scoring (length + stopword-ratio blend)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", ctext.quality_score().alias("quality_score"))
+
+
+@query(
+    "q19_language_id",
+    f"""
+    SELECT doc_id, lang,
+           {ctext.language_id_oracle_sql()} AS predicted_lang
+    FROM documents
+    """,
+)
+def q19_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-vote language heuristic vs the labeled lang column."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", "lang", ctext.language_id().alias("predicted_lang"))
+
+
+# ---------------------------------------------------------------------------
+# Deduplication family
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q20_exact_dedup",
+    """
+    WITH doubled AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text FROM documents
+    )
+    SELECT md5(text) AS fingerprint,
+           MIN(doc_id) AS canonical_id,
+           COUNT(*) AS n_copies
+    FROM doubled
+    GROUP BY md5(text)
+    """,
+)
+def q20_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash on a corpus with injected duplicates
+    (the corpus unioned with a re-crawled copy of itself)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    recrawl = docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    return cdedup.exact_dedup(docs.unionByName(recrawl))
+
+
+def _minhash_oracle(k: int = 8) -> str:
+    cols = ",\n           ".join(
+        f"{cdedup.minhash_duckdb('text', s)} AS mh{s}" for s in range(k)
+    )
+    return f"SELECT doc_id,\n           {cols}\n    FROM documents"
+
+
+@query("q21_minhash_signatures", _minhash_oracle())
+def q21_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (k=8 seeded-md5 minima over word 3-shingles)."""
+    return cdedup.minhash_signatures(_t(spark, sf_dir, "documents"))
+
+
+def _lsh_pairs_oracle(k: int = 8, bands: int = 4, threshold: float = 0.2) -> str:
+    sig_cols = ",\n             ".join(
+        f"{cdedup.minhash_duckdb('text', s)} AS mh{s}" for s in range(k)
+    )
+    rows = k // bands
+    band_vals = ", ".join(
+        "(" + str(b) + ", " + " || '|' || ".join(f"mh{b * rows + r}" for r in range(rows)) + ")"
+        for b in range(bands)
+    )
+    sh = f"list_distinct({cdedup.shingles_duckdb('text')})"
+    return f"""
+    WITH sigs AS (
+      SELECT doc_id,
+             {sig_cols}
+      FROM documents
+    ),
+    bands AS (
+      SELECT doc_id, b.band_id, b.band_key
+      FROM sigs, (VALUES {band_vals}) AS b(band_id, band_key)
+    ),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ),
+    sh AS (SELECT doc_id, {sh} AS sh FROM documents)
+    SELECT id_a, id_b,
+           CAST(len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) AS DOUBLE)
+             / (len(sa.sh) + len(sb.sh) - len(list_filter(sa.sh, x -> list_contains(sb.sh, x)))) AS jaccard
+    FROM cands JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b
+    WHERE CAST(len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) AS DOUBLE)
+             / (len(sa.sh) + len(sb.sh) - len(list_filter(sa.sh, x -> list_contains(sb.sh, x)))) >= {threshold}
+    """
+
+
+LSH_THRESHOLD = 0.2
+
+
+@query("q22_minhash_lsh_pairs", _lsh_pairs_oracle(threshold=LSH_THRESHOLD))
+def q22_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy near-dup pairs: MinHash LSH banding → candidates → true
+    n-gram-Jaccard verification (only candidate pairs are scored)."""
+    return cdedup.minhash_lsh_dedup(
+        _t(spark, sf_dir, "documents"), threshold=LSH_THRESHOLD
+    )
+
+
+def _simhash_oracle(bits: int = 16) -> str:
+    votes = ",\n             ".join(
+        f"SUM((ascii(substr(md5(tok), {b + 1}, 1)) % 2) * 2 - 1) AS v{b}"
+        for b in range(bits)
+    )
+    value = " + ".join(
+        f"(CASE WHEN v{b} >= 0 THEN {1 << b} ELSE 0 END)" for b in range(bits)
+    )
+    return f"""
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+    votes AS (
+      SELECT doc_id,
+             {votes}
+      FROM tok GROUP BY doc_id
+    )
+    SELECT doc_id, CAST({value} AS BIGINT) AS simhash FROM votes
+    """
+
+
+@query("q23_simhash", _simhash_oracle())
+def q23_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash per document (token ±1 bit votes)."""
+    return cdedup.simhash(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q24_ann_bruteforce_topk",
+    f"""
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id, {_dd_cos('embedding', 'qe')} AS cos_sim
+    FROM embeddings, q
+    ORDER BY cos_sim DESC, vec_id ASC
+    LIMIT 10
+    """,
+)
+def q24_ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 neighbors of vec 0 (brute-force baseline)."""
+    return csim.cosine_topk(_t(spark, sf_dir, "embeddings"), query_id=0, k=10)
+
+
+def _ivf_oracle(k: int = 5, dim: int = 64) -> str:
+    return f"""
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    cent AS (
+      SELECT label AS cell, list(s ORDER BY d) AS centroid FROM (
+        SELECT label, d, CAST(SUM(CAST(embedding[d] AS DECIMAL(27,8))) AS DOUBLE) AS s
+        FROM embeddings, range(1, {dim + 1}) t(d)
+        GROUP BY label, d
+      ) GROUP BY label
+    ),
+    best AS (
+      SELECT cell FROM cent, q
+      ORDER BY {_dd_cos('centroid', 'qe')} DESC, cell ASC
+      LIMIT 1
+    )
+    SELECT e.vec_id, e.label AS cell, {_dd_cos('e.embedding', 'qe')} AS cos_sim
+    FROM embeddings e JOIN best ON e.label = best.cell, q
+    ORDER BY cos_sim DESC, e.vec_id ASC
+    LIMIT {k}
+    """
+
+
+@query("q25_ann_ivf_topk", _ivf_oracle())
+def q25_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: route to the nearest coarse cell (exact decimal-sum
+    centroids), exact top-5 within that cell only."""
+    return csim.ivf_topk(_t(spark, sf_dir, "embeddings"), query_id=0, k=5)
+
+
+@query(
+    "q26_embedding_near_dup",
+    f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           {_dd_cos('a.embedding', 'b.embedding')} AS cos_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE {_dd_cos('a.embedding', 'b.embedding')} >= 0.45
+    """,
+)
+def q26_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (threshold 0.45 ≈ 99.97th pct of this corpus; exact all-pairs form for the
+    oracle; the LSH-prefiltered scale path is
+    corpus/similarity.py::embedding_near_dup_pairs(use_lsh_prefilter=True))."""
+    return csim.embedding_near_dup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.45, use_lsh_prefilter=False
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal binary columns
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q27_multimodal_meta",
+    """
+    SELECT doc_id, 'text/plain' AS mime,
+           CAST(octet_length(encode(text)) AS BIGINT) AS byte_len
+    FROM documents
+    """,
+)
+def q27_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque binary payload + typed metadata (the multimodal storage
+    shape); metadata-only projection never reads payload pages."""
+    media = attach_binary_payload(
+        _t(spark, sf_dir, "documents"), source_col="text", mime="text/plain"
+    )
+    return media.select("doc_id", "mime", "byte_len")

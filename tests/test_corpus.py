@@ -1,0 +1,144 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from modular_etl_data_platform_spark.corpus import dedup as cdedup
+from modular_etl_data_platform_spark.corpus import similarity as csim
+from modular_etl_data_platform_spark.corpus import text as ctext
+from modular_etl_data_platform_spark.corpus.multimodal import (
+    attach_binary_payload,
+    decode_images,
+    sample_frames,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog", "en"),
+        (1, "the quick brown fox jumps over the lazy cat", "en"),  # near-dup of 0
+        (2, "completely different words entirely unrelated content here now", "en"),
+        (3, "the quick brown fox jumps over the lazy dog", "en"),  # exact dup of 0
+        (4, "der hund ist nicht der die das und mit", "de"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+
+
+def test_token_and_subword_count(spark, docs):
+    out = {r.doc_id: (r.n, r.s) for r in docs.select(
+        "doc_id", ctext.token_count().alias("n"), ctext.subword_count().alias("s")
+    ).collect()}
+    assert out[0][0] == 9
+    # 'completely'(3) 'different'(3) 'words'(2) 'entirely'(2) 'unrelated'(3)
+    # 'content'(2) 'here'(1) 'now'(1) = 17
+    assert out[2] == (8, 17)
+
+
+def test_language_id(spark, docs):
+    out = {r.doc_id: r.lang_pred for r in docs.select(
+        "doc_id", ctext.language_id().alias("lang_pred")
+    ).collect()}
+    assert out[0] == "en"
+    assert out[4] == "de"
+
+
+def test_exact_dedup(spark, docs):
+    out = cdedup.exact_dedup(docs).collect()
+    assert len(out) == 4  # 5 docs, one exact dup
+    groups = {r.canonical_id: r.n_copies for r in out}
+    assert groups[0] == 2  # docs 0 and 3
+
+
+def test_minhash_identical_docs_equal_signatures(spark, docs):
+    sigs = {r.doc_id: tuple(r)[1:] for r in cdedup.minhash_signatures(docs).collect()}
+    assert sigs[0] == sigs[3]
+    assert sigs[0] != sigs[2]
+
+
+def test_lsh_finds_near_dup_pair(spark, docs):
+    pairs = cdedup.minhash_lsh_dedup(docs, threshold=0.4).collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    assert (0, 3) in found  # exact dup always survives
+    got = {(r.id_a, r.id_b): r.jaccard for r in pairs}
+    assert got[(0, 3)] == 1.0
+
+
+def test_simhash_hamming(spark, docs):
+    sh = cdedup.simhash(docs)
+    vals = {r.doc_id: r.simhash for r in sh.collect()}
+    assert vals[0] == vals[3]  # identical docs, identical simhash
+    pairs = cdedup.simhash_hamming_pairs(sh, max_hamming=3).collect()
+    assert any((p.id_a, p.id_b) == (0, 3) and p.hamming == 0 for p in pairs)
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    import random
+
+    rng = random.Random(3)
+    rows = []
+    for i in range(40):
+        base = [rng.uniform(-1, 1) for _ in range(8)]
+        rows.append((i, [float(x) for x in base], i % 3))
+    # vec 100 = near-identical to vec 0
+    first = rows[0][1]
+    rows.append((100, [x + 1e-6 for x in first], 0))
+    return spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>, label INT")
+
+
+def test_cosine_topk_finds_near_identical(spark, emb):
+    top = csim.cosine_topk(emb, query_id=0, k=3).collect()
+    assert top[0].vec_id == 0 and abs(top[0].cos_sim - 1.0) < 1e-9
+    assert top[1].vec_id == 100 and top[1].cos_sim > 0.999999
+
+
+def test_ivf_topk_matches_bruteforce_within_cell(spark, emb):
+    ivf = csim.ivf_topk(emb, query_id=0, k=3, dim=8)
+    rows = ivf.collect()
+    assert rows[0].vec_id == 0
+    assert all(r.cell == rows[0].cell for r in rows)
+
+
+def test_embedding_near_dup_lsh_prefilter_finds_identical(spark, emb):
+    exact = {
+        (r.id_a, r.id_b)
+        for r in csim.embedding_near_dup_pairs(
+            emb, threshold=0.999, use_lsh_prefilter=False
+        ).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in csim.embedding_near_dup_pairs(
+            emb, threshold=0.999, use_lsh_prefilter=True
+        ).collect()
+    }
+    assert (0, 100) in exact
+    assert lsh <= exact  # prefilter never invents pairs
+    assert (0, 100) in lsh  # ~identical vectors share all hyperplane signs
+
+
+def test_multimodal_decode_plumbing(spark, docs):
+    media = attach_binary_payload(docs, source_col="text", mime="text/plain")
+    assert dict(media.dtypes)["payload"] == "binary"
+    decoded = decode_images(media)
+    rows = decoded.collect()
+    assert len(rows) == docs.count()
+    r0 = next(r for r in rows if r.doc_id == 0)
+    assert r0.byte_len == len("the quick brown fox jumps over the lazy dog")
+    assert len(r0.feature) == 4
+    # deterministic: identical payloads → identical features
+    r3 = next(r for r in rows if r.doc_id == 3)
+    assert r0.feature == r3.feature and r0.width == r3.width
+
+
+def test_multimodal_frame_sampling(spark, docs):
+    media = attach_binary_payload(docs, source_col="text", mime="text/plain")
+    frames = sample_frames(media, every_n_bytes=10).collect()
+    r0 = sorted(
+        [f for f in frames if f.doc_id == 0], key=lambda f: f.frame_no
+    )
+    text = "the quick brown fox jumps over the lazy dog"
+    assert len(r0) == (len(text) + 9) // 10
+    assert bytes(r0[0].chunk) == text[:10].encode()
+    assert r0[1].offset == 10
