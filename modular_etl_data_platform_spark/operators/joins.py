@@ -40,13 +40,19 @@ def pit_join(
     adjacent versions never both match.
     """
     keys = [business_key] if isinstance(business_key, str) else list(business_key)
-    d = F.broadcast(dim) if broadcast_dim else dim
+    # rename the dim's key columns so the output has a single unambiguous
+    # copy of each business key (they are equal by the join condition)
+    d = dim
+    for k in keys:
+        d = d.withColumnRenamed(k, f"__dim_{k}")
+    if broadcast_dim:
+        d = F.broadcast(d)
     cond = None
     for k in keys:
-        c = fact[k] == d[k]
+        c = fact[k] == d[f"__dim_{k}"]
         cond = c if cond is None else (cond & c)
     cond = cond & (fact[event_time] >= d[valid_from]) & (fact[event_time] < d[valid_to])
-    return fact.join(d, cond, how)
+    return fact.join(d, cond, how).drop(*[f"__dim_{k}" for k in keys])
 
 
 def current_join(

@@ -44,8 +44,17 @@ def apply_transformations(
     return df.withColumns({name: compile_expression(e) for name, e in transformations.items()})
 
 
-def conform_to_schema(df: DataFrame, config: TableConfig) -> DataFrame:
-    """Project + cast to the declared column set/types (schema projection P1)."""
+def conform_to_schema(
+    df: DataFrame, config: TableConfig, extra_cols: list[str] | None = None
+) -> DataFrame:
+    """Project + cast to the declared column set/types (schema projection P1).
+
+    ``extra_cols`` are carried through untouched (e.g. the dedup ordering
+    column, which is metadata rather than a declared column)."""
     fields = config.spark_schema(include_metadata=False).fields
     cols = [F.col(f.name).cast(f.dataType).alias(f.name) for f in fields if f.name in df.columns]
+    declared = {f.name for f in fields}
+    for c in extra_cols or []:
+        if c in df.columns and c not in declared:
+            cols.append(F.col(c))
     return df.select(*cols)

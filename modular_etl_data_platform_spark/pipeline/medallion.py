@@ -1,0 +1,134 @@
+"""Medallion pipeline orchestration — the reference's three entry points
+(SURVEY §3 EP1-EP3) as engine verbs:
+
+- :meth:`MedallionPipeline.ingest_bronze` (C1): schema-first read → audit
+  columns → partitioned append (reference: config/bronze/schema/README.md:62-87).
+- :meth:`MedallionPipeline.transform_silver` (C2): incremental read →
+  expression transforms → validate/quarantine → dedup keep-latest →
+  keyed upsert (reference: config/silver/schema/README.md:160-191).
+- :meth:`MedallionPipeline.build_dimension` / :meth:`load_fact` (C4/C5):
+  SCD2 merge + fact builds (reference: config/gold/schema/README.md:300-341).
+
+All steps are lazy DataFrame plans until the sink action; Catalyst fuses
+transform + validate + dedup into the minimal number of stages
+(scan-projection → PK-shuffle window → write).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from modular_etl_data_platform_spark.operators.dedup import dedupe_latest
+from modular_etl_data_platform_spark.operators.scd2 import apply_scd_type2
+from modular_etl_data_platform_spark.operators.transforms import (
+    apply_transformations,
+    conform_to_schema,
+)
+from modular_etl_data_platform_spark.operators.upsert import upsert_parquet
+from modular_etl_data_platform_spark.operators.validate import RuleSet
+from modular_etl_data_platform_spark.operators.watermark import (
+    WatermarkStore,
+    advance_watermark,
+    incremental_filter,
+)
+from modular_etl_data_platform_spark.schema.registry import TableConfig
+from modular_etl_data_platform_spark.sources.audit import add_metadata_columns
+from modular_etl_data_platform_spark.sources.readers import read_source
+from modular_etl_data_platform_spark.sources.sinks import (
+    append_partitioned,
+    write_quarantine,
+)
+
+
+@dataclass
+class MedallionPipeline:
+    spark: SparkSession
+    warehouse: str  # root dir for layer tables
+    raw_base: str | None = None  # base dir for raw source files
+    _watermarks: WatermarkStore = field(init=False)
+
+    def __post_init__(self):
+        os.makedirs(self.warehouse, exist_ok=True)
+        self._watermarks = WatermarkStore(os.path.join(self.warehouse, "_watermarks.json"))
+
+    # -- paths ---------------------------------------------------------------
+    def table_path(self, name: str) -> str:
+        return os.path.join(self.warehouse, name)
+
+    def read_table(self, name: str) -> DataFrame:
+        return self.spark.read.parquet(self.table_path(name))
+
+    # -- EP1: bronze (C1) ------------------------------------------------------
+    def ingest_bronze(self, config: TableConfig, path_override: str | None = None) -> DataFrame:
+        raw = read_source(self.spark, config, base_path=self.raw_base, path_override=path_override)
+        bronze = add_metadata_columns(raw, config.raw.get("source_system", "unknown"))
+        append_partitioned(
+            bronze, self.table_path(config.table_name), config.partition_by or None
+        )
+        return bronze
+
+    # -- EP2: silver (C2) -------------------------------------------------------
+    def transform_silver(
+        self, config: TableConfig, order_col: str = "ingestion_timestamp"
+    ) -> dict[str, int]:
+        """5-stage silver load; returns row-count metrics per stage."""
+        src = self.read_table(config.source_table)
+
+        # 1. incremental filter (P3) against stored watermark
+        inc_col = config.incremental_column
+        wm = self._watermarks.get(config.table_name) if inc_col else None
+        batch = incremental_filter(src, inc_col, wm) if inc_col else src
+
+        # 2. expression transforms (P2/T1-T7) + schema conformance (P1)
+        transformed = apply_transformations(batch, config.transformations())
+        conformed = conform_to_schema(transformed, config, extra_cols=[order_col])
+
+        # 3. validate (C3) with quarantine (S10)
+        rules = RuleSet.from_config(config.data_quality_rules)
+        valid, quarantined = rules.split(conformed)
+        n_bad = quarantined.count()
+        if n_bad:
+            quarantined.withColumn(
+                "failed_rules", F.to_json(F.col("failed_rules"))
+            ).write.mode("append").parquet(self.table_path("silver_dq_errors"))
+
+        # 4. dedup keep-latest per PK (W1)
+        deduped = dedupe_latest(valid, config.primary_keys, order_col)
+
+        # 5. keyed upsert (S8)
+        final = deduped.drop(order_col) if order_col not in config.column_names() else deduped
+        upsert_parquet(
+            self.spark,
+            final,
+            self.table_path(config.table_name),
+            config.primary_keys,
+            config.partition_by or None,
+        )
+        if inc_col:
+            new_wm = advance_watermark(batch, inc_col)
+            if new_wm is not None:
+                self._watermarks.set(config.table_name, new_wm)
+        n_out = final.count()
+        return {"quarantined": n_bad, "upserted": n_out}
+
+    # -- EP3: gold (C4/C5) -------------------------------------------------------
+    def build_dimension(self, config: TableConfig, batch: DataFrame) -> DataFrame:
+        scd = config.scd_config
+        dim_path = self.table_path(config.table_name)
+        current = (
+            self.spark.read.parquet(dim_path) if os.path.exists(dim_path) else None
+        )
+        dim = apply_scd_type2(
+            current,
+            batch,
+            keys=config.primary_keys,
+            type2_cols=scd.get("type2_columns", []),
+            type1_cols=scd.get("type1_columns", []),
+            hash_delimiter=scd.get("hash_delimiter", "|"),
+        )
+        upsert_parquet(self.spark, dim, dim_path, config.primary_keys + ["valid_from"])
+        return self.spark.read.parquet(dim_path)

@@ -594,6 +594,201 @@ def q16_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return actives(1995).exceptAll(actives(1996)).distinct()
 
 
+# ---------------------------------------------------------------------------
+# Fact load with PIT dimension resolution (C5: J1+J3+T5+T8)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q28_fact_pit_load",
+    """
+    WITH dim AS (
+      SELECT user_id, ts AS valid_from,
+             COALESCE(LEAD(ts) OVER w, TIMESTAMP '9999-12-31 00:00:00') AS valid_to,
+             event_type AS attr,
+             CAST(ROW_NUMBER() OVER w AS INT) AS version
+      FROM events WHERE event_type IN ('signup', 'purchase', 'error')
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    )
+    SELECT c.event_id, c.user_id, c.ts,
+           CAST(strftime(c.ts, '%Y%m%d') AS INT) AS date_key,
+           d.attr, d.version,
+           c.value * 1.1 AS net_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    LEFT JOIN dim d
+      ON d.user_id = c.user_id AND c.ts >= d.valid_from AND c.ts < d.valid_to
+    """,
+)
+def q28_fact_pit_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full fact-load composition (C5): SCD2 dimension built from a change
+    history, click facts PIT-joined to the version valid at event time
+    (J1), derived yyyyMMdd date key (J3/T5), calculated measure (T8).
+
+    Scale: the dimension is broadcast (pit_join default), so the fact
+    table never shuffles — the 100 TB fact-load plan."""
+    from modular_etl_data_platform_spark.operators.facts import (
+        DimensionLookup,
+        load_fact,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    dim = scd2_from_history(
+        ev.filter(F.col("event_type").isin("signup", "purchase", "error")),
+        keys=["user_id"],
+        change_time="ts",
+        attr_cols={"attr": "event_type"},
+        tiebreakers=["event_id"],
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    fact = load_fact(
+        clicks,
+        lookups=[
+            DimensionLookup(
+                dim=dim,
+                business_key="user_id",
+                join_type="point_in_time",
+                event_time="ts",
+                select=["attr", "version"],
+            )
+        ],
+        date_keys={"date_key": "ts"},
+        measures={"net_value": "value * 1.1"},
+    )
+    return fact.select(
+        "event_id", "user_id", "ts", "date_key", "attr", "version", "net_value"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multi-level aggregation: ROLLUP (grouping sets)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q29_rollup_revenue",
+    """
+    SELECT c_mktsegment, o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY ROLLUP (c_mktsegment, o_orderpriority)
+    """,
+)
+def q29_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals via ROLLUP — Spark computes all grouping
+    sets in one shuffle (Expand + single hash aggregate)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .rollup("c_mktsegment", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice"), "revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Semi-structured extraction: JSON props
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q30_json_extract",
+    """
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE)
+             / COUNT(json_extract_string(props, '$.k')) AS avg_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q30_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON attribute extraction from the events props column — stays in
+    codegen via get_json_object (no UDF)."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum("k").cast("double") / F.count("k")).alias("avg_k"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Silver cleansing transformations (P2/T1-T3/T7) as a query
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q31_silver_cleanse",
+    r"""
+    WITH raw AS (
+      SELECT c_custkey,
+             '  ' || upper(c_name) || '  ' AS name_raw,
+             lower(c_mktsegment) || ' ' AS seg_raw,
+             '(' || substr(CAST(1000000000 + c_custkey * 7919 AS VARCHAR), 1, 3) || ') '
+               || substr(CAST(1000000000 + c_custkey * 7919 AS VARCHAR), 4, 3) || '-'
+               || substr(CAST(1000000000 + c_custkey * 7919 AS VARCHAR), 7, 4)
+               || 'x' || CAST(c_custkey % 100 AS VARCHAR) AS phone_raw,
+             CASE WHEN c_custkey % 10 = 0 THEN NULL ELSE 'USA' END AS country_raw
+      FROM customer
+    )
+    SELECT c_custkey,
+           -- DuckDB has no initcap; our cleansed names are single-word so
+           -- first-upper + rest-lower is exactly Spark's initcap here
+           upper(substr(trim(name_raw), 1, 1)) || lower(substr(trim(name_raw), 2)) AS name_clean,
+           upper(trim(seg_raw)) AS segment_clean,
+           CASE WHEN length(regexp_replace(regexp_extract(phone_raw, '^([^xX]*)', 1), '[^0-9]', '', 'g')) >= 10
+                THEN concat_ws('-',
+                  substr(right(regexp_replace(regexp_extract(phone_raw, '^([^xX]*)', 1), '[^0-9]', '', 'g'), 10), 1, 3),
+                  substr(right(regexp_replace(regexp_extract(phone_raw, '^([^xX]*)', 1), '[^0-9]', '', 'g'), 10), 4, 3),
+                  substr(right(regexp_replace(regexp_extract(phone_raw, '^([^xX]*)', 1), '[^0-9]', '', 'g'), 10), 7, 4))
+                ELSE NULL END AS phone_clean,
+           coalesce(country_raw, 'USA') AS country_clean
+    FROM raw
+    """,
+)
+def q31_silver_cleanse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The silver cleansing contract as a query: trim/initcap/upper (T1),
+    coalesce defaults (T2), format_phone (T7 — native regexp composition,
+    no UDF), driven through the declarative transformation compiler (P2)."""
+    from modular_etl_data_platform_spark.operators.transforms import (
+        apply_transformations,
+    )
+
+    c = _t(spark, sf_dir, "customer")
+    messy = c.selectExpr(
+        "c_custkey",
+        "concat('  ', upper(c_name), '  ') AS name_raw",
+        "concat(lower(c_mktsegment), ' ') AS seg_raw",
+        "concat('(', substr(cast(1000000000 + c_custkey * 7919 AS string), 1, 3), ') ',"
+        " substr(cast(1000000000 + c_custkey * 7919 AS string), 4, 3), '-',"
+        " substr(cast(1000000000 + c_custkey * 7919 AS string), 7, 4),"
+        " 'x', cast(c_custkey % 100 AS string)) AS phone_raw",
+        "CASE WHEN c_custkey % 10 = 0 THEN NULL ELSE 'USA' END AS country_raw",
+    )
+    cleaned = apply_transformations(
+        messy,
+        {
+            "name_clean": "initcap(trim(name_raw))",
+            "segment_clean": "upper(trim(seg_raw))",
+            "phone_clean": "format_phone(phone_raw)",
+            "country_clean": "coalesce(country_raw, 'USA')",
+        },
+    )
+    return cleaned.select(
+        "c_custkey", "name_clean", "segment_clean", "phone_clean", "country_clean"
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The driver smoke-check query."""
     return q01_pricing_summary(spark, sf_dir)

@@ -1,0 +1,6 @@
+from modular_etl_data_platform_spark.streaming.incremental import (
+    stream_bronze_to_silver,
+    stream_ingest,
+)
+
+__all__ = ["stream_ingest", "stream_bronze_to_silver"]

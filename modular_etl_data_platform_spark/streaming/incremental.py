@@ -1,0 +1,171 @@
+"""Structured Streaming variants of the medallion entry points.
+
+The reference simulates feeds with daily batch files + watermark columns
+(SURVEY §2.10); these operators run the SAME configs continuously:
+
+- :func:`stream_ingest` — file-source ``readStream`` → audit columns →
+  partitioned append (C1 as a stream). Exactly-once via checkpointing.
+- :func:`stream_bronze_to_silver` — ``foreachBatch`` micro-batch loop
+  running the silver transform (transform → validate → dedup → upsert)
+  per batch; the MERGE keeps the output keyed-latest, which is the
+  streaming-upsert pattern Delta/Spark docs prescribe for CDC.
+- :func:`sessionize_events` — example custom stateful operator via
+  ``applyInPandasWithState`` (session windows with a gap timeout).
+
+Scale: file streams at 100 TB use ``maxFilesPerTrigger`` to bound batch
+size; dedup-in-batch shuffles only the micro-batch, and the upsert is
+partition-scoped. Watermarks bound state for late data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from modular_etl_data_platform_spark.operators.dedup import dedupe_latest
+from modular_etl_data_platform_spark.operators.transforms import (
+    apply_transformations,
+    conform_to_schema,
+)
+from modular_etl_data_platform_spark.operators.upsert import upsert_parquet
+from modular_etl_data_platform_spark.operators.validate import RuleSet
+from modular_etl_data_platform_spark.schema.registry import TableConfig
+from modular_etl_data_platform_spark.sources.audit import add_metadata_columns
+
+
+def stream_ingest(
+    spark: SparkSession,
+    config: TableConfig,
+    source_dir: str,
+    target_path: str,
+    checkpoint: str,
+    max_files_per_trigger: int = 100,
+):
+    """C1 as a stream: continuously ingest files matching the config."""
+    info = config.source_info
+    fmt = (info.get("file_format") or "parquet").lower()
+    reader = (
+        spark.readStream.schema(config.spark_schema())
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+    )
+    if fmt == "csv":
+        src = reader.options(
+            header=str(bool(info.get("header", True))).lower(),
+            sep=info.get("delimiter", ","),
+        ).csv(source_dir)
+    elif fmt == "json":
+        src = reader.json(source_dir)
+    else:
+        src = reader.parquet(source_dir)
+    bronze = add_metadata_columns(src, config.raw.get("source_system", "stream"))
+    writer = (
+        bronze.writeStream.format("parquet")
+        .option("path", target_path)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+    )
+    if config.partition_by:
+        writer = writer.partitionBy(*config.partition_by)
+    return writer.start()
+
+
+def stream_bronze_to_silver(
+    spark: SparkSession,
+    config: TableConfig,
+    bronze_path: str,
+    silver_path: str,
+    checkpoint: str,
+    order_col: str = "ingestion_timestamp",
+):
+    """C2 as a stream: micro-batch transform→validate→dedup→MERGE."""
+    bronze_schema = config.raw.get("bronze_schema")
+    reader = spark.readStream
+    if bronze_schema is not None:
+        reader = reader.schema(bronze_schema)
+    else:
+        static = spark.read.parquet(bronze_path)
+        reader = reader.schema(static.schema)
+    stream = reader.parquet(bronze_path)
+    rules = RuleSet.from_config(config.data_quality_rules)
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        transformed = apply_transformations(batch, config.transformations())
+        conformed = conform_to_schema(transformed, config, extra_cols=[order_col])
+        valid, _ = rules.split(conformed)
+        deduped = dedupe_latest(valid, config.primary_keys, order_col)
+        final = (
+            deduped.drop(order_col)
+            if order_col not in config.column_names()
+            else deduped
+        )
+        upsert_parquet(spark, final, silver_path, config.primary_keys)
+
+    return (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+SESSION_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_start", T.TimestampType()),
+        T.StructField("session_end", T.TimestampType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+    ]
+)
+
+_STATE_SCHEMA = "start TIMESTAMP, end TIMESTAMP, n BIGINT, total DOUBLE"
+
+
+def _sessionize(key, pdfs, state: GroupState):
+    """applyInPandasWithState body: fold events into an open session; emit
+    when the gap timeout fires."""
+    import pandas as pd
+
+    if state.hasTimedOut:
+        start, end, n, total = state.get
+        state.remove()
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "session_start": [start],
+                "session_end": [end],
+                "n_events": [n],
+                "total_value": [total],
+            }
+        )
+        return
+
+    rows = pd.concat(list(pdfs))
+    lo, hi = rows["ts"].min(), rows["ts"].max()
+    n, total = len(rows), float(rows["value"].sum())
+    if state.exists:
+        start, end, n0, total0 = state.get
+        state.update((min(start, lo), max(end, hi), n0 + n, total0 + total))
+    else:
+        state.update((lo, hi, n, total))
+    state.setTimeoutDuration(30_000)  # 30s gap closes the session
+    yield from ()
+
+
+def sessionize_events(events_stream: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator: gap-based session windows over
+    (user_id) with per-group state — the applyInPandasWithState shape the
+    engine exposes for operators Spark lacks natively."""
+    return (
+        events_stream.withWatermark("ts", "1 minute")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _sessionize,
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )
