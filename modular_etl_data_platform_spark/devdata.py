@@ -1,0 +1,127 @@
+"""Seeded synthetic e-commerce fixture generator (SURVEY §2.8 G2).
+
+Re-specifies the reference's sample-data generator semantics (reference:
+data/generators/generate_sample_data.py:26-292) without porting it:
+deterministic seed, injected quality defects with known expected outcomes —
+~2% duplicate orders, forced nulls, ~10% SCD2 address changes in a second
+"update" file, daily inventory snapshot files — so pipeline tests can
+assert exact post-Silver/Gold cardinalities.
+
+Driver-side plain Python by design: fixture generation is small; the
+engine under test should not generate its own inputs distributed.
+"""
+
+from __future__ import annotations
+
+import csv
+import datetime as dt
+import json
+import os
+import random
+from dataclasses import dataclass
+
+STATUSES = ["pending", "processing", "shipped", "delivered", "cancelled"]
+TIERS = ["bronze", "silver", "gold", "platinum"]
+CITIES = ["Springfield", "Shelbyville", "Ogdenville", "North Haverbrook"]
+
+
+@dataclass
+class FixtureSpec:
+    n_customers: int = 50
+    n_products: int = 20
+    n_orders: int = 200
+    dupe_rate: float = 0.02
+    null_rate: float = 0.01
+    scd_change_rate: float = 0.10
+    n_snapshot_days: int = 7
+    seed: int = 42
+
+
+def generate(out_dir: str, spec: FixtureSpec | None = None) -> dict[str, int]:
+    """Write the raw fixture files; returns expected cardinalities."""
+    spec = spec or FixtureSpec()
+    rng = random.Random(spec.seed)
+    os.makedirs(out_dir, exist_ok=True)
+
+    customers = [
+        {
+            "customer_id": c,
+            "first_name": f"  first{c} ",
+            "last_name": f" LAST{c}  ",
+            "email": f" User{c}@Example.COM ",
+            "phone": f"(5{c % 10}8)349-5{c % 10}31x03{c % 10}1",
+            "city": rng.choice(CITIES).lower(),
+            "state": rng.choice(["ny", "ca", "tx", "wa"]),
+            "customer_tier": rng.choice(TIERS),
+            "updated_at": "2024-01-01T00:00:00",
+        }
+        for c in range(spec.n_customers)
+    ]
+    with open(os.path.join(out_dir, "customers_initial.json"), "w") as f:
+        json.dump(customers, f)
+
+    n_changed = int(spec.n_customers * spec.scd_change_rate)
+    changed = rng.sample(range(spec.n_customers), n_changed)
+    updates = []
+    for c in changed:
+        u = dict(customers[c])
+        u["city"] = "capital city"
+        u["updated_at"] = "2024-06-01T00:00:00"
+        updates.append(u)
+    with open(os.path.join(out_dir, "customers_update.json"), "w") as f:
+        json.dump(updates, f)
+
+    with open(os.path.join(out_dir, "products.csv"), "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["product_id", "product_name", "unit_cost", "unit_price"])
+        for p in range(spec.n_products):
+            cost = round(rng.uniform(1, 50), 2)
+            w.writerow([p, f"product {p}", cost, round(cost * rng.uniform(1.2, 2.0), 2)])
+
+    order_rows = []
+    base = dt.date(2024, 1, 1)
+    for o in range(spec.n_orders):
+        status = rng.choice(STATUSES)
+        total = round(rng.uniform(5, 500), 2)
+        if rng.random() < spec.null_rate:
+            total = ""
+        order_rows.append(
+            [
+                o,
+                rng.randrange(spec.n_customers),
+                (base + dt.timedelta(days=rng.randrange(120))).isoformat(),
+                f" {status.upper()} ",
+                total,
+            ]
+        )
+    n_dupes = int(spec.n_orders * spec.dupe_rate)
+    for row in rng.sample(order_rows, n_dupes):
+        order_rows.append(list(row))
+    rng.shuffle(order_rows)
+    with open(os.path.join(out_dir, "orders.csv"), "w") as f:
+        f.write("order_id|customer_id|order_date|order_status|order_total\n")
+        for row in order_rows:
+            f.write("|".join(str(x) for x in row) + "\n")
+
+    for day in range(spec.n_snapshot_days):
+        snap_date = (base + dt.timedelta(days=day)).isoformat()
+        snap = [
+            {
+                "product_id": p,
+                "snapshot_date": snap_date,
+                "quantity_on_hand": rng.randrange(0, 500),
+                "quantity_reserved": rng.randrange(0, 50),
+            }
+            for p in range(spec.n_products)
+        ]
+        with open(os.path.join(out_dir, f"inventory_{snap_date}.json"), "w") as f:
+            json.dump(snap, f)
+
+    return {
+        "customers": spec.n_customers,
+        "customer_updates": n_changed,
+        "products": spec.n_products,
+        "orders_on_disk": spec.n_orders + n_dupes,
+        "orders_unique": spec.n_orders,
+        "inventory_rows": spec.n_snapshot_days * spec.n_products,
+    }

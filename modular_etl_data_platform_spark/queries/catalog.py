@@ -789,6 +789,126 @@ def q31_silver_cleanse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Per-order derived totals + item counts (A3/A4)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q32_order_totals_derived",
+    """
+    SELECT l_orderkey AS o_orderkey,
+           COUNT(*) AS item_count,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS derived_total
+    FROM lineitem
+    GROUP BY l_orderkey
+    """,
+)
+def q32_order_totals_derived(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-grain rollup of line items: per-order item_count (A3) and the
+    derived order total (A4's generator semantics) in one aggregation."""
+    li = _t(spark, sf_dir, "lineitem")
+    gross = F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+    return li.groupBy(F.col("l_orderkey").alias("o_orderkey")).agg(
+        F.count(F.lit(1)).alias("item_count"),
+        dsum(gross, "derived_total"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Surrogate key allocation (W2)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q33_surrogate_keys",
+    """
+    SELECT c_custkey,
+           ROW_NUMBER() OVER (ORDER BY c_custkey ASC) AS surrogate_key
+    FROM customer
+    """,
+)
+def q33_surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic dense surrogate keys (W2): row_number over the
+    business key — reproducible across retries, unlike
+    monotonically_increasing_id (see operators/scd2.py::_assign_surrogate
+    for the per-batch offset strategy at 100 TB)."""
+    w = Window.orderBy(F.col("c_custkey").asc())
+    return (
+        _t(spark, sf_dir, "customer")
+        .select("c_custkey")
+        .withColumn("surrogate_key", F.row_number().over(w).cast("long"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# SCD2 as-of and current-version filters (P8/P9)
+# ---------------------------------------------------------------------------
+
+_SCD2_DIM_CTE = """
+    WITH dim AS (
+      SELECT user_id, ts AS valid_from,
+             COALESCE(LEAD(ts) OVER w, TIMESTAMP '9999-12-31 00:00:00') AS valid_to,
+             LEAD(ts) OVER w IS NULL AS is_current,
+             CAST(ROW_NUMBER() OVER w AS INT) AS version,
+             event_type AS attr
+      FROM events WHERE event_type IN ('signup', 'purchase', 'error')
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    )
+"""
+
+
+def _scd2_events_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("signup", "purchase", "error")
+    )
+    return scd2_from_history(
+        ev, keys=["user_id"], change_time="ts",
+        attr_cols={"attr": "event_type"}, tiebreakers=["event_id"],
+    )
+
+
+@query(
+    "q34_asof_dim_state",
+    _SCD2_DIM_CTE
+    + """
+    SELECT user_id, attr, version
+    FROM dim
+    WHERE valid_from <= TIMESTAMP '2024-01-15 00:00:00'
+      AND valid_to > TIMESTAMP '2024-01-15 00:00:00'
+    """,
+)
+def q34_asof_dim_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-travel filter (P9): the dimension state as of a past instant —
+    one version per key whose validity interval covers it
+    (reference: config/gold/schema/README.md:183-189)."""
+    d = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    return (
+        _scd2_events_dim(spark, sf_dir)
+        .filter((F.col("valid_from") <= d) & (F.col("valid_to") > d))
+        .select("user_id", "attr", "version")
+    )
+
+
+@query(
+    "q35_current_dim_rows",
+    _SCD2_DIM_CTE
+    + """
+    SELECT user_id, attr, version
+    FROM dim
+    WHERE is_current
+    """,
+)
+def q35_current_dim_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Current-version filter (P8): WHERE is_current — the default BI view
+    of an SCD2 dimension (reference: config/gold/schema/README.md:178-181)."""
+    return (
+        _scd2_events_dim(spark, sf_dir)
+        .filter(F.col("is_current"))
+        .select("user_id", "attr", "version")
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The driver smoke-check query."""
     return q01_pricing_summary(spark, sf_dir)

@@ -49,6 +49,54 @@ def overwrite_table(
     _writer(df, fmt, "overwrite", partition_by).save(path)
 
 
+def write_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_by: list[str],
+    partition_by: list[str] | None = None,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    num_files: int | None = None,
+) -> None:
+    """Z-ORDER-style data clustering shim (SURVEY §4).
+
+    The reference prescribes ``OPTIMIZE ... ZORDER BY`` (reference:
+    config/gold/schema/README.md:381-389), which OSS parquet lacks.
+    ``repartitionByRange`` + ``sortWithinPartitions`` yields the same
+    data-skipping win for the leading cluster key: each output file covers
+    a narrow key range, so min/max parquet statistics prune files on
+    point/range predicates.
+    """
+    if num_files:
+        clustered = df.repartitionByRange(num_files, *cluster_by)
+    else:
+        clustered = df.repartitionByRange(*cluster_by)
+    clustered = clustered.sortWithinPartitions(*cluster_by)
+    _writer(clustered, fmt, mode, partition_by).save(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_by: list[str],
+    num_buckets: int = 32,
+    sort_by: list[str] | None = None,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed table write for co-located (shuffle-free) joins.
+
+    Two tables bucketed on the same key with the same bucket count join
+    without any exchange — the 100 TB recipe for repeated big-big joins
+    (e.g. orders ⋈ lineitem on orderkey). Requires the session catalog
+    (``saveAsTable``); plain ``save(path)`` cannot record bucketing.
+    """
+    w = df.write.format(fmt).mode(mode).bucketBy(num_buckets, *bucket_by)
+    if sort_by:
+        w = w.sortBy(*sort_by)
+    w.saveAsTable(table_name)
+
+
 def write_quarantine(
     failed: DataFrame,
     path: str,

@@ -12,10 +12,16 @@ SF001 = "/root/testdata/sf0.01"
 
 
 @pytest.fixture(scope="session")
-def spark():
+def spark(tmp_path_factory):
     from modular_etl_data_platform_spark.session import get_spark
 
-    s = get_spark("tests", cpus=8, shuffle_partitions=8)
+    wh = str(tmp_path_factory.mktemp("spark-warehouse"))
+    s = get_spark(
+        "tests",
+        cpus=8,
+        shuffle_partitions=8,
+        extra_conf={"spark.sql.warehouse.dir": wh},
+    )
     s.sparkContext.setLogLevel("ERROR")
     yield s
     s.stop()
