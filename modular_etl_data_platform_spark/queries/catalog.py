@@ -29,6 +29,7 @@ from modular_etl_data_platform_spark.operators.dedup import dedupe_latest, dupli
 from modular_etl_data_platform_spark.operators.joins import asof_join, ri_orphans
 from modular_etl_data_platform_spark.operators.date_dim import build_dim_date
 from modular_etl_data_platform_spark.operators.scd2 import scd2_from_history
+from modular_etl_data_platform_spark.functions.scalar import format_phone
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -906,6 +907,80 @@ def q35_current_dim_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         _scd2_events_dim(spark, sf_dir)
         .filter(F.col("is_current"))
         .select("user_id", "attr", "version")
+    )
+
+
+# ---------------------------------------------------------------------------
+# format_phone (T7) and RI quarantine (J5/S10)
+# ---------------------------------------------------------------------------
+
+# deterministic messy-phone synthesis: the testdata has no phone column, so
+# derive 10 digits from the key and render them in the reference's messy raw
+# forms ('(518)349-5931x0341', '001-581-896-0013x3890', dotted)
+_PHONE_DIGITS_SPARK = "lpad(cast((c_custkey * 7919) % 10000000000 AS string), 10, '0')"
+_PHONE_DIGITS_DUCK = "lpad(CAST((c_custkey * 7919) % 10000000000 AS VARCHAR), 10, '0')"
+
+
+def _messy_phone(d: str) -> str:
+    return (
+        f"CASE CAST(c_custkey % 3 AS INT) "
+        f"WHEN 0 THEN '(' || substr({d},1,3) || ')' || substr({d},4,3) || '-' || substr({d},7,4) || 'x03' "
+        f"WHEN 1 THEN '001-' || substr({d},1,3) || '-' || substr({d},4,3) || '-' || substr({d},7,4) || 'X429' "
+        f"ELSE substr({d},1,3) || '.' || substr({d},4,3) || '.' || substr({d},7,4) END"
+    )
+
+
+@query(
+    "q38_format_phone",
+    f"""
+    WITH raw AS (SELECT c_custkey, {_messy_phone(_PHONE_DIGITS_DUCK)} AS messy_phone FROM customer)
+    SELECT c_custkey, messy_phone,
+           CASE WHEN length(regexp_replace(regexp_extract(messy_phone, '^([^xX]*)', 1), '[^0-9]', '', 'g')) >= 10
+                THEN concat_ws('-',
+                  substr(right(regexp_replace(regexp_extract(messy_phone, '^([^xX]*)', 1), '[^0-9]', '', 'g'), 10), 1, 3),
+                  substr(right(regexp_replace(regexp_extract(messy_phone, '^([^xX]*)', 1), '[^0-9]', '', 'g'), 10), 4, 3),
+                  substr(right(regexp_replace(regexp_extract(messy_phone, '^([^xX]*)', 1), '[^0-9]', '', 'g'), 10), 7, 4))
+                ELSE NULL END AS phone
+    FROM raw
+    """,
+)
+def q38_format_phone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """format_phone (T7) — the reference's single custom function
+    (reference: config/silver/schema/README.md:97-99), composed natively
+    (regexp strip + substr) so it stays in whole-stage codegen: normalize
+    messy forms with extensions/parens/dots to XXX-XXX-XXXX."""
+    cust = _t(spark, sf_dir, "customer").withColumn(
+        "messy_phone", F.expr(_messy_phone(_PHONE_DIGITS_SPARK))
+    )
+    return cust.select("c_custkey", "messy_phone", format_phone("messy_phone").alias("phone"))
+
+
+@query(
+    "q39_ri_quarantine",
+    """
+    SELECT o_orderkey,
+           CAST(o_custkey AS VARCHAR) AS failed_value,
+           'orders' AS rule_table,
+           'fk_customer_id' AS rule_name,
+           'error' AS severity
+    FROM orders
+    WHERE o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_acctbal >= 0)
+    """,
+)
+def q39_ri_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity quarantine (J5 → S10): anti-join orders
+    against the valid-customer set (here: non-negative balance), emitting
+    the error-table shape — table, rule, failed value, severity (reference:
+    config/silver/schema/README.md:124-135, 291-308). Broadcast the parent
+    key set; at 100 TB the anti-join stays shuffle-free."""
+    orders = _t(spark, sf_dir, "orders")
+    valid = _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") >= 0)
+    return ri_orphans(orders, valid, fk="o_custkey", pk="c_custkey").select(
+        "o_orderkey",
+        F.col("o_custkey").cast("string").alias("failed_value"),
+        F.lit("orders").alias("rule_table"),
+        F.lit("fk_customer_id").alias("rule_name"),
+        F.lit("error").alias("severity"),
     )
 
 

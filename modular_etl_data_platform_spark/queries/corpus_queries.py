@@ -299,3 +299,75 @@ def q27_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "documents"), source_col="text", mime="text/plain"
     )
     return media.select("doc_id", "mime", "byte_len")
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard dedup (blocked) + rolling fingerprint
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q36_ngram_jaccard_pairs",
+    f"""
+    WITH sh AS (
+      SELECT doc_id, list_distinct({cdedup.shingles_duckdb('text', 3)}) AS sh
+      FROM documents
+    ),
+    blocked AS (SELECT doc_id, sh, list_min(sh) AS bk FROM sh),
+    scored AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+               / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+      FROM blocked a JOIN blocked b ON a.bk = b.bk AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.2
+    """,
+)
+def q36_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram Jaccard near-dup with min-shingle blocking: candidates are
+    pairs sharing their lexicographically-smallest 3-shingle (a 1-hash
+    MinHash band), then true Jaccard on candidates only. |A∪B| is computed
+    as |A|+|B|-|A∩B| in both engines — integer arithmetic, identical
+    doubles. At 100 TB the block key bounds the self-join exactly like an
+    LSH band bucket (cap/salt oversized buckets)."""
+    docs = _t(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id",
+        F.array_distinct(F.expr(cdedup.shingles_sql("text", 3))).alias("sh"),
+    ).withColumn("bk", F.array_min("sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    union = F.size(F.col("a.sh")) + F.size(F.col("b.sh")) - inter
+    return (
+        a.join(b, (F.col("a.bk") == F.col("b.bk")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            (inter.cast("double") / union).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.2)
+    )
+
+
+@query(
+    "q37_rolling_fingerprint",
+    """
+    SELECT doc_id,
+           md5(text) AS fingerprint,
+           list_min(list_transform(
+             range(0, greatest(len(string_split(text, ' ')) - 8, 0) + 1),
+             i -> md5(array_to_string(string_split(text, ' ')[i+1:i+8], ' '))
+           )) AS rolling_fp
+    FROM documents
+    """,
+)
+def q37_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: exact md5 plus a winnowing-style rolling
+    fingerprint (min md5 over all 8-token windows) that survives small
+    prefix/suffix edits. Pure projection — zero shuffle at any scale."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        ctext.fingerprint().alias("fingerprint"),
+        ctext.rolling_fingerprint(window=8).alias("rolling_fp"),
+    )
