@@ -93,10 +93,6 @@ def apply_scd_type2(
         .filter(F.col("__prev_h").isNull() | (F.col("__prev_h") != F.col("__h")))
         .drop("__prev_h")
     )
-    first_new = chained.groupBy(*keys).agg(
-        F.min(change_time_col).alias("__first_change"),
-        F.first("__h").alias("__first_h"),
-    )
 
     attr_cols = [c for c in batch.columns if c not in {change_time_col}]
 
@@ -113,17 +109,30 @@ def apply_scd_type2(
         "__cur_h", null_safe_hash(type2_cols, hash_delimiter)
     )
 
-    # 2. which keys actually changed (first new hash != current hash)?
+    # 2. effective changes vs the dimension's current row per key:
+    #    (a) drop late/duplicate deliveries (change_time <= current
+    #        valid_from) — makes batch replays a no-op (idempotency);
+    #    (b) drop the *leading* remaining row when its hash equals the
+    #        current hash (a re-export of the present state is not a
+    #        change; later rows in the chain are genuine — they differ
+    #        from their predecessor, hence from the current state too).
     cur_active = cur.filter(F.col("is_current"))
-    changed_keys = (
-        cur_active.join(first_new, keys)
-        .filter(F.col("__cur_h") != F.col("__first_h"))
-        .select(*keys, "__first_change")
+    cur_meta = cur_active.select(
+        *keys, F.col("valid_from").alias("__cur_vf"), "__cur_h"
     )
-    brand_new_keys = first_new.join(cur_active, keys, "left_anti").select(
-        *keys, "__first_change"
+    eff = (
+        chained.join(cur_meta, keys, "left")
+        .filter(
+            F.col("__cur_vf").isNull()
+            | (F.col(change_time_col) > F.col("__cur_vf"))
+        )
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(~((F.col("__rn") == 1) & F.col("__h").eqNullSafe(F.col("__cur_h"))))
+        .drop("__rn", "__cur_vf", "__cur_h")
     )
-    affected = changed_keys.unionByName(brand_new_keys)
+    affected = eff.groupBy(*keys).agg(
+        F.min(change_time_col).alias("__first_change")
+    )
 
     # 3. close superseded current rows
     hist_cols = [c for c in current_dim.columns if c != surrogate_key_col]
@@ -143,10 +152,9 @@ def apply_scd_type2(
         .select(*hist_cols)
     )
 
-    # 4. new version rows for affected keys only
-    new_rows = chained.join(affected.select(*keys), keys, "left_semi")
+    # 4. new version rows: the effective changes only
     new_versions = scd2_from_history(
-        new_rows.drop("__h"),
+        eff.drop("__h"),
         keys,
         change_time_col,
         attr_cols={c: c for c in attr_cols if c not in keys},
