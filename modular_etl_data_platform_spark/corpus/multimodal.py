@@ -132,3 +132,49 @@ def sample_frames(
             )
 
     return media.mapInPandas(gen, schema=out_schema)
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("mime", T.StringType()),
+        T.StructField("target_w", T.IntegerType()),
+        T.StructField("target_h", T.IntegerType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+
+def _fake_resize(payload: bytes, w: int, h: int) -> bytes:
+    """Deterministic stand-in for an image resize (tests only): scales the
+    byte length proportionally to the pixel-count ratio vs the fake-decoded
+    original dimensions, so output size tracks target size."""
+    meta = _fake_decode(payload)
+    ratio = (w * h) / max(1, meta["width"] * meta["height"])
+    n = max(1, int(len(payload) * min(ratio, 1.0)))
+    return payload[:n]
+
+
+def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize plumbing: payload → payload at (width, height) via
+    ``mapInPandas``. With real codecs the body is PIL ``Image.resize``;
+    the Arrow batch shape, binary-in/binary-out schema, and constant
+    target dims are identical. Pure projection — zero shuffle."""
+
+    def body(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if _HAS_CODECS:  # pragma: no cover - codecs absent in this env
+                raise NotImplementedError(
+                    "real image resize not wired: install PIL and replace _fake_resize"
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "mime": pdf["mime"],
+                    "target_w": width,
+                    "target_h": height,
+                    "payload": [_fake_resize(p, width, height) for p in pdf["payload"]],
+                }
+            )
+
+    return media.mapInPandas(body, schema=RESIZED_SCHEMA)

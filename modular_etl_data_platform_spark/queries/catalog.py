@@ -984,6 +984,30 @@ def q39_ri_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q40_windowed_event_counts",
+    """
+    SELECT date_trunc('hour', ts) AS window_start,
+           date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def q40_windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window event-time aggregation — the batch twin of the
+    streaming operator (streaming/incremental.py::windowed_event_counts,
+    watermark bounds state in stream mode; a no-op here). Window start ==
+    date_trunc('hour'), so the oracle is plain SQL."""
+    from modular_etl_data_platform_spark.streaming.incremental import (
+        windowed_event_counts,
+    )
+
+    return windowed_event_counts(_t(spark, sf_dir, "events"))
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The driver smoke-check query."""
     return q01_pricing_summary(spark, sf_dir)

@@ -169,3 +169,37 @@ def sessionize_events(events_stream: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
         )
     )
+
+
+def windowed_event_counts(
+    events_stream: DataFrame,
+    window_duration: str = "1 hour",
+    watermark: str = "10 minutes",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Watermarked tumbling-window aggregation — the canonical late-data
+    pattern: events later than ``watermark`` past the max seen event time
+    are dropped; window state is freed once the watermark passes the
+    window end, so state is bounded at any scale.
+
+    Works identically on a batch DataFrame (watermark is a no-op there),
+    which is how the oracle checks the semantics.
+    """
+    return (
+        events_stream.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.window(F.col(ts_col), window_duration).alias("win"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )

@@ -72,3 +72,111 @@ def test_stream_bronze_to_silver_upserts(spark, tmp_path):
     silver = spark.read.parquet(str(silver_dir))
     got = {r.reading_id: r.sensor for r in silver.collect()}
     assert got == {1: "b", 2: "c"}  # keyed-latest + transformation applied
+
+
+def test_windowed_event_counts_streaming(spark, tmp_path):
+    import datetime as dt
+
+    from modular_etl_data_platform_spark.streaming.incremental import (
+        windowed_event_counts,
+    )
+
+    src = tmp_path / "events_in"
+    src.mkdir()
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        {"ts": (base + dt.timedelta(minutes=m)).isoformat(), "event_type": t, "value": v}
+        for m, t, v in [
+            (5, "click", 1.0), (20, "click", 2.0), (61, "click", 4.0),
+            (10, "purchase", 8.0), (70, "purchase", 16.0),
+        ]
+    ]
+    (src / "batch1.json").write_text("\n".join(json.dumps(r) for r in rows))
+    schema = "ts timestamp, event_type string, value double"
+    stream = spark.readStream.schema(schema).json(str(src))
+    agg = windowed_event_counts(stream, window_duration="1 hour", watermark="10 minutes")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.window_start, r.event_type): (r.n_events, r.total_value)
+        for r in spark.table("win_counts").collect()
+    }
+    h0, h1 = base, base + dt.timedelta(hours=1)
+    assert got == {
+        (h0, "click"): (2, 3.0),
+        (h1, "click"): (1, 4.0),
+        (h0, "purchase"): (1, 8.0),
+        (h1, "purchase"): (1, 16.0),
+    }
+
+
+def test_sessionize_state_fold():
+    """Unit-test the applyInPandasWithState body with a duck-typed state:
+    events fold into one open session; the gap timeout emits it."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from modular_etl_data_platform_spark.streaming.incremental import _sessionize
+
+    class FakeState:
+        def __init__(self):
+            self._v = None
+            self.hasTimedOut = False
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+        def remove(self):
+            self._v = None
+
+        def setTimeoutDuration(self, ms):
+            self.timeout_ms = ms
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)
+    state = FakeState()
+    b1 = pd.DataFrame({"ts": [t(0), t(2)], "value": [1.0, 2.0]})
+    assert list(_sessionize((7,), iter([b1]), state)) == []
+    b2 = pd.DataFrame({"ts": [t(4)], "value": [4.0]})
+    assert list(_sessionize((7,), iter([b2]), state)) == []
+    assert state.get == (t(0), t(4), 3, 7.0)
+
+    state.hasTimedOut = True
+    out = pd.concat(list(_sessionize((7,), iter([]), state)))
+    assert out.iloc[0]["n_events"] == 3
+    assert out.iloc[0]["total_value"] == 7.0
+    assert not state.exists
+
+
+def test_resize_images_plumbing(spark):
+    from modular_etl_data_platform_spark.corpus.multimodal import (
+        attach_binary_payload,
+        resize_images,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "x" * 4000), (2, "y" * 100)], "doc_id long, text string"
+    )
+    media = attach_binary_payload(docs, source_col="text", mime="image/png")
+    out = resize_images(media, width=32, height=32).collect()
+    assert {r.doc_id for r in out} == {1, 2}
+    for r in out:
+        assert (r.target_w, r.target_h) == (32, 32)
+        assert 0 < len(r.payload) <= 4000
+    # smaller target → payload shrinks for the big doc
+    big = next(r for r in out if r.doc_id == 1)
+    assert len(big.payload) < 4000
