@@ -3,9 +3,10 @@
 Re-specifies the reference's sample-data generator semantics (reference:
 data/generators/generate_sample_data.py:26-292) without porting it:
 deterministic seed, injected quality defects with known expected outcomes —
-~2% duplicate orders, forced nulls, ~10% SCD2 address changes in a second
-"update" file, daily inventory snapshot files — so pipeline tests can
-assert exact post-Silver/Gold cardinalities.
+~2% duplicate orders, forced nulls and negative totals, ~10% SCD2
+address changes (plus a Type-1 phone change) in a second "update" file,
+order items (1-5 per order), daily inventory snapshot files — so pipeline
+tests can assert exact post-Silver/Gold cardinalities.
 
 Driver-side plain Python by design: fixture generation is small; the
 engine under test should not generate its own inputs distributed.
@@ -32,6 +33,7 @@ class FixtureSpec:
     n_orders: int = 200
     dupe_rate: float = 0.02
     null_rate: float = 0.01
+    negative_rate: float = 0.01
     scd_change_rate: float = 0.10
     n_snapshot_days: int = 7
     seed: int = 42
@@ -60,24 +62,31 @@ def generate(out_dir: str, spec: FixtureSpec | None = None) -> dict[str, int]:
     with open(os.path.join(out_dir, "customers_initial.json"), "w") as f:
         json.dump(customers, f)
 
+    # SCD2 updates: city changes (Type-2) + a phone change (Type-1)
     n_changed = int(spec.n_customers * spec.scd_change_rate)
-    changed = rng.sample(range(spec.n_customers), n_changed)
+    changed = sorted(rng.sample(range(spec.n_customers), n_changed))
     updates = []
     for c in changed:
         u = dict(customers[c])
         u["city"] = "capital city"
+        u["phone"] = f"001-777-888-{c % 10}{c % 10}{(c + 1) % 10}{(c + 2) % 10}x42"
         u["updated_at"] = "2024-06-01T00:00:00"
         updates.append(u)
     with open(os.path.join(out_dir, "customers_update.json"), "w") as f:
         json.dump(updates, f)
 
+    prices = {}
     with open(os.path.join(out_dir, "products.csv"), "w", newline="") as f:
         w = csv.writer(f)
         w.writerow(["product_id", "product_name", "unit_cost", "unit_price"])
         for p in range(spec.n_products):
             cost = round(rng.uniform(1, 50), 2)
-            w.writerow([p, f"product {p}", cost, round(cost * rng.uniform(1.2, 2.0), 2)])
+            price = round(cost * rng.uniform(1.2, 2.0), 2)
+            prices[p] = price
+            w.writerow([p, f"product {p}", cost, price])
 
+    # orders: pipe CSV over a full year so some orders postdate the SCD2
+    # update (2024-06-01) — point-in-time joins must split around it
     order_rows = []
     base = dt.date(2024, 1, 1)
     for o in range(spec.n_orders):
@@ -89,18 +98,38 @@ def generate(out_dir: str, spec: FixtureSpec | None = None) -> dict[str, int]:
             [
                 o,
                 rng.randrange(spec.n_customers),
-                (base + dt.timedelta(days=rng.randrange(120))).isoformat(),
+                (base + dt.timedelta(days=rng.randrange(365))).isoformat(),
                 f" {status.upper()} ",
                 total,
             ]
         )
+    n_negative = max(1, int(spec.n_orders * spec.negative_rate))
+    for row in rng.sample(order_rows, n_negative):
+        row[4] = -abs(row[4]) if row[4] != "" else -1.0
     n_dupes = int(spec.n_orders * spec.dupe_rate)
-    for row in rng.sample(order_rows, n_dupes):
-        order_rows.append(list(row))
+    duped = rng.sample(order_rows, n_dupes)
+    n_bad_rows = sum(1 for r in order_rows if r[4] != "" and float(r[4]) < 0) + sum(
+        1 for r in duped if r[4] != "" and float(r[4]) < 0
+    )
+    order_rows.extend(list(r) for r in duped)
     rng.shuffle(order_rows)
     with open(os.path.join(out_dir, "orders.csv"), "w") as f:
         f.write("order_id|customer_id|order_date|order_status|order_total\n")
         for row in order_rows:
+            f.write("|".join(str(x) for x in row) + "\n")
+
+    # order items: 1-5 per base order, priced from the product catalog
+    item_rows = []
+    item_id = 0
+    for o in range(spec.n_orders):
+        for _ in range(rng.randint(1, 5)):
+            p = rng.randrange(spec.n_products)
+            q = rng.randint(1, 5)
+            item_rows.append([item_id, o, p, q, prices[p], round(q * prices[p], 2)])
+            item_id += 1
+    with open(os.path.join(out_dir, "order_items.csv"), "w") as f:
+        f.write("order_item_id|order_id|product_id|quantity|unit_price|line_total\n")
+        for row in item_rows:
             f.write("|".join(str(x) for x in row) + "\n")
 
     for day in range(spec.n_snapshot_days):
@@ -123,5 +152,8 @@ def generate(out_dir: str, spec: FixtureSpec | None = None) -> dict[str, int]:
         "products": spec.n_products,
         "orders_on_disk": spec.n_orders + n_dupes,
         "orders_unique": spec.n_orders,
+        "orders_negative": n_negative,
+        "order_rows_quarantined": n_bad_rows,
+        "order_items": len(item_rows),
         "inventory_rows": spec.n_snapshot_days * spec.n_products,
     }

@@ -1,0 +1,159 @@
+"""Golden end-to-end test of the full e-commerce medallion pipeline
+(configs/ecommerce/) over the seeded fixture generator — the engine-level
+replica of the reference's declared 16-config flow, with exact expected
+cardinalities computable from the injected defects."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from modular_etl_data_platform_spark.devdata import FixtureSpec, generate
+from modular_etl_data_platform_spark.operators.quality import (
+    scd2_current_violations,
+    scd2_overlap_violations,
+)
+from modular_etl_data_platform_spark.pipeline.ecommerce import run_pipeline
+
+UPDATE_TS = dt.datetime(2024, 6, 1)
+
+
+@pytest.fixture(scope="module")
+def demo(spark, tmp_path_factory):
+    raw = tmp_path_factory.mktemp("ecom_raw")
+    wh = tmp_path_factory.mktemp("ecom_wh")
+    expected = generate(str(raw), FixtureSpec())
+    metrics = run_pipeline(spark, str(raw), str(wh))
+    return {"expected": expected, "metrics": metrics, "warehouse": str(wh), "raw": str(raw)}
+
+
+def _read(spark, demo_dict, table):
+    return spark.read.parquet(f"{demo_dict['warehouse']}/{table}")
+
+
+def test_bronze_keeps_raw_duplicates(demo):
+    exp, m = demo["expected"], demo["metrics"]
+    assert m["bronze_orders"]["ingested"] == exp["orders_on_disk"]
+    assert m["bronze_customers"]["ingested"] == exp["customers"]
+    assert m["bronze_order_items"]["ingested"] == exp["order_items"]
+    assert m["bronze_inventory"]["ingested"] == exp["inventory_rows"]
+
+
+def test_silver_dedup_and_quarantine(spark, demo):
+    exp, m = demo["expected"], demo["metrics"]
+    # negative-total rows quarantined (every on-disk copy), dupes deduped
+    assert m["silver_orders"]["quarantined"] == exp["order_rows_quarantined"]
+    assert m["silver_orders"]["upserted"] == exp["orders_unique"] - exp["orders_negative"]
+    assert m["silver_customers"]["upserted"] == exp["customers"]
+    assert m["silver_inventory"]["upserted"] == exp["inventory_rows"]
+    # cleansing applied: statuses lowercased/trimmed, emails lowered
+    orders = _read(spark, demo, "silver_orders")
+    bad = orders.filter(
+        ~F.col("order_status").isin(
+            "pending", "processing", "shipped", "delivered", "cancelled"
+        )
+    ).count()
+    assert bad == 0
+    cust = _read(spark, demo, "silver_customers")
+    assert cust.filter(F.col("email") != F.lower(F.col("email"))).count() == 0
+    # format_phone produced XXX-XXX-XXXX everywhere
+    assert cust.filter(~F.col("phone").rlike(r"^\d{3}-\d{3}-\d{4}$")).count() == 0
+
+
+def test_dim_customer_scd2_versions(spark, demo):
+    exp = demo["expected"]
+    dim = _read(spark, demo, "gold_dim_customer")
+    # one extra version per changed customer
+    assert dim.count() == exp["customers"] + exp["customer_updates"]
+    assert dim.filter("is_current").count() == exp["customers"]
+    # C7 invariants
+    assert scd2_current_violations(dim, ["customer_id"]).count() == 0
+    assert scd2_overlap_violations(dim, ["customer_id"]).count() == 0
+    # changed customers: v1 closed at the update ts, v2 current with new city
+    changed = dim.filter(F.col("city") == "Capital City").collect()
+    assert len(changed) == exp["customer_updates"]
+    for r in changed:
+        assert r.is_current and r.version == 2 and r.valid_from == UPDATE_TS
+    # Type-1: the phone update propagates to ALL versions of changed keys
+    changed_ids = [r.customer_id for r in changed]
+    phones = (
+        dim.filter(F.col("customer_id").isin(changed_ids))
+        .groupBy("customer_id")
+        .agg(F.countDistinct("phone").alias("n"))
+        .collect()
+    )
+    assert all(r.n == 1 for r in phones)
+    assert (
+        dim.filter(F.col("customer_id").isin(changed_ids))
+        .filter(~F.col("phone").startswith("777-888-"))
+        .count()
+        == 0
+    )
+
+
+def test_fact_orders_pit_join(spark, demo):
+    exp = demo["expected"]
+    fact = _read(spark, demo, "gold_fact_orders")
+    assert fact.count() == exp["orders_unique"] - exp["orders_negative"]
+    # every order resolved a customer version (PIT join found its interval)
+    assert fact.filter(F.col("customer_key").isNull()).count() == 0
+    # orders BEFORE the update must see the original city, orders after see
+    # the new one — for changed customers only
+    dim = _read(spark, demo, "gold_dim_customer")
+    changed_ids = [r.customer_id for r in dim.filter("version = 2").collect()]
+    got = fact.filter(F.col("customer_id").isin(changed_ids))
+    pre = got.filter(F.col("order_ts") < F.lit(UPDATE_TS))
+    post = got.filter(F.col("order_ts") >= F.lit(UPDATE_TS))
+    assert pre.filter(F.col("city") == "Capital City").count() == 0
+    assert post.filter(F.col("city") != "Capital City").count() == 0
+    assert post.count() > 0  # fixture spreads orders across the year
+    # item_count folds the per-order child count (A3)
+    items = _read(spark, demo, "silver_order_items")
+    joined = (
+        items.groupBy("order_id").count().join(fact, "order_id")
+    )
+    assert joined.filter(F.col("count") != F.col("item_count")).count() == 0
+
+
+def test_fact_measures_and_inventory(spark, demo):
+    exp = demo["expected"]
+    fi = _read(spark, demo, "gold_fact_inventory")
+    assert fi.count() == exp["inventory_rows"]
+    bad = fi.filter(
+        F.col("quantity_available")
+        != F.col("quantity_on_hand") - F.col("quantity_reserved")
+    ).count()
+    assert bad == 0
+    foi = _read(spark, demo, "gold_fact_order_items")
+    assert foi.count() == exp["order_items"]
+    # profit = (unit_price - unit_cost) * quantity, decimal-exact
+    bad = foi.filter(
+        F.col("profit").cast("double")
+        != ((F.col("unit_price") - F.col("unit_cost")) * F.col("quantity")).cast(
+            "double"
+        )
+    ).count()
+    assert bad == 0
+
+
+def test_star_query_revenue_by_city(spark, demo):
+    """The reference's BI pattern (config/gold/schema/README.md:399-436):
+    fact ⋈ dim_date ⋈ dim, grouped revenue — verified against a direct
+    computation from silver."""
+    fact = _read(spark, demo, "gold_fact_orders")
+    dd = _read(spark, demo, "gold_dim_date")
+    star = (
+        fact.join(F.broadcast(dd), fact.order_date_key == dd.date_key)
+        .groupBy("city", "year")
+        .agg(F.sum(F.col("order_total")).alias("revenue"))
+    )
+    direct = (
+        fact.withColumn("year", F.year("order_date"))
+        .groupBy("city", "year")
+        .agg(F.sum("order_total").alias("revenue"))
+    )
+    a = {(r.city, r.year): r.revenue for r in star.collect()}
+    b = {(r.city, r.year): r.revenue for r in direct.collect()}
+    assert a == b
