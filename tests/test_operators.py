@@ -160,3 +160,45 @@ def test_ruleset_split_and_metrics(spark):
     assert m["value_constraint:status"] == 1
     assert m["value_constraint:amount"] == 1
     assert m["format_validation:email"] == 1
+
+
+def test_salted_join_matches_plain_join(spark):
+    from modular_etl_data_platform_spark.operators.skew import salted_join
+
+    # left: heavily skewed key distribution (90% key=1)
+    left = spark.range(0, 10000).selectExpr(
+        "id", "CASE WHEN id % 10 < 9 THEN 1 ELSE id % 50 END AS k"
+    )
+    right = spark.range(0, 50).selectExpr("id AS k", "id * 100 AS dim_val")
+    plain = {(r.id, r.dim_val) for r in left.join(right, "k").collect()}
+    salted = {(r.id, r.dim_val) for r in salted_join(left, right, "k", salt=8).collect()}
+    assert salted == plain
+    # left rows actually scatter across salt values (hot key parallelized)
+    from pyspark.sql import functions as F
+
+    n_salts = (
+        left.withColumn("__salt", (F.rand(seed=42) * 8).cast("int"))
+        .filter("k = 1")
+        .select("__salt")
+        .distinct()
+        .count()
+    )
+    assert n_salts == 8
+
+
+def test_salted_distinct_count_exact(spark):
+    from modular_etl_data_platform_spark.operators.skew import salted_distinct_count
+
+    df = spark.range(0, 20000).selectExpr(
+        "CASE WHEN id % 10 < 9 THEN 'hot' ELSE concat('k', id % 7) END AS g",
+        "concat('u', id % 123) AS v",
+    )
+    got = {
+        r.g: r.n_distinct_v
+        for r in salted_distinct_count(df, "g", "v", salt=16).collect()
+    }
+    expected = {
+        r.g: r.n
+        for r in df.groupBy("g").agg(__import__("pyspark.sql.functions", fromlist=["countDistinct"]).countDistinct("v").alias("n")).collect()
+    }
+    assert got == expected
