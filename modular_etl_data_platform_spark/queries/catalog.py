@@ -1008,6 +1008,47 @@ def q40_windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windowed_event_counts(_t(spark, sf_dir, "events"))
 
 
+@query(
+    "q41_grouping_sets",
+    """
+    SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+           COALESCE(o_orderpriority, 'ALL') AS priority,
+           COUNT(*) AS n_orders,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+    """,
+)
+def q41_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-level aggregation in one pass: GROUPING SETS (status×priority,
+    status, grand total) with a distinct-count — Spark expands the sets
+    into one shuffle instead of three scans. The reference has no grouping
+    sets; free capability exposed (SURVEY §2.5 note). NULL group labels are
+    coalesced to 'ALL' so they can't collide with data values (statuses
+    are never NULL in this corpus)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupingSets(
+            [["o_orderstatus", "o_orderpriority"], ["o_orderstatus"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+            dsum(F.col("o_totalprice"), "revenue"),
+        )
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "n_customers",
+            "revenue",
+        )
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The driver smoke-check query."""
     return q01_pricing_summary(spark, sf_dir)
