@@ -25,6 +25,9 @@ HEADLINE = [
     "q11_asof_join",
     "q13_uniqueness_audit",
     "q16_set_ops",
+    "q22_minhash_lsh_pairs",
+    "q28_fact_pit_load",
+    "q42_sessionization",
 ]
 
 

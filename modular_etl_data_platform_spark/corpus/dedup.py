@@ -90,15 +90,31 @@ def exact_dedup(
 # ---------------------------------------------------------------------------
 
 
+def fan_out(df: DataFrame, parallelism: int | None) -> DataFrame:
+    """Spread a small-but-CPU-expensive input over the cluster.
+
+    Parquet splits by BYTES (maxPartitionBytes), so a corpus whose heavy
+    cost is per-row compute (md5 shingles, signatures) can land in ONE
+    scan partition and serialize. One round-robin repartition first makes
+    the projection scale with cores — the bytes-vs-CPU partitioning
+    distinction that matters whenever compute per byte is high."""
+    if parallelism and parallelism > 1:
+        return df.repartition(parallelism)
+    return df
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 8,
     shingle: int = 3,
+    parallelism: int | None = None,
 ) -> DataFrame:
     """Per-document MinHash signature: k seeded-md5 minima over word
-    shingles. Pure projection — zero shuffle."""
+    shingles. Pure projection — zero shuffle (one optional up-front
+    fan-out repartition when the source has fewer partitions than cores)."""
+    df = fan_out(df, parallelism)
     cols = [F.col(id_col)] + [
         F.expr(minhash_sql(text_col, s, shingle)).alias(f"mh{s}") for s in range(k)
     ]
@@ -152,12 +168,14 @@ def jaccard_verify(
     text_col: str = "text",
     shingle: int = 3,
     threshold: float = 0.5,
+    parallelism: int | None = None,
 ) -> DataFrame:
     """True n-gram Jaccard on candidate pairs only; keep pairs ≥ threshold.
 
     |A∩B| and |A∪B| are integers → the ratio is the same double in every
     engine.
     """
+    df = fan_out(df, parallelism)
     sh = df.select(
         F.col(id_col),
         F.array_distinct(F.expr(shingles_sql(text_col, shingle))).alias("sh"),
@@ -184,11 +202,12 @@ def minhash_lsh_dedup(
     bands: int = 4,
     shingle: int = 3,
     threshold: float = 0.5,
+    parallelism: int | None = None,
 ) -> DataFrame:
     """End-to-end fuzzy dedup: signatures → LSH candidates → Jaccard verify."""
-    sigs = minhash_signatures(df, id_col, text_col, k, shingle)
+    sigs = minhash_signatures(df, id_col, text_col, k, shingle, parallelism)
     cands = lsh_candidate_pairs(sigs, id_col, k, bands)
-    return jaccard_verify(df, cands, id_col, text_col, shingle, threshold)
+    return jaccard_verify(df, cands, id_col, text_col, shingle, threshold, parallelism)
 
 
 # ---------------------------------------------------------------------------
@@ -203,10 +222,15 @@ def simhash_bit_sql(token_expr: str, bit: int) -> str:
 
 
 def simhash(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 16
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 16,
+    parallelism: int | None = None,
 ) -> DataFrame:
     """Per-document SimHash: sum each bit's ±1 token votes; bit set when the
     vote sum ≥ 0. One explode + one groupBy(doc) shuffle."""
+    df = fan_out(df, parallelism)
     tok = df.select(
         F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok")
     )

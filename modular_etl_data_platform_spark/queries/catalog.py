@@ -1049,6 +1049,57 @@ def q41_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q42_sessionization",
+    """
+    WITH e AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts >= lag(ts) OVER w + INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    ),
+    s AS (
+      SELECT user_id, ts, value,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts ASC
+                               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM e
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM s
+    GROUP BY user_id, sid
+    """,
+)
+def q42_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization with the native ``session_window``
+    aggregation (30-minute inactivity gap; window end = last event + gap,
+    half-open). One shuffle on the session key — the batch twin of the
+    stateful-streaming sessionizer (streaming/incremental.py::
+    sessionize_events); the oracle is the classic gaps-and-islands SQL."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "user_id", F.session_window("ts", "30 minutes").alias("w")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value"), "total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The driver smoke-check query."""
     return q01_pricing_summary(spark, sf_dir)

@@ -137,7 +137,10 @@ def _minhash_oracle(k: int = 8) -> str:
 @query("q21_minhash_signatures", _minhash_oracle())
 def q21_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures (k=8 seeded-md5 minima over word 3-shingles)."""
-    return cdedup.minhash_signatures(_t(spark, sf_dir, "documents"))
+    return cdedup.minhash_signatures(
+        _t(spark, sf_dir, "documents"),
+        parallelism=spark.sparkContext.defaultParallelism,
+    )
 
 
 def _lsh_pairs_oracle(k: int = 8, bands: int = 4, threshold: float = 0.2) -> str:
@@ -183,7 +186,9 @@ def q22_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy near-dup pairs: MinHash LSH banding → candidates → true
     n-gram-Jaccard verification (only candidate pairs are scored)."""
     return cdedup.minhash_lsh_dedup(
-        _t(spark, sf_dir, "documents"), threshold=LSH_THRESHOLD
+        _t(spark, sf_dir, "documents"),
+        threshold=LSH_THRESHOLD,
+        parallelism=spark.sparkContext.defaultParallelism,
     )
 
 
@@ -209,7 +214,10 @@ def _simhash_oracle(bits: int = 16) -> str:
 @query("q23_simhash", _simhash_oracle())
 def q23_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash per document (token ±1 bit votes)."""
-    return cdedup.simhash(_t(spark, sf_dir, "documents"))
+    return cdedup.simhash(
+        _t(spark, sf_dir, "documents"),
+        parallelism=spark.sparkContext.defaultParallelism,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -330,7 +338,9 @@ def q36_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     as |A|+|B|-|A∩B| in both engines — integer arithmetic, identical
     doubles. At 100 TB the block key bounds the self-join exactly like an
     LSH band bucket (cap/salt oversized buckets)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = cdedup.fan_out(
+        _t(spark, sf_dir, "documents"), spark.sparkContext.defaultParallelism
+    )
     sh = docs.select(
         "doc_id",
         F.array_distinct(F.expr(cdedup.shingles_sql("text", 3))).alias("sh"),
