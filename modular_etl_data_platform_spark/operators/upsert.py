@@ -72,6 +72,36 @@ def upsert_parquet(
     exists = os.path.exists(path) and any(
         f.endswith(".parquet") for _, _, fs in os.walk(path) for f in fs
     )
+
+    # Partition-scoped merge: when every partition column is part of the
+    # PK, a key can never move between partitions, so it is safe to merge
+    # against ONLY the partitions the batch touches and dynamically
+    # overwrite just those — untouched partitions are never read or
+    # rewritten. This is the 100 TB shape: cost scales with the batch's
+    # partitions, not the table.
+    scoped = (
+        exists
+        and partition_by
+        and all(c in primary_keys for c in partition_by)
+    )
+    if scoped:
+        touched = batch.select(*partition_by).dropDuplicates()
+        target = spark.read.parquet(path).join(
+            F.broadcast(touched), list(partition_by), "left_semi"
+        )
+        merged = merge_dataframes(target, batch, primary_keys)
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+        try:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+            # the plan both reads and overwrites the touched partitions;
+            # localCheckpoint severs lineage so the write can't re-scan
+            # files it is deleting
+            merged = merged.localCheckpoint(eager=True)
+            merged.write.mode("overwrite").partitionBy(*partition_by).parquet(path)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        return
+
     target = spark.read.parquet(path) if exists else None
     merged = merge_dataframes(target, batch, primary_keys)
 

@@ -202,3 +202,41 @@ def test_salted_distinct_count_exact(spark):
         for r in df.groupBy("g").agg(__import__("pyspark.sql.functions", fromlist=["countDistinct"]).countDistinct("v").alias("n")).collect()
     }
     assert got == expected
+
+
+def test_upsert_partition_scoped_leaves_other_partitions_untouched(spark, tmp_path):
+    import os
+
+    from modular_etl_data_platform_spark.operators.upsert import upsert_parquet
+
+    path = str(tmp_path / "inv")
+    base = spark.createDataFrame(
+        [(p, d, p * 10 + d) for p in range(3) for d in (1, 2, 3)],
+        "pid int, day int, qty int",
+    )
+    upsert_parquet(spark, base, path, ["pid", "day"], partition_by=["day"])
+
+    def files(day):
+        d = os.path.join(path, f"day={day}")
+        return {
+            f: os.path.getmtime(os.path.join(d, f))
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        }
+
+    before = {d: files(d) for d in (1, 2, 3)}
+    # batch touches only day=2: update pid=0, insert pid=9
+    batch = spark.createDataFrame(
+        [(0, 2, 999), (9, 2, 900)], "pid int, day int, qty int"
+    )
+    upsert_parquet(spark, batch, path, ["pid", "day"], partition_by=["day"])
+
+    # untouched partitions keep their exact files (no rewrite)
+    assert files(1) == before[1]
+    assert files(3) == before[3]
+    assert files(2) != before[2]
+
+    out = {(r.pid, r.day): r.qty for r in spark.read.parquet(path).collect()}
+    assert out[(0, 2)] == 999 and out[(9, 2)] == 900
+    assert out[(0, 1)] == 1 and out[(2, 3)] == 23
+    assert len(out) == 10
