@@ -64,11 +64,22 @@ def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None
             "documents",
             "embeddings",
         ]
+    from pyspark.sql import functions as F
+
     dfs = {}
     for name in names:
         path = os.path.join(sf_dir, f"{name}.parquet")
         if os.path.exists(path):
-            df = spark.read.parquet(path)
+            if name == "events":
+                # events.parquet stores TIMESTAMP(NANOS), which the
+                # vectorized reader rejects: read as long, floor to micros
+                # (same coercion DuckDB applies, so engines agree)
+                spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+                df = spark.read.parquet(path).withColumn(
+                    "ts", F.timestamp_micros(F.expr("ts div 1000"))
+                )
+            else:
+                df = spark.read.parquet(path)
             df.createOrReplaceTempView(name)
             dfs[name] = df
     return dfs
