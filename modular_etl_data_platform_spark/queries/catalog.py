@@ -1100,6 +1100,59 @@ def q42_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q43_percentiles",
+    """
+    SELECT o_orderstatus AS status,
+           quantile_cont(o_totalprice, 0.5) AS p50,
+           quantile_cont(o_totalprice, 0.9) AS p90,
+           quantile_cont(o_totalprice, 0.99) AS p99
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def q43_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (linear interpolation) per group — Spark's
+    ``percentile`` matches DuckDB ``quantile_cont`` bit-for-bit. At 100 TB
+    switch to ``approx_percentile`` (t-digest sketch, mergeable map-side);
+    the exact form is the oracle-checkable baseline."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("p50"),
+        F.expr("percentile(o_totalprice, 0.9)").alias("p90"),
+        F.expr("percentile(o_totalprice, 0.99)").alias("p99"),
+    )
+
+
+@query(
+    "q44_pivot",
+    """
+    SELECT o_orderpriority AS priority,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,6)) END) AS DOUBLE) AS rev_f,
+           CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,6)) END) AS DOUBLE) AS rev_o,
+           CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,6)) END) AS DOUBLE) AS rev_p
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q44_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long → wide): revenue by priority × status. Explicit pivot
+    values keep it one pass with no distinct-values pre-query — the rule
+    at scale (an unvalued pivot first scans for the column domain)."""
+    o = _t(spark, sf_dir, "orders")
+    piv = (
+        o.groupBy(F.col("o_orderpriority").alias("priority"))
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,6)")).cast("double"))
+    )
+    return piv.select(
+        "priority",
+        F.col("F").alias("rev_f"),
+        F.col("O").alias("rev_o"),
+        F.col("P").alias("rev_p"),
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The driver smoke-check query."""
     return q01_pricing_summary(spark, sf_dir)
