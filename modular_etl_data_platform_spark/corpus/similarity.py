@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from modular_etl_data_platform_spark.corpus.dedup import fan_out
+
 
 def dot(a: str | Column, b: str | Column) -> Column:
     """Left-to-right fold dot product over two array<float/double> columns."""
@@ -165,15 +167,19 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     use_lsh_prefilter: bool = True,
+    parallelism: int | None = None,
 ) -> DataFrame:
     """All near-duplicate embedding pairs (cos ≥ threshold, id_a < id_b).
 
     With ``use_lsh_prefilter`` the self-join is on the 16-bit hyperplane
     signature (candidates must agree exactly — high-cosine pairs almost
     always do), turning O(n²) into bucket-local joins. Without it, a full
-    cross self-join (only for small n / oracle validation).
+    cross self-join (only for small n / oracle validation) — fan the probe
+    side out first: a nested-loop join's parallelism is its left side's
+    partition count, and a small-on-disk embeddings table scans as ONE
+    partition (bytes-based splits vs CPU-bound work).
     """
-    base = emb.select(F.col(id_col), F.col(vec_col))
+    base = fan_out(emb.select(F.col(id_col), F.col(vec_col)), parallelism)
     if use_lsh_prefilter:
         sigs = hyperplane_signature(emb, id_col, vec_col)
         base = base.join(sigs, id_col)

@@ -283,7 +283,10 @@ def q26_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle; the LSH-prefiltered scale path is
     corpus/similarity.py::embedding_near_dup_pairs(use_lsh_prefilter=True))."""
     return csim.embedding_near_dup_pairs(
-        _t(spark, sf_dir, "embeddings"), threshold=0.45, use_lsh_prefilter=False
+        _t(spark, sf_dir, "embeddings"),
+        threshold=0.45,
+        use_lsh_prefilter=False,
+        parallelism=spark.sparkContext.defaultParallelism,
     )
 
 

@@ -1,0 +1,74 @@
+"""Plan-shape regression tests: the physical-plan properties SCALE.md
+claims (pushdown, pruning, broadcast dims, bounded shuffles) asserted on
+the actual plans so perf characteristics can't silently regress."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from modular_etl_data_platform_spark.queries.catalog import QUERIES
+
+
+@pytest.fixture(scope="module")
+def plan(spark, sf_dir):
+    def get(name: str) -> str:
+        df = QUERIES[name](spark, sf_dir)
+        return spark._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+
+    return get
+
+
+def test_filters_push_to_parquet_scan(plan):
+    p = plan("q02_filter_project")
+    pushed = re.search(r"PushedFilters: \[([^\]]+)\]", p)
+    assert pushed, p
+    assert "l_shipdate" in pushed.group(1) and "l_quantity" in pushed.group(1)
+
+
+def test_scan_prunes_columns(plan):
+    p = plan("q02_filter_project")
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", p)
+    assert schemas
+    # lineitem has 16 columns; the query needs far fewer
+    assert all(len(s.split(",")) <= 8 for s in schemas), schemas
+
+
+def test_star_join_broadcasts_dimensions(plan):
+    p = plan("q03_star_join_revenue")
+    assert "BroadcastExchange" in p
+    # the fact table must NOT be shuffled for the join: no SortMergeJoin
+    assert "SortMergeJoin" not in p
+
+
+def test_asof_join_is_one_key_shuffle_no_range_join(plan):
+    # the as-of join compiles to union + window over the key — ONE hash
+    # shuffle, never a cartesian/range join
+    p = plan("q11_asof_join")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    args = re.findall(r"Arguments: hashpartitioning\(([^,]+)", p)
+    assert args and all("user_id" in a for a in args), args
+
+
+def test_dedup_shuffles_once_on_pk(plan):
+    p = plan("q05_dedup_latest")
+    # exactly one exchange: the PK window shuffle (plus zero broadcasts)
+    n_exchange = len(re.findall(r"\(\d+\) Exchange", p))
+    assert n_exchange == 1, p
+    assert re.search(r"Arguments: hashpartitioning\(user_id", p), p
+
+
+def test_aggregation_is_partial_then_final(plan):
+    p = plan("q01_pricing_summary")
+    # map-side combine: partial_ aggregates before the single exchange
+    assert "partial_sum" in p
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
+
+
+def test_anti_join_is_broadcast(plan):
+    p = plan("q39_ri_quarantine")
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p
+    assert "SortMergeJoin" not in p
