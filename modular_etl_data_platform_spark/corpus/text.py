@@ -126,3 +126,56 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
             "fingerprint": fingerprint(text_col),
         }
     )
+
+
+def chunk_text(
+    df: DataFrame,
+    chunk_tokens: int = 50,
+    overlap: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split documents into overlapping token-window chunks (the LLM
+    context-window prep step). One row per chunk via posexplode — a pure
+    row-expanding projection, no shuffle; chunk_no is deterministic.
+
+    stride = chunk_tokens - overlap; the final partial chunk is kept.
+    """
+    stride = chunk_tokens - overlap
+    w = f"split({text_col}, ' ')"
+    starts = f"sequence(0, greatest(size({w}) - {overlap} - 1, 0), {stride})"
+    chunks = (
+        f"transform({starts}, i -> concat_ws(' ', slice({w}, i+1, {chunk_tokens})))"
+    )
+    return df.select(
+        F.col(id_col),
+        F.posexplode(F.expr(chunks)).alias("chunk_no", "chunk_text"),
+    ).withColumn("chunk_tokens", F.size(F.split("chunk_text", " ")).cast("long"))
+
+
+def stratified_sample_hash(
+    df: DataFrame,
+    rates: dict[str, float],
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "s0",
+) -> DataFrame:
+    """Deterministic per-stratum sampling: keep a row when
+    md5(salt|id) mod 10000 < rate·10000. Reproducible across runs,
+    engines and cluster layouts (unlike ``sample()``), and exactly
+    rerunnable for pipeline idempotency. Pure projection."""
+    bucket = F.expr(
+        f"conv(substr(md5(concat('{salt}|', CAST({id_col} AS STRING))), 1, 4), 16, 10) % 10000"
+    ).cast("int")
+    rate_col = None
+    for g, r in sorted(rates.items()):
+        thresh = int(r * 10000)
+        rate_col = (
+            F.when(F.col(group_col) == g, F.lit(thresh))
+            if rate_col is None
+            else rate_col.when(F.col(group_col) == g, F.lit(thresh))
+        )
+    rate_col = rate_col.otherwise(F.lit(0))
+    return df.withColumn("__bucket", bucket).filter(
+        F.col("__bucket") < rate_col
+    ).drop("__bucket")

@@ -384,3 +384,156 @@ def q37_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         ctext.fingerprint().alias("fingerprint"),
         ctext.rolling_fingerprint(window=8).alias("rolling_fp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Chunking + deterministic stratified sampling (training-data prep)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q45_chunk_documents",
+    """
+    WITH c AS (
+      SELECT doc_id,
+             list_transform(
+               range(0, greatest(len(string_split(text,' ')) - 10 - 1, 0) + 1, 40),
+               i -> array_to_string(string_split(text,' ')[i+1:i+50], ' ')
+             ) AS chunks
+      FROM documents
+    )
+    SELECT doc_id,
+           generate_subscripts(chunks, 1) - 1 AS chunk_no,
+           unnest(chunks) AS chunk_text,
+           CAST(len(string_split(unnest(chunks), ' ')) AS BIGINT) AS chunk_tokens
+    FROM c
+    """,
+)
+def q45_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: 50-token chunks with 10-token overlap
+    (stride 40), one output row per chunk — posexplode projection, zero
+    shuffle at any corpus size."""
+    return ctext.chunk_text(
+        _t(spark, sf_dir, "documents"), chunk_tokens=50, overlap=10
+    )
+
+
+@query(
+    "q46_stratified_sample",
+    """
+    SELECT doc_id, lang
+    FROM documents
+    WHERE ('0x' || substr(md5('s0|' || CAST(doc_id AS VARCHAR)), 1, 4))::INT % 10000
+          < CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 2500
+                      WHEN 'fr' THEN 1000 ELSE 0 END
+    """,
+)
+def q46_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language sampling (en 50%, de 25%, fr 10%) keyed
+    on md5(salt|id) — reproducible across runs/engines/cluster layouts,
+    unlike sample(); the idempotent shape a training-mix pipeline needs."""
+    return ctext.stratified_sample_hash(
+        _t(spark, sf_dir, "documents").select("doc_id", "lang"),
+        rates={"en": 0.5, "de": 0.25, "fr": 0.1},
+    )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms + PII scrubbing
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q47_tfidf_top_terms",
+    """
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+    dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             round(tf.tf * ln(CAST(n.n AS DOUBLE) / dfreq.df), 9) AS tfidf
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    ),
+    r AS (
+      SELECT doc_id, term, tfidf,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, term ASC) AS rk
+      FROM scored
+    )
+    SELECT doc_id, term, tfidf, CAST(rk AS INT) AS rk FROM r WHERE rk <= 5
+    """,
+)
+def q47_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus TF-IDF, top-5 terms per document. Two shuffles total
+    ((doc,term) tf + term df); the document count joins in as a broadcast
+    1-row aggregate. Top-k per doc via window with a term tie-break.
+    Scores round to 9 decimals BEFORE ranking: Java Math.log and libm ln
+    differ in the last ulp, which would flip near-tie ranks between
+    engines."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf") * F.log(F.col("n").cast("double") / F.col("df")), 9
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= 5)
+        .select("doc_id", "term", "tfidf", "rk")
+    )
+
+
+_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+
+@query(
+    "q48_pii_scrub",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or x' || CAST(doc_id AS VARCHAR)
+                  || '@test.org today' AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_EMAIL_RE}')) AS BIGINT) AS n_emails,
+           md5(regexp_replace(text, '{_EMAIL_RE}', '[EMAIL]', 'g')) AS scrubbed_md5
+    FROM t
+    """,
+)
+def q48_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: count + redact email addresses (regexp, JVM-side).
+    The corpus has no PII, so deterministic emails are injected first;
+    output carries the scrubbed-text hash so the redaction itself is
+    oracle-verified. Pure projection — no shuffle."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com or x"), F.col("doc_id").cast("string"),
+            F.lit("@test.org today"),
+        ).alias("text"),
+    )
+    return docs.select(
+        "doc_id",
+        F.expr(f"regexp_count(text, '{_EMAIL_RE}')").cast("long").alias("n_emails"),
+        F.md5(F.regexp_replace("text", _EMAIL_RE, "[EMAIL]")).alias("scrubbed_md5"),
+    )
