@@ -38,11 +38,30 @@ _PRIMITIVES: dict[str, T.DataType] = {
 _DECIMAL_RE = re.compile(r"^decimal\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)$", re.IGNORECASE)
 
 
+def _split_top_level(s: str) -> list[str]:
+    """Split on commas not nested inside <...> or (...)."""
+    parts, depth, cur = [], 0, []
+    for ch in s:
+        if ch in "<(":
+            depth += 1
+        elif ch in ">)":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    parts.append("".join(cur))
+    return parts
+
+
 def parse_datatype(datatype: str) -> T.DataType:
     """Compile a declared datatype string to a Spark DataType.
 
-    Primitive registry first, then ``decimal(p,s)``, then fall through to
-    ``DataType.fromDDL`` so complex types (array/map/struct) work too.
+    Primitive registry, ``decimal(p,s)``, and a session-free recursive
+    parser for ``array<...>``/``map<...,...>``/``struct<...>``
+    (``DataType.fromDDL`` needs a live SparkSession, which a config
+    registry must not require), with ``fromDDL`` as the last resort.
     """
     dt = datatype.strip()
     low = dt.lower()
@@ -51,6 +70,17 @@ def parse_datatype(datatype: str) -> T.DataType:
     m = _DECIMAL_RE.match(low)
     if m:
         return T.DecimalType(int(m.group(1)), int(m.group(2)))
+    if low.startswith("array<") and low.endswith(">"):
+        return T.ArrayType(parse_datatype(dt[6:-1]))
+    if low.startswith("map<") and low.endswith(">"):
+        k, v = _split_top_level(dt[4:-1])
+        return T.MapType(parse_datatype(k), parse_datatype(v))
+    if low.startswith("struct<") and low.endswith(">"):
+        fields = []
+        for part in _split_top_level(dt[7:-1]):
+            name, ftype = part.split(":", 1)
+            fields.append(T.StructField(name.strip(), parse_datatype(ftype)))
+        return T.StructType(fields)
     try:
         return T.DataType.fromDDL(dt)
     except Exception as exc:  # pragma: no cover - defensive
@@ -148,6 +178,101 @@ class TableConfig:
     @property
     def scd_config(self) -> dict[str, Any]:
         return dict(self.raw.get("scd_config", {}))
+
+    # -- reference dimensional dialect ---------------------------------------
+    # The reference declares dimensional metadata both table-level
+    # (business_key/surrogate_key/scd_config, e.g. reference:
+    # config/gold/schema/gold_dim_customer_schema.json) and per column
+    # (is_business_key/is_surrogate_key/scd_type/is_measure/
+    # is_dimension_key/references/calculation, e.g.
+    # gold_fact_orders_schema.json). These accessors read either form.
+
+    @property
+    def business_key(self) -> str | None:
+        if "business_key" in self.raw:
+            return self.raw["business_key"]
+        for c in self.columns:
+            if c.get("is_business_key"):
+                return c["name"]
+        return None
+
+    @property
+    def surrogate_key(self) -> str | None:
+        if "surrogate_key" in self.raw:
+            return self.raw["surrogate_key"]
+        for c in self.columns:
+            if c.get("is_surrogate_key"):
+                return c["name"]
+        return None
+
+    def scd_columns(self) -> tuple[list[str], list[str]]:
+        """(type2_columns, type1_columns) — per-column ``scd_type`` flags
+        first, falling back to the table-level ``scd_config`` block."""
+        t2 = [
+            c["name"]
+            for c in self.columns
+            if str(c.get("scd_type", "")).lower() in ("2", "type2")
+        ]
+        t1 = [
+            c["name"]
+            for c in self.columns
+            if str(c.get("scd_type", "")).lower() in ("1", "type1")
+        ]
+        if not t2 and not t1:
+            scd = self.scd_config
+            t2 = list(scd.get("type2_columns", []))
+            t1 = list(scd.get("type1_columns", []))
+        return t2, t1
+
+    def measure_columns(self) -> list[dict[str, Any]]:
+        """Fact measures: per-column ``is_measure`` (+ measure_type and
+        optional calculation), plus the table-level ``measures`` list."""
+        out = [
+            {
+                "name": c["name"],
+                "measure_type": c.get("measure_type", "additive"),
+                "calculation": c.get("calculation"),
+            }
+            for c in self.columns
+            if c.get("is_measure")
+        ]
+        names = {m["name"] for m in out}
+        for m in self.raw.get("measures", []):
+            if isinstance(m, dict) and m.get("name") not in names:
+                out.append(
+                    {
+                        "name": m["name"],
+                        "measure_type": m.get("aggregation", "SUM").lower(),
+                        "calculation": None,
+                    }
+                )
+        return out
+
+    def calculated_columns(self) -> dict[str, str]:
+        """name -> calculation expression for ``is_calculated`` columns
+        and the table-level ``calculated_measures`` list."""
+        out = {
+            c["name"]: c["calculation"]
+            for c in self.columns
+            if c.get("is_calculated") and c.get("calculation")
+        }
+        for m in self.raw.get("calculated_measures", []):
+            if isinstance(m, dict) and m.get("calculation"):
+                out.setdefault(m["name"], m["calculation"])
+        return out
+
+    def dimension_joins(self) -> list[dict[str, Any]]:
+        """Dimension-key resolution specs: this engine's table-level
+        ``dimension_joins`` list, else the reference's per-column
+        ``references`` blocks on ``is_dimension_key`` columns."""
+        if "dimension_joins" in self.raw:
+            return list(self.raw["dimension_joins"])
+        out = []
+        for c in self.columns:
+            ref = c.get("references")
+            if c.get("is_dimension_key") and isinstance(ref, dict):
+                out.append({"key_column": c["name"], **ref})
+        return out
 
 
 @dataclass

@@ -1,7 +1,11 @@
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import types as T
+
+from modular_etl_data_platform_spark.operators.validate import RuleSet
 
 from modular_etl_data_platform_spark.schema.registry import (
     SchemaRegistry,
@@ -78,3 +82,52 @@ def test_registry_register_get():
     reg.register(CONFIG)
     assert reg.get("silver_widgets").load_type == "upsert"
     assert reg.tables() == ["silver_widgets"]
+
+
+REFERENCE_CONFIGS = "/root/reference/config"
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(REFERENCE_CONFIGS), reason="reference repo not present"
+)
+def test_registry_parses_all_reference_configs(spark):
+    """Drop-in config compatibility: every one of the reference's 16 real
+    config files compiles through this registry — schema, PKs, SCD
+    columns, measures, dimension joins, DQ rules. (``spark`` fixture:
+    rule compilation emits Column objects, which need a live session;
+    the registry itself is session-free.)"""
+    import pathlib
+
+    from pyspark.sql import types as T
+
+    paths = sorted(pathlib.Path(REFERENCE_CONFIGS).rglob("*_schema.json"))
+    assert len(paths) == 16
+    reg = SchemaRegistry()
+    for p in paths:
+        cfg = reg.load(p)
+        schema = cfg.spark_schema(include_metadata=True)
+        assert isinstance(schema, T.StructType) and len(schema) > 0
+
+    # dimension dialect: per-column scd_type flags match the scd_config block
+    dim = reg.get("dim_customer")
+    t2, t1 = dim.scd_columns()
+    assert set(t2) == set(dim.scd_config["type2_columns"])
+    assert set(t1) == set(dim.scd_config["type1_columns"])
+    assert dim.business_key == "customer_id"
+    assert dim.surrogate_key == "customer_key"
+
+    # fact dialect: measures + per-column references -> join specs
+    fact = reg.get("fact_orders")
+    measures = {m["name"] for m in fact.measure_columns()}
+    assert {"order_total", "tax_amount", "shipping_fee", "item_count"} <= measures
+    joins = {j["key_column"]: j["join_type"] for j in fact.dimension_joins()}
+    assert joins["customer_key"] == "point_in_time"
+    assert joins["order_date_key"] == "direct"
+
+    # silver dialect: transformations + all five DQ rule classes parse
+    silver = reg.get("silver_customers")
+    assert "format_phone(phone)" in silver.transformations().values()
+    rs = RuleSet.from_config(silver.data_quality_rules)
+    kinds = {r.kind for r in rs.rules}
+    assert {"null_check", "value_constraint", "format_validation"} <= kinds
+    assert rs.uniqueness and rs.referential is not None
