@@ -61,7 +61,7 @@ def build_fact(pipe: MedallionPipeline, config: TableConfig) -> DataFrame:
     """C5: declarative fact build from a gold fact config."""
     raw = config.raw
     base = pipe.read_table(config.source_table)
-    lookups = [_dim_lookup(pipe, s) for s in raw.get("dimension_joins", [])]
+    lookups = [_dim_lookup(pipe, s) for s in config.dimension_joins()]
     counts_from = None
     if "counts_from" in raw:
         cf = raw["counts_from"]
