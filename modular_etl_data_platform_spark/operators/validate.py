@@ -49,7 +49,8 @@ class RuleSet:
     # -- construction -------------------------------------------------------
     @classmethod
     def from_config(cls, dq: dict[str, Any], severities: dict[str, str] | None = None) -> "RuleSet":
-        severities = severities or {}
+        # per-rule severity overrides: config-declared first, caller wins
+        severities = {**dq.get("severities", {}), **(severities or {})}
         rs = cls()
         for col in dq.get("null_checks", []):
             rs.rules.append(

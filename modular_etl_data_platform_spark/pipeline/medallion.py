@@ -90,6 +90,29 @@ class MedallionPipeline:
         # 3. validate (C3) with quarantine (S10)
         rules = RuleSet.from_config(config.data_quality_rules)
         valid, quarantined = rules.split(conformed)
+
+        # 3b. referential integrity (J5): quarantine child rows whose FK
+        # has no parent in the already-loaded silver reference table
+        # (parents load first per the layer ordering contract)
+        for fk, ref in rules.referential.items():
+            parent_path = self.table_path(ref["reference_table"])
+            if not os.path.exists(parent_path):
+                continue
+            parent = self.spark.read.parquet(parent_path)
+            from modular_etl_data_platform_spark.operators.joins import (
+                ri_orphans,
+                ri_valid,
+            )
+
+            orphans = ri_orphans(valid, parent, fk=fk, pk=ref["reference_column"])
+            quarantined = quarantined.unionByName(
+                orphans.withColumn(
+                    "failed_rules", F.array(F.lit(f"referential_integrity:{fk}"))
+                ),
+                allowMissingColumns=False,
+            )
+            valid = ri_valid(valid, parent, fk=fk, pk=ref["reference_column"])
+
         n_bad = quarantined.count()
         if n_bad:
             quarantined.withColumn(

@@ -126,8 +126,16 @@ def test_fact_measures_and_inventory(spark, demo):
         != F.col("quantity_on_hand") - F.col("quantity_reserved")
     ).count()
     assert bad == 0
+    # items of quarantined (negative-total) orders are RI-orphans and were
+    # themselves quarantined during the silver load — the fact holds
+    # exactly the items whose parent order survived
+    soi = _read(spark, demo, "silver_order_items")
+    sorders = _read(spark, demo, "silver_orders")
+    assert soi.join(sorders, "order_id", "left_anti").count() == 0
+    n_quarantined_items = exp["order_items"] - soi.count()
+    assert 0 < n_quarantined_items < exp["order_items"]
     foi = _read(spark, demo, "gold_fact_order_items")
-    assert foi.count() == exp["order_items"]
+    assert foi.count() == soi.count()
     # profit = (unit_price - unit_cost) * quantity, decimal-exact
     bad = foi.filter(
         F.col("profit").cast("double")

@@ -216,3 +216,77 @@ def test_quality_detects_broken_dim(spark):
     assert scd2_current_violations(broken, ["bk"]).count() == 1
     with pytest.raises(AssertionError):
         assert_healthy(broken, ["bk"])
+
+
+def test_transform_silver_enforces_referential_integrity(spark, tmp_path):
+    """Declared RI rules quarantine orphan children during the silver
+    load (J5 -> S10), using the already-loaded parent silver table."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    (raw / "parents.json").write_text(_json.dumps([{"pid": 1}, {"pid": 2}]))
+    (raw / "children.json").write_text(
+        _json.dumps(
+            [{"cid": 10, "pid": 1}, {"cid": 11, "pid": 2}, {"cid": 12, "pid": 99}]
+        )
+    )
+    pipe = MedallionPipeline(spark, str(tmp_path / "wh"), raw_base=str(raw))
+    parent_cfg = TableConfig(
+        {
+            "table_name": "bronze_parents",
+            "file_format": "json",
+            "file_path": "parents.json",
+            "primary_keys": ["pid"],
+            "columns": [{"name": "pid", "datatype": "bigint", "nullable": False}],
+        }
+    )
+    child_cfg = TableConfig(
+        {
+            "table_name": "bronze_children",
+            "file_format": "json",
+            "file_path": "children.json",
+            "primary_keys": ["cid"],
+            "columns": [
+                {"name": "cid", "datatype": "bigint", "nullable": False},
+                {"name": "pid", "datatype": "bigint", "nullable": False},
+            ],
+        }
+    )
+    pipe.ingest_bronze(parent_cfg)
+    pipe.ingest_bronze(child_cfg)
+    pipe.transform_silver(
+        TableConfig(
+            {
+                "table_name": "silver_parents",
+                "source_table": "bronze_parents",
+                "primary_keys": ["pid"],
+                "columns": parent_cfg.raw["columns"],
+            }
+        )
+    )
+    m = pipe.transform_silver(
+        TableConfig(
+            {
+                "table_name": "silver_children",
+                "source_table": "bronze_children",
+                "primary_keys": ["cid"],
+                "columns": child_cfg.raw["columns"],
+                "data_quality_rules": {
+                    "referential_integrity": {
+                        "pid": {
+                            "reference_table": "silver_parents",
+                            "reference_column": "pid",
+                        }
+                    }
+                },
+            }
+        )
+    )
+    assert m == {"quarantined": 1, "upserted": 2}
+    errors = spark.read.parquet(pipe.table_path("silver_dq_errors"))
+    orphan = errors.filter(F.col("cid") == 12).collect()
+    assert len(orphan) == 1
+    assert "referential_integrity:pid" in orphan[0].failed_rules
