@@ -288,3 +288,63 @@ def simhash_hamming_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+# ---------------------------------------------------------------------------
+# Connected components (near-dup pairs -> dedup clusters)
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    vertices: DataFrame,
+    edges: DataFrame,
+    id_col: str = "doc_id",
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Label each vertex with the MIN vertex id reachable through the
+    edge set — the step that turns near-dup PAIRS into dedup GROUPS
+    (keep cluster_id, drop the rest).
+
+    Iterative min-label propagation: each round every vertex takes the
+    minimum of its own label and its neighbors' labels; converges in
+    O(component diameter) rounds (near-dup clusters are shallow — a
+    handful of rounds). The loop is driver-controlled with a convergence
+    check per round; at very large scale, localCheckpoint every few
+    rounds to truncate lineage. Deterministic: min() is order-free.
+    """
+    bidir = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).unionByName(
+        edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst"))
+    )
+    labels = vertices.select(
+        F.col(id_col), F.col(id_col).alias("cluster_id")
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iters):
+        neighbor_min = (
+            bidir.join(labels, bidir.dst == labels[id_col])
+            .groupBy("src")
+            .agg(F.min("cluster_id").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels[id_col] == neighbor_min.src, "left")
+            .select(
+                F.col(id_col),
+                F.least(
+                    F.col("cluster_id"), F.coalesce(F.col("nmin"), F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), id_col)
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

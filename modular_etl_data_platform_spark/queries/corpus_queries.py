@@ -537,3 +537,50 @@ def q48_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"regexp_count(text, '{_EMAIL_RE}')").cast("long").alias("n_emails"),
         F.md5(F.regexp_replace("text", _EMAIL_RE, "[EMAIL]")).alias("scrubbed_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup clusters: pairs -> connected components
+# ---------------------------------------------------------------------------
+
+_Q49_EDGES_DUCK = f"""
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM (SELECT doc_id, sh, list_min(sh) AS bk FROM
+             (SELECT doc_id, list_distinct({cdedup.shingles_duckdb('text', 3)}) AS sh
+              FROM documents)) a
+      JOIN (SELECT doc_id, sh, list_min(sh) AS bk FROM
+             (SELECT doc_id, list_distinct({cdedup.shingles_duckdb('text', 3)}) AS sh
+              FROM documents)) b
+        ON a.bk = b.bk AND a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.2
+"""
+
+
+@query(
+    "q49_dedup_clusters",
+    f"""
+    WITH RECURSIVE edges AS (
+      {_Q49_EDGES_DUCK}
+    ),
+    bidir AS (
+      SELECT id_a AS src, id_b AS dst FROM edges
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM edges
+    ),
+    reach(doc_id, r) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT b.src, reach.r FROM bidir b JOIN reach ON b.dst = reach.doc_id
+    )
+    SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc_id
+    """,
+)
+def q49_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → dedup clusters: connected components by iterative
+    min-label propagation (O(diameter) rounds, driver-checked
+    convergence). The oracle computes the same fixpoint as a recursive
+    CTE. Keeping one doc per cluster_id IS the fuzzy-dedup output."""
+    docs = _t(spark, sf_dir, "documents")
+    edges = q36_ngram_jaccard_pairs(spark, sf_dir).select("id_a", "id_b")
+    return cdedup.connected_components(docs.select("doc_id"), edges)

@@ -142,3 +142,19 @@ def test_multimodal_frame_sampling(spark, docs):
     assert len(r0) == (len(text) + 9) // 10
     assert bytes(r0[0].chunk) == text[:10].encode()
     assert r0[1].offset == 10
+
+
+def test_connected_components_chain_cycle_singleton(spark):
+    from modular_etl_data_platform_spark.corpus.dedup import connected_components
+
+    vertices = spark.createDataFrame([(i,) for i in range(8)], "doc_id long")
+    # chain 0-1-2-3, cycle 4-5-6-4, singleton 7
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (4, 5), (5, 6), (6, 4)],
+        "id_a long, id_b long",
+    )
+    got = {
+        r.doc_id: r.cluster_id
+        for r in connected_components(vertices, edges).collect()
+    }
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 4, 6: 4, 7: 7}
