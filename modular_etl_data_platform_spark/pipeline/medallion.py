@@ -64,11 +64,23 @@ class MedallionPipeline:
 
     # -- EP1: bronze (C1) ------------------------------------------------------
     def ingest_bronze(self, config: TableConfig, path_override: str | None = None) -> DataFrame:
+        """Schema-first read → audit columns → partitioned append.
+
+        File-level exactly-once: files whose lineage (``source_file``
+        audit column) is already in the bronze table are skipped, so
+        re-running the pipeline never double-ingests. The seen-file set
+        is a single-column scan of the target — distinct file paths, not
+        rows — and joins back as a broadcast anti-join.
+        """
         raw = read_source(self.spark, config, base_path=self.raw_base, path_override=path_override)
         bronze = add_metadata_columns(raw, config.raw.get("source_system", "unknown"))
-        append_partitioned(
-            bronze, self.table_path(config.table_name), config.partition_by or None
-        )
+        target = self.table_path(config.table_name)
+        if os.path.exists(target):
+            seen = (
+                self.spark.read.parquet(target).select("source_file").dropDuplicates()
+            )
+            bronze = bronze.join(F.broadcast(seen), "source_file", "left_anti")
+        append_partitioned(bronze, target, config.partition_by or None)
         return bronze
 
     # -- EP2: silver (C2) -------------------------------------------------------

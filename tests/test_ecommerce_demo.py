@@ -165,3 +165,21 @@ def test_star_query_revenue_by_city(spark, demo):
     a = {(r.city, r.year): r.revenue for r in star.collect()}
     b = {(r.city, r.year): r.revenue for r in direct.collect()}
     assert a == b
+
+
+def test_pipeline_rerun_is_idempotent(spark, demo):
+    """Re-running the whole pipeline on the same warehouse changes
+    nothing: bronze skips already-ingested files (source_file lineage),
+    silver upserts re-apply, SCD2 replays are no-ops, facts rebuild to
+    the same rows."""
+    m1 = dict(demo["metrics"])
+    m2 = run_pipeline(spark, demo["raw"], demo["warehouse"])
+    # bronze ingested 0 new rows on the rerun
+    for t in ("bronze_orders", "bronze_customers", "bronze_inventory"):
+        assert m2[t]["ingested"] == 0
+    # gold states identical
+    for t in ("gold_dim_customer", "gold_dim_product", "gold_fact_orders",
+              "gold_fact_order_items", "gold_fact_inventory"):
+        assert m2[t]["rows"] == m1[t]["rows"], t
+    dim = _read(spark, demo, "gold_dim_customer")
+    assert dim.filter("is_current").count() == demo["expected"]["customers"]
