@@ -51,17 +51,59 @@ def shingles_duckdb(text_col: str, n: int = 3) -> str:
     )
 
 
-def minhash_sql(text_col: str, seed: int, n: int = 3) -> str:
+#: MinHash permutation modulus: 2^31 - 1 (Mersenne prime). Hash values are
+#: reduced mod this before the affine permutation, so `a * h + b` stays well
+#: under 2^63 — portable to ANSI engines that error on bigint overflow
+#: (Spark 4 ANSI mode, DuckDB).
+MINHASH_PRIME = 2147483647
+
+
+def _minhash_perm(seed: int) -> tuple[int, int]:
+    """Affine permutation coefficients (a, b) for one MinHash seed.
+
+    mod a prime, any a in [1, p) is a bijection, so each seed yields an
+    independent-enough permutation of the single base hash — the classic
+    one-hash + k-affine-permutations MinHash construction, 8× cheaper
+    than k independent md5 passes over the shingles."""
+    return 1000003 * (seed + 1), 7919 * seed + 12345
+
+
+def shingle_hashes_sql(text_col: str, n: int = 3) -> str:
+    """Spark SQL: one 60-bit integer hash per word n-gram shingle
+    (md5 prefix, hex→decimal). Computed ONCE; all k MinHash seeds
+    derive from it arithmetically."""
     return (
-        f"array_min(transform({shingles_sql(text_col, n)}, "
-        f"s -> md5(concat('s{seed}|', s))))"
+        f"transform({shingles_sql(text_col, n)}, "
+        f"s -> cast(conv(substr(md5(s), 1, 15), 16, 10) as bigint))"
     )
 
 
-def minhash_duckdb(text_col: str, seed: int, n: int = 3) -> str:
+def shingle_hashes_duckdb(text_col: str, n: int = 3) -> str:
     return (
-        f"list_min(list_transform({shingles_duckdb(text_col, n)}, "
-        f"s -> md5('s{seed}|' || s)))"
+        f"list_transform({shingles_duckdb(text_col, n)}, "
+        f"s -> ('0x' || substr(md5(s), 1, 15))::BIGINT)"
+    )
+
+
+def _perm_sql(hashes_expr: str, seed: int) -> str:
+    a, b = _minhash_perm(seed)
+    p = MINHASH_PRIME
+    return (
+        f"array_min(transform({hashes_expr}, "
+        f"h -> pmod({a} * pmod(h, {p}) + {b}, {p})))"
+    )
+
+
+def minhash_sql(text_col: str, seed: int, n: int = 3) -> str:
+    return _perm_sql(shingle_hashes_sql(text_col, n), seed)
+
+
+def minhash_duckdb(text_col: str, seed: int, n: int = 3) -> str:
+    a, b = _minhash_perm(seed)
+    p = MINHASH_PRIME
+    return (
+        f"list_min(list_transform({shingle_hashes_duckdb(text_col, n)}, "
+        f"h -> ({a} * (h % {p}) + {b}) % {p}))"
     )
 
 
@@ -111,14 +153,24 @@ def minhash_signatures(
     shingle: int = 3,
     parallelism: int | None = None,
 ) -> DataFrame:
-    """Per-document MinHash signature: k seeded-md5 minima over word
-    shingles. Pure projection — zero shuffle (one optional up-front
-    fan-out repartition when the source has fewer partitions than cores)."""
-    df = fan_out(df, parallelism)
+    """Per-document MinHash signature: k affine-permutation minima over a
+    single base hash per word shingle.
+
+    Two projections with a repartition barrier between them: the first
+    computes the per-shingle md5→int hash array (the only expensive pass,
+    distributed by the up-front fan-out), the barrier materializes it so
+    Catalyst's projection collapse can't inline the md5 work into each of
+    the k output columns, and the second derives the k minima with cheap
+    modular arithmetic. The shuffled payload is just the compact hash
+    array (8 bytes/shingle), so the barrier stays cheap at scale."""
+    hashed = fan_out(df, parallelism).select(
+        F.col(id_col), F.expr(shingle_hashes_sql(text_col, shingle)).alias("_hh")
+    )
+    hashed = fan_out(hashed, parallelism)
     cols = [F.col(id_col)] + [
-        F.expr(minhash_sql(text_col, s, shingle)).alias(f"mh{s}") for s in range(k)
+        F.expr(_perm_sql("_hh", s)).alias(f"mh{s}") for s in range(k)
     ]
-    return df.select(*cols)
+    return hashed.select(*cols)
 
 
 def lsh_candidate_pairs(
@@ -174,12 +226,24 @@ def jaccard_verify(
 
     |A∩B| and |A∪B| are integers → the ratio is the same double in every
     engine.
+
+    The shingle table is first semi-joined (broadcast) to the ids that
+    actually appear in ``pairs`` and cached: candidates are a tiny
+    fraction of the corpus, the pruned table is joined twice (id_a and
+    id_b sides), and without the cache each side would re-shingle the
+    full corpus. Pass an already-cached ``pairs`` or the id-collection
+    scan recomputes it.
     """
-    df = fan_out(df, parallelism)
+    ids = (
+        pairs.select(F.col("id_a").alias(id_col))
+        .unionByName(pairs.select(F.col("id_b").alias(id_col)))
+        .dropDuplicates()
+    )
+    df = fan_out(df, parallelism).join(F.broadcast(ids), id_col, "left_semi")
     sh = df.select(
         F.col(id_col),
         F.array_distinct(F.expr(shingles_sql(text_col, shingle))).alias("sh"),
-    )
+    ).cache()
     j = (
         pairs.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
         .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
@@ -204,9 +268,15 @@ def minhash_lsh_dedup(
     threshold: float = 0.5,
     parallelism: int | None = None,
 ) -> DataFrame:
-    """End-to-end fuzzy dedup: signatures → LSH candidates → Jaccard verify."""
-    sigs = minhash_signatures(df, id_col, text_col, k, shingle, parallelism)
-    cands = lsh_candidate_pairs(sigs, id_col, k, bands)
+    """End-to-end fuzzy dedup: signatures → LSH candidates → Jaccard verify.
+
+    Signatures and candidate pairs are cached: the LSH self-join reads the
+    signature table twice and the verify stage reads the pairs twice (once
+    to collect candidate ids, once for the scoring join). Signatures are
+    tiny relative to the corpus (k longs per doc) — at 100 TB you would
+    persist them to a table instead; the cache is the single-job analogue."""
+    sigs = minhash_signatures(df, id_col, text_col, k, shingle, parallelism).cache()
+    cands = lsh_candidate_pairs(sigs, id_col, k, bands).cache()
     return jaccard_verify(df, cands, id_col, text_col, shingle, threshold, parallelism)
 
 
