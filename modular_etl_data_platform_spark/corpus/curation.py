@@ -1,0 +1,245 @@
+"""Corpus curation operators for training-data pipelines: benchmark
+decontamination, sequence-packing plans, mixture/sampling weights, and
+repetition (boilerplate) scoring.
+
+These extend the reference's DQ/dedup surface (cf.
+``config/silver/schema/README.md`` validation + dedup contracts) with the
+curation steps an LLM data pipeline runs between "cleaned corpus" and
+"training shards". All hot paths are native Spark expressions — no Python
+UDFs — with DuckDB oracle twins in ``queries/corpus_queries.py``.
+
+Scale notes:
+
+- **Decontamination** joins the corpus against the *benchmark* n-gram set,
+  which is tiny (eval suites are MBs, the corpus is TBs) — broadcast the
+  probe side, never shuffle the corpus. One explode + broadcast-join +
+  per-doc count.
+- **Packing plan** as written uses a global ordered window (exact,
+  oracle-checkable). At 100 TB, pack per shard instead: the same window
+  inside ``Window.partitionBy(shard)`` keeps every task independent and
+  loses <1 bin of fill per shard — run it after ``repartitionByRange`` on
+  the sort key.
+- **Mixture weights** is a two-level aggregate over group counts —
+  negligible data after the first groupBy.
+- **Repetition stats** is a pure projection; the top-n-gram count is
+  O(distinct² ) per row in the worst case, bounded by document length —
+  fine for chunked/clipped corpora, and still cheaper than a
+  per-doc groupBy shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination
+# ---------------------------------------------------------------------------
+
+
+def ngram_hashes_sql(text_col: str, n: int = 5) -> str:
+    """Spark SQL: distinct md5 hashes of word n-grams of ``text_col``."""
+    w = f"split({text_col}, ' ')"
+    return (
+        f"array_distinct(transform(sequence(0, greatest(size({w}) - {n}, 0)), "
+        f"i -> md5(concat_ws(' ', slice({w}, i+1, {n})))))"
+    )
+
+
+def ngram_hashes_duckdb(text_col: str, n: int = 5) -> str:
+    w = f"string_split({text_col}, ' ')"
+    return (
+        f"list_distinct(list_transform(range(0, greatest(len({w}) - {n}, 0) + 1), "
+        f"i -> md5(array_to_string({w}[i+1:i+{n}], ' '))))"
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    probe: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """Flag training documents sharing any word ``n``-gram with a benchmark
+    (eval) set — the decontamination pass run before training.
+
+    Returns one row per training doc: ``n_overlap`` distinct contaminated
+    n-grams and an ``is_contaminated`` flag. The probe n-gram set is
+    deduplicated and **broadcast** (benchmarks are tiny relative to the
+    corpus); the corpus side is one explode + broadcast hash join + count
+    — the corpus itself is never shuffled.
+    """
+    probe_grams = (
+        probe.select(F.explode(F.expr(ngram_hashes_sql(text_col, n))).alias("gh"))
+        .dropDuplicates()
+    )
+    train_grams = train.select(
+        F.col(id_col), F.explode(F.expr(ngram_hashes_sql(text_col, n))).alias("gh")
+    )
+    hits = (
+        train_grams.join(F.broadcast(probe_grams), "gh")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return (
+        train.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_overlap"), F.lit(0)).cast("long").alias("n_overlap"),
+            (F.coalesce(F.col("n_overlap"), F.lit(0)) > 0).alias("is_contaminated"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# sequence packing
+# ---------------------------------------------------------------------------
+
+
+def packing_plan(
+    df: DataFrame,
+    capacity: int,
+    id_col: str = "doc_id",
+    token_col: str = "n_tokens",
+) -> DataFrame:
+    """Assign documents to fixed-capacity context windows (training
+    sequence packing): docs are laid out longest-first in one deterministic
+    stream and cut every ``capacity`` tokens; ``bin_id`` is the window the
+    document *starts* in.
+
+    This is the contiguous-fill approximation of first-fit-decreasing —
+    exact, order-stable (ties broken by id), and pure SQL, so the plan is
+    reproducible across runs and engines. A document longer than
+    ``capacity`` still gets a bin (it would be split downstream).
+
+    Scale: the global ordered window serializes onto one task; at real
+    scale wrap the same expressions in ``Window.partitionBy(shard)`` after
+    a range-repartition on ``(tokens, id)`` — per-shard packing loses at
+    most one partial bin per shard.
+    """
+    w = Window.orderBy(F.col(token_col).desc(), F.col(id_col))
+    cum_before = F.coalesce(
+        F.sum(token_col).over(w.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)
+    )
+    return df.select(
+        F.col(id_col),
+        F.col(token_col).cast("long").alias("n_tokens"),
+        F.floor(cum_before / capacity).cast("long").alias("bin_id"),
+        cum_before.cast("long").alias("tokens_before"),
+    )
+
+
+def packing_summary(plan: DataFrame, capacity: int) -> DataFrame:
+    """Per-bin packing stats: docs, token sum, fill ratio (integer/integer
+    division → engine-portable doubles)."""
+    return plan.groupBy("bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("bin_tokens"),
+        (F.sum("n_tokens").cast("double") / F.lit(float(capacity))).alias("fill_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# mixture / sampling weights
+# ---------------------------------------------------------------------------
+
+
+def mixture_weights(
+    df: DataFrame,
+    group_cols: list[str],
+    alpha: float = 0.5,
+    token_col: str | None = None,
+) -> DataFrame:
+    """Temperature-scaled sampling weights per corpus slice (the
+    "mixture" step that upweights rare domains/languages before training).
+
+    share_g = size_g / total; weight_g ∝ share_g^alpha (alpha=0.5 →
+    sqrt-temperature, computed with ``sqrt`` so the arithmetic is
+    IEEE-exact and portable). ``sample_factor`` = weight/share is the
+    per-document resampling multiplier. Size is row count, or token sum
+    when ``token_col`` is given.
+
+    Cross-engine determinism: the normalizing sum over group sqrt-shares
+    is done in decimal(28,12) — double summation order varies between
+    engines, decimals don't.
+    """
+    if alpha != 0.5:
+        raise ValueError("portable implementation supports alpha=0.5 (sqrt)")
+    size = F.sum(token_col) if token_col else F.count(F.lit(1))
+    sizes = df.groupBy(*group_cols).agg(size.cast("long").alias("group_size"))
+    total = sizes.select(F.sum("group_size").alias("total"))
+    shared = sizes.crossJoin(F.broadcast(total)).withColumn(
+        "share", F.col("group_size").cast("double") / F.col("total")
+    )
+    scaled = shared.withColumn("scaled", F.sqrt(F.col("share")))
+    norm = scaled.select(
+        F.sum(F.col("scaled").cast("decimal(28,12)")).cast("double").alias("norm")
+    )
+    return (
+        scaled.crossJoin(F.broadcast(norm))
+        .select(
+            *group_cols,
+            "group_size",
+            "share",
+            (F.col("scaled") / F.col("norm")).alias("weight"),
+            ((F.col("scaled") / F.col("norm")) / F.col("share")).alias("sample_factor"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# repetition / boilerplate scoring
+# ---------------------------------------------------------------------------
+
+
+def repetition_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style within-document repetition signals:
+
+    - ``dup_word_frac``: 1 − distinct/total words — boilerplate and
+      keyword-stuffing detector;
+    - ``top_bigram_frac``: occurrences of the most frequent word bigram /
+      total bigrams — loops and templated text.
+
+    Pure projection (no shuffle). The top-bigram count sorts the bigram
+    array and folds it in ONE ``aggregate`` pass tracking the longest run
+    of equal neighbours — O(n log n) per row. Two traps this avoids: the
+    naive count-each-distinct scan is O(distinct·total) (quadratic on
+    exactly the repetitive documents this operator exists to catch), and
+    chaining array expressions through nested lambdas re-evaluates the
+    inner expression per element (interpreted higher-order functions have
+    no common-subexpression elimination), turning "sort once" into
+    "sort n² times".
+    """
+    w = f"split({text_col}, ' ')"
+    bg = (
+        f"transform(sequence(0, greatest(size({w}) - 2, 0)), "
+        f"i -> concat_ws(' ', slice({w}, i+1, 2)))"
+    )
+    step = (
+        "CASE WHEN acc.prev IS NOT NULL AND x = acc.prev "
+        "THEN acc.run + 1 ELSE CAST(1 AS BIGINT) END"
+    )
+    max_run = (
+        f"aggregate(sort_array({bg}), "
+        "named_struct('prev', CAST(NULL AS STRING), 'run', CAST(0 AS BIGINT), "
+        "'best', CAST(0 AS BIGINT)), "
+        f"(acc, x) -> named_struct('prev', x, 'run', {step}, "
+        f"'best', greatest(acc.best, {step})), "
+        "acc -> acc.best)"
+    )
+    dup_word = (
+        f"1.0 - CAST(size(array_distinct({w})) AS DOUBLE) / CAST(size({w}) AS DOUBLE)"
+    )
+    top_bigram = (
+        f"CAST({max_run} AS DOUBLE) / CAST(size({bg}) AS DOUBLE)"
+    )
+    return df.select(
+        F.col(id_col),
+        F.expr(dup_word).alias("dup_word_frac"),
+        F.expr(top_bigram).alias("top_bigram_frac"),
+    )

@@ -1153,6 +1153,45 @@ def q44_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q54_user_moving_stats",
+    """
+    SELECT event_id, user_id, value,
+           lag(value) OVER w AS prev_value,
+           lead(value) OVER w AS next_value,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (
+                  PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / COUNT(*) OVER (
+                  PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS mov_avg_4,
+           CAST(ROW_NUMBER() OVER w AS INT) AS seq
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def q54_user_moving_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window frames per user stream: lag/lead neighbours and a
+    4-row trailing moving average (sum in decimal, divided by the frame
+    count, so accumulation order can't drift between engines). One
+    shuffle on user_id; all frames reuse that single sort."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    frame = w.rowsBetween(-3, 0)
+    return e.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        (
+            F.sum(F.col("value").cast("decimal(18,6)")).over(frame).cast("double")
+            / F.count(F.lit(1)).over(frame)
+        ).alias("mov_avg_4"),
+        F.row_number().over(w).cast("int").alias("seq"),
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The driver smoke-check query."""
     return q01_pricing_summary(spark, sf_dir)

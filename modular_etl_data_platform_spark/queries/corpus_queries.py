@@ -584,3 +584,133 @@ def q49_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     edges = q36_ngram_jaccard_pairs(spark, sf_dir).select("id_a", "id_b")
     return cdedup.connected_components(docs.select("doc_id"), edges)
+
+
+# ---------------------------------------------------------------------------
+# Curation: decontamination, packing, mixture weights, repetition
+# ---------------------------------------------------------------------------
+
+from modular_etl_data_platform_spark.corpus import curation as ccur
+
+
+@query(
+    "q50_decontamination",
+    f"""
+    WITH probe AS (
+      SELECT DISTINCT unnest({ccur.ngram_hashes_duckdb('text')}) AS gh
+      FROM documents WHERE doc_id % 97 = 0
+    ),
+    train AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0),
+    tg AS (
+      SELECT doc_id, unnest({ccur.ngram_hashes_duckdb('text')}) AS gh FROM train
+    ),
+    hits AS (
+      SELECT doc_id, COUNT(*) AS n_overlap FROM tg JOIN probe USING (gh)
+      GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(COALESCE(h.n_overlap, 0) AS BIGINT) AS n_overlap,
+           COALESCE(h.n_overlap, 0) > 0 AS is_contaminated
+    FROM train t LEFT JOIN hits h ON t.doc_id = h.doc_id
+    """,
+)
+def q50_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing any word
+    5-gram with the (deterministically chosen) eval subset. The probe
+    n-gram set broadcasts; the corpus is never shuffled."""
+    docs = _t(spark, sf_dir, "documents")
+    probe = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    return ccur.decontaminate(train, probe)
+
+
+@query(
+    "q51_packing_plan",
+    """
+    WITH t AS (
+      SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    )
+    SELECT doc_id, n_tokens,
+           CAST(floor(COALESCE(SUM(n_tokens) OVER (
+                  ORDER BY n_tokens DESC, doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                / 512.0) AS BIGINT) AS bin_id,
+           CAST(COALESCE(SUM(n_tokens) OVER (
+                  ORDER BY n_tokens DESC, doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS BIGINT) AS tokens_before
+    FROM t
+    """,
+)
+def q51_packing_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-packing plan: lay docs longest-first into 512-token
+    context windows (contiguous-fill first-fit-decreasing). Exact global
+    window here; per-shard at scale (see corpus/curation.py)."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", ctext.token_count().alias("n_tokens")
+    )
+    return ccur.packing_plan(docs, capacity=512)
+
+
+@query(
+    "q52_mixture_weights",
+    """
+    WITH sizes AS (
+      SELECT source, lang, CAST(SUM(n_chars) AS BIGINT) AS group_size
+      FROM documents GROUP BY source, lang
+    ),
+    shared AS (
+      SELECT *, CAST(group_size AS DOUBLE)
+                  / (SELECT SUM(group_size) FROM sizes) AS share
+      FROM sizes
+    ),
+    norm AS (
+      SELECT CAST(SUM(CAST(sqrt(share) AS DECIMAL(28,12))) AS DOUBLE) AS norm
+      FROM shared
+    )
+    SELECT source, lang, group_size, share,
+           sqrt(share) / norm AS weight,
+           (sqrt(share) / norm) / share AS sample_factor
+    FROM shared CROSS JOIN norm
+    """,
+)
+def q52_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mixture: sqrt-temperature sampling weights per
+    (source, lang) slice, sized by characters — the domain-upweighting
+    step before building training shards."""
+    docs = _t(spark, sf_dir, "documents")
+    return ccur.mixture_weights(docs, ["source", "lang"], token_col="n_chars")
+
+
+@query(
+    "q53_repetition_stats",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             string_split(text, ' ') AS w,
+             list_transform(range(0, greatest(len(string_split(text, ' ')) - 2, 0) + 1),
+                            i -> array_to_string(string_split(text, ' ')[i+1:i+2], ' ')) AS bg
+      FROM documents
+    ),
+    s AS (SELECT doc_id, w, bg, list_sort(bg) AS sbg FROM t),
+    r AS (
+      SELECT doc_id, w, bg, sbg,
+             list_filter(range(1, len(sbg) + 1),
+                         i -> i = 1 OR sbg[i] != sbg[i-1]) AS starts
+      FROM s
+    )
+    SELECT doc_id,
+           1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / CAST(len(w) AS DOUBLE)
+             AS dup_word_frac,
+           CAST(list_max(list_transform(range(1, len(starts) + 1),
+                  i -> (CASE WHEN i < len(starts) THEN starts[i+1]
+                        ELSE len(sbg) + 1 END) - starts[i])) AS DOUBLE)
+             / CAST(len(bg) AS DOUBLE) AS top_bigram_frac
+    FROM r
+    """,
+)
+def q53_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per document: duplicate-word
+    fraction and most-frequent-bigram fraction. Pure projection."""
+    return ccur.repetition_stats(_t(spark, sf_dir, "documents"))

@@ -1,0 +1,67 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from modular_etl_data_platform_spark.corpus import curation as ccur
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta eta theta"),
+        (1, "alpha beta gamma delta epsilon nothing shared here"),  # shares the 5-gram prefix
+        (2, "totally unrelated words with zero overlap whatsoever"),
+        (3, "spam spam spam spam spam spam spam spam"),
+        (4, "one two three four five six seven eight nine ten"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_decontaminate_flags_overlap(spark, docs):
+    probe = docs.filter("doc_id = 0")
+    train = docs.filter("doc_id != 0")
+    out = {r.doc_id: (r.n_overlap, r.is_contaminated)
+           for r in ccur.decontaminate(train, probe).collect()}
+    assert out[1][1] is True and out[1][0] >= 1  # shares 'alpha..epsilon'
+    assert out[2] == (0, False)
+    assert out[4] == (0, False)
+    assert set(out) == {1, 2, 3, 4}  # zero-overlap docs are kept
+
+
+def test_packing_plan_fills_bins(spark):
+    rows = [(i, f"doc{i}", t) for i, t in enumerate([60, 50, 40, 30, 20, 10])]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "n_tokens"])
+    plan = {r.doc_id: r for r in
+            ccur.packing_plan(df, capacity=100).collect()}
+    # longest-first layout: 60, 50 -> 60 starts bin 0; 50 starts at 60 (bin 0)
+    assert plan[0].bin_id == 0 and plan[0].tokens_before == 0
+    assert plan[1].bin_id == 0 and plan[1].tokens_before == 60
+    assert plan[2].bin_id == 1  # starts at 110
+    # every doc gets exactly one row, cumulative ordering is consistent
+    befores = sorted(r.tokens_before for r in plan.values())
+    assert befores == [0, 60, 110, 150, 180, 200]
+
+
+def test_mixture_weights_sum_to_one(spark):
+    rows = [(i, "g1" if i < 8 else "g2") for i in range(10)]
+    df = spark.createDataFrame(rows, ["doc_id", "grp"])
+    out = {r.grp: r for r in ccur.mixture_weights(df, ["grp"]).collect()}
+    assert abs(sum(r.weight for r in out.values()) - 1.0) < 1e-9
+    # sqrt temperature upweights the minority slice
+    assert out["g2"].sample_factor > 1.0 > out["g1"].sample_factor
+    assert abs(out["g1"].share - 0.8) < 1e-12
+
+
+def test_mixture_weights_rejects_other_alpha(spark):
+    df = spark.createDataFrame([(1, "a")], ["doc_id", "grp"])
+    with pytest.raises(ValueError):
+        ccur.mixture_weights(df, ["grp"], alpha=0.3)
+
+
+def test_repetition_stats(spark, docs):
+    out = {r.doc_id: r for r in ccur.repetition_stats(docs).collect()}
+    assert out[3].dup_word_frac == pytest.approx(1 - 1 / 8)
+    assert out[3].top_bigram_frac == 1.0  # 'spam spam' is every bigram
+    assert out[4].dup_word_frac == 0.0
+    assert out[4].top_bigram_frac == pytest.approx(1 / 9)
