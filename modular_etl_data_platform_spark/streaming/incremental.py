@@ -171,6 +171,56 @@ def sessionize_events(events_stream: DataFrame) -> DataFrame:
     )
 
 
+def stream_dedup(
+    stream: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exactly-once dedup across micro-batches:
+    ``dropDuplicatesWithinWatermark`` keeps one row per key and discards
+    re-deliveries arriving within the watermark horizon. Unlike plain
+    ``dropDuplicates`` on a stream, state is EVICTED once the watermark
+    passes — bounded memory at any scale, the right tool for at-least-once
+    sources (Kafka redeliveries, file re-lists).
+
+    Batch twin: ``dedupe_latest`` (operators/dedup.py) — same keyed-unique
+    guarantee, checked by the oracle; this is the streaming form.
+    """
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def attribute_events(
+    views: DataFrame,
+    actions: DataFrame,
+    key: str = "user_id",
+    view_ts: str = "view_ts",
+    action_ts: str = "action_ts",
+    watermark: str = "10 minutes",
+    within: str = "15 minutes",
+) -> DataFrame:
+    """Watermarked stream-stream inner join: attribute each action to the
+    view by the same ``key`` that happened at most ``within`` before it —
+    the canonical ads/funnel attribution shape.
+
+    Both sides carry watermarks and the join condition bounds event-time
+    distance, so Spark can compute how long to buffer each side and evict
+    state — the stream-stream join is ONLY scale-safe with both
+    constraints. Timestamp columns must be distinct names (the key column
+    is the single shared name).
+    """
+    v = views.withWatermark(view_ts, watermark)
+    a = actions.withWatermark(action_ts, watermark)
+    return v.join(
+        a,
+        F.expr(
+            f"{view_ts} <= {action_ts} AND "
+            f"{action_ts} <= {view_ts} + interval {within}"
+        ).__and__(v[key] == a[key]),
+        "inner",
+    ).drop(a[key])
+
+
 def windowed_event_counts(
     events_stream: DataFrame,
     window_duration: str = "1 hour",

@@ -72,3 +72,30 @@ def test_anti_join_is_broadcast(plan):
     p = plan("q39_ri_quarantine")
     assert "BroadcastHashJoin" in p and "LeftAnti" in p
     assert "SortMergeJoin" not in p
+
+
+def test_decontamination_broadcasts_probe_set(plan):
+    # the corpus side must never shuffle for the probe join: the probe
+    # n-gram set broadcasts, and the only hash shuffles are the per-doc
+    # count and the final left join back to train ids
+    p = plan("q50_decontamination")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p.split("BroadcastHashJoin")[0]
+
+
+def test_minhash_signature_hash_computed_before_barrier(plan):
+    # the md5 shingle-hash array must be projected BEFORE the repartition
+    # exchange so the k permutation minima read the materialized array
+    # (projection collapse would otherwise inline 8 md5 passes)
+    p = plan("q21_minhash_signatures")
+    exchange_pos = p.find("RoundRobinPartitioning")
+    assert exchange_pos > 0
+    assert p.count("md5") == 1, "md5 shingle pass must appear exactly once"
+
+
+def test_moving_stats_single_shuffle_shared_sort(plan):
+    # lag/lead/frames/row_number all share one user_id shuffle + sort
+    p = plan("q54_user_moving_stats")
+    n_exchange = len(re.findall(r"\(\d+\) Exchange", p))
+    assert n_exchange == 1, p
+    assert re.search(r"hashpartitioning\(user_id", p)

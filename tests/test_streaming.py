@@ -180,3 +180,70 @@ def test_resize_images_plumbing(spark):
     # smaller target → payload shrinks for the big doc
     big = next(r for r in out if r.doc_id == 1)
     assert len(big.payload) < 4000
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    import datetime as dt
+
+    from modular_etl_data_platform_spark.streaming.incremental import stream_dedup
+
+    src = tmp_path / "dedup_in"
+    src.mkdir()
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        {"ts": (base + dt.timedelta(minutes=m)).isoformat(), "k": k, "v": v}
+        for m, k, v in [
+            (0, 1, "a"), (1, 1, "a-redelivered"), (2, 2, "b"),
+            (3, 2, "b-redelivered"), (4, 3, "c"),
+        ]
+    ]
+    (src / "b1.json").write_text("\n".join(json.dumps(r) for r in rows))
+    stream = spark.readStream.schema("ts timestamp, k long, v string").json(str(src))
+    q = (
+        stream_dedup(stream, ["k"], ts_col="ts", watermark="10 minutes")
+        .writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.table("dedup_out").collect()
+    assert sorted(r.k for r in out) == [1, 2, 3]  # one row per key
+
+
+def test_stream_stream_attribution_join(spark, tmp_path):
+    import datetime as dt
+
+    from modular_etl_data_platform_spark.streaming.incremental import attribute_events
+
+    base = dt.datetime(2024, 1, 1)
+    vdir, adir = tmp_path / "views", tmp_path / "actions"
+    vdir.mkdir(); adir.mkdir()
+    views = [
+        {"view_ts": (base + dt.timedelta(minutes=m)).isoformat(), "user_id": u, "page": p}
+        for m, u, p in [(0, 1, "home"), (0, 2, "home"), (40, 1, "pricing")]
+    ]
+    actions = [
+        {"action_ts": (base + dt.timedelta(minutes=m)).isoformat(), "user_id": u, "action": a}
+        for m, u, a in [
+            (5, 1, "signup"),      # within 15m of user 1's minute-0 view
+            (50, 1, "purchase"),   # within 15m of the minute-40 view only
+            (30, 2, "signup"),     # 30m after user 2's view -> outside window
+        ]
+    ]
+    (vdir / "v.json").write_text("\n".join(json.dumps(r) for r in views))
+    (adir / "a.json").write_text("\n".join(json.dumps(r) for r in actions))
+    vs = spark.readStream.schema("view_ts timestamp, user_id long, page string").json(str(vdir))
+    ac = spark.readStream.schema("action_ts timestamp, user_id long, action string").json(str(adir))
+    q = (
+        attribute_events(vs, ac, watermark="5 minutes", within="15 minutes")
+        .writeStream.format("memory")
+        .queryName("attrib_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r.user_id, r.page, r.action) for r in spark.table("attrib_out").collect()}
+    assert got == {(1, "home", "signup"), (1, "pricing", "purchase")}
