@@ -28,6 +28,9 @@ HEADLINE = [
     "q22_minhash_lsh_pairs",
     "q28_fact_pit_load",
     "q42_sessionization",
+    "q47_tfidf_top_terms",
+    "q50_decontamination",
+    "q55_skewed_distinct_count",
 ]
 
 

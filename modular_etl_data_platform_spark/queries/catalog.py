@@ -1192,6 +1192,45 @@ def q54_user_moving_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q55_skewed_distinct_count",
+    """
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct_user_id
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q55_skewed_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact COUNT(DISTINCT) per group via the two-stage salted
+    aggregation (operators/skew.py): partial distinct on
+    (group, hash(value) % salt) then merge — a hot group's values spread
+    over `salt` tasks instead of funneling into one. Same answer as the
+    naive form (the oracle is plain COUNT(DISTINCT)); the shape is what
+    survives a skewed 100 TB event stream."""
+    from modular_etl_data_platform_spark.operators.skew import salted_distinct_count
+
+    e = _t(spark, sf_dir, "events")
+    return salted_distinct_count(e, "event_type", "user_id")
+
+
+@query("q56_approx_sketches")
+def q56_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch aggregations for interactive scale: HyperLogLog++ distinct
+    users and t-digest quantiles per event type. Both are mergeable
+    map-side sketches — constant memory per task, one tiny shuffle of
+    sketch buffers, no sort — the 100 TB replacement for q55/q43's exact
+    forms when ±2% is acceptable. No oracle: DuckDB's HLL/quantile
+    sketches are a different implementation with different estimates, so
+    the driver records the rows-only check (the exact twins q55/q43 are
+    hash-verified)."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.percentile_approx("value", [0.5, 0.9, 0.99], 10000).alias("value_quantiles"),
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The driver smoke-check query."""
     return q01_pricing_summary(spark, sf_dir)
