@@ -43,6 +43,14 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     s.add_argument("--limit", type=int, default=20)
 
+    c = sub.add_parser(
+        "corpus", help="run the corpus curation pipeline to training shards"
+    )
+    c.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    c.add_argument("--out", required=True)
+    c.add_argument("--min-quality", type=float, default=0.05)
+    c.add_argument("--pack-capacity", type=int, default=512)
+
     args = ap.parse_args(argv)
 
     from modular_etl_data_platform_spark.queries.catalog import QUERIES
@@ -84,6 +92,22 @@ def main(argv: list[str] | None = None) -> int:
 
         load_tables(spark, args.sf_dir)
         spark.sql(args.statement).show(args.limit, truncate=False)
+        return 0
+
+    if args.cmd == "corpus":
+        from modular_etl_data_platform_spark.pipeline.corpus import (
+            CurationConfig,
+            curate_corpus,
+        )
+
+        docs = spark.read.parquet(f"{args.sf_dir}/documents.parquet")
+        benchmark = docs.filter("doc_id % 97 = 0").select("doc_id", "text")
+        train = docs.filter("doc_id % 97 <> 0")
+        cfg = CurationConfig(
+            min_quality=args.min_quality, pack_capacity=args.pack_capacity
+        )
+        res = curate_corpus(spark, train, benchmark, out_dir=args.out, config=cfg)
+        print(json.dumps(res["counts"], indent=2))
         return 0
 
     return 2

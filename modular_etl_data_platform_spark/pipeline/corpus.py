@@ -1,0 +1,124 @@
+"""End-to-end corpus curation pipeline: raw documents → training shards.
+
+The LLM-data analogue of the e-commerce medallion flow
+(``pipeline/ecommerce.py``), composing the corpus operators into the
+standard curation sequence:
+
+1. **annotate** — token/quality/language stats (pure projection);
+2. **filter** — drop low-quality and repetition-heavy documents;
+3. **dedup** — exact dedup, then MinHash-LSH near-dup clusters; keep one
+   representative (the min doc_id) per cluster;
+4. **decontaminate** — drop documents sharing word n-grams with the
+   benchmark/eval set;
+5. **mix** — per-(source, lang) sqrt-temperature sampling weights;
+6. **pack** — lay the surviving docs into fixed-token training bins and
+   write shards partitioned by bin range.
+
+Every stage is a DataFrame → DataFrame operator from ``corpus/``; this
+module only sequences them and carries the bookkeeping (per-stage
+survivor counts for the run report). Stage order matters at scale: the
+cheap projections (quality, repetition) run BEFORE the shuffling stages
+(dedup, decontamination) so each shuffle sees only survivors.
+
+Scale: the only corpus-wide shuffles are the exact-dedup groupBy and the
+LSH band join — both bounded by SCALE.md's bucket-capping recipe. The
+benchmark n-gram set broadcasts. Packing uses the per-shard window form
+at scale (see ``curation.packing_plan``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from modular_etl_data_platform_spark.corpus import curation, dedup, text
+
+
+@dataclass
+class CurationConfig:
+    min_quality: float = 0.3
+    max_top_bigram_frac: float = 0.5
+    langs: list[str] = field(default_factory=lambda: ["en", "de", "es", "fr", "zh"])
+    lsh_threshold: float = 0.5
+    decontaminate_ngram: int = 5
+    pack_capacity: int = 512
+    mixture_groups: list[str] = field(default_factory=lambda: ["source", "lang"])
+
+
+def curate_corpus(
+    spark: SparkSession,
+    docs: DataFrame,
+    benchmark: DataFrame,
+    out_dir: str | None = None,
+    config: CurationConfig | None = None,
+) -> dict[str, object]:
+    """Run the full curation flow; returns the per-stage DataFrames plus
+    survivor counts. When ``out_dir`` is given, writes the packed shards
+    partitioned by ``bin_id`` bucket."""
+    cfg = config or CurationConfig()
+    parallelism = spark.sparkContext.defaultParallelism
+    counts: dict[str, int] = {"input": docs.count()}
+
+    # 1-2. annotate + filter (pure projections — run before any shuffle)
+    annotated = text.with_text_stats(docs).join(
+        curation.repetition_stats(docs), "doc_id"
+    )
+    kept = annotated.filter(
+        (F.col("quality_score") >= cfg.min_quality)
+        & (F.col("top_bigram_frac") <= cfg.max_top_bigram_frac)
+        & F.col("predicted_lang").isin(cfg.langs)
+    )
+    counts["after_quality"] = kept.count()
+
+    # 3a. exact dedup: keep the canonical (min-id) copy of each fingerprint
+    canon = (
+        kept.groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    kept = kept.join(canon, "doc_id", "left_semi").cache()
+    counts["after_exact_dedup"] = kept.count()
+
+    # 3b. near-dup clusters; keep the min-id representative per cluster
+    pairs = dedup.minhash_lsh_dedup(
+        kept, threshold=cfg.lsh_threshold, parallelism=parallelism
+    )
+    clusters = dedup.connected_components(kept.select("doc_id"), pairs)
+    reps = clusters.groupBy("cluster_id").agg(F.min("doc_id").alias("doc_id"))
+    kept = kept.join(reps.select("doc_id"), "doc_id", "left_semi")
+    counts["after_near_dedup"] = kept.count()
+
+    # 4. benchmark decontamination
+    contam = curation.decontaminate(
+        kept, benchmark, n=cfg.decontaminate_ngram
+    ).filter("is_contaminated")
+    kept = kept.join(contam.select("doc_id"), "doc_id", "left_anti").cache()
+    counts["after_decontamination"] = kept.count()
+
+    # 5. mixture weights over the survivors
+    weights = curation.mixture_weights(kept, cfg.mixture_groups)
+
+    # 6. packing plan + shards
+    plan = curation.packing_plan(
+        kept.select("doc_id", "n_tokens"), capacity=cfg.pack_capacity
+    )
+    shards = kept.join(plan.select("doc_id", "bin_id", "tokens_before"), "doc_id")
+    if out_dir is not None:
+        (
+            shards.withColumn("shard", F.floor(F.col("bin_id") / 64))
+            .write.mode("overwrite")
+            .partitionBy("shard")
+            .parquet(out_dir)
+        )
+    counts["bins"] = plan.agg(F.countDistinct("bin_id")).collect()[0][0]
+
+    return {
+        "annotated": annotated,
+        "kept": kept,
+        "weights": weights,
+        "plan": plan,
+        "shards": shards,
+        "counts": counts,
+    }

@@ -1,0 +1,69 @@
+"""End-to-end corpus curation pipeline on the sf0.001 documents table."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from modular_etl_data_platform_spark.corpus import curation
+from modular_etl_data_platform_spark.pipeline.corpus import (
+    CurationConfig,
+    curate_corpus,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def result(spark, tmp_path_factory):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    benchmark = docs.filter("doc_id % 97 = 0").select("doc_id", "text")
+    train = docs.filter("doc_id % 97 <> 0")
+    out = tmp_path_factory.mktemp("shards")
+    cfg = CurationConfig(min_quality=0.05, lsh_threshold=0.5)
+    res = curate_corpus(spark, train, benchmark, out_dir=str(out), config=cfg)
+    res["out_dir"] = str(out)
+    return res
+
+
+def test_stage_counts_monotone(result):
+    c = result["counts"]
+    assert (
+        c["input"]
+        >= c["after_quality"]
+        >= c["after_exact_dedup"]
+        >= c["after_near_dedup"]
+        >= c["after_decontamination"]
+        > 0
+    )
+
+
+def test_no_duplicate_fingerprints_survive(result):
+    kept = result["kept"]
+    dupes = kept.groupBy("fingerprint").count().filter("count > 1").count()
+    assert dupes == 0
+
+
+def test_no_contaminated_docs_survive(spark, result):
+    kept = result["kept"]
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    benchmark = docs.filter("doc_id % 97 = 0").select("doc_id", "text")
+    recheck = curation.decontaminate(kept, benchmark)
+    assert recheck.filter("is_contaminated").count() == 0
+
+
+def test_weights_are_a_distribution(result):
+    rows = result["weights"].collect()
+    assert abs(sum(r.weight for r in rows) - 1.0) < 1e-9
+    assert all(r.sample_factor > 0 for r in rows)
+
+
+def test_shards_written_and_complete(spark, result):
+    shards = spark.read.parquet(result["out_dir"])
+    assert shards.count() == result["counts"]["after_decontamination"]
+    # every doc carries its packing assignment
+    assert {"bin_id", "tokens_before", "shard"} <= set(shards.columns)
+    # bins are dense-ish: max bin consistent with total tokens / capacity
+    total = shards.agg(F.sum("n_tokens")).collect()[0][0]
+    max_bin = shards.agg(F.max("bin_id")).collect()[0][0]
+    assert max_bin == total // 512
