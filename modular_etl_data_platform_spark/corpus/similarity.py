@@ -127,6 +127,18 @@ def ivf_topk(
     return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col).asc()).limit(k)
 
 
+def _plane_weights(plane: int, dim: int) -> list[int]:
+    """±1 weight per dimension for one hyperplane: the parity of the first
+    hex char of md5('p{plane}|{d}') — bit-identical to the SQL form
+    ``(ascii(substr(md5(concat('p{plane}|', d)), 1, 1)) % 2) * 2 - 1``."""
+    import hashlib
+
+    return [
+        (ord(hashlib.md5(f"p{plane}|{d}".encode()).hexdigest()[0]) % 2) * 2 - 1
+        for d in range(dim)
+    ]
+
+
 def hyperplane_signature(
     emb: DataFrame,
     id_col: str = "vec_id",
@@ -139,18 +151,20 @@ def hyperplane_signature(
     Plane weights are deterministic ±1 derived from md5 parity (portable,
     reproducible across runs/engines); a production variant would use
     seeded Gaussian planes. Pure projection — no shuffle.
+
+    The weights are CONSTANTS, so they are computed driver-side (same
+    md5-parity formula the DuckDB oracle evaluates in SQL) and embedded
+    as literal arrays — Catalyst does not constant-fold higher-order
+    functions, so an in-plan ``transform(sequence(...), d -> md5(...))``
+    would redo planes×dim md5 calls for every row.
     """
     sig = None
     for j in range(planes):
-        # ±1 weight per dimension, folded into the projection sum
+        weights = F.array(*[F.lit(w) for w in _plane_weights(j, dim)])
         proj = F.aggregate(
             F.zip_with(
                 F.col(vec_col),
-                F.expr(
-                    "transform(sequence(0, %d), d -> "
-                    "(ascii(substr(md5(concat('p%d|', d)), 1, 1)) %% 2) * 2 - 1)"
-                    % (dim - 1, j)
-                ),
+                weights,
                 lambda x, w: x.cast("double") * w.cast("double"),
             ),
             F.lit(0.0),
