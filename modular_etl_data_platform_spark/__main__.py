@@ -43,6 +43,11 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     s.add_argument("--limit", type=int, default=20)
 
+    a = sub.add_parser("audit", help="run the Gold DQ suite over a warehouse")
+    a.add_argument("--warehouse", required=True)
+    a.add_argument("--config-dir", default=None)
+    a.add_argument("--strict", action="store_true", help="exit 1 on violations")
+
     c = sub.add_parser(
         "corpus", help="run the corpus curation pipeline to training shards"
     )
@@ -92,6 +97,25 @@ def main(argv: list[str] | None = None) -> int:
 
         load_tables(spark, args.sf_dir)
         spark.sql(args.statement).show(args.limit, truncate=False)
+        return 0
+
+    if args.cmd == "audit":
+        from modular_etl_data_platform_spark.pipeline.audit import (
+            assert_clean,
+            audit_warehouse,
+        )
+        from modular_etl_data_platform_spark.pipeline.ecommerce import CONFIG_DIR
+
+        report = audit_warehouse(
+            spark, args.warehouse, args.config_dir or CONFIG_DIR
+        )
+        print(json.dumps(report, indent=2))
+        if args.strict:
+            try:
+                assert_clean(report)
+            except AssertionError as exc:
+                print(str(exc), file=sys.stderr)
+                return 1
         return 0
 
     if args.cmd == "corpus":

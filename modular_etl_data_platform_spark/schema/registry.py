@@ -304,5 +304,15 @@ class SchemaRegistry:
                     return cfg
         return self._cache[table_name]
 
+    def load_all(self) -> list[str]:
+        """Load every config under ``config_dir`` into the cache."""
+        if self.config_dir:
+            for p in sorted(Path(self.config_dir).rglob("*.json")):
+                try:
+                    self.load(p)
+                except (json.JSONDecodeError, KeyError):
+                    continue
+        return self.tables()
+
     def tables(self) -> list[str]:
         return sorted(self._cache)

@@ -61,4 +61,9 @@ def read_path(
         return reader.option("multiLine", "true").json(path)
     if fmt == "parquet":
         return reader.parquet(path)
+    if fmt == "orc":
+        return reader.orc(path)
+    if fmt == "text":
+        # one row per line in a `value` string column; schema optional
+        return reader.text(path)
     raise ValueError(f"Unsupported file_format: {fmt}")

@@ -183,3 +183,18 @@ def test_pipeline_rerun_is_idempotent(spark, demo):
         assert m2[t]["rows"] == m1[t]["rows"], t
     dim = _read(spark, demo, "gold_dim_customer")
     assert dim.filter("is_current").count() == demo["expected"]["customers"]
+
+
+def test_gold_audit_is_clean(spark, demo):
+    """The config-driven C7 audit over the built warehouse finds zero
+    violations and covers every gold table with declared invariants."""
+    from modular_etl_data_platform_spark.pipeline.audit import (
+        assert_clean,
+        audit_warehouse,
+    )
+    from modular_etl_data_platform_spark.pipeline.ecommerce import CONFIG_DIR
+
+    report = audit_warehouse(spark, demo["warehouse"], CONFIG_DIR)
+    assert "gold_dim_customer" in report and "scd2_current" in report["gold_dim_customer"]
+    assert any(k.startswith("orphans_vs_") for k in report.get("gold_fact_orders", {}))
+    assert_clean(report)  # no violations anywhere
