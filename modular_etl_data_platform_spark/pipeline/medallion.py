@@ -37,7 +37,7 @@ from modular_etl_data_platform_spark.operators.watermark import (
 )
 from modular_etl_data_platform_spark.schema.registry import TableConfig
 from modular_etl_data_platform_spark.sources.audit import add_metadata_columns
-from modular_etl_data_platform_spark.sources.readers import read_source
+from modular_etl_data_platform_spark.sources.readers import CORRUPT_COL, read_source
 from modular_etl_data_platform_spark.sources.sinks import (
     append_partitioned,
     write_quarantine,
@@ -71,9 +71,35 @@ class MedallionPipeline:
         re-running the pipeline never double-ingests. The seen-file set
         is a single-column scan of the target — distinct file paths, not
         rows — and joins back as a broadcast anti-join.
+
+        Malformed rows (PERMISSIVE parse failures) are split off to the
+        shared ``bronze_dq_errors`` table with their raw record text —
+        never silently nulled into the clean table. The cache before the
+        split keeps Spark's corrupt-column restriction satisfied and
+        reads the source once.
         """
-        raw = read_source(self.spark, config, base_path=self.raw_base, path_override=path_override)
+        raw = read_source(
+            self.spark,
+            config,
+            base_path=self.raw_base,
+            path_override=path_override,
+            capture_corrupt=True,
+        )
+        # audit columns BEFORE any cache: input_file_name() only resolves
+        # while rows still carry scan context
         bronze = add_metadata_columns(raw, config.raw.get("source_system", "unknown"))
+        if CORRUPT_COL in bronze.columns:
+            bronze = bronze.cache()
+            corrupt = bronze.filter(F.col(CORRUPT_COL).isNotNull())
+            if corrupt.limit(1).count():
+                write_quarantine(
+                    corrupt,
+                    self.table_path("bronze_dq_errors"),
+                    config.table_name,
+                    "malformed_record",
+                    CORRUPT_COL,
+                )
+            bronze = bronze.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
         target = self.table_path(config.table_name)
         if os.path.exists(target):
             seen = (

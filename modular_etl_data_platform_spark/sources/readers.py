@@ -19,14 +19,28 @@ from pyspark.sql import types as T
 
 from modular_etl_data_platform_spark.schema.registry import TableConfig
 
+#: Column that carries the raw text of rows the parser could not conform
+#: to the declared schema (PERMISSIVE mode). Present in the read output
+#: only when ``capture_corrupt=True``; the bronze ingest splits on it and
+#: quarantines the failures.
+CORRUPT_COL = "_corrupt_record"
+
 
 def read_source(
     spark: SparkSession,
     config: TableConfig,
     base_path: str | None = None,
     path_override: str | None = None,
+    capture_corrupt: bool = False,
 ) -> DataFrame:
-    """Read a configured source (csv/json/parquet) with its declared schema."""
+    """Read a configured source (csv/json/parquet) with its declared schema.
+
+    With ``capture_corrupt`` (csv/json only), malformed rows are NOT
+    silently nulled: the declared schema is extended with
+    :data:`CORRUPT_COL` holding the raw record text, so callers can
+    quarantine them (reference error-handling contract:
+    config/silver/schema/README.md:291-308, applied at the bronze edge).
+    """
     info = config.source_info
     fmt = (info.get("file_format") or "parquet").lower()
     path = path_override or info.get("file_path")
@@ -35,6 +49,10 @@ def read_source(
     if base_path:
         path = f"{base_path.rstrip('/')}/{path}"
     schema = config.spark_schema(include_metadata=False)
+    if capture_corrupt and fmt in ("csv", "json"):
+        schema = T.StructType(
+            list(schema.fields) + [T.StructField(CORRUPT_COL, T.StringType())]
+        )
     return read_path(spark, path, fmt, schema, info)
 
 
@@ -55,10 +73,13 @@ def read_path(
             header=str(bool(options.get("header", True))).lower(),
             sep=options.get("delimiter", ","),
             mode="PERMISSIVE",
+            columnNameOfCorruptRecord=CORRUPT_COL,
         ).csv(path)
     if fmt == "json":
         # raw files in the reference are JSON arrays -> multiLine
-        return reader.option("multiLine", "true").json(path)
+        return reader.options(
+            multiLine="true", columnNameOfCorruptRecord=CORRUPT_COL
+        ).json(path)
     if fmt == "parquet":
         return reader.parquet(path)
     if fmt == "orc":

@@ -119,3 +119,52 @@ def write_quarantine(
         F.current_timestamp().alias("error_timestamp"),
     )
     err.write.format(fmt).mode("append").save(path)
+
+
+def compact_table(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    partition_by: list[str] | None = None,
+) -> int:
+    """Small-files compaction — the OPTIMIZE analogue the reference
+    prescribes for Delta (reference: config/gold/schema/README.md:373-379
+    maintenance notes). Incremental appends (streams, per-batch upserts,
+    daily loads) accumulate many small parquet files; scans then pay
+    per-file open/footer costs and lose vectorized-read efficiency.
+
+    Rewrites the table at ~``target_file_bytes`` per file (computed from
+    the CURRENT on-disk size, so compaction adapts to the data) into a
+    sibling directory, then atomically swaps it in. Returns the file
+    count after compaction. Partitioned tables re-partition by their
+    partition columns so file boundaries align with partition pruning.
+
+    Scale: the rewrite is one distributed job (scan → shuffle-free
+    coalesce or partition-keyed repartition → write); on object stores
+    swap via a manifest/rename convention instead of directory moves.
+    """
+    import math
+    import os
+    import shutil
+
+    size = 0
+    for root, _dirs, files in os.walk(path):
+        size += sum(os.path.getsize(os.path.join(root, f)) for f in files)
+    n_files = max(1, math.ceil(size / target_file_bytes))
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + "__compact_tmp"
+    if partition_by:
+        out = df.repartition(n_files, *partition_by)
+        _writer(out, "parquet", "overwrite", partition_by).save(tmp)
+    else:
+        _writer(df.repartition(n_files), "parquet", "overwrite", None).save(tmp)
+    old = path.rstrip("/") + "__compact_old"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return sum(
+        1
+        for root, _d, files in os.walk(path)
+        for f in files
+        if f.endswith(".parquet")
+    )

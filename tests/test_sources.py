@@ -76,3 +76,55 @@ def test_write_bucketed_join_has_no_exchange(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS b_left")
         spark.sql("DROP TABLE IF EXISTS b_right")
+
+
+def test_bronze_quarantines_malformed_rows(spark, tmp_path):
+    """PERMISSIVE parse failures land in bronze_dq_errors with their raw
+    text; clean rows ingest normally — nothing is silently nulled."""
+    from modular_etl_data_platform_spark.pipeline.medallion import MedallionPipeline
+    from modular_etl_data_platform_spark.schema.registry import TableConfig
+
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    (raw / "readings.csv").write_text(
+        "reading_id,value\n1,10.5\nnot_a_number,oops\n3,30.0\n"
+    )
+    cfg = TableConfig(
+        raw={
+            "table_name": "bronze_readings",
+            "source_system": "sensors",
+            "file_format": "csv",
+            "file_path": "readings.csv",
+            "columns": [
+                {"name": "reading_id", "datatype": "bigint", "nullable": False},
+                {"name": "value", "datatype": "double", "nullable": True},
+            ],
+        }
+    )
+    pipe = MedallionPipeline(spark, str(tmp_path / "wh"), raw_base=str(raw))
+    pipe.ingest_bronze(cfg)
+    bronze = pipe.read_table("bronze_readings")
+    assert sorted(r.reading_id for r in bronze.collect()) == [1, 3]
+    errors = pipe.read_table("bronze_dq_errors").collect()
+    assert len(errors) == 1
+    assert errors[0].rule == "malformed_record"
+    assert "not_a_number" in errors[0].failed_value
+
+
+def test_compact_table_reduces_files(spark, tmp_path):
+    from modular_etl_data_platform_spark.sources.sinks import compact_table
+
+    path = str(tmp_path / "t")
+    df = spark.range(0, 10000).withColumn("v", F.col("id") * 2)
+    df.repartition(64).write.parquet(path)  # 64 small files
+    import os
+
+    before = sum(
+        1 for _r, _d, fs in os.walk(path) for f in fs if f.endswith(".parquet")
+    )
+    assert before >= 32
+    after = compact_table(spark, path, target_file_bytes=10 * 1024 * 1024)
+    assert after < before
+    back = spark.read.parquet(path)
+    assert back.count() == 10000
+    assert back.agg(F.sum("v")).collect()[0][0] == df.agg(F.sum("v")).collect()[0][0]
