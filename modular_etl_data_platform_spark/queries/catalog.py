@@ -1214,6 +1214,71 @@ def q55_skewed_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salted_distinct_count(e, "event_type", "user_id")
 
 
+@query(
+    "q57_rollup_cascade",
+    """
+    WITH minute AS (
+      SELECT date_trunc('minute', ts) AS bucket, event_type,
+             COUNT(*) AS n, SUM(CAST(value AS DECIMAL(18,6))) AS total
+      FROM events GROUP BY 1, 2
+    ),
+    hour AS (
+      SELECT date_trunc('hour', bucket) AS bucket, event_type,
+             SUM(n) AS n, SUM(total) AS total
+      FROM minute GROUP BY 1, 2
+    ),
+    day AS (
+      SELECT date_trunc('day', bucket) AS bucket, event_type,
+             SUM(n) AS n, SUM(total) AS total
+      FROM hour GROUP BY 1, 2
+    )
+    SELECT 'minute' AS grain, bucket, event_type,
+           CAST(n AS BIGINT) AS n, CAST(total AS DOUBLE) AS total FROM minute
+    UNION ALL
+    SELECT 'hour', bucket, event_type, CAST(n AS BIGINT), CAST(total AS DOUBLE) FROM hour
+    UNION ALL
+    SELECT 'day', bucket, event_type, CAST(n AS BIGINT), CAST(total AS DOUBLE) FROM day
+    """,
+)
+def q57_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate cascade: minute → hour → day,
+    each grain RE-AGGREGATED from the next finer grain rather than the raw
+    events (counts and decimal sums are mergeable partials, so the cascade
+    is exact — the oracle proves it). At 100 TB this is the only sane
+    shape: the hour rollup reads minute-level rows (~1/60th of raw), the
+    day rollup ~1/24th of that, and each level is incrementally
+    maintainable from new partitions alone."""
+    e = _t(spark, sf_dir, "events")
+
+    def lift(df, trunc: str):
+        return df.groupBy(
+            F.date_trunc(trunc, "bucket").alias("bucket"), F.col("event_type")
+        ).agg(F.sum("n").alias("n"), F.sum("total").alias("total"))
+
+    minute = e.groupBy(
+        F.date_trunc("minute", "ts").alias("bucket"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("total"),
+    )
+    minute = minute.cache()
+    hour = lift(minute, "hour").cache()
+    day = lift(hour, "day")
+
+    def out(df, grain: str):
+        return df.select(
+            F.lit(grain).alias("grain"),
+            "bucket",
+            "event_type",
+            F.col("n").cast("long").alias("n"),
+            F.col("total").cast("double").alias("total"),
+        )
+
+    return out(minute, "minute").unionByName(out(hour, "hour")).unionByName(
+        out(day, "day")
+    )
+
+
 @query("q56_approx_sketches")
 def q56_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch aggregations for interactive scale: HyperLogLog++ distinct
