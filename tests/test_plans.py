@@ -99,3 +99,34 @@ def test_moving_stats_single_shuffle_shared_sort(plan):
     n_exchange = len(re.findall(r"\(\d+\) Exchange", p))
     assert n_exchange == 1, p
     assert re.search(r"hashpartitioning\(user_id", p)
+
+
+# Allowlisted nested-loop joins, each deliberate:
+# - q24/q25/q47/q52: broadcast of a 1-row aggregate or query vector — a
+#   pointwise projection, not an all-pairs scan;
+# - q26: the exact all-pairs cosine form kept for oracle parity (the
+#   LSH-prefiltered equi-join scale path lives in corpus/similarity.py).
+CARTESIAN_OK = {
+    "q24_ann_bruteforce_topk",
+    "q25_ann_ivf_topk",
+    "q26_embedding_near_dup",
+    "q47_tfidf_top_terms",
+    "q52_mixture_weights",
+}
+
+
+def test_no_query_plans_a_cartesian_product(spark, sf_dir):
+    """Global guard: no catalog query may compile to a CartesianProduct,
+    and unbroadcast nested-loop joins are forbidden everywhere."""
+    from modular_etl_data_platform_spark.queries.catalog import QUERIES
+
+    offenders = {}
+    for name, fn in QUERIES.items():
+        p = spark._jvm.PythonSQLUtils.explainString(
+            fn(spark, sf_dir)._jdf.queryExecution(), "simple"
+        )
+        if "CartesianProduct" in p:
+            offenders[name] = "CartesianProduct"
+        elif "BroadcastNestedLoopJoin" in p and name not in CARTESIAN_OK:
+            offenders[name] = "BroadcastNestedLoopJoin"
+    assert not offenders, offenders
