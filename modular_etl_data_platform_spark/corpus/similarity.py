@@ -181,29 +181,77 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     use_lsh_prefilter: bool = True,
+    bands: int = 1,
+    planes: int = 16,
     parallelism: int | None = None,
 ) -> DataFrame:
     """All near-duplicate embedding pairs (cos ≥ threshold, id_a < id_b).
 
-    With ``use_lsh_prefilter`` the self-join is on the 16-bit hyperplane
-    signature (candidates must agree exactly — high-cosine pairs almost
-    always do), turning O(n²) into bucket-local joins. Without it, a full
-    cross self-join (only for small n / oracle validation) — fan the probe
-    side out first: a nested-loop join's parallelism is its left side's
-    partition count, and a small-on-disk embeddings table scans as ONE
-    partition (bytes-based splits vs CPU-bound work).
+    With ``use_lsh_prefilter`` the self-join is on the hyperplane
+    signature, turning O(n²) into bucket-local equi-joins. ``bands=1``
+    requires the full signature to agree — near-exact duplicates only;
+    ``bands>1`` slices the signature MinHash-banding style (candidates
+    share ANY band), trading candidate volume for recall at moderate
+    thresholds: P(candidate) = 1-(1-p^(planes/bands))^bands for per-bit
+    agreement p = 1-θ/π. Without the prefilter, a full cross self-join
+    (only for small n / oracle validation) — fan the probe side out
+    first: a nested-loop join's parallelism is its left side's partition
+    count, and a small-on-disk embeddings table scans as ONE partition
+    (bytes-based splits vs CPU-bound work).
     """
     base = fan_out(emb.select(F.col(id_col), F.col(vec_col)), parallelism)
     if use_lsh_prefilter:
-        sigs = hyperplane_signature(emb, id_col, vec_col)
+        sigs = hyperplane_signature(emb, id_col, vec_col, planes=planes)
         base = base.join(sigs, id_col)
-        a = base.alias("a")
-        b = base.alias("b")
-        joined = a.join(
-            b,
-            (F.col("a.lsh_sig") == F.col("b.lsh_sig"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
+        if bands > 1:
+            width = planes // bands
+            mask = (1 << width) - 1
+            band_arr = F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band"),
+                        F.shiftright("lsh_sig", j * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("key"),
+                    )
+                    for j in range(bands)
+                ]
+            )
+            base = base.select(
+                id_col, vec_col, F.explode(band_arr).alias("s")
+            ).select(id_col, vec_col, "s.band", "s.key")
+            a, b = base.alias("a"), base.alias("b")
+            # dedup (a doc pair can share several bands) BEFORE the
+            # cosine scoring so each candidate is verified once
+            joined = (
+                a.join(
+                    b,
+                    (F.col("a.band") == F.col("b.band"))
+                    & (F.col("a.key") == F.col("b.key"))
+                    & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+                )
+                .select(
+                    F.col(f"a.{id_col}").alias("__ida"),
+                    F.col(f"b.{id_col}").alias("__idb"),
+                    F.col(f"a.{vec_col}").alias("__va"),
+                    F.col(f"b.{vec_col}").alias("__vb"),
+                )
+                .dropDuplicates(["__ida", "__idb"])
+            )
+            out = joined.select(
+                F.col("__ida").alias("id_a"),
+                F.col("__idb").alias("id_b"),
+                cosine("__va", "__vb").alias("cos_sim"),
+            )
+            return out.filter(F.col("cos_sim") >= threshold)
+        else:
+            a = base.alias("a")
+            b = base.alias("b")
+            joined = a.join(
+                b,
+                (F.col("a.lsh_sig") == F.col("b.lsh_sig"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            )
     else:
         a = base.alias("a")
         b = base.alias("b")

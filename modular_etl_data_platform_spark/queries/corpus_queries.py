@@ -290,6 +290,72 @@ def q26_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lsh_near_dup_oracle(
+    threshold: float, planes: int = 16, bands: int = 4, dim: int = 64
+) -> str:
+    """DuckDB twin of the banded LSH-prefiltered near-dup path: the ±1
+    hyperplane weights are the SAME Python-computed literals the Spark
+    plan embeds (corpus/similarity.py::_plane_weights), so the scale path
+    itself is hash-verified — not just the brute-force baseline (q26)."""
+    weight_lists = ", ".join(
+        "[" + ", ".join(str(w) for w in csim._plane_weights(j, dim)) + f"] AS w{j}"
+        for j in range(planes)
+    )
+
+    def proj(j: int) -> str:
+        return (
+            f"list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+            f"list_transform(range(1, {dim + 1}), "
+            f"i -> CAST(embedding[i] AS DOUBLE) * w{j}[i])), (a, b) -> a + b)"
+        )
+
+    sig = " + ".join(
+        f"(CASE WHEN {proj(j)} >= 0 THEN {1 << j} ELSE 0 END)" for j in range(planes)
+    )
+    width = planes // bands
+    mask = (1 << width) - 1
+    band_rows = ", ".join(f"({j})" for j in range(bands))
+    return f"""
+    WITH w AS (SELECT {weight_lists}),
+    sigs AS (
+      SELECT vec_id, embedding, CAST({sig} AS BIGINT) AS lsh_sig
+      FROM embeddings, w
+    ),
+    banded AS (
+      SELECT vec_id, embedding, b.band,
+             (lsh_sig >> (b.band * {width})) & {mask} AS key
+      FROM sigs, (VALUES {band_rows}) AS b(band)
+    ),
+    cands AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, {_dd_cos('ea.embedding', 'eb.embedding')} AS cos_sim
+    FROM cands
+    JOIN embeddings ea ON ea.vec_id = id_a
+    JOIN embeddings eb ON eb.vec_id = id_b
+    WHERE {_dd_cos('ea.embedding', 'eb.embedding')} >= {threshold}
+    """
+
+
+@query("q58_embedding_near_dup_lsh", _lsh_near_dup_oracle(threshold=0.4))
+def q58_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup embedding pairs via the SCALE path: banded 16-bit random-
+    hyperplane signatures (4 bands × 4 bits, MinHash-banding style —
+    candidates share any band), bucket-local equi-join, then exact cosine
+    ≥ 0.4 on candidates only. The oracle replicates the signature
+    bit-for-bit, so the recall trade-off of the prefilter is pinned by
+    the hash check, not just sampled by tests."""
+    return csim.embedding_near_dup_pairs(
+        _t(spark, sf_dir, "embeddings"),
+        threshold=0.4,
+        use_lsh_prefilter=True,
+        bands=4,
+        parallelism=spark.sparkContext.defaultParallelism,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Multimodal binary columns
 # ---------------------------------------------------------------------------
