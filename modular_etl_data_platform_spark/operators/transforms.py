@@ -49,10 +49,21 @@ def conform_to_schema(
 ) -> DataFrame:
     """Project + cast to the declared column set/types (schema projection P1).
 
+    Schema evolution contract: source columns NOT in the declared schema
+    are dropped; declared columns missing from the source are null-filled
+    at their declared type — so the target schema is byte-stable across
+    upstream additions and (nullable) removals, and required-column
+    enforcement stays where it belongs, in the validation rules.
+
     ``extra_cols`` are carried through untouched (e.g. the dedup ordering
     column, which is metadata rather than a declared column)."""
     fields = config.spark_schema(include_metadata=False).fields
-    cols = [F.col(f.name).cast(f.dataType).alias(f.name) for f in fields if f.name in df.columns]
+    cols = [
+        F.col(f.name).cast(f.dataType).alias(f.name)
+        if f.name in df.columns
+        else F.lit(None).cast(f.dataType).alias(f.name)
+        for f in fields
+    ]
     declared = {f.name for f in fields}
     for c in extra_cols or []:
         if c in df.columns and c not in declared:

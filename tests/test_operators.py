@@ -240,3 +240,30 @@ def test_upsert_partition_scoped_leaves_other_partitions_untouched(spark, tmp_pa
     assert out[(0, 2)] == 999 and out[(9, 2)] == 900
     assert out[(0, 1)] == 1 and out[(2, 3)] == 23
     assert len(out) == 10
+
+
+def test_conform_schema_evolution(spark):
+    """Upstream adds a column -> dropped; upstream drops a nullable
+    declared column -> null-filled at declared type. Target schema is
+    stable either way."""
+    from modular_etl_data_platform_spark.operators.transforms import conform_to_schema
+    from modular_etl_data_platform_spark.schema.registry import TableConfig
+
+    cfg = TableConfig(
+        raw={
+            "table_name": "t",
+            "columns": [
+                {"name": "id", "datatype": "bigint", "nullable": False},
+                {"name": "name", "datatype": "string", "nullable": True},
+                {"name": "score", "datatype": "double", "nullable": True},
+            ],
+        }
+    )
+    evolved = spark.createDataFrame(
+        [(1, "a", "surprise")], "id long, name string, new_upstream_col string"
+    )
+    out = conform_to_schema(evolved, cfg)
+    assert [f.name for f in out.schema.fields] == ["id", "name", "score"]
+    assert dict(out.dtypes)["score"] == "double"
+    row = out.collect()[0]
+    assert row.score is None and row.name == "a"

@@ -83,10 +83,13 @@ def test_decontamination_broadcasts_probe_set(plan):
     assert "SortMergeJoin" not in p.split("BroadcastHashJoin")[0]
 
 
-def test_minhash_signature_hash_computed_before_barrier(plan):
+def test_minhash_signature_hash_computed_before_barrier(spark, plan):
     # the md5 shingle-hash array must be projected BEFORE the repartition
     # exchange so the k permutation minima read the materialized array
-    # (projection collapse would otherwise inline 8 md5 passes)
+    # (projection collapse would otherwise inline 8 md5 passes).
+    # clearCache: an earlier test's cached LSH signature table would
+    # otherwise substitute an InMemoryTableScan into this plan
+    spark.catalog.clearCache()
     p = plan("q21_minhash_signatures")
     exchange_pos = p.find("RoundRobinPartitioning")
     assert exchange_pos > 0
