@@ -179,3 +179,50 @@ def stratified_sample_hash(
     return df.withColumn("__bucket", bucket).filter(
         F.col("__bucket") < rate_col
     ).drop("__bucket")
+
+
+def char_trigrams(text_col: str = "text") -> Column:
+    """All character trigrams of the text (positions 1..len-2)."""
+    return F.expr(
+        f"transform(sequence(1, greatest(length({text_col}) - 2, 1)), "
+        f"i -> substr({text_col}, i, 3))"
+    )
+
+
+def lm_perplexity_scores(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """CCNet-style LM quality filter: train a character-trigram model on
+    the corpus itself, then score each document by its mean trigram
+    log-probability (≈ negative perplexity; low scores = out-of-
+    distribution text — mojibake, boilerplate, wrong language).
+
+    Two shuffles total: the model build (groupBy trigram) and the per-doc
+    score (groupBy doc). The model joins back via BROADCAST — a trigram
+    model is bounded by charset³, a few MB, regardless of corpus size.
+    Every seen trigram has count ≥ 1 so probabilities need no smoothing.
+
+    Cross-engine determinism: each trigram's ln(p) is rounded to 9
+    decimals and summed as decimal(28,12) before the mean — double
+    summation order varies, decimals don't (same recipe as TF-IDF/q47).
+    """
+    tri = df.select(F.col(id_col), F.explode(char_trigrams(text_col)).alias("tri"))
+    model = tri.groupBy("tri").agg(F.count(F.lit(1)).alias("tri_n"))
+    total = model.agg(F.sum("tri_n").alias("tri_total"))
+    scored = (
+        tri.join(F.broadcast(model), "tri")
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col(id_col),
+            F.round(
+                F.log(F.col("tri_n").cast("double") / F.col("tri_total")), 9
+            ).alias("logp"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        (
+            F.sum(F.col("logp").cast("decimal(28,12)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mean_logp"),
+        F.count(F.lit(1)).cast("long").alias("n_trigrams"),
+    )

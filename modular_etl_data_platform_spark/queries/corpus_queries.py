@@ -780,3 +780,28 @@ def q53_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition signals per document: duplicate-word
     fraction and most-frequent-bigram fraction. Pure projection."""
     return ccur.repetition_stats(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "q59_lm_perplexity",
+    """
+    WITH tri AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, greatest(len(text) - 2, 1) + 1),
+                                   i -> substr(text, i, 3))) AS tri
+      FROM documents
+    ),
+    model AS (SELECT tri, COUNT(*) AS tri_n FROM tri GROUP BY tri),
+    total AS (SELECT SUM(tri_n) AS tri_total FROM model)
+    SELECT doc_id,
+           CAST(SUM(CAST(round(ln(CAST(tri_n AS DOUBLE) / tri_total), 9)
+                         AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS mean_logp,
+           CAST(COUNT(*) AS BIGINT) AS n_trigrams
+    FROM tri JOIN model USING (tri) CROSS JOIN total
+    GROUP BY doc_id
+    """,
+)
+def q59_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained char-trigram LM quality scores (CCNet-style
+    perplexity filter): two shuffles, model broadcast back."""
+    return ctext.lm_perplexity_scores(_t(spark, sf_dir, "documents"))
