@@ -418,3 +418,81 @@ def connected_components(
         if changed == 0:
             break
     return labels
+
+
+def incremental_near_dup(
+    new_docs: DataFrame,
+    existing_sigs: DataFrame,
+    existing_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    bands: int = 4,
+    shingle: int = 3,
+    threshold: float = 0.5,
+    parallelism: int | None = None,
+) -> DataFrame:
+    """Dedup a NEW batch against an EXISTING corpus without re-pairing the
+    corpus with itself — the continuous-crawl shape: signatures for the
+    existing side come from a persisted table (computed once, appended per
+    batch), only the new batch is signed fresh, and the LSH band join is
+    new×existing only (plus new×new via :func:`minhash_lsh_dedup` if
+    wanted). Returns (new_id, existing_id, jaccard ≥ threshold).
+
+    At 100 TB the existing signature table is partitioned by band key, so
+    each new batch probes only matching partitions — the batch cost scales
+    with the batch, never the corpus.
+    """
+    new_sigs = minhash_signatures(new_docs, id_col, text_col, k, shingle, parallelism)
+    rows = k // bands
+
+    def banded(sigs: DataFrame) -> DataFrame:
+        arr = F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band_id"),
+                    F.concat_ws(
+                        "|", *[F.col(f"mh{b * rows + r}") for r in range(rows)]
+                    ).alias("band_key"),
+                )
+                for b in range(bands)
+            ]
+        )
+        return sigs.select(F.col(id_col), F.explode(arr).alias("band")).select(
+            id_col, "band.band_id", "band.band_key"
+        )
+
+    cands = (
+        banded(new_sigs)
+        .alias("n")
+        .join(
+            banded(existing_sigs).alias("e"),
+            (F.col("n.band_id") == F.col("e.band_id"))
+            & (F.col("n.band_key") == F.col("e.band_key")),
+        )
+        .select(
+            F.col(f"n.{id_col}").alias("id_a"),
+            F.col(f"e.{id_col}").alias("id_b"),
+        )
+        .dropDuplicates()
+        .cache()
+    )
+    sh_new = new_docs.select(
+        F.col(id_col).alias("id_a"),
+        F.array_distinct(F.expr(shingles_sql(text_col, shingle))).alias("sh_a"),
+    )
+    sh_old = existing_docs.select(
+        F.col(id_col).alias("id_b"),
+        F.array_distinct(F.expr(shingles_sql(text_col, shingle))).alias("sh_b"),
+    )
+    return (
+        cands.join(sh_new, "id_a")
+        .join(sh_old, "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

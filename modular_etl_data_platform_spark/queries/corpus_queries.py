@@ -805,3 +805,63 @@ def q59_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-trained char-trigram LM quality scores (CCNet-style
     perplexity filter): two shuffles, model broadcast back."""
     return ctext.lm_perplexity_scores(_t(spark, sf_dir, "documents"))
+
+
+def _incremental_dedup_oracle(k: int = 8, bands: int = 4, threshold: float = 0.2) -> str:
+    sig_cols = ",\n             ".join(
+        f"{cdedup.minhash_duckdb('text', s)} AS mh{s}" for s in range(k)
+    )
+    rows = k // bands
+    band_vals = ", ".join(
+        "(" + str(b) + ", "
+        + " || '|' || ".join(f"mh{b * rows + r}" for r in range(rows)) + ")"
+        for b in range(bands)
+    )
+    sh = f"list_distinct({cdedup.shingles_duckdb('text')})"
+    return f"""
+    WITH sigs AS (
+      SELECT doc_id, (doc_id % 7 = 0) AS is_new,
+             {sig_cols}
+      FROM documents
+    ),
+    banded AS (
+      SELECT doc_id, is_new, b.band_id, b.band_key
+      FROM sigs, (VALUES {band_vals}) AS b(band_id, band_key)
+    ),
+    cands AS (
+      SELECT DISTINCT n.doc_id AS id_a, e.doc_id AS id_b
+      FROM banded n JOIN banded e
+        ON n.band_id = e.band_id AND n.band_key = e.band_key
+       AND n.is_new AND NOT e.is_new
+    ),
+    sh AS (SELECT doc_id, {sh} AS sh FROM documents)
+    SELECT id_a, id_b,
+           CAST(len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) AS DOUBLE)
+             / (len(sa.sh) + len(sb.sh)
+                - len(list_filter(sa.sh, x -> list_contains(sb.sh, x)))) AS jaccard
+    FROM cands JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b
+    WHERE CAST(len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) AS DOUBLE)
+             / (len(sa.sh) + len(sb.sh)
+                - len(list_filter(sa.sh, x -> list_contains(sb.sh, x)))) >= {threshold}
+    """
+
+
+@query("q60_incremental_dedup", _incremental_dedup_oracle(threshold=LSH_THRESHOLD))
+def q60_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-crawl dedup: the NEW batch (doc_id % 7 = 0) is checked
+    against the EXISTING corpus via its persisted MinHash signature table
+    — new×existing band probes only, never corpus×corpus. Batch cost
+    scales with the batch, not the corpus."""
+    docs = _t(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 7 == 0)
+    existing = docs.filter(F.col("doc_id") % 7 != 0)
+    existing_sigs = cdedup.minhash_signatures(
+        existing, parallelism=spark.sparkContext.defaultParallelism
+    )
+    return cdedup.incremental_near_dup(
+        new,
+        existing_sigs,
+        existing,
+        threshold=LSH_THRESHOLD,
+        parallelism=spark.sparkContext.defaultParallelism,
+    )
