@@ -158,3 +158,26 @@ def test_connected_components_chain_cycle_singleton(spark):
         for r in connected_components(vertices, edges).collect()
     }
     assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 4, 6: 4, 7: 7}
+
+
+def test_incremental_dedup_matches_full_lsh_cross_pairs(spark, docs):
+    """incremental_near_dup(new, existing) must find exactly the
+    new×existing pairs the full-corpus LSH finds — the persisted-index
+    path loses nothing on the cross side."""
+    new = docs.filter("doc_id IN (3, 4)")
+    existing = docs.filter("doc_id NOT IN (3, 4)")
+    existing_sigs = cdedup.minhash_signatures(existing)
+    inc = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in cdedup.incremental_near_dup(
+            new, existing_sigs, existing, threshold=0.4
+        ).collect()
+    }
+    full = {}
+    for r in cdedup.minhash_lsh_dedup(docs, threshold=0.4).collect():
+        pair = (r.id_a, r.id_b)
+        if (r.id_a in (3, 4)) != (r.id_b in (3, 4)):  # cross pairs only
+            new_id = r.id_a if r.id_a in (3, 4) else r.id_b
+            old_id = r.id_b if r.id_a in (3, 4) else r.id_a
+            full[(new_id, old_id)] = r.jaccard
+    assert inc == full and (3, 0) in inc  # exact dup of doc 0 found
