@@ -39,11 +39,14 @@ from pyspark.sql import functions as F
 
 
 def ngram_hashes_sql(text_col: str, n: int = 5) -> str:
-    """Spark SQL: distinct md5 hashes of word n-grams of ``text_col``."""
+    """Spark SQL: distinct 60-bit integer hashes (md5 prefix) of word
+    n-grams of ``text_col``. Integer keys, not hex strings: the
+    decontamination join/broadcast then moves 8-byte keys instead of
+    32-char strings — 4× smaller probe set at 100 TB."""
     w = f"split({text_col}, ' ')"
     return (
         f"array_distinct(transform(sequence(0, greatest(size({w}) - {n}, 0)), "
-        f"i -> md5(concat_ws(' ', slice({w}, i+1, {n})))))"
+        f"i -> cast(conv(substr(md5(concat_ws(' ', slice({w}, i+1, {n}))), 1, 15), 16, 10) as bigint)))"
     )
 
 
@@ -51,7 +54,7 @@ def ngram_hashes_duckdb(text_col: str, n: int = 5) -> str:
     w = f"string_split({text_col}, ' ')"
     return (
         f"list_distinct(list_transform(range(0, greatest(len({w}) - {n}, 0) + 1), "
-        f"i -> md5(array_to_string({w}[i+1:i+{n}], ' '))))"
+        f"i -> ('0x' || substr(md5(array_to_string({w}[i+1:i+{n}], ' ')), 1, 15))::BIGINT))"
     )
 
 
