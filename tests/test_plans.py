@@ -8,16 +8,14 @@ import re
 
 import pytest
 
+from modular_etl_data_platform_spark.plans import explain_formatted, plan_summary
 from modular_etl_data_platform_spark.queries.catalog import QUERIES
 
 
 @pytest.fixture(scope="module")
 def plan(spark, sf_dir):
     def get(name: str) -> str:
-        df = QUERIES[name](spark, sf_dir)
-        return spark._jvm.PythonSQLUtils.explainString(
-            df._jdf.queryExecution(), "formatted"
-        )
+        return explain_formatted(QUERIES[name](spark, sf_dir))
 
     return get
 
@@ -115,6 +113,7 @@ CARTESIAN_OK = {
     "q26_embedding_near_dup",
     "q47_tfidf_top_terms",
     "q52_mixture_weights",
+    "q59_lm_perplexity",  # 1-row trigram-total broadcast
 }
 
 
@@ -133,3 +132,17 @@ def test_no_query_plans_a_cartesian_product(spark, sf_dir):
         elif "BroadcastNestedLoopJoin" in p and name not in CARTESIAN_OK:
             offenders[name] = "BroadcastNestedLoopJoin"
     assert not offenders, offenders
+
+
+def test_plan_summary_and_distributed_guard(spark, sf_dir):
+    from modular_etl_data_platform_spark.plans import assert_distributed
+
+    df = QUERIES["q03_star_join_revenue"](spark, sf_dir)
+    s = plan_summary(df)
+    assert s["broadcast_hash_joins"] >= 3 and s["sort_merge_joins"] == 0
+    assert s["pushed_filters"], s
+    assert_distributed(df)  # no cartesian anywhere in the star query
+
+    lone = spark.range(3).alias("a").crossJoin(spark.range(3).alias("b"))
+    with pytest.raises(AssertionError):
+        assert_distributed(lone)
