@@ -247,3 +247,77 @@ def test_stream_stream_attribution_join(spark, tmp_path):
     q.awaitTermination(120)
     got = {(r.user_id, r.page, r.action) for r in spark.table("attrib_out").collect()}
     assert got == {(1, "home", "signup"), (1, "pricing", "purchase")}
+
+
+def test_windowed_counts_drop_late_events_across_restarts(spark, tmp_path):
+    """True watermark semantics across checkpointed restarts with an
+    append-mode file sink: a window is emitted exactly once when the
+    watermark passes its end, and an event arriving behind the watermark
+    for an already-closed window is DROPPED (never re-emitted)."""
+    import datetime as dt
+
+    from modular_etl_data_platform_spark.streaming.incremental import (
+        windowed_event_counts,
+    )
+
+    src = tmp_path / "late_in"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "late_out")
+    base = dt.datetime(2024, 1, 1)
+
+    def write_batch(name, rows):
+        (src / name).write_text(
+            "\n".join(
+                json.dumps(
+                    {
+                        "ts": (base + dt.timedelta(minutes=m)).isoformat(),
+                        "event_type": t,
+                        "value": v,
+                    }
+                )
+                for m, t, v in rows
+            )
+        )
+
+    def run_once():
+        stream = spark.readStream.schema(
+            "ts timestamp, event_type string, value double"
+        ).json(str(src))
+        agg = windowed_event_counts(
+            stream, window_duration="1 hour", watermark="10 minutes"
+        )
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # batch 1: minute 5 + minute 180 -> watermark 170 closes hour-0
+    write_batch("b1.json", [(5, "click", 1.0), (180, "click", 2.0)])
+    run_once()
+    # batch 2 (restart from checkpoint): minute 10 is behind the
+    # watermark and its window is closed -> dropped; minute 175 is within
+    # the open hour-2 window -> counted
+    write_batch("b2.json", [(10, "click", 100.0), (175, "click", 4.0)])
+    run_once()
+    # batch 3: minute 400 pushes the watermark past hour-2's end
+    write_batch("b3.json", [(400, "click", 8.0)])
+    run_once()
+
+    rows = spark.read.parquet(out).collect()
+    got = {}
+    for r in rows:
+        key = (r.window_start, r.event_type)
+        assert key not in got, f"window {key} emitted twice"
+        got[key] = (r.n_events, r.total_value)
+    h0 = base
+    h2 = base + dt.timedelta(hours=2)
+    h3 = base + dt.timedelta(hours=3)
+    assert got[(h0, "click")] == (1, 1.0)  # late 100.0 was dropped
+    assert got[(h2, "click")] == (1, 4.0)  # in-watermark late 175 counted
+    assert got[(h3, "click")] == (1, 2.0)  # the minute-180 event's window
