@@ -139,7 +139,14 @@ def fan_out(df: DataFrame, parallelism: int | None) -> DataFrame:
     cost is per-row compute (md5 shingles, signatures) can land in ONE
     scan partition and serialize. One round-robin repartition first makes
     the projection scale with cores — the bytes-vs-CPU partitioning
-    distinction that matters whenever compute per byte is high."""
+    distinction that matters whenever compute per byte is high.
+
+    ``parallelism=None`` defaults to the cluster's default parallelism:
+    the repartition doubles as the materialization BARRIER the minhash
+    signature path relies on (see :func:`minhash_signatures`), so it must
+    exist even when the caller didn't tune the fan-out."""
+    if parallelism is None:
+        parallelism = df.sparkSession.sparkContext.defaultParallelism
     if parallelism and parallelism > 1:
         return df.repartition(parallelism)
     return df
