@@ -1279,6 +1279,46 @@ def q57_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q61_salted_skew_join",
+    """
+    WITH dim AS (
+      SELECT DISTINCT user_id, user_id % 5 AS tier FROM events
+    )
+    SELECT tier,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events e JOIN dim USING (user_id)
+    GROUP BY tier
+    """,
+)
+def q61_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe many-to-one join via explicit salting
+    (operators/skew.py::salted_join): the hot keys of the fact side are
+    scattered over 8 salt values, the one-row-per-key dim side is
+    replicated 8×, and the join runs on (key, salt) — a single hot key's
+    rows land on 8 tasks instead of one. Results are EXACTLY the plain
+    join's (the oracle is the unsalted form); broadcast is disabled for
+    the join so the salted shuffle path is what actually executes, which
+    is the regime this operator exists for (dim too big to broadcast,
+    fact keys skewed)."""
+    from modular_etl_data_platform_spark.operators.skew import salted_join
+
+    e = _t(spark, sf_dir, "events").select("user_id", "value")
+    dim = (
+        e.select("user_id")
+        .dropDuplicates()
+        .withColumn("tier", F.col("user_id") % 5)
+    )
+    joined = salted_join(
+        e.hint("merge"), dim.hint("merge"), on="user_id", salt=8
+    )
+    return joined.groupBy("tier").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+    )
+
+
 @query("q56_approx_sketches")
 def q56_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch aggregations for interactive scale: HyperLogLog++ distinct
