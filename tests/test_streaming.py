@@ -321,3 +321,37 @@ def test_windowed_counts_drop_late_events_across_restarts(spark, tmp_path):
     assert got[(h0, "click")] == (1, 1.0)  # late 100.0 was dropped
     assert got[(h2, "click")] == (1, 4.0)  # in-watermark late 175 counted
     assert got[(h3, "click")] == (1, 2.0)  # the minute-180 event's window
+
+
+def test_stream_curate_documents_dedups_across_batches(spark, tmp_path):
+    from modular_etl_data_platform_spark.streaming.incremental import (
+        stream_curate_documents,
+    )
+
+    src = tmp_path / "docs_in"
+    src.mkdir()
+    out = str(tmp_path / "curated")
+    ckpt = str(tmp_path / "ckpt")
+
+    def write(name, rows):
+        (src / name).write_text("\n".join(json.dumps(r) for r in rows))
+
+    good = "the quick brown fox jumps over the lazy dog again and again today"
+    write("b1.json", [
+        {"doc_id": 1, "text": good},
+        {"doc_id": 2, "text": "completely different content that is also long enough to keep"},
+    ])
+    q = stream_curate_documents(spark, str(src), out, ckpt)
+    q.awaitTermination(120)
+
+    # batch 2: doc 3 duplicates doc 1's content exactly -> skipped
+    write("b2.json", [
+        {"doc_id": 3, "text": good},
+        {"doc_id": 4, "text": "a third unique document with plenty of words in it for quality"},
+    ])
+    q = stream_curate_documents(spark, str(src), out, ckpt)
+    q.awaitTermination(120)
+
+    curated = spark.read.parquet(out)
+    assert sorted(r.doc_id for r in curated.collect()) == [1, 2, 4]
+    assert "quality_score" in curated.columns and "fingerprint" in curated.columns
