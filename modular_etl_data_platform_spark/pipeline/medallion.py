@@ -19,7 +19,7 @@ from __future__ import annotations
 import os
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from modular_etl_data_platform_spark.operators.dedup import dedupe_latest
@@ -151,17 +151,23 @@ class MedallionPipeline:
             )
             valid = ri_valid(valid, parent, fk=fk, pk=ref["reference_column"])
 
-        n_bad = quarantined.count()
-        if n_bad:
-            quarantined.withColumn(
-                "failed_rules", F.to_json(F.col("failed_rules"))
-            ).write.mode("append").parquet(self.table_path("silver_dq_errors"))
+        # metrics ride the write actions via Observation — a separate
+        # .count() would re-execute the whole transform+validate plan
+        # (a full second pass over the batch at scale)
+        obs_bad = Observation()
+        quarantined = quarantined.observe(obs_bad, F.count(F.lit(1)).alias("rows"))
+        quarantined.withColumn(
+            "failed_rules", F.to_json(F.col("failed_rules"))
+        ).write.mode("append").parquet(self.table_path("silver_dq_errors"))
+        n_bad = obs_bad.get["rows"]
 
         # 4. dedup keep-latest per PK (W1)
         deduped = dedupe_latest(valid, config.primary_keys, order_col)
 
         # 5. keyed upsert (S8)
         final = deduped.drop(order_col) if order_col not in config.column_names() else deduped
+        obs_out = Observation()
+        final = final.observe(obs_out, F.count(F.lit(1)).alias("rows"))
         upsert_parquet(
             self.spark,
             final,
@@ -173,7 +179,7 @@ class MedallionPipeline:
             new_wm = advance_watermark(batch, inc_col)
             if new_wm is not None:
                 self._watermarks.set(config.table_name, new_wm)
-        n_out = final.count()
+        n_out = obs_out.get["rows"]
         return {"quarantined": n_bad, "upserted": n_out}
 
     # -- EP3: gold (C4/C5) -------------------------------------------------------
