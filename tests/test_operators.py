@@ -267,3 +267,27 @@ def test_conform_schema_evolution(spark):
     assert dict(out.dtypes)["score"] == "double"
     row = out.collect()[0]
     assert row.score is None and row.name == "a"
+
+
+def test_chunk_text_udtf_matches_native_expression(spark):
+    """The UDTF form must produce the same chunks as the native
+    expression form (corpus/text.py::chunk_text) — the UDTF is the
+    extension-point demo, the expression is the hot path."""
+    from modular_etl_data_platform_spark.corpus.text import chunk_text
+    from modular_etl_data_platform_spark.functions.udtf import register_udtfs
+
+    register_udtfs(spark)
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(120)))], "doc_id long, text string"
+    )
+    docs.createOrReplaceTempView("udtf_docs")
+    via_udtf = {
+        (r.chunk_no, r.chunk_text)
+        for r in spark.sql(
+            "SELECT c.* FROM udtf_docs, LATERAL chunk_text(text, 50, 10) c"
+        ).collect()
+    }
+    via_expr = {
+        (r.chunk_no, r.chunk_text) for r in chunk_text(docs, 50, 10).collect()
+    }
+    assert via_udtf == via_expr and len(via_udtf) == 3
