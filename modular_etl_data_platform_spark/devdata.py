@@ -52,8 +52,16 @@ def generate(out_dir: str, spec: FixtureSpec | None = None) -> dict[str, int]:
             "last_name": f" LAST{c}  ",
             "email": f" User{c}@Example.COM ",
             "phone": f"(5{c % 10}8)349-5{c % 10}31x03{c % 10}1",
+            "address_line1": f"  {100 + c} Main St ",
+            "address_line2": f"Apt {c % 20}" if c % 3 == 0 else "",
             "city": rng.choice(CITIES).lower(),
             "state": rng.choice(["ny", "ca", "tx", "wa"]),
+            "postal_code": f" {10000 + c * 7 % 90000:05d}"
+            + ("-1234 " if c % 5 == 0 else " "),
+            "country": None if c % 7 == 0 else " usa ",
+            "customer_status": rng.choice([" ACTIVE ", " Inactive "]),
+            "registration_date": f"2023-{1 + c % 12:02d}-{1 + c % 28:02d}",
+            "marketing_opt_in": None if c % 11 == 0 else bool(c % 2),
             "customer_tier": rng.choice(TIERS),
             "updated_at": "2024-01-01T00:00:00",
         }
@@ -62,59 +70,99 @@ def generate(out_dir: str, spec: FixtureSpec | None = None) -> dict[str, int]:
     with open(os.path.join(out_dir, "customers_initial.json"), "w") as f:
         json.dump(customers, f)
 
-    # SCD2 updates: city changes (Type-2) + a phone change (Type-1)
+    # SCD2 updates: address changes (Type-2: address_line1 + city +
+    # postal_code) + a phone change (Type-1)
     n_changed = int(spec.n_customers * spec.scd_change_rate)
     changed = sorted(rng.sample(range(spec.n_customers), n_changed))
     updates = []
     for c in changed:
         u = dict(customers[c])
+        u["address_line1"] = f" {900 + c} Relocation Ave "
         u["city"] = "capital city"
+        u["postal_code"] = f"{20000 + c:05d}"
         u["phone"] = f"001-777-888-{c % 10}{c % 10}{(c + 1) % 10}{(c + 2) % 10}x42"
         u["updated_at"] = "2024-06-01T00:00:00"
         updates.append(u)
     with open(os.path.join(out_dir, "customers_update.json"), "w") as f:
         json.dump(updates, f)
 
+    categories = [("electronics", "audio"), ("home", "kitchen"), ("toys", "games")]
     prices = {}
     with open(os.path.join(out_dir, "products.csv"), "w", newline="") as f:
         w = csv.writer(f)
-        w.writerow(["product_id", "product_name", "unit_cost", "unit_price"])
+        w.writerow(
+            [
+                "product_id", "product_name", "category", "subcategory",
+                "brand", "description", "weight_kg", "is_active",
+                "created_date", "unit_cost", "unit_price",
+            ]
+        )
         for p in range(spec.n_products):
             cost = round(rng.uniform(1, 50), 2)
             price = round(cost * rng.uniform(1.2, 2.0), 2)
             prices[p] = price
-            w.writerow([p, f"product {p}", cost, price])
+            cat, sub = categories[p % len(categories)]
+            w.writerow(
+                [
+                    p,
+                    f"product {p}",
+                    f" {cat} ",
+                    f" {sub} ",
+                    f" brand{p % 4} ",
+                    f"  description of product {p} ",
+                    round(rng.uniform(0.1, 20), 2) if p % 6 else "",
+                    "" if p % 9 == 0 else str(bool(p % 2)).lower(),
+                    f"2022-{1 + p % 12:02d}-{1 + p % 28:02d}",
+                    cost,
+                    price,
+                ]
+            )
 
     # orders: pipe CSV over a full year so some orders postdate the SCD2
     # update (2024-06-01) — point-in-time joins must split around it
     order_rows = []
     base = dt.date(2024, 1, 1)
+    payment_methods = [" CREDIT_CARD ", " Debit_Card ", " paypal ", " GIFT_CARD "]
+    TOTAL = 4  # index of order_total in the row layout below
     for o in range(spec.n_orders):
         status = rng.choice(STATUSES)
         total = round(rng.uniform(5, 500), 2)
         if rng.random() < spec.null_rate:
             total = ""
+        cust = rng.randrange(spec.n_customers)
         order_rows.append(
             [
                 o,
-                rng.randrange(spec.n_customers),
+                cust,
                 (base + dt.timedelta(days=rng.randrange(365))).isoformat(),
                 f" {status.upper()} ",
                 total,
+                f"{rng.randrange(24):02d}:{rng.randrange(60):02d}:{rng.randrange(60):02d}",
+                rng.choice(payment_methods),
+                f" {200 + o % 700} Shipping Rd ",
+                rng.choice(CITIES).lower(),
+                rng.choice(["ny", "ca", "tx", "wa"]),
+                f"{30000 + o % 60000:05d}",
+                " save10 " if o % 13 == 0 else "",
+                f"  note for order {o} " if o % 17 == 0 else "",
             ]
         )
     n_negative = max(1, int(spec.n_orders * spec.negative_rate))
     for row in rng.sample(order_rows, n_negative):
-        row[4] = -abs(row[4]) if row[4] != "" else -1.0
+        row[TOTAL] = -abs(row[TOTAL]) if row[TOTAL] != "" else -1.0
     n_dupes = int(spec.n_orders * spec.dupe_rate)
     duped = rng.sample(order_rows, n_dupes)
-    n_bad_rows = sum(1 for r in order_rows if r[4] != "" and float(r[4]) < 0) + sum(
-        1 for r in duped if r[4] != "" and float(r[4]) < 0
-    )
+    n_bad_rows = sum(
+        1 for r in order_rows if r[TOTAL] != "" and float(r[TOTAL]) < 0
+    ) + sum(1 for r in duped if r[TOTAL] != "" and float(r[TOTAL]) < 0)
     order_rows.extend(list(r) for r in duped)
     rng.shuffle(order_rows)
     with open(os.path.join(out_dir, "orders.csv"), "w") as f:
-        f.write("order_id|customer_id|order_date|order_status|order_total\n")
+        f.write(
+            "order_id|customer_id|order_date|order_status|order_total"
+            "|order_time|payment_method|shipping_address|shipping_city"
+            "|shipping_state|shipping_postal_code|discount_code|notes\n"
+        )
         for row in order_rows:
             f.write("|".join(str(x) for x in row) + "\n")
 
@@ -138,6 +186,7 @@ def generate(out_dir: str, spec: FixtureSpec | None = None) -> dict[str, int]:
             {
                 "product_id": p,
                 "snapshot_date": snap_date,
+                "warehouse_location": f" wh-{chr(97 + p % 3)} ",
                 "quantity_on_hand": rng.randrange(0, 500),
                 "quantity_reserved": rng.randrange(0, 50),
             }

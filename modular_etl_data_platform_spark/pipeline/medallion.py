@@ -153,12 +153,21 @@ class MedallionPipeline:
 
         # metrics ride the write actions via Observation — a separate
         # .count() would re-execute the whole transform+validate plan
-        # (a full second pass over the batch at scale)
+        # (a full second pass over the batch at scale). The error record
+        # is normalized to the reference contract (table, rules, payload,
+        # timestamp — reference: config/silver/schema/README.md:296-303)
+        # so every silver table appends the SAME schema to the shared
+        # error table.
         obs_bad = Observation()
-        quarantined = quarantined.observe(obs_bad, F.count(F.lit(1)).alias("rows"))
-        quarantined.withColumn(
-            "failed_rules", F.to_json(F.col("failed_rules"))
-        ).write.mode("append").parquet(self.table_path("silver_dq_errors"))
+        err = quarantined.select(
+            F.lit(config.table_name).alias("table_name"),
+            F.to_json(F.col("failed_rules")).alias("failed_rules"),
+            F.to_json(
+                F.struct(*[c for c in quarantined.columns if c != "failed_rules"])
+            ).alias("row_payload"),
+            F.current_timestamp().alias("error_timestamp"),
+        ).observe(obs_bad, F.count(F.lit(1)).alias("rows"))
+        err.write.mode("append").parquet(self.table_path("silver_dq_errors"))
         n_bad = obs_bad.get["rows"]
 
         # 4. dedup keep-latest per PK (W1)

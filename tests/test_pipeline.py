@@ -131,10 +131,14 @@ def test_ep2_silver_transform(pipeline):
     # transformations applied
     statuses = {r.order_status for r in silver.select("order_status").distinct().collect()}
     assert statuses <= {"pending", "processing", "shipped", "delivered", "cancelled"}
-    # quarantine table captured the bad row with its failed rules
-    errs = pipeline.read_table("silver_dq_errors")
+    # quarantine table captured the bad row with its failed rules in the
+    # normalized error-record shape (shared schema across silver tables)
+    errs = pipeline.read_table("silver_dq_errors").filter("failed_rules != '[]'")
     assert errs.count() == 1
-    assert "value_constraint:order_total" in errs.first().failed_rules
+    row = errs.first()
+    assert row.table_name == "silver_orders"
+    assert "value_constraint:order_total" in row.failed_rules
+    assert '"order_id"' in row.row_payload
     # watermark stored
     assert pipeline._watermarks.get("silver_orders") is not None
 
@@ -287,6 +291,8 @@ def test_transform_silver_enforces_referential_integrity(spark, tmp_path):
     )
     assert m == {"quarantined": 1, "upserted": 2}
     errors = spark.read.parquet(pipe.table_path("silver_dq_errors"))
-    orphan = errors.filter(F.col("cid") == 12).collect()
+    orphan = errors.filter(
+        F.get_json_object("row_payload", "$.cid") == "12"
+    ).collect()
     assert len(orphan) == 1
     assert "referential_integrity:pid" in orphan[0].failed_rules

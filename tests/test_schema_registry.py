@@ -131,3 +131,31 @@ def test_registry_parses_all_reference_configs(spark):
     kinds = {r.kind for r in rs.rules}
     assert {"null_check", "value_constraint", "format_validation"} <= kinds
     assert rs.uniqueness and rs.referential is not None
+
+
+def test_silver_configs_cover_reference_transformation_surface():
+    """Parity pin: every column the reference declares a cleansing
+    transformation for (reference: config/silver/schema/*_schema.json)
+    has a transformation in our demo configs too (updated_timestamp is
+    stamped from the raw feed's updated_at where present, vs the
+    reference's current_timestamp())."""
+    import glob
+    import json
+
+    ref: dict[str, set] = {}
+    for p in glob.glob("/root/reference/config/silver/schema/*_schema.json"):
+        c = json.load(open(p))
+        for col in c.get("columns", []):
+            if col.get("transformation"):
+                ref.setdefault(c["table_name"], set()).add(col["name"])
+    if not ref:  # reference copy absent in this environment
+        return
+    ours: dict[str, set] = {}
+    for p in glob.glob("configs/ecommerce/silver/*.json"):
+        c = json.load(open(p))
+        for col in c.get("columns", []):
+            if col.get("transformation"):
+                ours.setdefault(c["table_name"], set()).add(col["name"])
+    for table, cols in ref.items():
+        missing = cols - ours.get(table, set()) - {"updated_timestamp"}
+        assert not missing, f"{table} missing transformations: {missing}"
