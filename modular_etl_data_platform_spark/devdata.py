@@ -122,11 +122,43 @@ def generate(out_dir: str, spec: FixtureSpec | None = None) -> dict[str, int]:
     # update (2024-06-01) — point-in-time joins must split around it
     order_rows = []
     base = dt.date(2024, 1, 1)
+    # order items first (reference:201-246: totals derive FROM items —
+    # order_total = Σ(line_total − discount_applied) + shipping_fee −
+    # discount_amount, tax = 8% of the item subtotal)
+    item_rows = []
+    subtotals: dict[int, float] = {}
+    item_id = 0
+    for o in range(spec.n_orders):
+        for _ in range(rng.randint(1, 5)):
+            p = rng.randrange(spec.n_products)
+            q = rng.randint(1, 3)
+            line_total = round(q * prices[p], 2)
+            discount = round(line_total * 0.1, 2) if rng.random() > 0.9 else 0
+            item_rows.append(
+                [item_id, o, p, q, prices[p], line_total, discount]
+            )
+            subtotals[o] = round(subtotals.get(o, 0) + line_total - discount, 2)
+            item_id += 1
+    with open(os.path.join(out_dir, "order_items.csv"), "w") as f:
+        f.write(
+            "order_item_id|order_id|product_id|quantity|unit_price"
+            "|line_total|discount_applied\n"
+        )
+        for row in item_rows:
+            f.write("|".join(str(x) for x in row) + "\n")
+
     payment_methods = [" CREDIT_CARD ", " Debit_Card ", " paypal ", " GIFT_CARD "]
     TOTAL = 4  # index of order_total in the row layout below
     for o in range(spec.n_orders):
         status = rng.choice(STATUSES)
-        total = round(rng.uniform(5, 500), 2)
+        shipping_fee = round(rng.uniform(0, 20), 2)
+        subtotal = subtotals.get(o, 0.0)
+        # cap the order-level discount so only INJECTED defects go negative
+        discount_amount = (
+            round(min(rng.uniform(1, 15), subtotal * 0.5), 2) if o % 13 == 0 else 0.0
+        )
+        total: float | str = round(subtotal + shipping_fee - discount_amount, 2)
+        tax = round(subtotal * 0.08, 2)
         if rng.random() < spec.null_rate:
             total = ""
         cust = rng.randrange(spec.n_customers)
@@ -137,6 +169,9 @@ def generate(out_dir: str, spec: FixtureSpec | None = None) -> dict[str, int]:
                 (base + dt.timedelta(days=rng.randrange(365))).isoformat(),
                 f" {status.upper()} ",
                 total,
+                tax,
+                shipping_fee,
+                discount_amount,
                 f"{rng.randrange(24):02d}:{rng.randrange(60):02d}:{rng.randrange(60):02d}",
                 rng.choice(payment_methods),
                 f" {200 + o % 700} Shipping Rd ",
@@ -160,24 +195,11 @@ def generate(out_dir: str, spec: FixtureSpec | None = None) -> dict[str, int]:
     with open(os.path.join(out_dir, "orders.csv"), "w") as f:
         f.write(
             "order_id|customer_id|order_date|order_status|order_total"
+            "|tax_amount|shipping_fee|discount_amount"
             "|order_time|payment_method|shipping_address|shipping_city"
             "|shipping_state|shipping_postal_code|discount_code|notes\n"
         )
         for row in order_rows:
-            f.write("|".join(str(x) for x in row) + "\n")
-
-    # order items: 1-5 per base order, priced from the product catalog
-    item_rows = []
-    item_id = 0
-    for o in range(spec.n_orders):
-        for _ in range(rng.randint(1, 5)):
-            p = rng.randrange(spec.n_products)
-            q = rng.randint(1, 5)
-            item_rows.append([item_id, o, p, q, prices[p], round(q * prices[p], 2)])
-            item_id += 1
-    with open(os.path.join(out_dir, "order_items.csv"), "w") as f:
-        f.write("order_item_id|order_id|product_id|quantity|unit_price|line_total\n")
-        for row in item_rows:
             f.write("|".join(str(x) for x in row) + "\n")
 
     for day in range(spec.n_snapshot_days):

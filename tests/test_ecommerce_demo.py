@@ -198,3 +198,28 @@ def test_gold_audit_is_clean(spark, demo):
     assert "gold_dim_customer" in report and "scd2_current" in report["gold_dim_customer"]
     assert any(k.startswith("orphans_vs_") for k in report.get("gold_fact_orders", {}))
     assert_clean(report)  # no violations anywhere
+
+
+def test_order_total_semantics_match_reference_generator(spark, demo):
+    """A4 (reference: generate_sample_data.py:231-243): for every clean
+    order, order_total = Σ(line_total − discount_applied) + shipping_fee
+    − discount_amount and tax_amount = 8% of the item subtotal."""
+    orders = _read(spark, demo, "gold_fact_orders")
+    items = _read(spark, demo, "gold_fact_order_items")
+    sub = items.groupBy("order_id").agg(
+        F.round(F.sum(F.col("line_total") - F.col("discount_applied")), 2).alias("subtotal")
+    )
+    j = orders.join(sub, "order_id").filter(F.col("order_total") > 0)
+    mismatch_total = j.filter(
+        F.abs(
+            F.col("order_total")
+            - F.round(F.col("subtotal") + F.col("shipping_fee") - F.col("discount_amount"), 2)
+        ) > 0.011
+    ).count()
+    mismatch_tax = j.filter(
+        F.abs(F.col("tax_amount") - F.round(F.col("subtotal") * 0.08, 2)) > 0.011
+    ).count()
+    assert mismatch_total == 0 and mismatch_tax == 0
+    # derived measures present
+    assert "gross_total" in orders.columns
+    assert "net_line_total" in items.columns
