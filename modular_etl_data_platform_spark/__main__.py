@@ -38,9 +38,16 @@ def main(argv: list[str] | None = None) -> int:
 
     sub.add_parser("list", help="list registered queries")
 
-    s = sub.add_parser("sql", help="SQL passthrough over the testdata views")
+    s = sub.add_parser(
+        "sql", help="SQL passthrough over the testdata views (and a warehouse)"
+    )
     s.add_argument("statement")
     s.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    s.add_argument(
+        "--warehouse",
+        default=None,
+        help="also register every table under this warehouse as a view",
+    )
     s.add_argument("--limit", type=int, default=20)
 
     a = sub.add_parser("audit", help="run the Gold DQ suite over a warehouse")
@@ -93,9 +100,11 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.cmd == "sql":
-        from modular_etl_data_platform_spark.session import load_tables
+        from modular_etl_data_platform_spark.session import load_tables, load_warehouse
 
         load_tables(spark, args.sf_dir)
+        if args.warehouse:
+            load_warehouse(spark, args.warehouse)
         spark.sql(args.statement).show(args.limit, truncate=False)
         return 0
 

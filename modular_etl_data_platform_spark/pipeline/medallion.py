@@ -205,6 +205,10 @@ class MedallionPipeline:
             type2_cols=scd.get("type2_columns", []),
             type1_cols=scd.get("type1_columns", []),
             hash_delimiter=scd.get("hash_delimiter", "|"),
+            # reference dims name their surrogate per table
+            # (customer_key / product_key — reference:
+            # config/gold/schema/gold_dim_customer_schema.json:11-15)
+            surrogate_key_col=config.surrogate_key or "surrogate_key",
         )
         upsert_parquet(self.spark, dim, dim_path, config.primary_keys + ["valid_from"])
         return self.spark.read.parquet(dim_path)

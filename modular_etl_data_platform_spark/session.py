@@ -83,3 +83,24 @@ def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None
             df.createOrReplaceTempView(name)
             dfs[name] = df
     return dfs
+
+
+def load_warehouse(spark: SparkSession, warehouse: str):
+    """Register every table in a warehouse directory as a temp view — the
+    reference's worked BI queries (reference:
+    config/gold/schema/README.md:399-436) run verbatim against these
+    (``gold_fact_orders``, ``gold_dim_customer``, ...)."""
+    dfs = {}
+    if not os.path.isdir(warehouse):
+        return dfs
+    for name in sorted(os.listdir(warehouse)):
+        path = os.path.join(warehouse, name)
+        if not os.path.isdir(path):
+            continue
+        try:
+            df = spark.read.parquet(path)
+        except Exception:
+            continue
+        df.createOrReplaceTempView(name)
+        dfs[name] = df
+    return dfs

@@ -223,3 +223,59 @@ def test_order_total_semantics_match_reference_generator(spark, demo):
     # derived measures present
     assert "gross_total" in orders.columns
     assert "net_line_total" in items.columns
+
+
+def test_reference_bi_queries_run_verbatim(spark, demo):
+    """The reference's three worked BI queries (reference:
+    config/gold/schema/README.md:399-436) run verbatim over a built
+    warehouse (table names map to our gold_* views) and return sane,
+    internally-consistent results."""
+    from modular_etl_data_platform_spark.session import load_warehouse
+
+    views = load_warehouse(spark, demo["warehouse"])
+    assert {"gold_fact_orders", "gold_dim_customer", "gold_dim_date"} <= set(views)
+    for alias, view in (
+        ("fact_orders", "gold_fact_orders"),
+        ("dim_customer", "gold_dim_customer"),
+        ("dim_date", "gold_dim_date"),
+    ):
+        views[view].createOrReplaceTempView(alias)
+
+    current = spark.sql(
+        """
+        SELECT c.customer_tier, COUNT(*) as customer_count,
+               AVG(o.order_total) as avg_order_value
+        FROM fact_orders o
+        JOIN dim_customer c ON o.customer_key = c.customer_key
+        WHERE c.is_current = true
+        GROUP BY c.customer_tier
+        """
+    ).collect()
+    assert {r.customer_tier for r in current} <= {"bronze", "silver", "gold", "platinum"}
+
+    historical = spark.sql(
+        """
+        SELECT o.order_date, c.customer_tier as tier_at_order_time,
+               SUM(o.order_total) as total_sales
+        FROM fact_orders o
+        JOIN dim_customer c ON o.customer_key = c.customer_key
+        GROUP BY o.order_date, c.customer_tier
+        """
+    )
+    # PIT join: every fact row resolves exactly one dim version
+    assert historical.agg(F.sum("total_sales")).collect()[0][0] is not None
+
+    trend = spark.sql(
+        """
+        SELECT d.date, d.day_name, d.is_weekend, SUM(o.order_total) as daily_sales
+        FROM fact_orders o
+        JOIN dim_date d ON o.order_date_key = d.date_key
+        WHERE d.year = 2024 AND d.quarter = 3
+        GROUP BY d.date, d.day_name, d.is_weekend
+        ORDER BY d.date
+        """
+    ).collect()
+    assert len(trend) > 0
+    assert all(r.day_name in
+               {"Monday","Tuesday","Wednesday","Thursday","Friday","Saturday","Sunday"}
+               for r in trend)
