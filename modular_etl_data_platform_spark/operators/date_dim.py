@@ -34,4 +34,11 @@ def build_dim_date(spark: SparkSession, start: str, end: str) -> DataFrame:
         F.date_format("date", "EEEE").alias("day_name"),
         F.weekofyear("date").cast("int").alias("week_of_year"),
         is_weekend("date").alias("is_weekend"),
+        # reference placeholders (gold_dim_date_schema.json:89-119):
+        # is_holiday is declared `false` pending a holiday calendar;
+        # the fiscal calendar is declared = the civil calendar
+        F.lit(False).alias("is_holiday"),
+        F.year("date").cast("int").alias("fiscal_year"),
+        F.quarter("date").cast("int").alias("fiscal_quarter"),
+        F.month("date").cast("int").alias("fiscal_period"),
     )

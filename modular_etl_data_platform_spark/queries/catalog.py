@@ -340,7 +340,11 @@ def q08_semi_join_active_customers(spark: SparkSession, sf_dir: str) -> DataFram
            CAST(dayofweek(date) + 1 AS INT) AS day_of_week,
            dayname(date) AS day_name,
            CAST(weekofyear(date) AS INT) AS week_of_year,
-           dayofweek(date) IN (0, 6) AS is_weekend
+           dayofweek(date) IN (0, 6) AS is_weekend,
+           false AS is_holiday,
+           CAST(year(date) AS INT) AS fiscal_year,
+           CAST(quarter(date) AS INT) AS fiscal_quarter,
+           CAST(month(date) AS INT) AS fiscal_period
     FROM dates
     """,
 )
