@@ -178,3 +178,42 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
             )
 
     return media.mapInPandas(body, schema=RESIZED_SCHEMA)
+
+
+def extract_feature_batches(dim: int):
+    """``mapInPandas`` body factory: payload → ``dim``-sized embedding.
+
+    The stub featurizer is deterministic (md5-seeded pseudo-embedding) so
+    pipelines and tests are reproducible; with a real model this is where
+    the ONNX/torch batch inference call goes — the Arrow batch shape,
+    schema and iterator protocol stay identical, which is the part the
+    engine owns.
+    """
+    import hashlib
+
+    def body(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for payload in pdf["payload"]:
+                h = hashlib.md5(bytes(payload)).digest()
+                feats.append(
+                    [float(h[(i * 7 + 3) % 16]) / 255.0 for i in range(dim)]
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "embedding": feats}
+            )
+
+    return body
+
+
+def extract_features(media: DataFrame, dim: int = 64) -> DataFrame:
+    """Media table → (doc_id, embedding array<float>) — the output plugs
+    straight into the similarity operators (corpus/similarity.py):
+    ANN top-k, hyperplane LSH, near-dup pairs."""
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+    return media.mapInPandas(extract_feature_batches(dim), schema=schema)

@@ -181,3 +181,25 @@ def test_incremental_dedup_matches_full_lsh_cross_pairs(spark, docs):
             old_id = r.id_b if r.id_a in (3, 4) else r.id_a
             full[(new_id, old_id)] = r.jaccard
     assert inc == full and (3, 0) in inc  # exact dup of doc 0 found
+
+
+def test_multimodal_features_feed_similarity_search(spark):
+    """Multimodal → ANN loop: stub-extracted payload embeddings plug into
+    the similarity operators; identical payloads are exact neighbours."""
+    from modular_etl_data_platform_spark.corpus.multimodal import (
+        attach_binary_payload,
+        extract_features,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "same payload"), (1, "same payload"), (2, "another thing")],
+        "doc_id long, text string",
+    )
+    media = attach_binary_payload(docs, source_col="text", mime="image/png")
+    emb = extract_features(media, dim=16)
+    pairs = csim.embedding_near_dup_pairs(
+        emb, threshold=0.999, id_col="doc_id", use_lsh_prefilter=False
+    ).collect()
+    assert {(r.id_a, r.id_b) for r in pairs} == {(0, 1)}
+    top = csim.cosine_topk(emb, query_id=0, k=2, id_col="doc_id").collect()
+    assert [r.doc_id for r in top] == [0, 1]
