@@ -128,3 +128,27 @@ def test_compact_table_reduces_files(spark, tmp_path):
     back = spark.read.parquet(path)
     assert back.count() == 10000
     assert back.agg(F.sum("v")).collect()[0][0] == df.agg(F.sum("v")).collect()[0][0]
+
+
+def test_compact_table_partitioned_preserves_layout(spark, tmp_path):
+    from modular_etl_data_platform_spark.sources.sinks import compact_table
+
+    path = str(tmp_path / "pt")
+    df = spark.range(0, 3000).withColumn("pk", F.col("id") % 3)
+    df.repartition(24).write.partitionBy("pk").parquet(path)
+    import os
+
+    def pq_files():
+        return sum(
+            1 for _r, _d, fs in os.walk(path) for f in fs if f.endswith(".parquet")
+        )
+
+    before = pq_files()
+    after = compact_table(
+        spark, path, target_file_bytes=64 * 1024 * 1024, partition_by=["pk"]
+    )
+    assert after < before
+    back = spark.read.parquet(path)
+    assert back.count() == 3000
+    # partition layout survives: three pk directories, each readable
+    assert {r.pk for r in back.select("pk").distinct().collect()} == {0, 1, 2}
