@@ -35,10 +35,18 @@ from pyspark.sql import functions as F
 
 
 def shingles_sql(text_col: str, n: int = 3) -> str:
-    """Spark SQL expression: word n-gram shingles of ``text_col``."""
+    """Spark SQL expression: word n-gram shingles of ``text_col``.
+
+    Documents shorter than ``n`` words yield ONE partial shingle (the
+    whole document) rather than crashing: an unguarded
+    ``sequence(0, size(w) - n)`` counts downward for short docs and
+    ``slice(w, 0, n)`` throws INVALID_PARAMETER_VALUE.START — the
+    ``greatest(.., 0)`` guard matches the sibling helpers
+    (curation.py::ngram_hashes_sql, text.py::rolling_fingerprint) and
+    the DuckDB twin below."""
     w = f"split({text_col}, ' ')"
     return (
-        f"transform(sequence(0, size({w}) - {n}), "
+        f"transform(sequence(0, greatest(size({w}) - {n}, 0)), "
         f"i -> concat_ws(' ', slice({w}, i+1, {n})))"
     )
 
@@ -46,7 +54,7 @@ def shingles_sql(text_col: str, n: int = 3) -> str:
 def shingles_duckdb(text_col: str, n: int = 3) -> str:
     w = f"string_split({text_col}, ' ')"
     return (
-        f"list_transform(range(0, len({w}) - {n - 1}), "
+        f"list_transform(range(0, greatest(len({w}) - {n}, 0) + 1), "
         f"i -> array_to_string({w}[i+1:i+{n}], ' '))"
     )
 

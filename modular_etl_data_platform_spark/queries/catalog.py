@@ -367,9 +367,10 @@ def q09_date_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q10_scd2_versions",
     """
     SELECT user_id,
-           ts AS valid_from,
-           COALESCE(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC),
-                    TIMESTAMP '9999-12-31 00:00:00') AS valid_to,
+           strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+           COALESCE(strftime(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC),
+                             '%Y-%m-%d %H:%M:%S.%f'),
+                    '9999-12-31 00:00:00.000000') AS valid_to,
            LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) IS NULL AS is_current,
            CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS INT) AS version,
            event_type AS attr
@@ -380,16 +381,31 @@ def q09_date_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q10_scd2_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD2 version chains from a change history (C4): valid_from/valid_to
     intervals, exactly one current row per key — the Gold invariants
-    (reference: config/gold/schema/README.md:345-357) hold by construction."""
+    (reference: config/gold/schema/README.md:345-357) hold by construction.
+
+    The output intervals are STRING-formatted (micros precision): the
+    ``HIGH_DATE`` sentinel ``9999-12-31`` stays internal, but a
+    pandas-based consumer (like the driver's canonicalizer) cannot hold
+    it as a nanosecond timestamp — out-of-bounds — so the query surface
+    ships strings and keeps the timestamp form an implementation detail."""
     ev = _t(spark, sf_dir, "events").filter(
         F.col("event_type").isin("signup", "purchase", "error")
     )
-    return scd2_from_history(
+    out = scd2_from_history(
         ev,
         keys=["user_id"],
         change_time="ts",
         attr_cols={"attr": "event_type"},
         tiebreakers=["event_id"],
+    )
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return out.select(
+        "user_id",
+        F.date_format("valid_from", fmt).alias("valid_from"),
+        F.date_format("valid_to", fmt).alias("valid_to"),
+        "is_current",
+        "version",
+        "attr",
     )
 
 
@@ -452,10 +468,10 @@ def q11_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q12_dq_metrics",
     """
     SELECT
-      SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS null_custkey_fails,
-      SUM(CASE WHEN NOT (o_orderstatus IN ('O','F','P')) THEN 1 ELSE 0 END) AS status_domain_fails,
-      SUM(CASE WHEN NOT (o_totalprice >= 0) THEN 1 ELSE 0 END) AS totalprice_range_fails,
-      SUM(CASE WHEN NOT regexp_matches(o_orderpriority, '^[1-5]-') THEN 1 ELSE 0 END) AS priority_format_fails,
+      CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_custkey_fails,
+      CAST(SUM(CASE WHEN NOT (o_orderstatus IN ('O','F','P')) THEN 1 ELSE 0 END) AS BIGINT) AS status_domain_fails,
+      CAST(SUM(CASE WHEN NOT (o_totalprice >= 0) THEN 1 ELSE 0 END) AS BIGINT) AS totalprice_range_fails,
+      CAST(SUM(CASE WHEN NOT regexp_matches(o_orderpriority, '^[1-5]-') THEN 1 ELSE 0 END) AS BIGINT) AS priority_format_fails,
       COUNT(*) AS total_rows
     FROM orders
     """,
@@ -1332,11 +1348,14 @@ def q56_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     forms when ±2% is acceptable. No oracle: DuckDB's HLL/quantile
     sketches are a different implementation with different estimates, so
     the driver records the rows-only check (the exact twins q55/q43 are
-    hash-verified)."""
+    hash-verified). ``value_quantiles`` ships as a JSON string, not a raw
+    array: a pandas-based canonicalizer cannot sort/hash list cells."""
     e = _t(spark, sf_dir, "events")
     return e.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
-        F.percentile_approx("value", [0.5, 0.9, 0.99], 10000).alias("value_quantiles"),
+        F.to_json(
+            F.percentile_approx("value", [0.5, 0.9, 0.99], 10000)
+        ).alias("value_quantiles"),
     )
 
 

@@ -64,6 +64,54 @@ def test_lsh_finds_near_dup_pair(spark, docs):
     assert got[(0, 3)] == 1.0
 
 
+def test_short_docs_do_not_crash_dedup_stack(spark):
+    """Docs with fewer words than the shingle width once crashed every
+    shingle consumer (sequence(0, negative) counts DOWN, slice(w, 0, n)
+    throws). Short docs now yield ONE partial shingle — same convention
+    as ngram_hashes_sql — so the whole stack runs and short identical
+    docs still pair up."""
+    rows = [
+        (0, "hi"),
+        (1, "hi"),
+        (2, "two words"),
+        (3, ""),
+        (4, "the quick brown fox jumps over the lazy dog"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    sigs = cdedup.minhash_signatures(docs)
+    assert sigs.count() == 5  # no crash, no dropped rows
+    pairs = cdedup.minhash_lsh_dedup(docs, threshold=0.5).collect()
+    assert any((p.id_a, p.id_b) == (0, 1) and p.jaccard == 1.0 for p in pairs)
+    inc = cdedup.incremental_near_dup(
+        new_docs=docs.filter(F.col("doc_id") == 0),
+        existing_sigs=cdedup.minhash_signatures(docs.filter(F.col("doc_id") > 0)),
+        existing_docs=docs.filter(F.col("doc_id") > 0),
+    ).collect()
+    assert any((p.id_a, p.id_b) == (0, 1) for p in inc)
+
+
+def test_short_doc_shingles_match_duckdb_twin(spark):
+    """The Spark and DuckDB shingle expressions must agree on sub-width
+    docs (one partial shingle), or dedup oracles diverge on real corpora
+    containing short documents."""
+    import duckdb
+
+    texts = ["hi", "two words", "", "a b c", "a b c d e"]
+    sdf = spark.createDataFrame([(t,) for t in texts], ["text"])
+    got = [
+        r.sh
+        for r in sdf.select(F.expr(cdedup.shingles_sql("text", 3)).alias("sh")).collect()
+    ]
+    con = duckdb.connect()
+    want = [
+        con.execute(
+            f"SELECT {cdedup.shingles_duckdb('?', 3).replace('?', '$tx$' + t + '$tx$')}"
+        ).fetchone()[0]
+        for t in texts
+    ]
+    assert got == want
+
+
 def test_simhash_hamming(spark, docs):
     sh = cdedup.simhash(docs)
     vals = {r.doc_id: r.simhash for r in sh.collect()}

@@ -25,6 +25,50 @@ TABLES = [
 ]
 
 
+PD_TS_MIN = __import__("datetime").datetime(1677, 9, 22)
+PD_TS_MAX = __import__("datetime").datetime(2262, 4, 11)
+
+
+def driver_unsafe(sdf, rows):
+    """Return reasons the DRIVER's pandas canonicalizer would choke on this
+    result even though our object-level compare is fine: complex-typed
+    output columns (unhashable list cells in ``sort_values``) and datetime
+    values outside pandas' nanosecond range (``OutOfBoundsDatetime``,
+    e.g. a 9999-12-31 SCD2 sentinel). Query surfaces must ship strings
+    for both (CORRECTNESS_r01: q10, q56)."""
+    import datetime
+
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    reasons = [
+        f"complex-typed column {f.name!r} ({f.dataType.simpleString()})"
+        for f in sdf.schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+    dt_idx = [
+        i
+        for i, f in enumerate(sdf.schema.fields)
+        if f.dataType.typeName() in ("timestamp", "timestamp_ntz", "date")
+    ]
+    for i in dt_idx:
+        for row in rows:
+            v = row[i]
+            if v is None:
+                continue
+            if isinstance(v, datetime.datetime):
+                bad = not (PD_TS_MIN <= v.replace(tzinfo=None) <= PD_TS_MAX)
+            elif isinstance(v, datetime.date):
+                bad = not (PD_TS_MIN.date() <= v <= PD_TS_MAX.date())
+            else:
+                continue
+            if bad:
+                reasons.append(
+                    f"column {sdf.columns[i]!r} value {v} outside pandas ns range"
+                )
+                break
+    return reasons
+
+
 def norm_value(v):
     if v is None:
         return "NULL"
@@ -82,6 +126,11 @@ def main():
             print(f"FAIL  {name}: spark error")
             traceback.print_exc()
             results[name] = "spark_error"
+            continue
+        unsafe = driver_unsafe(sdf, srows)
+        if unsafe:
+            print(f"FAIL  {name}: driver-unsafe output: {'; '.join(unsafe)}")
+            results[name] = "driver_unsafe"
             continue
         if name not in oracles:
             print(f"rows  {name}: {len(srows)} rows (no oracle) [{stime:.1f}s]")
