@@ -81,7 +81,15 @@ def apply_scd_type2(
       3. close superseded current rows (``valid_to`` = first new change,
          ``is_current`` = false);
       4. union new versions; apply Type-1 overwrites across *all* versions
-         of a key; reassign dense surrogate keys.
+         of a key; assign surrogate keys.
+
+    Surrogate keys are STABLE across merges: rows already in
+    ``current_dim`` keep their key (facts and consumers holding keys from
+    a prior run still point at the same dimension rows), and only new
+    version rows draw keys from ``max(existing) + row_number`` — the
+    per-batch offset-block allocation that also avoids renumbering (and
+    re-sorting) the whole dimension each merge. Keys stay dense because a
+    merge never deletes rows.
     """
     type1_cols = type1_cols or []
     batch_hash = batch.withColumn("__h", null_safe_hash(type2_cols, hash_delimiter))
@@ -134,8 +142,10 @@ def apply_scd_type2(
         F.min(change_time_col).alias("__first_change")
     )
 
-    # 3. close superseded current rows
+    # 3. close superseded current rows (keeping their surrogate keys)
+    has_sk = surrogate_key_col in current_dim.columns
     hist_cols = [c for c in current_dim.columns if c != surrogate_key_col]
+    keep_cols = [*hist_cols, surrogate_key_col] if has_sk else hist_cols
     closed = (
         cur.join(affected, keys, "left")
         .withColumn(
@@ -149,7 +159,7 @@ def apply_scd_type2(
             "is_current",
             F.col("is_current") & F.col("__first_change").isNull(),
         )
-        .select(*hist_cols)
+        .select(*keep_cols)
     )
 
     # 4. new version rows: the effective changes only
@@ -159,11 +169,15 @@ def apply_scd_type2(
         change_time_col,
         attr_cols={c: c for c in attr_cols if c not in keys},
     ).drop("version")
-    # align to history shape
+    # align to history shape; new rows carry a NULL surrogate until step 5
     for c in hist_cols:
         if c not in new_versions.columns:
             new_versions = new_versions.withColumn(c, F.lit(None))
-    new_versions = new_versions.select(*hist_cols)
+    if has_sk:
+        new_versions = new_versions.withColumn(
+            surrogate_key_col, F.lit(None).cast("long")
+        )
+    new_versions = new_versions.select(*keep_cols)
 
     merged = closed.unionByName(new_versions)
 
@@ -182,9 +196,26 @@ def apply_scd_type2(
                 c, F.coalesce(F.col(f"__t1_{c}"), F.col(c))
             ).drop(f"__t1_{c}")
 
-    # recompute version + is_current deterministically, then surrogate keys
+    # 5. recompute versions, then surrogate keys: existing rows keep
+    #    theirs; new rows draw a max(existing)+row_number offset block.
+    #    The MAX is attached as a broadcast 1-row frame so the whole merge
+    #    stays one lazy plan (no driver action inside the operator).
     merged = _renumber(merged, keys)
-    return _assign_surrogate(merged, keys, surrogate_key_col)
+    if not has_sk:
+        return _assign_surrogate(merged, keys, surrogate_key_col)
+    maxk = merged.agg(
+        F.coalesce(F.max(surrogate_key_col), F.lit(0)).cast("long").alias("__start")
+    )
+    keyed = merged.filter(F.col(surrogate_key_col).isNotNull())
+    fresh = assign_surrogate_keys(
+        merged.filter(F.col(surrogate_key_col).isNull())
+        .drop(surrogate_key_col)
+        .crossJoin(F.broadcast(maxk)),
+        [*keys, "valid_from"],
+        surrogate_key_col,
+        start_col="__start",
+    ).drop("__start")
+    return keyed.unionByName(fresh.select(*keyed.columns))
 
 
 def _renumber(dim: DataFrame, keys: list[str]) -> DataFrame:
@@ -192,15 +223,68 @@ def _renumber(dim: DataFrame, keys: list[str]) -> DataFrame:
     return dim.withColumn("version", F.row_number().over(w).cast("int"))
 
 
-def _assign_surrogate(dim: DataFrame, keys: list[str], col: str) -> DataFrame:
-    """Deterministic dense surrogate keys (W2).
+def assign_surrogate_keys(
+    dim: DataFrame,
+    order_cols: list[str],
+    col: str = "surrogate_key",
+    start: int = 0,
+    start_col: str | None = None,
+    buckets: int | None = None,
+) -> DataFrame:
+    """Deterministic dense surrogate keys (W2), assigned scalably.
 
-    ``row_number`` over (business key, valid_from) — reproducible across
-    retries, unlike ``monotonically_increasing_id`` (reference suggests it
-    at config/gold/schema/README.md:229; we deliberately deviate — see
-    SURVEY §4). A single global window is the known cost; at 100 TB
-    allocate per-batch offset blocks instead (max existing key + batch
-    row_number), which this function accepts via pre-partitioned input.
+    Produces EXACTLY ``start + row_number() over (ORDER BY order_cols)``
+    — reproducible, unlike ``monotonically_increasing_id`` (reference
+    suggests it at config/gold/schema/README.md:229; we deliberately
+    deviate — see SURVEY §4) — but without the single-partition sort a
+    global window needs: range-partition on the sort key, rank within
+    each partition, then add per-partition offsets (a cumulative count
+    over #partitions rows — tiny — broadcast back). Because ``order_cols``
+    is a total order, the numbering is identical wherever the range
+    boundaries land, so the samples the range partitioner draws don't
+    affect the result (the same argument that makes RDD ``zipWithIndex``
+    deterministic on sorted input).
+
+    ``start_col`` names an already-attached constant column (e.g. the
+    broadcast MAX of existing keys) to offset by, keeping the whole plan
+    lazy; ``start`` is the int equivalent for driver-known offsets.
+
+    The pid-stamped frame is localCheckpoint'ed (lazily): the offset
+    branch and the rank branch must read the SAME materialization — two
+    independent executions of the range exchange may sample different
+    boundaries, silently mixing counts from one layout with pids from
+    another. This is the DataFrame analogue of ``zipWithIndex``'s
+    count-then-map two-job structure (RDDs get consistency for free
+    because the RangePartitioner's boundaries are computed once on the
+    driver; repartitionByRange re-samples per execution).
     """
-    w = Window.orderBy(*[F.col(k).asc() for k in keys], F.col("valid_from").asc())
-    return dim.withColumn(col, F.row_number().over(w).cast("long"))
+    sort = [F.col(c).asc() for c in order_cols]
+    if buckets is None:
+        buckets = dim.sparkSession.sparkContext.defaultParallelism
+    ranged = (
+        dim.repartitionByRange(max(buckets, 1), *sort)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    wp = Window.partitionBy("__pid").orderBy(*sort)
+    ranked = ranged.withColumn("__rn", F.row_number().over(wp))
+    wo = (
+        Window.orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        ranked.groupBy("__pid")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .withColumn("__off", F.coalesce(F.sum("__cnt").over(wo), F.lit(0)))
+        .select("__pid", "__off")
+    )
+    base = F.col(start_col) if start_col else F.lit(start)
+    return (
+        ranked.join(F.broadcast(offsets), "__pid")
+        .withColumn(col, (base + F.col("__off") + F.col("__rn")).cast("long"))
+        .drop("__pid", "__rn", "__off")
+    )
+
+
+def _assign_surrogate(dim: DataFrame, keys: list[str], col: str) -> DataFrame:
+    return assign_surrogate_keys(dim, [*keys, "valid_from"], col)

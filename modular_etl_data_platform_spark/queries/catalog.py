@@ -850,15 +850,17 @@ def q32_order_totals_derived(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q33_surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic dense surrogate keys (W2): row_number over the
-    business key — reproducible across retries, unlike
-    monotonically_increasing_id (see operators/scd2.py::_assign_surrogate
-    for the per-batch offset strategy at 100 TB)."""
-    w = Window.orderBy(F.col("c_custkey").asc())
-    return (
-        _t(spark, sf_dir, "customer")
-        .select("c_custkey")
-        .withColumn("surrogate_key", F.row_number().over(w).cast("long"))
+    """Deterministic dense surrogate keys (W2) via the SCALABLE assigner
+    (operators/scd2.py::assign_surrogate_keys): range-partitioned ranks +
+    broadcast per-partition offsets — numbering identical to a global
+    ROW_NUMBER() (the oracle) with no single-partition sort, and
+    reproducible across retries unlike monotonically_increasing_id."""
+    from modular_etl_data_platform_spark.operators.scd2 import assign_surrogate_keys
+
+    return assign_surrogate_keys(
+        _t(spark, sf_dir, "customer").select("c_custkey"),
+        ["c_custkey"],
+        "surrogate_key",
     )
 
 

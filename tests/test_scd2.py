@@ -121,3 +121,60 @@ def test_apply_scd_type2_multiple_changes_in_batch(spark):
     _check_invariants(rows)
     assert rows[0].valid_to == rows[1].valid_from
     assert rows[1].valid_to == rows[2].valid_from
+
+
+def test_surrogate_keys_stable_across_merges(spark):
+    """Keys held by facts from a prior run must keep pointing at the same
+    dimension rows after a merge: existing rows keep their surrogate key;
+    only new version rows draw keys above max(existing). A new business
+    key that sorts BEFORE existing keys must not shift anyone."""
+    b1 = spark.createDataFrame(
+        [(5, "NY", _ts("2024-01-01T00:00:00")), (9, "TX", _ts("2024-01-01T00:00:00"))],
+        ["bk", "state", "updated_timestamp"],
+    )
+    dim1 = apply_scd_type2(None, b1, keys=["bk"], type2_cols=["state"])
+    before = {(r.bk, r.state): r.surrogate_key for r in dim1.collect()}
+    dim1 = spark.createDataFrame(dim1.collect(), dim1.schema)
+
+    # batch 2: key 1 sorts before 5 and 9; key 5 gets a new version
+    b2 = spark.createDataFrame(
+        [(1, "WA", _ts("2024-02-01T00:00:00")), (5, "CA", _ts("2024-02-01T00:00:00"))],
+        ["bk", "state", "updated_timestamp"],
+    )
+    dim2 = apply_scd_type2(dim1, b2, keys=["bk"], type2_cols=["state"])
+    rows = dim2.collect()
+    after = {(r.bk, r.state): r.surrogate_key for r in rows}
+    for k, sk in before.items():
+        assert after[k] == sk, f"existing row {k} was renumbered"
+    new_keys = {after[(1, "WA")], after[(5, "CA")]}
+    assert new_keys == {3, 4}  # max(existing)=2 + dense block
+    sks = sorted(r.surrogate_key for r in rows)
+    assert sks == list(range(1, len(rows) + 1))  # still dense overall
+
+
+def test_assign_surrogate_matches_global_row_number_and_scales(spark):
+    """assign_surrogate_keys must equal ROW_NUMBER() OVER (ORDER BY ...)
+    exactly, while planning NO single-partition sort of the data (the
+    only SinglePartition exchange allowed is the tiny per-partition
+    offset aggregation)."""
+    from modular_etl_data_platform_spark.operators.scd2 import assign_surrogate_keys
+
+    df = spark.range(0, 10000).select(
+        (F.col("id") * 37 % 9973).alias("bk"), F.col("id").alias("payload")
+    ).dropDuplicates(["bk"])
+    out = assign_surrogate_keys(df, ["bk"], "sk", start=100, buckets=8)
+    got = {r.bk: r.sk for r in out.collect()}
+    want = {
+        bk: 100 + i + 1
+        for i, bk in enumerate(sorted(r.bk for r in df.collect()))
+    }
+    assert got == want
+
+    # the visible plan contains no GLOBAL sort — the only Sorts are
+    # per-partition (global=false) under the pid-window; the offset
+    # cumsum's single-partition window touches only #partitions rows
+    # (buckets=8 above guarantees the multi-bucket offset path ran)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    assert not re.search(r"Sort \[[^\]]*\], true", plan), plan
