@@ -26,7 +26,7 @@ cross-engine; swap ``_seeded_hash`` for production).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # ---------------------------------------------------------------------------
@@ -188,13 +188,37 @@ def minhash_signatures(
     return hashed.select(*cols)
 
 
+def _cap_buckets(exploded: DataFrame, max_bucket_size: int | None) -> DataFrame:
+    """Drop LSH band buckets with more than ``max_bucket_size`` members —
+    the 100 TB guard: a single boilerplate bucket of B documents yields
+    B² candidate pairs; members of oversized buckets are near-identical
+    template text, so dropping the bucket loses nothing a later band
+    won't re-find for genuinely similar pairs. The count is a window over
+    (band_id, band_key) — the same key the candidate join shuffles on, so
+    capping adds no extra exchange."""
+    if max_bucket_size is None:
+        return exploded
+    w = Window.partitionBy("band_id", "band_key")
+    return (
+        exploded.withColumn("__bsz", F.count(F.lit(1)).over(w))
+        .filter(F.col("__bsz") <= max_bucket_size)
+        .drop("__bsz")
+    )
+
+
 def lsh_candidate_pairs(
-    sigs: DataFrame, id_col: str = "doc_id", k: int = 8, bands: int = 4
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    k: int = 8,
+    bands: int = 4,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Band the k-hash signature into ``bands`` buckets; documents sharing
     any band bucket become a candidate pair (id_a < id_b).
 
     One explode + self-equi-join on (band_id, band_key) — never all-pairs.
+    ``max_bucket_size`` caps bucket membership (see :func:`_cap_buckets`);
+    None disables — ALWAYS set it on real corpora.
     """
     rows = k // bands
     band_structs = F.array(
@@ -211,6 +235,7 @@ def lsh_candidate_pairs(
     exploded = sigs.select(F.col(id_col), F.explode(band_structs).alias("band")).select(
         id_col, "band.band_id", "band.band_key"
     )
+    exploded = _cap_buckets(exploded, max_bucket_size)
     a = exploded.alias("a")
     b = exploded.alias("b")
     return (
@@ -282,6 +307,7 @@ def minhash_lsh_dedup(
     shingle: int = 3,
     threshold: float = 0.5,
     parallelism: int | None = None,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """End-to-end fuzzy dedup: signatures → LSH candidates → Jaccard verify.
 
@@ -291,7 +317,7 @@ def minhash_lsh_dedup(
     tiny relative to the corpus (k longs per doc) — at 100 TB you would
     persist them to a table instead; the cache is the single-job analogue."""
     sigs = minhash_signatures(df, id_col, text_col, k, shingle, parallelism).cache()
-    cands = lsh_candidate_pairs(sigs, id_col, k, bands).cache()
+    cands = lsh_candidate_pairs(sigs, id_col, k, bands, max_bucket_size).cache()
     return jaccard_verify(df, cands, id_col, text_col, shingle, threshold, parallelism)
 
 
@@ -446,6 +472,7 @@ def incremental_near_dup(
     shingle: int = 3,
     threshold: float = 0.5,
     parallelism: int | None = None,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Dedup a NEW batch against an EXISTING corpus without re-pairing the
     corpus with itself — the continuous-crawl shape: signatures for the
@@ -456,7 +483,10 @@ def incremental_near_dup(
 
     At 100 TB the existing signature table is partitioned by band key, so
     each new batch probes only matching partitions — the batch cost scales
-    with the batch, never the corpus.
+    with the batch, never the corpus. ``max_bucket_size`` drops band
+    buckets whose EXISTING-corpus membership exceeds it (a boilerplate
+    bucket of B existing docs multiplies every probing new doc by B —
+    see :func:`_cap_buckets`).
     """
     new_sigs = minhash_signatures(new_docs, id_col, text_col, k, shingle, parallelism)
     rows = k // bands
@@ -481,7 +511,7 @@ def incremental_near_dup(
         banded(new_sigs)
         .alias("n")
         .join(
-            banded(existing_sigs).alias("e"),
+            _cap_buckets(banded(existing_sigs), max_bucket_size).alias("e"),
             (F.col("n.band_id") == F.col("e.band_id"))
             & (F.col("n.band_key") == F.col("e.band_key")),
         )

@@ -143,7 +143,9 @@ def q21_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _lsh_pairs_oracle(k: int = 8, bands: int = 4, threshold: float = 0.2) -> str:
+def _lsh_pairs_oracle(
+    k: int = 8, bands: int = 4, threshold: float = 0.2, max_bucket: int = 50
+) -> str:
     sig_cols = ",\n             ".join(
         f"{cdedup.minhash_duckdb('text', s)} AS mh{s}" for s in range(k)
     )
@@ -162,6 +164,7 @@ def _lsh_pairs_oracle(k: int = 8, bands: int = 4, threshold: float = 0.2) -> str
     bands AS (
       SELECT doc_id, b.band_id, b.band_key
       FROM sigs, (VALUES {band_vals}) AS b(band_id, band_key)
+      QUALIFY COUNT(*) OVER (PARTITION BY b.band_id, b.band_key) <= {max_bucket}
     ),
     cands AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
@@ -179,16 +182,24 @@ def _lsh_pairs_oracle(k: int = 8, bands: int = 4, threshold: float = 0.2) -> str
 
 
 LSH_THRESHOLD = 0.2
+#: band buckets larger than this are dropped before pairing (boilerplate
+#: guard); mirrored by a QUALIFY window count in the DuckDB oracles.
+LSH_MAX_BUCKET = 50
 
 
-@query("q22_minhash_lsh_pairs", _lsh_pairs_oracle(threshold=LSH_THRESHOLD))
+@query(
+    "q22_minhash_lsh_pairs",
+    _lsh_pairs_oracle(threshold=LSH_THRESHOLD, max_bucket=LSH_MAX_BUCKET),
+)
 def q22_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fuzzy near-dup pairs: MinHash LSH banding → candidates → true
-    n-gram-Jaccard verification (only candidate pairs are scored)."""
+    """Fuzzy near-dup pairs: MinHash LSH banding → bucket-size cap →
+    candidates → true n-gram-Jaccard verification (only candidate pairs
+    are scored)."""
     return cdedup.minhash_lsh_dedup(
         _t(spark, sf_dir, "documents"),
         threshold=LSH_THRESHOLD,
         parallelism=spark.sparkContext.defaultParallelism,
+        max_bucket_size=LSH_MAX_BUCKET,
     )
 
 
@@ -807,7 +818,9 @@ def q59_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ctext.lm_perplexity_scores(_t(spark, sf_dir, "documents"))
 
 
-def _incremental_dedup_oracle(k: int = 8, bands: int = 4, threshold: float = 0.2) -> str:
+def _incremental_dedup_oracle(
+    k: int = 8, bands: int = 4, threshold: float = 0.2, max_bucket: int = 50
+) -> str:
     sig_cols = ",\n             ".join(
         f"{cdedup.minhash_duckdb('text', s)} AS mh{s}" for s in range(k)
     )
@@ -827,6 +840,8 @@ def _incremental_dedup_oracle(k: int = 8, bands: int = 4, threshold: float = 0.2
     banded AS (
       SELECT doc_id, is_new, b.band_id, b.band_key
       FROM sigs, (VALUES {band_vals}) AS b(band_id, band_key)
+      QUALIFY COUNT(*) FILTER (WHERE NOT is_new)
+                OVER (PARTITION BY b.band_id, b.band_key) <= {max_bucket}
     ),
     cands AS (
       SELECT DISTINCT n.doc_id AS id_a, e.doc_id AS id_b
@@ -846,12 +861,16 @@ def _incremental_dedup_oracle(k: int = 8, bands: int = 4, threshold: float = 0.2
     """
 
 
-@query("q60_incremental_dedup", _incremental_dedup_oracle(threshold=LSH_THRESHOLD))
+@query(
+    "q60_incremental_dedup",
+    _incremental_dedup_oracle(threshold=LSH_THRESHOLD, max_bucket=LSH_MAX_BUCKET),
+)
 def q60_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuous-crawl dedup: the NEW batch (doc_id % 7 = 0) is checked
     against the EXISTING corpus via its persisted MinHash signature table
-    — new×existing band probes only, never corpus×corpus. Batch cost
-    scales with the batch, not the corpus."""
+    — new×existing band probes only, never corpus×corpus, with oversized
+    existing-side band buckets dropped. Batch cost scales with the batch,
+    not the corpus."""
     docs = _t(spark, sf_dir, "documents")
     new = docs.filter(F.col("doc_id") % 7 == 0)
     existing = docs.filter(F.col("doc_id") % 7 != 0)
@@ -864,4 +883,5 @@ def q60_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         existing,
         threshold=LSH_THRESHOLD,
         parallelism=spark.sparkContext.defaultParallelism,
+        max_bucket_size=LSH_MAX_BUCKET,
     )

@@ -112,6 +112,42 @@ def test_short_doc_shingles_match_duckdb_twin(spark):
     assert got == want
 
 
+def test_lsh_bucket_cap_kills_hot_bucket_blowup(spark):
+    """A boilerplate bucket of B identical docs yields B·(B-1)/2 candidate
+    pairs uncapped; with max_bucket_size it must contribute ZERO pairs
+    while unrelated near-dup pairs elsewhere survive."""
+    boiler = [(i, "lorem ipsum dolor sit amet consectetur adipiscing elit") for i in range(40)]
+    distinct = [
+        (100, "alpha beta gamma delta epsilon zeta eta theta"),
+        (101, "alpha beta gamma delta epsilon zeta eta theta"),  # dup of 100:
+        # identical text shares every band, so survival is deterministic
+    ]
+    docs = spark.createDataFrame(boiler + distinct, ["doc_id", "text"])
+    sigs = cdedup.minhash_signatures(docs).cache()
+
+    uncapped = cdedup.lsh_candidate_pairs(sigs).count()
+    assert uncapped >= 40 * 39 // 2  # the blowup is real
+
+    capped = cdedup.lsh_candidate_pairs(sigs, max_bucket_size=10)
+    pairs = {(r.id_a, r.id_b) for r in capped.collect()}
+    assert (100, 101) in pairs  # small buckets untouched
+    assert not any(a < 100 and b < 100 for a, b in pairs)  # hot bucket gone
+    assert len(pairs) <= 1 + 2 * 40  # O(N·B), not O(B²)
+
+    # incremental path: hot EXISTING bucket dropped, normal probe survives
+    new = docs.filter(F.col("doc_id") == 101)
+    existing = docs.filter(F.col("doc_id") != 101)
+    inc = cdedup.incremental_near_dup(
+        new,
+        cdedup.minhash_signatures(existing),
+        existing,
+        threshold=0.2,
+        max_bucket_size=10,
+    )
+    got = {(r.id_a, r.id_b) for r in inc.collect()}
+    assert got == {(101, 100)}
+
+
 def test_simhash_hamming(spark, docs):
     sh = cdedup.simhash(docs)
     vals = {r.doc_id: r.simhash for r in sh.collect()}
