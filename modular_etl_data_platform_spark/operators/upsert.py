@@ -111,9 +111,18 @@ def upsert_parquet(
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(staging)
+    # rename-aside swap (mirrors compact_table): the target is never in a
+    # deleted state — a crash leaves either the old table or the new one
+    # plus a removable __old directory, not a hole
     if os.path.exists(path):
-        shutil.rmtree(path)
-    shutil.move(staging, path)
+        old = path.rstrip("/") + "__old"
+        if os.path.exists(old):
+            shutil.rmtree(old)
+        os.rename(path, old)
+        shutil.move(staging, path)
+        shutil.rmtree(old)
+    else:
+        shutil.move(staging, path)
 
 
 def overwrite_partitions(

@@ -88,25 +88,32 @@ class MedallionPipeline:
         # audit columns BEFORE any cache: input_file_name() only resolves
         # while rows still carry scan context
         bronze = add_metadata_columns(raw, config.raw.get("source_system", "unknown"))
-        if CORRUPT_COL in bronze.columns:
-            bronze = bronze.cache()
-            corrupt = bronze.filter(F.col(CORRUPT_COL).isNotNull())
-            if corrupt.limit(1).count():
-                write_quarantine(
-                    corrupt,
-                    self.table_path("bronze_dq_errors"),
-                    config.table_name,
-                    "malformed_record",
-                    CORRUPT_COL,
+        cached = None
+        try:
+            if CORRUPT_COL in bronze.columns:
+                cached = bronze = bronze.cache()
+                corrupt = bronze.filter(F.col(CORRUPT_COL).isNotNull())
+                if corrupt.limit(1).count():
+                    write_quarantine(
+                        corrupt,
+                        self.table_path("bronze_dq_errors"),
+                        config.table_name,
+                        "malformed_record",
+                        CORRUPT_COL,
+                    )
+                bronze = bronze.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+            target = self.table_path(config.table_name)
+            if os.path.exists(target):
+                seen = (
+                    self.spark.read.parquet(target).select("source_file").dropDuplicates()
                 )
-            bronze = bronze.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
-        target = self.table_path(config.table_name)
-        if os.path.exists(target):
-            seen = (
-                self.spark.read.parquet(target).select("source_file").dropDuplicates()
-            )
-            bronze = bronze.join(F.broadcast(seen), "source_file", "left_anti")
-        append_partitioned(bronze, target, config.partition_by or None)
+                bronze = bronze.join(F.broadcast(seen), "source_file", "left_anti")
+            append_partitioned(bronze, target, config.partition_by or None)
+        finally:
+            # scoped cache: a multi-table pipeline run must not accumulate
+            # bronze frames in executor storage
+            if cached is not None:
+                cached.unpersist()
         return bronze
 
     # -- EP2: silver (C2) -------------------------------------------------------
