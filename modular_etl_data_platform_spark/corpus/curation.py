@@ -107,6 +107,7 @@ def packing_plan(
     capacity: int,
     id_col: str = "doc_id",
     token_col: str = "n_tokens",
+    shards: int | None = None,
 ) -> DataFrame:
     """Assign documents to fixed-capacity context windows (training
     sequence packing): docs are laid out longest-first in one deterministic
@@ -118,20 +119,42 @@ def packing_plan(
     reproducible across runs and engines. A document longer than
     ``capacity`` still gets a bin (it would be split downstream).
 
-    Scale: the global ordered window serializes onto one task; at real
-    scale wrap the same expressions in ``Window.partitionBy(shard)`` after
-    a range-repartition on ``(tokens, id)`` — per-shard packing loses at
-    most one partial bin per shard.
+    ``shards`` is the scale path (the DEFAULT for the catalog query): docs
+    are sharded deterministically by ``id % shards`` and packed
+    longest-first WITHIN each shard — the window is partitioned, so no
+    single task ever sees the whole corpus. Bin ids stay globally unique
+    via ``bin_in_shard * shards + shard_id``; the cost is at most one
+    partial bin per shard. ``shards=None`` runs the exact single-stream
+    form (fine for ≤10⁶-doc inputs).
     """
-    w = Window.orderBy(F.col(token_col).desc(), F.col(id_col))
+    if shards is None:
+        w = Window.orderBy(F.col(token_col).desc(), F.col(id_col))
+        cum_before = F.coalesce(
+            F.sum(token_col).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        )
+        return df.select(
+            F.col(id_col),
+            F.col(token_col).cast("long").alias("n_tokens"),
+            F.floor(cum_before / capacity).cast("long").alias("bin_id"),
+            cum_before.cast("long").alias("tokens_before"),
+        )
+    shard = F.pmod(F.col(id_col), F.lit(shards)).cast("long")
+    w = Window.partitionBy("__shard").orderBy(F.col(token_col).desc(), F.col(id_col))
     cum_before = F.coalesce(
         F.sum(token_col).over(w.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)
     )
-    return df.select(
-        F.col(id_col),
-        F.col(token_col).cast("long").alias("n_tokens"),
-        F.floor(cum_before / capacity).cast("long").alias("bin_id"),
-        cum_before.cast("long").alias("tokens_before"),
+    return (
+        df.withColumn("__shard", shard)
+        .select(
+            F.col(id_col),
+            F.col(token_col).cast("long").alias("n_tokens"),
+            (F.floor(cum_before / capacity) * shards + F.col("__shard"))
+            .cast("long")
+            .alias("bin_id"),
+            cum_before.cast("long").alias("tokens_before"),
+            F.col("__shard").alias("shard_id"),
+        )
     )
 
 

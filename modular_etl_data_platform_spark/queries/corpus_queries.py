@@ -701,33 +701,37 @@ def q50_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ccur.decontaminate(train, probe)
 
 
+PACKING_SHARDS = 8
+
+
 @query(
     "q51_packing_plan",
-    """
+    f"""
     WITH t AS (
-      SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             doc_id % {PACKING_SHARDS} AS shard_id
       FROM documents
     )
     SELECT doc_id, n_tokens,
-           CAST(floor(COALESCE(SUM(n_tokens) OVER (
-                  ORDER BY n_tokens DESC, doc_id
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-                / 512.0) AS BIGINT) AS bin_id,
-           CAST(COALESCE(SUM(n_tokens) OVER (
-                  ORDER BY n_tokens DESC, doc_id
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-                AS BIGINT) AS tokens_before
+           CAST(floor(COALESCE(SUM(n_tokens) OVER w, 0) / 512.0)
+                * {PACKING_SHARDS} + shard_id AS BIGINT) AS bin_id,
+           CAST(COALESCE(SUM(n_tokens) OVER w, 0) AS BIGINT) AS tokens_before,
+           CAST(shard_id AS BIGINT) AS shard_id
     FROM t
+    WINDOW w AS (PARTITION BY shard_id ORDER BY n_tokens DESC, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
     """,
 )
 def q51_packing_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence-packing plan: lay docs longest-first into 512-token
-    context windows (contiguous-fill first-fit-decreasing). Exact global
-    window here; per-shard at scale (see corpus/curation.py)."""
+    context windows (contiguous-fill first-fit-decreasing), packed
+    per-shard (the scale path — the window is partitioned by a
+    deterministic doc_id shard, never a single global sort; ≤1 partial
+    bin lost per shard)."""
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id", ctext.token_count().alias("n_tokens")
     )
-    return ccur.packing_plan(docs, capacity=512)
+    return ccur.packing_plan(docs, capacity=512, shards=PACKING_SHARDS)
 
 
 @query(

@@ -51,6 +51,14 @@ def test_asof_join_is_one_key_shuffle_no_range_join(plan):
     assert args and all("user_id" in a for a in args), args
 
 
+def test_packing_plan_is_sharded_not_global(plan):
+    # q51 must pack per-shard: window partitioned by the doc_id shard,
+    # never a single-partition global sort of the corpus
+    p = plan("q51_packing_plan")
+    assert "SinglePartition" not in p, p
+    assert "hashpartitioning(__shard" in p or "hashpartitioning(shard" in p, p
+
+
 def test_dedup_shuffles_once_on_pk(plan):
     p = plan("q05_dedup_latest")
     # exactly one exchange: the PK window shuffle (plus zero broadcasts)
