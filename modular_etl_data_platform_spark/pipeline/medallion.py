@@ -88,32 +88,31 @@ class MedallionPipeline:
         # audit columns BEFORE any cache: input_file_name() only resolves
         # while rows still carry scan context
         bronze = add_metadata_columns(raw, config.raw.get("source_system", "unknown"))
-        cached = None
-        try:
-            if CORRUPT_COL in bronze.columns:
-                cached = bronze = bronze.cache()
-                corrupt = bronze.filter(F.col(CORRUPT_COL).isNotNull())
-                if corrupt.limit(1).count():
-                    write_quarantine(
-                        corrupt,
-                        self.table_path("bronze_dq_errors"),
-                        config.table_name,
-                        "malformed_record",
-                        CORRUPT_COL,
-                    )
-                bronze = bronze.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
-            target = self.table_path(config.table_name)
-            if os.path.exists(target):
-                seen = (
-                    self.spark.read.parquet(target).select("source_file").dropDuplicates()
+        if CORRUPT_COL in bronze.columns:
+            # localCheckpoint, not cache(): it reads the source once,
+            # severs the raw-scan lineage (so the corrupt-column-only
+            # query restriction can't trip downstream), and its blocks are
+            # released when the frame is garbage-collected — a cache()
+            # would sit in the CacheManager until unpersist/session end,
+            # accumulating across a multi-table pipeline run
+            bronze = bronze.localCheckpoint(eager=True)
+            corrupt = bronze.filter(F.col(CORRUPT_COL).isNotNull())
+            if corrupt.limit(1).count():
+                write_quarantine(
+                    corrupt,
+                    self.table_path("bronze_dq_errors"),
+                    config.table_name,
+                    "malformed_record",
+                    CORRUPT_COL,
                 )
-                bronze = bronze.join(F.broadcast(seen), "source_file", "left_anti")
-            append_partitioned(bronze, target, config.partition_by or None)
-        finally:
-            # scoped cache: a multi-table pipeline run must not accumulate
-            # bronze frames in executor storage
-            if cached is not None:
-                cached.unpersist()
+            bronze = bronze.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+        target = self.table_path(config.table_name)
+        if os.path.exists(target):
+            seen = (
+                self.spark.read.parquet(target).select("source_file").dropDuplicates()
+            )
+            bronze = bronze.join(F.broadcast(seen), "source_file", "left_anti")
+        append_partitioned(bronze, target, config.partition_by or None)
         return bronze
 
     # -- EP2: silver (C2) -------------------------------------------------------

@@ -324,9 +324,28 @@ def q08_semi_join_active_customers(spark: SparkSession, sf_dir: str) -> DataFram
 # ---------------------------------------------------------------------------
 
 
+def _holiday_case_sql() -> tuple[str, str]:
+    """(is_holiday expr, holiday_name expr) for the DuckDB oracle, built
+    from the SAME packaged calendar the Spark query uses."""
+    from modular_etl_data_platform_spark.operators.date_dim import (
+        load_holiday_calendar,
+    )
+
+    cal = load_holiday_calendar()
+    in_list = ", ".join(f"DATE '{d}'" for d in cal)
+    whens = " ".join(
+        f"WHEN DATE '{d}' THEN '{n.replace(chr(39), chr(39) * 2)}'"
+        for d, n in cal.items()
+    )
+    return f"date IN ({in_list})", f"CASE date {whens} END"
+
+
+_IS_HOLIDAY_SQL, _HOLIDAY_NAME_SQL = _holiday_case_sql()
+
+
 @query(
     "q09_date_dim",
-    """
+    f"""
     WITH dates AS (
       SELECT CAST(unnest(generate_series(DATE '2024-01-01', DATE '2026-12-31', INTERVAL 1 DAY)) AS DATE) AS date
     )
@@ -341,7 +360,8 @@ def q08_semi_join_active_customers(spark: SparkSession, sf_dir: str) -> DataFram
            dayname(date) AS day_name,
            CAST(weekofyear(date) AS INT) AS week_of_year,
            dayofweek(date) IN (0, 6) AS is_weekend,
-           false AS is_holiday,
+           {_IS_HOLIDAY_SQL} AS is_holiday,
+           {_HOLIDAY_NAME_SQL} AS holiday_name,
            CAST(year(date) AS INT) AS fiscal_year,
            CAST(quarter(date) AS INT) AS fiscal_quarter,
            CAST(month(date) AS INT) AS fiscal_period
@@ -349,13 +369,22 @@ def q08_semi_join_active_customers(spark: SparkSession, sf_dir: str) -> DataFram
     """,
 )
 def q09_date_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Calendar dimension 2024-01-01 → 2026-12-31 (1,096 rows; G1/C6).
+    """Calendar dimension 2024-01-01 → 2026-12-31 (1,096 rows; G1/C6)
+    with the config-driven US-federal holiday calendar applied
+    (is_holiday/holiday_name; reference pins is_holiday false —
+    gold_dim_date_schema.json:96 — pending exactly this calendar).
 
     DuckDB ``dayofweek`` is 0=Sunday..6; Spark is 1=Sunday..7 — the oracle
     shifts by +1 (the reference's own description/formula mismatch is
     documented at functions/scalar.py::is_weekend).
     """
-    return build_dim_date(spark, "2024-01-01", "2026-12-31")
+    from modular_etl_data_platform_spark.operators.date_dim import (
+        load_holiday_calendar,
+    )
+
+    return build_dim_date(
+        spark, "2024-01-01", "2026-12-31", holidays=load_holiday_calendar()
+    )
 
 
 # ---------------------------------------------------------------------------
