@@ -29,8 +29,10 @@ HEADLINE = [
     "q28_fact_pit_load",
     "q42_sessionization",
     "q47_tfidf_top_terms",
+    "q49_dedup_clusters",
     "q50_decontamination",
     "q55_skewed_distinct_count",
+    "q60_incremental_dedup",
 ]
 
 
