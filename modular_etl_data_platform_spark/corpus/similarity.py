@@ -22,7 +22,7 @@ deterministic, identical to the DuckDB oracle's ``list_reduce``.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from modular_etl_data_platform_spark.corpus.dedup import fan_out
@@ -123,6 +123,126 @@ def ivf_topk(
         F.col(id_col),
         F.col(cell_col).alias("cell"),
         cosine(vec_col, "__q").alias("cos_sim"),
+    )
+    return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col).asc()).limit(k)
+
+
+def kmeans_cells(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Deterministic Lloyd's k-means over the embedding column — the
+    coarse quantizer for a production IVF index (the module docstring's
+    "production variant": learned cells instead of a pre-labeled column).
+
+    All-DataFrame: per iteration, assignments come from a crossJoin with
+    the BROADCAST k-row centroid table (argmin over k cosine distances —
+    k is small by construction), and centroids are recomputed with exact
+    decimal elementwise sums (:func:`centroids_exact`'s trick), so every
+    iteration is one broadcast projection + one groupBy shuffle of
+    (cell, vector). Initialization is the k lowest ``id_col`` vectors —
+    deterministic across runs/engines; no RNG. localCheckpoint per
+    iteration truncates the growing lineage (same pattern as
+    dedup.connected_components). Returns (id, cell) assignments.
+
+    Scale: corpus is never collected; the only driver-side data is the
+    k×dim centroid table per iteration. 100 TB corpora train the
+    quantizer on a SAMPLE (one .limit/.sample pass) and assign the full
+    corpus once with the final centroids — same code path.
+    """
+    vecs = emb.select(F.col(id_col), F.col(vec_col)).localCheckpoint(eager=False)
+    cents = (
+        vecs.orderBy(F.col(id_col).asc())
+        .limit(k)
+        .select(F.col(id_col).alias("__seed"), F.col(vec_col))
+        .withColumn("cell", F.row_number().over(Window.orderBy("__seed")) - 1)
+        .select("cell", F.col(vec_col).alias("centroid"))
+    )
+    assign = None
+    for _ in range(iters):
+        scored = vecs.crossJoin(F.broadcast(cents)).select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.col("cell"),
+            cosine(vec_col, "centroid").alias("__sim"),
+        )
+        w = Window.partitionBy(id_col).orderBy(
+            F.col("__sim").desc(), F.col("cell").asc()
+        )
+        assign = (
+            scored.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(id_col, vec_col, "cell")
+            .localCheckpoint(eager=False)
+        )
+        cents = centroids_exact(assign, "cell", vec_col, dim)
+    return assign.select(id_col, "cell")
+
+
+def build_ivf_index(
+    emb: DataFrame,
+    path: str,
+    cells: DataFrame | None = None,
+    cell_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVF index: embeddings written PARTITIONED BY cell,
+    so a probe that routes to ``probes`` cells reads only those cells'
+    files — partition pruning at the storage level, the piece q25's
+    in-memory form only simulates with a filter. ``cells`` overrides the
+    pre-labeled column with learned assignments (:func:`kmeans_cells`)."""
+    if cells is not None:
+        emb = emb.join(cells, id_col).withColumn("__cell", F.col("cell"))
+    else:
+        emb = emb.withColumn("__cell", F.col(cell_col))
+    (
+        emb.select(F.col(id_col), F.col(vec_col), F.col("__cell").alias("cell"))
+        .repartition("cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(path)
+    )
+
+
+def ivf_probe_indexed(
+    spark,
+    index_path: str,
+    query_vec: list[float],
+    k: int = 5,
+    probes: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Probe the partitioned IVF index: rank cells by centroid similarity
+    to the query (centroids recomputed from the index — production keeps
+    a tiny sidecar table, same result), then scan ONLY the chosen cells.
+    The ``cell IN (...)`` filter lands in PartitionFilters, so the scan
+    reads just those directories — the file-level pruning that makes IVF
+    sublinear on disk, not only in memory (plan-asserted in
+    tests/test_plans.py)."""
+    idx = spark.read.parquet(index_path)
+    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+    cents = centroids_exact(idx, "cell", vec_col, dim)
+    best = [
+        r.cell
+        for r in cents.select(
+            "cell", cosine("centroid", qlit).alias("s")
+        )
+        .orderBy(F.col("s").desc(), F.col("cell").asc())
+        .limit(probes)
+        .collect()
+    ]
+    pruned = idx.filter(F.col("cell").isin(best))
+    scored = pruned.select(
+        F.col(id_col),
+        F.col("cell"),
+        cosine(vec_col, qlit).alias("cos_sim"),
     )
     return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col).asc()).limit(k)
 

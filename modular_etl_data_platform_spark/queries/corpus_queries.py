@@ -280,6 +280,23 @@ def q25_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return csim.ivf_topk(_t(spark, sf_dir, "embeddings"), query_id=0, k=5)
 
 
+@query("q62_ann_ivf_indexed", _ivf_oracle())
+def q62_ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION IVF shape q25 only simulates: embeddings
+    materialized PARTITIONED BY cell (corpus/similarity.py::
+    build_ivf_index), probe routed to the best cell and reading ONLY that
+    cell's files — `cell IN (...)` lands in PartitionFilters, so the scan
+    is file-level pruned (plan-asserted in tests). Same answers as q25's
+    in-memory routing, hence the same oracle."""
+    import tempfile
+
+    emb = _t(spark, sf_dir, "embeddings")
+    path = tempfile.mkdtemp(prefix="ivf_index_")
+    csim.build_ivf_index(emb, path)
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    return csim.ivf_probe_indexed(spark, path, [float(x) for x in qv], k=5, probes=1)
+
+
 @query(
     "q26_embedding_near_dup",
     f"""

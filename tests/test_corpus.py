@@ -184,6 +184,45 @@ def test_ivf_topk_matches_bruteforce_within_cell(spark, emb):
     assert all(r.cell == rows[0].cell for r in rows)
 
 
+def test_kmeans_cells_deterministic_and_coherent(spark, emb):
+    a = {r.vec_id: r.cell for r in csim.kmeans_cells(emb, k=3, iters=3, dim=8).collect()}
+    b = {r.vec_id: r.cell for r in csim.kmeans_cells(emb, k=3, iters=3, dim=8).collect()}
+    assert a == b  # no RNG anywhere: same data -> same cells
+    assert set(a) == {r.vec_id for r in emb.collect()}  # total assignment
+    # near-identical vectors must land in the same learned cell
+    assert a[0] == a[100]
+
+
+def test_ivf_index_partition_pruned_probe(spark, emb, tmp_path):
+    idx = str(tmp_path / "ivf")
+    csim.build_ivf_index(emb, idx)
+    qv = [r.embedding for r in emb.filter(F.col("vec_id") == 0).collect()][0]
+    out = csim.ivf_probe_indexed(spark, idx, [float(x) for x in qv], k=3, probes=1, dim=8)
+    rows = out.collect()
+    # same results as the in-memory IVF on the same cells
+    want = csim.ivf_topk(emb, query_id=0, k=3, dim=8).collect()
+    assert [(r.vec_id, r.cell) for r in rows] == [(r.vec_id, r.cell) for r in want]
+    # file-level pruning: the cell filter must reach PartitionFilters
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    import re as _re
+
+    pf = _re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert pf and "cell" in pf.group(1), plan
+
+
+def test_kmeans_index_end_to_end(spark, emb, tmp_path):
+    """Learned cells flow into the index: build with kmeans_cells
+    assignments, probe, get the near-identical duplicate back."""
+    cells = csim.kmeans_cells(emb, k=3, iters=3, dim=8)
+    idx = str(tmp_path / "ivf_km")
+    csim.build_ivf_index(emb, idx, cells=cells)
+    qv = [r.embedding for r in emb.filter(F.col("vec_id") == 0).collect()][0]
+    out = csim.ivf_probe_indexed(spark, idx, [float(x) for x in qv], k=2, probes=1, dim=8)
+    got = [r.vec_id for r in out.collect()]
+    assert got[:2] == [0, 100]
+
+
 def test_embedding_near_dup_lsh_prefilter_finds_identical(spark, emb):
     exact = {
         (r.id_a, r.id_b)
