@@ -322,6 +322,64 @@ def minhash_lsh_dedup(
 
 
 # ---------------------------------------------------------------------------
+# cross-document line/segment dedup (boilerplate removal)
+# ---------------------------------------------------------------------------
+
+
+def line_dedup(
+    df: DataFrame,
+    min_doc_freq: int = 2,
+    sep: str = "\n",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CCNet/RefinedWeb-style boilerplate removal: segments (lines,
+    sentences — ``sep``-delimited) appearing in ≥ ``min_doc_freq``
+    DISTINCT documents are dropped from every document; survivors are
+    re-joined in original order. Returns (id, clean_text, n_lines_kept),
+    one row per input doc (fully-boilerplate docs come back empty, for
+    a downstream length filter — never silently dropped).
+
+    Three shuffles, all on uniform keys: explode → distinct-doc count
+    per segment, anti-join kept segments (same segment key — AQE
+    broadcasts the boilerplate side when small, which it is by
+    construction: only segments crossing the frequency threshold),
+    regroup by doc. Nothing is ever all-pairs; cost is linear in total
+    segment count at any corpus size.
+    """
+    import re as _re
+
+    arr = F.split(F.col(text_col), _re.escape(sep))
+    lines = df.select(F.col(id_col), F.posexplode(arr).alias("pos", "line"))
+    boiler = (
+        lines.groupBy("line")
+        .agg(F.countDistinct(id_col).alias("__df"))
+        .filter(F.col("__df") >= min_doc_freq)
+        .select("line")
+    )
+    kept = lines.join(boiler, "line", "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda x: x["line"],
+            ),
+            sep,
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_lines_kept"),
+    )
+    return (
+        df.select(id_col)
+        .join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_lines_kept", F.lit(0)).cast("long").alias("n_lines_kept"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 

@@ -839,6 +839,38 @@ def q59_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ctext.lm_perplexity_scores(_t(spark, sf_dir, "documents"))
 
 
+@query(
+    "q63_line_dedup",
+    """
+    WITH lines AS (
+      SELECT doc_id, arr[i] AS line, i AS pos
+      FROM (SELECT doc_id, string_split(text, '. ') AS arr FROM documents) d,
+           LATERAL (SELECT unnest(generate_series(1, len(arr))) AS i) t
+    ),
+    boiler AS (
+      SELECT line FROM lines GROUP BY line HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    kept AS (SELECT * FROM lines WHERE line NOT IN (SELECT line FROM boiler)),
+    rebuilt AS (
+      SELECT doc_id, string_agg(line, '. ' ORDER BY pos) AS clean_text,
+             COUNT(*) AS n_lines_kept
+      FROM kept GROUP BY doc_id
+    )
+    SELECT d.doc_id, COALESCE(r.clean_text, '') AS clean_text,
+           CAST(COALESCE(r.n_lines_kept, 0) AS BIGINT) AS n_lines_kept
+    FROM documents d LEFT JOIN rebuilt r USING (doc_id)
+    """,
+)
+def q63_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate removal (CCNet/RefinedWeb line dedup):
+    sentence segments appearing in ≥2 distinct documents are dropped from
+    every document, survivors re-joined in order. Linear — explode,
+    uniform-key counts, anti-join; never all-pairs."""
+    return cdedup.line_dedup(
+        _t(spark, sf_dir, "documents"), min_doc_freq=2, sep=". "
+    )
+
+
 def _incremental_dedup_oracle(
     k: int = 8, bands: int = 4, threshold: float = 0.2, max_bucket: int = 50
 ) -> str:

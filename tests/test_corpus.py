@@ -148,6 +148,29 @@ def test_lsh_bucket_cap_kills_hot_bucket_blowup(spark):
     assert got == {(101, 100)}
 
 
+def test_line_dedup_strips_cross_doc_boilerplate(spark):
+    rows = [
+        (0, "SUBSCRIBE NOW\nunique thought one\nCOPYRIGHT 2024"),
+        (1, "SUBSCRIBE NOW\nunique thought two\nCOPYRIGHT 2024"),
+        (2, "COPYRIGHT 2024"),  # fully boilerplate -> empty, not dropped
+        (3, "entirely original text here"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: (r.clean_text, r.n_lines_kept) for r in
+           cdedup.line_dedup(docs, min_doc_freq=2, sep="\n").collect()}
+    assert out[0] == ("unique thought one", 1)
+    assert out[1] == ("unique thought two", 1)
+    assert out[2] == ("", 0)
+    assert out[3] == ("entirely original text here", 1)
+    # order preservation with interleaved boilerplate
+    docs2 = spark.createDataFrame(
+        [(0, "keep a\nBOILER\nkeep b"), (1, "BOILER")], ["doc_id", "text"]
+    )
+    out2 = {r.doc_id: r.clean_text for r in
+            cdedup.line_dedup(docs2, min_doc_freq=2, sep="\n").collect()}
+    assert out2[0] == "keep a\nkeep b"
+
+
 def test_simhash_hamming(spark, docs):
     sh = cdedup.simhash(docs)
     vals = {r.doc_id: r.simhash for r in sh.collect()}
