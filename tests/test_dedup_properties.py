@@ -1,0 +1,95 @@
+"""Property-based tests for the round-2 scale operators: scalable
+surrogate-key assignment (numbering == global ROW_NUMBER for arbitrary
+data), sharded packing invariants, and line-dedup conservation laws."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+SLOW = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@given(
+    keys=st.lists(
+        st.integers(min_value=-(10**6), max_value=10**6),
+        min_size=1,
+        max_size=60,
+        unique=True,
+    ),
+    start=st.integers(min_value=0, max_value=10**9),
+    buckets=st.sampled_from([1, 2, 7]),
+)
+@SLOW
+def test_assign_surrogate_keys_equals_global_row_number(spark, keys, start, buckets):
+    from modular_etl_data_platform_spark.operators.scd2 import assign_surrogate_keys
+
+    df = spark.createDataFrame([(k,) for k in keys], "bk long")
+    out = assign_surrogate_keys(df, ["bk"], "sk", start=start, buckets=buckets)
+    got = {r.bk: r.sk for r in out.collect()}
+    want = {bk: start + i + 1 for i, bk in enumerate(sorted(keys))}
+    assert got == want
+
+
+@given(
+    tokens=st.lists(st.integers(min_value=1, max_value=300), min_size=1, max_size=30),
+    shards=st.sampled_from([2, 3, 5]),
+)
+@SLOW
+def test_sharded_packing_invariants(spark, tokens, shards):
+    """Per-shard packing: within every shard the stream is contiguous
+    longest-first; bin ids never collide across shards."""
+    from modular_etl_data_platform_spark.corpus import curation as ccur
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(tokens)], "doc_id long, n_tokens long"
+    )
+    plan = ccur.packing_plan(df, capacity=64, shards=shards).collect()
+    assert sorted(r.doc_id for r in plan) == list(range(len(tokens)))
+    by_shard: dict[int, list] = {}
+    for r in plan:
+        assert r.shard_id == r.doc_id % shards
+        assert r.bin_id % shards == r.shard_id  # shard-disjoint bin spaces
+        by_shard.setdefault(r.shard_id, []).append(r)
+    for rows in by_shard.values():
+        rows.sort(key=lambda r: r.tokens_before)
+        offset = 0
+        for r in rows:
+            assert r.tokens_before == offset
+            assert r.bin_id == (offset // 64) * shards + r.shard_id
+            offset += r.n_tokens
+        lengths = [r.n_tokens for r in rows]
+        assert lengths == sorted(lengths, reverse=True)
+
+
+words = st.sampled_from(["alpha", "beta", "gamma", "delta", "FOOTER"])
+doc_texts = st.lists(
+    st.lists(words, min_size=1, max_size=5).map("\n".join), min_size=1, max_size=8
+)
+
+
+@given(texts=doc_texts, freq=st.sampled_from([2, 3]))
+@SLOW
+def test_line_dedup_conservation(spark, texts, freq):
+    """Line dedup never invents lines, keeps every doc, and drops exactly
+    the lines whose distinct-doc frequency crosses the threshold."""
+    from modular_etl_data_platform_spark.corpus.dedup import line_dedup
+
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    out = {r.doc_id: r for r in line_dedup(df, min_doc_freq=freq).collect()}
+    assert set(out) == set(range(len(texts)))
+
+    doc_freq: dict[str, set[int]] = {}
+    for i, t in enumerate(texts):
+        for line in t.split("\n"):
+            doc_freq.setdefault(line, set()).add(i)
+    boiler = {ln for ln, ds in doc_freq.items() if len(ds) >= freq}
+    for i, t in enumerate(texts):
+        expect = [ln for ln in t.split("\n") if ln not in boiler]
+        assert out[i].clean_text == "\n".join(expect)
+        assert out[i].n_lines_kept == len(expect)
