@@ -62,6 +62,33 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--out", required=True)
     c.add_argument("--min-quality", type=float, default=0.05)
     c.add_argument("--pack-capacity", type=int, default=512)
+    c.add_argument("--pack-shards", type=int, default=None)
+    c.add_argument(
+        "--line-dedup-df",
+        type=int,
+        default=None,
+        help="drop segments appearing in >= N distinct docs (off by default)",
+    )
+
+    ai = sub.add_parser(
+        "ann-index", help="materialize a partition-pruned IVF embedding index"
+    )
+    ai.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ai.add_argument("--out", required=True)
+    ai.add_argument(
+        "--kmeans", type=int, default=None,
+        help="learn K cells with deterministic k-means (default: use the label column)",
+    )
+    ai.add_argument("--iters", type=int, default=5)
+    ai.add_argument("--dim", type=int, default=64)
+
+    aq = sub.add_parser("ann-query", help="top-k probe against an ann-index")
+    aq.add_argument("--index", required=True)
+    aq.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    aq.add_argument("--vec-id", type=int, required=True)
+    aq.add_argument("--k", type=int, default=5)
+    aq.add_argument("--probes", type=int, default=1)
+    aq.add_argument("--dim", type=int, default=64)
 
     args = ap.parse_args(argv)
 
@@ -137,10 +164,53 @@ def main(argv: list[str] | None = None) -> int:
         benchmark = docs.filter("doc_id % 97 = 0").select("doc_id", "text")
         train = docs.filter("doc_id % 97 <> 0")
         cfg = CurationConfig(
-            min_quality=args.min_quality, pack_capacity=args.pack_capacity
+            min_quality=args.min_quality,
+            pack_capacity=args.pack_capacity,
+            pack_shards=args.pack_shards,
+            line_dedup_min_df=args.line_dedup_df,
         )
         res = curate_corpus(spark, train, benchmark, out_dir=args.out, config=cfg)
         print(json.dumps(res["counts"], indent=2))
+        return 0
+
+    if args.cmd == "ann-index":
+        from modular_etl_data_platform_spark.corpus.similarity import (
+            build_ivf_index,
+            kmeans_cells,
+        )
+
+        emb = spark.read.parquet(f"{args.sf_dir}/embeddings.parquet")
+        cells = (
+            kmeans_cells(emb, k=args.kmeans, iters=args.iters, dim=args.dim)
+            if args.kmeans
+            else None
+        )
+        build_ivf_index(emb, args.out, cells=cells)
+        n = spark.read.parquet(args.out).count()
+        print(json.dumps({"indexed": n, "path": args.out}))
+        return 0
+
+    if args.cmd == "ann-query":
+        from pyspark.sql import functions as F
+
+        from modular_etl_data_platform_spark.corpus.similarity import (
+            ivf_probe_indexed,
+        )
+
+        emb = spark.read.parquet(f"{args.sf_dir}/embeddings.parquet")
+        row = emb.filter(F.col("vec_id") == args.vec_id).select("embedding").first()
+        if row is None:
+            print(f"vec_id {args.vec_id} not found", file=sys.stderr)
+            return 2
+        out = ivf_probe_indexed(
+            spark,
+            args.index,
+            [float(x) for x in row[0]],
+            k=args.k,
+            probes=args.probes,
+            dim=args.dim,
+        )
+        out.show(args.k, truncate=False)
         return 0
 
     return 2

@@ -4,6 +4,8 @@ The LLM-data analogue of the e-commerce medallion flow
 (``pipeline/ecommerce.py``), composing the corpus operators into the
 standard curation sequence:
 
+0. **line-dedup** (optional) — drop cross-document boilerplate segments
+   before anything computes stats over them;
 1. **annotate** — token/quality/language stats (pure projection);
 2. **filter** — drop low-quality and repetition-heavy documents;
 3. **dedup** — exact dedup, then MinHash-LSH near-dup clusters; keep one
@@ -42,9 +44,15 @@ class CurationConfig:
     max_top_bigram_frac: float = 0.5
     langs: list[str] = field(default_factory=lambda: ["en", "de", "es", "fr", "zh"])
     lsh_threshold: float = 0.5
+    lsh_max_bucket: int | None = 1000
     decontaminate_ngram: int = 5
     pack_capacity: int = 512
+    pack_shards: int | None = None
     mixture_groups: list[str] = field(default_factory=lambda: ["source", "lang"])
+    #: drop text segments appearing in >= this many distinct docs BEFORE
+    #: any stats/dedup (CCNet-style boilerplate removal); None = off
+    line_dedup_min_df: int | None = None
+    line_sep: str = "\n"
 
 
 def curate_corpus(
@@ -60,6 +68,26 @@ def curate_corpus(
     cfg = config or CurationConfig()
     parallelism = spark.sparkContext.defaultParallelism
     counts: dict[str, int] = {"input": docs.count()}
+
+    # 0. cross-document boilerplate removal — BEFORE any stats, so
+    # fingerprints/token counts/quality see the cleaned text; docs whose
+    # every segment was boilerplate drop out here
+    if cfg.line_dedup_min_df:
+        cleaned = dedup.line_dedup(
+            docs, min_doc_freq=cfg.line_dedup_min_df, sep=cfg.line_sep
+        )
+        docs = (
+            docs.drop("text")
+            .join(
+                cleaned.filter(F.col("n_lines_kept") > 0).withColumnRenamed(
+                    "clean_text", "text"
+                ),
+                "doc_id",
+            )
+            .drop("n_lines_kept")
+            .withColumn("n_chars", F.length("text"))
+        )
+        counts["after_line_dedup"] = docs.count()
 
     # 1-2. annotate + filter (pure projections — run before any shuffle)
     annotated = text.with_text_stats(docs).join(
@@ -83,7 +111,10 @@ def curate_corpus(
 
     # 3b. near-dup clusters; keep the min-id representative per cluster
     pairs = dedup.minhash_lsh_dedup(
-        kept, threshold=cfg.lsh_threshold, parallelism=parallelism
+        kept,
+        threshold=cfg.lsh_threshold,
+        parallelism=parallelism,
+        max_bucket_size=cfg.lsh_max_bucket,
     )
     clusters = dedup.connected_components(kept.select("doc_id"), pairs)
     reps = clusters.groupBy("cluster_id").agg(F.min("doc_id").alias("doc_id"))
@@ -100,9 +131,12 @@ def curate_corpus(
     # 5. mixture weights over the survivors
     weights = curation.mixture_weights(kept, cfg.mixture_groups)
 
-    # 6. packing plan + shards
+    # 6. packing plan + shards (per-shard windows when pack_shards set —
+    # the default for corpora that don't fit one task's sort)
     plan = curation.packing_plan(
-        kept.select("doc_id", "n_tokens"), capacity=cfg.pack_capacity
+        kept.select("doc_id", "n_tokens"),
+        capacity=cfg.pack_capacity,
+        shards=cfg.pack_shards,
     )
     shards = kept.join(plan.select("doc_id", "bin_id", "tokens_before"), "doc_id")
     if out_dir is not None:

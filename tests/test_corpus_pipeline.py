@@ -67,3 +67,32 @@ def test_shards_written_and_complete(spark, result):
     total = shards.agg(F.sum("n_tokens")).collect()[0][0]
     max_bin = shards.agg(F.max("bin_id")).collect()[0][0]
     assert max_bin == total // 512
+
+
+def test_line_dedup_stage_cleans_before_stats(spark, tmp_path):
+    """With line_dedup_min_df set, boilerplate segments are gone before
+    fingerprints/stats are computed, and fully-boilerplate docs drop out
+    in stage 0."""
+    rows = [
+        (1, "FOOTER\nthe quick brown fox jumps over the lazy dog today", "en", "web", 0),
+        (2, "FOOTER\nan entirely different sentence about data engines here", "en", "web", 0),
+        (3, "FOOTER", "en", "web", 0),  # fully boilerplate
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).withColumn("n_chars", F.length("text"))
+    benchmark = spark.createDataFrame(
+        [(99, "totally unrelated benchmark text")], "doc_id long, text string"
+    )
+    cfg = CurationConfig(
+        min_quality=0.0, max_top_bigram_frac=1.0, line_dedup_min_df=2,
+        pack_shards=2,
+    )
+    res = curate_corpus(
+        spark, docs, benchmark, out_dir=str(tmp_path / "s"), config=cfg
+    )
+    c = res["counts"]
+    assert c["after_line_dedup"] == 2  # doc 3 was pure boilerplate
+    kept_texts = {r.doc_id: r.text for r in res["kept"].select("doc_id", "text").collect()}
+    assert all("FOOTER" not in t for t in kept_texts.values())
+    assert set(kept_texts) == {1, 2}
