@@ -171,6 +171,65 @@ def sessionize_events(events_stream: DataFrame) -> DataFrame:
     )
 
 
+RUNNING_TOTALS_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+    ]
+)
+
+
+def running_user_totals(events_stream: DataFrame) -> DataFrame:
+    """Running per-user totals via **transformWithStateInPandas** — the
+    Spark 4 successor of ``applyInPandasWithState`` (typed state
+    variables on a ``StatefulProcessor``, RocksDB-backed in production,
+    TTL support). Emits the updated cumulative (n_events, total_value)
+    for every user touched by each micro-batch; state is one tiny tuple
+    per user, so memory scales with distinct users, not events.
+
+    Kept alongside the GroupState sessionizer (:func:`sessionize_events`)
+    deliberately: the engine exposes BOTH stateful APIs the platform
+    supports.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState("totals", "n BIGINT, total DOUBLE")
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            n, total = (
+                tuple(self._totals.get()) if self._totals.exists() else (0, 0.0)
+            )
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._totals.update((n, total))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [total],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events_stream.groupBy("user_id").transformWithStateInPandas(
+        RunningTotals(),
+        outputStructType=RUNNING_TOTALS_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 def stream_dedup(
     stream: DataFrame,
     keys: list[str],

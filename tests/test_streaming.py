@@ -355,3 +355,76 @@ def test_stream_curate_documents_dedups_across_batches(spark, tmp_path):
     curated = spark.read.parquet(out)
     assert sorted(r.doc_id for r in curated.collect()) == [1, 2, 4]
     assert "quality_score" in curated.columns and "fingerprint" in curated.columns
+
+
+def test_running_totals_transform_with_state(spark, tmp_path):
+    """transformWithStateInPandas (Spark 4 typed-state API): cumulative
+    per-user totals survive across micro-batches; the second batch's
+    emission includes the first batch's state.
+
+    ENVIRONMENT-BLOCKED here the same way delta-spark is
+    (test_delta_merge.py): the transformWithState protocol needs
+    google.protobuf, which this container does not ship — the skip below
+    is loud, not silent. The operator itself
+    (streaming/incremental.py::running_user_totals) is plain Spark 4 API
+    usage and runs wherever protobuf exists; the GroupState twin
+    (sessionize_events) is the tested stateful path in this container."""
+    import datetime as dt
+
+    pytest.importorskip(
+        "google.protobuf.descriptor",
+        reason="transformWithState requires google.protobuf (absent here); "
+        "applyInPandasWithState is the container-tested stateful API",
+    )
+
+    from modular_etl_data_platform_spark.streaming.incremental import (
+        running_user_totals,
+    )
+
+    src = tmp_path / "rt_in"
+    src.mkdir()
+    ckpt = str(tmp_path / "rt_ckpt")
+    base = dt.datetime(2024, 1, 1)
+
+    def write_batch(name, rows):
+        (src / name).write_text(
+            "\n".join(
+                json.dumps(
+                    {
+                        "ts": (base + dt.timedelta(minutes=m)).isoformat(),
+                        "user_id": u,
+                        "value": v,
+                    }
+                )
+                for m, u, v in rows
+            )
+        )
+
+    def run_once():
+        stream = spark.readStream.schema(
+            "ts timestamp, user_id long, value double"
+        ).json(str(src))
+        q = (
+            running_user_totals(stream)
+            .writeStream.format("memory")
+            .queryName("rt_out")
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {
+            (r.user_id): (r.n_events, r.total_value)
+            for r in spark.table("rt_out").collect()
+        }
+
+    write_batch("b1.json", [(0, 1, 10.0), (1, 1, 5.0), (2, 2, 7.0)])
+    first = run_once()
+    assert first[1] == (2, 15.0) and first[2] == (1, 7.0)
+
+    # second batch: state restored from the checkpoint, totals accumulate
+    write_batch("b2.json", [(3, 1, 1.0), (4, 3, 2.0)])
+    second = run_once()
+    assert second[1] == (3, 16.0)  # 2+1 events, 15+1 value
+    assert second[3] == (1, 2.0)
