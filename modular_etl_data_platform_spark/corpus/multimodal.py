@@ -217,3 +217,38 @@ def extract_features(media: DataFrame, dim: int = 64) -> DataFrame:
         ]
     )
     return media.mapInPandas(extract_feature_batches(dim), schema=schema)
+
+
+def media_near_dup(
+    media: DataFrame,
+    threshold: float = 0.95,
+    dim: int = 64,
+    bands: int = 4,
+    planes: int = 16,
+    parallelism: int | None = None,
+) -> DataFrame:
+    """Perceptual near-duplicate media pairs: feature-extract every
+    payload (Arrow-batched; real model swaps in at
+    :func:`extract_feature_batches`), then reuse the banded
+    random-hyperplane LSH near-dup machinery over the feature vectors —
+    the multimodal entry point into the dedup family. Returns
+    (id_a, id_b, cos_sim ≥ threshold).
+
+    Scale shape is inherited: featurize is a pure projection, candidate
+    generation is bucket-local equi-joins on signature bands (never
+    all-pairs), verification touches candidates only."""
+    from modular_etl_data_platform_spark.corpus.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    feats = extract_features(media, dim=dim)
+    return embedding_near_dup_pairs(
+        feats,
+        threshold=threshold,
+        id_col="doc_id",
+        vec_col="embedding",
+        use_lsh_prefilter=True,
+        bands=bands,
+        planes=planes,
+        parallelism=parallelism,
+    )

@@ -28,3 +28,27 @@ def test_cli_sql_passthrough(spark, capsys):
     rc = main(["sql", "SELECT COUNT(*) AS n FROM orders", "--sf-dir", SF])
     out = capsys.readouterr().out
     assert rc == 0 and "n" in out
+
+
+def test_cli_ann_index_and_query(spark, capsys, tmp_path):
+    idx = str(tmp_path / "idx")
+    assert main(["ann-index", "--sf-dir", SF, "--out", idx]) == 0
+    out = capsys.readouterr().out
+    assert '"indexed"' in out
+    # probes=1 routes by centroid similarity — the query's own cell may
+    # lose the routing (label cells are arbitrary); with probes covering
+    # every cell the exact self-match MUST surface
+    assert main([
+        "ann-query", "--index", idx, "--sf-dir", SF, "--vec-id", "0",
+        "--k", "3", "--probes", "8",
+    ]) == 0
+    out = capsys.readouterr().out
+    assert "cos_sim" in out and "1.0" in out  # self-match tops the list
+
+    # learned cells path runs end-to-end
+    idx2 = str(tmp_path / "idx_km")
+    assert main(["ann-index", "--sf-dir", SF, "--out", idx2, "--kmeans", "4"]) == 0
+    assert main([
+        "ann-query", "--index", idx2, "--sf-dir", SF, "--vec-id", "0", "--k", "1",
+    ]) == 0
+    assert "cos_sim" in capsys.readouterr().out

@@ -349,3 +349,22 @@ def test_multimodal_features_feed_similarity_search(spark):
     assert {(r.id_a, r.id_b) for r in pairs} == {(0, 1)}
     top = csim.cosine_topk(emb, query_id=0, k=2, id_col="doc_id").collect()
     assert [r.doc_id for r in top] == [0, 1]
+
+
+def test_media_near_dup_finds_identical_payloads(spark):
+    """Identical media payloads produce identical feature vectors, share
+    every LSH band, and come back as a perceptual near-dup pair; distinct
+    payloads at threshold≈1 do not."""
+    from modular_etl_data_platform_spark.corpus.multimodal import media_near_dup
+
+    rows = [
+        (0, "same-bytes-payload-abcdefgh"),
+        (1, "same-bytes-payload-abcdefgh"),  # identical bytes -> dup of 0
+        (2, "completely different bytes here"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    media = attach_binary_payload(docs, source_col="text", mime="image/png")
+    pairs = {(r.id_a, r.id_b): r.cos_sim for r in
+             media_near_dup(media, threshold=0.999, dim=16).collect()}
+    assert (0, 1) in pairs and abs(pairs[(0, 1)] - 1.0) < 1e-9
+    assert all({a, b} == {0, 1} for a, b in pairs)
