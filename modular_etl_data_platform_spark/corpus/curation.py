@@ -173,6 +173,47 @@ def packing_summary(plan: DataFrame, capacity: int) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def apply_mixture(
+    df: DataFrame,
+    group_cols: list[str],
+    alpha: float = 0.5,
+    token_col: str | None = None,
+    id_col: str = "doc_id",
+    salt: str = "mix",
+) -> DataFrame:
+    """REALIZE the mixture: deterministically downsample each corpus
+    slice so the surviving corpus matches the temperature-scaled target
+    mixture (:func:`mixture_weights`). The most-upweighted slice keeps
+    everything; every other slice keeps ``sample_factor/max`` of its
+    docs, selected by the same md5-bucket trick as
+    ``text.stratified_sample_hash`` — reproducible across runs, engines
+    and cluster layouts, and idempotent for pipeline re-runs.
+
+    The per-group thresholds are a tiny broadcast (one row per slice);
+    the corpus side is a pure filter projection — no shuffle.
+    """
+    w = mixture_weights(df, group_cols, alpha, token_col)
+    mx = w.select(F.max("sample_factor").alias("__mx"))
+    rates = (
+        w.crossJoin(F.broadcast(mx))
+        .select(
+            *group_cols,
+            F.floor(F.col("sample_factor") / F.col("__mx") * 10000)
+            .cast("int")
+            .alias("__thresh"),
+        )
+    )
+    bucket = F.expr(
+        f"conv(substr(md5(concat('{salt}|', CAST({id_col} AS STRING))), 1, 4), 16, 10) % 10000"
+    ).cast("int")
+    return (
+        df.join(F.broadcast(rates), group_cols)
+        .withColumn("__bucket", bucket)
+        .filter(F.col("__bucket") < F.col("__thresh"))
+        .drop("__bucket", "__thresh")
+    )
+
+
 def mixture_weights(
     df: DataFrame,
     group_cols: list[str],

@@ -181,6 +181,61 @@ def stratified_sample_hash(
     ).drop("__bucket")
 
 
+def induce_vocab(
+    df: DataFrame,
+    vocab_size: int = 1000,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-frequency vocabulary induction: the top-``vocab_size`` words
+    (ties broken lexicographically, so the vocab is deterministic and
+    engine-portable). Returns (word, freq).
+
+    One explode + one uniform-key groupBy shuffle; the top-V selection is
+    ``orderBy().limit()`` — Spark's TakeOrdered, a per-partition heap +
+    driver merge of V rows per partition, NOT a global sort. V rows come
+    back; the corpus never does."""
+    return (
+        df.select(F.explode(F.split(F.col(text_col), " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("word").asc())
+        .limit(vocab_size)
+    )
+
+
+def oov_stats(
+    df: DataFrame,
+    vocab: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document out-of-vocabulary rate against an induced (or fixed)
+    vocabulary — the coverage check run before committing to a tokenizer
+    or filtering a crawl against a reference lexicon. Returns
+    (id, n_tokens, n_oov, oov_rate).
+
+    The vocab (V rows) broadcasts; the corpus side is explode → broadcast
+    left join → one groupBy(doc) shuffle."""
+    tok = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("word")
+    )
+    hit = tok.join(
+        F.broadcast(vocab.select("word").withColumn("__in", F.lit(1))),
+        "word",
+        "left",
+    )
+    return hit.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.when(F.col("__in").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_oov"),
+        (
+            F.sum(F.when(F.col("__in").isNull(), 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("oov_rate"),
+    )
+
+
 def char_trigrams(text_col: str = "text") -> Column:
     """All character trigrams of the text (positions 1..len-2)."""
     return F.expr(

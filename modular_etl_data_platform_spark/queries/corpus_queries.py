@@ -871,6 +871,75 @@ def q63_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q64_apply_mixture",
+    """
+    WITH sizes AS (
+      SELECT source, lang, COUNT(*) AS group_size FROM documents GROUP BY source, lang
+    ),
+    shared AS (
+      SELECT *, CAST(group_size AS DOUBLE)
+                  / (SELECT SUM(group_size) FROM sizes) AS share
+      FROM sizes
+    ),
+    norm AS (
+      SELECT CAST(SUM(CAST(sqrt(share) AS DECIMAL(28,12))) AS DOUBLE) AS norm
+      FROM shared
+    ),
+    w AS (
+      SELECT source, lang, (sqrt(share) / norm) / share AS sample_factor
+      FROM shared CROSS JOIN norm
+    ),
+    rates AS (
+      SELECT source, lang,
+             CAST(floor(sample_factor / (SELECT MAX(sample_factor) FROM w) * 10000) AS INT) AS thresh
+      FROM w
+    )
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d JOIN rates r USING (source, lang)
+    WHERE ('0x' || substr(md5('mix|' || CAST(d.doc_id AS VARCHAR)), 1, 4))::INT % 10000
+          < r.thresh
+    """,
+)
+def q64_apply_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REALIZED mixture: deterministically downsample each (source, lang)
+    slice to the sqrt-temperature target (the most-upweighted slice keeps
+    everything) — md5-bucket selection, so the sample is reproducible
+    across engines and reruns. Thresholds broadcast; the corpus side is a
+    pure filter."""
+    out = ccur.apply_mixture(_t(spark, sf_dir, "documents"), ["source", "lang"])
+    return out.select("doc_id", "lang", "source")
+
+
+@query(
+    "q65_vocab_oov",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    counts AS (SELECT word, COUNT(*) AS freq FROM tok GROUP BY word),
+    vocab AS (SELECT word FROM counts ORDER BY freq DESC, word ASC LIMIT 40),
+    hit AS (
+      SELECT t.doc_id, v.word IS NOT NULL AS in_vocab
+      FROM tok t LEFT JOIN vocab v USING (word)
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(CASE WHEN in_vocab THEN 0 ELSE 1 END) AS BIGINT) AS n_oov,
+           CAST(SUM(CASE WHEN in_vocab THEN 0 ELSE 1 END) AS DOUBLE) / COUNT(*) AS oov_rate
+    FROM hit GROUP BY doc_id
+    """,
+)
+def q65_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary induction + coverage: top-40 corpus words by frequency
+    (deterministic tie-break), then per-document OOV rate against the
+    broadcast vocab — the tokenizer-coverage check of a training-data
+    pipeline."""
+    docs = _t(spark, sf_dir, "documents")
+    vocab = ctext.induce_vocab(docs, vocab_size=40)
+    return ctext.oov_stats(docs, vocab)
+
+
 def _incremental_dedup_oracle(
     k: int = 8, bands: int = 4, threshold: float = 0.2, max_bucket: int = 50
 ) -> str:

@@ -65,3 +65,40 @@ def test_repetition_stats(spark, docs):
     assert out[3].top_bigram_frac == 1.0  # 'spam spam' is every bigram
     assert out[4].dup_word_frac == 0.0
     assert out[4].top_bigram_frac == pytest.approx(1 / 9)
+
+
+def test_apply_mixture_realizes_target_proportions(spark):
+    """900/100 skewed corpus, sqrt temperature: the minority slice keeps
+    everything (it is the most-upweighted), the majority sheds to ~1/3 —
+    the realized mixture approaches the 75/25 sqrt target."""
+    from modular_etl_data_platform_spark.corpus.curation import apply_mixture
+
+    rows = [(i, "big", "en") for i in range(900)] + [
+        (1000 + i, "small", "en") for i in range(100)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "source", "lang"])
+    out = apply_mixture(docs, ["source", "lang"])
+    by_src = {r.source: r.n for r in out.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n")
+    ).collect()}
+    assert by_src["small"] == 100          # most-upweighted keeps all
+    assert 250 <= by_src["big"] <= 420     # ~1/3 of 900, md5-bucket noise
+
+    # deterministic: same input -> identical survivors
+    a = {r.doc_id for r in out.collect()}
+    b = {r.doc_id for r in apply_mixture(docs, ["source", "lang"]).collect()}
+    assert a == b
+
+
+def test_induce_vocab_and_oov(spark):
+    from modular_etl_data_platform_spark.corpus.text import induce_vocab, oov_stats
+
+    docs = spark.createDataFrame(
+        [(0, "a a a b b c"), (1, "a b rare")], ["doc_id", "text"]
+    )
+    vocab = induce_vocab(docs, vocab_size=2)
+    assert [r.word for r in vocab.collect()] == ["a", "b"]  # freq desc, tie lex
+    out = {r.doc_id: (r.n_tokens, r.n_oov, round(r.oov_rate, 6))
+           for r in oov_stats(docs, vocab).collect()}
+    assert out[0] == (6, 1, round(1 / 6, 6))   # 'c' is OOV
+    assert out[1] == (3, 1, round(1 / 3, 6))   # 'rare' is OOV
