@@ -173,6 +173,34 @@ def packing_summary(plan: DataFrame, capacity: int) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def select_by_token_budget(
+    df: DataFrame,
+    group_cols: list[str],
+    budget: int,
+    token_col: str = "n_tokens",
+    order_col: str = "quality_score",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Data selection under a per-slice token budget: within each group,
+    rank docs best-first (``order_col`` desc, id tie-break) and keep the
+    prefix whose cumulative ``token_col`` stays within ``budget`` — the
+    "fill each domain's quota with its best documents" step of a
+    training-mix build.
+
+    One partitioned window (group key), no global sort; emits the
+    running total as ``cum_tokens`` so callers can audit fill levels.
+    """
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy(F.col(order_col).desc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        df.withColumn("cum_tokens", F.sum(token_col).over(w).cast("long"))
+        .filter(F.col("cum_tokens") <= budget)
+    )
+
+
 def apply_mixture(
     df: DataFrame,
     group_cols: list[str],

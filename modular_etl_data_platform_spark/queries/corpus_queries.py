@@ -940,6 +940,33 @@ def q65_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ctext.oov_stats(docs, vocab)
 
 
+@query(
+    "q66_token_budget_selection",
+    """
+    SELECT doc_id, source, lang, n_chars, cum_tokens FROM (
+      SELECT doc_id, source, lang, n_chars,
+             CAST(SUM(n_chars) OVER (
+               PARTITION BY source, lang
+               ORDER BY n_chars DESC, doc_id ASC
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+      FROM documents
+    ) WHERE cum_tokens <= 20000
+    """,
+)
+def q66_token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(source, lang) token-budget selection: biggest-first prefix of
+    each slice until 20k chars — one partitioned window, no global
+    sort."""
+    out = ccur.select_by_token_budget(
+        _t(spark, sf_dir, "documents").select("doc_id", "source", "lang", "n_chars"),
+        ["source", "lang"],
+        budget=20000,
+        token_col="n_chars",
+        order_col="n_chars",
+    )
+    return out.select("doc_id", "source", "lang", "n_chars", "cum_tokens")
+
+
 def _incremental_dedup_oracle(
     k: int = 8, bands: int = 4, threshold: float = 0.2, max_bucket: int = 50
 ) -> str:

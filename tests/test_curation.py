@@ -102,3 +102,20 @@ def test_induce_vocab_and_oov(spark):
            for r in oov_stats(docs, vocab).collect()}
     assert out[0] == (6, 1, round(1 / 6, 6))   # 'c' is OOV
     assert out[1] == (3, 1, round(1 / 3, 6))   # 'rare' is OOV
+
+
+def test_select_by_token_budget(spark):
+    from modular_etl_data_platform_spark.corpus.curation import (
+        select_by_token_budget,
+    )
+
+    rows = [
+        (0, "a", 50, 9.0), (1, "a", 40, 8.0), (2, "a", 30, 7.0),
+        (3, "b", 100, 1.0),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "n_tokens", "quality_score"])
+    kept = {r.doc_id: r.cum_tokens for r in select_by_token_budget(
+        df, ["source"], budget=95, token_col="n_tokens", order_col="quality_score"
+    ).collect()}
+    # slice a: 50+40=90 fits, +30 would blow the budget; slice b: 100 > 95
+    assert kept == {0: 50, 1: 90}
