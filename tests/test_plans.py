@@ -144,6 +144,7 @@ CARTESIAN_OK = {
     "q47_tfidf_top_terms",
     "q52_mixture_weights",
     "q59_lm_perplexity",  # 1-row trigram-total broadcast
+    "q64_apply_mixture",  # 1-row max(sample_factor) broadcast
 }
 
 
