@@ -1,0 +1,291 @@
+"""Document-quality rule bundles and deterministic sampling.
+
+Gopher-style heuristic quality rules (Rae et al. 2021, "Scaling Language
+Models" appendix A; also the C4/RefinedWeb rule families), re-expressed as
+pure-projection Spark expressions with exact DuckDB twins:
+
+- word-count bounds, mean-word-length bounds,
+- symbol-to-word ratio (hash marks / ellipses),
+- alphabetic-word ratio,
+- stopword presence.
+
+Everything here is a per-row projection (zero shuffle) except the
+quantile computation in :func:`adaptive_length_filter` (one tiny
+per-group aggregate that broadcasts back). Weighted sampling uses the
+exponential-key reservoir trick (Efraimidis & Spirakis 2006) with an
+md5-derived uniform, so the sample is reproducible across runs, engines
+and cluster layouts — the same determinism convention as
+``text.stratified_sample_hash``.
+
+Cross-engine float convention: every derived double that feeds a
+comparison or ranking is rounded to 9 decimals first (see catalog.py
+docstring) so Spark and DuckDB agree bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from modular_etl_data_platform_spark.corpus.text import STOPWORDS
+
+# Rule thresholds (Gopher-flavored, scaled to the synthetic corpus where
+# documents are a few dozen words). One source of truth for both engines.
+MIN_WORDS = 5
+MAX_WORDS = 100_000
+MIN_MEAN_WORD_LEN = 2.0
+MAX_MEAN_WORD_LEN = 12.0
+MAX_SYMBOL_RATIO = 0.1
+MIN_ALPHA_RATIO = 0.8
+MIN_STOPWORD_HITS = 1
+
+#: words counting as "symbols" for the symbol-to-word ratio rule
+_SYMBOLS = ("#", "...", "…")
+
+
+def _w(text_col: str) -> str:
+    return f"split({text_col}, ' ')"
+
+
+def _dd_w(text_col: str) -> str:
+    return f"string_split({text_col}, ' ')"
+
+
+def n_words(text_col: str = "text") -> Column:
+    return F.expr(f"size({_w(text_col)})").cast("long")
+
+
+def mean_word_len(text_col: str = "text") -> Column:
+    """Mean characters per whitespace word, rounded to 9 dp."""
+    return F.round(
+        F.expr(
+            f"aggregate({_w(text_col)}, cast(0 as bigint), (a, x) -> a + length(x))"
+        ).cast("double")
+        / F.expr(f"size({_w(text_col)})"),
+        9,
+    )
+
+
+def symbol_ratio(text_col: str = "text") -> Column:
+    """Fraction of words that are hash/ellipsis symbols."""
+    preds = " OR ".join(f"contains(x, '{s}')" for s in _SYMBOLS)
+    return F.round(
+        F.expr(f"size(filter({_w(text_col)}, x -> {preds}))").cast("double")
+        / F.expr(f"size({_w(text_col)})"),
+        9,
+    )
+
+
+def alpha_ratio(text_col: str = "text") -> Column:
+    """Fraction of words containing at least one ASCII letter."""
+    return F.round(
+        F.expr(
+            f"size(filter({_w(text_col)}, x -> x rlike '[a-zA-Z]'))"
+        ).cast("double")
+        / F.expr(f"size({_w(text_col)})"),
+        9,
+    )
+
+
+def gopher_rules(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document quality-rule evaluation: one boolean per rule plus the
+    conjunction. Pure projection — at 100 TB this is a map-only pass that
+    pipelines into the scan (no shuffle, no Python).
+
+    Reference parity: the reference's validation stage is config-driven
+    boolean predicates per row (config/silver/schema READMEs); this is the
+    same shape specialized to corpus curation."""
+    sw = STOPWORDS["en"]
+    quoted = ", ".join(f"'{w}'" for w in sw)
+    stop_hits = F.expr(
+        f"size(filter({_w(text_col)}, x -> x IN ({quoted})))"
+    ).cast("long")
+    out = df.select(
+        F.col(id_col),
+        n_words(text_col).alias("n_words"),
+        mean_word_len(text_col).alias("mean_word_len"),
+        symbol_ratio(text_col).alias("symbol_ratio"),
+        alpha_ratio(text_col).alias("alpha_ratio"),
+        stop_hits.alias("stopword_hits"),
+    )
+    rules = {
+        "rule_word_count": (F.col("n_words") >= MIN_WORDS)
+        & (F.col("n_words") <= MAX_WORDS),
+        "rule_mean_word_len": (F.col("mean_word_len") >= MIN_MEAN_WORD_LEN)
+        & (F.col("mean_word_len") <= MAX_MEAN_WORD_LEN),
+        "rule_symbol_ratio": F.col("symbol_ratio") <= MAX_SYMBOL_RATIO,
+        "rule_alpha_ratio": F.col("alpha_ratio") >= MIN_ALPHA_RATIO,
+        "rule_stopwords": F.col("stopword_hits") >= MIN_STOPWORD_HITS,
+    }
+    out = out.withColumns(rules)
+    passes = None
+    for name in rules:
+        passes = F.col(name) if passes is None else (passes & F.col(name))
+    return out.withColumn("passes", passes)
+
+
+def gopher_rules_oracle_sql(table: str = "documents", text_col: str = "text") -> str:
+    """DuckDB twin of :func:`gopher_rules` (same constants, same rounding)."""
+    w = _dd_w(text_col)
+    preds = " OR ".join(f"contains(x, '{s}')" for s in _SYMBOLS)
+    quoted = ", ".join(f"'{x}'" for x in STOPWORDS["en"])
+    return f"""
+    WITH base AS (
+      SELECT doc_id,
+             CAST(len({w}) AS BIGINT) AS n_words,
+             round(CAST(list_reduce(list_transform({w}, x -> len(x)), (a,b) -> a+b) AS DOUBLE)
+                   / len({w}), 9) AS mean_word_len,
+             round(CAST(len(list_filter({w}, x -> {preds})) AS DOUBLE)
+                   / len({w}), 9) AS symbol_ratio,
+             round(CAST(len(list_filter({w}, x -> regexp_matches(x, '[a-zA-Z]'))) AS DOUBLE)
+                   / len({w}), 9) AS alpha_ratio,
+             CAST(len(list_filter({w}, x -> x IN ({quoted}))) AS BIGINT) AS stopword_hits
+      FROM {table}
+    )
+    SELECT *,
+           (rule_word_count AND rule_mean_word_len AND rule_symbol_ratio
+            AND rule_alpha_ratio AND rule_stopwords) AS passes
+    FROM (
+      SELECT *,
+             (n_words >= {MIN_WORDS} AND n_words <= {MAX_WORDS}) AS rule_word_count,
+             (mean_word_len >= {MIN_MEAN_WORD_LEN} AND mean_word_len <= {MAX_MEAN_WORD_LEN})
+               AS rule_mean_word_len,
+             (symbol_ratio <= {MAX_SYMBOL_RATIO}) AS rule_symbol_ratio,
+             (alpha_ratio >= {MIN_ALPHA_RATIO}) AS rule_alpha_ratio,
+             (stopword_hits >= {MIN_STOPWORD_HITS}) AS rule_stopwords
+      FROM base
+    )
+    """
+
+
+# ---------------------------------------------------------------------------
+# Deterministic weighted sampling (Efraimidis-Spirakis exponential keys)
+# ---------------------------------------------------------------------------
+
+#: uniform granularity: md5 prefix of 5 hex chars -> 2^20 buckets
+_U_BUCKETS = 1 << 20
+
+
+def _uniform_sql(id_col: str, salt: str) -> str:
+    """Spark SQL: deterministic uniform in (0,1) from md5(salt|id)."""
+    return (
+        f"(conv(substr(md5(concat('{salt}|', cast({id_col} as string))), 1, 5), 16, 10)"
+        f" + 0.5) / {_U_BUCKETS}"
+    )
+
+
+def _uniform_duckdb(id_col: str, salt: str) -> str:
+    return (
+        f"((('0x' || substr(md5('{salt}|' || CAST({id_col} AS VARCHAR)), 1, 5))::BIGINT"
+        f" + 0.5) / {_U_BUCKETS})"
+    )
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    salt: str = "ws0",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, deterministic: each row gets
+    an exponential key ``-ln(u)/w`` from a hash-derived uniform ``u``; the
+    ``k`` smallest keys are the sample (Efraimidis & Spirakis 2006 A-Res).
+    Higher weight → smaller expected key → higher inclusion odds.
+
+    Scale: pure projection + ``orderBy().limit(k)`` = TakeOrdered — a
+    per-partition top-k heap and a k-row driver merge; the corpus is
+    never globally sorted. Reruns (and the DuckDB twin) pick the exact
+    same rows: keys are md5-derived and rounded to 9 dp before ranking
+    (ties then break on id).
+    """
+    key = F.round(
+        -F.log(F.expr(_uniform_sql(id_col, salt)))
+        / F.greatest(F.col(weight_col).cast("double"), F.lit(1e-9)),
+        9,
+    )
+    return (
+        df.withColumn("sample_key", key)
+        .orderBy(F.col("sample_key").asc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def weighted_sample_oracle_sql(
+    inner_sql: str,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    salt: str = "ws0",
+) -> str:
+    """DuckDB twin of :func:`weighted_sample` over ``inner_sql``."""
+    u = _uniform_duckdb(id_col, salt)
+    return f"""
+    SELECT *, round(-ln({u}) / greatest(CAST({weight_col} AS DOUBLE), 1e-9), 9)
+              AS sample_key
+    FROM ({inner_sql})
+    ORDER BY sample_key ASC, {id_col} ASC
+    LIMIT {k}
+    """
+
+
+# ---------------------------------------------------------------------------
+# Adaptive (per-group quantile) length filtering
+# ---------------------------------------------------------------------------
+
+
+def adaptive_length_filter(
+    df: DataFrame,
+    group_col: str = "lang",
+    length_col: str = "n_chars",
+    lo: float = 0.05,
+    hi: float = 0.95,
+) -> DataFrame:
+    """Keep rows whose ``length_col`` lies within the [lo, hi] quantile
+    band OF THEIR OWN GROUP — per-language length filtering where a fixed
+    global threshold would mis-trim languages with different length
+    distributions (the per-language adaptation CCNet applies to its LM
+    filter).
+
+    The per-group exact interpolated percentiles are a tiny aggregate
+    (one row per group) broadcast back onto the corpus — one shuffle of
+    group-count rows, zero shuffle of the corpus itself. Bounds are
+    rounded to 6 dp in both engines so the inclusion predicate is
+    cross-engine stable."""
+    bounds = df.groupBy(group_col).agg(
+        F.round(F.expr(f"percentile({length_col}, {lo})"), 6).alias("__lo"),
+        F.round(F.expr(f"percentile({length_col}, {hi})"), 6).alias("__hi"),
+    )
+    return (
+        df.join(F.broadcast(bounds), group_col)
+        .filter(
+            (F.col(length_col) >= F.col("__lo"))
+            & (F.col(length_col) <= F.col("__hi"))
+        )
+        .drop("__lo", "__hi")
+    )
+
+
+def adaptive_length_filter_oracle_sql(
+    table: str = "documents",
+    group_col: str = "lang",
+    length_col: str = "n_chars",
+    lo: float = 0.05,
+    hi: float = 0.95,
+) -> str:
+    """DuckDB twin: ``quantile_cont`` is the same interpolated percentile
+    as Spark's ``percentile``."""
+    return f"""
+    SELECT t.*
+    FROM {table} t
+    JOIN (
+      SELECT {group_col},
+             round(quantile_cont({length_col}, {lo}), 6) AS __lo,
+             round(quantile_cont({length_col}, {hi}), 6) AS __hi
+      FROM {table}
+      GROUP BY {group_col}
+    ) b USING ({group_col})
+    WHERE t.{length_col} >= b.__lo AND t.{length_col} <= b.__hi
+    """

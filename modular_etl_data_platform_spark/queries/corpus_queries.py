@@ -1034,3 +1034,58 @@ def q60_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         parallelism=spark.sparkContext.defaultParallelism,
         max_bucket_size=LSH_MAX_BUCKET,
     )
+
+
+# ---------------------------------------------------------------------------
+# Quality-rule bundle, weighted sampling, adaptive length filter (rules.py)
+# ---------------------------------------------------------------------------
+
+from modular_etl_data_platform_spark.corpus import rules as crules  # noqa: E402
+
+
+@query("q67_gopher_rules", crules.gopher_rules_oracle_sql())
+def q67_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style heuristic quality-rule bundle: per-document word-count
+    / mean-word-length / symbol-ratio / alpha-ratio / stopword rules plus
+    the conjunction — a pure map-side projection (no shuffle) that
+    pipelines into the scan at any corpus size."""
+    return crules.gopher_rules(_t(spark, sf_dir, "documents"))
+
+
+_Q68_WEIGHT_DD = (
+    "least(CAST(len(string_split(text,' ')) AS DOUBLE) / 200.0, 1.0) * 0.6"
+    " + (CAST(len(list_filter(string_split(text,' '),"
+    " x -> x IN ('the','a','of','and','is','to','in','that'))) AS DOUBLE)"
+    " / CAST(len(string_split(text,' ')) AS DOUBLE)) * 0.4"
+)
+
+
+@query(
+    "q68_weighted_sample",
+    crules.weighted_sample_oracle_sql(
+        f"SELECT doc_id, lang, source, {_Q68_WEIGHT_DD} AS weight FROM documents",
+        k=500,
+        weight_col="weight",
+    ),
+)
+def q68_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement: 500 docs drawn
+    with probability proportional to quality score via exponential keys
+    over an md5-derived uniform (Efraimidis-Spirakis). TakeOrdered top-k —
+    reproducible across engines, runs and cluster layouts."""
+    from modular_etl_data_platform_spark.corpus import text as _ct
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", _ct.quality_score().alias("weight")
+    )
+    return crules.weighted_sample(docs, k=500, weight_col="weight")
+
+
+@query("q69_adaptive_length_filter", crules.adaptive_length_filter_oracle_sql())
+def q69_adaptive_length_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language adaptive length filtering: keep documents inside their
+    OWN language's [p05, p95] length band (fixed global thresholds
+    mis-trim languages with different length distributions). The per-group
+    interpolated percentiles are a one-row-per-group aggregate broadcast
+    back; the corpus itself never shuffles."""
+    return crules.adaptive_length_filter(_t(spark, sf_dir, "documents"))
