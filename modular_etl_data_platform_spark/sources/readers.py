@@ -76,9 +76,11 @@ def read_path(
             columnNameOfCorruptRecord=CORRUPT_COL,
         ).csv(path)
     if fmt == "json":
-        # raw files in the reference are JSON arrays -> multiLine
+        # raw files in the reference are JSON arrays -> multiLine default;
+        # pass multiline=False for JSONL (line-delimited) sources
         return reader.options(
-            multiLine="true", columnNameOfCorruptRecord=CORRUPT_COL
+            multiLine=str(bool(options.get("multiline", True))).lower(),
+            columnNameOfCorruptRecord=CORRUPT_COL,
         ).json(path)
     if fmt == "parquet":
         return reader.parquet(path)
