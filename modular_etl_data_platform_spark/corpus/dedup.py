@@ -483,10 +483,15 @@ def connected_components(
     check per round; at very large scale, localCheckpoint every few
     rounds to truncate lineage. Deterministic: min() is order-free.
     """
-    bidir = edges.select(
-        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    ).unionByName(
-        edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst"))
+    # materialize the (small) edge list ONCE: edges usually arrive as the
+    # unmaterialized tail of the LSH+verify pipeline, and without a
+    # barrier every propagation round would re-run that whole pipeline
+    bidir = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .unionByName(
+            edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst"))
+        )
+        .localCheckpoint(eager=True)
     )
     labels = vertices.select(
         F.col(id_col), F.col(id_col).alias("cluster_id")
@@ -497,23 +502,22 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("cluster_id").alias("nmin"))
         )
-        new_labels = (
+        # carry the previous label through the update so convergence is a
+        # cheap filter on the SAME checkpointed frame — not a second
+        # labels-to-labels join per round
+        stepped = (
             labels.join(neighbor_min, labels[id_col] == neighbor_min.src, "left")
             .select(
                 F.col(id_col),
+                F.col("cluster_id").alias("__prev"),
                 F.least(
                     F.col("cluster_id"), F.coalesce(F.col("nmin"), F.col("cluster_id"))
                 ).alias("cluster_id"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), id_col)
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .count()
-        )
-        labels = new_labels
+        changed = stepped.filter(F.col("cluster_id") != F.col("__prev")).count()
+        labels = stepped.drop("__prev")
         if changed == 0:
             break
     return labels
