@@ -338,3 +338,58 @@ def repetition_stats(
         F.expr(dup_word).alias("dup_word_frac"),
         F.expr(top_bigram).alias("top_bigram_frac"),
     )
+
+
+# ---------------------------------------------------------------------------
+# curriculum ordering
+# ---------------------------------------------------------------------------
+
+
+def curriculum_order(
+    df: DataFrame,
+    difficulty_col: str = "n_chars",
+    n_buckets: int = 10,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Difficulty-interleaved curriculum ordering: bucket documents into
+    ``n_buckets`` global difficulty deciles, rank deterministically
+    inside each bucket, and emit an ``interleave_key`` whose ascending
+    order visits the buckets round-robin (easy, …, hard, easy, …) — the
+    anti-clumping schedule a curriculum/annealing data loader consumes.
+
+    Bucket thresholds come from ONE interpolated-percentile aggregate
+    (n_buckets-1 doubles, broadcast back) — never ``ntile()``/
+    ``percent_rank()``, whose unpartitioned global window would funnel
+    the corpus through a single task. The in-bucket ``row_number`` is a
+    window over ``n_buckets`` partitions; at 100 TB sub-shard it the same
+    way as the packing plan (partition by (bucket, shard) and offset by
+    shard — the interleave survives because ranks stay dense per shard).
+    Thresholds are rounded to 6 dp so the bucket predicate is
+    cross-engine stable."""
+    fracs = [i / n_buckets for i in range(1, n_buckets)]
+    th = df.agg(
+        *[
+            F.round(F.expr(f"percentile({difficulty_col}, {f})"), 6).alias(
+                f"__t{i}"
+            )
+            for i, f in enumerate(fracs)
+        ]
+    )
+    bucketed = df.crossJoin(F.broadcast(th)).withColumn(
+        "bucket",
+        sum(
+            F.when(F.col(difficulty_col) > F.col(f"__t{i}"), 1).otherwise(0)
+            for i in range(len(fracs))
+        ).cast("int"),
+    ).drop(*[f"__t{i}" for i in range(len(fracs))])
+    w = Window.partitionBy("bucket").orderBy(
+        F.col(difficulty_col).asc(), F.col(id_col).asc()
+    )
+    return bucketed.withColumn(
+        "rank_in_bucket", F.row_number().over(w).cast("long")
+    ).withColumn(
+        "interleave_key",
+        ((F.col("rank_in_bucket") - 1) * n_buckets + F.col("bucket")).cast(
+            "long"
+        ),
+    )

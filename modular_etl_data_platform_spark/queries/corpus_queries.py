@@ -1089,3 +1089,94 @@ def q69_adaptive_length_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     interpolated percentiles are a one-row-per-group aggregate broadcast
     back; the corpus itself never shuffles."""
     return crules.adaptive_length_filter(_t(spark, sf_dir, "documents"))
+
+
+def _semantic_dedup_oracle(threshold: float = 0.4) -> str:
+    """Recursive-CTE fixpoint over the SAME banded-hyperplane edge set as
+    q58's oracle — the cluster labels are min-reachable-id, exactly what
+    min-label propagation converges to."""
+    edges = _lsh_near_dup_oracle(threshold=threshold)
+    return f"""
+    WITH RECURSIVE edges AS ({edges}),
+    bidir AS (
+      SELECT id_a AS src, id_b AS dst FROM edges
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM edges
+    ),
+    reach(vec_id, r) AS (
+      SELECT vec_id, vec_id FROM embeddings
+      UNION
+      SELECT b.src, reach.r FROM bidir b JOIN reach ON b.dst = reach.vec_id
+    )
+    SELECT vec_id, MIN(r) AS cluster_id,
+           (vec_id = MIN(r)) AS is_representative
+    FROM reach GROUP BY vec_id
+    """
+
+
+@query("q76_semantic_dedup", _semantic_dedup_oracle())
+def q76_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-shaped semantic deduplication over the embedding space:
+    banded hyperplane-LSH near-dup pairs (the q58 scale path — bucket-
+    local equi-joins, never all-pairs) chained into connected components;
+    each embedding gets its semantic cluster label and the min-id member
+    is flagged as the cluster representative (keep it, drop the rest).
+    The oracle recomputes the identical edge set and closes it with a
+    recursive CTE, so both the prefilter AND the clustering are pinned by
+    the hash check."""
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = csim.embedding_near_dup_pairs(
+        emb,
+        threshold=0.4,
+        use_lsh_prefilter=True,
+        bands=4,
+        parallelism=spark.sparkContext.defaultParallelism,
+    ).select("id_a", "id_b")
+    labels = cdedup.connected_components(
+        emb.select("vec_id"), pairs, id_col="vec_id"
+    )
+    return labels.select(
+        "vec_id",
+        "cluster_id",
+        (F.col("vec_id") == F.col("cluster_id")).alias("is_representative"),
+    )
+
+
+def _curriculum_oracle(n_buckets: int = 10) -> str:
+    fracs = [i / n_buckets for i in range(1, n_buckets)]
+    th_cols = ", ".join(
+        f"round(quantile_cont(n_chars, {f}), 6) AS t{i}" for i, f in enumerate(fracs)
+    )
+    bucket = " + ".join(
+        f"CASE WHEN n_chars > t{i} THEN 1 ELSE 0 END" for i in range(len(fracs))
+    )
+    return f"""
+    WITH th AS (SELECT {th_cols} FROM documents),
+    bucketed AS (
+      SELECT doc_id, lang, n_chars, CAST({bucket} AS INTEGER) AS bucket
+      FROM documents, th
+    )
+    SELECT doc_id, lang, n_chars, bucket,
+           CAST(ROW_NUMBER() OVER (PARTITION BY bucket
+                                   ORDER BY n_chars ASC, doc_id ASC) AS BIGINT)
+             AS rank_in_bucket,
+           CAST((ROW_NUMBER() OVER (PARTITION BY bucket
+                                    ORDER BY n_chars ASC, doc_id ASC) - 1)
+                * {n_buckets} + bucket AS BIGINT) AS interleave_key
+    FROM bucketed
+    """
+
+
+@query("q77_curriculum_order", _curriculum_oracle())
+def q77_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difficulty-interleaved curriculum ordering: global decile buckets
+    from one percentile aggregate (no ntile/percent_rank global window),
+    deterministic in-bucket ranks, and an interleave key that visits
+    buckets round-robin — the schedule a curriculum data loader reads
+    off directly."""
+    out = ccur.curriculum_order(
+        _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    )
+    return out.select(
+        "doc_id", "lang", "n_chars", "bucket", "rank_in_bucket", "interleave_key"
+    )

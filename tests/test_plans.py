@@ -145,6 +145,7 @@ CARTESIAN_OK = {
     "q52_mixture_weights",
     "q59_lm_perplexity",  # 1-row trigram-total broadcast
     "q64_apply_mixture",  # 1-row max(sample_factor) broadcast
+    "q77_curriculum_order",  # 1-row percentile-thresholds broadcast
 }
 
 
