@@ -1,0 +1,104 @@
+"""Time-series operators: calendar gap-fill (resample + LOCF) and
+trailing time-range rolling aggregates — the hypertable-style operations
+a metrics/telemetry pipeline runs over event streams.
+
+Scale design:
+
+- **Gap-fill** generates each key's calendar grid with ``sequence()`` —
+  a per-key projection whose row count is (span / step), independent of
+  event count — then left-joins the actual per-bucket aggregates and
+  forward-fills with ``last(..., ignorenulls=True)`` over a window
+  partitioned BY KEY. Nothing is ever global: one shuffle for the
+  per-bucket agg, one for the per-key window; grid explode is map-side.
+- **Trailing time-range windows** use ``Window.rangeBetween`` over epoch
+  seconds — the frame is defined by TIME, not row count, so sparse and
+  bursty keys both get the semantics a trailing-60-min metric implies.
+  Frames are computed per key partition; sums are decimal-cast so the
+  incremental frame arithmetic is exact and order-independent (the same
+  cross-engine convention as the aggregate catalog).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def gap_fill_daily(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-key daily resample with explicit gap rows: one row per key per
+    calendar day between that key's first and last event; missing days
+    get n_events=0 and carry the last known daily total forward (LOCF).
+
+    Returns (key, day, n_events, daily_total, last_known_total, is_gap).
+    ``daily_total`` is NULL on gap days (the fact that there was no
+    observation is preserved); ``last_known_total`` is the LOCF series a
+    dashboard or feature pipeline consumes."""
+    daily = events.groupBy(
+        F.col(key_col), F.to_date(ts_col).alias("day")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.col(value_col).cast("decimal(18,6)"))
+        .cast("double")
+        .alias("daily_total"),
+    )
+    span = events.groupBy(key_col).agg(
+        F.min(F.to_date(ts_col)).alias("__d0"),
+        F.max(F.to_date(ts_col)).alias("__d1"),
+    )
+    grid = span.select(
+        key_col,
+        F.explode(
+            F.sequence("__d0", "__d1", F.expr("interval 1 day"))
+        ).alias("day"),
+    )
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        grid.join(daily, [key_col, "day"], "left")
+        .select(
+            key_col,
+            "day",
+            F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+            "daily_total",
+            F.last("daily_total", ignorenulls=True).over(w).alias(
+                "last_known_total"
+            ),
+            F.col("daily_total").isNull().alias("is_gap"),
+        )
+    )
+
+
+def trailing_time_window(
+    events: DataFrame,
+    window_seconds: int = 3600,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Trailing time-range rolling aggregate per key: for every event,
+    the count/sum/avg of that key's events in the preceding
+    ``window_seconds`` (inclusive) — frame bounds defined by TIME via
+    ``rangeBetween`` over epoch seconds, not by row count."""
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.unix_timestamp(ts_col))
+        .rangeBetween(-window_seconds, 0)
+    )
+    dec_sum = F.sum(F.col(value_col).cast("decimal(18,6)")).over(w)
+    n = F.count(F.lit(1)).over(w)
+    return events.select(
+        F.col("event_id"),
+        F.col(key_col),
+        F.col(ts_col),
+        n.cast("long").alias("n_trailing"),
+        dec_sum.cast("double").alias("sum_trailing"),
+        (dec_sum.cast("double") / n).alias("avg_trailing"),
+    )
