@@ -70,3 +70,85 @@ def q79_trailing_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     Decimal-cast frame sums keep the incremental arithmetic exact and
     engine-portable."""
     return ts.trailing_time_window(_t(spark, sf_dir, "events"))
+
+
+@query(
+    "q80_cohort_retention",
+    """
+    WITH firsts AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    )
+    SELECT f.cohort_day,
+           CAST(a.day - f.cohort_day AS BIGINT) AS day_offset,
+           CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_active
+    FROM activity a JOIN firsts f USING (user_id)
+    GROUP BY f.cohort_day, day_offset
+    """,
+)
+def q80_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-seen day, counted
+    on each later activity day as an offset from their cohort start. Two
+    uniform-key aggregations plus a broadcastable (one row per user)
+    cohort join — no windows, no skew, linear at any event volume."""
+    ev = _t(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("cohort_day")
+    )
+    activity = ev.select("user_id", F.to_date("ts").alias("day")).dropDuplicates()
+    return (
+        activity.join(firsts, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff("day", "cohort_day").cast("long").alias("day_offset"),
+        )
+        .agg(F.countDistinct("user_id").cast("long").alias("n_active"))
+    )
+
+
+@query(
+    "q81_funnel_conversion",
+    """
+    WITH steps AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT
+      CAST(COUNT(*) AS BIGINT) AS n_users,
+      CAST(SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS step_view,
+      CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                    THEN 1 ELSE 0 END) AS BIGINT) AS step_click,
+      CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                     AND t_purchase > t_click
+                    THEN 1 ELSE 0 END) AS BIGINT) AS step_purchase
+    FROM steps
+    """,
+)
+def q81_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel conversion (view -> click -> purchase): per-user
+    first-occurrence timestamps via one conditional aggregation (no
+    windows, no self-joins — the classic funnel anti-pattern is a
+    per-step self-join that shuffles events once per step), then ordered
+    step predicates folded into counts. One shuffle on user_id, one
+    1-row result."""
+    ev = _t(spark, sf_dir, "events")
+    steps = ev.groupBy("user_id").agg(
+        *[
+            F.min(F.when(F.col("event_type") == s, F.col("ts"))).alias(f"t_{s}")
+            for s in ("view", "click", "purchase")
+        ]
+    )
+    reached_view = F.col("t_view").isNotNull()
+    reached_click = reached_view & (F.col("t_click") > F.col("t_view"))
+    reached_purchase = reached_click & (F.col("t_purchase") > F.col("t_click"))
+    return steps.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum(reached_view.cast("int")).cast("long").alias("step_view"),
+        F.sum(reached_click.cast("int")).cast("long").alias("step_click"),
+        F.sum(reached_purchase.cast("int")).cast("long").alias("step_purchase"),
+    )
