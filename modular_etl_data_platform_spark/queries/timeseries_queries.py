@@ -4,7 +4,7 @@ trailing time-range windows) — hypertable-style queries over ``events``.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from modular_etl_data_platform_spark.queries.catalog import _t, query
@@ -151,4 +151,130 @@ def q81_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(reached_view.cast("int")).cast("long").alias("step_view"),
         F.sum(reached_click.cast("int")).cast("long").alias("step_click"),
         F.sum(reached_purchase.cast("int")).cast("long").alias("step_purchase"),
+    )
+
+
+@query(
+    "q82_column_profile",
+    """
+    SELECT 'o_custkey' AS column_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_distinct,
+           CAST(MIN(o_custkey) AS VARCHAR) AS min_value,
+           CAST(MAX(o_custkey) AS VARCHAR) AS max_value
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', COUNT(*),
+           CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT),
+           CAST(MIN(o_orderstatus) AS VARCHAR), CAST(MAX(o_orderstatus) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', COUNT(*),
+           CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(DISTINCT o_totalprice) AS BIGINT),
+           CAST(MIN(o_totalprice) AS VARCHAR), CAST(MAX(o_totalprice) AS VARCHAR)
+    FROM orders
+    """,
+)
+def q82_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level data profile (the discovery step before authoring DQ
+    rules): per column, row/null/distinct counts and min/max — computed
+    in ONE pass over the table (every profile metric is an aggregate of
+    the same scan; Spark evaluates them together, so the table is read
+    once, not once per column). Values ship as strings so one schema
+    covers every column type."""
+    orders = _t(spark, sf_dir, "orders")
+    cols = ["o_custkey", "o_orderstatus", "o_totalprice"]
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.lit(1)).cast("long").alias(f"{c}__n"),
+            F.sum(F.col(c).isNull().cast("int")).cast("long").alias(f"{c}__null"),
+            F.countDistinct(c).cast("long").alias(f"{c}__dist"),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+        ]
+    one = orders.agg(*aggs)
+    profiles = [
+        one.select(
+            F.lit(c).alias("column_name"),
+            F.col(f"{c}__n").alias("n_rows"),
+            F.col(f"{c}__null").alias("n_null"),
+            F.col(f"{c}__dist").alias("n_distinct"),
+            F.col(f"{c}__min").alias("min_value"),
+            F.col(f"{c}__max").alias("max_value"),
+        )
+        for c in cols
+    ]
+    out = profiles[0]
+    for p in profiles[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+@query(
+    "q83_rate_anomalies",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    stats AS (
+      SELECT event_type, day, n,
+             CAST(SUM(n) OVER w AS DOUBLE) / COUNT(*) OVER w AS mu,
+             COUNT(*) OVER w AS n_days,
+             CAST(SUM(n * n) OVER w AS DOUBLE) AS sq
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, day, CAST(n AS BIGINT) AS n,
+           round(mu, 9) AS trailing_mean,
+           round((n - mu) / sqrt(greatest(sq / n_days - mu * mu, 1e-9)), 9)
+             AS z_score
+    FROM stats
+    WHERE n_days >= 7
+    """,
+)
+def q83_rate_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-rate anomaly scores: daily counts per event type z-scored
+    against their own trailing-7-day window (frame excludes the current
+    day). Counts are integers so the mean/variance arithmetic is
+    bit-identical in both engines; z rounds to 9 dp. Daily aggregation is
+    one uniform-key shuffle; the window partitions by event_type (bounded
+    cardinality — sub-shard by week at extreme history lengths)."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-7, -1)
+    )
+    mu = F.sum("n").over(w).cast("double") / F.count(F.lit(1)).over(w)
+    n_days = F.count(F.lit(1)).over(w)
+    sq = F.sum(F.col("n") * F.col("n")).over(w).cast("double")
+    stats = daily.select(
+        "event_type",
+        "day",
+        F.col("n").cast("long").alias("n"),
+        mu.alias("mu"),
+        n_days.alias("n_days"),
+        sq.alias("sq"),
+    ).filter(F.col("n_days") >= 7)
+    z = (F.col("n") - F.col("mu")) / F.sqrt(
+        F.greatest(
+            F.col("sq") / F.col("n_days") - F.col("mu") * F.col("mu"),
+            F.lit(1e-9),
+        )
+    )
+    return stats.select(
+        "event_type",
+        "day",
+        "n",
+        F.round("mu", 9).alias("trailing_mean"),
+        F.round(z, 9).alias("z_score"),
     )
