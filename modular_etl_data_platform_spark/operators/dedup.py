@@ -59,6 +59,41 @@ def dedupe_latest_salted(
     return dedupe_latest(first, keys, order_col, tiebreakers).drop("__salt")
 
 
+def golden_record(
+    df: DataFrame,
+    keys: list[str],
+    order_cols: list[str],
+    survivor_cols: list[str],
+) -> DataFrame:
+    """Survivorship merge (MDM "golden record"): one row per key whose
+    ``survivor_cols`` each carry the LATEST NON-NULL value seen for that
+    key — unlike ``dedupe_latest``, which keeps one whole row and loses
+    older rows' filled-in fields.
+
+    Implementation is one window over the key (single shuffle):
+    ``last(col, ignorenulls=True)`` per survivor column over the full
+    frame ordered by ``order_cols`` (which must totally order rows within
+    a key — include a unique id), then keep the last row per key. All
+    survivor lookups share the same Exchange; cost is independent of the
+    number of survivor columns."""
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(*[F.col(c) for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    w_rank = Window.partitionBy(*keys).orderBy(
+        *[F.col(c).desc() for c in order_cols]
+    )
+    out = df
+    for c in survivor_cols:
+        out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    return (
+        out.withColumn("__rn", F.row_number().over(w_rank))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
 def duplicate_keys(df: DataFrame, keys: list[str]) -> DataFrame:
     """Uniqueness audit (SURVEY §2.5 A6): keys appearing more than once."""
     return (

@@ -76,6 +76,81 @@ def gap_fill_daily(
     )
 
 
+def gap_fill_interpolated(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-key daily resample with LINEAR interpolation across gap days
+    (the companion to ``gap_fill_daily``'s LOCF): a missing day's value
+    is the straight line between the previous and next observed daily
+    totals, weighted by calendar distance. Sensor/metrics pipelines use
+    this where LOCF would bias trailing aggregates on sparse keys.
+
+    Same scale shape as ``gap_fill_daily`` — per-key grid via
+    ``sequence()``, one agg shuffle, one window shuffle; the
+    prev/next lookups are two frames over the SAME key window (one
+    Exchange). Daily totals are decimal-summed (exact), so the
+    interpolation arithmetic is deterministic; consumers round.
+
+    Returns (key, day, n_events, daily_total, filled_total,
+    fill_method) where fill_method ∈ ('observed', 'interpolated')."""
+    daily = events.groupBy(
+        F.col(key_col), F.to_date(ts_col).alias("day")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.col(value_col).cast("decimal(18,6)"))
+        .cast("double")
+        .alias("daily_total"),
+    )
+    span = events.groupBy(key_col).agg(
+        F.min(F.to_date(ts_col)).alias("__d0"),
+        F.max(F.to_date(ts_col)).alias("__d1"),
+    )
+    grid = span.select(
+        key_col,
+        F.explode(
+            F.sequence("__d0", "__d1", F.expr("interval 1 day"))
+        ).alias("day"),
+    )
+    w_prev = (
+        Window.partitionBy(key_col)
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_next = (
+        Window.partitionBy(key_col)
+        .orderBy("day")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    obs_day = F.when(F.col("daily_total").isNotNull(), F.col("day"))
+    prev_val = F.last("daily_total", ignorenulls=True).over(w_prev)
+    prev_day = F.last(obs_day, ignorenulls=True).over(w_prev)
+    next_val = F.first("daily_total", ignorenulls=True).over(w_next)
+    next_day = F.first(obs_day, ignorenulls=True).over(w_next)
+    frac = F.datediff(F.col("day"), prev_day).cast("double") / F.datediff(
+        next_day, prev_day
+    )
+    interp = prev_val + (next_val - prev_val) * frac
+    filled = (
+        F.when(F.col("daily_total").isNotNull(), F.col("daily_total"))
+        .when(prev_val.isNotNull() & next_val.isNotNull(), interp)
+        .when(prev_val.isNotNull(), prev_val)
+        .otherwise(next_val)
+    )
+    return grid.join(daily, [key_col, "day"], "left").select(
+        key_col,
+        "day",
+        F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+        "daily_total",
+        filled.alias("filled_total"),
+        F.when(F.col("daily_total").isNotNull(), F.lit("observed"))
+        .otherwise(F.lit("interpolated"))
+        .alias("fill_method"),
+    )
+
+
 def trailing_time_window(
     events: DataFrame,
     window_seconds: int = 3600,

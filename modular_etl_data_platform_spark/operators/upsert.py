@@ -104,16 +104,23 @@ def upsert_parquet(
 
     target = spark.read.parquet(path) if exists else None
     merged = merge_dataframes(target, batch, primary_keys)
+    atomic_overwrite(merged, path, partition_by)
 
+
+def atomic_overwrite(
+    df: DataFrame, path: str, partition_by: list[str] | None = None
+) -> None:
+    """Rewrite ``path`` with ``df`` via staging + rename-aside swap
+    (mirrors compact_table): the target is never in a deleted state — a
+    crash leaves either the old table or the new one plus a removable
+    ``__old`` directory, not a hole. Safe when ``df`` reads from
+    ``path`` (the write lands in staging first)."""
     staging = tempfile.mkdtemp(prefix="upsert_staging_")
     shutil.rmtree(staging)
-    w = merged.write.mode("overwrite")
+    w = df.write.mode("overwrite")
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(staging)
-    # rename-aside swap (mirrors compact_table): the target is never in a
-    # deleted state — a crash leaves either the old table or the new one
-    # plus a removable __old directory, not a hole
     if os.path.exists(path):
         old = path.rstrip("/") + "__old"
         if os.path.exists(old):

@@ -1399,3 +1399,4 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 from modular_etl_data_platform_spark.queries import corpus_queries  # noqa: E402,F401
 from modular_etl_data_platform_spark.queries import roundtrip_queries  # noqa: E402,F401
 from modular_etl_data_platform_spark.queries import timeseries_queries  # noqa: E402,F401
+from modular_etl_data_platform_spark.queries import platform_queries  # noqa: E402,F401

@@ -35,6 +35,39 @@ from modular_etl_data_platform_spark.schema.registry import TableConfig
 from modular_etl_data_platform_spark.sources.audit import add_metadata_columns
 
 
+def stream_apply_cdc(
+    spark: SparkSession,
+    changes_stream: DataFrame,
+    target_path: str,
+    checkpoint: str,
+    keys: list[str],
+    seq_cols: list[str],
+    op_col: str = "op",
+    delete_op: str = "D",
+):
+    """Apply a streaming CDC feed (upsert + delete opcodes) to a parquet
+    table via ``foreachBatch`` — the delete-capable extension of
+    :func:`stream_bronze_to_silver`'s upsert loop, i.e. the standard
+    Spark pattern for consuming a Debezium/Delta-CDF-shaped feed.
+    Each micro-batch collapses to latest-per-key before merging, so a
+    key updated many times within a batch rewrites once."""
+    from modular_etl_data_platform_spark.operators.cdc import (
+        apply_cdc_parquet,
+    )
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        apply_cdc_parquet(
+            spark, batch, target_path, keys, seq_cols, op_col, delete_op
+        )
+
+    return (
+        changes_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_ingest(
     spark: SparkSession,
     config: TableConfig,
