@@ -16,6 +16,11 @@ from pyspark.sql import functions as F
 from modular_etl_data_platform_spark.operators import timeseries as ts
 from modular_etl_data_platform_spark.operators.cdc import apply_changes
 from modular_etl_data_platform_spark.operators.dedup import golden_record
+from modular_etl_data_platform_spark.operators.profiling import (
+    candidate_keys,
+    key_skew_topk,
+    numeric_histogram,
+)
 from modular_etl_data_platform_spark.operators.reconcile import (
     column_drift,
     reconcile_amounts,
@@ -357,3 +362,107 @@ def q88_user_profile_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame
         F.round("last_purchase_value", 9).alias("last_purchase_value"),
         "last_error_ts",
     )
+
+
+@query(
+    "q89_candidate_keys",
+    """
+    WITH o AS (
+      SELECT COUNT(*) AS n,
+             COUNT(DISTINCT o_orderkey) AS d0,
+             COUNT(DISTINCT o_custkey) AS d1
+      FROM orders
+    ),
+    l AS (
+      SELECT COUNT(*) AS n,
+             COUNT(DISTINCT l_orderkey) AS d0,
+             COUNT(DISTINCT (l_orderkey, l_linenumber)) AS d1
+      FROM lineitem
+    )
+    SELECT 'orders(o_orderkey)' AS column_set, CAST(n AS BIGINT) AS n_rows,
+           CAST(d0 AS BIGINT) AS n_distinct, d0 = n AS is_candidate_key FROM o
+    UNION ALL
+    SELECT 'orders(o_custkey)', CAST(n AS BIGINT), CAST(d1 AS BIGINT), d1 = n FROM o
+    UNION ALL
+    SELECT 'lineitem(l_orderkey)', CAST(n AS BIGINT), CAST(d0 AS BIGINT), d0 = n FROM l
+    UNION ALL
+    SELECT 'lineitem(l_orderkey,l_linenumber)', CAST(n AS BIGINT),
+           CAST(d1 AS BIGINT), d1 = n FROM l
+    """,
+)
+def q89_candidate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-key discovery: which column sets uniquely identify rows
+    — the schema-inference step before declaring primary_keys in a table
+    config. All distinct counts per table are aggregates of one scan;
+    lineitem needs the composite (orderkey, linenumber), orders only
+    o_orderkey."""
+    orders = candidate_keys(
+        _t(spark, sf_dir, "orders"),
+        [["o_orderkey"], ["o_custkey"]],
+        label_prefix="orders",
+    )
+    lineitem = candidate_keys(
+        _t(spark, sf_dir, "lineitem"),
+        [["l_orderkey"], ["l_orderkey", "l_linenumber"]],
+        label_prefix="lineitem",
+    )
+    return orders.unionByName(lineitem)
+
+
+@query(
+    "q90_value_histogram",
+    """
+    WITH b AS (
+      SELECT CAST(MIN(o_totalprice) AS DOUBLE) AS lo,
+             CAST(MAX(o_totalprice) AS DOUBLE) AS hi
+      FROM orders
+    ),
+    x AS (
+      SELECT CAST(o_totalprice AS DOUBLE) AS x FROM orders
+      WHERE o_totalprice IS NOT NULL
+    ),
+    bucketed AS (
+      SELECT LEAST(CAST(FLOOR((x - lo) * 10 / (hi - lo)) AS BIGINT), 9)
+               AS bucket, lo, hi
+      FROM x, b
+    )
+    SELECT bucket,
+           round(lo + bucket * (hi - lo) / 10, 9) AS bucket_lo,
+           round(lo + (bucket + 1) * (hi - lo) / 10, 9) AS bucket_hi,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM bucketed GROUP BY bucket, lo, hi
+    """,
+)
+def q90_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of o_totalprice with data-derived bounds:
+    a 1-row min/max aggregate broadcast back over the scan (never a
+    collect), then a groupBy on ≤10 bucket ids. The distribution-shape
+    companion to q82's moment profile."""
+    return numeric_histogram(_t(spark, sf_dir, "orders"), "o_totalprice")
+
+
+@query(
+    "q91_key_skew_profile",
+    """
+    WITH counts AS (
+      SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_rows
+      FROM lineitem GROUP BY l_partkey
+    ),
+    total AS (SELECT SUM(n_rows) AS t FROM counts),
+    top AS (
+      SELECT l_partkey, n_rows,
+             row_number() OVER (ORDER BY n_rows DESC, l_partkey ASC) AS rn
+      FROM counts
+    )
+    SELECT l_partkey, n_rows,
+           round(CAST(n_rows AS DOUBLE) / t, 9) AS share
+    FROM top, total WHERE rn <= 10
+    """,
+)
+def q91_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew profile: the 10 hottest l_partkey values with row
+    counts and share of table — the pre-join diagnostic that decides
+    between a plain shuffle join, AQE skew split, or explicit salting
+    (q61). Top-k runs as TakeOrdered over per-key aggregates, never a
+    global sort; ties break on the key for determinism."""
+    return key_skew_topk(_t(spark, sf_dir, "lineitem"), "l_partkey", k=10)

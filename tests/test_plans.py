@@ -146,6 +146,8 @@ CARTESIAN_OK = {
     "q59_lm_perplexity",  # 1-row trigram-total broadcast
     "q64_apply_mixture",  # 1-row max(sample_factor) broadcast
     "q77_curriculum_order",  # 1-row percentile-thresholds broadcast
+    "q90_value_histogram",  # 1-row min/max-bounds broadcast
+    "q91_key_skew_profile",  # 1-row total broadcast for the share column
 }
 
 

@@ -220,6 +220,49 @@ def test_column_drift_metrics(spark):
     assert tvd.delta == round(2.0 / 3, 9)
 
 
+def test_candidate_keys_detects_composite_key(spark):
+    from modular_etl_data_platform_spark.operators.profiling import (
+        candidate_keys,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 1, "x"), (1, 2, "y"), (2, 1, "z")], ["a", "b", "c"]
+    )
+    out = {
+        r.column_set: (r.n_distinct, r.is_candidate_key)
+        for r in candidate_keys(df, [["a"], ["a", "b"]], "t").collect()
+    }
+    assert out == {"t(a)": (2, False), "t(a,b)": (3, True)}
+
+
+def test_numeric_histogram_buckets_and_bounds(spark):
+    from modular_etl_data_platform_spark.operators.profiling import (
+        numeric_histogram,
+    )
+
+    # values 0..10: lo=0, hi=10, width=1; 10 lands in the last bucket
+    df = spark.createDataFrame([(float(i),) for i in range(11)], ["v"])
+    out = {r.bucket: r for r in numeric_histogram(df, "v", 10).collect()}
+    assert len(out) == 10
+    assert out[0].n_rows == 1 and (out[0].bucket_lo, out[0].bucket_hi) == (0.0, 1.0)
+    assert out[9].n_rows == 2  # 9.0 and the max value 10.0
+    assert out[9].bucket_hi == 10.0
+
+
+def test_key_skew_topk_orders_and_shares(spark):
+    from modular_etl_data_platform_spark.operators.profiling import (
+        key_skew_topk,
+    )
+
+    rows = [(1,)] * 6 + [(2,)] * 3 + [(3,)] * 1
+    df = spark.createDataFrame(rows, ["k"])
+    out = key_skew_topk(df, "k", k=2).collect()
+    assert [(r.k, r.n_rows, r.share) for r in out] == [
+        (1, 6, 0.6),
+        (2, 3, 0.3),
+    ]
+
+
 def test_gap_fill_interpolated_linear_values(spark):
     rows = [
         # user 1: day 1 total 10, day 4 total 40 -> days 2,3 interpolate 20,30
