@@ -39,14 +39,19 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores ``ts`` as TIMESTAMP(NANOS), which Spark's
-    vectorized reader rejects. Read it as long (``nanosAsLong``) and
-    floor-truncate to microseconds — exactly what DuckDB does when it
-    coerces TIMESTAMP_NS to its microsecond TIMESTAMP, so both engines see
-    identical values and identical ordering ties."""
+    """Load events.parquet with a session-zone TIMESTAMP ``ts`` regardless
+    of how the file stores it. Generations of the driver testdata have
+    shipped ``ts`` as TIMESTAMP(NANOS) (which Spark's vectorized reader
+    rejects — needs ``nanosAsLong`` + floor to micros, the same coercion
+    DuckDB applies) and as plain TIMESTAMP_NTZ micros (readable directly).
+    Adapt on the observed type so both engines always see identical values:
+    the session zone is UTC, so NTZ -> LTZ is value-preserving."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ts_type = df.schema["ts"].dataType.typeName()
+    if ts_type in ("long", "integer"):
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def dsum(col, alias: str, scale: int = 6):

@@ -10,14 +10,18 @@ computed directly on the parquet views. A wrong delimiter, a dropped
 row, a broken merge or a mis-evaluated rule changes the aggregate and
 fails the gate — so these are end-to-end proofs, not smoke tests.
 
-Scratch layout: /tmp/spark_graft_rt/<query>/<sf-tag>, rebuilt on every
-invocation (idempotent; reruns never double-append).
+Scratch layout: $SPARK_GRAFT_SCRATCH/<query>/<sf-tag>, rebuilt on every
+invocation (idempotent; reruns never double-append). The root defaults
+to a per-process tmp dir so concurrent harness runs (driver + local
+check + pytest) never collide, and is overridable via env for sandboxes
+with a read-only /tmp.
 """
 
 from __future__ import annotations
 
 import os
 import shutil
+import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -30,7 +34,10 @@ from modular_etl_data_platform_spark.operators.facts import DimensionLookup, loa
 from modular_etl_data_platform_spark.operators.transforms import apply_transformations
 from modular_etl_data_platform_spark.operators.validate import RuleSet
 
-_RT_ROOT = "/tmp/spark_graft_rt"
+_RT_ROOT = os.environ.get(
+    "SPARK_GRAFT_SCRATCH",
+    os.path.join(tempfile.gettempdir(), f"spark_graft_rt_{os.getpid()}"),
+)
 
 
 def _scratch(qname: str, sf_dir: str) -> str:

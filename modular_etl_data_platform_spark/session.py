@@ -71,13 +71,17 @@ def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None
         path = os.path.join(sf_dir, f"{name}.parquet")
         if os.path.exists(path):
             if name == "events":
-                # events.parquet stores TIMESTAMP(NANOS), which the
-                # vectorized reader rejects: read as long, floor to micros
-                # (same coercion DuckDB applies, so engines agree)
+                # Adapt to either testdata generation of events.ts:
+                # TIMESTAMP(NANOS) (vectorized reader rejects -> read as
+                # long, floor to micros, the coercion DuckDB applies) or
+                # TIMESTAMP_NTZ micros (cast to session-zone timestamp;
+                # session zone is UTC so the values are identical).
                 spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-                df = spark.read.parquet(path).withColumn(
-                    "ts", F.timestamp_micros(F.expr("ts div 1000"))
-                )
+                df = spark.read.parquet(path)
+                if df.schema["ts"].dataType.typeName() in ("long", "integer"):
+                    df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+                else:
+                    df = df.withColumn("ts", F.col("ts").cast("timestamp"))
             else:
                 df = spark.read.parquet(path)
             df.createOrReplaceTempView(name)
