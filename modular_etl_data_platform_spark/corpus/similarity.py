@@ -22,6 +22,8 @@ deterministic, identical to the DuckDB oracle's ``list_reduce``.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -190,22 +192,38 @@ def build_ivf_index(
     cell_col: str = "label",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> None:
     """Materialize the IVF index: embeddings written PARTITIONED BY cell,
     so a probe that routes to ``probes`` cells reads only those cells'
     files — partition pruning at the storage level, the piece q25's
     in-memory form only simulates with a filter. ``cells`` overrides the
-    pre-labeled column with learned assignments (:func:`kmeans_cells`)."""
+    pre-labeled column with learned assignments (:func:`kmeans_cells`).
+
+    Also writes the k-row centroid SIDECAR to ``{path}/_centroids``
+    (underscore prefix = invisible to the main parquet scan), so probes
+    route without touching the corpus: a probe's pre-step is a k-row
+    read, not an O(corpus) centroid recomputation. ``dim`` is inferred
+    from the data when not given (one first() at build time)."""
     if cells is not None:
         emb = emb.join(cells, id_col).withColumn("__cell", F.col("cell"))
     else:
         emb = emb.withColumn("__cell", F.col(cell_col))
+    labeled = emb.select(F.col(id_col), F.col(vec_col), F.col("__cell").alias("cell"))
     (
-        emb.select(F.col(id_col), F.col(vec_col), F.col("__cell").alias("cell"))
-        .repartition("cell")
+        labeled.repartition("cell")
         .write.mode("overwrite")
         .partitionBy("cell")
         .parquet(path)
+    )
+    if dim is None:
+        row = labeled.select(F.size(F.col(vec_col)).alias("d")).first()
+        dim = int(row["d"]) if row else 0
+    (
+        centroids_exact(labeled, "cell", vec_col, dim)
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(os.path.join(path, "_centroids"))
     )
 
 
@@ -220,15 +238,19 @@ def ivf_probe_indexed(
     dim: int = 64,
 ) -> DataFrame:
     """Probe the partitioned IVF index: rank cells by centroid similarity
-    to the query (centroids recomputed from the index — production keeps
-    a tiny sidecar table, same result), then scan ONLY the chosen cells.
-    The ``cell IN (...)`` filter lands in PartitionFilters, so the scan
-    reads just those directories — the file-level pruning that makes IVF
-    sublinear on disk, not only in memory (plan-asserted in
-    tests/test_plans.py)."""
+    to the query using the k-row ``_centroids`` sidecar written at build
+    time, then scan ONLY the chosen cells. The ``cell IN (...)`` filter
+    lands in PartitionFilters, so the scan reads just those directories —
+    the file-level pruning that makes IVF sublinear on disk, not only in
+    memory (plan- and IO-asserted in tests/test_plans.py /
+    tests/test_corpus.py). Pre-sidecar indexes (no ``_centroids`` dir)
+    fall back to recomputing centroids from the full index."""
     idx = spark.read.parquet(index_path)
     qlit = F.array(*[F.lit(float(x)) for x in query_vec])
-    cents = centroids_exact(idx, "cell", vec_col, dim)
+    try:
+        cents = spark.read.parquet(os.path.join(index_path, "_centroids"))
+    except Exception:
+        cents = centroids_exact(idx, "cell", vec_col, dim)
     best = [
         r.cell
         for r in cents.select(

@@ -28,7 +28,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -142,7 +142,6 @@ def column_drift(
         )
         for c, m in rows
     ]
-    w_all = Window.partitionBy()
     for c in categorical_columns:
         shares = (
             df.select(
@@ -154,12 +153,13 @@ def column_drift(
                 F.sum((~F.col("__is_base")).cast("long")).alias("nc"),
             )
         )
-        with_totals = shares.select(
-            "nb",
-            "nc",
-            F.sum("nb").over(w_all).alias("tb"),
-            F.sum("nc").over(w_all).alias("tc"),
+        # totals via a 1-row broadcast, not a global (single-partition)
+        # window — category cardinality is bounded but the idiom must
+        # hold at any width (same pattern as curation/profiling shares)
+        totals = shares.agg(
+            F.sum("nb").alias("tb"), F.sum("nc").alias("tc")
         )
+        with_totals = shares.crossJoin(F.broadcast(totals))
         tvd = with_totals.agg(
             F.round(
                 F.sum(

@@ -234,6 +234,25 @@ def test_ivf_index_partition_pruned_probe(spark, emb, tmp_path):
     assert pf and "cell" in pf.group(1), plan
 
 
+def test_ivf_probe_routes_from_sidecar_not_corpus(spark, emb, tmp_path, monkeypatch):
+    """The probe's routing pre-step must be the k-row _centroids sidecar
+    written at build time — NOT an O(corpus) centroid recomputation over
+    the full index (the sublinearity the partitioned index exists for)."""
+    import os
+
+    idx = str(tmp_path / "ivf_sidecar")
+    csim.build_ivf_index(emb, idx)
+    assert os.path.isdir(os.path.join(idx, "_centroids"))
+
+    def boom(*a, **k):
+        raise AssertionError("probe recomputed centroids from the full index")
+
+    monkeypatch.setattr(csim, "centroids_exact", boom)
+    qv = [r.embedding for r in emb.filter(F.col("vec_id") == 0).collect()][0]
+    out = csim.ivf_probe_indexed(spark, idx, [float(x) for x in qv], k=3, probes=1, dim=8)
+    assert out.count() == 3
+
+
 def test_kmeans_index_end_to_end(spark, emb, tmp_path):
     """Learned cells flow into the index: build with kmeans_cells
     assignments, probe, get the near-identical duplicate back."""
