@@ -26,7 +26,7 @@ cross-engine; swap ``_seeded_hash`` for production).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 # ---------------------------------------------------------------------------
@@ -193,17 +193,23 @@ def _cap_buckets(exploded: DataFrame, max_bucket_size: int | None) -> DataFrame:
     the 100 TB guard: a single boilerplate bucket of B documents yields
     B² candidate pairs; members of oversized buckets are near-identical
     template text, so dropping the bucket loses nothing a later band
-    won't re-find for genuinely similar pairs. The count is a window over
-    (band_id, band_key) — the same key the candidate join shuffles on, so
-    capping adds no extra exchange."""
+    won't re-find for genuinely similar pairs.
+
+    Shape: a count aggregate over the band key (map-side combined, so the
+    shuffle carries one row per distinct key per partition, not the data)
+    yields the FEW oversized keys, which broadcast into a left-anti join.
+    The banded table itself is never shuffled to apply the cap — at 100 TB
+    the previous global-window form re-shuffled the whole table just to
+    count bucket members."""
     if max_bucket_size is None:
         return exploded
-    w = Window.partitionBy("band_id", "band_key")
-    return (
-        exploded.withColumn("__bsz", F.count(F.lit(1)).over(w))
-        .filter(F.col("__bsz") <= max_bucket_size)
-        .drop("__bsz")
+    oversized = (
+        exploded.groupBy("band_id", "band_key")
+        .agg(F.count(F.lit(1)).alias("__bsz"))
+        .filter(F.col("__bsz") > max_bucket_size)
+        .select("band_id", "band_key")
     )
+    return exploded.join(F.broadcast(oversized), ["band_id", "band_key"], "left_anti")
 
 
 def lsh_candidate_pairs(
@@ -216,9 +222,17 @@ def lsh_candidate_pairs(
     """Band the k-hash signature into ``bands`` buckets; documents sharing
     any band bucket become a candidate pair (id_a < id_b).
 
-    One explode + self-equi-join on (band_id, band_key) — never all-pairs.
-    ``max_bucket_size`` caps bucket membership (see :func:`_cap_buckets`);
-    None disables — ALWAYS set it on real corpora.
+    Shape: ONE shuffle of the banded ids — ``groupBy`` the band key,
+    ``collect_list`` the member ids, then generate the in-bucket i<j
+    pairs JVM-side with a higher-order ``transform``/``slice`` over the
+    sorted member array. The previous self-equi-join form shuffled the
+    banded table for each join side AND once more for the bucket-size
+    window; this computes the signatures once and shuffles them once
+    (plus the unavoidable pair-dedup exchange). Never all-pairs: pair
+    count per bucket is bounded by ``max_bucket_size``² —
+    ``None`` disables the cap; ALWAYS set it on real corpora (an
+    uncapped boilerplate mega-bucket concentrates its members into one
+    aggregation buffer and B² output pairs).
     """
     rows = k // bands
     band_structs = F.array(
@@ -235,20 +249,23 @@ def lsh_candidate_pairs(
     exploded = sigs.select(F.col(id_col), F.explode(band_structs).alias("band")).select(
         id_col, "band.band_id", "band.band_key"
     )
-    exploded = _cap_buckets(exploded, max_bucket_size)
-    a = exploded.alias("a")
-    b = exploded.alias("b")
+    buckets = (
+        exploded.groupBy("band_id", "band_key")
+        .agg(F.array_sort(F.collect_list(id_col)).alias("__ids"))
+        .filter(F.size("__ids") >= 2)
+    )
+    if max_bucket_size is not None:
+        buckets = buckets.filter(F.size("__ids") <= max_bucket_size)
+    # ids sorted ascending, so pairing element i with every later element
+    # yields exactly the id_a < id_b pairs
+    pair_expr = (
+        "flatten(transform(__ids, (x, i) -> "
+        "transform(slice(__ids, i + 2, size(__ids) - i - 1), "
+        "y -> named_struct('id_a', x, 'id_b', y))))"
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-        )
+        buckets.select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select("p.id_a", "p.id_b")
         .dropDuplicates()
     )
 
