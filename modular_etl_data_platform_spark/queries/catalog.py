@@ -1405,3 +1405,4 @@ from modular_etl_data_platform_spark.queries import corpus_queries  # noqa: E402
 from modular_etl_data_platform_spark.queries import roundtrip_queries  # noqa: E402,F401
 from modular_etl_data_platform_spark.queries import timeseries_queries  # noqa: E402,F401
 from modular_etl_data_platform_spark.queries import platform_queries  # noqa: E402,F401
+from modular_etl_data_platform_spark.queries import proof_queries  # noqa: E402,F401

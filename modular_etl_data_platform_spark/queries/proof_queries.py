@@ -1,0 +1,307 @@
+"""Driver-verified proofs for the operators previously exercised only by
+pytest (VERDICT round-2 coverage table: S4 glob source, S6/T3 audit
+columns, C1 bronze corrupt-record quarantine, C7 gold DQ suite, §2.11
+UDTF surface) plus the two container-runnable Structured Streaming paths
+(§2.10: built-in watermarked windowed aggregation and
+``dropDuplicatesWithinWatermark``).
+
+Each query runs the REAL operator end-to-end — the streaming ones start
+an actual ``writeStream`` (availableNow trigger, memory sink) inside the
+query callable and return the sink table — and the aggregate the driver
+hashes must match a DuckDB oracle computed directly on the parquet
+views, so a wrong watermark, a dropped glob file, an un-quarantined
+corrupt row or a mis-windowed chunk all fail the gate.
+
+The stateful APIs that can't run in this container are covered
+elsewhere: ``transformWithStateInPandas`` needs google.protobuf
+(test_streaming.py::test_running_totals_transform_with_state skips
+loudly) and the ``applyInPandasWithState`` sessionizer only emits on
+processing-time timeouts, so its batch twin q42 is the oracle-checked
+form (tests pin the streaming path).
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from modular_etl_data_platform_spark.queries.catalog import _t, dsum, query
+from modular_etl_data_platform_spark.queries.roundtrip_queries import _scratch
+
+_MEM_IDS = itertools.count()
+
+
+def _events_stream(spark: SparkSession, sf_dir: str, scratch: str) -> DataFrame:
+    """readStream over the events parquet with the same ts normalization
+    as the batch loader (catalog._events): schema taken from a footer
+    read, NTZ cast to session-zone timestamp (UTC session, so
+    value-preserving). The file stream source only accepts directories,
+    so the (read-only) testdata file is symlinked into the scratch dir —
+    zero copy."""
+    path = os.path.join(sf_dir, "events.parquet")
+    src_dir = os.path.join(scratch, "in")
+    os.makedirs(src_dir, exist_ok=True)
+    link = os.path.join(src_dir, "events.parquet")
+    if not os.path.exists(link):
+        try:
+            os.symlink(path, link)
+        except OSError:
+            import shutil
+
+            shutil.copyfile(path, link)
+    schema = spark.read.parquet(path).schema
+    stream = spark.readStream.schema(schema).parquet(src_dir)
+    return stream.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def _run_to_memory(stream_df: DataFrame, ckpt_root: str, mode: str) -> DataFrame:
+    """Start → availableNow → await → return the memory-sink table.
+    Unique per-invocation sink names keep driver + check + pytest runs in
+    one session from colliding; the scratch checkpoint is wiped by
+    _scratch, so every invocation recomputes from a clean slate."""
+    name = f"proof_sink_{os.getpid()}_{next(_MEM_IDS)}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation", os.path.join(ckpt_root, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    q.stop()
+    return stream_df.sparkSession.table(name)
+
+
+@query(
+    "q92_stream_windowed_counts",
+    """
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q92_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming watermarked windowed aggregation (§2.10, the
+    built-in stateful operator): hour tumbling windows per event_type over
+    the events stream, complete-mode memory sink so every window is
+    emitted deterministically under the one-shot availableNow trigger
+    (append mode would hold back windows the final watermark hasn't
+    passed). Result must equal the batch GROUP BY — the oracle."""
+    ckpt = _scratch("q92_stream_windowed_counts", sf_dir)
+    agg = (
+        _events_stream(spark, sf_dir, ckpt)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    out = _run_to_memory(agg, ckpt, "complete")
+    return out.select(
+        F.col("w.start").alias("window_start"), "event_type", "n_events"
+    )
+
+
+@query(
+    "q93_stream_dedup_users",
+    "SELECT DISTINCT user_id FROM events",
+)
+def q93_stream_dedup_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exactly-once dedup (§2.10,
+    streaming/incremental.py::stream_dedup →
+    ``dropDuplicatesWithinWatermark``): the emitted key set must be
+    exactly the distinct user_ids. The horizon is set beyond the data's
+    time span so state never evicts mid-run — with eviction the operator
+    only guarantees at-most-once per horizon, which wouldn't be
+    oracle-checkable; the bounded-state path is pinned by
+    test_streaming.py instead."""
+    from modular_etl_data_platform_spark.streaming.incremental import stream_dedup
+
+    ckpt = _scratch("q93_stream_dedup_users", sf_dir)
+    deduped = stream_dedup(
+        _events_stream(spark, sf_dir, ckpt), ["user_id"], "ts", "36500 days"
+    ).select("user_id")
+    return _run_to_memory(deduped, ckpt, "append")
+
+
+@query(
+    "q94_glob_source",
+    """
+    SELECT o_orderkey % 3 AS slice,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+    FROM orders
+    GROUP BY o_orderkey % 3
+    """,
+)
+def q94_glob_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-file glob source (S4): orders written as three disjoint
+    slice directories, read back through ONE glob pattern with lineage
+    from ``input_file_name()``. Grouping by the slice parsed out of the
+    file PATH proves every glob member was read and every row is
+    attributed to the file that holds it — a missed file or a crossed
+    slice changes the per-slice counts and fails the hash."""
+    from modular_etl_data_platform_spark.sources.readers import read_path
+
+    scratch = _scratch("q94_glob_source", sf_dir)
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    for d in range(3):
+        orders.filter(F.col("o_orderkey") % 3 == d).write.mode("overwrite").parquet(
+            os.path.join(scratch, f"slice_{d}")
+        )
+    back = read_path(spark, os.path.join(scratch, "slice_*"), "parquet")
+    return (
+        back.withColumn(
+            "slice",
+            F.regexp_extract(F.input_file_name(), r"slice_(\d+)", 1).cast("long"),
+        )
+        .groupBy("slice")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice"), "sum_price"),
+        )
+    )
+
+
+@query(
+    "q95_audit_columns",
+    """
+    SELECT n_nationkey,
+           'erp' AS record_source,
+           TRUE AS file_resolved,
+           TRUE AS has_ingestion_ts,
+           TRUE AS date_consistent
+    FROM nation
+    """,
+)
+def q95_audit_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audit-column injection (S6/T3, sources/audit.py
+    ::add_metadata_columns): the bronze metadata columns must resolve —
+    ``source_file`` to the actual scan path, ``ingestion_timestamp`` /
+    ``ingestion_date`` to the consistent query-constant clock,
+    ``record_source`` to the configured literal. The volatile values
+    themselves can't hash across engines, so the query projects the
+    INVARIANTS (non-null, path contains the file, date == date of ts)
+    which only hold when the wiring is right — e.g. a cache before the
+    audit projection voids input_file_name() and flips file_resolved."""
+    from modular_etl_data_platform_spark.sources.audit import add_metadata_columns
+    from modular_etl_data_platform_spark.sources.readers import read_path
+
+    raw = read_path(spark, os.path.join(sf_dir, "nation.parquet"), "parquet")
+    bronze = add_metadata_columns(raw, "erp")
+    return bronze.select(
+        "n_nationkey",
+        "record_source",
+        F.col("source_file").contains("nation.parquet").alias("file_resolved"),
+        F.col("ingestion_timestamp").isNotNull().alias("has_ingestion_ts"),
+        (F.col("ingestion_date") == F.to_date("ingestion_timestamp")).alias(
+            "date_consistent"
+        ),
+    )
+
+
+@query(
+    "q96_bronze_quarantine",
+    """
+    SELECT COUNT(CASE WHEN c_custkey % 97 <> 0 THEN 1 END) AS n_clean,
+           CAST(SUM(CASE WHEN c_custkey % 97 <> 0
+                         THEN CAST(c_acctbal AS DECIMAL(18,6)) END)
+                AS DOUBLE) AS sum_acctbal,
+           COUNT(CASE WHEN c_custkey % 97 = 0 THEN 1 END) AS n_quarantined
+    FROM customer
+    """,
+)
+def q96_bronze_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bronze ingest with corrupt-record quarantine (C1,
+    pipeline/medallion.py::ingest_bronze): customers re-serialized as CSV
+    with every ``c_custkey % 97 == 0`` row made unparseable (acctbal →
+    'CORRUPT'), ingested through the full bronze path. The clean table
+    must hold exactly the parseable rows (count + exact acctbal sum) and
+    the shared ``bronze_dq_errors`` table exactly the corrupt ones —
+    silently nulling a bad row into the clean table, dropping a good
+    one, or double-ingesting on the append all break the hash."""
+    from modular_etl_data_platform_spark.pipeline.medallion import MedallionPipeline
+    from modular_etl_data_platform_spark.schema.registry import TableConfig
+
+    scratch = _scratch("q96_bronze_quarantine", sf_dir)
+    cust = _t(spark, sf_dir, "customer")
+    lines = cust.select(
+        F.concat_ws(
+            ",",
+            F.col("c_custkey"),
+            F.col("c_name"),
+            F.when(F.col("c_custkey") % 97 == 0, F.lit("CORRUPT")).otherwise(
+                F.col("c_acctbal").cast("string")
+            ),
+        ).alias("value")
+    )
+    lines.write.mode("overwrite").text(os.path.join(scratch, "raw", "customers.csv"))
+
+    cfg = TableConfig(
+        raw={
+            "table_name": "bronze_customers",
+            "source_system": "crm",
+            "file_format": "csv",
+            "delimiter": ",",
+            "header": False,
+            "file_path": "raw/customers.csv",
+            "primary_keys": ["custkey"],
+            "columns": [
+                {"name": "custkey", "datatype": "bigint", "nullable": False},
+                {"name": "name", "datatype": "string", "nullable": False},
+                {"name": "acctbal", "datatype": "double", "nullable": True},
+            ],
+        }
+    )
+    pipe = MedallionPipeline(spark, warehouse=os.path.join(scratch, "wh"), raw_base=scratch)
+    pipe.ingest_bronze(cfg)
+    clean = pipe.read_table("bronze_customers").agg(
+        F.count(F.lit(1)).alias("n_clean"), dsum(F.col("acctbal"), "sum_acctbal")
+    )
+    quarantined = pipe.read_table("bronze_dq_errors").agg(
+        F.count(F.lit(1)).alias("n_quarantined")
+    )
+    return clean.crossJoin(F.broadcast(quarantined))
+
+
+@query(
+    "q98_udtf_chunks",
+    """
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS words
+      FROM documents WHERE text IS NOT NULL
+    ), starts AS (
+      SELECT doc_id, words, CAST(s AS INTEGER) AS start
+      FROM w, UNNEST(range(0, greatest(len(words) - 10, 1), 40)) AS t(s)
+    )
+    SELECT doc_id,
+           CAST(start // 40 AS INTEGER) AS chunk_no,
+           array_to_string(words[start + 1 : start + 50], ' ') AS chunk_text,
+           CAST(len(words[start + 1 : start + 50]) AS INTEGER) AS chunk_tokens
+    FROM starts
+    """,
+)
+def q98_udtf_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF registration surface (§2.11, functions/udtf.py
+    ::ChunkText): the registered table function applied via LATERAL in
+    SQL — 50-token windows, 10-token overlap — must produce exactly the
+    chunks the relational oracle derives with list slicing. Proves the
+    registration path, the lateral-join plumbing and the per-row
+    generator semantics; the vectorized twin (corpus/text.py::chunk_text,
+    q45) remains the hot-path form."""
+    from modular_etl_data_platform_spark.functions.udtf import register_udtfs
+
+    register_udtfs(spark)
+    view = f"q98_docs_{os.getpid()}"
+    _t(spark, sf_dir, "documents").createOrReplaceTempView(view)
+    return spark.sql(
+        f"""
+        SELECT d.doc_id, c.chunk_no, c.chunk_text, c.chunk_tokens
+        FROM {view} AS d, LATERAL chunk_text(d.text, 50, 10) AS c
+        WHERE d.text IS NOT NULL
+        """
+    )

@@ -149,6 +149,7 @@ CARTESIAN_OK = {
     "q90_value_histogram",  # 1-row min/max-bounds broadcast
     "q91_key_skew_profile",  # 1-row total broadcast for the share column
     "q85_drift_report",  # 1-row category-share totals broadcast (TVD)
+    "q96_bronze_quarantine",  # 1-row quarantine-count aggregate broadcast
 }
 
 
