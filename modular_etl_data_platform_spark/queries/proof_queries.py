@@ -269,6 +269,93 @@ def q96_bronze_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q97_gold_dq_suite",
+    """
+    WITH dim AS (
+      SELECT user_id, ts AS valid_from,
+             COALESCE(LEAD(ts) OVER w, TIMESTAMP '9999-12-31 00:00:00') AS valid_to,
+             LEAD(ts) OVER w IS NULL AS is_current,
+             CAST(ROW_NUMBER() OVER w AS INT) AS version
+      FROM events WHERE event_type IN ('signup', 'purchase', 'error')
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    ),
+    pert AS (
+      SELECT user_id, valid_from,
+             CASE WHEN user_id % 100 = 0 AND version = 1
+                  THEN valid_to + INTERVAL 1 HOUR ELSE valid_to END AS valid_to,
+             CASE WHEN user_id % 100 = 0 THEN TRUE ELSE is_current END AS is_current
+      FROM dim
+    ),
+    cur AS (
+      SELECT COUNT(*) AS n_current_violations FROM (
+        SELECT user_id FROM pert GROUP BY user_id
+        HAVING SUM(CASE WHEN is_current THEN 1 ELSE 0 END) <> 1
+      )
+    ),
+    olap AS (
+      SELECT COUNT(*) AS n_overlap_violations FROM (
+        SELECT user_id, valid_from, valid_to,
+               LEAD(valid_from) OVER (PARTITION BY user_id
+                                      ORDER BY valid_from ASC) AS next_from
+        FROM pert
+      ) WHERE valid_from >= valid_to
+           OR (next_from IS NOT NULL AND valid_to > next_from)
+    ),
+    orph AS (
+      SELECT COUNT(*) AS n_orphaned_facts FROM events e
+      WHERE e.user_id NOT IN (
+        SELECT user_id FROM events
+        WHERE event_type IN ('signup', 'purchase', 'error') AND user_id % 5 <> 0
+      )
+    )
+    SELECT * FROM cur, olap, orph
+    """,
+)
+def q97_gold_dq_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gold DQ suite (C7, operators/quality.py): the three invariant
+    checks run against an SCD2 dim with DETERMINISTICALLY SEEDED defects
+    — every ``user_id % 100 == 0`` key gets all versions re-marked
+    current and its first interval stretched one hour into the next, and
+    the dim is restricted to ``user_id % 5 != 0`` for the orphan check —
+    so each checker must find exactly the violations the oracle derives
+    relationally. A checker that under- or over-reports (off-by-one
+    interval comparison, missed key, null-swallowing anti-join) breaks
+    the hash; an all-zeros result can't pass vacuously."""
+    from modular_etl_data_platform_spark.operators.quality import (
+        orphaned_fact_violations,
+        scd2_current_violations,
+        scd2_overlap_violations,
+    )
+    from modular_etl_data_platform_spark.operators.scd2 import scd2_from_history
+
+    ev = _t(spark, sf_dir, "events")
+    hist = ev.filter(F.col("event_type").isin("signup", "purchase", "error"))
+    dim = scd2_from_history(
+        hist, keys=["user_id"], change_time="ts", tiebreakers=["event_id"]
+    )
+    seeded = F.col("user_id") % 100 == 0
+    perturbed = dim.withColumn(
+        "is_current", F.when(seeded, F.lit(True)).otherwise(F.col("is_current"))
+    ).withColumn(
+        "valid_to",
+        F.when(
+            seeded & (F.col("version") == 1),
+            F.col("valid_to") + F.expr("INTERVAL 1 HOUR"),
+        ).otherwise(F.col("valid_to")),
+    )
+    cur = scd2_current_violations(perturbed, ["user_id"]).agg(
+        F.count(F.lit(1)).alias("n_current_violations")
+    )
+    olap = scd2_overlap_violations(perturbed, ["user_id"]).agg(
+        F.count(F.lit(1)).alias("n_overlap_violations")
+    )
+    orph = orphaned_fact_violations(
+        ev, dim.filter(F.col("user_id") % 5 != 0), "user_id", "user_id"
+    ).agg(F.count(F.lit(1)).alias("n_orphaned_facts"))
+    return cur.crossJoin(F.broadcast(olap)).crossJoin(F.broadcast(orph))
+
+
+@query(
     "q98_udtf_chunks",
     """
     WITH w AS (

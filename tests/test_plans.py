@@ -150,6 +150,7 @@ CARTESIAN_OK = {
     "q91_key_skew_profile",  # 1-row total broadcast for the share column
     "q85_drift_report",  # 1-row category-share totals broadcast (TVD)
     "q96_bronze_quarantine",  # 1-row quarantine-count aggregate broadcast
+    "q97_gold_dq_suite",  # 1-row violation-count aggregates broadcast
 }
 
 
