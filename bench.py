@@ -44,8 +44,12 @@ def main() -> None:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warm the JVM + parquet footers with the flagship once (not measured)
+    # warm the JVM + parquet footers with the flagship, and the corpus
+    # codegen path (md5 + higher-order lambdas compile once per session)
+    # with the LSH query at the SMALLEST sf — steady-state timings, not
+    # first-compile latency, are what scale to a long-lived cluster
     QUERIES["q01_pricing_summary"](spark, sf_dir).collect()
+    QUERIES["q22_minhash_lsh_pairs"](spark, "/root/testdata/sf0.001").collect()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
