@@ -73,6 +73,53 @@ def test_minhash_barrier_pins_single_md5_pass(spark):
     assert re.search(r"Repartition \d+, true", optimized), optimized
 
 
+def test_lsh_pairs_single_shuffle_no_self_join(spark):
+    """lsh_candidate_pairs generates in-bucket pairs from ONE groupBy of
+    the banded ids — the physical plan must hold no join (the old
+    self-equi-join shuffled the banded table per side), no window (the
+    old cap), and exactly two hash exchanges: the band-key groupBy and
+    the pair dedup."""
+    from modular_etl_data_platform_spark.corpus.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i} alpha beta gamma delta") for i in range(20)],
+        ["doc_id", "text"],
+    )
+    sigs = minhash_signatures(docs, k=8, parallelism=2)
+    p = (
+        lsh_candidate_pairs(sigs, max_bucket_size=10)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Join" not in p and "Window" not in p, p
+    assert len(re.findall(r"Exchange hashpartitioning", p)) == 2, p
+
+
+def test_cap_buckets_never_shuffles_the_banded_table(spark):
+    """_cap_buckets applies the oversized-bucket cap as a broadcast
+    left-anti join against the (few) over-cap keys: the capped side must
+    keep its partitioning — a hash exchange of the banded table to apply
+    the cap would shuffle the whole persisted corpus at scale."""
+    from modular_etl_data_platform_spark.corpus.dedup import _cap_buckets
+
+    banded = spark.createDataFrame(
+        [(i, i % 3, f"k{i % 5}") for i in range(50)],
+        ["doc_id", "band_id", "band_key"],
+    )
+    p = _cap_buckets(banded, 5)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p, p
+    assert "Window" not in p, p
+    # the only hash exchange feeds the count aggregate (map-side combined
+    # -> partial_count before it), never the anti-join probe side
+    assert "partial_count" in p, p
+    probe_side = p.split("BroadcastHashJoin")[1].split("BroadcastExchange")[0]
+    assert "Exchange hashpartitioning" not in probe_side, p
+
+
 def test_packing_plan_is_sharded_not_global(plan):
     # q51 must pack per-shard: window partitioned by the doc_id shard,
     # never a single-partition global sort of the corpus
