@@ -404,3 +404,75 @@ def embedding_near_dup_pairs(
         cosine(f"a.{vec_col}", f"b.{vec_col}").alias("cos_sim"),
     )
     return out.filter(F.col("cos_sim") >= threshold)
+
+
+def knn_join(
+    emb: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: int = 16,
+    bands: int = 4,
+    dim: int = 64,
+    parallelism: int | None = None,
+) -> DataFrame:
+    """Approximate k-NN JOIN: EVERY vector gets its ``k`` most-similar
+    neighbors among its LSH-band co-bucketed candidates — the all-pairs
+    curation shape (semantic dedup thresholds, curriculum neighbors,
+    hard-negative mining) as opposed to the single-probe ANN queries
+    (:func:`cosine_topk` / :func:`ivf_topk`).
+
+    Directed output: ``(query_id, neighbor_id, cos_sim, rank)`` with
+    ``rank`` 1..≤k per query (ties broken on neighbor id; a vector
+    sharing no band bucket yields fewer than k rows — approximate by
+    design, recall governed by planes/bands exactly as in
+    :func:`embedding_near_dup_pairs`).
+
+    Scale shape: banded signature explode → bucket-local self-equi-join
+    (never all-pairs), candidate dedup, then ONE window partitioned by
+    query id for the top-k — the same per-key pattern as q06's top-n.
+    """
+    base = fan_out(emb.select(F.col(id_col), F.col(vec_col)), parallelism).join(
+        hyperplane_signature(emb, id_col, vec_col, planes=planes, dim=dim), id_col
+    )
+    width = planes // bands
+    mask = (1 << width) - 1
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band"),
+                F.shiftright("lsh_sig", j * width)
+                .bitwiseAND(F.lit(mask))
+                .alias("key"),
+            )
+            for j in range(bands)
+        ]
+    )
+    banded = base.select(id_col, vec_col, F.explode(band_arr).alias("s")).select(
+        id_col, vec_col, "s.band", "s.key"
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("query_id"),
+            F.col(f"b.{id_col}").alias("neighbor_id"),
+            F.col(f"a.{vec_col}").alias("__va"),
+            F.col(f"b.{vec_col}").alias("__vb"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cands.withColumn("cos_sim", cosine("__va", "__vb"))
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )

@@ -367,6 +367,73 @@ def _lsh_near_dup_oracle(
     """
 
 
+def _knn_join_oracle(k: int, planes: int = 16, bands: int = 4, dim: int = 64) -> str:
+    """DuckDB twin of the banded k-NN join: same md5-parity plane
+    literals, directed candidate set, ROW_NUMBER top-k per query."""
+    weight_lists = ", ".join(
+        "[" + ", ".join(str(w) for w in csim._plane_weights(j, dim)) + f"] AS w{j}"
+        for j in range(planes)
+    )
+
+    def proj(j: int) -> str:
+        return (
+            f"list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+            f"list_transform(range(1, {dim + 1}), "
+            f"i -> CAST(embedding[i] AS DOUBLE) * w{j}[i])), (a, b) -> a + b)"
+        )
+
+    sig = " + ".join(
+        f"(CASE WHEN {proj(j)} >= 0 THEN {1 << j} ELSE 0 END)" for j in range(planes)
+    )
+    width = planes // bands
+    mask = (1 << width) - 1
+    band_rows = ", ".join(f"({j})" for j in range(bands))
+    return f"""
+    WITH w AS (SELECT {weight_lists}),
+    sigs AS (
+      SELECT vec_id, CAST({sig} AS BIGINT) AS lsh_sig
+      FROM embeddings, w
+    ),
+    banded AS (
+      SELECT vec_id, b.band, (lsh_sig >> (b.band * {width})) & {mask} AS key
+      FROM sigs, (VALUES {band_rows}) AS b(band)
+    ),
+    cands AS (
+      SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.key = b.key AND a.vec_id <> b.vec_id
+    ),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             {_dd_cos('ea.embedding', 'eb.embedding')} AS cos_sim
+      FROM cands
+      JOIN embeddings ea ON ea.vec_id = query_id
+      JOIN embeddings eb ON eb.vec_id = neighbor_id
+    )
+    SELECT query_id, neighbor_id, cos_sim,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id ASC)
+                AS INTEGER) AS rank
+    FROM scored
+    QUALIFY rank <= {k}
+    """
+
+
+@query("q99_knn_join", _knn_join_oracle(k=5))
+def q99_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate k-NN join (corpus/similarity.py::knn_join): every
+    embedding → its 5 nearest LSH-band co-bucketed neighbors — the
+    all-pairs curation shape (semantic-dedup thresholds, hard-negative
+    mining) vs the single-probe ANN queries. Bucket-local equi-joins +
+    one query-partitioned top-k window; the oracle replicates the banded
+    prefilter bit-for-bit, so approximation recall is hash-pinned."""
+    return csim.knn_join(
+        _t(spark, sf_dir, "embeddings"),
+        k=5,
+        parallelism=spark.sparkContext.defaultParallelism,
+    )
+
+
 @query("q58_embedding_near_dup_lsh", _lsh_near_dup_oracle(threshold=0.4))
 def q58_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup embedding pairs via the SCALE path: banded 16-bit random-

@@ -387,3 +387,22 @@ def test_media_near_dup_finds_identical_payloads(spark):
              media_near_dup(media, threshold=0.999, dim=16).collect()}
     assert (0, 1) in pairs and abs(pairs[(0, 1)] - 1.0) < 1e-9
     assert all({a, b} == {0, 1} for a, b in pairs)
+
+
+def test_knn_join_every_vector_ranked(spark, emb):
+    """knn_join: the near-identical pair must be each other's rank-1
+    neighbor; ranks are contiguous from 1 and capped at k; neighbors are
+    never the query itself."""
+    out = csim.knn_join(emb, k=3, dim=8).collect()
+    by_q = {}
+    for r in out:
+        assert r.query_id != r.neighbor_id
+        by_q.setdefault(r.query_id, []).append((r.rank, r.neighbor_id, r.cos_sim))
+    assert by_q[0][0][1] == 100 and by_q[100][0][1] == 0
+    for q, rows in by_q.items():
+        rows.sort()
+        assert [r[0] for r in rows] == list(range(1, len(rows) + 1))
+        assert len(rows) <= 3
+        sims = [r[2] for r in rows]
+        # rank order must follow similarity order
+        assert sims == sorted(sims, reverse=True) or len(set(sims)) < len(sims)
