@@ -411,7 +411,7 @@ def knn_join(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    planes: int = 16,
+    planes: int = 32,
     bands: int = 4,
     dim: int = 64,
     parallelism: int | None = None,
@@ -431,6 +431,14 @@ def knn_join(
     Scale shape: banded signature explode → bucket-local self-equi-join
     (never all-pairs), candidate dedup, then ONE window partitioned by
     query id for the top-k — the same per-key pattern as q06's top-n.
+    Defaults give ``planes/bands`` = 8-bit band keys (256 buckets/band):
+    wider keys than the near-dup path's because a k-NN join pays
+    bucket-size² in CANDIDATE COSINES, and k-NN wants selective buckets
+    with band-count recall, not high per-bucket recall. Candidate
+    scoring stays in the deterministic left-to-right F.aggregate fold
+    for oracle parity; a production scorer would batch the candidate
+    pairs through an Arrow Pandas UDF (numpy dot) at ~10x throughput,
+    trading bit-exact cross-engine reproducibility.
     """
     base = fan_out(emb.select(F.col(id_col), F.col(vec_col)), parallelism).join(
         hyperplane_signature(emb, id_col, vec_col, planes=planes, dim=dim), id_col

@@ -367,7 +367,7 @@ def _lsh_near_dup_oracle(
     """
 
 
-def _knn_join_oracle(k: int, planes: int = 16, bands: int = 4, dim: int = 64) -> str:
+def _knn_join_oracle(k: int, planes: int = 32, bands: int = 4, dim: int = 64) -> str:
     """DuckDB twin of the banded k-NN join: same md5-parity plane
     literals, directed candidate set, ROW_NUMBER top-k per query."""
     weight_lists = ", ".join(
