@@ -129,6 +129,77 @@ def q93_stream_dedup_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q100_stream_sessions",
+    """
+    WITH s AS (
+      SELECT user_id, ts, CAST(ROUND(value * 100) AS BIGINT) AS cents,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR ts > LAG(ts) OVER w + INTERVAL 8 HOUR
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC)
+    ),
+    g AS (
+      SELECT user_id, ts, cents,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts ASC
+                               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM s
+    ),
+    sess AS (
+      SELECT user_id, sid, MIN(ts) AS session_start, MAX(ts) AS session_end,
+             COUNT(*) AS n_events, SUM(cents) AS total_cents
+      FROM g GROUP BY user_id, sid
+    ),
+    m AS (SELECT user_id, MAX(ts) AS max_ts FROM events GROUP BY user_id)
+    SELECT sess.user_id, session_start, session_end, n_events, total_cents
+    FROM sess JOIN m ON sess.user_id = m.user_id
+    WHERE session_end + INTERVAL 8 HOUR < max_ts
+    """,
+)
+def q100_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOM stateful streaming operator, oracle-pinned end-to-end
+    (§2.10, streaming/incremental.py::sessionize_events_event_time):
+    event-time gap sessions (8 h) via applyInPandasWithState with
+    EventTimeTimeout. Whether a session is emitted by an in-batch split
+    or by a watermark timer depends on micro-batching, so the query
+    keeps only sessions PROVABLY closed by data — a later same-user
+    event beyond the gap — which is batching-invariant; the oracle
+    derives exactly that set relationally. Values ride as exact cents so
+    per-session sums are order-free across engines."""
+    from modular_etl_data_platform_spark.streaming.incremental import (
+        sessionize_events_event_time,
+    )
+
+    gap_h = 8
+    ckpt = _scratch("q100_stream_sessions", sf_dir)
+    stream = _events_stream(spark, sf_dir, ckpt).select(
+        "user_id", "ts", F.round(F.col("value") * 100).alias("value")
+    )
+    out = _run_to_memory(
+        sessionize_events_event_time(stream, gap_minutes=gap_h * 60), ckpt, "append"
+    )
+    user_max = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.max("ts").alias("__max_ts"))
+    )
+    return (
+        out.join(user_max, "user_id")
+        .filter(
+            F.col("session_end") + F.expr(f"INTERVAL {gap_h} HOUR")
+            < F.col("__max_ts")
+        )
+        .select(
+            "user_id",
+            "session_start",
+            "session_end",
+            "n_events",
+            F.col("total_value").cast("long").alias("total_cents"),
+        )
+    )
+
+
+@query(
     "q94_glob_source",
     """
     SELECT o_orderkey % 3 AS slice,

@@ -187,6 +187,92 @@ def _sessionize(key, pdfs, state: GroupState):
     yield from ()
 
 
+def _sessionize_event_time(gap_ms: int):
+    """Build an applyInPandasWithState body for EVENT-TIME gap sessions.
+
+    Unlike :func:`_sessionize` (processing-time: a session closes when no
+    events ARRIVE for the gap), this splits on the event-time axis —
+    within a batch, consecutive events further than ``gap_ms`` apart
+    start a new session (closed sessions emit immediately); the trailing
+    open session persists in state with an event-time timer at
+    ``session_end + gap``, firing when the WATERMARK passes it. Batch
+    arrival order therefore never changes the session set — the property
+    that makes the operator oracle-checkable (q100)."""
+
+    def fn(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        def row(start, end, n, total):
+            return {
+                "user_id": key[0],
+                "session_start": start,
+                "session_end": end,
+                "n_events": n,
+                "total_value": total,
+            }
+
+        if state.hasTimedOut:
+            start, end, n, total = state.get
+            state.remove()
+            yield pd.DataFrame([row(start, end, n, total)])
+            return
+
+        rows = pd.concat(list(pdfs)).sort_values("ts")
+        closed = []
+        cur = list(state.get) if state.exists else None
+        # split points: event-time gap to the previous event
+        gaps = rows["ts"].diff().dt.total_seconds().mul(1000).fillna(0)
+        sid = (gaps > gap_ms).cumsum()
+        for _, grp in rows.groupby(sid, sort=True):
+            lo, hi = grp["ts"].iloc[0], grp["ts"].iloc[-1]
+            n, total = len(grp), float(grp["value"].sum())
+            if cur is not None and (lo - cur[1]).total_seconds() * 1000 <= gap_ms:
+                cur = [cur[0], max(cur[1], hi), cur[2] + n, cur[3] + total]
+            else:
+                if cur is not None:
+                    closed.append(row(*cur))
+                cur = [lo, hi, n, total]
+        # pd.Timestamp.value is ns-since-epoch on the NAIVE value —
+        # session-zone (UTC) semantics regardless of the host TZ, unlike
+        # datetime.timestamp() which assumes local time
+        timeout = int(pd.Timestamp(cur[1]).value // 1_000_000) + gap_ms
+        if timeout <= state.getCurrentWatermarkMs():
+            # the watermark already passed the gap horizon: the trailing
+            # session is closed too — a timer in the past is not allowed
+            closed.append(row(*cur))
+            state.remove()
+        else:
+            state.update(tuple(cur))
+            state.setTimeoutTimestamp(timeout)
+        if closed:
+            yield pd.DataFrame(closed)
+
+    return fn
+
+
+def sessionize_events_event_time(
+    events_stream: DataFrame,
+    gap_minutes: int = 480,
+    watermark: str = "1 second",
+) -> DataFrame:
+    """Event-time gap sessionization as a custom stateful streaming
+    operator (applyInPandasWithState, EventTimeTimeout): the determinism
+    contract is in :func:`_sessionize_event_time`. Emits each session
+    once, when it CLOSES — by a later event beyond the gap, or by the
+    watermark passing session_end + gap."""
+    return (
+        events_stream.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _sessionize_event_time(gap_minutes * 60_000),
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def sessionize_events(events_stream: DataFrame) -> DataFrame:
     """Custom stateful streaming operator: gap-based session windows over
     (user_id) with per-group state — the applyInPandasWithState shape the

@@ -428,3 +428,75 @@ def test_running_totals_transform_with_state(spark, tmp_path):
     second = run_once()
     assert second[1] == (3, 16.0)  # 2+1 events, 15+1 value
     assert second[3] == (1, 2.0)
+
+
+def test_sessionize_event_time_splits_and_carries_state():
+    """_sessionize_event_time: in-batch event-time splits emit closed
+    sessions immediately; the trailing open session persists with an
+    event-time timer and folds with the next batch; an expired horizon
+    (timeout <= watermark) closes inline instead of arming a past timer."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from modular_etl_data_platform_spark.streaming.incremental import (
+        _sessionize_event_time,
+    )
+
+    class FakeState:
+        def __init__(self, wm_ms=0):
+            self._v = None
+            self.hasTimedOut = False
+            self._wm = wm_ms
+            self.timeout_ms = None
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+        def remove(self):
+            self._v = None
+
+        def setTimeoutTimestamp(self, ms):
+            self.timeout_ms = ms
+
+        def getCurrentWatermarkMs(self):
+            return self._wm
+
+    fn = _sessionize_event_time(gap_ms=60 * 60 * 1000)  # 1h gap
+    t = lambda h, m=0: dt.datetime(2024, 1, 1, h, m)
+    state = FakeState()
+
+    # one batch, two event-time sessions: first closes inline
+    b1 = pd.DataFrame({"ts": [t(0), t(0, 30), t(5)], "value": [1.0, 2.0, 4.0]})
+    out = pd.concat(list(fn((7,), iter([b1]), state)))
+    assert len(out) == 1
+    assert (out.iloc[0]["session_start"], out.iloc[0]["session_end"]) == (t(0), t(0, 30))
+    assert out.iloc[0]["total_value"] == 3.0
+    assert state.get == (t(5), t(5), 1, 4.0)
+    assert state.timeout_ms == pd.Timestamp(t(6)).value // 1_000_000
+
+    # next batch within the gap folds into the open session
+    b2 = pd.DataFrame({"ts": [t(5, 30)], "value": [8.0]})
+    assert list(fn((7,), iter([b2]), state)) == []
+    assert state.get == (t(5), t(5, 30), 2, 12.0)
+
+    # watermark timer fires -> trailing session emits, state clears
+    state.hasTimedOut = True
+    out = pd.concat(list(fn((7,), iter([]), state)))
+    assert out.iloc[0]["n_events"] == 2 and out.iloc[0]["total_value"] == 12.0
+    assert not state.exists
+
+    # expired horizon: watermark already beyond end+gap -> close inline
+    late = FakeState(wm_ms=pd.Timestamp(t(23)).value // 1_000_000)
+    b3 = pd.DataFrame({"ts": [t(10)], "value": [5.0]})
+    out = pd.concat(list(fn((7,), iter([b3]), late)))
+    assert len(out) == 1 and out.iloc[0]["session_end"] == t(10)
+    assert not late.exists and late.timeout_ms is None
