@@ -558,6 +558,114 @@ def connected_components(
     return labels
 
 
+def connected_components_star(
+    vertices: DataFrame,
+    edges: DataFrame,
+    id_col: str = "doc_id",
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Connected components via alternating large-star/small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14 — public algorithm): each round rewires every vertex's
+    neighbors to the minimum of its closed neighborhood, converging in
+    O(log n) rounds on ANY graph shape. Same fixpoint as
+    :func:`connected_components` (min-label propagation), which needs
+    O(diameter) rounds — use THIS one when components can be deep
+    (chains of pairwise near-dups) or degree-skewed (a hub bridging
+    millions of boilerplate docs): the star operations hang high-degree
+    neighborhoods directly off their minimum, so skew collapses instead
+    of propagating one hop per round.
+
+    Each round is two phases of (groupBy-min + rewire) on the edge list —
+    two key shuffles per phase, edge count never grows beyond the input
+    (rewiring replaces edges, tree edges (min, v) are canonical).
+    Convergence: the edge list reaches a fixpoint where every edge is
+    (component-min, v); checked by comparing an order-free checksum of
+    the edge set between rounds on the checkpointed frame.
+    """
+
+    def large_star(e: DataFrame) -> DataFrame:
+        # undirected neighborhoods: symmetrize the (possibly directed)
+        # edge list, then for each u attach neighbors v > u to
+        # min(N(u) ∪ {u})
+        sym = e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).dropDuplicates()
+        m = sym.groupBy("src").agg(
+            F.least(F.min("dst"), F.first("src")).alias("m")
+        )
+        return (
+            sym.join(m, "src")
+            .filter(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+            .dropDuplicates()
+        )
+
+    def small_star(e: DataFrame) -> DataFrame:
+        # orient edges small->large, then for each u: neighbors v <= u
+        # (and u itself) attach to min(N(u) ∪ {u})
+        oriented = e.select(
+            F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+        )
+        m = oriented.groupBy("src").agg(
+            F.least(F.min("dst"), F.first("src")).alias("m")
+        )
+        rewired = (
+            oriented.join(m, "src")
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .unionByName(m.select("src", F.col("m").alias("dst")))
+        )
+        return (
+            rewired.filter(F.col("src") != F.col("dst")).dropDuplicates()
+        )
+
+    bidir = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .unionByName(
+            edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst"))
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .dropDuplicates()
+        .localCheckpoint(eager=True)
+    )
+
+    def checksum(e: DataFrame):
+        # XOR of row hashes: order-free, overflow-free (the edge list is
+        # deduplicated, so XOR over the SET is collision-safe in the
+        # ways a sum is not under ANSI overflow rules)
+        row = e.agg(
+            F.coalesce(F.expr("bit_xor(xxhash64(src, dst))"), F.lit(0)).alias("h"),
+            F.count(F.lit(1)).alias("n"),
+        ).first()
+        return (row.h, row.n)
+
+    cur = bidir
+    prev_sum = checksum(cur)
+    for _ in range(max_iters):
+        stepped = small_star(large_star(cur)).localCheckpoint(eager=True)
+        cur_sum = checksum(stepped)
+        cur = stepped
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    # fixpoint edges are (v, component_min); vertices absent from any
+    # edge are their own component
+    labels = cur.select(
+        F.col("src").alias(id_col), F.col("dst").alias("cluster_id")
+    ).groupBy(id_col).agg(F.min("cluster_id").alias("cluster_id"))
+    return (
+        vertices.select(id_col)
+        .join(labels, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("cluster_id"), F.col(id_col)).alias("cluster_id"),
+        )
+    )
+
+
 def incremental_near_dup(
     new_docs: DataFrame,
     existing_sigs: DataFrame,

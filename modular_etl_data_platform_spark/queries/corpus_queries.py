@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from modular_etl_data_platform_spark.queries.catalog import _t, query
+from modular_etl_data_platform_spark.queries.catalog import ORACLES, _t, query
 from modular_etl_data_platform_spark.corpus import dedup as cdedup
 from modular_etl_data_platform_spark.corpus import similarity as csim
 from modular_etl_data_platform_spark.corpus import text as ctext
@@ -745,6 +745,22 @@ def q49_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     edges = q36_ngram_jaccard_pairs(spark, sf_dir).select("id_a", "id_b")
     return cdedup.connected_components(docs.select("doc_id"), edges)
+
+
+_Q49_ORACLE = ORACLES["q49_dedup_clusters"]
+
+
+@query("q101_dedup_clusters_star", _Q49_ORACLE)
+def q101_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same clustering fixpoint as q49, computed by the O(log n)
+    large-star/small-star algorithm (corpus/dedup.py
+    ::connected_components_star) — the scale path for DEEP or
+    degree-skewed components where min-label propagation's O(diameter)
+    rounds blow up. Sharing q49's recursive-CTE oracle pins both
+    algorithms to the identical labeling."""
+    docs = _t(spark, sf_dir, "documents")
+    edges = q36_ngram_jaccard_pairs(spark, sf_dir).select("id_a", "id_b")
+    return cdedup.connected_components_star(docs.select("doc_id"), edges)
 
 
 # ---------------------------------------------------------------------------

@@ -93,3 +93,50 @@ def test_line_dedup_conservation(spark, texts, freq):
         expect = [ln for ln in t.split("\n") if ln not in boiler]
         assert out[i].clean_text == "\n".join(expect)
         assert out[i].n_lines_kept == len(expect)
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 24), st.integers(0, 24)), max_size=40
+    ),
+)
+@SLOW
+def test_star_cc_matches_bfs_ground_truth(spark, edges):
+    """connected_components_star labels every vertex with its component's
+    minimum id — checked against a driver-side BFS for arbitrary small
+    graphs (self-loops, duplicates, singletons included)."""
+    import collections
+
+    from modular_etl_data_platform_spark.corpus.dedup import (
+        connected_components_star,
+    )
+
+    n = 25
+    adj = collections.defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    truth = {}
+    for s in range(n):
+        if s in truth:
+            continue
+        seen, stack = {s}, [s]
+        while stack:
+            u = stack.pop()
+            for v in adj[u]:
+                if v not in seen:
+                    seen.add(v)
+                    stack.append(v)
+        m = min(seen)
+        for v in seen:
+            truth[v] = m
+    verts = spark.createDataFrame([(i,) for i in range(n)], "doc_id LONG")
+    e = (
+        spark.createDataFrame(edges, "id_a LONG, id_b LONG")
+        if edges
+        else spark.createDataFrame([], "id_a LONG, id_b LONG")
+    )
+    got = {
+        r.doc_id: r.cluster_id for r in connected_components_star(verts, e).collect()
+    }
+    assert got == truth
