@@ -269,6 +269,47 @@ def ivf_probe_indexed(
     return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col).asc()).limit(k)
 
 
+def ivf_append(
+    spark,
+    index_path: str,
+    new_emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Append a NEW batch of vectors to an existing partitioned IVF index
+    without rebuilding it — the continuous-ingest shape (mirrors
+    corpus/dedup.py::incremental_near_dup for the signature index).
+
+    Assignment reads ONLY the k-row ``_centroids`` sidecar (broadcast
+    argmax over cells — the corpus is never scanned) and the append
+    writes only the touched cell directories. Centroids are deliberately
+    NOT updated per batch: standard IVF maintenance keeps the coarse
+    quantizer fixed between periodic retrains (a retrain is a rebuild),
+    so probes stay consistent with the routing the index was built with.
+    Batch cost scales with the batch, never the index."""
+    cents = spark.read.parquet(os.path.join(index_path, "_centroids"))
+    scored = new_emb.select(F.col(id_col), F.col(vec_col)).crossJoin(
+        F.broadcast(cents)
+    ).select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.col("cell"),
+        cosine(vec_col, "centroid").alias("__sim"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("__sim").desc(), F.col("cell").asc())
+    assigned = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(id_col, vec_col, "cell")
+    )
+    (
+        assigned.repartition("cell")
+        .write.mode("append")
+        .partitionBy("cell")
+        .parquet(index_path)
+    )
+
+
 def _plane_weights(plane: int, dim: int) -> list[int]:
     """±1 weight per dimension for one hyperplane: the parity of the first
     hex char of md5('p{plane}|{d}') — bit-identical to the SQL form

@@ -297,6 +297,67 @@ def q62_ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return csim.ivf_probe_indexed(spark, path, [float(x) for x in qv], k=5, probes=1)
 
 
+def _ivf_append_oracle(k: int = 5, dim: int = 64) -> str:
+    """Existing corpus (vec_id % 5 != 0) builds the index; the rest is
+    appended by sidecar-centroid argmax assignment; probe = q62's
+    routing over the unioned index. The query vector (vec 0) is itself
+    in the APPENDED batch, so a broken append can't return it."""
+    return f"""
+    WITH old AS (SELECT vec_id, embedding, label FROM embeddings WHERE vec_id % 5 <> 0),
+    nw AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 = 0),
+    cent AS (
+      SELECT label AS cell, list(s ORDER BY d) AS centroid FROM (
+        SELECT label, d, CAST(SUM(CAST(embedding[d] AS DECIMAL(27,8))) AS DOUBLE) AS s
+        FROM old, range(1, {dim + 1}) t(d)
+        GROUP BY label, d
+      ) GROUP BY label
+    ),
+    assigned AS (
+      SELECT vec_id, embedding, cell FROM (
+        SELECT n.vec_id, n.embedding, c.cell,
+               ROW_NUMBER() OVER (PARTITION BY n.vec_id
+                 ORDER BY {_dd_cos('n.embedding', 'c.centroid')} DESC, c.cell ASC) AS rn
+        FROM nw n, cent c
+      ) WHERE rn = 1
+    ),
+    idx AS (
+      SELECT vec_id, embedding, label AS cell FROM old
+      UNION ALL
+      SELECT vec_id, embedding, cell FROM assigned
+    ),
+    q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    best AS (
+      SELECT cell FROM cent, q
+      ORDER BY {_dd_cos('centroid', 'qe')} DESC, cell ASC
+      LIMIT 1
+    )
+    SELECT i.vec_id, i.cell, {_dd_cos('i.embedding', 'qe')} AS cos_sim
+    FROM idx i JOIN best ON i.cell = best.cell, q
+    ORDER BY cos_sim DESC, i.vec_id ASC
+    LIMIT {k}
+    """
+
+
+@query("q102_ivf_incremental_append", _ivf_append_oracle())
+def q102_ivf_incremental_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index maintenance (corpus/similarity.py::ivf_append): build
+    the partitioned index from the existing corpus, append the new batch
+    by broadcast sidecar-centroid assignment (index never rescanned,
+    quantizer unchanged), then probe for a NEWLY APPENDED vector — the
+    result must contain it, proving appended rows land in the right cell
+    partitions and are served by the same file-pruned probe as q62."""
+    import tempfile
+
+    emb = _t(spark, sf_dir, "embeddings")
+    old = emb.filter(F.col("vec_id") % 5 != 0)
+    new = emb.filter(F.col("vec_id") % 5 == 0)
+    path = tempfile.mkdtemp(prefix="ivf_index_app_")
+    csim.build_ivf_index(old, path)
+    csim.ivf_append(spark, path, new)
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    return csim.ivf_probe_indexed(spark, path, [float(x) for x in qv], k=5, probes=1)
+
+
 @query(
     "q26_embedding_near_dup",
     f"""

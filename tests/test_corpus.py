@@ -406,3 +406,33 @@ def test_knn_join_every_vector_ranked(spark, emb):
         sims = [r[2] for r in rows]
         # rank order must follow similarity order
         assert sims == sorted(sims, reverse=True) or len(set(sims)) < len(sims)
+
+
+def test_ivf_append_serves_new_vectors_without_rebuild(spark, emb, tmp_path):
+    """ivf_append: vectors appended via sidecar-centroid assignment are
+    served by the same partition-pruned probe; untouched cell directories
+    keep their original files (no rebuild), and the sidecar is unchanged."""
+    import glob as g
+    import os
+
+    old = emb.filter(F.col("vec_id") != 100)
+    new = emb.filter(F.col("vec_id") == 100)
+    idx = str(tmp_path / "ivf_app")
+    csim.build_ivf_index(old, idx)
+    before = {p: os.path.getmtime(p) for p in g.glob(f"{idx}/cell=*/*.parquet")}
+    cents_before = sorted(
+        map(tuple, spark.read.parquet(f"{idx}/_centroids").collect())
+    )
+    csim.ivf_append(spark, idx, new)
+    # the near-identical twin of vec 0 must now be retrievable
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first().embedding]
+    got = [r.vec_id for r in csim.ivf_probe_indexed(spark, idx, qv, k=2, probes=1, dim=8).collect()]
+    assert got[:2] == [0, 100]
+    # original files untouched (append, not rewrite); sidecar unchanged
+    after = {p: os.path.getmtime(p) for p in g.glob(f"{idx}/cell=*/*.parquet")}
+    assert before.items() <= after.items()
+    assert len(after) > len(before)
+    cents_after = sorted(
+        map(tuple, spark.read.parquet(f"{idx}/_centroids").collect())
+    )
+    assert cents_before == cents_after
