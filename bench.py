@@ -33,6 +33,7 @@ HEADLINE = [
     "q50_decontamination",
     "q55_skewed_distinct_count",
     "q60_incremental_dedup",
+    "q99_knn_join",
 ]
 
 
