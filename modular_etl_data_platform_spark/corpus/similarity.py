@@ -310,6 +310,57 @@ def ivf_append(
     )
 
 
+def ivf_probe_batch(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    k: int = 5,
+    probes: int = 1,
+    query_id_col: str = "query_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe the partitioned IVF index for a BATCH of query vectors in
+    one pass — the serving shape (:func:`ivf_probe_indexed` is the
+    single-query form). Routing: broadcast the k-row centroid sidecar,
+    keep each query's ``probes`` best cells; scoring: the routed queries
+    (a small batch) BROADCAST into a join against the index on ``cell``,
+    so the index is never shuffled and — because ``cell`` is the
+    partition column of a broadcast equi-join — dynamic partition
+    pruning limits the scan to the routed cells' directories. One
+    query-partitioned window takes the top-k.
+
+    Returns (query_id, vec_id, cos_sim, rank), rank 1..≤k per query.
+    """
+    cents = spark.read.parquet(os.path.join(index_path, "_centroids"))
+    q = queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("__qv")
+    )
+    wr = Window.partitionBy(query_id_col).orderBy(
+        F.col("__csim").desc(), F.col("cell").asc()
+    )
+    routed = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("__csim", cosine("__qv", "centroid"))
+        .withColumn("__rn", F.row_number().over(wr))
+        .filter(F.col("__rn") <= probes)
+        .select(query_id_col, "__qv", "cell")
+    )
+    idx = spark.read.parquet(index_path)
+    wk = Window.partitionBy(query_id_col).orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id").asc()
+    )
+    return (
+        idx.join(F.broadcast(routed), "cell")
+        .select(
+            F.col(query_id_col),
+            F.col("vec_id"),
+            cosine(vec_col, "__qv").alias("cos_sim"),
+        )
+        .withColumn("rank", F.row_number().over(wk).cast("int"))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def _plane_weights(plane: int, dim: int) -> list[int]:
     """±1 weight per dimension for one hyperplane: the parity of the first
     hex char of md5('p{plane}|{d}') — bit-identical to the SQL form

@@ -358,6 +358,58 @@ def q102_ivf_incremental_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     return csim.ivf_probe_indexed(spark, path, [float(x) for x in qv], k=5, probes=1)
 
 
+def _ivf_batch_probe_oracle(k: int = 3, probes: int = 1, dim: int = 64) -> str:
+    """Relational replay of the batched IVF probe: route each query
+    (vec_id % 97 = 0) to its best cell(s) by exact-centroid cosine, scan
+    only those cells, top-k per query."""
+    return f"""
+    WITH cent AS (
+      SELECT label AS cell, list(s ORDER BY d) AS centroid FROM (
+        SELECT label, d, CAST(SUM(CAST(embedding[d] AS DECIMAL(27,8))) AS DOUBLE) AS s
+        FROM embeddings, range(1, {dim + 1}) t(d)
+        GROUP BY label, d
+      ) GROUP BY label
+    ),
+    q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 97 = 0),
+    routed AS (
+      SELECT query_id, qv, cell FROM (
+        SELECT q.query_id, q.qv, c.cell,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id
+                 ORDER BY {_dd_cos('q.qv', 'c.centroid')} DESC, c.cell ASC) AS rn
+        FROM q, cent c
+      ) WHERE rn <= {probes}
+    )
+    SELECT query_id, e.vec_id, cos_sim, rank FROM (
+      SELECT r.query_id, e.vec_id,
+             {_dd_cos('e.embedding', 'r.qv')} AS cos_sim,
+             CAST(ROW_NUMBER() OVER (PARTITION BY r.query_id
+               ORDER BY {_dd_cos('e.embedding', 'r.qv')} DESC, e.vec_id ASC)
+               AS INTEGER) AS rank
+      FROM routed r JOIN embeddings e ON e.label = r.cell
+    ) AS e
+    WHERE rank <= {k}
+    """
+
+
+@query("q103_ivf_batch_probe", _ivf_batch_probe_oracle())
+def q103_ivf_batch_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched ANN serving (corpus/similarity.py::ivf_probe_batch): every
+    vec_id % 97 == 0 vector probes the partitioned IVF index in ONE job —
+    broadcast sidecar routing + broadcast query join against the index on
+    the partition column (dynamic partition pruning limits the scan to
+    routed cells; the index is never shuffled). Each query's top-3 with
+    rank must match the relational replay."""
+    import tempfile
+
+    emb = _t(spark, sf_dir, "embeddings")
+    path = tempfile.mkdtemp(prefix="ivf_index_batch_")
+    csim.build_ivf_index(emb, path)
+    queries = emb.filter(F.col("vec_id") % 97 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return csim.ivf_probe_batch(spark, path, queries, k=3, probes=1)
+
+
 @query(
     "q26_embedding_near_dup",
     f"""

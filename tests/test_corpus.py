@@ -436,3 +436,25 @@ def test_ivf_append_serves_new_vectors_without_rebuild(spark, emb, tmp_path):
         map(tuple, spark.read.parquet(f"{idx}/_centroids").collect())
     )
     assert cents_before == cents_after
+
+
+def test_ivf_batch_probe_prunes_with_dpp(spark, emb, tmp_path):
+    """ivf_probe_batch: results match per-query single probes, and the
+    index scan carries a dynamic-partition-pruning filter on cell (the
+    index is read pruned, never shuffled)."""
+    idx = str(tmp_path / "ivf_batch")
+    csim.build_ivf_index(emb, idx)
+    qs = emb.filter(F.col("vec_id").isin(0, 7)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = csim.ivf_probe_batch(spark, idx, qs, k=2, probes=1)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan
+    got = {(r.query_id, r.rank): r.vec_id for r in out.collect()}
+    for qid in (0, 7):
+        qv = [float(x) for x in emb.filter(F.col("vec_id") == qid).first().embedding]
+        single = [
+            r.vec_id
+            for r in csim.ivf_probe_indexed(spark, idx, qv, k=2, probes=1, dim=8).collect()
+        ]
+        assert [got[(qid, 1)], got[(qid, 2)]] == single
