@@ -71,8 +71,12 @@ def _run_to_memory(stream_df: DataFrame, ckpt_root: str, mode: str) -> DataFrame
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    finished = q.awaitTermination(300)
     q.stop()
+    if not finished:
+        # fail loudly: a killed-in-flight query would otherwise return a
+        # silently partial sink table
+        raise TimeoutError(f"streaming proof query {name} did not finish in 300s")
     return stream_df.sparkSession.table(name)
 
 
