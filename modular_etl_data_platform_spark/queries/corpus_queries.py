@@ -8,7 +8,7 @@ the cross-engine determinism conventions.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from modular_etl_data_platform_spark.queries.catalog import ORACLES, _t, query
@@ -861,6 +861,73 @@ def q49_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _Q49_ORACLE = ORACLES["q49_dedup_clusters"]
+
+_Q18_QUALITY_DUCK = """
+    least(CAST(len(string_split(text,' ')) AS DOUBLE) / 200.0, 1.0) * 0.6
+      + (CAST(len(list_filter(string_split(text,' '),
+           x -> x IN ('the','a','of','and','is','to','in','that'))) AS DOUBLE)
+         / CAST(len(string_split(text,' ')) AS DOUBLE)) * 0.4
+"""
+
+
+@query(
+    "q104_cluster_representatives",
+    f"""
+    WITH RECURSIVE edges AS (
+      {_Q49_EDGES_DUCK}
+    ),
+    bidir AS (
+      SELECT id_a AS src, id_b AS dst FROM edges
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM edges
+    ),
+    reach(doc_id, r) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT b.src, reach.r FROM bidir b JOIN reach ON b.dst = reach.doc_id
+    ),
+    clusters AS (SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc_id),
+    scored AS (
+      SELECT c.cluster_id, d.doc_id, ({_Q18_QUALITY_DUCK}) AS quality_score,
+             COUNT(*) OVER (PARTITION BY c.cluster_id) AS cluster_size
+      FROM clusters c JOIN documents d ON c.doc_id = d.doc_id
+    )
+    SELECT cluster_id, doc_id AS keep_doc_id, quality_score, cluster_size
+    FROM scored
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY cluster_id
+                               ORDER BY quality_score DESC, doc_id ASC) = 1
+    """,
+)
+def q104_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fuzzy-dedup DECISION step: within every near-dup cluster keep
+    the highest-quality document (deterministic doc_id tie-break) and
+    record how many copies it stands for — clusters from q49's connected
+    components joined with q18's quality heuristic, reduced by one
+    cluster-partitioned window. This is the composed keep/drop output a
+    curation pipeline feeds downstream; the singleton clusters pass
+    through with cluster_size 1."""
+    docs = _t(spark, sf_dir, "documents")
+    edges = q36_ngram_jaccard_pairs(spark, sf_dir).select("id_a", "id_b")
+    clusters = cdedup.connected_components(docs.select("doc_id"), edges)
+    scored = clusters.join(
+        docs.select("doc_id", ctext.quality_score().alias("quality_score")),
+        "doc_id",
+    )
+    wsz = Window.partitionBy("cluster_id")
+    wtop = Window.partitionBy("cluster_id").orderBy(
+        F.col("quality_score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("cluster_size", F.count(F.lit(1)).over(wsz))
+        .withColumn("__rn", F.row_number().over(wtop))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("keep_doc_id"),
+            "quality_score",
+            "cluster_size",
+        )
+    )
 
 
 @query("q101_dedup_clusters_star", _Q49_ORACLE)
