@@ -198,6 +198,7 @@ CARTESIAN_OK = {
     "q85_drift_report",  # 1-row category-share totals broadcast (TVD)
     "q96_bronze_quarantine",  # 1-row quarantine-count aggregate broadcast
     "q97_gold_dq_suite",  # 1-row violation-count aggregates broadcast
+    "q103_ivf_batch_probe",  # k-row centroid sidecar broadcast (routing)
 }
 
 
