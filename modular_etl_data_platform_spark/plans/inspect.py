@@ -28,6 +28,7 @@ def plan_summary(df: DataFrame) -> dict[str, object]:
     """Grep-level summary of the physical plan: counts of the operators
     that dominate cost at scale, plus what reached the parquet scans."""
     p = explain_formatted(df)
+    simple = explain_formatted(df, "simple")
     return {
         "exchanges": len(re.findall(r"\(\d+\) Exchange", p)),
         "broadcasts": p.count("BroadcastExchange"),
@@ -37,7 +38,9 @@ def plan_summary(df: DataFrame) -> dict[str, object]:
         + p.count("CartesianProduct"),
         "pushed_filters": re.findall(r"PushedFilters: \[([^\]]*)\]", p),
         "read_schemas": re.findall(r"ReadSchema: struct<([^>]*)>", p),
-        "whole_stage_codegen": p.count("WholeStageCodegen"),
+        # the formatted mode drops the codegen markers; count them in
+        # the simple-mode tree (each "*(n)" prefix is one fused region)
+        "whole_stage_codegen": len(set(re.findall(r"\*\((\d+)\)", simple))),
     }
 
 
