@@ -276,3 +276,167 @@ def q75_silver_validate_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
     rules = RuleSet.from_config(_Q75_DQ)
     valid, _quarantined = rules.split(transformed)
     return valid.select("c_custkey", "c_name", "c_mktsegment", "c_acctbal")
+
+
+@query(
+    "q105_compact_roundtrip",
+    """
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price,
+           TRUE AS compacted
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def q105_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction (sinks.py::compact_table, the OPTIMIZE
+    analogue): orders fragmented into 24 small files, compacted in place,
+    read back. The hash pins row preservation (count + exact price sum
+    per status) and the ``compacted`` flag pins that the file count
+    actually dropped — a no-op "compaction" fails the gate."""
+    import glob as _glob
+
+    from modular_etl_data_platform_spark.sources.sinks import compact_table
+
+    scratch = _scratch("q105_compact_roundtrip", sf_dir)
+    tbl = os.path.join(scratch, "orders_small_files")
+    orders = _t(spark, sf_dir, "orders").select("o_orderstatus", "o_totalprice")
+    orders.repartition(24).write.mode("overwrite").parquet(tbl)
+    n_before = len(_glob.glob(os.path.join(tbl, "*.parquet")))
+    compact_table(spark, tbl)
+    n_after = len(_glob.glob(os.path.join(tbl, "*.parquet")))
+    back = spark.read.parquet(tbl)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum(F.col("o_totalprice"), "sum_price"),
+        F.lit(bool(n_after < n_before)).alias("compacted"),
+    )
+
+
+@query(
+    "q106_clustered_write_prune",
+    """
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+    FROM orders WHERE o_custkey BETWEEN 100 AND 199
+    """,
+)
+def q106_clustered_write_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZORDER-analogue clustered write (sinks.py::write_clustered,
+    reference config/gold/schema/README.md OPTIMIZE notes): orders
+    range-clustered on o_custkey into narrow-key-range files, then a key
+    range scanned back — parquet min/max stats prune non-matching files
+    (plan/IO behavior pinned by test_sources.py); the hash pins that
+    clustering reordered but lost/duplicated nothing."""
+    from modular_etl_data_platform_spark.sources.sinks import write_clustered
+
+    scratch = _scratch("q106_clustered_write_prune", sf_dir)
+    tbl = os.path.join(scratch, "orders_clustered")
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    write_clustered(orders, tbl, cluster_by=["o_custkey"], num_files=8)
+    back = spark.read.parquet(tbl).filter(F.col("o_custkey").between(100, 199))
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"), dsum(F.col("o_totalprice"), "sum_price")
+    )
+
+
+@query(
+    "q107_bucketed_join_roundtrip",
+    """
+    SELECT o_orderstatus,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderstatus
+    """,
+)
+def q107_bucketed_join_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located join (sinks.py::write_bucketed): orders and
+    lineitem saved bucketed on the join key as EXTERNAL tables in the
+    scratch dir (in-memory catalog metadata only — no warehouse dir),
+    then joined — both sides read pre-partitioned, so the join
+    plans ZERO exchanges (pinned by test_sources.py); the hash pins the
+    bucketed write/read path against the plain join's answer."""
+    from modular_etl_data_platform_spark.sources.sinks import write_bucketed
+
+    scratch = _scratch("q107_bucketed_join_roundtrip", sf_dir)
+    write_bucketed(
+        _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus"),
+        "q107_orders_b",
+        ["o_orderkey"],
+        num_buckets=8,
+        path=os.path.join(scratch, "orders_b"),
+    )
+    write_bucketed(
+        _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice"),
+        "q107_lineitem_b",
+        ["l_orderkey"],
+        num_buckets=8,
+        path=os.path.join(scratch, "lineitem_b"),
+    )
+    o = spark.table("q107_orders_b")
+    l = spark.table("q107_lineitem_b")
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum(F.col("l_extendedprice"), "sum_price"),
+        )
+    )
+
+
+@query(
+    "q108_orc_roundtrip",
+    """
+    SELECT n_regionkey,
+           COUNT(*) AS n_nations,
+           min(n_name) AS first_nation
+    FROM nation
+    GROUP BY n_regionkey
+    """,
+)
+def q108_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC scan (readers.py::read_path format matrix): nation written as
+    ORC and read back through the engine's reader; the aggregate must
+    match the parquet oracle — a lossy type mapping or dropped stripe
+    breaks the hash."""
+    scratch = _scratch("q108_orc_roundtrip", sf_dir)
+    tbl = os.path.join(scratch, "nation_orc")
+    _t(spark, sf_dir, "nation").write.mode("overwrite").orc(tbl)
+    back = read_path(spark, tbl, "orc")
+    return back.groupBy("n_regionkey").agg(
+        F.count(F.lit(1)).alias("n_nations"), F.min("n_name").alias("first_nation")
+    )
+
+
+@query(
+    "q109_text_scan_roundtrip",
+    """
+    SELECT COUNT(*) AS n_lines,
+           SUM(n_nationkey) AS key_sum,
+           SUM(len(n_name || '|' || CAST(n_nationkey AS VARCHAR))) AS char_sum
+    FROM nation
+    """,
+)
+def q109_text_scan_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw text scan (readers.py::read_path 'text'): nation serialized
+    one row per line, read back as the ``value`` column, and re-parsed —
+    line counts, parsed key sums and byte-ish lengths must match the
+    relational oracle, pinning the line-oriented reader end to end."""
+    scratch = _scratch("q109_text_scan_roundtrip", sf_dir)
+    tbl = os.path.join(scratch, "nation_text")
+    _t(spark, sf_dir, "nation").select(
+        F.concat_ws("|", F.col("n_name"), F.col("n_nationkey")).alias("value")
+    ).write.mode("overwrite").text(tbl)
+    back = read_path(spark, tbl, "text")
+    parsed = back.select(
+        F.split(F.col("value"), "\\|").getItem(1).cast("long").alias("key"),
+        F.length("value").alias("len"),
+    )
+    return parsed.agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum("key").alias("key_sum"),
+        F.sum("len").alias("char_sum"),
+    )

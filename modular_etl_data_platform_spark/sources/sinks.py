@@ -83,6 +83,7 @@ def write_bucketed(
     sort_by: list[str] | None = None,
     fmt: str = "parquet",
     mode: str = "overwrite",
+    path: str | None = None,
 ) -> None:
     """Bucketed table write for co-located (shuffle-free) joins.
 
@@ -94,6 +95,11 @@ def write_bucketed(
     w = df.write.format(fmt).mode(mode).bucketBy(num_buckets, *bucket_by)
     if sort_by:
         w = w.sortBy(*sort_by)
+    if path:
+        # external table: data lands at ``path``; only metadata (incl.
+        # the bucket spec) goes to the in-memory catalog — no warehouse
+        # directory is touched, so this works from a read-only cwd
+        w = w.option("path", path)
     w.saveAsTable(table_name)
 
 
