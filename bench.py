@@ -50,7 +50,10 @@ def main() -> None:
     # with the LSH query at the SMALLEST sf — steady-state timings, not
     # first-compile latency, are what scale to a long-lived cluster
     QUERIES["q01_pricing_summary"](spark, sf_dir).collect()
-    QUERIES["q22_minhash_lsh_pairs"](spark, "/root/testdata/sf0.001").collect()
+    warm_sf = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
+    QUERIES["q22_minhash_lsh_pairs"](
+        spark, warm_sf if os.path.isdir(warm_sf) else sf_dir
+    ).collect()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

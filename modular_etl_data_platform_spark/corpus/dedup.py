@@ -266,6 +266,10 @@ def lsh_candidate_pairs(
     return (
         buckets.select(F.explode(F.expr(pair_expr)).alias("p"))
         .select("p.id_a", "p.id_b")
+        # position-based pairing emits (x, x) if an id appears twice in a
+        # bucket (duplicate ids in the signature frame); the value filter
+        # restores the old self-join's strict a < b semantics
+        .filter(F.col("id_a") < F.col("id_b"))
         .dropDuplicates()
     )
 

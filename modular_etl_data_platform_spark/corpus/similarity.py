@@ -409,6 +409,35 @@ def hyperplane_signature(
     return emb.select(F.col(id_col), sig.cast("long").alias("lsh_sig"))
 
 
+def _banded(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    planes: int,
+    bands: int,
+) -> DataFrame:
+    """Slice an attached ``lsh_sig`` into ``bands`` (band, key) rows per
+    vector — the ONE banding definition shared by the near-dup pair join
+    and the k-NN join, and mirrored bit-for-bit by the DuckDB oracles
+    (``(sig >> band*width) & mask``)."""
+    width = planes // bands
+    mask = (1 << width) - 1
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band"),
+                F.shiftright("lsh_sig", j * width)
+                .bitwiseAND(F.lit(mask))
+                .alias("key"),
+            )
+            for j in range(bands)
+        ]
+    )
+    return df.select(id_col, vec_col, F.explode(band_arr).alias("s")).select(
+        id_col, vec_col, "s.band", "s.key"
+    )
+
+
 def embedding_near_dup_pairs(
     emb: DataFrame,
     threshold: float = 0.9,
@@ -438,22 +467,7 @@ def embedding_near_dup_pairs(
         sigs = hyperplane_signature(emb, id_col, vec_col, planes=planes)
         base = base.join(sigs, id_col)
         if bands > 1:
-            width = planes // bands
-            mask = (1 << width) - 1
-            band_arr = F.array(
-                *[
-                    F.struct(
-                        F.lit(j).alias("band"),
-                        F.shiftright("lsh_sig", j * width)
-                        .bitwiseAND(F.lit(mask))
-                        .alias("key"),
-                    )
-                    for j in range(bands)
-                ]
-            )
-            base = base.select(
-                id_col, vec_col, F.explode(band_arr).alias("s")
-            ).select(id_col, vec_col, "s.band", "s.key")
+            base = _banded(base, id_col, vec_col, planes, bands)
             a, b = base.alias("a"), base.alias("b")
             # dedup (a doc pair can share several bands) BEFORE the
             # cosine scoring so each candidate is verified once
@@ -535,22 +549,7 @@ def knn_join(
     base = fan_out(emb.select(F.col(id_col), F.col(vec_col)), parallelism).join(
         hyperplane_signature(emb, id_col, vec_col, planes=planes, dim=dim), id_col
     )
-    width = planes // bands
-    mask = (1 << width) - 1
-    band_arr = F.array(
-        *[
-            F.struct(
-                F.lit(j).alias("band"),
-                F.shiftright("lsh_sig", j * width)
-                .bitwiseAND(F.lit(mask))
-                .alias("key"),
-            )
-            for j in range(bands)
-        ]
-    )
-    banded = base.select(id_col, vec_col, F.explode(band_arr).alias("s")).select(
-        id_col, vec_col, "s.band", "s.key"
-    )
+    banded = _banded(base, id_col, vec_col, planes, bands)
     a, b = banded.alias("a"), banded.alias("b")
     cands = (
         a.join(

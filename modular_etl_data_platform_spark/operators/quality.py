@@ -22,10 +22,18 @@ def scd2_current_violations(dim: DataFrame, keys: list[str]) -> DataFrame:
     )
 
 
-def scd2_overlap_violations(dim: DataFrame, keys: list[str]) -> DataFrame:
+def scd2_overlap_violations(
+    dim: DataFrame, keys: list[str], tiebreakers: list[str] | None = None
+) -> DataFrame:
     """Version intervals that overlap their successor (valid_to > next
-    valid_from) or are degenerate (valid_from >= valid_to)."""
-    w = Window.partitionBy(*keys).orderBy(F.col("valid_from").asc())
+    valid_from) or are degenerate (valid_from >= valid_to).
+
+    ``tiebreakers`` (e.g. ``["version"]``) totalize the window order when
+    a key can carry duplicate valid_from values — without one, which row
+    LEAD picks is engine-internal and the violation count can differ
+    between engines."""
+    order = [F.col("valid_from").asc()] + [F.col(c).asc() for c in (tiebreakers or [])]
+    w = Window.partitionBy(*keys).orderBy(*order)
     nxt = F.lead("valid_from").over(w)
     return (
         dim.withColumn("__next_from", nxt)

@@ -52,8 +52,14 @@ def _events_stream(spark: SparkSession, sf_dir: str, scratch: str) -> DataFrame:
             import shutil
 
             shutil.copyfile(path, link)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(path).schema
     stream = spark.readStream.schema(schema).parquet(src_dir)
+    # mirror BOTH normalization branches of catalog._events: nanos
+    # testdata generations surface ts as LONG (nanosAsLong) and need the
+    # floor-to-micros conversion; NTZ micros generations just cast
+    if schema["ts"].dataType.typeName() in ("long", "integer"):
+        return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return stream.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
@@ -358,7 +364,8 @@ def q96_bronze_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, valid_from,
              CASE WHEN user_id % 100 = 0 AND version = 1
                   THEN valid_to + INTERVAL 1 HOUR ELSE valid_to END AS valid_to,
-             CASE WHEN user_id % 100 = 0 THEN TRUE ELSE is_current END AS is_current
+             CASE WHEN user_id % 100 = 0 THEN TRUE ELSE is_current END AS is_current,
+             version
       FROM dim
     ),
     cur AS (
@@ -371,7 +378,7 @@ def q96_bronze_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT COUNT(*) AS n_overlap_violations FROM (
         SELECT user_id, valid_from, valid_to,
                LEAD(valid_from) OVER (PARTITION BY user_id
-                                      ORDER BY valid_from ASC) AS next_from
+                                      ORDER BY valid_from ASC, version ASC) AS next_from
         FROM pert
       ) WHERE valid_from >= valid_to
            OR (next_from IS NOT NULL AND valid_to > next_from)
@@ -421,7 +428,7 @@ def q97_gold_dq_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     cur = scd2_current_violations(perturbed, ["user_id"]).agg(
         F.count(F.lit(1)).alias("n_current_violations")
     )
-    olap = scd2_overlap_violations(perturbed, ["user_id"]).agg(
+    olap = scd2_overlap_violations(perturbed, ["user_id"], tiebreakers=["version"]).agg(
         F.count(F.lit(1)).alias("n_overlap_violations")
     )
     orph = orphaned_fact_violations(

@@ -193,11 +193,18 @@ def _sessionize_event_time(gap_ms: int):
     Unlike :func:`_sessionize` (processing-time: a session closes when no
     events ARRIVE for the gap), this splits on the event-time axis —
     within a batch, consecutive events further than ``gap_ms`` apart
-    start a new session (closed sessions emit immediately); the trailing
-    open session persists in state with an event-time timer at
-    ``session_end + gap``, firing when the WATERMARK passes it. Batch
-    arrival order therefore never changes the session set — the property
-    that makes the operator oracle-checkable (q100)."""
+    start a new session; batch sessions chain-merge with the stored open
+    session SORTED BY EVENT TIME (so out-of-order arrivals above the
+    watermark extend a session's start or open an earlier one — never
+    get absorbed with a wrong start); closed sessions emit immediately
+    and the trailing open session persists with an event-time timer at
+    ``session_end + gap``, firing when the WATERMARK passes it. For
+    per-key event-time-ordered delivery (replayed logs, the file-stream
+    shape q100 drives) the emitted session set is batching-invariant;
+    under arbitrary reordering an event that would BRIDGE two
+    already-emitted sessions cannot retract them — the same caveat as
+    any early-emitting streaming sessionizer, and why q100's gate keeps
+    only provably data-closed sessions."""
 
     def fn(key, pdfs, state: GroupState):
         import pandas as pd
@@ -218,20 +225,31 @@ def _sessionize_event_time(gap_ms: int):
             return
 
         rows = pd.concat(list(pdfs)).sort_values("ts")
-        closed = []
-        cur = list(state.get) if state.exists else None
-        # split points: event-time gap to the previous event
+        # split the batch on the event-time axis...
         gaps = rows["ts"].diff().dt.total_seconds().mul(1000).fillna(0)
         sid = (gaps > gap_ms).cumsum()
+        sessions = []
         for _, grp in rows.groupby(sid, sort=True):
-            lo, hi = grp["ts"].iloc[0], grp["ts"].iloc[-1]
-            n, total = len(grp), float(grp["value"].sum())
-            if cur is not None and (lo - cur[1]).total_seconds() * 1000 <= gap_ms:
-                cur = [cur[0], max(cur[1], hi), cur[2] + n, cur[3] + total]
+            sessions.append(
+                [grp["ts"].iloc[0], grp["ts"].iloc[-1], len(grp), float(grp["value"].sum())]
+            )
+        # ...then chain-merge with the stored open session ON THAT AXIS:
+        # sorting by session start before merging means an out-of-order
+        # batch (events before the stored session's start, still above
+        # the watermark) extends/starts sessions correctly instead of
+        # being absorbed with a too-late session_start
+        if state.exists:
+            sessions.append(list(state.get))
+            sessions.sort(key=lambda t: t[0])
+        closed = []
+        cur = None
+        for seg in sessions:
+            if cur is not None and (seg[0] - cur[1]).total_seconds() * 1000 <= gap_ms:
+                cur = [cur[0], max(cur[1], seg[1]), cur[2] + seg[2], cur[3] + seg[3]]
             else:
                 if cur is not None:
                     closed.append(row(*cur))
-                cur = [lo, hi, n, total]
+                cur = seg
         # pd.Timestamp.value is ns-since-epoch on the NAIVE value —
         # session-zone (UTC) semantics regardless of the host TZ, unlike
         # datetime.timestamp() which assumes local time

@@ -500,3 +500,54 @@ def test_sessionize_event_time_splits_and_carries_state():
     out = pd.concat(list(fn((7,), iter([b3]), late)))
     assert len(out) == 1 and out.iloc[0]["session_end"] == t(10)
     assert not late.exists and late.timeout_ms is None
+
+
+def test_sessionize_event_time_out_of_order_batch():
+    """An event arriving in a LATER batch but with an EARLIER event time
+    must not be absorbed into the stored session with a wrong start: far
+    before it forms its own (earlier, emitted) session; within the gap it
+    extends session_start backwards."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from modular_etl_data_platform_spark.streaming.incremental import (
+        _sessionize_event_time,
+    )
+
+    class FakeState:
+        def __init__(self):
+            self._v = None
+            self.hasTimedOut = False
+            self.timeout_ms = None
+
+        exists = property(lambda self: self._v is not None)
+        get = property(lambda self: self._v)
+
+        def update(self, v):
+            self._v = v
+
+        def remove(self):
+            self._v = None
+
+        def setTimeoutTimestamp(self, ms):
+            self.timeout_ms = ms
+
+        def getCurrentWatermarkMs(self):
+            return 0
+
+    fn = _sessionize_event_time(gap_ms=60 * 60 * 1000)  # 1h gap
+    t = lambda h, m=0: dt.datetime(2024, 1, 1, h, m)
+
+    # far-before event -> own earlier session, emitted closed
+    st = FakeState()
+    list(fn((1,), iter([pd.DataFrame({"ts": [t(10), t(10, 30)], "value": [1.0, 2.0]})]), st))
+    out = pd.concat(list(fn((1,), iter([pd.DataFrame({"ts": [t(6)], "value": [4.0]})]), st)))
+    assert (out.iloc[0]["session_start"], out.iloc[0]["session_end"]) == (t(6), t(6))
+    assert st.get[0] == t(10) and st.get[1] == t(10, 30)
+
+    # within-gap earlier event -> session_start extends backwards
+    st2 = FakeState()
+    list(fn((2,), iter([pd.DataFrame({"ts": [t(10)], "value": [1.0]})]), st2))
+    assert list(fn((2,), iter([pd.DataFrame({"ts": [t(9, 30)], "value": [2.0]})]), st2)) == []
+    assert st2.get[0] == t(9, 30) and st2.get[1] == t(10) and st2.get[2] == 2
