@@ -140,3 +140,47 @@ def test_star_cc_matches_bfs_ground_truth(spark, edges):
         r.doc_id: r.cluster_id for r in connected_components_star(verts, e).collect()
     }
     assert got == truth
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab ", min_size=1, max_size=30), min_size=2, max_size=12
+    ),
+    cap=st.sampled_from([None, 3]),
+)
+@SLOW
+def test_lsh_candidate_pairs_match_reference_banding(spark, texts, cap):
+    """The single-shuffle pair generator must emit exactly the pairs the
+    banding definition implies: group docs by each band's key tuple, drop
+    over-cap buckets, pair every co-bucketed id_a < id_b. Checked against
+    a driver-side reference over arbitrary (including duplicate) texts."""
+    import collections
+
+    from modular_etl_data_platform_spark.corpus.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id LONG, text STRING"
+    )
+    sigs = minhash_signatures(docs, k=8, parallelism=2)
+    rows = {r.doc_id: [r[f"mh{s}"] for s in range(8)] for r in sigs.collect()}
+    buckets = collections.defaultdict(list)
+    for did, mh in rows.items():
+        for b in range(4):
+            key = tuple(mh[b * 2 : b * 2 + 2])
+            buckets[(b, key)].append(did)
+    expect = set()
+    for members in buckets.values():
+        if cap is not None and len(members) > cap:
+            continue
+        ms = sorted(members)
+        for i in range(len(ms)):
+            for j in range(i + 1, len(ms)):
+                expect.add((ms[i], ms[j]))
+    got = {
+        (r.id_a, r.id_b)
+        for r in lsh_candidate_pairs(sigs, max_bucket_size=cap).collect()
+    }
+    assert got == expect
