@@ -11,10 +11,12 @@ exactly 50 rows — the first 50 in insertion order). With 109 registered
 queries a fixed order would leave half the catalog permanently unrecorded,
 so ``queries()`` self-rotates: it reads the prior-round
 ``CORRECTNESS_r*.json`` artifacts next to this file and sorts the
-catalog least-recently-green first. Queries with no green driver row
-ever come first, then rows whose last record was an error, then greens
-oldest-round first. Over successive rounds the 50-slot window sweeps
-the whole catalog; the union of round artifacts covers every query.
+catalog by re-verification urgency: never-recorded queries first, then
+queries whose LATEST record was an error/mismatch (possible
+regressions), then greens oldest-round first. Over successive rounds
+the 50-slot window sweeps the whole catalog; the union of round
+artifacts covers every query, and a regression re-enters the very next
+window instead of hiding behind stale greens.
 """
 
 from __future__ import annotations
@@ -42,14 +44,23 @@ def entry(spark: SparkSession) -> DataFrame:
     return flagship(spark, SF0001)
 
 
-def _last_green_round() -> dict[str, int]:
-    """name -> latest round whose driver artifact recorded the query OK.
+def _rotation_key() -> dict[str, tuple[int, int]]:
+    """name -> (category, round) rotation sort key, smallest first.
 
-    OK = no error and no mismatch (hash-green, or a rows-only record for
-    the sketch query that has no oracle by design). Unreadable artifacts
-    are skipped; with none present the catalog keeps registration order.
+    Categories (from the per-round driver artifacts next to this file):
+      0 — never recorded by any driver round (round = 0);
+      1 — the LATEST record is an error or a rows/hash mismatch, i.e. a
+          possible regression that must be re-verified before anything
+          else (round = the round of that latest non-green record, so
+          older regressions re-enter first);
+      2 — the latest record is green (round = that green round; oldest
+          greens rotate back in first).
+    A record is green iff it has no ``err`` and neither ``rows_match``
+    nor ``hash_match`` is False.  Unreadable artifacts are skipped; with
+    none present every query keys as never-recorded and the catalog keeps
+    registration order.
     """
-    last: dict[str, int] = {}
+    latest: dict[str, tuple[int, bool]] = {}  # name -> (round, green)
     for path in glob.glob(os.path.join(_HERE, "CORRECTNESS_r*.json")):
         m = re.search(r"r(\d+)\.json$", os.path.basename(path))
         if not m:
@@ -63,24 +74,32 @@ def _last_green_round() -> dict[str, int]:
         if not isinstance(rows, dict):
             continue
         for name, row in rows.items():
-            if not isinstance(row, dict) or row.get("err") is not None:
+            if not isinstance(row, dict):
                 continue
-            if row.get("rows_match") is False or row.get("hash_match") is False:
-                continue
-            last[name] = max(last.get(name, -1), rnd)
-    return last
+            green = (
+                row.get("err") is None
+                and row.get("rows_match") is not False
+                and row.get("hash_match") is not False
+            )
+            if name not in latest or rnd > latest[name][0]:
+                latest[name] = (rnd, green)
+    return {
+        name: ((2, rnd) if green else (1, rnd))
+        for name, (rnd, green) in latest.items()
+    }
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2,
-    least-recently-driver-green first (see module docstring)."""
-    last = _last_green_round()
-    names = sorted(QUERIES, key=lambda n: (last.get(n, -1), n))
+    """One entry per implemented operator from SURVEY.md §2, ordered
+    never-recorded first, then regressions (latest record not green),
+    then greens oldest-round first (see module docstring)."""
+    key = _rotation_key()
+    names = sorted(QUERIES, key=lambda n: (*key.get(n, (0, 0)), n))
     return {n: QUERIES[n] for n in names}
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL twins of ``queries()`` (same aliases)."""
-    last = _last_green_round()
-    names = sorted(ORACLES, key=lambda n: (last.get(n, -1), n))
+    key = _rotation_key()
+    names = sorted(ORACLES, key=lambda n: (*key.get(n, (0, 0)), n))
     return {n: ORACLES[n] for n in names}

@@ -249,13 +249,18 @@ def lsh_candidate_pairs(
     exploded = sigs.select(F.col(id_col), F.explode(band_structs).alias("band")).select(
         id_col, "band.band_id", "band.band_key"
     )
+    # cap BEFORE collect_list: an oversized boilerplate mega-bucket must
+    # never be materialized as one array in a single aggregation buffer
+    # (arrays cannot spill) — the count agg is map-side combined and the
+    # few oversized keys broadcast into an anti-join, so the pre-filter
+    # costs one tiny-row shuffle and the bucket build only ever sees
+    # bounded buckets
+    exploded = _cap_buckets(exploded, max_bucket_size)
     buckets = (
         exploded.groupBy("band_id", "band_key")
         .agg(F.array_sort(F.collect_list(id_col)).alias("__ids"))
         .filter(F.size("__ids") >= 2)
     )
-    if max_bucket_size is not None:
-        buckets = buckets.filter(F.size("__ids") <= max_bucket_size)
     # ids sorted ascending, so pairing element i with every later element
     # yields exactly the id_a < id_b pairs
     pair_expr = (
@@ -508,6 +513,15 @@ def connected_components(
     shallow-cluster case without changing the fixpoint (a converged
     labeling is unchanged by extra rounds). Deterministic: min() is
     order-free.
+
+    Scale shape: propagation runs ONLY over vertices that touch an edge
+    (≤ 2·|E| rows — near-dup edge sets are orders of magnitude smaller
+    than the corpus), so per-round cost is O(|E|), independent of corpus
+    size; the full vertex set is joined exactly once at the end, where
+    edge-untouched vertices label themselves. Iterating over
+    corpus-sized label frames instead costs O(|V|) per round — at 100 TB
+    that is the difference between shuffling kilobytes and shuffling the
+    corpus diameter-many times.
     """
     # materialize the (small) edge list ONCE: edges usually arrive as the
     # unmaterialized tail of the LSH+verify pipeline, and without a
@@ -519,9 +533,13 @@ def connected_components(
         )
         .localCheckpoint(eager=True)
     )
-    labels = vertices.select(
-        F.col(id_col), F.col(id_col).alias("cluster_id")
-    ).localCheckpoint(eager=True)
+    # bidir is symmetric, so src alone covers every edge-touched vertex
+    labels = (
+        bidir.select(F.col("src").alias(id_col))
+        .dropDuplicates()
+        .withColumn("cluster_id", F.col(id_col))
+        .localCheckpoint(eager=True)
+    )
     done = 0
     while done < max_iters:
         span = min(max(check_every, 1), max_iters - done)
@@ -559,7 +577,23 @@ def connected_components(
         done += span
         if changed == 0:
             break
-    return labels
+    else:
+        # fail loudly rather than return a non-fixpoint labeling (same
+        # convention as connected_components_star)
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} rounds; "
+            "raise max_iters or use connected_components_star (deep chains)"
+        )
+    # one corpus-sized pass, at the end only: vertices with no edge keep
+    # their own id as cluster_id
+    return (
+        vertices.select(F.col(id_col))
+        .join(labels, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("cluster_id"), F.col(id_col)).alias("cluster_id"),
+        )
+    )
 
 
 def connected_components_star(
@@ -648,13 +682,24 @@ def connected_components_star(
 
     cur = bidir
     prev_sum = checksum(cur)
+    converged = False
     for _ in range(max_iters):
         stepped = small_star(large_star(cur)).localCheckpoint(eager=True)
         cur_sum = checksum(stepped)
         cur = stepped
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
+    if not converged:
+        # fail loudly (the streaming-proof-timeout convention): labels
+        # derived from a non-fixpoint edge set can silently assign a
+        # vertex a non-component-minimum cluster_id, corrupting every
+        # downstream keep/drop decision
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_iters} "
+            "rounds; raise max_iters (components deeper than expected)"
+        )
     # fixpoint edges are (v, component_min); vertices absent from any
     # edge are their own component
     labels = cur.select(
@@ -731,13 +776,32 @@ def incremental_near_dup(
         .dropDuplicates()
         .cache()
     )
-    sh_new = new_docs.select(
-        F.col(id_col).alias("id_a"),
-        F.array_distinct(F.expr(shingles_sql(text_col, shingle))).alias("sh_a"),
+    # shingle ONLY the docs that appear in a candidate pair (broadcast
+    # semi-join, the jaccard_verify shape): candidates are a tiny fraction
+    # of both sides, so verification cost scales with the candidate set —
+    # without the prune the ENTIRE existing corpus is re-shingled per
+    # batch, which defeats the batch-scaled design at 100 TB
+    sh_new = (
+        new_docs.join(
+            F.broadcast(cands.select(F.col("id_a").alias(id_col)).dropDuplicates()),
+            id_col,
+            "left_semi",
+        )
+        .select(
+            F.col(id_col).alias("id_a"),
+            F.array_distinct(F.expr(shingles_sql(text_col, shingle))).alias("sh_a"),
+        )
     )
-    sh_old = existing_docs.select(
-        F.col(id_col).alias("id_b"),
-        F.array_distinct(F.expr(shingles_sql(text_col, shingle))).alias("sh_b"),
+    sh_old = (
+        existing_docs.join(
+            F.broadcast(cands.select(F.col("id_b").alias(id_col)).dropDuplicates()),
+            id_col,
+            "left_semi",
+        )
+        .select(
+            F.col(id_col).alias("id_b"),
+            F.array_distinct(F.expr(shingles_sql(text_col, shingle))).alias("sh_b"),
+        )
     )
     return (
         cands.join(sh_new, "id_a")

@@ -318,6 +318,7 @@ def ivf_probe_batch(
     probes: int = 1,
     query_id_col: str = "query_id",
     vec_col: str = "embedding",
+    id_col: str = "vec_id",
 ) -> DataFrame:
     """Probe the partitioned IVF index for a BATCH of query vectors in
     one pass — the serving shape (:func:`ivf_probe_indexed` is the
@@ -329,7 +330,11 @@ def ivf_probe_batch(
     pruning limits the scan to the routed cells' directories. One
     query-partitioned window takes the top-k.
 
-    Returns (query_id, vec_id, cos_sim, rank), rank 1..≤k per query.
+    ``id_col`` names the index's id column (must match the ``id_col``
+    the index was built with — :func:`build_ivf_index`/:func:`ivf_append`
+    take the same parameter).
+
+    Returns (query_id, <id_col>, cos_sim, rank), rank 1..≤k per query.
     """
     cents = spark.read.parquet(os.path.join(index_path, "_centroids"))
     q = queries.select(
@@ -347,13 +352,13 @@ def ivf_probe_batch(
     )
     idx = spark.read.parquet(index_path)
     wk = Window.partitionBy(query_id_col).orderBy(
-        F.col("cos_sim").desc(), F.col("vec_id").asc()
+        F.col("cos_sim").desc(), F.col(id_col).asc()
     )
     return (
         idx.join(F.broadcast(routed), "cell")
         .select(
             F.col(query_id_col),
-            F.col("vec_id"),
+            F.col(id_col),
             cosine(vec_col, "__qv").alias("cos_sim"),
         )
         .withColumn("rank", F.row_number().over(wk).cast("int"))

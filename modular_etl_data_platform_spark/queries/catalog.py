@@ -1375,17 +1375,18 @@ def q61_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q56_approx_sketches")
 def q56_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch aggregations for interactive scale: HyperLogLog++ distinct
     users and t-digest quantiles per event type. Both are mergeable
     map-side sketches — constant memory per task, one tiny shuffle of
     sketch buffers, no sort — the 100 TB replacement for q55/q43's exact
-    forms when ±2% is acceptable. No oracle: DuckDB's HLL/quantile
-    sketches are a different implementation with different estimates, so
-    the driver records the rows-only check (the exact twins q55/q43 are
-    hash-verified). ``value_quantiles`` ships as a JSON string, not a raw
-    array: a pandas-based canonicalizer cannot sort/hash list cells."""
+    forms when ±2% is acceptable. NOT registered in the driver catalog:
+    no cross-engine oracle exists (DuckDB's HLL/quantile sketches are a
+    different implementation with different estimates), so a ``queries()``
+    entry would record a permanently-red rows-only row every round it
+    rotated in. Correctness is covered by ``tests/test_catalog.py``
+    (estimates bounded against the exact q55/q43 twins, which stay
+    hash-verified in the driver gate)."""
     e = _t(spark, sf_dir, "events")
     return e.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),

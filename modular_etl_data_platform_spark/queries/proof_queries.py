@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from modular_etl_data_platform_spark.queries.catalog import _t, dsum, query
-from modular_etl_data_platform_spark.queries.roundtrip_queries import _scratch
+from modular_etl_data_platform_spark.queries.roundtrip_queries import _pin, _scratch
 
 _MEM_IDS = itertools.count()
 
@@ -111,8 +111,10 @@ def q92_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
     out = _run_to_memory(agg, ckpt, "complete")
-    return out.select(
-        F.col("w.start").alias("window_start"), "event_type", "n_events"
+    return _pin(
+        out.select(
+            F.col("w.start").alias("window_start"), "event_type", "n_events"
+        )
     )
 
 
@@ -135,7 +137,7 @@ def q93_stream_dedup_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped = stream_dedup(
         _events_stream(spark, sf_dir, ckpt), ["user_id"], "ts", "36500 days"
     ).select("user_id")
-    return _run_to_memory(deduped, ckpt, "append")
+    return _pin(_run_to_memory(deduped, ckpt, "append"))
 
 
 @query(
@@ -161,7 +163,10 @@ def q93_stream_dedup_users(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM g GROUP BY user_id, sid
     ),
     m AS (SELECT user_id, MAX(ts) AS max_ts FROM events GROUP BY user_id)
-    SELECT sess.user_id, session_start, session_end, n_events, total_cents
+    SELECT sess.user_id, session_start, session_end, n_events,
+           -- CAST: DuckDB types SUM(BIGINT) as HUGEINT, which converts to
+           -- float64 under a pandas canonicalizer ("4612.0" vs "4612")
+           CAST(total_cents AS BIGINT) AS total_cents
     FROM sess JOIN m ON sess.user_id = m.user_id
     WHERE session_end + INTERVAL 8 HOUR < max_ts
     """,
@@ -185,8 +190,19 @@ def q100_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = _events_stream(spark, sf_dir, ckpt).select(
         "user_id", "ts", F.round(F.col("value") * 100).alias("value")
     )
+    # Horizon beyond any data span (the q93 pattern): the sessionizer's
+    # expired-horizon inline close and its event-time timers then NEVER
+    # fire mid-run, so the emitted set is exactly the data-closed
+    # sessions — invariant under any micro-batch split the driver's file
+    # source chooses. Timer-emitted trailing sessions are per-user LAST
+    # sessions, which the data-closed gate below excludes anyway, so the
+    # kept result is identical — just batching-proof.
     out = _run_to_memory(
-        sessionize_events_event_time(stream, gap_minutes=gap_h * 60), ckpt, "append"
+        sessionize_events_event_time(
+            stream, gap_minutes=gap_h * 60, watermark="36500 days"
+        ),
+        ckpt,
+        "append",
     )
     user_max = (
         _t(spark, sf_dir, "events")
@@ -206,6 +222,7 @@ def q100_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
             F.col("total_value").cast("long").alias("total_cents"),
         )
+        .transform(_pin)
     )
 
 
@@ -235,7 +252,7 @@ def q94_glob_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.path.join(scratch, f"slice_{d}")
         )
     back = read_path(spark, os.path.join(scratch, "slice_*"), "parquet")
-    return (
+    return _pin(
         back.withColumn(
             "slice",
             F.regexp_extract(F.input_file_name(), r"slice_(\d+)", 1).cast("long"),
@@ -346,7 +363,7 @@ def q96_bronze_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     quarantined = pipe.read_table("bronze_dq_errors").agg(
         F.count(F.lit(1)).alias("n_quarantined")
     )
-    return clean.crossJoin(F.broadcast(quarantined))
+    return _pin(clean.crossJoin(F.broadcast(quarantined)))
 
 
 @query(

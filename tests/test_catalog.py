@@ -21,3 +21,38 @@ def test_query_runs(spark, sf_dir, name):
 
 def test_every_oracle_has_query():
     assert set(ORACLES) <= set(QUERIES)
+
+
+def test_approx_sketches_bounded_by_exact(spark, sf_dir):
+    """q56 is unregistered (no cross-engine oracle) — verify it here
+    instead: HLL++ distinct estimates within the configured 2% rsd
+    (generously 10% at this tiny SF) of the exact per-type counts, and
+    the quantile JSON parses to 3 ordered values inside the value range."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from modular_etl_data_platform_spark.queries.catalog import (
+        _events,
+        q56_approx_sketches,
+    )
+
+    approx = {r["event_type"]: r for r in q56_approx_sketches(spark, sf_dir).collect()}
+    exact = {
+        r["event_type"]: r
+        for r in _events(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("users"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+        )
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for et, ex in exact.items():
+        est = approx[et]["approx_users"]
+        assert abs(est - ex["users"]) <= max(2, 0.1 * ex["users"])
+        qs = json.loads(approx[et]["value_quantiles"])
+        assert len(qs) == 3 and qs == sorted(qs)
+        assert ex["lo"] <= qs[0] and qs[2] <= ex["hi"]

@@ -74,11 +74,13 @@ def test_minhash_barrier_pins_single_md5_pass(spark):
 
 
 def test_lsh_pairs_single_shuffle_no_self_join(spark):
-    """lsh_candidate_pairs generates in-bucket pairs from ONE groupBy of
-    the banded ids — the physical plan must hold no join (the old
-    self-equi-join shuffled the banded table per side), no window (the
-    old cap), and exactly two hash exchanges: the band-key groupBy and
-    the pair dedup."""
+    """lsh_candidate_pairs generates in-bucket pairs from ONE data-heavy
+    groupBy of the banded ids — no self-equi-join (the old form shuffled
+    the banded table per side), no window. Without a cap: exactly two
+    hash exchanges (band-key groupBy + pair dedup). With a cap: one more
+    TINY-row exchange for the map-side-combined bucket count, applied as
+    a broadcast anti-join BEFORE collect_list so an oversized bucket is
+    never materialized as one aggregation-buffer array."""
     from modular_etl_data_platform_spark.corpus.dedup import (
         lsh_candidate_pairs,
         minhash_signatures,
@@ -90,13 +92,29 @@ def test_lsh_pairs_single_shuffle_no_self_join(spark):
     )
     sigs = minhash_signatures(docs, k=8, parallelism=2)
     p = (
-        lsh_candidate_pairs(sigs, max_bucket_size=10)
+        lsh_candidate_pairs(sigs)
         ._jdf.queryExecution()
         .executedPlan()
         .toString()
     )
     assert "Join" not in p and "Window" not in p, p
     assert len(re.findall(r"Exchange hashpartitioning", p)) == 2, p
+
+    capped = (
+        lsh_candidate_pairs(sigs, max_bucket_size=10)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the cap joins broadcast-anti (never a shuffle join) and the only
+    # added exchange is the count aggregate's (partial_count = map-side
+    # combined); the collect_list groupBy and pair dedup stay as before
+    assert "BroadcastHashJoin" in capped and "LeftAnti" in capped, capped
+    assert "SortMergeJoin" not in capped and "Window" not in capped, capped
+    assert "partial_count" in capped, capped
+    assert len(re.findall(r"Exchange hashpartitioning", capped)) == 3, capped
+    # collect_list must run on the capped (post-anti-join) rows
+    assert capped.index("collect_list") < capped.index("BroadcastHashJoin"), capped
 
 
 def test_cap_buckets_never_shuffles_the_banded_table(spark):

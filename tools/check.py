@@ -70,14 +70,24 @@ def driver_unsafe(sdf, rows):
 
 
 def norm_value(v):
+    import numpy as np
+
     if v is None:
         return "NULL"
-    if isinstance(v, bool):
+    if isinstance(v, (bool, np.bool_)):
         return "true" if v else "false"
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return repr(v)
+        return repr(float(v))
+    import datetime
+
+    # DATE normalizes to a midnight datetime: Spark/fetchall yields
+    # datetime.date where duckdb's .df() yields datetime64 — the driver's
+    # canonicalizer tolerates this (q09 dates were driver-green in r3),
+    # so the replica must too
+    if isinstance(v, datetime.date) and not isinstance(v, datetime.datetime):
+        return f"{v} 00:00:00"
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(norm_value(x) for x in v) + "]"
     return str(v)
@@ -87,6 +97,24 @@ def table_hash(rows, colnames):
     order = sorted(range(len(colnames)), key=lambda i: colnames[i])
     lines = sorted(
         "\x1f".join(norm_value(row[i]) for i in order) for row in rows
+    )
+    h = hashlib.sha256()
+    for line in lines:
+        h.update(line.encode())
+        h.update(b"\n")
+    return h.hexdigest()[:16]
+
+
+def pandas_hash(pdf):
+    """Hash a result AS A PANDAS FRAME — mimics the driver's pandas-based
+    canonicalizer, where engine dtype coercions surface that object-level
+    compare hides (e.g. DuckDB SUM(BIGINT) -> HUGEINT -> float64 prints
+    '4612.0' while Spark's int64 prints '4612': CORRECTNESS_r04 q100/q109
+    failed the driver hash on exactly this while fetchall() passed)."""
+    pdf = pdf[sorted(pdf.columns)]
+    lines = sorted(
+        "\x1f".join(norm_value(v) for v in row)
+        for row in pdf.itertuples(index=False, name=None)
     )
     h = hashlib.sha256()
     for line in lines:
@@ -150,19 +178,48 @@ def main():
         sh = table_hash(srows, scols)
         dh = table_hash(drows, dcols)
         ok_hash = sh == dh
-        status = "PASS" if (ok_count and ok_schema and ok_hash) else "FAIL"
+        # pandas-mode replica of the driver canonicalizer: DuckDB results
+        # via .df() (surfaces HUGEINT->float64 etc.), Spark results as a
+        # frame built from the collected rows (no re-execution)
+        import pandas as pd
+
+        sph = pandas_hash(pd.DataFrame.from_records(srows, columns=scols))
+        dph = pandas_hash(con.execute(oracles[name]).df())
+        ok_pdhash = sph == dph
+        status = (
+            "PASS" if (ok_count and ok_schema and ok_hash and ok_pdhash) else "FAIL"
+        )
         results[name] = status
         print(
             f"{status}  {name}: rows {len(srows)}/{len(drows)} "
             f"schema={'ok' if ok_schema else f'{sorted(scols)} vs {sorted(dcols)}'} "
-            f"hash={'ok' if ok_hash else f'{sh} vs {dh}'} [{stime:.1f}s]"
+            f"hash={'ok' if ok_hash else f'{sh} vs {dh}'} "
+            f"pdhash={'ok' if ok_pdhash else f'{sph} vs {dph}'} [{stime:.1f}s]"
         )
         if status == "FAIL" and ok_count and ok_schema:
             # print first differing rows for debugging
-            order = sorted(range(len(scols)), key=lambda i: scols[i])
-            snorm = sorted("\x1f".join(norm_value(r[i]) for i in order) for r in srows)
-            dorder = sorted(range(len(dcols)), key=lambda i: dcols[i])
-            dnorm = sorted("\x1f".join(norm_value(r[i]) for i in dorder) for r in drows)
+            if not ok_hash:
+                order = sorted(range(len(scols)), key=lambda i: scols[i])
+                snorm = sorted(
+                    "\x1f".join(norm_value(r[i]) for i in order) for r in srows
+                )
+                dorder = sorted(range(len(dcols)), key=lambda i: dcols[i])
+                dnorm = sorted(
+                    "\x1f".join(norm_value(r[i]) for i in dorder) for r in drows
+                )
+            else:  # only the pandas-mode hash differs: diff at that level
+                spdf = pd.DataFrame.from_records(srows, columns=scols)
+                spdf = spdf[sorted(spdf.columns)]
+                dpdf = con.execute(oracles[name]).df()
+                dpdf = dpdf[sorted(dpdf.columns)]
+                snorm = sorted(
+                    "\x1f".join(norm_value(v) for v in row)
+                    for row in spdf.itertuples(index=False, name=None)
+                )
+                dnorm = sorted(
+                    "\x1f".join(norm_value(v) for v in row)
+                    for row in dpdf.itertuples(index=False, name=None)
+                )
             shown = 0
             for a, b in zip(snorm, dnorm):
                 if a != b:
