@@ -53,6 +53,32 @@ def cosine(a: str | Column, b: str | Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def _arrow_cosine(a: str | Column, b: str | Column) -> Column:
+    """Vectorized cosine over Arrow batches: one numpy matmul per batch
+    instead of a per-element SQL fold — the production scorer for
+    candidate-pair volumes (:func:`knn_join` ``arrow_scorer=True``).
+    Equal-length non-null vectors assumed (LSH candidates always are).
+    Differs from :func:`cosine` only in float summation order."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _cos(va, vb):
+        import numpy as np
+        import pandas as pd
+
+        if len(va) == 0:
+            return pd.Series([], dtype="float64")
+        # float64 throughout: array<float> inputs would otherwise score
+        # in float32 (~1e-7 error vs the SQL fold's double arithmetic)
+        A = np.stack(va.to_numpy()).astype(np.float64, copy=False)
+        B = np.stack(vb.to_numpy()).astype(np.float64, copy=False)
+        num = np.einsum("ij,ij->i", A, B)
+        den = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+        return pd.Series(num / den)
+
+    return _cos(F.col(a) if isinstance(a, str) else a, F.col(b) if isinstance(b, str) else b)
+
+
 def cosine_topk(
     emb: DataFrame,
     query_id: int,
@@ -526,6 +552,7 @@ def knn_join(
     bands: int = 4,
     dim: int = 64,
     parallelism: int | None = None,
+    arrow_scorer: bool = False,
 ) -> DataFrame:
     """Approximate k-NN JOIN: EVERY vector gets its ``k`` most-similar
     neighbors among its LSH-band co-bucketed candidates — the all-pairs
@@ -540,23 +567,32 @@ def knn_join(
     :func:`embedding_near_dup_pairs`).
 
     Scale shape: banded signature explode → bucket-local self-equi-join
-    (never all-pairs), candidate dedup, then ONE window partitioned by
-    query id for the top-k — the same per-key pattern as q06's top-n.
-    Defaults give ``planes/bands`` = 8-bit band keys (256 buckets/band):
-    wider keys than the near-dup path's because a k-NN join pays
-    bucket-size² in CANDIDATE COSINES, and k-NN wants selective buckets
-    with band-count recall, not high per-bucket recall. Candidate
-    scoring stays in the deterministic left-to-right F.aggregate fold
-    for oracle parity; a production scorer would batch the candidate
-    pairs through an Arrow Pandas UDF (numpy dot) at ~10x throughput,
-    trading bit-exact cross-engine reproducibility.
+    (never all-pairs), candidate dedup on BARE ID PAIRS (two longs per
+    row — the vectors are re-joined by id after the dedup, so the widest
+    shuffle of the pipeline never carries the ~1 KB embedding payloads),
+    then ONE window partitioned by query id for the top-k — the same
+    per-key pattern as q06's top-n. Defaults give ``planes/bands`` =
+    8-bit band keys (256 buckets/band): wider keys than the near-dup
+    path's because a k-NN join pays bucket-size² in CANDIDATE COSINES,
+    and k-NN wants selective buckets with band-count recall, not high
+    per-bucket recall.
+
+    ``arrow_scorer=False`` (default) scores candidates with the
+    deterministic left-to-right ``F.aggregate`` fold — bit-exact with
+    the DuckDB oracle. ``arrow_scorer=True`` is the production path:
+    candidates batch through an Arrow Pandas UDF (one numpy matmul per
+    batch, ~10x scorer throughput), trading bit-exact cross-engine
+    reproducibility for speed (float64 results differ from the fold only
+    in summation order, i.e. last-ulp).
     """
     base = fan_out(emb.select(F.col(id_col), F.col(vec_col)), parallelism).join(
         hyperplane_signature(emb, id_col, vec_col, planes=planes, dim=dim), id_col
     )
-    banded = _banded(base, id_col, vec_col, planes, bands)
+    banded = _banded(base, id_col, vec_col, planes, bands).select(
+        id_col, "band", "key"
+    )
     a, b = banded.alias("a"), banded.alias("b")
-    cands = (
+    pairs = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -566,16 +602,27 @@ def knn_join(
         .select(
             F.col(f"a.{id_col}").alias("query_id"),
             F.col(f"b.{id_col}").alias("neighbor_id"),
-            F.col(f"a.{vec_col}").alias("__va"),
-            F.col(f"b.{vec_col}").alias("__vb"),
         )
-        .dropDuplicates(["query_id", "neighbor_id"])
+        .dropDuplicates()
     )
+    vecs = emb.select(F.col(id_col), F.col(vec_col))
+    cands = pairs.join(
+        vecs.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("__va")
+        ),
+        "query_id",
+    ).join(
+        vecs.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__vb")
+        ),
+        "neighbor_id",
+    )
+    score = _arrow_cosine("__va", "__vb") if arrow_scorer else cosine("__va", "__vb")
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
     )
     return (
-        cands.withColumn("cos_sim", cosine("__va", "__vb"))
+        cands.withColumn("cos_sim", score)
         .withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rank")

@@ -433,6 +433,46 @@ def q108_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q110_catalog_table_roundtrip",
+    """
+    SELECT c_mktsegment,
+           COUNT(*) AS n_customers,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS sum_acctbal,
+           min(c_name) AS first_name
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def q110_catalog_table_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 proof — managed-catalog table scan (reference
+    config/gold/schema/README.md's ``spark.table`` access path): customer
+    saved into the session catalog via ``saveAsTable`` (external path in
+    scratch — metadata only in the catalog) and read back through
+    ``spark.table``, the name-resolved scan every downstream consumer of
+    a cataloged gold table uses. The aggregate must match the
+    direct-parquet oracle: a catalog entry pointing at the wrong data,
+    a schema drift in the metastore mapping, or a partial overwrite all
+    break the hash."""
+    scratch = _scratch("q110_catalog_table_roundtrip", sf_dir)
+    customer = _t(spark, sf_dir, "customer")
+    spark.sql("DROP TABLE IF EXISTS q110_customer_cat")
+    (
+        customer.write.format("parquet")
+        .mode("overwrite")
+        .option("path", os.path.join(scratch, "customer_cat"))
+        .saveAsTable("q110_customer_cat")
+    )
+    back = spark.table("q110_customer_cat")
+    return _pin(
+        back.groupBy("c_mktsegment").agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            dsum(F.col("c_acctbal"), "sum_acctbal"),
+            F.min("c_name").alias("first_name"),
+        )
+    )
+
+
+@query(
     "q109_text_scan_roundtrip",
     """
     SELECT COUNT(*) AS n_lines,

@@ -408,6 +408,24 @@ def test_knn_join_every_vector_ranked(spark, emb):
         assert sims == sorted(sims, reverse=True) or len(set(sims)) < len(sims)
 
 
+def test_knn_join_arrow_scorer_matches_fold(spark, emb):
+    """The Arrow (numpy-batched) production scorer must agree with the
+    oracle-parity F.aggregate fold: same candidate set, same neighbor
+    sets per query, cosines equal to float tolerance (they differ only
+    in summation order)."""
+    fold = {
+        (r.query_id, r.neighbor_id): r.cos_sim
+        for r in csim.knn_join(emb, k=3, dim=8).collect()
+    }
+    arrow = {
+        (r.query_id, r.neighbor_id): r.cos_sim
+        for r in csim.knn_join(emb, k=3, dim=8, arrow_scorer=True).collect()
+    }
+    assert set(fold) == set(arrow)
+    for key, v in fold.items():
+        assert abs(v - arrow[key]) < 1e-9
+
+
 def test_ivf_append_serves_new_vectors_without_rebuild(spark, emb, tmp_path):
     """ivf_append: vectors appended via sidecar-centroid assignment are
     served by the same partition-pruned probe; untouched cell directories
