@@ -227,6 +227,66 @@ def q100_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q111_stream_stream_attribution",
+    """
+    SELECT v.user_id,
+           v.event_id AS view_event_id,
+           a.event_id AS action_event_id,
+           v.ts AS view_ts,
+           a.ts AS action_ts
+    FROM events v JOIN events a ON v.user_id = a.user_id
+    WHERE v.event_type = 'view' AND a.event_type = 'purchase'
+      AND v.ts <= a.ts AND a.ts <= v.ts + INTERVAL 4 HOUR
+    """,
+)
+def q111_stream_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream inner join (§2.10,
+    streaming/incremental.py::attribute_events): every purchase is
+    attributed to the same user's views at most 4 h before it — two REAL
+    readStreams over the events source joined with watermarks on both
+    sides and a time-bound condition (the only shape Spark accepts as a
+    bounded-state stream-stream join). The watermark horizon is set past
+    the data span so no buffered row evicts mid-run: the emitted match
+    set is then exactly the relational time-bounded join the oracle
+    computes, independent of micro-batching (inner-join matches emit
+    once both sides have arrived; nothing is retracted). Event ids ride
+    along so every output row is unique."""
+    from modular_etl_data_platform_spark.streaming.incremental import (
+        attribute_events,
+    )
+
+    ckpt = _scratch("q111_stream_stream_attribution", sf_dir)
+    views = (
+        _events_stream(spark, sf_dir, ckpt)
+        .filter(F.col("event_type") == "view")
+        .select(
+            "user_id",
+            F.col("event_id").alias("view_event_id"),
+            F.col("ts").alias("view_ts"),
+        )
+    )
+    actions = (
+        _events_stream(spark, sf_dir, ckpt)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("event_id").alias("action_event_id"),
+            F.col("ts").alias("action_ts"),
+        )
+    )
+    joined = attribute_events(
+        views,
+        actions,
+        key="user_id",
+        view_ts="view_ts",
+        action_ts="action_ts",
+        watermark="36500 days",
+        within="4 hours",
+    ).select("user_id", "view_event_id", "action_event_id", "view_ts", "action_ts")
+    return _pin(_run_to_memory(joined, ckpt, "append"))
+
+
+@query(
     "q94_glob_source",
     """
     SELECT o_orderkey % 3 AS slice,
@@ -491,3 +551,100 @@ def q98_udtf_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE d.text IS NOT NULL
         """
     )
+
+
+_Q112_SUITE = {
+    "expectation_suite_name": "customer_gold",
+    "expectations": [
+        {"expectation_type": "expect_column_to_exist",
+         "kwargs": {"column": "c_custkey"}},
+        {"expectation_type": "expect_column_values_to_not_be_null",
+         "kwargs": {"column": "c_acctbal", "mostly": 0.99}},
+        {"expectation_type": "expect_column_values_to_be_between",
+         "kwargs": {"column": "c_acctbal", "min_value": 0,
+                    "max_value": 10000, "mostly": 0.85}},
+        {"expectation_type": "expect_column_values_to_be_in_set",
+         "kwargs": {"column": "c_mktsegment",
+                    "value_set": ["AUTOMOBILE", "BUILDING",
+                                  "FURNITURE", "MACHINERY"],
+                    "mostly": 0.9}},
+        {"expectation_type": "expect_column_values_to_match_regex",
+         "kwargs": {"column": "c_name", "regex": "^CUSTOMER#[0-9]+$"}},
+        {"expectation_type": "expect_column_values_to_be_unique",
+         "kwargs": {"column": "c_custkey"}},
+        {"expectation_type": "expect_table_row_count_to_be_between",
+         "kwargs": {"min_value": 100}},
+        {"expectation_type": "expect_column_mean_to_be_between",
+         "kwargs": {"column": "c_acctbal", "min_value": 1000,
+                    "max_value": 9000}},
+    ],
+}
+
+
+@query(
+    "q112_expectation_suite",
+    """
+    WITH c AS (SELECT * FROM customer)
+    SELECT 'expect_column_to_exist' AS expectation_type,
+           'c_custkey' AS "column", 1.0 AS observed, TRUE AS success
+    UNION ALL
+    SELECT 'expect_column_values_to_not_be_null', 'c_acctbal',
+           CAST(COUNT(c_acctbal) AS DOUBLE) / COUNT(*),
+           CAST(COUNT(c_acctbal) AS DOUBLE) / COUNT(*) >= 0.99
+    FROM c
+    UNION ALL
+    SELECT 'expect_column_values_to_be_between', 'c_acctbal',
+           CAST(COUNT(CASE WHEN c_acctbal >= 0 AND c_acctbal <= 10000
+                           THEN 1 END) AS DOUBLE) / COUNT(c_acctbal),
+           CAST(COUNT(CASE WHEN c_acctbal >= 0 AND c_acctbal <= 10000
+                           THEN 1 END) AS DOUBLE) / COUNT(c_acctbal) >= 0.85
+    FROM c
+    UNION ALL
+    SELECT 'expect_column_values_to_be_in_set', 'c_mktsegment',
+           CAST(COUNT(CASE WHEN c_mktsegment IN
+                  ('AUTOMOBILE','BUILDING','FURNITURE','MACHINERY')
+                           THEN 1 END) AS DOUBLE) / COUNT(c_mktsegment),
+           CAST(COUNT(CASE WHEN c_mktsegment IN
+                  ('AUTOMOBILE','BUILDING','FURNITURE','MACHINERY')
+                           THEN 1 END) AS DOUBLE) / COUNT(c_mktsegment) >= 0.9
+    FROM c
+    UNION ALL
+    SELECT 'expect_column_values_to_match_regex', 'c_name',
+           CAST(COUNT(CASE WHEN regexp_matches(c_name, '^CUSTOMER#[0-9]+$')
+                           THEN 1 END) AS DOUBLE) / COUNT(c_name),
+           CAST(COUNT(CASE WHEN regexp_matches(c_name, '^CUSTOMER#[0-9]+$')
+                           THEN 1 END) AS DOUBLE) / COUNT(c_name) >= 1.0
+    FROM c
+    UNION ALL
+    SELECT 'expect_column_values_to_be_unique', 'c_custkey',
+           CAST(COUNT(DISTINCT c_custkey) AS DOUBLE) / COUNT(c_custkey),
+           CAST(COUNT(DISTINCT c_custkey) AS DOUBLE) / COUNT(c_custkey) >= 1.0
+    FROM c
+    UNION ALL
+    SELECT 'expect_table_row_count_to_be_between', '',
+           CAST(COUNT(*) AS DOUBLE), COUNT(*) >= 100 FROM c
+    UNION ALL
+    SELECT 'expect_column_mean_to_be_between', 'c_acctbal',
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE)
+             / COUNT(c_acctbal),
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE)
+             / COUNT(c_acctbal) BETWEEN 1000 AND 9000
+    FROM c
+    """,
+)
+def q112_expectation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative expectation-suite DQ (operators/expectations.py — the
+    engine's great-expectations-dialect surface; the reference pins GE as
+    its DQ intent in requirements.txt without shipping a suite): an
+    8-expectation suite over customer evaluated in ONE aggregation pass,
+    returning GE-style (expectation_type, column, observed, success)
+    rows. The oracle recomputes every observed value and verdict
+    relationally, so a mis-computed pass fraction, a wrong mostly
+    comparison, nulls counted on the wrong side, or a silently skipped
+    expectation all fail the hash."""
+    from modular_etl_data_platform_spark.operators.expectations import (
+        ExpectationSuite,
+    )
+
+    suite = ExpectationSuite.from_config(_Q112_SUITE)
+    return suite.validate(_t(spark, sf_dir, "customer"))
