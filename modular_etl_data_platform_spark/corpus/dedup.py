@@ -585,7 +585,12 @@ def connected_components(
             "raise max_iters or use connected_components_star (deep chains)"
         )
     # one corpus-sized pass, at the end only: vertices with no edge keep
-    # their own id as cluster_id
+    # their own id as cluster_id. The labels side is ≤ 2·|E| rows —
+    # broadcast it explicitly when the (materialized) edge list is small
+    # so the corpus never shuffles for this join; above the threshold the
+    # shuffle join is the right plan anyway.
+    if bidir.count() <= 2_000_000:
+        labels = F.broadcast(labels)
     return (
         vertices.select(F.col(id_col))
         .join(labels, id_col, "left")
@@ -705,6 +710,10 @@ def connected_components_star(
     labels = cur.select(
         F.col("src").alias(id_col), F.col("dst").alias("cluster_id")
     ).groupBy(id_col).agg(F.min("cluster_id").alias("cluster_id"))
+    # labels ≤ fixpoint edge count: broadcast when small (same rationale
+    # as connected_components) so the vertex frame never shuffles
+    if cur.count() <= 2_000_000:
+        labels = F.broadcast(labels)
     return (
         vertices.select(id_col)
         .join(labels, id_col, "left")

@@ -1,0 +1,108 @@
+"""Empirical scale probe: replicate the sf0.1 corpus Nx in a scratch dir
+and measure how the corpus-heavy operators scale with input size.
+
+The small-SF tests prove correctness; this probes the SHAPE claims in
+SCALE.md — an operator whose runtime grows super-linearly between sf0.1
+and Nx sf0.1 has a hidden all-pairs/quadratic stage that 100 TB would
+amplify. Replicas perturb each document with a per-replica token so
+replicated docs are near- (not exact-) duplicates: LSH buckets fill with
+cross-replica candidates and CC clusters deepen — deliberately adversarial
+for the dedup family. Embeddings replicate exactly (worst case for k-NN
+bucket density).
+
+Usage: python tools/scale_probe.py [N] [query ...]   (default N=8)
+Writes scratch under /tmp, prints one line per (query, sf) with the
+runtime and the Nx/1x ratio vs the replication factor.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+DEFAULT_QUERIES = [
+    "q17_text_stats",
+    "q22_minhash_lsh_pairs",
+    "q49_dedup_clusters",
+    "q60_incremental_dedup",
+    "q63_line_dedup",
+    "q99_knn_join",
+]
+
+BASE = "/root/testdata/sf0.1"
+
+
+def build_scaled(spark, n: int, out_dir: str) -> None:
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(os.path.join(BASE, "documents.parquet"))
+    emb = spark.read.parquet(os.path.join(BASE, "embeddings.parquet"))
+    OFF = 10_000_000
+    scaled_docs = None
+    scaled_emb = None
+    for i in range(n):
+        d = docs.select(
+            (F.col("doc_id") + F.lit(i * OFF)).alias("doc_id"),
+            *[c for c in docs.columns if c not in ("doc_id", "text")],
+            F.concat(F.col("text"), F.lit(f" r{i}")).alias("text"),
+        )
+        e = emb.select(
+            (F.col("vec_id") + F.lit(i * OFF)).alias("vec_id"),
+            *[c for c in emb.columns if c != "vec_id"],
+        )
+        scaled_docs = d if scaled_docs is None else scaled_docs.unionByName(d)
+        scaled_emb = e if scaled_emb is None else scaled_emb.unionByName(e)
+    scaled_docs.write.mode("overwrite").parquet(
+        os.path.join(out_dir, "documents.parquet")
+    )
+    scaled_emb.write.mode("overwrite").parquet(
+        os.path.join(out_dir, "embeddings.parquet")
+    )
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    only = sys.argv[2:] or DEFAULT_QUERIES
+
+    from modular_etl_data_platform_spark.session import get_spark
+    from modular_etl_data_platform_spark.queries.catalog import QUERIES
+
+    spark = get_spark("scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    scratch = os.path.join(tempfile.gettempdir(), f"sfscale_x{n}")
+    if os.path.exists(scratch):
+        shutil.rmtree(scratch)
+    os.makedirs(scratch)
+    t0 = time.time()
+    build_scaled(spark, n, scratch)
+    print(f"built {n}x corpus in {time.time() - t0:.1f}s at {scratch}")
+
+    # warm codegen on the small sf so first-compile latency doesn't
+    # pollute the 1x measurements
+    QUERIES["q22_minhash_lsh_pairs"](spark, "/root/testdata/sf0.001").collect()
+
+    for name in only:
+        fn = QUERIES[name]
+        t0 = time.time()
+        n1 = fn(spark, BASE).count()
+        t1x = time.time() - t0
+        t0 = time.time()
+        nn = fn(spark, scratch).count()
+        tnx = time.time() - t0
+        ratio = tnx / t1x if t1x > 0 else float("inf")
+        verdict = "OK" if ratio <= 1.5 * n else "SUPERLINEAR"
+        print(
+            f"{name}: 1x {t1x:.2f}s ({n1} rows) | {n}x {tnx:.2f}s ({nn} rows) "
+            f"| ratio {ratio:.1f} vs {n}x input -> {verdict}"
+        )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
