@@ -578,12 +578,31 @@ def connected_components(
         if changed == 0:
             break
     else:
-        # fail loudly rather than return a non-fixpoint labeling (same
-        # convention as connected_components_star)
-        raise RuntimeError(
-            f"connected_components did not converge in {max_iters} rounds; "
-            "raise max_iters or use connected_components_star (deep chains)"
+        # budget exhausted with the last span still changing — but that
+        # span may have landed EXACTLY on the fixpoint (a diameter ==
+        # max_iters component), so verify with one extra propagation
+        # round before deciding; raise only on genuine non-convergence
+        # rather than return a silently non-fixpoint labeling (same
+        # fail-loud convention as connected_components_star)
+        neighbor_min = (
+            bidir.alias("e")
+            .join(labels.alias("l"), F.col("e.dst") == F.col(f"l.{id_col}"))
+            .groupBy(F.col("e.src").alias("src"))
+            .agg(F.min(F.col("l.cluster_id")).alias("nmin"))
         )
+        still_changing = (
+            labels.alias("l")
+            .join(neighbor_min.alias("n"), F.col(f"l.{id_col}") == F.col("n.src"))
+            .filter(F.col("n.nmin") < F.col("l.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        if still_changing:
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iters} "
+                "rounds; raise max_iters or use connected_components_star "
+                "(deep chains)"
+            )
     # one corpus-sized pass, at the end only: vertices with no edge keep
     # their own id as cluster_id. The labels side is ≤ 2·|E| rows —
     # broadcast it explicitly when the (materialized) edge list is small

@@ -50,7 +50,13 @@ def norm(a: str | Column) -> Column:
 
 
 def cosine(a: str | Column, b: str | Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    """Cosine similarity; NULL when either vector has zero norm (a bare
+    division would THROW under Spark 4's default ANSI mode the moment a
+    padding/failed-encode vector meets a candidate — and NULLs sort last
+    under desc, so zero vectors drop out of top-k instead of crashing
+    the job or, worse, ranking first the way a NaN would)."""
+    den = norm(a) * norm(b)
+    return F.when(den != 0, dot(a, b) / den)
 
 
 def _arrow_cosine(a: str | Column, b: str | Column) -> Column:
@@ -74,6 +80,18 @@ def _arrow_cosine(a: str | Column, b: str | Column) -> Column:
         B = np.stack(vb.to_numpy()).astype(np.float64, copy=False)
         num = np.einsum("ij,ij->i", A, B)
         den = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+        zero = den == 0
+        if zero.any():
+            # SQL-cosine parity for zero-norm vectors: x/0 is NULL under
+            # Spark's non-ANSI divide, and NULLs sort LAST under desc —
+            # numpy's 0/0=NaN would instead sort FIRST (NaN > any double)
+            # and crown a padding vector rank-1. Emit genuine nulls.
+            with np.errstate(invalid="ignore", divide="ignore"):
+                vals = num / den
+            return pd.Series(
+                [None if z else float(v) for v, z in zip(vals, zero)],
+                dtype="object",
+            )
         return pd.Series(num / den)
 
     return _cos(F.col(a) if isinstance(a, str) else a, F.col(b) if isinstance(b, str) else b)

@@ -134,9 +134,13 @@ class ExpectationSuite:
             if t in _ROW_LEVEL:
                 pred = e._value_predicate()
                 if t == "expect_column_values_to_not_be_null":
-                    # fraction over ALL rows
+                    # fraction over ALL rows; vacuously 1.0 on an empty
+                    # table (GE passes empty tables — and the other
+                    # row-level types already coalesce the same way)
                     aggs.append(
-                        F.avg(pred.cast("double")).alias(f"__e{i}")
+                        F.coalesce(
+                            F.avg(pred.cast("double")), F.lit(1.0)
+                        ).alias(f"__e{i}")
                     )
                 else:
                     # fraction over NON-NULL rows (vacuously 1.0 if none)

@@ -325,6 +325,58 @@ def test_connected_components_chain_cycle_singleton(spark):
     assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 4, 6: 4, 7: 7}
 
 
+def test_connected_components_exhaustion_verifies_before_raising(spark):
+    """A component whose diameter consumes the whole round budget must
+    still return the correct fixpoint (the exhaustion path verifies with
+    one extra propagation round); a genuinely unconverged run raises."""
+    from modular_etl_data_platform_spark.corpus.dedup import connected_components
+
+    n = 7  # chain 0-1-...-6: min-label needs 6 rounds to reach vertex 6
+    vertices = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    got = {
+        r.doc_id: r.cluster_id
+        for r in connected_components(
+            vertices, chain, max_iters=n - 1, check_every=n - 1
+        ).collect()
+    }
+    assert got == {i: 0 for i in range(n)}
+
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(
+            vertices, chain, max_iters=2, check_every=2
+        ).collect()
+
+
+def test_arrow_cosine_zero_vector_is_null_not_nan(spark):
+    """Zero-norm vectors must score NULL under the Arrow scorer (SQL
+    divide-by-zero parity) — a NaN would sort FIRST under desc and crown
+    a padding vector everyone's rank-1 neighbor."""
+    from modular_etl_data_platform_spark.corpus.similarity import (
+        _arrow_cosine,
+        cosine,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0], [0.0, 0.0]), (2, [1.0, 0.0], [3.0, 4.0])],
+        "id long, a array<double>, b array<double>",
+    )
+    rows = {
+        r.id: r
+        for r in df.select(
+            "id",
+            _arrow_cosine("a", "b").alias("arrow"),
+            cosine("a", "b").alias("sql"),
+        ).collect()
+    }
+    assert rows[1].arrow is None and rows[1].sql is None
+    assert abs(rows[2].arrow - 0.6) < 1e-12 and abs(rows[2].sql - 0.6) < 1e-12
+
+
 def test_incremental_dedup_matches_full_lsh_cross_pairs(spark, docs):
     """incremental_near_dup(new, existing) must find exactly the
     new×existing pairs the full-corpus LSH finds — the persisted-index

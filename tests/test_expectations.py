@@ -152,6 +152,22 @@ def test_to_ruleset_quarantines_row_failures(spark, people):
     assert bad[4] == ["expect_column_values_to_not_be_null:name"]
 
 
+def test_empty_table_passes_vacuously(spark, people):
+    """GE semantics: an empty table passes row-level expectations —
+    including not_be_null, which must not fail on a NULL average."""
+    empty = people.limit(0)
+    suite = _suite(
+        [
+            {"expectation_type": "expect_column_values_to_not_be_null",
+             "kwargs": {"column": "name"}},
+            {"expectation_type": "expect_column_values_to_be_between",
+             "kwargs": {"column": "score", "min_value": 0}},
+        ]
+    )
+    rows = suite.validate(empty).collect()
+    assert all(r.success and r.observed == 1.0 for r in rows)
+
+
 def test_unknown_expectation_rejected():
     with pytest.raises(ValueError, match="unsupported expectation"):
         _suite([{"expectation_type": "expect_moon_phase", "kwargs": {}}])

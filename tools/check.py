@@ -70,9 +70,14 @@ def driver_unsafe(sdf, rows):
 
 
 def norm_value(v):
-    import numpy as np
+    import datetime
 
-    if v is None:
+    import numpy as np
+    import pandas as pd
+
+    if v is None or v is pd.NaT or v is pd.NA:
+        # a null timestamp is object-None on a from_records side but NaT
+        # on a .df() side — same logical value, one token
         return "NULL"
     if isinstance(v, (bool, np.bool_)):
         return "true" if v else "false"
@@ -80,8 +85,6 @@ def norm_value(v):
         if math.isnan(v):
             return "NaN"
         return repr(float(v))
-    import datetime
-
     # DATE normalizes to a midnight datetime: Spark/fetchall yields
     # datetime.date where duckdb's .df() yields datetime64 — the driver's
     # canonicalizer tolerates this (q09 dates were driver-green in r3),
@@ -93,16 +96,32 @@ def norm_value(v):
     return str(v)
 
 
-def table_hash(rows, colnames):
+def canon_lines(rows, colnames):
+    """Sorted canonical row lines: columns ordered by name, every cell
+    through norm_value — the ONE normalize routine behind both hashes
+    and the FAIL diagnostics."""
     order = sorted(range(len(colnames)), key=lambda i: colnames[i])
-    lines = sorted(
+    return sorted(
         "\x1f".join(norm_value(row[i]) for i in order) for row in rows
     )
+
+
+def _hash_lines(lines):
     h = hashlib.sha256()
     for line in lines:
         h.update(line.encode())
         h.update(b"\n")
     return h.hexdigest()[:16]
+
+
+def table_hash(rows, colnames):
+    return _hash_lines(canon_lines(rows, colnames))
+
+
+def pandas_canon_lines(pdf):
+    return canon_lines(
+        list(pdf.itertuples(index=False, name=None)), list(pdf.columns)
+    )
 
 
 def pandas_hash(pdf):
@@ -111,16 +130,7 @@ def pandas_hash(pdf):
     compare hides (e.g. DuckDB SUM(BIGINT) -> HUGEINT -> float64 prints
     '4612.0' while Spark's int64 prints '4612': CORRECTNESS_r04 q100/q109
     failed the driver hash on exactly this while fetchall() passed)."""
-    pdf = pdf[sorted(pdf.columns)]
-    lines = sorted(
-        "\x1f".join(norm_value(v) for v in row)
-        for row in pdf.itertuples(index=False, name=None)
-    )
-    h = hashlib.sha256()
-    for line in lines:
-        h.update(line.encode())
-        h.update(b"\n")
-    return h.hexdigest()[:16]
+    return _hash_lines(pandas_canon_lines(pdf))
 
 
 def main():
@@ -180,11 +190,15 @@ def main():
         ok_hash = sh == dh
         # pandas-mode replica of the driver canonicalizer: DuckDB results
         # via .df() (surfaces HUGEINT->float64 etc.), Spark results as a
-        # frame built from the collected rows (no re-execution)
+        # frame built from the collected rows (no Spark re-execution;
+        # from_records applies the same null-int->float64 inference
+        # toPandas would)
         import pandas as pd
 
-        sph = pandas_hash(pd.DataFrame.from_records(srows, columns=scols))
-        dph = pandas_hash(con.execute(oracles[name]).df())
+        spdf = pd.DataFrame.from_records(srows, columns=scols)
+        dpdf = con.execute(oracles[name]).df()
+        sph = pandas_hash(spdf)
+        dph = pandas_hash(dpdf)
         ok_pdhash = sph == dph
         status = (
             "PASS" if (ok_count and ok_schema and ok_hash and ok_pdhash) else "FAIL"
@@ -197,29 +211,15 @@ def main():
             f"pdhash={'ok' if ok_pdhash else f'{sph} vs {dph}'} [{stime:.1f}s]"
         )
         if status == "FAIL" and ok_count and ok_schema:
-            # print first differing rows for debugging
+            # print first differing rows for debugging (object-level diff
+            # when the object hash differs; otherwise the pandas-level
+            # diff that actually failed, reusing the frames from above)
             if not ok_hash:
-                order = sorted(range(len(scols)), key=lambda i: scols[i])
-                snorm = sorted(
-                    "\x1f".join(norm_value(r[i]) for i in order) for r in srows
-                )
-                dorder = sorted(range(len(dcols)), key=lambda i: dcols[i])
-                dnorm = sorted(
-                    "\x1f".join(norm_value(r[i]) for i in dorder) for r in drows
-                )
-            else:  # only the pandas-mode hash differs: diff at that level
-                spdf = pd.DataFrame.from_records(srows, columns=scols)
-                spdf = spdf[sorted(spdf.columns)]
-                dpdf = con.execute(oracles[name]).df()
-                dpdf = dpdf[sorted(dpdf.columns)]
-                snorm = sorted(
-                    "\x1f".join(norm_value(v) for v in row)
-                    for row in spdf.itertuples(index=False, name=None)
-                )
-                dnorm = sorted(
-                    "\x1f".join(norm_value(v) for v in row)
-                    for row in dpdf.itertuples(index=False, name=None)
-                )
+                snorm = canon_lines(srows, scols)
+                dnorm = canon_lines(drows, dcols)
+            else:
+                snorm = pandas_canon_lines(spdf)
+                dnorm = pandas_canon_lines(dpdf)
             shown = 0
             for a, b in zip(snorm, dnorm):
                 if a != b:

@@ -83,9 +83,12 @@ def main() -> None:
     build_scaled(spark, n, scratch)
     print(f"built {n}x corpus in {time.time() - t0:.1f}s at {scratch}")
 
-    # warm codegen on the small sf so first-compile latency doesn't
-    # pollute the 1x measurements
-    QUERIES["q22_minhash_lsh_pairs"](spark, "/root/testdata/sf0.001").collect()
+    # warm codegen on the smallest available sf so first-compile latency
+    # doesn't pollute the 1x measurements
+    warm = "/root/testdata/sf0.001"
+    QUERIES["q22_minhash_lsh_pairs"](
+        spark, warm if os.path.isdir(warm) else BASE
+    ).collect()
 
     for name in only:
         fn = QUERIES[name]
