@@ -648,3 +648,127 @@ def q112_expectation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     suite = ExpectationSuite.from_config(_Q112_SUITE)
     return suite.validate(_t(spark, sf_dir, "customer"))
+
+
+@query(
+    "q113_stream_cdc_state",
+    """
+    WITH changes AS (
+      SELECT o_orderkey AS order_key, 1 AS seq, 'U' AS op,
+             o_totalprice AS price FROM orders
+      UNION ALL
+      SELECT o_orderkey, 2, 'U', o_totalprice + 100
+      FROM orders WHERE o_orderkey % 3 = 0
+      UNION ALL
+      SELECT o_orderkey, 3, 'D', NULL
+      FROM orders WHERE o_orderkey % 5 = 0
+    ),
+    latest AS (
+      SELECT order_key, op, price FROM changes
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY order_key
+                                 ORDER BY seq DESC) = 1
+    )
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(CAST(price AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+    FROM latest WHERE op <> 'D'
+    """,
+)
+def q113_stream_cdc_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC application (§2.10,
+    streaming/incremental.py::stream_apply_cdc → operators/cdc.py): a
+    Debezium-shaped change feed — every order as an initial upsert,
+    repricing updates for keys % 3 == 0, deletes for keys % 5 == 0 —
+    consumed by the real foreachBatch CDC stream into a parquet state
+    table. The feed ships as ONE file so the whole log lands in one
+    micro-batch (cross-batch ordering is the feed's contract, not the
+    operator's). The final state must equal the relational replay:
+    latest change per key, delete-wins keys absent, updated prices —
+    a lost delete, a stale update or a duplicated key all break the
+    count + exact price sum."""
+    from modular_etl_data_platform_spark.streaming.incremental import (
+        stream_apply_cdc,
+    )
+
+    scratch = _scratch("q113_stream_cdc_state", sf_dir)
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    key = F.col("o_orderkey").alias("order_key")
+    changes = (
+        orders.select(
+            key, F.lit(1).alias("seq"), F.lit("U").alias("op"),
+            F.col("o_totalprice").alias("price"),
+        )
+        .unionByName(
+            orders.filter(F.col("o_orderkey") % 3 == 0).select(
+                key, F.lit(2).alias("seq"), F.lit("U").alias("op"),
+                (F.col("o_totalprice") + 100).alias("price"),
+            )
+        )
+        .unionByName(
+            orders.filter(F.col("o_orderkey") % 5 == 0).select(
+                key, F.lit(3).alias("seq"), F.lit("D").alias("op"),
+                F.lit(None).cast("double").alias("price"),
+            )
+        )
+    )
+    feed = os.path.join(scratch, "feed")
+    changes.coalesce(1).write.mode("overwrite").parquet(feed)
+    stream = spark.readStream.schema(
+        spark.read.parquet(feed).schema
+    ).parquet(feed)
+    target = os.path.join(scratch, "state")
+    q = stream_apply_cdc(
+        spark,
+        stream,
+        target,
+        os.path.join(scratch, "ckpt"),
+        keys=["order_key"],
+        seq_cols=["seq"],
+    )
+    finished = q.awaitTermination(300)
+    q.stop()
+    if not finished:
+        raise TimeoutError("q113 CDC stream did not finish in 300s")
+    state = spark.read.parquet(target)
+    return _pin(
+        state.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum(F.col("price"), "sum_price"),
+        )
+    )
+
+
+@query(
+    "q114_stream_sliding_counts",
+    """
+    SELECT time_bucket(INTERVAL 30 MINUTE, ts)
+             - CAST(o AS INTEGER) * INTERVAL 30 MINUTE AS window_start,
+           event_type,
+           COUNT(*) AS n_events
+    FROM events, UNNEST(range(0, 4)) AS t(o)
+    GROUP BY 1, 2
+    """,
+)
+def q114_stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming SLIDING-window aggregation (§2.10 — the
+    overlapping-window twin of q92's tumbling windows): 2-hour windows
+    sliding every 30 minutes, so every event lands in exactly 4
+    windows. Complete-mode memory sink as in q92 (deterministic under
+    availableNow). The oracle replicates the window assignment
+    relationally: each event joins the 4 half-hour-grid starts that
+    cover it. A wrong slide arithmetic (off-grid starts, events in 3 or
+    5 windows) changes the per-window counts and fails the hash."""
+    ckpt = _scratch("q114_stream_sliding_counts", sf_dir)
+    agg = (
+        _events_stream(spark, sf_dir, ckpt)
+        .withWatermark("ts", "1 hour")
+        .groupBy(
+            F.window("ts", "2 hours", "30 minutes").alias("w"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    out = _run_to_memory(agg, ckpt, "complete")
+    return _pin(
+        out.select(
+            F.col("w.start").alias("window_start"), "event_type", "n_events"
+        )
+    )
