@@ -772,3 +772,59 @@ def q114_stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("w.start").alias("window_start"), "event_type", "n_events"
         )
     )
+
+
+def _q115_oracle() -> str:
+    # md5 digest byte k as an integer, parsed from the hex string
+    def byte_at(k: int) -> str:
+        return (
+            f"16*(strpos('0123456789abcdef', substr(md5(text), {2 * k + 1}, 1))-1)"
+            f" + (strpos('0123456789abcdef', substr(md5(text), {2 * k + 2}, 1))-1)"
+        )
+
+    feats = ", ".join(
+        f"CAST({byte_at((i * 7 + 3) % 16)} AS BIGINT) AS f{i}" for i in range(4)
+    )
+    return f"""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+           CAST(16 + octet_length(encode(text)) % 64 AS INTEGER) AS width,
+           CAST(16 + (octet_length(encode(text)) // 64) % 64 AS INTEGER) AS height,
+           {feats}
+    FROM documents WHERE text IS NOT NULL
+    """
+
+
+@query("q115_multimodal_pipeline", _q115_oracle())
+def q115_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode + featurize end-to-end (corpus/multimodal.py):
+    document text re-cast as an opaque binary payload
+    (attach_binary_payload), run through the REAL ``mapInPandas``
+    decode (dims from the deterministic stand-in codec) and the REAL
+    Arrow-batched featurizer (md5-seeded pseudo-embedding,
+    extract_features) — the exact plumbing a real PIL/ONNX body drops
+    into. The oracle recomputes the byte length, the fake-codec
+    dimension arithmetic, and the md5-digest-derived feature bytes
+    relationally (features ride as exact ints: ROUND(f*255) inverts the
+    /255.0 normalization), so a broken Arrow batch shape, a payload
+    mangled in transit, or a featurizer reading the wrong bytes all
+    fail the hash."""
+    from modular_etl_data_platform_spark.corpus.multimodal import (
+        attach_binary_payload,
+        decode_images,
+        extract_features,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    media = attach_binary_payload(docs, "text", "text/plain")
+    decoded = decode_images(media).select("doc_id", "byte_len", "width", "height")
+    feats = extract_features(media, dim=4).select(
+        "doc_id",
+        *[
+            F.round(F.col("embedding").getItem(i) * 255)
+            .cast("long")
+            .alias(f"f{i}")
+            for i in range(4)
+        ],
+    )
+    return decoded.join(feats, "doc_id")
