@@ -70,6 +70,16 @@ def main(argv: list[str] | None = None) -> int:
         help="drop segments appearing in >= N distinct docs (off by default)",
     )
 
+    ex = sub.add_parser(
+        "expect",
+        help="run a JSON expectation suite (GE dialect) against a table/view",
+    )
+    ex.add_argument("suite", help="path to a JSON expectation-suite file")
+    ex.add_argument("table", help="testdata view or warehouse table name")
+    ex.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ex.add_argument("--warehouse", default=None)
+    ex.add_argument("--strict", action="store_true", help="exit 1 on failures")
+
     ai = sub.add_parser(
         "ann-index", help="materialize a partition-pruned IVF embedding index"
     )
@@ -152,6 +162,36 @@ def main(argv: list[str] | None = None) -> int:
             except AssertionError as exc:
                 print(str(exc), file=sys.stderr)
                 return 1
+        return 0
+
+    if args.cmd == "expect":
+        from modular_etl_data_platform_spark.operators.expectations import (
+            ExpectationSuite,
+        )
+        from modular_etl_data_platform_spark.session import load_tables, load_warehouse
+
+        load_tables(spark, args.sf_dir)
+        if args.warehouse:
+            load_warehouse(spark, args.warehouse)
+        with open(args.suite) as f:
+            suite = ExpectationSuite.from_config(json.load(f))
+        results = suite.validate(spark.table(args.table)).collect()
+        print(
+            json.dumps(
+                [
+                    {
+                        "expectation_type": r.expectation_type,
+                        "column": r.column,
+                        "observed": r.observed,
+                        "success": r.success,
+                    }
+                    for r in results
+                ],
+                indent=2,
+            )
+        )
+        if args.strict and not all(r.success for r in results):
+            return 1
         return 0
 
     if args.cmd == "corpus":

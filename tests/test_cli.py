@@ -52,3 +52,39 @@ def test_cli_ann_index_and_query(spark, capsys, tmp_path):
         "ann-query", "--index", idx2, "--sf-dir", SF, "--vec-id", "0", "--k", "1",
     ]) == 0
     assert "cos_sim" in capsys.readouterr().out
+
+
+def test_cli_expect_suite(spark, capsys, tmp_path):
+    import json
+
+    suite = tmp_path / "suite.json"
+    suite.write_text(
+        json.dumps(
+            {
+                "expectations": [
+                    {"expectation_type": "expect_column_values_to_be_unique",
+                     "kwargs": {"column": "c_custkey"}},
+                    {"expectation_type": "expect_table_row_count_to_be_between",
+                     "kwargs": {"min_value": 10}},
+                ]
+            }
+        )
+    )
+    rc = main(["expect", str(suite), "customer", "--sf-dir", SF, "--strict"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    results = json.loads(out)
+    assert all(r["success"] for r in results) and len(results) == 2
+
+    # a failing suite must exit 1 under --strict
+    suite.write_text(
+        json.dumps(
+            {
+                "expectations": [
+                    {"expectation_type": "expect_table_row_count_to_be_between",
+                     "kwargs": {"min_value": 10_000_000}},
+                ]
+            }
+        )
+    )
+    assert main(["expect", str(suite), "customer", "--sf-dir", SF, "--strict"]) == 1
