@@ -495,7 +495,9 @@ def embedding_near_dup_pairs(
     use_lsh_prefilter: bool = True,
     bands: int = 1,
     planes: int = 16,
+    dim: int = 64,
     parallelism: int | None = None,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """All near-duplicate embedding pairs (cos ≥ threshold, id_a < id_b).
 
@@ -510,17 +512,46 @@ def embedding_near_dup_pairs(
     first: a nested-loop join's parallelism is its left side's partition
     count, and a small-on-disk embeddings table scans as ONE partition
     (bytes-based splits vs CPU-bound work).
+
+    Sizing for scale: random-pair collision costs n²·P(candidate), so
+    band keys must be WIDE on big corpora — at 4-bit keys (16/4) random
+    64-dim vectors collide on some band ~23% of the time, which is
+    quadratic blowup territory; 8-bit keys (32/4, the knn_join default)
+    cut that to ~1.6%. ``max_bucket_size`` is the skew guard on top:
+    band buckets larger than it (boilerplate/hub embeddings, exact-dup
+    floods) are dropped BEFORE the self-join, capping per-bucket pair
+    cost at cap² — same rationale as the MinHash path's cap
+    (corpus/dedup.py::_cap_buckets), and at SemDeDup-scale the
+    production form additionally partitions by k-means cell
+    (kmeans_cells) so comparisons never cross cells.
     """
     base = fan_out(emb.select(F.col(id_col), F.col(vec_col)), parallelism)
     if use_lsh_prefilter:
-        sigs = hyperplane_signature(emb, id_col, vec_col, planes=planes)
+        sigs = hyperplane_signature(emb, id_col, vec_col, planes=planes, dim=dim)
         base = base.join(sigs, id_col)
         if bands > 1:
-            base = _banded(base, id_col, vec_col, planes, bands)
-            a, b = base.alias("a"), base.alias("b")
-            # dedup (a doc pair can share several bands) BEFORE the
-            # cosine scoring so each candidate is verified once
-            joined = (
+            banded = _banded(base, id_col, vec_col, planes, bands).select(
+                id_col, "band", "key"
+            )
+            if max_bucket_size is not None:
+                oversized = (
+                    banded.groupBy("band", "key")
+                    .agg(F.count(F.lit(1)).alias("__bsz"))
+                    .filter(F.col("__bsz") > max_bucket_size)
+                    .select("band", "key")
+                )
+                banded = banded.join(
+                    F.broadcast(oversized), ["band", "key"], "left_anti"
+                )
+            a, b = banded.alias("a"), banded.alias("b")
+            # dedup (a doc pair can share several bands — identical
+            # signatures share ALL of them) on BARE ID PAIRS before the
+            # cosine scoring: each candidate is verified once AND the
+            # dedup shuffle carries two longs per row, not two ~1 KB
+            # vector payloads (the payload-through-dedup shape went 13x
+            # super-linear on an 8x near-dup-dense corpus); vectors
+            # re-join by id afterwards
+            pairs = (
                 a.join(
                     b,
                     (F.col("a.band") == F.col("b.band"))
@@ -528,17 +559,28 @@ def embedding_near_dup_pairs(
                     & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
                 )
                 .select(
-                    F.col(f"a.{id_col}").alias("__ida"),
-                    F.col(f"b.{id_col}").alias("__idb"),
-                    F.col(f"a.{vec_col}").alias("__va"),
-                    F.col(f"b.{vec_col}").alias("__vb"),
+                    F.col(f"a.{id_col}").alias("id_a"),
+                    F.col(f"b.{id_col}").alias("id_b"),
                 )
-                .dropDuplicates(["__ida", "__idb"])
+                .dropDuplicates()
             )
-            out = joined.select(
-                F.col("__ida").alias("id_a"),
-                F.col("__idb").alias("id_b"),
-                cosine("__va", "__vb").alias("cos_sim"),
+            vecs = emb.select(F.col(id_col), F.col(vec_col))
+            out = (
+                pairs.join(
+                    vecs.select(
+                        F.col(id_col).alias("id_a"),
+                        F.col(vec_col).alias("__va"),
+                    ),
+                    "id_a",
+                )
+                .join(
+                    vecs.select(
+                        F.col(id_col).alias("id_b"),
+                        F.col(vec_col).alias("__vb"),
+                    ),
+                    "id_b",
+                )
+                .select("id_a", "id_b", cosine("__va", "__vb").alias("cos_sim"))
             )
             return out.filter(F.col("cos_sim") >= threshold)
         else:

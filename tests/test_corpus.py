@@ -528,3 +528,33 @@ def test_ivf_batch_probe_prunes_with_dpp(spark, emb, tmp_path):
             for r in csim.ivf_probe_indexed(spark, idx, qv, k=2, probes=1, dim=8).collect()
         ]
         assert [got[(qid, 1)], got[(qid, 2)]] == single
+
+
+def test_embedding_near_dup_bucket_cap_drops_flooded_buckets(spark):
+    """max_bucket_size must drop over-cap band buckets BEFORE the
+    self-join: an exact-dup flood (many copies of one vector) generates
+    zero pairs under a cap smaller than the flood, while distinct
+    near-dup pairs in small buckets survive."""
+    import pyspark.sql.functions as F
+
+    # flood = anti-aligned with plane 0 (bit 0 clear), pair = plane 0's
+    # own weights (bit 0 set): their band-0 keys provably differ, so the
+    # pair keeps one small bucket regardless of the other planes' signs
+    w0 = [float(w) for w in csim._plane_weights(0, 8)]
+    rows = [(i, [-w for w in w0]) for i in range(20)]  # 20 identical vectors
+    rows += [(100, w0), (101, w0)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    uncapped = csim.embedding_near_dup_pairs(
+        emb, threshold=0.99, bands=4, planes=16, dim=8, parallelism=2
+    )
+    capped = csim.embedding_near_dup_pairs(
+        emb, threshold=0.99, bands=4, planes=16, dim=8, parallelism=2,
+        max_bucket_size=10,
+    )
+    got_uncapped = {(r.id_a, r.id_b) for r in uncapped.collect()}
+    got_capped = {(r.id_a, r.id_b) for r in capped.collect()}
+    assert (100, 101) in got_uncapped and len(got_uncapped) > 100
+    # the 20-copy flood exceeds the cap in every band -> only the small
+    # bucket's pair survives
+    assert got_capped == {(100, 101)}

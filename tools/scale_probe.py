@@ -29,9 +29,12 @@ DEFAULT_QUERIES = [
     "q17_text_stats",
     "q22_minhash_lsh_pairs",
     "q49_dedup_clusters",
+    "q50_decontamination",
     "q60_incremental_dedup",
     "q63_line_dedup",
+    "q76_semantic_dedup",
     "q99_knn_join",
+    "q101_dedup_clusters_star",
 ]
 
 BASE = "/root/testdata/sf0.1"
