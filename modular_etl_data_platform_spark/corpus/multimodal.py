@@ -226,6 +226,7 @@ def media_near_dup(
     bands: int = 4,
     planes: int = 16,
     parallelism: int | None = None,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Perceptual near-duplicate media pairs: feature-extract every
     payload (Arrow-batched; real model swaps in at
@@ -250,5 +251,7 @@ def media_near_dup(
         use_lsh_prefilter=True,
         bands=bands,
         planes=planes,
+        dim=dim,
         parallelism=parallelism,
+        max_bucket_size=max_bucket_size,
     )
