@@ -20,6 +20,8 @@ Scale design:
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -176,4 +178,49 @@ def trailing_time_window(
         n.cast("long").alias("n_trailing"),
         dec_sum.cast("double").alias("sum_trailing"),
         (dec_sum.cast("double") / n).alias("avg_trailing"),
+    )
+
+
+def rollup_partial(
+    events: DataFrame,
+    grain: str = "hour",
+    ts_col: str = "ts",
+    group_cols: Sequence[str] = ("event_type",),
+    value_col: str = "value",
+) -> DataFrame:
+    """One grain bucket of a continuous aggregate: (bucket, groups) ->
+    (n, total) where ``total`` stays DECIMAL — the partials are exact and
+    order-free, which is what makes them MERGEABLE (:func:`merge_rollup`)
+    without drift. Cast to double only at the final read."""
+    return events.groupBy(
+        F.date_trunc(grain, F.col(ts_col)).alias("bucket"),
+        *[F.col(c) for c in group_cols],
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col(value_col).cast("decimal(18,6)")).alias("total"),
+    )
+
+
+def merge_rollup(
+    existing: DataFrame,
+    delta: DataFrame,
+    group_cols: Sequence[str] = ("event_type",),
+) -> DataFrame:
+    """Incrementally maintain a continuous aggregate: fold a new batch's
+    partial rollup into the stored one — union + re-aggregate on the
+    bucket keys, exact because counts and decimal sums are mergeable
+    partials (the hypertable/materialized-rollup maintenance step).
+
+    Scale shape: the stored rollup is ~1/grain-width the size of raw
+    data and the delta covers only NEW buckets, so the shuffle is tiny;
+    with the rollup table partitioned by bucket date, the rewrite
+    touches only the partitions the delta lands in. This is the ONLY
+    sane maintenance shape at 100 TB — re-scanning history to refresh a
+    dashboard rollup is the anti-pattern this replaces (q57 reads the
+    next-finer grain; this maintains a grain from new RAW rows alone)."""
+    keys = ["bucket", *group_cols]
+    return (
+        existing.unionByName(delta)
+        .groupBy(*[F.col(k) for k in keys])
+        .agg(F.sum("n").alias("n"), F.sum("total").alias("total"))
     )

@@ -278,3 +278,49 @@ def q83_rate_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mu", 9).alias("trailing_mean"),
         F.round(z, 9).alias("z_score"),
     )
+
+
+@query(
+    "q116_incremental_rollup",
+    """
+    SELECT date_trunc('hour', ts) AS bucket,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total,
+           TRUE AS incremental
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q116_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental continuous-aggregate maintenance
+    (operators/timeseries.py::rollup_partial + merge_rollup): the hour
+    rollup is built from the FIRST HALF of the event stream, then
+    maintained by folding in the second half's partial — never
+    re-scanning history — and must equal the full GROUP BY the oracle
+    computes over all events. Exactness is the point: counts and
+    DECIMAL sums are mergeable partials, so the maintained rollup is
+    bit-identical to a full recompute (the ``incremental`` flag pins
+    that the merge path actually ran on a non-empty delta). This is the
+    q57 cascade's missing half — q57 re-aggregates finer grains,
+    this maintains a grain from new raw rows alone, the only
+    refresh shape that survives 100 TB of history."""
+    e = _t(spark, sf_dir, "events")
+    split = e.agg(
+        F.timestamp_millis(
+            ((F.unix_millis(F.min("ts")) + F.unix_millis(F.max("ts"))) / 2).cast(
+                "long"
+            )
+        ).alias("mid")
+    ).first()["mid"]
+    base = ts.rollup_partial(e.filter(F.col("ts") < F.lit(split)))
+    delta = ts.rollup_partial(e.filter(F.col("ts") >= F.lit(split)))
+    n_delta = delta.limit(1).count()
+    merged = ts.merge_rollup(base, delta)
+    return merged.select(
+        "bucket",
+        "event_type",
+        "n",
+        F.col("total").cast("double").alias("total"),
+        F.lit(bool(n_delta > 0)).alias("incremental"),
+    )

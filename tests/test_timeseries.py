@@ -49,3 +49,41 @@ def test_trailing_time_window_is_time_not_rows(spark):
     assert (out[3].n_trailing, out[3].sum_trailing) == (2, 6.0)  # ev1 aged out
     assert (out[4].n_trailing, out[4].sum_trailing) == (1, 8.0)  # per-key frames
     assert out[3].avg_trailing == 3.0
+
+
+def test_merge_rollup_matches_full_recompute(spark):
+    """Folding per-batch partials into a stored rollup must be exactly a
+    full recompute — counts and decimal sums are mergeable; an empty
+    delta is a no-op."""
+    from pyspark.sql import functions as F
+
+    from modular_etl_data_platform_spark.operators.timeseries import (
+        merge_rollup,
+        rollup_partial,
+    )
+
+    rows = [
+        (i, "a" if i % 2 else "b", f"2024-01-01 0{i % 5}:0{i % 6}:00", i * 1.5)
+        for i in range(60)
+    ]
+    events = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts_s string, value double"
+    ).select("user_id", "event_type", F.col("ts_s").cast("timestamp").alias("ts"), "value")
+
+    full = {
+        (r.bucket, r.event_type): (r.n, r.total)
+        for r in rollup_partial(events).collect()
+    }
+    # three arbitrary batches folded in sequence
+    b1 = events.filter("user_id % 3 = 0")
+    b2 = events.filter("user_id % 3 = 1")
+    b3 = events.filter("user_id % 3 = 2")
+    maintained = rollup_partial(b1)
+    for b in (b2, b3):
+        maintained = merge_rollup(maintained, rollup_partial(b))
+    # empty delta is a no-op
+    maintained = merge_rollup(maintained, rollup_partial(events.limit(0)))
+    got = {
+        (r.bucket, r.event_type): (r.n, r.total) for r in maintained.collect()
+    }
+    assert got == full
