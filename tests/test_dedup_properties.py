@@ -102,12 +102,16 @@ def test_line_dedup_conservation(spark, texts, freq):
 )
 @SLOW
 def test_star_cc_matches_bfs_ground_truth(spark, edges):
-    """connected_components_star labels every vertex with its component's
+    """BOTH CC algorithms label every vertex with its component's
     minimum id — checked against a driver-side BFS for arbitrary small
-    graphs (self-loops, duplicates, singletons included)."""
+    graphs (self-loops, duplicates, singletons included). The min-label
+    variant runs through its edge-touched-vertices-only propagation and
+    final vertex join (the round-5 rewrite), so the shared fixpoint is
+    property-pinned for both."""
     import collections
 
     from modular_etl_data_platform_spark.corpus.dedup import (
+        connected_components,
         connected_components_star,
     )
 
@@ -140,6 +144,10 @@ def test_star_cc_matches_bfs_ground_truth(spark, edges):
         r.doc_id: r.cluster_id for r in connected_components_star(verts, e).collect()
     }
     assert got == truth
+    got_minlabel = {
+        r.doc_id: r.cluster_id for r in connected_components(verts, e).collect()
+    }
+    assert got_minlabel == truth
 
 
 @given(
