@@ -152,3 +152,31 @@ def test_compact_table_partitioned_preserves_layout(spark, tmp_path):
     assert back.count() == 3000
     # partition layout survives: three pk directories, each readable
     assert {r.pk for r in back.select("pk").distinct().collect()} == {0, 1, 2}
+
+
+def test_roundtrip_queries_survive_interleaved_reinvocation(spark):
+    """The harness may hold a returned frame while the SAME query is
+    invoked again (wiping and rewriting its scratch dir). Every
+    scratch-reading query returns through _pin (eager localCheckpoint),
+    so the first frame's rows must stay collectable and identical —
+    without the pin the second invocation's scratch wipe would race the
+    first frame's lazy scan."""
+    from modular_etl_data_platform_spark.queries.roundtrip_queries import (
+        q105_compact_roundtrip,
+        q109_text_scan_roundtrip,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    first_105 = q105_compact_roundtrip(spark, sf)
+    first_109 = q109_text_scan_roundtrip(spark, sf)
+    snap_105 = sorted(map(tuple, first_105.collect()))
+    snap_109 = sorted(map(tuple, first_109.collect()))
+    # re-invoke: wipes + rewrites the scratch dirs behind the first frames
+    second_105 = q105_compact_roundtrip(spark, sf)
+    second_109 = q109_text_scan_roundtrip(spark, sf)
+    # the held frames still collect, unchanged
+    assert sorted(map(tuple, first_105.collect())) == snap_105
+    assert sorted(map(tuple, first_109.collect())) == snap_109
+    # and agree with the fresh invocations (deterministic queries)
+    assert sorted(map(tuple, second_105.collect())) == snap_105
+    assert sorted(map(tuple, second_109.collect())) == snap_109
