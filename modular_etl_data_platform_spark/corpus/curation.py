@@ -393,3 +393,28 @@ def curriculum_order(
             "long"
         ),
     )
+
+
+def group_split(
+    df: DataFrame,
+    group_col: str,
+    val_frac: float = 0.1,
+    salt: str = "split0",
+    split_col: str = "split",
+) -> DataFrame:
+    """Leakage-safe deterministic train/val split: the assignment hashes
+    the GROUP key — pass the near-dup ``cluster_id`` from
+    connected_components and every member of a duplicate cluster lands on
+    the SAME side, so no near-copy of a validation document can leak into
+    train (the failure mode of row-wise random splits on undeduplicated
+    corpora). The md5-derived uniform makes the split reproducible across
+    runs, engines and cluster layouts (same trick as
+    rules.weighted_sample); expected val share is ``val_frac`` of
+    GROUPS — weight by group size first if document-share matters.
+    Pure projection: no shuffle, no RNG state."""
+    from modular_etl_data_platform_spark.corpus.rules import _uniform_sql
+
+    u = F.expr(_uniform_sql(group_col, salt))
+    return df.withColumn(
+        split_col, F.when(u < val_frac, F.lit("val")).otherwise(F.lit("train"))
+    )

@@ -1447,3 +1447,38 @@ def q77_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", "lang", "n_chars", "bucket", "rank_in_bucket", "interleave_key"
     )
+
+
+@query(
+    "q117_leakage_safe_split",
+    f"""
+    WITH RECURSIVE edges AS (
+      {_Q49_EDGES_DUCK}
+    ),
+    bidir AS (
+      SELECT id_a AS src, id_b AS dst FROM edges
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM edges
+    ),
+    reach(doc_id, r) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT b.src, reach.r FROM bidir b JOIN reach ON b.dst = reach.doc_id
+    ),
+    clusters AS (SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc_id)
+    SELECT doc_id, cluster_id,
+           CASE WHEN {{u}} < 0.1 THEN 'val' ELSE 'train' END AS split
+    FROM clusters
+    """.format(u=crules._uniform_duckdb("cluster_id", "split0")),
+)
+def q117_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-aware train/val split (corpus/curation.py::group_split): the
+    near-dup clusters from q49's connected components become the split
+    UNIT — the split decision hashes cluster_id, so near-copies can
+    never straddle train and validation. The oracle recomputes the
+    clusters (recursive CTE) and the md5-uniform assignment, pinning
+    both the group consistency and the exact membership of each side."""
+    docs = _t(spark, sf_dir, "documents")
+    edges = q36_ngram_jaccard_pairs(spark, sf_dir).select("id_a", "id_b")
+    clusters = cdedup.connected_components(docs.select("doc_id"), edges)
+    return ccur.group_split(clusters, "cluster_id", val_frac=0.1)

@@ -119,3 +119,30 @@ def test_select_by_token_budget(spark):
     ).collect()}
     # slice a: 50+40=90 fits, +30 would blow the budget; slice b: 100 > 95
     assert kept == {0: 50, 1: 90}
+
+
+def test_group_split_keeps_groups_together(spark):
+    """group_split: every member of a group lands on the same side, the
+    assignment is deterministic across invocations, and val share is in
+    a sane band for many groups."""
+    from pyspark.sql import functions as F
+
+    from modular_etl_data_platform_spark.corpus.curation import group_split
+
+    rows = [(i, i // 4) for i in range(400)]  # 100 groups of 4 docs
+    df = spark.createDataFrame(rows, "doc_id long, cluster_id long")
+    out = group_split(df, "cluster_id", val_frac=0.2)
+    per_group = (
+        out.groupBy("cluster_id")
+        .agg(F.countDistinct("split").alias("n_sides"))
+        .collect()
+    )
+    assert all(r.n_sides == 1 for r in per_group)
+    val_groups = (
+        out.filter("split = 'val'").select("cluster_id").distinct().count()
+    )
+    assert 5 <= val_groups <= 40  # ~20 of 100 expected
+    again = {
+        (r.doc_id, r.split) for r in group_split(df, "cluster_id", 0.2).collect()
+    }
+    assert again == {(r.doc_id, r.split) for r in out.collect()}
