@@ -564,12 +564,18 @@ def embedding_near_dup_pairs(
                 )
                 .dropDuplicates()
             )
-            vecs = emb.select(F.col(id_col), F.col(vec_col))
+            # per-vector norms (see knn_join): one fold per corpus row
+            # instead of two per candidate, bit-identical scores
+            vecs = emb.select(
+                F.col(id_col), F.col(vec_col), norm(vec_col).alias("__nrm")
+            )
+            den = F.col("__na") * F.col("__nb")
             out = (
                 pairs.join(
                     vecs.select(
                         F.col(id_col).alias("id_a"),
                         F.col(vec_col).alias("__va"),
+                        F.col("__nrm").alias("__na"),
                     ),
                     "id_a",
                 )
@@ -577,10 +583,15 @@ def embedding_near_dup_pairs(
                     vecs.select(
                         F.col(id_col).alias("id_b"),
                         F.col(vec_col).alias("__vb"),
+                        F.col("__nrm").alias("__nb"),
                     ),
                     "id_b",
                 )
-                .select("id_a", "id_b", cosine("__va", "__vb").alias("cos_sim"))
+                .select(
+                    "id_a",
+                    "id_b",
+                    F.when(den != 0, dot("__va", "__vb") / den).alias("cos_sim"),
+                )
             )
             return out.filter(F.col("cos_sim") >= threshold)
         else:
@@ -665,19 +676,34 @@ def knn_join(
         )
         .dropDuplicates()
     )
-    vecs = emb.select(F.col(id_col), F.col(vec_col))
+    # norms are attached PER VECTOR, not folded per pair: the fold runs
+    # once per corpus row instead of twice per candidate (candidates
+    # outnumber vectors by orders of magnitude), and the value is the
+    # SAME deterministic fold either way, so scores stay bit-identical
+    # to the oracle's
+    vecs = emb.select(
+        F.col(id_col), F.col(vec_col), norm(vec_col).alias("__nrm")
+    )
     cands = pairs.join(
         vecs.select(
-            F.col(id_col).alias("query_id"), F.col(vec_col).alias("__va")
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("__va"),
+            F.col("__nrm").alias("__na"),
         ),
         "query_id",
     ).join(
         vecs.select(
-            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__vb")
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("__vb"),
+            F.col("__nrm").alias("__nb"),
         ),
         "neighbor_id",
     )
-    score = _arrow_cosine("__va", "__vb") if arrow_scorer else cosine("__va", "__vb")
+    if arrow_scorer:
+        score = _arrow_cosine("__va", "__vb")
+    else:
+        den = F.col("__na") * F.col("__nb")
+        score = F.when(den != 0, dot("__va", "__vb") / den)
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
     )
