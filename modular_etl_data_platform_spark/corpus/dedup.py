@@ -254,7 +254,11 @@ def lsh_candidate_pairs(
     # (arrays cannot spill) — the count agg is map-side combined and the
     # few oversized keys broadcast into an anti-join, so the pre-filter
     # costs one tiny-row shuffle and the bucket build only ever sees
-    # bounded buckets
+    # bounded buckets. The banded frame is read twice (cap count + bucket
+    # build), so cache it — three narrow columns per band row, far
+    # smaller than re-deriving the band keys from the signature table.
+    if max_bucket_size is not None:
+        exploded = exploded.cache()
     exploded = _cap_buckets(exploded, max_bucket_size)
     buckets = (
         exploded.groupBy("band_id", "band_key")
@@ -490,6 +494,40 @@ def simhash_hamming_pairs(
 # ---------------------------------------------------------------------------
 
 
+#: default cap for EXPLICIT broadcast hints of label/edge frames — sized
+#: to the executor-memory comfort zone a forced broadcast must fit in,
+#: deliberately above spark.sql.autoBroadcastJoinThreshold (10 MB) but
+#: far below where a driver/executor OOMs
+BROADCAST_CAP_BYTES = 64 * 1024 * 1024
+
+
+def _broadcast_if_small(
+    frame: DataFrame, measured: DataFrame, cap_bytes: int
+) -> DataFrame:
+    """Attach an explicit broadcast hint to ``frame`` only when its
+    estimated materialized size fits ``cap_bytes``.
+
+    The estimate is BYTES, not rows: one aggregate over ``measured`` (an
+    already-checkpointed superset of ``frame`` with the same column
+    types, so the scan is cheap and never re-runs upstream pipeline)
+    sums actual string/binary byte widths plus a boxed-size constant per
+    numeric column. A row-count gate (the previous ``<= 2_000_000``)
+    passes a frame of wide string ids straight into an executor OOM; a
+    byte gate cannot."""
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for i, f in enumerate(measured.schema.fields):
+        if f.dataType.simpleString() in ("string", "binary"):
+            aggs.append(
+                (F.coalesce(F.avg(F.octet_length(F.col(f.name))), F.lit(0.0)) + 20.0)
+                .alias(f"__w{i}")
+            )
+        else:
+            aggs.append(F.lit(16.0).alias(f"__w{i}"))
+    row = measured.agg(*aggs).first()
+    est = row["__n"] * sum(row[f"__w{i}"] for i in range(len(measured.schema.fields)))
+    return F.broadcast(frame) if est <= cap_bytes else frame
+
+
 def connected_components(
     vertices: DataFrame,
     edges: DataFrame,
@@ -498,6 +536,7 @@ def connected_components(
     dst_col: str = "id_b",
     max_iters: int = 20,
     check_every: int = 2,
+    broadcast_cap_bytes: int = BROADCAST_CAP_BYTES,
 ) -> DataFrame:
     """Label each vertex with the MIN vertex id reachable through the
     edge set — the step that turns near-dup PAIRS into dedup GROUPS
@@ -605,11 +644,11 @@ def connected_components(
             )
     # one corpus-sized pass, at the end only: vertices with no edge keep
     # their own id as cluster_id. The labels side is ≤ 2·|E| rows —
-    # broadcast it explicitly when the (materialized) edge list is small
-    # so the corpus never shuffles for this join; above the threshold the
-    # shuffle join is the right plan anyway.
-    if bidir.count() <= 2_000_000:
-        labels = F.broadcast(labels)
+    # broadcast it explicitly when its estimated BYTES fit the cap so the
+    # corpus never shuffles for this join; above the cap the shuffle join
+    # is the right plan anyway (labels projects a checkpointed frame, so
+    # measuring it is one cheap scan).
+    labels = _broadcast_if_small(labels, labels, broadcast_cap_bytes)
     return (
         vertices.select(F.col(id_col))
         .join(labels, id_col, "left")
@@ -627,6 +666,7 @@ def connected_components_star(
     src_col: str = "id_a",
     dst_col: str = "id_b",
     max_iters: int = 20,
+    broadcast_cap_bytes: int = BROADCAST_CAP_BYTES,
 ) -> DataFrame:
     """Connected components via alternating large-star/small-star
     (Kiveris et al., "Connected Components in MapReduce and Beyond",
@@ -729,10 +769,11 @@ def connected_components_star(
     labels = cur.select(
         F.col("src").alias(id_col), F.col("dst").alias("cluster_id")
     ).groupBy(id_col).agg(F.min("cluster_id").alias("cluster_id"))
-    # labels ≤ fixpoint edge count: broadcast when small (same rationale
-    # as connected_components) so the vertex frame never shuffles
-    if cur.count() <= 2_000_000:
-        labels = F.broadcast(labels)
+    # labels ≤ fixpoint edge count: broadcast when the fixpoint edge
+    # frame's estimated BYTES fit the cap (same rationale as
+    # connected_components) so the vertex frame never shuffles; ``cur``
+    # is checkpointed, so the measurement scan is cheap
+    labels = _broadcast_if_small(labels, cur, broadcast_cap_bytes)
     return (
         vertices.select(id_col)
         .join(labels, id_col, "left")
@@ -804,32 +845,27 @@ def incremental_near_dup(
         .dropDuplicates()
         .cache()
     )
-    # shingle ONLY the docs that appear in a candidate pair (broadcast
-    # semi-join, the jaccard_verify shape): candidates are a tiny fraction
-    # of both sides, so verification cost scales with the candidate set —
-    # without the prune the ENTIRE existing corpus is re-shingled per
-    # batch, which defeats the batch-scaled design at 100 TB
-    sh_new = (
-        new_docs.join(
-            F.broadcast(cands.select(F.col("id_a").alias(id_col)).dropDuplicates()),
-            id_col,
-            "left_semi",
-        )
-        .select(
-            F.col(id_col).alias("id_a"),
-            F.array_distinct(F.expr(shingles_sql(text_col, shingle))).alias("sh_a"),
-        )
+    # shingle ONLY the docs that appear in a candidate pair (semi-join,
+    # the jaccard_verify shape): candidates are a tiny fraction of both
+    # sides, so verification cost scales with the candidate set — without
+    # the prune the ENTIRE existing corpus is re-shingled per batch,
+    # which defeats the batch-scaled design at 100 TB. The broadcast HINT
+    # is applied only when max_bucket_size bounds the candidate set: with
+    # the cap off, a boilerplate band-key flood makes the id sets
+    # unbounded, and a FORCED broadcast of an unbounded frame OOMs the
+    # driver — leave the uncapped case to AQE, which sizes the join off
+    # runtime statistics.
+    def _cand_ids(side: str):
+        ids = cands.select(F.col(side).alias(id_col)).dropDuplicates()
+        return F.broadcast(ids) if max_bucket_size is not None else ids
+
+    sh_new = new_docs.join(_cand_ids("id_a"), id_col, "left_semi").select(
+        F.col(id_col).alias("id_a"),
+        F.array_distinct(F.expr(shingles_sql(text_col, shingle))).alias("sh_a"),
     )
-    sh_old = (
-        existing_docs.join(
-            F.broadcast(cands.select(F.col("id_b").alias(id_col)).dropDuplicates()),
-            id_col,
-            "left_semi",
-        )
-        .select(
-            F.col(id_col).alias("id_b"),
-            F.array_distinct(F.expr(shingles_sql(text_col, shingle))).alias("sh_b"),
-        )
+    sh_old = existing_docs.join(_cand_ids("id_b"), id_col, "left_semi").select(
+        F.col(id_col).alias("id_b"),
+        F.array_distinct(F.expr(shingles_sql(text_col, shingle))).alias("sh_b"),
     )
     return (
         cands.join(sh_new, "id_a")

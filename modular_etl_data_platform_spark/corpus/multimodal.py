@@ -3,9 +3,16 @@
 Model: media payloads are opaque ``binary`` columns alongside typed
 metadata (mime, width/height, sample rate, …). The Spark-side plumbing —
 schemas, partitioning, Arrow batch shape, ``mapInPandas`` signatures — is
-real and tested; the actual codecs (PIL/ffmpeg/torchaudio) are NOT in this
-container, so decode bodies are stubbed behind ``_HAS_CODECS`` with a
-deterministic fake used for tests (clearly marked).
+real and tested. Decode/resize take a ``codec`` argument:
+
+- ``"pil"``  — real Pillow decode/resize (raises if PIL is absent);
+- ``"fake"`` — deterministic stand-in (byte-derived dims/features) used
+  by the oracle-checked queries so results are reproducible cross-engine;
+- ``"auto"`` — PIL when importable, fake otherwise (the default).
+
+PIL is not installed in this container, so ``"auto"`` resolves to the
+fake here; the PIL bodies are real code and unit-tested via
+``importorskip`` (``tests/test_multimodal_codecs.py``).
 
 Scale design:
 - Decode/feature-extract runs as ``mapInPandas`` — Arrow-batched, one
@@ -62,9 +69,20 @@ def attach_binary_payload(
     )
 
 
+def _resolve_codec(codec: str) -> str:
+    """Map a requested codec mode to the concrete one used on workers."""
+    if codec == "auto":
+        return "pil" if _HAS_CODECS else "fake"
+    if codec not in ("pil", "fake"):
+        raise ValueError(f"unknown codec {codec!r}: expected auto|pil|fake")
+    return codec
+
+
 def _fake_decode(payload: bytes) -> dict[str, Any]:
-    """Deterministic stand-in for an image decoder (tests only): derives
-    'dimensions' and a tiny 'feature' vector from the bytes themselves."""
+    """Deterministic stand-in for an image decoder: derives 'dimensions'
+    and a tiny 'feature' vector from the bytes themselves. Used by the
+    oracle-checked queries (cross-engine reproducible) and as the
+    fallback when PIL is absent."""
     n = len(payload)
     width = 16 + (n % 64)
     height = 16 + ((n // 64) % 64)
@@ -72,35 +90,63 @@ def _fake_decode(payload: bytes) -> dict[str, Any]:
     return {"width": width, "height": height, "feature": feature}
 
 
-def decode_image_batches(
-    batches: Iterator[pd.DataFrame],
-) -> Iterator[pd.DataFrame]:
-    """``mapInPandas`` body: payload → (dims, feature vector).
+def _pil_decode(payload: bytes) -> dict[str, Any]:
+    """Real decoder: PIL opens the payload; the feature vector is the
+    mean luma of the four image quadrants (a tiny but genuine perceptual
+    descriptor — same 4-float shape as the fake, so downstream schemas
+    and the similarity operators are codec-agnostic)."""
+    import io
 
-    With real codecs this is where PIL/libvips decodes each payload; the
-    Arrow batch shape, output schema and iterator protocol are identical.
+    import PIL.Image
+
+    img = PIL.Image.open(io.BytesIO(bytes(payload)))
+    img.load()
+    w, h = img.size
+    gray = img.convert("L")
+    half_w, half_h = max(1, w // 2), max(1, h // 2)
+    feature = []
+    for top in (0, half_h):
+        for left in (0, half_w):
+            box = (left, top, min(left + half_w, w), min(top + half_h, h))
+            region = gray.crop(box)
+            hist = region.histogram()
+            total = sum(hist) or 1
+            mean = sum(i * c for i, c in enumerate(hist)) / total
+            feature.append(float(mean) / 255.0)
+    return {"width": w, "height": h, "feature": feature}
+
+
+def decode_image_batches(codec: str = "auto"):
+    """``mapInPandas`` body factory: payload → (dims, feature vector).
+
+    ``codec="pil"`` decodes with Pillow; ``"fake"`` uses the
+    deterministic stand-in; ``"auto"`` picks PIL when importable. The
+    Arrow batch shape, output schema and iterator protocol are identical
+    across codecs — that is the part the engine owns.
     """
-    for pdf in batches:
-        if _HAS_CODECS:  # pragma: no cover - codecs absent in this env
-            raise NotImplementedError(
-                "real image decode not wired: install PIL and replace _fake_decode"
+    mode = _resolve_codec(codec)
+    decode = _pil_decode if mode == "pil" else _fake_decode
+
+    def body(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = [decode(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "mime": pdf["mime"],
+                    "byte_len": pdf["byte_len"].astype("int64"),
+                    "width": [d["width"] for d in decoded],
+                    "height": [d["height"] for d in decoded],
+                    "feature": [d["feature"] for d in decoded],
+                }
             )
-        decoded = [_fake_decode(p) for p in pdf["payload"]]
-        yield pd.DataFrame(
-            {
-                "doc_id": pdf["doc_id"].astype("int64"),
-                "mime": pdf["mime"],
-                "byte_len": pdf["byte_len"].astype("int64"),
-                "width": [d["width"] for d in decoded],
-                "height": [d["height"] for d in decoded],
-                "feature": [d["feature"] for d in decoded],
-            }
-        )
+
+    return body
 
 
-def decode_images(media: DataFrame) -> DataFrame:
+def decode_images(media: DataFrame, codec: str = "auto") -> DataFrame:
     """Decode/feature-extract a media table (payload binary + metadata)."""
-    return media.mapInPandas(decode_image_batches, schema=IMAGE_META_SCHEMA)
+    return media.mapInPandas(decode_image_batches(codec), schema=IMAGE_META_SCHEMA)
 
 
 def sample_frames(
@@ -146,34 +192,50 @@ RESIZED_SCHEMA = T.StructType(
 
 
 def _fake_resize(payload: bytes, w: int, h: int) -> bytes:
-    """Deterministic stand-in for an image resize (tests only): scales the
-    byte length proportionally to the pixel-count ratio vs the fake-decoded
-    original dimensions, so output size tracks target size."""
+    """Deterministic stand-in for an image resize: scales the byte length
+    proportionally to the pixel-count ratio vs the fake-decoded original
+    dimensions, so output size tracks target size. Oracle-reproducible
+    cross-engine; fallback when PIL is absent."""
     meta = _fake_decode(payload)
     ratio = (w * h) / max(1, meta["width"] * meta["height"])
     n = max(1, int(len(payload) * min(ratio, 1.0)))
     return payload[:n]
 
 
-def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
+def _pil_resize(payload: bytes, w: int, h: int) -> bytes:
+    """Real resize: PIL decode → ``Image.resize`` → re-encode in the
+    source format (PNG when the source format is unknown)."""
+    import io
+
+    import PIL.Image
+
+    img = PIL.Image.open(io.BytesIO(bytes(payload)))
+    fmt = img.format or "PNG"
+    resized = img.resize((w, h))
+    buf = io.BytesIO()
+    resized.save(buf, format=fmt)
+    return buf.getvalue()
+
+
+def resize_images(
+    media: DataFrame, width: int, height: int, codec: str = "auto"
+) -> DataFrame:
     """Resize plumbing: payload → payload at (width, height) via
-    ``mapInPandas``. With real codecs the body is PIL ``Image.resize``;
-    the Arrow batch shape, binary-in/binary-out schema, and constant
-    target dims are identical. Pure projection — zero shuffle."""
+    ``mapInPandas``. ``codec="pil"`` runs PIL ``Image.resize``; the
+    Arrow batch shape, binary-in/binary-out schema, and constant target
+    dims are identical across codecs. Pure projection — zero shuffle."""
+    mode = _resolve_codec(codec)
+    resize = _pil_resize if mode == "pil" else _fake_resize
 
     def body(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if _HAS_CODECS:  # pragma: no cover - codecs absent in this env
-                raise NotImplementedError(
-                    "real image resize not wired: install PIL and replace _fake_resize"
-                )
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].astype("int64"),
                     "mime": pdf["mime"],
                     "target_w": width,
                     "target_h": height,
-                    "payload": [_fake_resize(p, width, height) for p in pdf["payload"]],
+                    "payload": [resize(p, width, height) for p in pdf["payload"]],
                 }
             )
 

@@ -13,13 +13,30 @@ Implementation strategy:
   At 100 TB the fallback should be partition-scoped: only rewrite
   partitions present in the batch (``overwrite_partitions``), which is
   the same file-pruning win Delta's MERGE gets from data skipping.
+
+Crash-safety contract of the parquet fallback (NOT a concurrency
+contract — single writer only; concurrent writers need the Delta path):
+
+- Staging is a SIBLING of the target (same filesystem), so the final
+  swap is ``os.rename`` — atomic at the directory level, never a
+  cross-device recursive copy.
+- A crash leaves the target either fully old or fully new (per
+  partition, for the scoped path), plus at most a ``__old`` /
+  ``__staging`` leftover directory. ``recover_table`` — invoked
+  automatically at the start of every ``upsert_parquet`` — heals any
+  interrupted swap: rolls back a half-swapped table to the old state,
+  or finishes a swap whose cleanup was interrupted.
+- The scoped path is atomic PER PARTITION, not across partitions: a
+  crash mid-merge can leave some touched partitions updated and others
+  not (each individually consistent). Re-running the same upsert is
+  idempotent and completes the merge. Cross-partition transactionality
+  is exactly what Delta's log adds.
 """
 
 from __future__ import annotations
 
 import os
 import shutil
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -69,6 +86,7 @@ def upsert_parquet(
         )
         return
 
+    recover_table(path)
     exists = os.path.exists(path) and any(
         f.endswith(".parquet") for _, _, fs in os.walk(path) for f in fs
     )
@@ -90,16 +108,14 @@ def upsert_parquet(
             F.broadcast(touched), list(partition_by), "left_semi"
         )
         merged = merge_dataframes(target, batch, primary_keys)
-        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
-        try:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-            # the plan both reads and overwrites the touched partitions;
-            # localCheckpoint severs lineage so the write can't re-scan
-            # files it is deleting
-            merged = merged.localCheckpoint(eager=True)
-            merged.write.mode("overwrite").partitionBy(*partition_by).parquet(path)
-        finally:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        # stage the merged touched partitions NEXT TO the target (same
+        # filesystem), then swap each partition directory in with atomic
+        # renames — no localCheckpoint needed (we never overwrite what we
+        # read), and no dynamic-overwrite commit window where a crash can
+        # tear an individual partition
+        staging = _staging_dir(path)
+        merged.write.mode("overwrite").partitionBy(*partition_by).parquet(staging)
+        _swap_partitions(staging, path)
         return
 
     target = spark.read.parquet(path) if exists else None
@@ -107,16 +123,98 @@ def upsert_parquet(
     atomic_overwrite(merged, path, partition_by)
 
 
+def _staging_dir(path: str) -> str:
+    """A staging directory that is a SIBLING of the target — same
+    filesystem, so the final swap is an atomic ``os.rename`` rather than
+    a cross-device recursive copy (the old ``/tmp`` staging was a copy on
+    any multi-volume host: slow at scale and a wide crash window)."""
+    staging = path.rstrip("/") + f"__staging{os.getpid()}"
+    if os.path.exists(staging):
+        shutil.rmtree(staging)
+    return staging
+
+
+def _leaf_data_dirs(root: str) -> list[str]:
+    """Relative paths of directories under ``root`` that directly contain
+    parquet files (the partition leaves of a partitioned write; ``[""]``
+    for an unpartitioned one)."""
+    leaves = []
+    for dirpath, _dirnames, filenames in os.walk(root):
+        if any(f.endswith(".parquet") for f in filenames):
+            leaves.append(os.path.relpath(dirpath, root))
+    return leaves
+
+
+def _swap_partitions(staging: str, path: str) -> None:
+    """Atomically swap every partition directory present in ``staging``
+    into ``path``: old partition renamed aside into ``<path>__old`` (a
+    SIBLING — never inside the table, so a crash never leaves a bogus
+    ``__old`` partition visible to readers), new partition renamed in,
+    aside tree removed last. Atomic per partition; ``recover_table``
+    heals a crash between the two renames."""
+    old_root = path.rstrip("/") + "__old"
+    if os.path.exists(old_root):
+        shutil.rmtree(old_root)
+    os.makedirs(path, exist_ok=True)
+    for rel in _leaf_data_dirs(staging):
+        spart = staging if rel == "." else os.path.join(staging, rel)
+        tpart = path if rel == "." else os.path.join(path, rel)
+        if rel == ".":
+            raise ValueError(
+                "_swap_partitions expects a partitioned staging layout; "
+                "use atomic_overwrite for unpartitioned tables"
+            )
+        if os.path.exists(tpart):
+            aside = os.path.join(old_root, rel)
+            os.makedirs(os.path.dirname(aside), exist_ok=True)
+            os.rename(tpart, aside)
+        else:
+            os.makedirs(os.path.dirname(tpart), exist_ok=True)
+        os.rename(spart, tpart)
+    if os.path.exists(old_root):
+        shutil.rmtree(old_root)
+    shutil.rmtree(staging)  # leftover _SUCCESS marker etc.
+
+
+def recover_table(path: str) -> None:
+    """Heal an interrupted atomic swap on ``path`` (idempotent; called at
+    the start of every ``upsert_parquet``):
+
+    - whole-table swap crashed between rename-aside and rename-in →
+      target missing, ``<path>__old`` intact → roll back;
+    - per-partition swap crashed likewise → restore each aside partition
+      the target is missing;
+    - swap completed but cleanup crashed → remove leftovers.
+    """
+    old_root = path.rstrip("/") + "__old"
+    if os.path.exists(old_root):
+        if not os.path.exists(path):
+            os.rename(old_root, path)
+        else:
+            for rel in _leaf_data_dirs(old_root):
+                src = old_root if rel == "." else os.path.join(old_root, rel)
+                tgt = path if rel == "." else os.path.join(path, rel)
+                if rel != "." and not os.path.exists(tgt):
+                    os.makedirs(os.path.dirname(tgt), exist_ok=True)
+                    os.rename(src, tgt)
+            shutil.rmtree(old_root)
+    parent, base = os.path.split(path.rstrip("/"))
+    for entry in os.listdir(parent or "."):
+        if entry.startswith(base + "__staging"):
+            shutil.rmtree(os.path.join(parent, entry))
+
+
 def atomic_overwrite(
     df: DataFrame, path: str, partition_by: list[str] | None = None
 ) -> None:
-    """Rewrite ``path`` with ``df`` via staging + rename-aside swap
-    (mirrors compact_table): the target is never in a deleted state — a
-    crash leaves either the old table or the new one plus a removable
-    ``__old`` directory, not a hole. Safe when ``df`` reads from
-    ``path`` (the write lands in staging first)."""
-    staging = tempfile.mkdtemp(prefix="upsert_staging_")
-    shutil.rmtree(staging)
+    """Rewrite ``path`` with ``df`` via sibling staging + rename-aside
+    swap (mirrors compact_table): the target is never in a deleted state —
+    a crash leaves either the old table or the new one plus a leftover
+    ``__old``/``__staging`` directory that ``recover_table`` removes or
+    rolls back. Safe when ``df`` reads from ``path`` (the write lands in
+    staging first). Staging is a sibling of ``path`` so both renames are
+    same-filesystem atomic moves."""
+    staging = _staging_dir(path)
     w = df.write.mode("overwrite")
     if partition_by:
         w = w.partitionBy(*partition_by)
@@ -126,10 +224,10 @@ def atomic_overwrite(
         if os.path.exists(old):
             shutil.rmtree(old)
         os.rename(path, old)
-        shutil.move(staging, path)
+        os.rename(staging, path)
         shutil.rmtree(old)
     else:
-        shutil.move(staging, path)
+        os.rename(staging, path)
 
 
 def overwrite_partitions(

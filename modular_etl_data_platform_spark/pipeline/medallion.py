@@ -218,3 +218,49 @@ class MedallionPipeline:
         )
         upsert_parquet(self.spark, dim, dim_path, config.primary_keys + ["valid_from"])
         return self.spark.read.parquet(dim_path)
+
+    # -- statistics / CBO hook -------------------------------------------------
+    def analyze_table(
+        self, name: str, columns: list[str] | None = None
+    ) -> dict[str, str]:
+        """Compute table (and optionally column) statistics for the
+        cost-based optimizer — the reference's post-load
+        ``ANALYZE TABLE gold.<t> COMPUTE STATISTICS [FOR COLUMNS pks]``
+        step (reference: config/gold/schema/README.md:391).
+
+        A path-based warehouse table is first registered in the session
+        catalog as an external parquet table (no data movement — the
+        catalog entry points at the existing directory); catalog-managed
+        names are analyzed as-is. Returns the catalog's recorded
+        statistics line(s) from ``DESCRIBE EXTENDED`` so callers (and
+        tests) can confirm the CBO actually sees them.
+
+        At scale this is what turns join-reorder and broadcast decisions
+        from byte-size heuristics into cardinality-based ones — run it
+        after each gold load, on at least the PK/join columns.
+        """
+        spark = self.spark
+        if not spark.catalog.tableExists(name):
+            path = self.table_path(name)
+            if not os.path.exists(path):
+                raise FileNotFoundError(f"no warehouse table or catalog entry: {name}")
+            spark.sql(
+                f"CREATE TABLE IF NOT EXISTS `{name}` USING PARQUET LOCATION '{path}'"
+            )
+        spark.sql(f"ANALYZE TABLE `{name}` COMPUTE STATISTICS")
+        if columns:
+            cols = ", ".join(f"`{c}`" for c in columns)
+            spark.sql(f"ANALYZE TABLE `{name}` COMPUTE STATISTICS FOR COLUMNS {cols}")
+        stats = {
+            r.col_name: r.data_type
+            for r in spark.sql(f"DESCRIBE EXTENDED `{name}`").collect()
+            if r.col_name == "Statistics"
+        }
+        for c in columns or []:
+            desc = spark.sql(f"DESCRIBE EXTENDED `{name}` `{c}`").collect()
+            stats[f"col:{c}"] = "; ".join(
+                f"{r.info_name}={r.info_value}"
+                for r in desc
+                if r.info_name in ("distinct_count", "num_nulls", "min", "max")
+            )
+        return stats

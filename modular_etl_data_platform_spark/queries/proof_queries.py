@@ -817,7 +817,9 @@ def q115_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     media = attach_binary_payload(docs, "text", "text/plain")
-    decoded = decode_images(media).select("doc_id", "byte_len", "width", "height")
+    decoded = decode_images(media, codec="fake").select(
+        "doc_id", "byte_len", "width", "height"
+    )
     feats = extract_features(media, dim=4).select(
         "doc_id",
         *[

@@ -286,7 +286,7 @@ def test_embedding_near_dup_lsh_prefilter_finds_identical(spark, emb):
 def test_multimodal_decode_plumbing(spark, docs):
     media = attach_binary_payload(docs, source_col="text", mime="text/plain")
     assert dict(media.dtypes)["payload"] == "binary"
-    decoded = decode_images(media)
+    decoded = decode_images(media, codec="fake")
     rows = decoded.collect()
     assert len(rows) == docs.count()
     r0 = next(r for r in rows if r.doc_id == 0)

@@ -296,3 +296,30 @@ def test_transform_silver_enforces_referential_integrity(spark, tmp_path):
     ).collect()
     assert len(orphan) == 1
     assert "referential_integrity:pid" in orphan[0].failed_rules
+
+
+def test_analyze_table_records_cbo_statistics(spark, tmp_path):
+    """analyze_table registers a path-based warehouse table in the
+    catalog and records table + column statistics the CBO can read
+    (reference: config/gold/schema/README.md:391 ANALYZE TABLE step)."""
+    pipe = MedallionPipeline(spark, str(tmp_path / "wh"))
+    spark.createDataFrame(
+        [(i, f"c{i % 3}") for i in range(40)], "pk long, grp string"
+    ).write.parquet(pipe.table_path("gold_stats_demo"))
+
+    stats = pipe.analyze_table("gold_stats_demo", columns=["pk"])
+    try:
+        assert "Statistics" in stats  # table-level: sizeInBytes + rowCount
+        assert "40 rows" in stats["Statistics"]
+        assert "distinct_count" in stats["col:pk"]
+        # the catalog (not just the return value) must carry the stats
+        desc = {
+            r.col_name: r.data_type
+            for r in spark.sql("DESCRIBE EXTENDED gold_stats_demo").collect()
+        }
+        assert "rows" in desc["Statistics"]
+    finally:
+        spark.sql("DROP TABLE IF EXISTS gold_stats_demo")
+
+    with pytest.raises(FileNotFoundError):
+        pipe.analyze_table("never_built")

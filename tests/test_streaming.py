@@ -172,7 +172,7 @@ def test_resize_images_plumbing(spark):
         [(1, "x" * 4000), (2, "y" * 100)], "doc_id long, text string"
     )
     media = attach_binary_payload(docs, source_col="text", mime="image/png")
-    out = resize_images(media, width=32, height=32).collect()
+    out = resize_images(media, width=32, height=32, codec="fake").collect()
     assert {r.doc_id for r in out} == {1, 2}
     for r in out:
         assert (r.target_w, r.target_h) == (32, 32)
