@@ -34,6 +34,14 @@ HEADLINE = [
     "q55_skewed_distinct_count",
     "q60_incremental_dedup",
     "q99_knn_join",
+    # heavy streaming/state/multimodal/rollup paths: correctness-proven in
+    # round 5 — timed here so a wall-time regression in a real
+    # writeStream run, stateful sessionizer, Arrow decode pipeline, or
+    # incremental rollup maintenance is visible round-over-round
+    "q100_stream_sessions",
+    "q113_stream_cdc_state",
+    "q115_multimodal_pipeline",
+    "q116_incremental_rollup",
 ]
 
 

@@ -119,7 +119,23 @@ class ExpectationSuite:
         for e in exps:
             if e.expectation_type not in known:
                 raise ValueError(f"unsupported expectation: {e.expectation_type}")
+            if "mostly" in e.kwargs and e.expectation_type not in _ROW_LEVEL:
+                # uniqueness/table-level expectations evaluate a single
+                # suite-level statistic — a pass-fraction threshold has no
+                # defined semantics there, and silently ignoring it would
+                # let a suite author believe a tolerance is in force
+                raise ValueError(
+                    f"'mostly' is not supported for {e.expectation_type}"
+                )
         return cls(exps, name=suite.get("expectation_suite_name", "default"))
+
+    @staticmethod
+    def _referenced_columns(e: Expectation) -> list[str]:
+        """Columns an expectation's aggregate would read (empty for
+        table-level row count)."""
+        if "column" in e.kwargs:
+            return [e.kwargs["column"]]
+        return list(e.kwargs.get("column_list", []))
 
     # -- single-pass evaluation ---------------------------------------------
     def _agg_frame(self, df: DataFrame) -> DataFrame:
@@ -127,10 +143,17 @@ class ExpectationSuite:
         value — a single scan regardless of suite size (exposed so tests
         can pin the single-pass plan)."""
         aggs: list[F.Column] = [F.count(F.lit(1)).alias("__n")]
+        columns = set(df.columns)
         for i, e in enumerate(self.expectations):
             t = e.expectation_type
             if t == "expect_column_to_exist":
                 continue  # schema-level, no aggregate
+            if any(c not in columns for c in self._referenced_columns(e)):
+                # an aggregate over an absent column would fail the WHOLE
+                # single-pass frame with AnalysisException before
+                # expect_column_to_exist could report anything; skip it
+                # here and let validate() record the failed row
+                continue
             if t in _ROW_LEVEL:
                 pred = e._value_predicate()
                 if t == "expect_column_values_to_not_be_null":
@@ -165,10 +188,14 @@ class ExpectationSuite:
                 )
             elif t == "expect_compound_columns_to_be_unique":
                 cols = [F.col(c) for c in e.kwargs["column_list"]]
+                # null out the zero denominator (ANSI mode throws on /0),
+                # then coalesce like the single-column path: GE passes
+                # empty tables vacuously
                 aggs.append(
-                    (
+                    F.coalesce(
                         F.countDistinct(F.struct(*cols)).cast("double")
-                        / F.count(F.lit(1))
+                        / F.nullif(F.count(F.lit(1)), F.lit(0)),
+                        F.lit(1.0),
                     ).alias(f"__e{i}")
                 )
             elif t == "expect_table_row_count_to_be_between":
@@ -210,6 +237,10 @@ class ExpectationSuite:
             if t == "expect_column_to_exist":
                 observed = float(e.kwargs["column"] in columns)
                 success = bool(observed)
+            elif any(c not in columns for c in self._referenced_columns(e)):
+                # the aggregate was skipped (absent column): record a
+                # failed expectation row instead of blowing up the suite
+                observed, success = None, False
             else:
                 observed = row[f"__e{i}"]
                 observed = float(observed) if observed is not None else None

@@ -210,13 +210,7 @@ def _sessionize_event_time(gap_ms: int):
         import pandas as pd
 
         def row(start, end, n, total):
-            return {
-                "user_id": key[0],
-                "session_start": start,
-                "session_end": end,
-                "n_events": n,
-                "total_value": total,
-            }
+            return _session_row(key[0], start, end, n, total)
 
         if state.hasTimedOut:
             start, end, n, total = state.get
@@ -224,32 +218,11 @@ def _sessionize_event_time(gap_ms: int):
             yield pd.DataFrame([row(start, end, n, total)])
             return
 
-        rows = pd.concat(list(pdfs)).sort_values("ts")
-        # split the batch on the event-time axis...
-        gaps = rows["ts"].diff().dt.total_seconds().mul(1000).fillna(0)
-        sid = (gaps > gap_ms).cumsum()
-        sessions = []
-        for _, grp in rows.groupby(sid, sort=True):
-            sessions.append(
-                [grp["ts"].iloc[0], grp["ts"].iloc[-1], len(grp), float(grp["value"].sum())]
-            )
-        # ...then chain-merge with the stored open session ON THAT AXIS:
-        # sorting by session start before merging means an out-of-order
-        # batch (events before the stored session's start, still above
-        # the watermark) extends/starts sessions correctly instead of
-        # being absorbed with a too-late session_start
-        if state.exists:
-            sessions.append(list(state.get))
-            sessions.sort(key=lambda t: t[0])
-        closed = []
-        cur = None
-        for seg in sessions:
-            if cur is not None and (seg[0] - cur[1]).total_seconds() * 1000 <= gap_ms:
-                cur = [cur[0], max(cur[1], seg[1]), cur[2] + seg[2], cur[3] + seg[3]]
-            else:
-                if cur is not None:
-                    closed.append(row(*cur))
-                cur = seg
+        open_session = list(state.get) if state.exists else None
+        closed, cur = _merge_event_time_sessions(
+            pd.concat(list(pdfs)), open_session, gap_ms
+        )
+        closed = [row(*c) for c in closed]
         # pd.Timestamp.value is ns-since-epoch on the NAIVE value —
         # session-zone (UTC) semantics regardless of the host TZ, unlike
         # datetime.timestamp() which assumes local time
@@ -266,6 +239,49 @@ def _sessionize_event_time(gap_ms: int):
             yield pd.DataFrame(closed)
 
     return fn
+
+
+def _session_row(user_id, start, end, n, total):
+    return {
+        "user_id": user_id,
+        "session_start": start,
+        "session_end": end,
+        "n_events": n,
+        "total_value": total,
+    }
+
+
+def _merge_event_time_sessions(rows, open_session, gap_ms: int):
+    """The pure-pandas core both stateful APIs share: split a batch on
+    the event-time axis, chain-merge with the stored open session, and
+    return ``(closed_sessions, trailing_open_session)`` — each session a
+    ``[start, end, n_events, total_value]`` list.
+
+    Sorting merged segments by session start means an out-of-order batch
+    (events before the stored session's start, still above the
+    watermark) extends/starts sessions correctly instead of being
+    absorbed with a too-late session_start."""
+    rows = rows.sort_values("ts")
+    gaps = rows["ts"].diff().dt.total_seconds().mul(1000).fillna(0)
+    sid = (gaps > gap_ms).cumsum()
+    sessions = []
+    for _, grp in rows.groupby(sid, sort=True):
+        sessions.append(
+            [grp["ts"].iloc[0], grp["ts"].iloc[-1], len(grp), float(grp["value"].sum())]
+        )
+    if open_session is not None:
+        sessions.append(list(open_session))
+        sessions.sort(key=lambda t: t[0])
+    closed = []
+    cur = None
+    for seg in sessions:
+        if cur is not None and (seg[0] - cur[1]).total_seconds() * 1000 <= gap_ms:
+            cur = [cur[0], max(cur[1], seg[1]), cur[2] + seg[2], cur[3] + seg[3]]
+        else:
+            if cur is not None:
+                closed.append(cur)
+            cur = seg
+    return closed, cur
 
 
 def sessionize_events_event_time(
@@ -289,6 +305,116 @@ def sessionize_events_event_time(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def _has_tws_runtime() -> bool:
+    """transformWithStateInPandas needs the protobuf wire format for its
+    state server; absent in this sandbox (same env-block pattern as
+    delta-spark — see tests/test_streaming_tws.py)."""
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def sessionize_events_event_time_tws(
+    events_stream: DataFrame,
+    gap_minutes: int = 480,
+    watermark: str = "1 second",
+) -> DataFrame:
+    """Event-time gap sessionization on the **transformWithStateInPandas**
+    API (Spark 4 successor of ``applyInPandasWithState``: typed state
+    variables, named event-time timers, RocksDB-backed in production).
+
+    Same semantics and same pandas core (:func:`_merge_event_time_sessions`)
+    as :func:`sessionize_events_event_time`; only the state plumbing
+    differs — a ValueState holds the open session, and an explicit
+    event-time timer at ``session_end + gap`` replaces
+    ``setTimeoutTimestamp``. Kept alongside the GroupState form so the
+    engine exposes both stateful APIs; ``sessionize_events_event_time_best``
+    picks at runtime.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    gap_ms = gap_minutes * 60_000
+
+    class GapSessions(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._handle = handle
+            self._open = handle.getValueState(
+                "open",
+                "session_start TIMESTAMP, session_end TIMESTAMP, "
+                "n_events BIGINT, total_value DOUBLE",
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            open_session = (
+                list(self._open.get()) if self._open.exists() else None
+            )
+            if open_session is not None:
+                # a pending close-timer exists for the stored session;
+                # it will be re-registered at the merged horizon below
+                self._handle.deleteTimer(
+                    int(pd.Timestamp(open_session[1]).value // 1_000_000) + gap_ms
+                )
+            closed, cur = _merge_event_time_sessions(
+                pd.concat(list(rows)), open_session, gap_ms
+            )
+            closed = [_session_row(key[0], *c) for c in closed]
+            timeout = int(pd.Timestamp(cur[1]).value // 1_000_000) + gap_ms
+            if timeout <= timerValues.getCurrentWatermarkInMs():
+                closed.append(_session_row(key[0], *cur))
+                self._open.clear()
+            else:
+                self._open.update(tuple(cur))
+                self._handle.registerTimer(timeout)
+            if closed:
+                yield pd.DataFrame(closed)
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            import pandas as pd
+
+            if self._open.exists():
+                cur = list(self._open.get())
+                self._open.clear()
+                yield pd.DataFrame([_session_row(key[0], *cur)])
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events_stream.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            GapSessions(),
+            outputStructType=SESSION_SCHEMA,
+            outputMode="Append",
+            timeMode="EventTime",
+        )
+    )
+
+
+def sessionize_events_event_time_best(
+    events_stream: DataFrame,
+    gap_minutes: int = 480,
+    watermark: str = "1 second",
+) -> DataFrame:
+    """Pick the stateful API at runtime: transformWithStateInPandas when
+    its protobuf runtime is present (Spark 4 production path), else the
+    GroupState form (which this sandbox can execute)."""
+    impl = (
+        sessionize_events_event_time_tws
+        if _has_tws_runtime()
+        else sessionize_events_event_time
+    )
+    return impl(events_stream, gap_minutes=gap_minutes, watermark=watermark)
 
 
 def sessionize_events(events_stream: DataFrame) -> DataFrame:

@@ -171,3 +171,49 @@ def test_empty_table_passes_vacuously(spark, people):
 def test_unknown_expectation_rejected():
     with pytest.raises(ValueError, match="unsupported expectation"):
         _suite([{"expectation_type": "expect_moon_phase", "kwargs": {}}])
+
+
+def test_compound_unique_passes_vacuously_on_empty_table(spark, people):
+    empty = people.filter(F.lit(False))
+    suite = _suite(
+        [{"expectation_type": "expect_compound_columns_to_be_unique",
+          "kwargs": {"column_list": ["id", "country"]}}]
+    )
+    r = suite.validate(empty).first()
+    assert r.success and r.observed == 1.0
+
+
+def test_mostly_rejected_for_non_row_level_expectations():
+    for t, kw in [
+        ("expect_column_values_to_be_unique", {"column": "id"}),
+        ("expect_compound_columns_to_be_unique", {"column_list": ["id"]}),
+        ("expect_table_row_count_to_be_between", {"min_value": 1}),
+    ]:
+        with pytest.raises(ValueError, match="mostly"):
+            _suite([{"expectation_type": t, "kwargs": {**kw, "mostly": 0.9}}])
+
+
+def test_missing_column_records_failure_instead_of_raising(spark, people):
+    """An expectation on an absent column must yield a failed result row,
+    not an AnalysisException that kills the whole single-pass suite."""
+    suite = _suite(
+        [
+            {"expectation_type": "expect_column_to_exist",
+             "kwargs": {"column": "ghost"}},
+            {"expectation_type": "expect_column_values_to_not_be_null",
+             "kwargs": {"column": "ghost"}},
+            {"expectation_type": "expect_compound_columns_to_be_unique",
+             "kwargs": {"column_list": ["id", "ghost"]}},
+            {"expectation_type": "expect_column_mean_to_be_between",
+             "kwargs": {"column": "score", "min_value": 0}},
+        ]
+    )
+    rows = suite.validate(people).collect()
+    by = {(r.expectation_type, r.column): r for r in rows}
+    assert not by[("expect_column_to_exist", "ghost")].success
+    ghost_null = by[("expect_column_values_to_not_be_null", "ghost")]
+    assert not ghost_null.success and ghost_null.observed is None
+    ghost_uni = by[("expect_compound_columns_to_be_unique", "id|ghost")]
+    assert not ghost_uni.success and ghost_uni.observed is None
+    # healthy expectations in the same suite still evaluate
+    assert by[("expect_column_mean_to_be_between", "score")].success
