@@ -1380,19 +1380,75 @@ def q56_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     users and t-digest quantiles per event type. Both are mergeable
     map-side sketches — constant memory per task, one tiny shuffle of
     sketch buffers, no sort — the 100 TB replacement for q55/q43's exact
-    forms when ±2% is acceptable. NOT registered in the driver catalog:
-    no cross-engine oracle exists (DuckDB's HLL/quantile sketches are a
-    different implementation with different estimates), so a ``queries()``
-    entry would record a permanently-red rows-only row every round it
-    rotated in. Correctness is covered by ``tests/test_catalog.py``
-    (estimates bounded against the exact q55/q43 twins, which stay
-    hash-verified in the driver gate)."""
+    forms when ±2% is acceptable. NOT registered in the driver catalog
+    AS-IS: no cross-engine oracle exists for the raw estimates (DuckDB's
+    HLL/quantile sketches are a different implementation), so this entry
+    would be permanently-red. The accuracy CONTRACT is driver-gated
+    instead via :func:`q118_sketch_bounds` (bounds evaluated Spark-side
+    as booleans, exact counts cross-checked); the tighter numeric bounds
+    stay pytest-pinned in ``tests/test_catalog.py``."""
     e = _t(spark, sf_dir, "events")
     return e.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
         F.to_json(
             F.percentile_approx("value", [0.5, 0.9, 0.99], 10000)
         ).alias("value_quantiles"),
+    )
+
+
+@query(
+    "q118_sketch_bounds",
+    """
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS exact_users,
+           TRUE AS hll_within_bound,
+           TRUE AS quantiles_within_bound
+    FROM events GROUP BY event_type
+    """,
+)
+def q118_sketch_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-verifiable contract for the q56 sketches. Sketch ESTIMATES
+    can't be hash-compared cross-engine (DuckDB's HLL/quantile sketches
+    are different implementations), but the accuracy CONTRACT can: the
+    Spark side evaluates the bounds as booleans — HLL++ distinct within
+    5% (2.5× the configured rsd) of the exact count, approx p50/p90/p99
+    ordered, inside the value range, and p50 within 1% of the exact
+    median — and the oracle asserts literal TRUE alongside the genuinely
+    cross-checked exact counts. A sketch drifting out of contract at any
+    SF turns a boolean FALSE and reds the driver gate; the tighter
+    numeric bounds stay pytest-pinned (test_approx_sketches_bounded_by_exact).
+    Scale: both sketches are mergeable map-side buffers — constant memory
+    per task, one tiny shuffle — the 100 TB replacement for exact
+    countDistinct/percentile when ±2% is acceptable."""
+    e = _events(spark, sf_dir)
+    agg = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("__est"),
+        F.percentile_approx("value", [0.5, 0.9, 0.99], 10000).alias("__aq"),
+        F.expr("percentile(value, 0.5)").alias("__p50"),
+        F.min("value").alias("__lo"),
+        F.max("value").alias("__hi"),
+    )
+    hll_ok = (
+        F.abs(F.col("__est") - F.col("exact_users"))
+        <= F.greatest(F.lit(2.0), 0.05 * F.col("exact_users"))
+    )
+    aq = F.col("__aq")
+    quant_ok = (
+        (aq.getItem(0) <= aq.getItem(1))
+        & (aq.getItem(1) <= aq.getItem(2))
+        & (aq.getItem(0) >= F.col("__lo"))
+        & (aq.getItem(2) <= F.col("__hi"))
+        & (
+            F.abs(aq.getItem(0) - F.col("__p50"))
+            <= 0.01 * (F.col("__hi") - F.col("__lo"))
+        )
+    )
+    return agg.select(
+        "event_type",
+        "exact_users",
+        hll_ok.alias("hll_within_bound"),
+        quant_ok.alias("quantiles_within_bound"),
     )
 
 
