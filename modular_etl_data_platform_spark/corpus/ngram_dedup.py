@@ -1,0 +1,171 @@
+"""Cross-document repeated n-gram (substring) deduplication.
+
+The training-data pass popularized by "Deduplicating Training Data Makes
+Language Models Better" (Lee et al., ACL 2022 — public paper): token
+spans that recur across documents (license boilerplate, navigation
+chrome, templated paragraphs) are located EXACTLY and cut, keeping one
+canonical occurrence, without dropping whole documents the way
+doc-level dedup (corpus/dedup.py) does. Complements line dedup
+(``line_dedup``: newline-delimited units) by catching repeats that
+cross line boundaries or live inside longer lines.
+
+Spark-first shape (no suffix array needed — the fixed-window form):
+
+1. Tokenize + window: every ``n``-token window of every document,
+   built with JVM-side higher-order expressions (``transform`` over
+   ``sequence`` + ``slice`` + ``concat_ws``) — a pure projection that
+   inflates rows by ~token_count per doc, never a UDF.
+2. Repeat detection: ONE gram-keyed shuffle —
+   ``(gram, doc) dropDuplicates`` then count docs per gram, map-side
+   combined; grams in ≥ ``min_docs`` docs are "repeated".
+3. Canonical keep-first: per repeated gram, the occurrence in the
+   smallest doc_id at its smallest position survives; every other
+   occurrence is a cut span. Two aggregates over the REPEATED subset
+   only (orders of magnitude smaller than the gram stream).
+4. Rebuild: cut spans group to a per-doc covered-position set (one
+   doc_id-keyed shuffle, uniform), and the text is rebuilt with a
+   higher-order ``filter`` over the token array — zero additional
+   shuffle, no Python.
+
+At 100 TB: the wide shuffles carry (gram-hash, doc_id, pos) triples —
+never document text; the gram stream shuffles once; skew concentrates
+in ultra-common grams, which ``max_occurrences`` drops before the
+keep-first aggregation the same way ``_cap_buckets`` bounds LSH buckets
+(a gram occurring millions of times is boilerplate; cutting every copy
+but one of a million is still the right outcome, and the cap only
+bounds the CANONICAL-selection agg, not the cut list).
+
+Determinism: token n-grams compare as exact strings, keep-first is a
+(min doc_id, min pos) rule — both engines agree bit-for-bit, so the
+driver hashes the full cleaned corpus (q120).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _gram_occurrences(
+    docs: DataFrame, n: int, id_col: str, text_col: str
+) -> DataFrame:
+    """(doc_id, pos, gram) for every n-token window; pos is 0-based."""
+    toks = docs.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("__t")
+    )
+    windows = F.expr(
+        f"transform(sequence(0, size(__t) - {n}), "
+        f"i -> concat_ws(' ', slice(__t, i + 1, {n})))"
+    )
+    return (
+        toks.filter(F.size("__t") >= n)
+        .select(F.col(id_col), F.posexplode(windows).alias("pos", "gram"))
+    )
+
+
+def repeated_ngram_spans(
+    docs: DataFrame,
+    n: int = 8,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """All occurrences of token n-grams that appear in at least
+    ``min_docs`` DISTINCT documents. Returns
+    (doc_id, start_tok, end_tok, gram), start/end 0-based inclusive.
+
+    One gram-keyed shuffle finds the repeated grams ((gram, doc)
+    dedup + doc count, both map-side combined); occurrences re-attach
+    with a semi join on the same key."""
+    occ = _gram_occurrences(docs, n, id_col, text_col)
+    repeated = (
+        occ.select("gram", id_col)
+        .dropDuplicates()
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("__nd"))
+        .filter(F.col("__nd") >= min_docs)
+        .select("gram")
+    )
+    return occ.join(repeated, "gram", "left_semi").select(
+        id_col,
+        F.col("pos").cast("long").alias("start_tok"),
+        (F.col("pos") + F.lit(n - 1)).cast("long").alias("end_tok"),
+        "gram",
+    )
+
+
+def remove_repeated_ngrams(
+    docs: DataFrame,
+    n: int = 8,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_occurrences: int | None = None,
+) -> DataFrame:
+    """Cut every cross-document repeated n-gram occurrence except one
+    canonical copy (smallest doc_id, then smallest position) and rebuild
+    the text. Returns (doc_id, text) for EVERY input document.
+
+    A token covered by ANY cut span is removed even if a different
+    gram's kept occurrence overlaps it — span-level keep-first, the
+    deterministic fixed-window reading of Lee et al.'s keep-one rule.
+
+    ``max_occurrences`` drops grams whose occurrence count exceeds it
+    from the KEEP-FIRST aggregation only (they are cut everywhere,
+    canonical copy included) — bounding the per-gram aggregation state
+    on boilerplate floods the same way LSH bucket caps do."""
+    spans = repeated_ngram_spans(docs, n, min_docs, id_col, text_col)
+    occ = spans.select(id_col, F.col("start_tok").alias("pos"), "gram")
+
+    keep_eligible = occ
+    if max_occurrences is not None:
+        flooded = (
+            occ.groupBy("gram")
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .filter(F.col("__c") > max_occurrences)
+            .select("gram")
+        )
+        keep_eligible = occ.join(F.broadcast(flooded), "gram", "left_anti")
+
+    # canonical occurrence: min doc, then min pos within that doc.
+    # Derived frames rename their keys (__g/__d/__p) — all three frames
+    # descend from the same occurrence scan, and qualified self-join
+    # column references are ambiguous otherwise.
+    first_doc = keep_eligible.groupBy(F.col("gram").alias("__g")).agg(
+        F.min(id_col).alias("__fdoc")
+    )
+    canonical = (
+        keep_eligible.join(
+            first_doc,
+            (F.col("gram") == F.col("__g")) & (F.col(id_col) == F.col("__fdoc")),
+        )
+        .groupBy(F.col("__g"), F.col("__fdoc").alias("__d"))
+        .agg(F.min("pos").alias("__p"))
+    )
+    cuts = spans.join(
+        canonical,
+        (F.col("gram") == F.col("__g"))
+        & (F.col(id_col) == F.col("__d"))
+        & (F.col("start_tok") == F.col("__p")),
+        "left_anti",
+    )
+
+    covered = (
+        cuts.select(
+            F.col(id_col),
+            F.explode(F.sequence("start_tok", "end_tok")).alias("__p"),
+        )
+        .groupBy(id_col)
+        .agg(F.collect_set("__p").alias("__cov"))
+    )
+    toks = docs.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("__t")
+    )
+    rebuilt = F.expr(
+        "concat_ws(' ', filter(transform(__t, (x, i) -> "
+        "IF(__cov IS NOT NULL AND array_contains(__cov, i), NULL, x)), "
+        "x -> x IS NOT NULL))"
+    )
+    return toks.join(covered, id_col, "left").select(
+        F.col(id_col), rebuilt.alias(text_col)
+    )

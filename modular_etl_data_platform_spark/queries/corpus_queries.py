@@ -1482,3 +1482,95 @@ def q117_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = q36_ngram_jaccard_pairs(spark, sf_dir).select("id_a", "id_b")
     clusters = cdedup.connected_components(docs.select("doc_id"), edges)
     return ccur.group_split(clusters, "cluster_id", val_frac=0.1)
+
+
+# ---------------------------------------------------------------------------
+# Cross-document repeated n-gram (substring) dedup — Lee et al. ACL'22 family
+# ---------------------------------------------------------------------------
+
+_NGRAM_N = 5
+_NGRAM_MIN_DOCS = 2
+
+_Q119_OCC_DUCK = f"""
+    toks AS (SELECT doc_id, string_split(text, ' ') AS t
+             FROM documents WHERE text IS NOT NULL),
+    g AS (SELECT doc_id, unnest(generate_series(1, len(t) - {_NGRAM_N - 1})) AS i, t
+          FROM toks WHERE len(t) >= {_NGRAM_N}),
+    occ AS (SELECT doc_id, i - 1 AS pos,
+                   array_to_string(t[i:i + {_NGRAM_N - 1}], ' ') AS gram
+            FROM g),
+    rep AS (SELECT gram FROM occ GROUP BY gram
+            HAVING COUNT(DISTINCT doc_id) >= {_NGRAM_MIN_DOCS})
+"""
+
+
+@query(
+    "q119_repeated_ngram_spans",
+    f"""
+    WITH {_Q119_OCC_DUCK}
+    SELECT o.doc_id, o.pos AS start_tok, o.pos + {_NGRAM_N - 1} AS end_tok, o.gram
+    FROM occ o JOIN rep USING (gram)
+    """,
+)
+def q119_repeated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every occurrence of a token {n}-gram shared by ≥2 documents
+    (corpus/ngram_dedup.py::repeated_ngram_spans) — the exact-substring
+    locate step of Lee-et-al-style training-data dedup. Windows are
+    built with JVM-side higher-order expressions; ONE gram-keyed shuffle
+    finds the repeated set. The oracle rebuilds the identical windows
+    relationally, so a mis-sliced window, off-by-one position, or a
+    doc-count threshold drift all hash-mismatch."""
+    from modular_etl_data_platform_spark.corpus.ngram_dedup import (
+        repeated_ngram_spans,
+    )
+
+    return repeated_ngram_spans(
+        _t(spark, sf_dir, "documents"), n=_NGRAM_N, min_docs=_NGRAM_MIN_DOCS
+    )
+
+
+@query(
+    "q120_ngram_dedup_clean",
+    f"""
+    WITH {_Q119_OCC_DUCK},
+    rocc AS (SELECT o.* FROM occ o JOIN rep USING (gram)),
+    first_doc AS (SELECT gram, MIN(doc_id) AS fdoc FROM rocc GROUP BY gram),
+    canonical AS (SELECT o.gram, o.doc_id, MIN(o.pos) AS pos
+                  FROM rocc o JOIN first_doc f
+                    ON o.gram = f.gram AND o.doc_id = f.fdoc
+                  GROUP BY o.gram, o.doc_id),
+    cuts AS (SELECT o.doc_id, o.pos AS start_tok, o.pos + {_NGRAM_N - 1} AS end_tok
+             FROM rocc o
+             WHERE NOT EXISTS (SELECT 1 FROM canonical c
+                               WHERE c.gram = o.gram AND c.doc_id = o.doc_id
+                                 AND c.pos = o.pos)),
+    covered AS (SELECT DISTINCT doc_id,
+                       unnest(generate_series(start_tok, end_tok)) AS p
+                FROM cuts),
+    tok_rows AS (SELECT doc_id, ti - 1 AS p, t[ti] AS tok
+                 FROM (SELECT doc_id, unnest(generate_series(1, len(t))) AS ti, t
+                       FROM toks)),
+    clean AS (SELECT tr.doc_id, string_agg(tr.tok, ' ' ORDER BY tr.p) AS text
+              FROM tok_rows tr LEFT JOIN covered c
+                ON tr.doc_id = c.doc_id AND tr.p = c.p
+              WHERE c.p IS NULL
+              GROUP BY tr.doc_id)
+    SELECT t.doc_id, COALESCE(cl.text, '') AS text
+    FROM toks t LEFT JOIN clean cl ON t.doc_id = cl.doc_id
+    """,
+)
+def q120_ngram_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full substring-dedup pass
+    (corpus/ngram_dedup.py::remove_repeated_ngrams): cut every
+    cross-document repeated {n}-gram occurrence except the canonical
+    first (min doc_id, then min position) and rebuild each document's
+    text. The driver hashes the ENTIRE cleaned corpus against the
+    oracle's relational rebuild — keep-first selection, span overlap
+    handling, and token reassembly are all pinned bit-for-bit."""
+    from modular_etl_data_platform_spark.corpus.ngram_dedup import (
+        remove_repeated_ngrams,
+    )
+
+    return remove_repeated_ngrams(
+        _t(spark, sf_dir, "documents"), n=_NGRAM_N, min_docs=_NGRAM_MIN_DOCS
+    )
