@@ -409,6 +409,29 @@ def line_dedup(
     )
 
 
+def dedup_lines_within_doc(
+    df: DataFrame,
+    sep: str = "\n",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Remove REPEATED lines within each document, keeping the first
+    occurrence in original order (the self-repetition cleanup that
+    Gopher's repetition RULES only flag — q67 scores it, this fixes it).
+    Complements :func:`line_dedup`, which drops lines frequent ACROSS
+    documents.
+
+    Pure per-document projection — ``array_distinct`` preserves
+    first-occurrence order over the split array, so this is a zero-
+    shuffle map at any corpus size."""
+    clean = F.array_join(
+        F.array_distinct(F.split(F.col(text_col), sep)), sep
+    )
+    return df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col), clean.alias(text_col)
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

@@ -1574,3 +1574,32 @@ def q120_ngram_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return remove_repeated_ngrams(
         _t(spark, sf_dir, "documents"), n=_NGRAM_N, min_docs=_NGRAM_MIN_DOCS
     )
+
+
+@query(
+    "q121_within_doc_dedup",
+    """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                  FROM documents WHERE text IS NOT NULL),
+    tok_rows AS (SELECT doc_id, ti - 1 AS p, t[ti] AS tok
+                 FROM (SELECT doc_id, unnest(generate_series(1, len(t))) AS ti, t
+                       FROM toks)),
+    firsts AS (SELECT doc_id, tok, MIN(p) AS fp
+               FROM tok_rows GROUP BY doc_id, tok)
+    SELECT doc_id, string_agg(tok, ' ' ORDER BY fp) AS text
+    FROM firsts GROUP BY doc_id
+    """,
+)
+def q121_within_doc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITHIN-document repetition removal
+    (corpus/dedup.py::dedup_lines_within_doc): keep the first occurrence
+    of each repeated unit in original order — the self-repetition
+    cleanup Gopher's rules (q67) only flag. The testdata corpus has no
+    newlines, so the proving query runs the operator at token
+    granularity (sep=' '); the oracle rebuilds first-occurrence order
+    relationally (min position per unit, re-agg ordered), pinning both
+    the dedup and the order preservation of array_distinct. Zero-shuffle
+    pure projection at any corpus size."""
+    return cdedup.dedup_lines_within_doc(
+        _t(spark, sf_dir, "documents"), sep=" "
+    )

@@ -91,3 +91,25 @@ def test_plan_stays_jvm_side(spark, docs):
     plan = remove_repeated_ngrams(docs, n=3, min_docs=2)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_within_doc_dedup_keeps_first_occurrence_order(spark):
+    from modular_etl_data_platform_spark.corpus.dedup import (
+        dedup_lines_within_doc,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "header\nbody one\nheader\nbody two\nheader"),
+            (2, "a\nb\nc"),
+            (3, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.text for r in dedup_lines_within_doc(docs).collect()}
+    assert out[1] == "header\nbody one\nbody two"
+    assert out[2] == "a\nb\nc"
+    assert 3 not in out
+    # zero-shuffle: the plan has no Exchange
+    plan = dedup_lines_within_doc(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
