@@ -587,13 +587,15 @@ def connected_components(
     """
     # materialize the (small) edge list ONCE: edges usually arrive as the
     # unmaterialized tail of the LSH+verify pipeline, and without a
-    # barrier every propagation round would re-run that whole pipeline
-    bidir = (
-        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-        .unionByName(
-            edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst"))
-        )
-        .localCheckpoint(eager=True)
+    # barrier every propagation round would re-run that whole pipeline.
+    # Checkpoint the DIRECTED list before symmetrizing — a union of two
+    # projections over the unmaterialized edges would run that pipeline
+    # once per branch; over the checkpoint, symmetrize is two cheap scans
+    directed = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).localCheckpoint(eager=True)
+    bidir = directed.unionByName(
+        directed.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     # bidir is symmetric, so src alone covers every edge-touched vertex
     labels = (
@@ -747,10 +749,15 @@ def connected_components_star(
             rewired.filter(F.col("src") != F.col("dst")).dropDuplicates()
         )
 
+    # checkpoint the directed list first (same rationale as
+    # connected_components: one upstream-pipeline run, not one per
+    # union branch), then symmetrize + dedup into the iteration barrier
+    directed = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).localCheckpoint(eager=True)
     bidir = (
-        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-        .unionByName(
-            edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst"))
+        directed.unionByName(
+            directed.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
         .filter(F.col("src") != F.col("dst"))
         .dropDuplicates()

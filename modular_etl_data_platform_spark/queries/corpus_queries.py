@@ -618,10 +618,17 @@ def q36_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = cdedup.fan_out(
         _t(spark, sf_dir, "documents"), spark.sparkContext.defaultParallelism
     )
-    sh = docs.select(
-        "doc_id",
-        F.array_distinct(F.expr(cdedup.shingles_sql("text", 3))).alias("sh"),
-    ).withColumn("bk", F.array_min("sh"))
+    # cache: the self-join reads the shingle projection for BOTH sides,
+    # and without the barrier the split+transform+distinct pass runs
+    # once per side (same rationale as minhash_lsh_dedup's sig cache)
+    sh = (
+        docs.select(
+            "doc_id",
+            F.array_distinct(F.expr(cdedup.shingles_sql("text", 3))).alias("sh"),
+        )
+        .withColumn("bk", F.array_min("sh"))
+        .cache()
+    )
     a, b = sh.alias("a"), sh.alias("b")
     inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
     union = F.size(F.col("a.sh")) + F.size(F.col("b.sh")) - inter
