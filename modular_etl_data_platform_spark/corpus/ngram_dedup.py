@@ -169,3 +169,74 @@ def remove_repeated_ngrams(
     return toks.join(covered, id_col, "left").select(
         F.col(id_col), rebuilt.alias(text_col)
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental (continuous-crawl) variant
+# ---------------------------------------------------------------------------
+
+
+def build_gram_index(
+    docs: DataFrame, n: int = 8, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """The persisted side of incremental substring dedup: one row per
+    DISTINCT n-gram of the corpus. Computed once at ingest, appended per
+    batch (union + dropDuplicates — or a MERGE into a gram-partitioned
+    table at warehouse scale); new batches probe it without ever
+    re-reading corpus text."""
+    return _gram_occurrences(docs, n, id_col, text_col).select("gram").dropDuplicates()
+
+
+def incremental_repeated_spans(
+    new_docs: DataFrame,
+    gram_index: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Spans in the NEW batch whose n-gram already exists in the corpus
+    gram index — the continuous-crawl shape of
+    :func:`repeated_ngram_spans`: the existing corpus is never
+    re-scanned; the batch's gram stream joins the index on the gram key
+    (the index side arrives pre-persisted, so the only work that scales
+    with the corpus is the one-time index build)."""
+    occ = _gram_occurrences(new_docs, n, id_col, text_col)
+    return occ.join(gram_index.select("gram"), "gram", "left_semi").select(
+        id_col,
+        F.col("pos").cast("long").alias("start_tok"),
+        (F.col("pos") + F.lit(n - 1)).cast("long").alias("end_tok"),
+        "gram",
+    )
+
+
+def incremental_remove_repeated(
+    new_docs: DataFrame,
+    gram_index: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cut EVERY occurrence in the new batch of an n-gram the corpus
+    already contains (the existing corpus holds the canonical copy, so
+    no keep-first selection is needed batch-side) and rebuild the text.
+    Returns (doc_id, text) for every new document."""
+    spans = incremental_repeated_spans(new_docs, gram_index, n, id_col, text_col)
+    covered = (
+        spans.select(
+            F.col(id_col),
+            F.explode(F.sequence("start_tok", "end_tok")).alias("__p"),
+        )
+        .groupBy(id_col)
+        .agg(F.collect_set("__p").alias("__cov"))
+    )
+    toks = new_docs.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("__t")
+    )
+    rebuilt = F.expr(
+        "concat_ws(' ', filter(transform(__t, (x, i) -> "
+        "IF(__cov IS NOT NULL AND array_contains(__cov, i), NULL, x)), "
+        "x -> x IS NOT NULL))"
+    )
+    return toks.join(covered, id_col, "left").select(
+        F.col(id_col), rebuilt.alias(text_col)
+    )

@@ -1610,3 +1610,53 @@ def q121_within_doc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cdedup.dedup_lines_within_doc(
         _t(spark, sf_dir, "documents"), sep=" "
     )
+
+
+@query(
+    "q122_incremental_ngram_dedup",
+    f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                  FROM documents WHERE text IS NOT NULL),
+    g AS (SELECT doc_id, unnest(generate_series(1, len(t) - {_NGRAM_N - 1})) AS i, t
+          FROM toks WHERE len(t) >= {_NGRAM_N}),
+    occ AS (SELECT doc_id, i - 1 AS pos,
+                   array_to_string(t[i:i + {_NGRAM_N - 1}], ' ') AS gram
+            FROM g),
+    idx AS (SELECT DISTINCT gram FROM occ WHERE doc_id % 7 <> 0),
+    cuts AS (SELECT o.doc_id, o.pos AS start_tok, o.pos + {_NGRAM_N - 1} AS end_tok
+             FROM occ o JOIN idx USING (gram) WHERE o.doc_id % 7 = 0),
+    covered AS (SELECT DISTINCT doc_id,
+                       unnest(generate_series(start_tok, end_tok)) AS p
+                FROM cuts),
+    new_toks AS (SELECT doc_id, t FROM toks WHERE doc_id % 7 = 0),
+    tok_rows AS (SELECT doc_id, ti - 1 AS p, t[ti] AS tok
+                 FROM (SELECT doc_id, unnest(generate_series(1, len(t))) AS ti, t
+                       FROM new_toks)),
+    clean AS (SELECT tr.doc_id, string_agg(tr.tok, ' ' ORDER BY tr.p) AS text
+              FROM tok_rows tr LEFT JOIN covered c
+                ON tr.doc_id = c.doc_id AND tr.p = c.p
+              WHERE c.p IS NULL
+              GROUP BY tr.doc_id)
+    SELECT t.doc_id, COALESCE(cl.text, '') AS text
+    FROM new_toks t LEFT JOIN clean cl ON t.doc_id = cl.doc_id
+    """,
+)
+def q122_incremental_ngram_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-crawl substring dedup
+    (corpus/ngram_dedup.py::incremental_remove_repeated): the NEW batch
+    (doc_id % 7 = 0, the q60 split) is cleaned against the EXISTING
+    corpus's persisted gram index — every batch occurrence of an indexed
+    {n}-gram is cut (the corpus holds the canonical copy), the text
+    rebuilt. The existing corpus text is read only to build the index
+    (persisted in production; localCheckpoint stands in); batch cost
+    scales with the batch."""
+    from modular_etl_data_platform_spark.corpus.ngram_dedup import (
+        build_gram_index,
+        incremental_remove_repeated,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 7 == 0)
+    existing = docs.filter(F.col("doc_id") % 7 != 0)
+    index = build_gram_index(existing, n=_NGRAM_N).localCheckpoint(eager=False)
+    return incremental_remove_repeated(new, index, n=_NGRAM_N)

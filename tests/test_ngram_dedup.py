@@ -113,3 +113,94 @@ def test_within_doc_dedup_keeps_first_occurrence_order(spark):
     # zero-shuffle: the plan has no Exchange
     plan = dedup_lines_within_doc(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+# -- property: Spark pipeline == brute-force python reference ---------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_WORDS = st.sampled_from(["a", "b", "c", "d"])
+_DOC = st.lists(_WORDS, min_size=0, max_size=12).map(" ".join)
+
+
+def _ref_spans(texts, n, min_docs):
+    """Brute-force reference of repeated_ngram_spans."""
+    occ = []
+    for doc_id, text in texts:
+        toks = text.split(" ")
+        for i in range(len(toks) - n + 1):
+            occ.append((doc_id, i, " ".join(toks[i : i + n])))
+    docs_per_gram = {}
+    for doc_id, _, g in occ:
+        docs_per_gram.setdefault(g, set()).add(doc_id)
+    rep = {g for g, d in docs_per_gram.items() if len(d) >= min_docs}
+    return {(d, i, i + n - 1, g) for d, i, g in occ if g in rep}
+
+
+def _ref_clean(texts, n, min_docs):
+    """Brute-force reference of remove_repeated_ngrams (no cap)."""
+    spans = _ref_spans(texts, n, min_docs)
+    canonical = {}
+    for d, s, _e, g in sorted(spans):
+        canonical.setdefault(g, (d, s))
+    covered = {}
+    for d, s, e, g in spans:
+        if canonical[g] == (d, s):
+            continue
+        covered.setdefault(d, set()).update(range(s, e + 1))
+    out = {}
+    for doc_id, text in texts:
+        toks = text.split(" ")
+        cov = covered.get(doc_id, set())
+        out[doc_id] = " ".join(t for i, t in enumerate(toks) if i not in cov)
+    return out
+
+
+@given(
+    texts=st.lists(_DOC, min_size=1, max_size=8),
+    n=st.sampled_from([2, 3]),
+)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_ngram_dedup_matches_bruteforce_reference(spark, texts, n):
+    rows = list(enumerate(texts))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got_spans = {
+        tuple(r)
+        for r in repeated_ngram_spans(docs, n=n, min_docs=2)
+        .select("doc_id", "start_tok", "end_tok", "gram")
+        .collect()
+    }
+    assert got_spans == _ref_spans(rows, n, 2)
+    got_clean = {
+        r.doc_id: r.text
+        for r in remove_repeated_ngrams(docs, n=n, min_docs=2).collect()
+    }
+    assert got_clean == _ref_clean(rows, n, 2)
+
+
+def test_incremental_variant_cuts_all_indexed_occurrences(spark):
+    from modular_etl_data_platform_spark.corpus.ngram_dedup import (
+        build_gram_index,
+        incremental_remove_repeated,
+        incremental_repeated_spans,
+    )
+
+    existing = spark.createDataFrame(
+        [(1, "x a b c y")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(10, "p a b c q a b c"), (11, "fresh text only")],
+        "doc_id long, text string",
+    )
+    idx = build_gram_index(existing, n=3)
+    spans = incremental_repeated_spans(new, idx, n=3).collect()
+    assert {(r.doc_id, r.start_tok) for r in spans} == {(10, 1), (10, 5)}
+    out = {r.doc_id: r.text for r in incremental_remove_repeated(new, idx, n=3).collect()}
+    # BOTH batch occurrences cut: the corpus holds the canonical copy
+    assert out[10] == "p q"
+    assert out[11] == "fresh text only"
