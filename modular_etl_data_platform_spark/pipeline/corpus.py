@@ -6,6 +6,9 @@ standard curation sequence:
 
 0. **line-dedup** (optional) — drop cross-document boilerplate segments
    before anything computes stats over them;
+0b. **substring-dedup** (optional) — cut cross-document repeated
+   n-gram spans (keep-first; corpus/ngram_dedup.py) that line
+   granularity misses;
 1. **annotate** — token/quality/language stats (pure projection);
 2. **filter** — drop low-quality and repetition-heavy documents;
 3. **dedup** — exact dedup, then MinHash-LSH near-dup clusters; keep one
@@ -53,6 +56,13 @@ class CurationConfig:
     #: any stats/dedup (CCNet-style boilerplate removal); None = off
     line_dedup_min_df: int | None = None
     line_sep: str = "\n"
+    #: cut cross-document repeated token n-gram spans (keep-first;
+    #: Lee-et-al-style substring dedup) after line dedup; None = off
+    ngram_dedup_min_docs: int | None = None
+    ngram_dedup_n: int = 8
+    #: grams above this occurrence count lose their canonical copy too
+    #: (boilerplate flood guard; see ngram_dedup.remove_repeated_ngrams)
+    ngram_dedup_max_occurrences: int | None = 10_000
 
 
 def curate_corpus(
@@ -88,6 +98,26 @@ def curate_corpus(
             .withColumn("n_chars", F.length("text"))
         )
         counts["after_line_dedup"] = docs.count()
+
+    # 0b. cross-document repeated-substring removal: spans the line
+    # granularity can't see (repeats inside longer lines or crossing
+    # line boundaries); keep-first semantics, so exactly one canonical
+    # copy of each repeated span survives corpus-wide
+    if cfg.ngram_dedup_min_docs:
+        from modular_etl_data_platform_spark.corpus import ngram_dedup
+
+        cleaned = ngram_dedup.remove_repeated_ngrams(
+            docs,
+            n=cfg.ngram_dedup_n,
+            min_docs=cfg.ngram_dedup_min_docs,
+            max_occurrences=cfg.ngram_dedup_max_occurrences,
+        )
+        docs = (
+            docs.drop("text")
+            .join(cleaned.filter(F.length("text") > 0), "doc_id")
+            .withColumn("n_chars", F.length("text"))
+        )
+        counts["after_ngram_dedup"] = docs.count()
 
     # 1-2. annotate + filter (pure projections — run before any shuffle)
     annotated = text.with_text_stats(docs).join(

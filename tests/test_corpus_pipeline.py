@@ -96,3 +96,34 @@ def test_line_dedup_stage_cleans_before_stats(spark, tmp_path):
     kept_texts = {r.doc_id: r.text for r in res["kept"].select("doc_id", "text").collect()}
     assert all("FOOTER" not in t for t in kept_texts.values())
     assert set(kept_texts) == {1, 2}
+
+
+def test_ngram_dedup_stage_cuts_repeated_spans(spark, tmp_path):
+    """With ngram_dedup_min_docs set, cross-document repeated n-gram
+    spans are cut (keep-first) before stats; the canonical copy stays."""
+    shared = "alpha beta gamma delta"
+    rows = [
+        (1, f"{shared} and the quick brown fox jumps over the dog", "en", "web", 0),
+        (2, f"intro words {shared} completely different tail here today", "en", "web", 0),
+        (3, "no repeats in this document at all whatsoever today", "en", "web", 0),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).withColumn("n_chars", F.length("text"))
+    benchmark = spark.createDataFrame(
+        [(99, "totally unrelated benchmark text")], "doc_id long, text string"
+    )
+    cfg = CurationConfig(
+        min_quality=0.0, max_top_bigram_frac=1.0,
+        ngram_dedup_min_docs=2, ngram_dedup_n=4, pack_shards=2,
+        lsh_threshold=0.99,
+    )
+    res = curate_corpus(
+        spark, docs, benchmark, out_dir=str(tmp_path / "s"), config=cfg
+    )
+    c = res["counts"]
+    assert c["after_ngram_dedup"] == 3
+    texts = {r.doc_id: r.text for r in res["kept"].select("doc_id", "text").collect()}
+    assert shared in texts[1]  # canonical copy (min doc_id) survives
+    assert shared not in texts[2]  # later copy cut
+    assert texts[3] == rows[2][1]  # untouched
