@@ -506,3 +506,56 @@ def q109_text_scan_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("len").alias("char_sum"),
         )
     )
+
+
+@query(
+    "q123_time_travel",
+    """
+    SELECT 1 AS version,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS total_bal
+    FROM customer
+    UNION ALL
+    SELECT 2 AS version,
+           COUNT(*) + (SELECT COUNT(*) FROM customer WHERE c_nationkey = 3) AS n_rows,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6)))
+                + 1000.0 * (SELECT COUNT(*) FROM customer
+                            WHERE c_mktsegment = 'BUILDING')
+                + 50.0 * (SELECT COUNT(*) FROM customer WHERE c_nationkey = 3)
+             AS DOUBLE) AS total_bal
+    FROM customer
+    """,
+)
+def q123_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot isolation + time travel without Delta
+    (operators/versioned.py::VersionedTable — the manifest-log pattern
+    of the reference's Delta storage contract, single-writer): v1 is the
+    customer table, v2 a MERGE that bumps every BUILDING customer's
+    balance by 1000 and inserts a shadow row (+50.0 balance, offset key)
+    per nation-3 customer. BOTH snapshots are then read back THROUGH the
+    manifest log and aggregated; the oracle recomputes each version's
+    expected row count and decimal-exact balance relationally. A broken
+    manifest resolution, a MERGE that leaks into v1, or an upsert that
+    drops/duplicates keys all hash-mismatch."""
+    from modular_etl_data_platform_spark.operators.versioned import VersionedTable
+
+    cust = _t(spark, sf_dir, "customer")
+    scratch = _scratch("q123_time_travel", sf_dir)
+    vt = VersionedTable(spark, os.path.join(scratch, "cust_v"))
+    vt.write(cust)
+    updates = cust.filter(F.col("c_mktsegment") == "BUILDING").withColumn(
+        "c_acctbal", F.col("c_acctbal") + 1000.0
+    )
+    inserts = cust.filter(F.col("c_nationkey") == 3).withColumn(
+        "c_custkey", F.col("c_custkey") + F.lit(10_000_000)
+    ).withColumn("c_acctbal", F.lit(50.0))
+    vt.upsert(updates.unionByName(inserts), ["c_custkey"])
+
+    def snap(v):
+        return vt.read(v).agg(
+            F.lit(v).alias("version"),
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum(F.col("c_acctbal"), "total_bal"),
+        )
+
+    return _pin(snap(1).unionByName(snap(2)))

@@ -1,0 +1,96 @@
+"""Versioned parquet tables (operators/versioned.py): snapshot
+isolation + time travel without Delta — manifest-log semantics."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from modular_etl_data_platform_spark.operators.versioned import VersionedTable
+
+
+def _rows(df):
+    return {tuple(r) for r in df.select("id", "v").collect()}
+
+
+@pytest.fixture()
+def vt(spark, tmp_path):
+    return VersionedTable(spark, str(tmp_path / "t"))
+
+
+def test_time_travel_reproduces_every_snapshot(spark, vt):
+    vt.write(spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"))
+    vt.upsert(
+        spark.createDataFrame([(2, "B"), (3, "c")], "id long, v string"), ["id"]
+    )
+    vt.write(
+        spark.createDataFrame([(9, "z")], "id long, v string"), mode="append"
+    )
+    assert vt.versions() == [1, 2, 3]
+    assert _rows(vt.read(1)) == {(1, "a"), (2, "b")}
+    assert _rows(vt.read(2)) == {(1, "a"), (2, "B"), (3, "c")}
+    assert _rows(vt.read(3)) == {(1, "a"), (2, "B"), (3, "c"), (9, "z")}
+    assert _rows(vt.read()) == _rows(vt.read(3))
+
+
+def test_append_reuses_prior_files(spark, vt):
+    vt.write(spark.createDataFrame([(1, "a")], "id long, v string"))
+    files_v1 = set(vt.history()[0]["files"])
+    vt.write(spark.createDataFrame([(2, "b")], "id long, v string"), mode="append")
+    files_v2 = set(vt.history()[1]["files"])
+    assert files_v1 < files_v2  # strict superset: old files reused, not rewritten
+
+
+def test_reader_snapshot_is_immune_to_later_writes(spark, vt):
+    vt.write(spark.createDataFrame([(1, "a")], "id long, v string"))
+    snapshot = vt.read()  # resolves the v1 file list NOW
+    vt.upsert(spark.createDataFrame([(1, "A")], "id long, v string"), ["id"])
+    # the already-resolved frame still reads v1's files
+    assert _rows(snapshot) == {(1, "a")}
+    assert _rows(vt.read()) == {(1, "A")}
+
+
+def test_unpublished_files_are_invisible_and_vacuumable(spark, vt):
+    vt.write(spark.createDataFrame([(1, "a")], "id long, v string"))
+    # simulate a write that crashed after landing files, before publish
+    orphans = vt._land_files(
+        spark.createDataFrame([(666, "junk")], "id long, v string")
+    )
+    assert _rows(vt.read()) == {(1, "a")}  # never visible
+    deleted = vt.vacuum(keep_last=1)
+    assert deleted >= len(orphans)
+    assert all(not os.path.exists(f) for f in orphans)
+    assert _rows(vt.read()) == {(1, "a")}  # retained snapshot intact
+
+
+def test_vacuum_retention(spark, vt):
+    vt.write(spark.createDataFrame([(1, "a")], "id long, v string"))
+    vt.upsert(spark.createDataFrame([(1, "A")], "id long, v string"), ["id"])
+    vt.vacuum(keep_last=1)
+    assert vt.versions() == [2]
+    assert _rows(vt.read()) == {(1, "A")}
+    with pytest.raises(FileNotFoundError):
+        vt.read(1)
+
+
+def test_torn_manifest_never_published(spark, vt, monkeypatch):
+    """A crash between temp-manifest write and rename leaves the log
+    untouched: the version is simply absent, never half-readable."""
+    vt.write(spark.createDataFrame([(1, "a")], "id long, v string"))
+
+    real_rename = os.rename
+
+    def killed(src, dst):
+        if dst.endswith(".json"):
+            raise OSError("simulated kill before manifest publish")
+        real_rename(src, dst)
+
+    monkeypatch.setattr(os, "rename", killed)
+    with pytest.raises(OSError, match="simulated kill"):
+        vt.upsert(spark.createDataFrame([(1, "A")], "id long, v string"), ["id"])
+    monkeypatch.setattr(os, "rename", real_rename)
+    assert vt.versions() == [1]
+    assert _rows(vt.read()) == {(1, "a")}
+    vt.vacuum(keep_last=1)  # cleans the crashed write's landed files
+    assert _rows(vt.read()) == {(1, "a")}
