@@ -43,6 +43,9 @@ DEFAULT_QUERIES = [
     "q76_semantic_dedup",
     "q99_knn_join",
     "q101_dedup_clusters_star",
+    "q119_repeated_ngram_spans",
+    "q120_ngram_dedup_clean",
+    "q122_incremental_ngram_dedup",
 ]
 
 BASE = "/root/testdata/sf0.1"
