@@ -410,6 +410,68 @@ def ivf_probe_batch(
     )
 
 
+def ann_recall_at_k(
+    spark,
+    index_path: str,
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    probes: int = 1,
+    query_id_col: str = "query_id",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Recall@k of the IVF index vs exact search, per query — the metric
+    a user tunes ``probes``/cell count against (approximate search
+    without a measured recall is a guess). Returns
+    (query_id, n_found, recall).
+
+    Exact side: the query batch broadcasts into one scored pass over the
+    corpus + a query-partitioned top-k window (same tie-break as the
+    probe: cos desc, id asc — so recall is deterministic even on ties).
+    Approx side: :func:`ivf_probe_batch` (DPP-pruned index scan). The
+    comparison joins bare (query_id, id) pairs. Cost: one corpus scan
+    for the exact side — recall measurement is an OFFLINE evaluation
+    pass over a query SAMPLE, not a serving-path operation; size the
+    sample, not the corpus."""
+    q = queries.select(F.col(query_id_col), F.col(vec_col).alias("__qv"))
+    wk = Window.partitionBy(query_id_col).orderBy(
+        F.col("__cs").desc(), F.col(id_col).asc()
+    )
+    exact = (
+        emb.crossJoin(F.broadcast(q))
+        .select(
+            F.col(query_id_col),
+            F.col(id_col),
+            cosine(vec_col, "__qv").alias("__cs"),
+        )
+        .withColumn("__rn", F.row_number().over(wk))
+        .filter(F.col("__rn") <= k)
+        .select(query_id_col, id_col)
+    )
+    approx = ivf_probe_batch(
+        spark,
+        index_path,
+        queries,
+        k=k,
+        probes=probes,
+        query_id_col=query_id_col,
+        vec_col=vec_col,
+        id_col=id_col,
+    ).select(query_id_col, id_col)
+    hits = approx.join(exact, [query_id_col, id_col], "left_semi")
+    found = hits.groupBy(query_id_col).agg(F.count(F.lit(1)).alias("n_found"))
+    return (
+        queries.select(query_id_col)
+        .join(found, query_id_col, "left")
+        .select(
+            query_id_col,
+            F.coalesce("n_found", F.lit(0)).alias("n_found"),
+            (F.coalesce("n_found", F.lit(0)) / F.lit(k)).alias("recall"),
+        )
+    )
+
+
 def _plane_weights(plane: int, dim: int) -> list[int]:
     """±1 weight per dimension for one hyperplane: the parity of the first
     hex char of md5('p{plane}|{d}') — bit-identical to the SQL form

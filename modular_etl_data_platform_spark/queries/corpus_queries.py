@@ -1660,3 +1660,68 @@ def q122_incremental_ngram_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     existing = docs.filter(F.col("doc_id") % 7 != 0)
     index = build_gram_index(existing, n=_NGRAM_N).localCheckpoint(eager=False)
     return incremental_remove_repeated(new, index, n=_NGRAM_N)
+
+
+def _ann_recall_oracle(k: int = 5, dim: int = 64, probes: int = 1) -> str:
+    return f"""
+    WITH qs AS (SELECT vec_id AS query_id, embedding AS qv
+                FROM embeddings WHERE vec_id % 97 = 0),
+    cent AS (
+      SELECT label AS cell, list(s ORDER BY d) AS centroid FROM (
+        SELECT label, d, CAST(SUM(CAST(embedding[d] AS DECIMAL(27,8))) AS DOUBLE) AS s
+        FROM embeddings, range(1, {dim + 1}) t(d)
+        GROUP BY label, d
+      ) GROUP BY label
+    ),
+    routed AS (
+      SELECT query_id, qv, cell FROM (
+        SELECT q.query_id, q.qv, c.cell,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id
+                 ORDER BY {_dd_cos('c.centroid', 'q.qv')} DESC, c.cell ASC) AS rn
+        FROM qs q, cent c
+      ) WHERE rn <= {probes}
+    ),
+    approx AS (
+      SELECT query_id, vec_id FROM (
+        SELECT r.query_id, e.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY r.query_id
+                 ORDER BY {_dd_cos('e.embedding', 'r.qv')} DESC, e.vec_id ASC) AS rn
+        FROM routed r JOIN embeddings e ON e.label = r.cell
+      ) WHERE rn <= {k}
+    ),
+    exact AS (
+      SELECT query_id, vec_id FROM (
+        SELECT q.query_id, e.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id
+                 ORDER BY {_dd_cos('e.embedding', 'q.qv')} DESC, e.vec_id ASC) AS rn
+        FROM qs q, embeddings e
+      ) WHERE rn <= {k}
+    ),
+    hits AS (SELECT a.query_id, COUNT(*) AS n_found
+             FROM approx a JOIN exact x
+               ON a.query_id = x.query_id AND a.vec_id = x.vec_id
+             GROUP BY a.query_id)
+    SELECT q.query_id,
+           COALESCE(h.n_found, 0) AS n_found,
+           COALESCE(h.n_found, 0) / {k}.0 AS recall
+    FROM qs q LEFT JOIN hits h USING (query_id)
+    """
+
+
+@query("q124_ann_recall", _ann_recall_oracle())
+def q124_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the partitioned IVF index vs exact search
+    (corpus/similarity.py::ann_recall_at_k) for a deterministic query
+    sample (vec_id % 97 = 0) — the evaluation a user tunes probes/cells
+    against. The oracle replicates BOTH sides relationally (exact
+    decimal-sum centroids, identical cos/id tie-breaks), so the recall
+    numbers — not just the plumbing — are hash-pinned cross-engine."""
+    import tempfile
+
+    emb = _t(spark, sf_dir, "embeddings")
+    path = tempfile.mkdtemp(prefix="ivf_recall_")
+    csim.build_ivf_index(emb, path)
+    queries = emb.filter(F.col("vec_id") % 97 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return csim.ann_recall_at_k(spark, path, emb, queries, k=5, probes=1)
