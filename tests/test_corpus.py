@@ -558,3 +558,22 @@ def test_embedding_near_dup_bucket_cap_drops_flooded_buckets(spark):
     # the 20-copy flood exceeds the cap in every band -> only the small
     # bucket's pair survives
     assert got_capped == {(100, 101)}
+
+
+def test_ann_recall_at_k_bounds_and_perfect_probe(spark, emb, tmp_path):
+    """recall == 1.0 when the probed cell contains the true neighbors;
+    in [0,1] always; every query emits exactly one row even when the
+    probe finds nothing from the exact set."""
+    idx = str(tmp_path / "ivf_recall")
+    csim.build_ivf_index(emb, idx)
+    queries = emb.filter(F.col("vec_id").isin(0, 1)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = {r.query_id: r for r in csim.ann_recall_at_k(
+        spark, idx, emb, queries, k=2, probes=1
+    ).collect()}
+    assert set(out) == {0, 1}
+    for r in out.values():
+        assert 0.0 <= r.recall <= 1.0 and r.n_found == round(r.recall * 2)
+    # vec 0's top-2 is {0, 100}, both in label cell 0 -> perfect recall
+    assert out[0].recall == 1.0
