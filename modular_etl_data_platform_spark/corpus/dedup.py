@@ -257,6 +257,10 @@ def lsh_candidate_pairs(
     # bounded buckets. The banded frame is read twice (cap count + bucket
     # build), so cache it — three narrow columns per band row, far
     # smaller than re-deriving the band keys from the signature table.
+    # cache() (not localCheckpoint) so the analyzed plan stays visible to
+    # the single-shuffle plan pins; lifecycle is LRU like the sig cache —
+    # storage blocks evict under memory pressure, so repeated invocations
+    # in one session stay bounded.
     if max_bucket_size is not None:
         exploded = exploded.cache()
     exploded = _cap_buckets(exploded, max_bucket_size)

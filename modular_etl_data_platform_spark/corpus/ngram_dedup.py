@@ -104,7 +104,10 @@ def remove_repeated_ngrams(
 ) -> DataFrame:
     """Cut every cross-document repeated n-gram occurrence except one
     canonical copy (smallest doc_id, then smallest position) and rebuild
-    the text. Returns (doc_id, text) for EVERY input document.
+    the text. Returns (doc_id, text) for every document with NON-NULL
+    text (null-text rows are filtered, the corpus-operator convention —
+    callers that must preserve them re-join on id, as curate_corpus
+    does).
 
     A token covered by ANY cut span is removed even if a different
     gram's kept occurrence overlaps it — span-level keep-first, the
@@ -114,7 +117,14 @@ def remove_repeated_ngrams(
     from the KEEP-FIRST aggregation only (they are cut everywhere,
     canonical copy included) — bounding the per-gram aggregation state
     on boilerplate floods the same way LSH bucket caps do."""
-    spans = repeated_ngram_spans(docs, n, min_docs, id_col, text_col)
+    # materialize the located spans ONCE: they feed the flood count, the
+    # canonical self-join (both sides), the cut anti-join and the
+    # covered-set build — without a barrier the full tokenize/window/
+    # repeat-detection pipeline re-runs per consumer (the lazy
+    # checkpoint is GC-released, unlike a session-lifetime cache)
+    spans = repeated_ngram_spans(docs, n, min_docs, id_col, text_col).localCheckpoint(
+        eager=False
+    )
     occ = spans.select(id_col, F.col("start_tok").alias("pos"), "gram")
 
     keep_eligible = occ
@@ -150,6 +160,16 @@ def remove_repeated_ngrams(
         "left_anti",
     )
 
+    return _cut_and_rebuild(docs, cuts, id_col, text_col)
+
+
+def _cut_and_rebuild(
+    docs: DataFrame, cuts: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Shared rebuild tail of both dedup forms: union the cut spans into
+    a per-doc covered-position set (one id-keyed shuffle) and drop the
+    covered tokens with a higher-order filter (zero further shuffle).
+    Emits (id, text) for every non-null-text doc in ``docs``."""
     covered = (
         cuts.select(
             F.col(id_col),
@@ -219,24 +239,7 @@ def incremental_remove_repeated(
     """Cut EVERY occurrence in the new batch of an n-gram the corpus
     already contains (the existing corpus holds the canonical copy, so
     no keep-first selection is needed batch-side) and rebuild the text.
-    Returns (doc_id, text) for every new document."""
+    Returns (doc_id, text) for every new document with non-null text
+    (same convention as :func:`remove_repeated_ngrams`)."""
     spans = incremental_repeated_spans(new_docs, gram_index, n, id_col, text_col)
-    covered = (
-        spans.select(
-            F.col(id_col),
-            F.explode(F.sequence("start_tok", "end_tok")).alias("__p"),
-        )
-        .groupBy(id_col)
-        .agg(F.collect_set("__p").alias("__cov"))
-    )
-    toks = new_docs.filter(F.col(text_col).isNotNull()).select(
-        F.col(id_col), F.split(F.col(text_col), " ").alias("__t")
-    )
-    rebuilt = F.expr(
-        "concat_ws(' ', filter(transform(__t, (x, i) -> "
-        "IF(__cov IS NOT NULL AND array_contains(__cov, i), NULL, x)), "
-        "x -> x IS NOT NULL))"
-    )
-    return toks.join(covered, id_col, "left").select(
-        F.col(id_col), rebuilt.alias(text_col)
-    )
+    return _cut_and_rebuild(new_docs, spans, id_col, text_col)

@@ -147,23 +147,30 @@ def _leaf_data_dirs(root: str) -> list[str]:
 
 def _swap_partitions(staging: str, path: str) -> None:
     """Atomically swap every partition directory present in ``staging``
-    into ``path``: old partition renamed aside into ``<path>__old`` (a
-    SIBLING — never inside the table, so a crash never leaves a bogus
-    ``__old`` partition visible to readers), new partition renamed in,
-    aside tree removed last. Atomic per partition; ``recover_table``
-    heals a crash between the two renames."""
-    old_root = path.rstrip("/") + "__old"
+    into ``path``: old partition renamed aside into ``<path>__old_parts``
+    (a SIBLING — never inside the table, so a crash never leaves a bogus
+    aside partition visible to readers), new partition renamed in, aside
+    tree removed last. Atomic per partition; ``recover_table`` heals a
+    crash between the two renames.
+
+    The aside suffix is DISTINCT from the whole-table swap's
+    ``__old_full``: the two interrupted states need opposite recoveries
+    (restore missing partitions vs drop the aside), and a shared suffix
+    would make a completed-but-uncleaned whole-table overwrite look like
+    a torn partition swap — resurrecting partitions the overwrite
+    legitimately removed."""
+    old_root = path.rstrip("/") + "__old_parts"
     if os.path.exists(old_root):
         shutil.rmtree(old_root)
     os.makedirs(path, exist_ok=True)
     for rel in _leaf_data_dirs(staging):
-        spart = staging if rel == "." else os.path.join(staging, rel)
-        tpart = path if rel == "." else os.path.join(path, rel)
         if rel == ".":
             raise ValueError(
                 "_swap_partitions expects a partitioned staging layout; "
                 "use atomic_overwrite for unpartitioned tables"
             )
+        spart = os.path.join(staging, rel)
+        tpart = os.path.join(path, rel)
         if os.path.exists(tpart):
             aside = os.path.join(old_root, rel)
             os.makedirs(os.path.dirname(aside), exist_ok=True)
@@ -178,30 +185,41 @@ def _swap_partitions(staging: str, path: str) -> None:
 
 def recover_table(path: str) -> None:
     """Heal an interrupted atomic swap on ``path`` (idempotent; called at
-    the start of every ``upsert_parquet``):
+    the start of every ``upsert_parquet``). The aside suffix encodes
+    which swap was interrupted, because the two need OPPOSITE recoveries:
 
-    - whole-table swap crashed between rename-aside and rename-in →
-      target missing, ``<path>__old`` intact → roll back;
-    - per-partition swap crashed likewise → restore each aside partition
-      the target is missing;
-    - swap completed but cleanup crashed → remove leftovers.
+    - ``__old_full`` (whole-table swap): target missing → roll the old
+      table back; target present → the swap COMPLETED and only cleanup
+      crashed → drop the aside (its partitions may have been
+      legitimately removed by the overwrite — restoring them would
+      resurrect deleted rows / duplicate PKs);
+    - ``__old_parts`` (per-partition swap): restore each aside partition
+      the target is missing (those are mid-swap), then drop the aside;
+    - stale ``__staging*`` from a crash before any rename → remove.
     """
-    old_root = path.rstrip("/") + "__old"
-    if os.path.exists(old_root):
+    base_path = path.rstrip("/")
+    old_full = base_path + "__old_full"
+    if os.path.exists(old_full):
         if not os.path.exists(path):
-            os.rename(old_root, path)
+            os.rename(old_full, path)
         else:
-            for rel in _leaf_data_dirs(old_root):
-                src = old_root if rel == "." else os.path.join(old_root, rel)
-                tgt = path if rel == "." else os.path.join(path, rel)
-                if rel != "." and not os.path.exists(tgt):
-                    os.makedirs(os.path.dirname(tgt), exist_ok=True)
-                    os.rename(src, tgt)
-            shutil.rmtree(old_root)
-    parent, base = os.path.split(path.rstrip("/"))
-    for entry in os.listdir(parent or "."):
-        if entry.startswith(base + "__staging"):
-            shutil.rmtree(os.path.join(parent, entry))
+            shutil.rmtree(old_full)
+    old_parts = base_path + "__old_parts"
+    if os.path.exists(old_parts):
+        for rel in _leaf_data_dirs(old_parts):
+            if rel == ".":
+                continue
+            tgt = os.path.join(path, rel)
+            if not os.path.exists(tgt):
+                os.makedirs(os.path.dirname(tgt), exist_ok=True)
+                os.rename(os.path.join(old_parts, rel), tgt)
+        shutil.rmtree(old_parts)
+    parent, base = os.path.split(base_path)
+    parent = parent or "."
+    if os.path.isdir(parent):
+        for entry in os.listdir(parent):
+            if entry.startswith(base + "__staging"):
+                shutil.rmtree(os.path.join(parent, entry))
 
 
 def atomic_overwrite(
@@ -220,7 +238,7 @@ def atomic_overwrite(
         w = w.partitionBy(*partition_by)
     w.parquet(staging)
     if os.path.exists(path):
-        old = path.rstrip("/") + "__old"
+        old = path.rstrip("/") + "__old_full"
         if os.path.exists(old):
             shutil.rmtree(old)
         os.rename(path, old)

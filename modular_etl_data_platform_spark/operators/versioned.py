@@ -73,12 +73,22 @@ class VersionedTable:
         with open(self._manifest_path(version)) as f:
             return json.load(f)
 
-    def _publish(self, files: list[str], meta: dict | None = None) -> int:
+    def _publish(
+        self, files: list[str], schema_json: str, meta: dict | None = None
+    ) -> int:
         """Atomically publish a new version: manifest JSON written to a
         temp name, then a same-directory ``os.rename`` — readers see the
-        old version or the new one, never a torn manifest."""
+        old version or the new one, never a torn manifest. The schema
+        rides in the manifest so an EMPTY snapshot (files=[], a normal
+        state for an all-filtered incremental batch) stays readable as a
+        0-row frame instead of bricking the table."""
         version = (self.current_version() or 0) + 1
-        manifest = {"version": version, "files": sorted(files), **(meta or {})}
+        manifest = {
+            "version": version,
+            "files": sorted(files),
+            "schema": schema_json,
+            **(meta or {}),
+        }
         final = self._manifest_path(version)
         tmp = final + f".tmp{os.getpid()}"
         with open(tmp, "w") as f:
@@ -108,7 +118,7 @@ class VersionedTable:
         if mode == "append" and self.current_version() is not None:
             prior = self._read_manifest(self.current_version())["files"]
             new_files = list(prior) + new_files
-        return self._publish(new_files, {"mode": mode})
+        return self._publish(new_files, df.schema.json(), {"mode": mode})
 
     def upsert(self, batch: DataFrame, primary_keys: list[str]) -> int:
         """MERGE semantics as a new version (WHEN MATCHED update / NOT
@@ -117,7 +127,9 @@ class VersionedTable:
         until vacuumed."""
         current = self.read() if self.current_version() is not None else None
         merged = merge_dataframes(current, batch, primary_keys)
-        return self._publish(self._land_files(merged), {"mode": "upsert"})
+        return self._publish(
+            self._land_files(merged), merged.schema.json(), {"mode": "upsert"}
+        )
 
     # -- read paths -----------------------------------------------------------
     def read(self, version: int | None = None) -> DataFrame:
@@ -127,10 +139,14 @@ class VersionedTable:
         v = self.current_version() if version is None else version
         if v is None or not os.path.exists(self._manifest_path(v)):
             raise FileNotFoundError(f"no version {version} in {self.path}")
-        files = self._read_manifest(v)["files"]
-        if not files:
-            raise FileNotFoundError(f"version {v} is empty")
-        return self.spark.read.parquet(*files)
+        manifest = self._read_manifest(v)
+        if not manifest["files"]:
+            # empty snapshot (all-filtered batch): 0 rows, recorded schema
+            from pyspark.sql import types as T
+
+            schema = T.StructType.fromJson(json.loads(manifest["schema"]))
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.parquet(*manifest["files"])
 
     def history(self) -> list[dict]:
         return [self._read_manifest(v) for v in self.versions()]

@@ -546,8 +546,13 @@ def q123_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     updates = cust.filter(F.col("c_mktsegment") == "BUILDING").withColumn(
         "c_acctbal", F.col("c_acctbal") + 1000.0
     )
+    # shadow-key offset derived from the data (1-row agg), not a
+    # constant: a fixed 10M offset collides with real keys at SF ≥ ~67,
+    # silently turning inserts into updates and redding the gate at
+    # exactly the scale the suite targets
+    off = cust.agg(F.max("c_custkey")).first()[0] + 1
     inserts = cust.filter(F.col("c_nationkey") == 3).withColumn(
-        "c_custkey", F.col("c_custkey") + F.lit(10_000_000)
+        "c_custkey", F.col("c_custkey") + F.lit(off)
     ).withColumn("c_acctbal", F.lit(50.0))
     vt.upsert(updates.unionByName(inserts), ["c_custkey"])
 

@@ -308,9 +308,21 @@ def sessionize_events_event_time(
 
 
 def _has_tws_runtime() -> bool:
-    """transformWithStateInPandas needs the protobuf wire format for its
-    state server; absent in this sandbox (same env-block pattern as
-    delta-spark — see tests/test_streaming_tws.py)."""
+    """True only when transformWithStateInPandas can actually run: the
+    API must exist on GroupedData (Spark 4+ — protobuf alone proves
+    nothing, it ships transitively with grpc/arrow/gcp stacks on Spark
+    3.x clusters) AND google.protobuf must be importable (the state
+    server's wire format; absent in this sandbox — same env-block
+    pattern as delta-spark, see tests/test_streaming_tws.py). Note the
+    operator additionally needs the RocksDB state store provider
+    configured on the session
+    (``spark.sql.streaming.stateStore.providerClass``) — that is a
+    deployment setting the selector cannot probe without starting a
+    query, so it stays documented rather than detected."""
+    from pyspark.sql.group import GroupedData
+
+    if not hasattr(GroupedData, "transformWithStateInPandas"):
+        return False
     try:
         import google.protobuf  # noqa: F401
 

@@ -141,7 +141,7 @@ def test_recover_after_completed_swap_cleanup_interrupted(spark, tmp_path):
     _write_base(spark, path)
     # simulate: p2's old copy renamed aside, new (identical) p2 already in
     # place — i.e. swap finished, rmtree(old_root) pending
-    old_root = path + "__old"
+    old_root = path + "__old_parts"
     os.makedirs(old_root)
     import shutil
 
@@ -151,8 +151,39 @@ def test_recover_after_completed_swap_cleanup_interrupted(spark, tmp_path):
     assert _rows(spark, path) == ORIGINAL
 
 
+def test_recover_never_resurrects_partitions_dropped_by_full_overwrite(spark, tmp_path):
+    """A whole-table overwrite can legitimately REMOVE a partition (a
+    merge that moves the last row out of it). If the swap completed but
+    cleanup crashed, recovery must DROP the __old_full aside — restoring
+    its partitions would resurrect deleted rows / duplicate PKs. This is
+    why the whole-table and per-partition asides use distinct suffixes."""
+    path = str(tmp_path / "t")
+    # new table: p1 only (p2's rows moved/deleted by the overwrite)
+    spark.createDataFrame(
+        [(1, "a", "p1"), (3, "c", "p1")], "id long, v string, part string"
+    ).write.partitionBy("part").parquet(path)
+    # aside: the PRE-overwrite table, which still had p2
+    old_full = path + "__old_full"
+    spark.createDataFrame(
+        [(1, "a", "p1"), (3, "c", "p2")], "id long, v string, part string"
+    ).write.partitionBy("part").parquet(old_full)
+    recover_table(path)
+    assert not os.path.exists(old_full)
+    got = _rows(spark, path)
+    assert got == {(1, "a", "p1"), (3, "c", "p1")}  # p2 NOT resurrected
+
+
 def test_recover_table_noop_on_healthy_table(spark, tmp_path):
     path = str(tmp_path / "t")
     _write_base(spark, path)
     recover_table(path)
     assert _rows(spark, path) == ORIGINAL
+
+
+def test_first_upsert_into_missing_parent_directory(spark, tmp_path):
+    """recover_table must not crash when the table's parent dir doesn't
+    exist yet (first-ever upsert into a fresh warehouse area)."""
+    path = str(tmp_path / "new_area" / "deeper" / "t")
+    batch = spark.createDataFrame([(1, "a")], "id long, v string")
+    upsert_parquet(spark, batch, path, ["id"])
+    assert _rows_flat(spark, path) == {(1, "a")}

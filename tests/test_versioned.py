@@ -94,3 +94,19 @@ def test_torn_manifest_never_published(spark, vt, monkeypatch):
     assert _rows(vt.read()) == {(1, "a")}
     vt.vacuum(keep_last=1)  # cleans the crashed write's landed files
     assert _rows(vt.read()) == {(1, "a")}
+
+
+def test_empty_snapshot_is_readable_not_bricking(spark, vt):
+    """An all-filtered incremental batch is a legitimate version: it must
+    read back as 0 rows with the recorded schema, and later upserts must
+    keep working."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(1, "a")], "id long, v string")
+    vt.write(df.filter(F.lit(False)))  # v1: empty
+    empty = vt.read()
+    assert empty.count() == 0
+    assert [f.name for f in empty.schema.fields] == ["id", "v"]
+    vt.upsert(spark.createDataFrame([(2, "b")], "id long, v string"), ["id"])
+    assert _rows(vt.read()) == {(2, "b")}
+    assert _rows(vt.read(2)) == {(2, "b")} and vt.read(1).count() == 0
