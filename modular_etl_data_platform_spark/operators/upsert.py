@@ -50,12 +50,31 @@ except ImportError:
 
 
 def merge_dataframes(
-    target: DataFrame | None, batch: DataFrame, primary_keys: list[str]
+    target: DataFrame | None,
+    batch: DataFrame,
+    primary_keys: list[str],
+    evolve_schema: bool = False,
 ) -> DataFrame:
     """Pure-DataFrame MERGE semantics: batch rows replace matching target
-    rows; unmatched target rows survive. Returns the merged table."""
+    rows; unmatched target rows survive. Returns the merged table.
+
+    ``evolve_schema=False`` (default): the target schema is the contract
+    — batch columns the target lacks are DROPPED (``batch.select(target
+    columns)`` raises if the batch is missing a target column, the
+    loud-failure half of the contract).
+
+    ``evolve_schema=True`` (Delta's ``mergeSchema``): the merged schema
+    is the UNION — target-only columns null-fill on batch rows,
+    batch-only columns null-fill on surviving target rows, new columns
+    append after the target's (stable positions for downstream
+    ``SELECT *`` consumers)."""
     if target is None:
         return batch
+    if evolve_schema:
+        for c in [c for c in batch.columns if c not in target.columns]:
+            target = target.withColumn(c, F.lit(None).cast(batch.schema[c].dataType))
+        for c in [c for c in target.columns if c not in batch.columns]:
+            batch = batch.withColumn(c, F.lit(None).cast(target.schema[c].dataType))
     survivors = target.join(
         batch.select(*primary_keys).dropDuplicates(), primary_keys, "left_anti"
     )
@@ -68,11 +87,22 @@ def upsert_parquet(
     path: str,
     primary_keys: list[str],
     partition_by: list[str] | None = None,
+    evolve_schema: bool = False,
 ) -> None:
     """MERGE into a parquet table via staging + atomic move.
 
     The read-modify-write cycles through a staging dir because Spark
     cannot overwrite a path it is reading from.
+
+    ``evolve_schema=True`` widens the table to the union schema (see
+    :func:`merge_dataframes`). A widening merge always takes the
+    FULL-rewrite path even when partition-scoping applies: a scoped
+    write would leave touched partitions on the new schema and untouched
+    ones on the old, and a plain parquet read resolves the schema from
+    one footer — the new column would silently vanish (or surface
+    null-torn) depending on file order. One uniform rewrite per widening
+    is the price of schema-on-file storage; widenings are rare events,
+    and Delta (which records schema in its log) is the scale answer.
     """
     if _HAS_DELTA and DeltaTable.isDeltaTable(spark, path):  # pragma: no cover
         dt = DeltaTable.forPath(spark, path)
@@ -97,17 +127,25 @@ def upsert_parquet(
     # overwrite just those — untouched partitions are never read or
     # rewritten. This is the 100 TB shape: cost scales with the batch's
     # partitions, not the table.
+    widening = (
+        evolve_schema
+        and exists
+        and any(
+            c not in spark.read.parquet(path).columns for c in batch.columns
+        )
+    )
     scoped = (
         exists
         and partition_by
         and all(c in primary_keys for c in partition_by)
+        and not widening  # widening must rewrite ALL files (see docstring)
     )
     if scoped:
         touched = batch.select(*partition_by).dropDuplicates()
         target = spark.read.parquet(path).join(
             F.broadcast(touched), list(partition_by), "left_semi"
         )
-        merged = merge_dataframes(target, batch, primary_keys)
+        merged = merge_dataframes(target, batch, primary_keys, evolve_schema)
         # stage the merged touched partitions NEXT TO the target (same
         # filesystem), then swap each partition directory in with atomic
         # renames — no localCheckpoint needed (we never overwrite what we
@@ -119,7 +157,7 @@ def upsert_parquet(
         return
 
     target = spark.read.parquet(path) if exists else None
-    merged = merge_dataframes(target, batch, primary_keys)
+    merged = merge_dataframes(target, batch, primary_keys, evolve_schema)
     atomic_overwrite(merged, path, partition_by)
 
 

@@ -120,13 +120,23 @@ class VersionedTable:
             new_files = list(prior) + new_files
         return self._publish(new_files, df.schema.json(), {"mode": mode})
 
-    def upsert(self, batch: DataFrame, primary_keys: list[str]) -> int:
+    def upsert(
+        self,
+        batch: DataFrame,
+        primary_keys: list[str],
+        evolve_schema: bool = False,
+    ) -> int:
         """MERGE semantics as a new version (WHEN MATCHED update / NOT
         MATCHED insert — the reference's silver contract). The merged
         frame lands as new files; the previous snapshot stays readable
-        until vacuumed."""
+        until vacuumed. ``evolve_schema=True`` widens to the union
+        schema (Delta's mergeSchema; see ``merge_dataframes``) — unlike
+        the plain-parquet path, no special rewrite handling is needed:
+        every version's schema is recorded in its own manifest, so old
+        snapshots keep their schema and the new one carries the widened
+        one."""
         current = self.read() if self.current_version() is not None else None
-        merged = merge_dataframes(current, batch, primary_keys)
+        merged = merge_dataframes(current, batch, primary_keys, evolve_schema)
         return self._publish(
             self._land_files(merged), merged.schema.json(), {"mode": "upsert"}
         )

@@ -564,3 +564,43 @@ def q123_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return _pin(snap(1).unionByName(snap(2)))
+
+
+@query(
+    "q125_schema_evolution",
+    """
+    SELECT n_regionkey,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN n_nationkey % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_flagged,
+           CAST(SUM(CASE WHEN n_nationkey % 2 = 0
+                         THEN CAST(n_nationkey AS DECIMAL(18,6)) END) AS DOUBLE)
+             AS flag_sum
+    FROM nation GROUP BY n_regionkey
+    """,
+)
+def q125_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on MERGE (operators/upsert.py::merge_dataframes
+    evolve_schema — Delta's mergeSchema for the parquet emulation): the
+    nation table is written, then a batch carrying a NEW column (flag_val
+    on even nation keys) upserts with evolve_schema=True. The widened
+    table must null-fill history and carry batch values — the oracle
+    recomputes per-region row counts, how many rows got the new column,
+    and its decimal-exact sum. A widening that drops the column, fails
+    to null-fill, or tears across partition files all hash-mismatch."""
+    nat = _t(spark, sf_dir, "nation")
+    scratch = _scratch("q125_schema_evolution", sf_dir)
+    path = os.path.join(scratch, "nation_evolved")
+    nat.write.parquet(path)
+    batch = nat.filter(F.col("n_nationkey") % 2 == 0).withColumn(
+        "flag_val", F.col("n_nationkey").cast("double")
+    )
+    upsert_parquet(spark, batch, path, ["n_nationkey"], evolve_schema=True)
+    out = spark.read.parquet(path)
+    return _pin(
+        out.groupBy("n_regionkey").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("flag_val").alias("n_flagged"),
+            dsum(F.coalesce(F.col("flag_val"), F.lit(0.0)), "flag_sum"),
+        )
+    )

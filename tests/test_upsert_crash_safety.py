@@ -187,3 +187,48 @@ def test_first_upsert_into_missing_parent_directory(spark, tmp_path):
     batch = spark.createDataFrame([(1, "a")], "id long, v string")
     upsert_parquet(spark, batch, path, ["id"])
     assert _rows_flat(spark, path) == {(1, "a")}
+
+
+def test_schema_evolution_widens_table_uniformly(spark, tmp_path):
+    """evolve_schema=True: new batch columns null-fill history, and the
+    widening forces a full rewrite even on a partition-scoped table so
+    every file carries the union schema (plain parquet reads resolve
+    schema from one footer)."""
+    path = str(tmp_path / "t")
+    _write_base(spark, path)
+    batch = spark.createDataFrame(
+        [(2, "B", "p1", 0.9)], "id long, v string, part string, score double"
+    )
+    upsert_parquet(spark, batch, path, ["id", "part"], ["part"], evolve_schema=True)
+    out = spark.read.parquet(path)
+    assert "score" in out.columns
+    got = {(r.id, r.v, r.score) for r in out.collect()}
+    assert got == {(1, "a", None), (2, "B", 0.9), (3, "c", None)}
+    # default (no evolve): unknown batch columns are dropped, not errored
+    upsert_parquet(
+        spark,
+        spark.createDataFrame(
+            [(5, "e", "p2", 1.0, "x")],
+            "id long, v string, part string, score double, extra string",
+        ),
+        path,
+        ["id", "part"],
+        ["part"],
+    )
+    assert "extra" not in spark.read.parquet(path).columns
+
+
+def test_versioned_upsert_schema_evolution(spark, tmp_path):
+    from modular_etl_data_platform_spark.operators.versioned import VersionedTable
+
+    vt = VersionedTable(spark, str(tmp_path / "vt"))
+    vt.write(spark.createDataFrame([(1, "a")], "id long, v string"))
+    vt.upsert(
+        spark.createDataFrame([(2, "b", 7)], "id long, v string, n long"),
+        ["id"],
+        evolve_schema=True,
+    )
+    v2 = vt.read()
+    assert {(r.id, r.v, r.n) for r in v2.collect()} == {(1, "a", None), (2, "b", 7)}
+    # time travel keeps v1's original (narrow) schema
+    assert "n" not in vt.read(1).columns
