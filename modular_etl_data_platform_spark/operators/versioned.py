@@ -161,6 +161,18 @@ class VersionedTable:
     def history(self) -> list[dict]:
         return [self._read_manifest(v) for v in self.versions()]
 
+    def restore(self, version: int) -> int:
+        """Make an old snapshot the new head (Delta ``RESTORE`` — an
+        undo that PRESERVES history): publishes a NEW version pointing
+        at the old version's files. O(1) — no data moves; the files are
+        immutable and shared between the two manifests, which is also
+        why the restored-from version must still be retained (vacuum
+        keeps every file a retained manifest references)."""
+        m = self._read_manifest(version)
+        return self._publish(
+            m["files"], m["schema"], {"mode": "restore", "restored_from": version}
+        )
+
     # -- retention ------------------------------------------------------------
     def vacuum(self, keep_last: int = 1) -> int:
         """Drop all but the newest ``keep_last`` versions and delete data

@@ -156,6 +156,37 @@ SESSION_SCHEMA = T.StructType(
 _STATE_SCHEMA = "start TIMESTAMP, end TIMESTAMP, n BIGINT, total DOUBLE"
 
 
+def stream_upsert_versioned(
+    stream_df: DataFrame,
+    table_path: str,
+    primary_keys: list[str],
+    checkpoint: str,
+    evolve_schema: bool = False,
+):
+    """Stream into a :class:`~...operators.versioned.VersionedTable` —
+    each micro-batch publishes ONE new version (an atomic manifest
+    rename), so downstream readers always see a consistent snapshot and
+    any batch's result can be time-traveled to or rolled back with
+    ``restore``. Combined with the checkpoint, a replayed micro-batch
+    after a crash just publishes again over the same keys — the keyed
+    upsert makes replays idempotent at the row level.
+
+    This is the emulation-side analogue of streaming MERGE into Delta
+    (the reference's silver streaming contract); single-writer like the
+    rest of the versioned layer."""
+    from modular_etl_data_platform_spark.operators.versioned import VersionedTable
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        vt = VersionedTable(batch.sparkSession, table_path)
+        vt.upsert(batch, primary_keys, evolve_schema=evolve_schema)
+
+    return (
+        stream_df.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+
+
 def _sessionize(key, pdfs, state: GroupState):
     """applyInPandasWithState body: fold events into an open session; emit
     when the gap timeout fires."""

@@ -110,3 +110,44 @@ def test_empty_snapshot_is_readable_not_bricking(spark, vt):
     vt.upsert(spark.createDataFrame([(2, "b")], "id long, v string"), ["id"])
     assert _rows(vt.read()) == {(2, "b")}
     assert _rows(vt.read(2)) == {(2, "b")} and vt.read(1).count() == 0
+
+
+def test_restore_publishes_old_snapshot_as_new_head(spark, vt):
+    vt.write(spark.createDataFrame([(1, "a")], "id long, v string"))
+    vt.upsert(spark.createDataFrame([(1, "BAD")], "id long, v string"), ["id"])
+    v = vt.restore(1)
+    assert v == 3
+    assert _rows(vt.read()) == {(1, "a")}
+    assert _rows(vt.read(2)) == {(1, "BAD")}  # history preserved
+    h = vt.history()[-1]
+    assert h["mode"] == "restore" and h["restored_from"] == 1
+
+
+def test_stream_upsert_versioned_one_version_per_batch(spark, tmp_path):
+    import json as _json
+
+    from modular_etl_data_platform_spark.streaming.incremental import (
+        stream_upsert_versioned,
+    )
+    from modular_etl_data_platform_spark.operators.versioned import VersionedTable
+
+    src = tmp_path / "src"
+    src.mkdir()
+    table = str(tmp_path / "vt")
+
+    def run_batch(name, rows):
+        (src / name).write_text(
+            "\n".join(_json.dumps({"id": i, "v": v}) for i, v in rows)
+        )
+        stream = spark.readStream.schema("id long, v string").json(str(src))
+        q = stream_upsert_versioned(
+            stream, table, ["id"], str(tmp_path / "ckpt")
+        ).trigger(availableNow=True).start()
+        q.awaitTermination(120)
+
+    run_batch("b1.json", [(1, "a"), (2, "b")])
+    run_batch("b2.json", [(2, "B"), (3, "c")])
+    vt = VersionedTable(spark, table)
+    assert len(vt.versions()) == 2
+    assert _rows(vt.read()) == {(1, "a"), (2, "B"), (3, "c")}
+    assert _rows(vt.read(vt.versions()[0])) == {(1, "a"), (2, "b")}
