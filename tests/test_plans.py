@@ -217,6 +217,9 @@ CARTESIAN_OK = {
     "q96_bronze_quarantine",  # 1-row quarantine-count aggregate broadcast
     "q97_gold_dq_suite",  # 1-row violation-count aggregates broadcast
     "q103_ivf_batch_probe",  # k-row centroid sidecar broadcast (routing)
+    # exact-search side of the recall evaluation: the small query SAMPLE
+    # broadcasts into one scored corpus pass (offline eval, sample-sized)
+    "q124_ann_recall",
 }
 
 
