@@ -42,6 +42,11 @@ HEADLINE = [
     "q113_stream_cdc_state",
     "q115_multimodal_pipeline",
     "q116_incremental_rollup",
+    # round-6 operator families: substring dedup (batch + incremental)
+    # and the ANN recall evaluation pass
+    "q120_ngram_dedup_clean",
+    "q122_incremental_ngram_dedup",
+    "q124_ann_recall",
 ]
 
 
