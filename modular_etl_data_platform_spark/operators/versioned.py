@@ -49,9 +49,17 @@ _DATA_DIR = "files"
 class VersionedTable:
     """A parquet table with a manifest-per-version commit log."""
 
-    def __init__(self, spark: SparkSession, path: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        stats_columns: list[str] | None = None,
+    ):
         self.spark = spark
         self.path = path
+        #: columns to record per-file min/max for in each manifest
+        #: (footer-metadata only); enables read_pruned file skipping
+        self.stats_columns = stats_columns or []
         os.makedirs(os.path.join(path, _MANIFEST_DIR), exist_ok=True)
         os.makedirs(os.path.join(path, _DATA_DIR), exist_ok=True)
 
@@ -87,6 +95,10 @@ class VersionedTable:
             "version": version,
             "files": sorted(files),
             "schema": schema_json,
+            # per-file min/max from footer metadata (files are immutable,
+            # so recomputing for reused append files is exact; a
+            # warehouse-scale implementation would carry them forward)
+            "stats": self._file_stats(files),
             **(meta or {}),
         }
         final = self._manifest_path(version)
@@ -107,6 +119,37 @@ class VersionedTable:
             for f in os.listdir(sub)
             if f.endswith(".parquet")
         ]
+
+    def _file_stats(self, files: list[str]) -> dict[str, dict]:
+        """Per-file min/max for ``stats_columns``, read from the parquet
+        FOOTER metadata (pyarrow) — no data scan; this is Delta's
+        data-skipping statistic, and at 100 TB it is what lets a point
+        or range read open a handful of files instead of the table."""
+        if not self.stats_columns:
+            return {}
+        import pyarrow.parquet as pq
+
+        out: dict[str, dict] = {}
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            names = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            stats: dict[str, list] = {}
+            for col in self.stats_columns:
+                if col not in names:
+                    continue
+                lo = hi = None
+                for rg in range(md.num_row_groups):
+                    s = md.row_group(rg).column(names[col]).statistics
+                    if s is None or not s.has_min_max:
+                        lo = hi = None
+                        break
+                    lo = s.min if lo is None else min(lo, s.min)
+                    hi = s.max if hi is None else max(hi, s.max)
+                if lo is not None:
+                    stats[col] = [lo, hi]
+            if stats:
+                out[f] = stats
+        return out
 
     def write(self, df: DataFrame, mode: str = "overwrite") -> int:
         """Publish a new version. ``overwrite`` replaces the logical
@@ -160,6 +203,42 @@ class VersionedTable:
 
     def history(self) -> list[dict]:
         return [self._read_manifest(v) for v in self.versions()]
+
+    def read_pruned(self, column: str, lo, hi, version: int | None = None) -> DataFrame:
+        """Snapshot read that opens ONLY the files whose recorded
+        [min, max] for ``column`` intersects [lo, hi] — manifest-level
+        file skipping (the Delta data-skipping read path). Files with no
+        recorded stats are conservatively kept. The residual filter is
+        still applied, so the result equals ``read().filter(...)``
+        exactly; only the I/O differs."""
+        v = self.current_version() if version is None else version
+        if v is None:
+            raise FileNotFoundError(f"no versions in {self.path}")
+        manifest = self._read_manifest(v)
+        stats = manifest.get("stats", {})
+        kept = [
+            f
+            for f in manifest["files"]
+            if column not in stats.get(f, {})
+            or (stats[f][column][0] <= hi and lo <= stats[f][column][1])
+        ]
+        from pyspark.sql import functions as F
+
+        pred = (F.col(column) >= F.lit(lo)) & (F.col(column) <= F.lit(hi))
+        if not kept:
+            return self.read(v).filter(pred).limit(0)
+        return self.spark.read.parquet(*kept).filter(pred)
+
+    def compact(self, target_files: int = 1) -> int:
+        """Rewrite the current snapshot as ``target_files`` files and
+        publish it as a new version (the OPTIMIZE analogue for the
+        versioned layer): readers of prior versions are untouched, the
+        small-file history stays time-travelable until vacuum."""
+        cur = self.read()
+        merged = cur.repartition(target_files)
+        return self._publish(
+            self._land_files(merged), cur.schema.json(), {"mode": "compact"}
+        )
 
     def restore(self, version: int) -> int:
         """Make an old snapshot the new head (Delta ``RESTORE`` — an

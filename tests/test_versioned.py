@@ -151,3 +151,42 @@ def test_stream_upsert_versioned_one_version_per_batch(spark, tmp_path):
     assert len(vt.versions()) == 2
     assert _rows(vt.read()) == {(1, "a"), (2, "B"), (3, "c")}
     assert _rows(vt.read(vt.versions()[0])) == {(1, "a"), (2, "b")}
+
+
+def test_read_pruned_skips_files_by_manifest_stats(spark, tmp_path):
+    from modular_etl_data_platform_spark.operators.versioned import VersionedTable
+
+    vt = VersionedTable(spark, str(tmp_path / "t"), stats_columns=["id"])
+    # three appends with disjoint id ranges -> >= 3 files with disjoint
+    # footer min/max
+    for base in (0, 100, 200):
+        vt.write(
+            spark.createDataFrame(
+                [(base + i, f"v{base + i}") for i in range(10)], "id long, v string"
+            ).coalesce(1),
+            mode="append" if base else "overwrite",
+        )
+    full = vt.read()
+    pruned = vt.read_pruned("id", 100, 109)
+    assert {r.id for r in pruned.collect()} == set(range(100, 110))
+    # identical answer to the unpruned filtered read...
+    expect = {tuple(r) for r in full.filter("id between 100 and 109").collect()}
+    assert {tuple(r) for r in pruned.collect()} == expect
+    # ...but opening strictly fewer files
+    assert 0 < len(pruned.inputFiles()) < len(full.inputFiles())
+    # a range outside every file opens nothing and returns empty
+    assert vt.read_pruned("id", 10_000, 20_000).count() == 0
+
+
+def test_compact_publishes_fewer_files_preserving_history(spark, vt):
+    for i in range(3):
+        vt.write(
+            spark.createDataFrame([(i, f"v{i}")], "id long, v string").coalesce(1),
+            mode="append" if i else "overwrite",
+        )
+    before = len(vt.history()[-1]["files"])
+    v = vt.compact(target_files=1)
+    assert len(vt._read_manifest(v)["files"]) == 1 < before
+    assert _rows(vt.read()) == {(0, "v0"), (1, "v1"), (2, "v2")}
+    # pre-compaction snapshot still time-travelable
+    assert _rows(vt.read(v - 1)) == {(0, "v0"), (1, "v1"), (2, "v2")}
