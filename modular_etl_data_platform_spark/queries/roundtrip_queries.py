@@ -604,3 +604,50 @@ def q125_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(F.coalesce(F.col("flag_val"), F.lit(0.0)), "flag_sum"),
         )
     )
+
+
+@query(
+    "q126_file_skipping",
+    """
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_total
+    FROM orders
+    WHERE o_orderkey BETWEEN 1000 AND 9999
+    GROUP BY o_orderstatus
+    """,
+)
+def q126_file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-level file skipping
+    (operators/versioned.py::read_pruned): orders land in a versioned
+    table as several range-disjoint file batches with per-file
+    o_orderkey min/max recorded from the parquet footers; a key-range
+    read then opens only the intersecting files. The oracle computes the
+    same range filter relationally — a pruning bug that drops a file it
+    shouldn't (or keeps rows outside the residual filter) changes the
+    aggregate hash. The strictly-fewer-files property is pinned by
+    test_versioned.py (engine-internal, not oracle-visible)."""
+    from modular_etl_data_platform_spark.operators.versioned import VersionedTable
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    scratch = _scratch("q126_file_skipping", sf_dir)
+    vt = VersionedTable(
+        spark, os.path.join(scratch, "orders_v"), stats_columns=["o_orderkey"]
+    )
+    # range-disjoint batches -> disjoint footer min/max per file set
+    splits = [0, 5_000, 50_000, 500_000, 10**12]
+    for i in range(len(splits) - 1):
+        batch = orders.filter(
+            (F.col("o_orderkey") >= splits[i]) & (F.col("o_orderkey") < splits[i + 1])
+        ).coalesce(1)
+        vt.write(batch, mode="append" if i else "overwrite")
+    return _pin(
+        vt.read_pruned("o_orderkey", 1000, 9999)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice"), "sum_total"),
+        )
+    )
