@@ -190,3 +190,27 @@ def test_compact_publishes_fewer_files_preserving_history(spark, vt):
     assert _rows(vt.read()) == {(0, "v0"), (1, "v1"), (2, "v2")}
     # pre-compaction snapshot still time-travelable
     assert _rows(vt.read(v - 1)) == {(0, "v0"), (1, "v1"), (2, "v2")}
+
+
+def test_clustered_compact_maximizes_pruning(spark, tmp_path):
+    """compact(order_by=...) range-clusters the rewrite, so each output
+    file covers a narrow disjoint key range and a point-range
+    read_pruned opens exactly one file."""
+    from modular_etl_data_platform_spark.operators.versioned import VersionedTable
+
+    vt = VersionedTable(spark, str(tmp_path / "t"), stats_columns=["id"])
+    import random
+
+    rng = random.Random(7)
+    ids = list(range(300))
+    rng.shuffle(ids)
+    vt.write(
+        spark.createDataFrame([(i, f"v{i}") for i in ids], "id long, v string")
+        .repartition(6)  # ids scattered across files -> no pruning power
+    )
+    scattered = vt.read_pruned("id", 10, 19)
+    vt.compact(target_files=6, order_by=["id"])
+    clustered = vt.read_pruned("id", 10, 19)
+    assert {r.id for r in clustered.collect()} == set(range(10, 20))
+    assert len(clustered.inputFiles()) == 1
+    assert len(clustered.inputFiles()) < len(scattered.inputFiles())
