@@ -214,3 +214,85 @@ def test_clustered_compact_maximizes_pruning(spark, tmp_path):
     assert {r.id for r in clustered.collect()} == set(range(10, 20))
     assert len(clustered.inputFiles()) == 1
     assert len(clustered.inputFiles()) < len(scattered.inputFiles())
+
+
+# -- property: random op sequences vs a python model ------------------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_OPS = st.lists(
+    st.one_of(
+        st.tuples(st.just("overwrite"), st.sets(st.integers(0, 5), min_size=1)),
+        st.tuples(st.just("append"), st.sets(st.integers(6, 9), min_size=1)),
+        st.tuples(st.just("upsert"), st.sets(st.integers(0, 9), min_size=1)),
+        st.tuples(st.just("compact"), st.just(None)),
+        st.tuples(st.just("restore_first"), st.just(None)),
+    ),
+    min_size=1,
+    max_size=5,
+)
+
+
+@given(ops=_OPS)
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_versioned_random_op_sequences_match_model(spark, tmp_path_factory, ops):
+    """Replay any write/append/upsert/compact/restore sequence against a
+    plain python dict model: every head snapshot AND every historical
+    version must match what the model said at that point."""
+    from modular_etl_data_platform_spark.operators.versioned import VersionedTable
+
+    vt = VersionedTable(spark, str(tmp_path_factory.mktemp("vtp") / "t"))
+
+    def frame(keys, tag):
+        return spark.createDataFrame(
+            [(k, f"{tag}{k}") for k in sorted(keys)], "id long, v string"
+        )
+
+    model: dict[int, str] = {}
+    snapshots: list[dict[int, str]] = []
+    for i, (op, keys) in enumerate(ops):
+        tag = f"o{i}_"
+        if op == "overwrite":
+            vt.write(frame(keys, tag))
+            model = {k: f"{tag}{k}" for k in keys}
+        elif op == "append":
+            if not snapshots:
+                vt.write(frame(keys, tag))
+                model = {k: f"{tag}{k}" for k in keys}
+            else:
+                vt.write(frame(keys, tag), mode="append")
+                # append does not dedupe keys; restrict to fresh keys (6-9
+                # never overlap overwrite's 0-5, but may repeat appends) —
+                # model as multiset is overkill; skip duplicate-append
+                for k in keys:
+                    if k in model:
+                        return  # sequence would need multiset semantics
+                    model[k] = f"{tag}{k}"
+        elif op == "upsert":
+            if not snapshots:
+                vt.write(frame(keys, tag))
+                model = {k: f"{tag}{k}" for k in keys}
+            else:
+                vt.upsert(frame(keys, tag), ["id"])
+                model = {**model, **{k: f"{tag}{k}" for k in keys}}
+        elif op == "compact":
+            if not snapshots:
+                return
+            vt.compact(target_files=1)
+            model = dict(model)
+        elif op == "restore_first":
+            if not snapshots:
+                return
+            vt.restore(1)
+            model = dict(snapshots[0])
+        snapshots.append(dict(model))
+
+    assert len(vt.versions()) == len(snapshots)
+    for v, want in zip(vt.versions(), snapshots):
+        got = {r.id: r.v for r in vt.read(v).collect()}
+        assert got == want, (v, ops)
