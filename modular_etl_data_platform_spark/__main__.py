@@ -100,6 +100,19 @@ def main(argv: list[str] | None = None) -> int:
     aq.add_argument("--probes", type=int, default=1)
     aq.add_argument("--dim", type=int, default=64)
 
+    vt = sub.add_parser(
+        "vt", help="versioned-table ops: history/read/restore/compact/vacuum"
+    )
+    vt.add_argument("path", help="versioned table root")
+    vt.add_argument(
+        "action", choices=["history", "read", "restore", "compact", "vacuum"]
+    )
+    vt.add_argument("--version", type=int, default=None, help="for read/restore")
+    vt.add_argument("--keep-last", type=int, default=1, help="for vacuum")
+    vt.add_argument("--target-files", type=int, default=1, help="for compact")
+    vt.add_argument("--order-by", default=None, help="for compact: comma-sep cols")
+    vt.add_argument("--limit", type=int, default=20, help="for read")
+
     args = ap.parse_args(argv)
 
     from modular_etl_data_platform_spark.queries.catalog import QUERIES
@@ -251,6 +264,39 @@ def main(argv: list[str] | None = None) -> int:
             dim=args.dim,
         )
         out.show(args.k, truncate=False)
+        return 0
+
+    if args.cmd == "vt":
+        from modular_etl_data_platform_spark.operators.versioned import (
+            VersionedTable,
+        )
+
+        table = VersionedTable(spark, args.path)
+        if args.action == "history":
+            print(
+                json.dumps(
+                    [
+                        {k: v for k, v in m.items() if k not in ("schema", "stats")}
+                        | {"n_files": len(m["files"])}
+                        for m in table.history()
+                    ],
+                    indent=2,
+                )
+            )
+        elif args.action == "read":
+            table.read(args.version).show(args.limit, truncate=False)
+        elif args.action == "restore":
+            if args.version is None:
+                print("restore requires --version", file=sys.stderr)
+                return 2
+            print(json.dumps({"new_version": table.restore(args.version)}))
+        elif args.action == "compact":
+            order = args.order_by.split(",") if args.order_by else None
+            v = table.compact(target_files=args.target_files, order_by=order)
+            print(json.dumps({"new_version": v}))
+        elif args.action == "vacuum":
+            deleted = table.vacuum(keep_last=args.keep_last)
+            print(json.dumps({"deleted_files": deleted}))
         return 0
 
     return 2

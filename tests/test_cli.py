@@ -88,3 +88,34 @@ def test_cli_expect_suite(spark, capsys, tmp_path):
         )
     )
     assert main(["expect", str(suite), "customer", "--sf-dir", SF, "--strict"]) == 1
+
+
+def test_cli_versioned_table_ops(spark, capsys, tmp_path):
+    import json
+
+    from modular_etl_data_platform_spark.operators.versioned import VersionedTable
+
+    path = str(tmp_path / "vt")
+    vt = VersionedTable(spark, path)
+    vt.write(spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"))
+    vt.upsert(spark.createDataFrame([(2, "B")], "id long, v string"), ["id"])
+
+    assert main([ "vt", path, "history"]) == 0
+    hist = json.loads(capsys.readouterr().out)
+    assert [h["version"] for h in hist] == [1, 2]
+    assert all("n_files" in h and "schema" not in h for h in hist)
+
+    assert main(["vt", path, "read", "--version", "1"]) == 0
+    assert "a" in capsys.readouterr().out
+
+    assert main(["vt", path, "restore", "--version", "1"]) == 0
+    assert json.loads(capsys.readouterr().out)["new_version"] == 3
+
+    assert main(["vt", path, "compact", "--target-files", "1"]) == 0
+    capsys.readouterr()
+    assert main(["vt", path, "vacuum", "--keep-last", "1"]) == 0
+    assert json.loads(capsys.readouterr().out)["deleted_files"] >= 1
+    assert {tuple(r) for r in VersionedTable(spark, path).read().collect()} == {
+        (1, "a"),
+        (2, "b"),
+    }
