@@ -7,8 +7,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from modular_etl_data_platform_spark.queries.catalog import _t, query
+from modular_etl_data_platform_spark.queries.catalog import _t, dsum, query
 from modular_etl_data_platform_spark.operators import timeseries as ts
+from modular_etl_data_platform_spark.operators import intervals as iv
 
 
 @query(
@@ -323,4 +324,94 @@ def q116_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.col("total").cast("double").alias("total"),
         F.lit(bool(n_delta > 0)).alias("incremental"),
+    )
+
+
+_INCIDENT_MERGED_CTE = """
+    iv AS (
+      SELECT ts AS s, ts + INTERVAL 30 MINUTE AS e
+      FROM events WHERE event_type = 'error' AND value >= 195
+    ),
+    flagged AS (
+      SELECT s, e,
+             CASE WHEN s > MAX(e) OVER (ORDER BY s, e
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  THEN 1 ELSE 0 END AS brk
+      FROM iv
+    ),
+    isl AS (
+      SELECT s, e,
+             SUM(brk) OVER (ORDER BY s, e
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM flagged
+    ),
+    merged AS (
+      SELECT MIN(s) AS window_start, MAX(e) AS window_end,
+             COUNT(*) AS n_source
+      FROM isl GROUP BY island
+    )
+"""
+
+
+def _incident_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Severe-error trigger events -> 30-minute windows -> merged islands."""
+    trig = _t(spark, sf_dir, "events").filter(
+        (F.col("event_type") == "error") & (F.col("value") >= 195)
+    )
+    return iv.merge_intervals(iv.build_intervals(trig, "ts", 1800))
+
+
+@query(
+    "q127_merge_incident_windows",
+    f"WITH {_INCIDENT_MERGED_CTE} SELECT window_start, window_end, n_source FROM merged",
+)
+def q127_merge_incident_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping-interval merge (operators/intervals.py::merge_intervals):
+    severe-error events each open a 30-minute incident window; overlapping
+    and touching windows coalesce via the gaps-and-islands rewrite (two
+    linear window passes, no self-join). The oracle is the identical
+    rewrite in DuckDB — island numbering, half-open ends and touching-
+    interval semantics all hash-checked. Keyless merge = single-partition
+    window, deliberate and documented: incident windows number in the
+    thousands even at 100 TB of events (trigger selectivity), and a
+    global merge is inherently sequential."""
+    return _incident_windows(spark, sf_dir).select(
+        "window_start", "window_end", "n_source"
+    )
+
+
+@query(
+    "q128_interval_join_attribution",
+    f"""
+    WITH {_INCIDENT_MERGED_CTE},
+    j AS (
+      SELECT m.window_start, m.window_end, e.user_id, e.value
+      FROM events e JOIN merged m
+        ON e.ts >= m.window_start AND e.ts < m.window_end
+    )
+    SELECT window_start, window_end,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM j GROUP BY window_start, window_end
+    """,
+)
+def q128_interval_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned interval join (operators/intervals.py::interval_join): every
+    event is attributed to the merged incident window containing its
+    timestamp. There is NO equi key — the naive formulation is a
+    BroadcastNestedLoopJoin (each event checked against every window);
+    the operator turns it into an equi-join on 10-minute time bins with
+    the exact range predicate as a residual filter
+    (test_plans.py pins the no-nested-loop shape). The oracle runs the
+    naive BETWEEN join in DuckDB, so the binning rewrite is proven
+    result-identical to the quadratic reference plan."""
+    ev = _t(spark, sf_dir, "events")
+    joined = iv.interval_join(
+        ev, _incident_windows(spark, sf_dir), "ts", bin_seconds=600
+    )
+    return joined.groupBy("window_start", "window_end").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        dsum(F.col("value"), "sum_value"),
     )
