@@ -651,3 +651,45 @@ def q126_file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(F.col("o_totalprice"), "sum_total"),
         )
     )
+
+
+@query(
+    "q129_zorder_write_prune",
+    """
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price,
+           CAST(SUM(o_custkey) AS BIGINT) AS sum_cust
+    FROM orders
+    WHERE o_custkey BETWEEN 200 AND 400
+      AND o_totalprice BETWEEN 100000 AND 200000
+    """,
+)
+def q129_zorder_write_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-dimensional Z-ORDER clustered write
+    (sinks.py::write_zordered — the true analogue of the reference's
+    ``OPTIMIZE ... ZORDER BY``, config/gold/schema/README.md:381-389):
+    orders written on a Morton curve over (o_custkey, o_totalprice), then
+    scanned back with predicates on BOTH columns — each file carries a
+    narrow min/max on every clustered column, so both predicates prune
+    files (footer-stats behavior pinned by test_zorder.py). The hash pins
+    that the rank-space bucketing + bit interleave + range shuffle
+    reordered but lost/duplicated nothing."""
+    from modular_etl_data_platform_spark.sources.sinks import write_zordered
+
+    scratch = _scratch("q129_zorder_write_prune", sf_dir)
+    tbl = os.path.join(scratch, "orders_z")
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    write_zordered(
+        orders, tbl, cluster_by=["o_custkey", "o_totalprice"], num_files=16
+    )
+    back = spark.read.parquet(tbl).filter(
+        F.col("o_custkey").between(200, 400)
+        & F.col("o_totalprice").between(100_000, 200_000)
+    )
+    return _pin(
+        back.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum(F.col("o_totalprice"), "sum_price"),
+            F.sum("o_custkey").cast("long").alias("sum_cust"),
+        )
+    )
