@@ -47,6 +47,10 @@ HEADLINE = [
     "q120_ngram_dedup_clean",
     "q122_incremental_ngram_dedup",
     "q124_ann_recall",
+    # round-6 late additions: binned interval join (range join without
+    # an equi key) and the Morton-curve z-ordered write+pruned-read
+    "q128_interval_join_attribution",
+    "q129_zorder_write_prune",
 ]
 
 
