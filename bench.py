@@ -74,6 +74,12 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
+        # clean slate per query: cached frames from a previous query
+        # (signature/shingle caches, streaming memory sinks) otherwise
+        # pile up across the session, and by the ~20th query GC pressure
+        # inflates measurements 2-3x — the timing then reflects the
+        # session's history, not the query
+        spark.catalog.clearCache()
         t0 = time.time()
         df = QUERIES[name](spark, sf_dir)
         df.collect()
