@@ -46,6 +46,9 @@ DEFAULT_QUERIES = [
     "q119_repeated_ngram_spans",
     "q120_ngram_dedup_clean",
     "q122_incremental_ngram_dedup",
+    "q127_merge_incident_windows",
+    "q128_interval_join_attribution",
+    "q129_zorder_write_prune",
 ]
 
 BASE = "/root/testdata/sf0.1"
@@ -77,6 +80,32 @@ def build_scaled(spark, n: int, out_dir: str) -> None:
     scaled_emb.write.mode("overwrite").parquet(
         os.path.join(out_dir, "embeddings.parquet")
     )
+
+    # events (interval family, q127/q128): replicas keep their original
+    # timestamps — deliberately adversarial for the interval ops, since
+    # the pre-merge trigger-window count grows with N while the merged
+    # windows stay span-bounded, so the probe measures the join side.
+    # orders (z-order family, q129): keys offset per replica.
+    from modular_etl_data_platform_spark.queries.catalog import _t
+
+    events = _t(spark, BASE, "events")
+    orders = spark.read.parquet(os.path.join(BASE, "orders.parquet"))
+    scaled_ev, scaled_ord = None, None
+    for i in range(n):
+        ev = events.select(
+            (F.col("event_id") + F.lit(i * OFF)).alias("event_id"),
+            (F.col("user_id") + F.lit(i * OFF)).alias("user_id"),
+            *[c for c in events.columns if c not in ("event_id", "user_id")],
+        )
+        od = orders.select(
+            (F.col("o_orderkey") + F.lit(i * OFF)).alias("o_orderkey"),
+            (F.col("o_custkey") + F.lit(i * OFF)).alias("o_custkey"),
+            *[c for c in orders.columns if c not in ("o_orderkey", "o_custkey")],
+        )
+        scaled_ev = ev if scaled_ev is None else scaled_ev.unionByName(ev)
+        scaled_ord = od if scaled_ord is None else scaled_ord.unionByName(od)
+    scaled_ev.write.mode("overwrite").parquet(os.path.join(out_dir, "events.parquet"))
+    scaled_ord.write.mode("overwrite").parquet(os.path.join(out_dir, "orders.parquet"))
 
 
 def main() -> None:
