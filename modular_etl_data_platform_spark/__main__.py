@@ -111,6 +111,11 @@ def main(argv: list[str] | None = None) -> int:
     vt.add_argument("--keep-last", type=int, default=1, help="for vacuum")
     vt.add_argument("--target-files", type=int, default=1, help="for compact")
     vt.add_argument("--order-by", default=None, help="for compact: comma-sep cols")
+    vt.add_argument(
+        "--zorder-by",
+        default=None,
+        help="for compact: comma-sep cols, Morton-curve clustering",
+    )
     vt.add_argument("--limit", type=int, default=20, help="for read")
 
     args = ap.parse_args(argv)
@@ -292,7 +297,10 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps({"new_version": table.restore(args.version)}))
         elif args.action == "compact":
             order = args.order_by.split(",") if args.order_by else None
-            v = table.compact(target_files=args.target_files, order_by=order)
+            zorder = args.zorder_by.split(",") if args.zorder_by else None
+            v = table.compact(
+                target_files=args.target_files, order_by=order, zorder_by=zorder
+            )
             print(json.dumps({"new_version": v}))
         elif args.action == "vacuum":
             deleted = table.vacuum(keep_last=args.keep_last)

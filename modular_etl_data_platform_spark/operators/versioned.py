@@ -229,7 +229,10 @@ class VersionedTable:
         return self.spark.read.parquet(*kept).filter(pred)
 
     def compact(
-        self, target_files: int = 1, order_by: list[str] | None = None
+        self,
+        target_files: int = 1,
+        order_by: list[str] | None = None,
+        zorder_by: list[str] | None = None,
     ) -> int:
         """Rewrite the current snapshot as ``target_files`` files and
         publish it as a new version (the OPTIMIZE analogue for the
@@ -237,12 +240,30 @@ class VersionedTable:
         small-file history stays time-travelable until vacuum.
 
         ``order_by`` range-partitions + sorts the rewrite on those
-        columns (OPTIMIZE ... ZORDER's practical effect for 1-2 keys):
-        each output file covers a narrow key range, so the footer
-        min/max recorded for ``stats_columns`` become maximally
-        selective and ``read_pruned`` point/range reads open ~1 file."""
+        columns (linear clustering): each output file covers a narrow
+        range of the LEADING key, so the footer min/max recorded for
+        ``stats_columns`` become maximally selective and ``read_pruned``
+        point/range reads open ~1 file.
+
+        ``zorder_by`` instead clusters on a Morton curve over the given
+        columns (``sinks.py::_zorder_key`` — the OPTIMIZE ... ZORDER
+        analogue): every file gets a narrow footer range on EVERY listed
+        column, so ``read_pruned`` skips files on any of them, not just
+        the first. Mutually exclusive with ``order_by``."""
+        if order_by and zorder_by:
+            raise ValueError("pass either order_by or zorder_by, not both")
         cur = self.read()
-        if order_by:
+        if zorder_by:
+            from modular_etl_data_platform_spark.sources.sinks import _zorder_key
+
+            key = _zorder_key(cur, zorder_by)
+            merged = (
+                cur.withColumn("__zkey", key)
+                .repartitionByRange(target_files, "__zkey")
+                .sortWithinPartitions("__zkey")
+                .drop("__zkey")
+            )
+        elif order_by:
             cols = [F.col(c) for c in order_by]
             merged = cur.repartitionByRange(target_files, *cols).sortWithinPartitions(
                 *cols

@@ -216,6 +216,44 @@ def test_clustered_compact_maximizes_pruning(spark, tmp_path):
     assert len(clustered.inputFiles()) < len(scattered.inputFiles())
 
 
+def test_zorder_compact_prunes_on_every_stats_column(spark, tmp_path):
+    """compact(zorder_by=[a, b]) Morton-clusters the rewrite: read_pruned
+    then skips files on the TRAILING column too, where a linear
+    order_by=[a, b] compaction leaves every file spanning b's full
+    range (no pruning power on b)."""
+    from modular_etl_data_platform_spark.operators.versioned import VersionedTable
+    from pyspark.sql import functions as F
+
+    def fresh(path):
+        vt = VersionedTable(spark, path, stats_columns=["a", "b"])
+        df = spark.range(2000).select(
+            (F.col("id") % 50).alias("a"),
+            F.floor(F.col("id") / 50).alias("b"),
+            F.col("id").alias("payload"),
+        )
+        vt.write(df.repartition(8))
+        return vt
+
+    linear = fresh(str(tmp_path / "lin"))
+    linear.compact(target_files=8, order_by=["a", "b"])
+    zord = fresh(str(tmp_path / "zo"))
+    zord.compact(target_files=8, zorder_by=["a", "b"])
+
+    lin_read = linear.read_pruned("b", 10, 12)
+    zo_read = zord.read_pruned("b", 10, 12)
+    # same answer either way
+    assert sorted(r.payload for r in zo_read.collect()) == sorted(
+        r.payload for r in lin_read.collect()
+    )
+    # linear layout: b spans ~everything in each file; z-order: b prunes
+    assert len(lin_read.inputFiles()) == 8
+    assert len(zo_read.inputFiles()) <= 4
+    # and the leading column still prunes on the z-ordered layout
+    assert len(zord.read_pruned("a", 3, 5).inputFiles()) < 8
+    with pytest.raises(ValueError, match="not both"):
+        zord.compact(order_by=["a"], zorder_by=["b"])
+
+
 # -- property: random op sequences vs a python model ------------------------
 
 from hypothesis import HealthCheck, given, settings  # noqa: E402
