@@ -105,7 +105,8 @@ def main(argv: list[str] | None = None) -> int:
     )
     vt.add_argument("path", help="versioned table root")
     vt.add_argument(
-        "action", choices=["history", "read", "restore", "compact", "vacuum"]
+        "action",
+        choices=["history", "read", "restore", "compact", "compact-where", "vacuum"],
     )
     vt.add_argument("--version", type=int, default=None, help="for read/restore")
     vt.add_argument("--keep-last", type=int, default=1, help="for vacuum")
@@ -116,6 +117,9 @@ def main(argv: list[str] | None = None) -> int:
         default=None,
         help="for compact: comma-sep cols, Morton-curve clustering",
     )
+    vt.add_argument("--column", default=None, help="for compact-where: stats column")
+    vt.add_argument("--lo", type=float, default=None, help="for compact-where")
+    vt.add_argument("--hi", type=float, default=None, help="for compact-where")
     vt.add_argument("--limit", type=int, default=20, help="for read")
 
     args = ap.parse_args(argv)
@@ -300,6 +304,20 @@ def main(argv: list[str] | None = None) -> int:
             zorder = args.zorder_by.split(",") if args.zorder_by else None
             v = table.compact(
                 target_files=args.target_files, order_by=order, zorder_by=zorder
+            )
+            print(json.dumps({"new_version": v}))
+        elif args.action == "compact-where":
+            if args.column is None or args.lo is None or args.hi is None:
+                raise SystemExit("compact-where requires --column --lo --hi")
+            order = args.order_by.split(",") if args.order_by else None
+            zorder = args.zorder_by.split(",") if args.zorder_by else None
+            v = table.compact_where(
+                args.column,
+                args.lo,
+                args.hi,
+                target_files=args.target_files,
+                order_by=order,
+                zorder_by=zorder,
             )
             print(json.dumps({"new_version": v}))
         elif args.action == "vacuum":

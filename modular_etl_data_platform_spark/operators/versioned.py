@@ -274,6 +274,68 @@ class VersionedTable:
             self._land_files(merged), cur.schema.json(), {"mode": "compact"}
         )
 
+    def compact_where(
+        self,
+        column: str,
+        lo,
+        hi,
+        target_files: int = 1,
+        order_by: list[str] | None = None,
+        zorder_by: list[str] | None = None,
+    ) -> int:
+        """Incremental OPTIMIZE (Delta's ``OPTIMIZE ... WHERE``): rewrite
+        ONLY the files whose recorded [min, max] for ``column``
+        intersects [lo, hi]; every other file is carried into the new
+        manifest untouched (files are immutable, so reuse is free).
+
+        This is the 100 TB compaction story: a table that streams
+        appends all day never rewrites its whole history — it compacts
+        the hot key/time range the appends landed in, at a cost
+        proportional to that range. Files with no recorded stats are
+        conservatively treated as touched. Clustering options are those
+        of :meth:`compact` and apply to the rewritten range only.
+        Returns the new version (or the current one unchanged if ≤1 file
+        intersects — nothing to compact)."""
+        if order_by and zorder_by:
+            raise ValueError("pass either order_by or zorder_by, not both")
+        v = self.current_version()
+        if v is None:
+            raise FileNotFoundError(f"no versions in {self.path}")
+        manifest = self._read_manifest(v)
+        stats = manifest.get("stats", {})
+        touched = [
+            f
+            for f in manifest["files"]
+            if column not in stats.get(f, {})
+            or (stats[f][column][0] <= hi and lo <= stats[f][column][1])
+        ]
+        if len(touched) <= 1:
+            return v
+        untouched = [f for f in manifest["files"] if f not in set(touched)]
+        part = self.spark.read.parquet(*touched)
+        if zorder_by:
+            from modular_etl_data_platform_spark.sources.sinks import _zorder_key
+
+            key = _zorder_key(part, zorder_by)
+            merged = (
+                part.withColumn("__zkey", key)
+                .repartitionByRange(target_files, "__zkey")
+                .sortWithinPartitions("__zkey")
+                .drop("__zkey")
+            )
+        elif order_by:
+            cols = [F.col(c) for c in order_by]
+            merged = part.repartitionByRange(target_files, *cols).sortWithinPartitions(
+                *cols
+            )
+        else:
+            merged = part.repartition(target_files)
+        return self._publish(
+            untouched + self._land_files(merged),
+            manifest["schema"],
+            {"mode": "compact_where", "column": column},
+        )
+
     def restore(self, version: int) -> int:
         """Make an old snapshot the new head (Delta ``RESTORE`` — an
         undo that PRESERVES history): publishes a NEW version pointing

@@ -254,6 +254,43 @@ def test_zorder_compact_prunes_on_every_stats_column(spark, tmp_path):
         zord.compact(order_by=["a"], zorder_by=["b"])
 
 
+def test_compact_where_rewrites_only_intersecting_files(spark, tmp_path):
+    """Incremental OPTIMIZE: only files whose stats range intersects the
+    predicate are rewritten; every other file is carried into the new
+    manifest byte-identical (same path — immutable reuse), and the
+    table's contents are unchanged."""
+    from modular_etl_data_platform_spark.operators.versioned import VersionedTable
+    from pyspark.sql import functions as F
+
+    vt = VersionedTable(spark, str(tmp_path / "t"), stats_columns=["id"])
+    # 4 range-disjoint single-file batches: [0,100) [100,200) ...
+    for lo in range(0, 400, 100):
+        batch = spark.range(lo, lo + 100).select(
+            F.col("id"), (F.col("id") * 2).alias("v")
+        ).coalesce(1)
+        vt.write(batch, mode="append" if lo else "overwrite")
+    before = set(vt._read_manifest(vt.current_version())["files"])
+    assert len(before) == 4
+    total_before = vt.read().count()
+
+    # compact the [0, 199] half: 2 files in, 1 file out, 2 reused
+    v = vt.compact_where("id", 0, 199, target_files=1)
+    after = vt._read_manifest(v)["files"]
+    reused = set(after) & before
+    assert len(after) == 3
+    assert len(reused) == 2
+    for f in reused:
+        st = vt._read_manifest(v)["stats"][f]["id"]
+        assert st[0] >= 200  # only the high-range files were untouched
+    assert vt.read().count() == total_before
+    assert vt.read().agg(F.sum("v")).first()[0] == sum(2 * i for i in range(400))
+    # prior version still reads the old layout (time travel intact)
+    assert vt.read(version=v - 1).count() == total_before
+
+    # nothing to do when <=1 file intersects: version unchanged
+    assert vt.compact_where("id", 0, 50) == v
+
+
 # -- property: random op sequences vs a python model ------------------------
 
 from hypothesis import HealthCheck, given, settings  # noqa: E402
