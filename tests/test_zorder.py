@@ -108,3 +108,21 @@ def test_zorder_handles_nulls_and_skew(spark, tmp_path_factory):
     # no single file holds everything (the skewed value did not collapse
     # the curve) — range partitioning on the key spreads ties
     assert len(sizes) >= 2 and max(sizes) < 10_000
+
+
+def test_zorder_three_dims_lossless(spark, orders, tmp_path_factory):
+    """The Morton key generalizes beyond 2 dims: a 3-column clustering
+    still roundtrips losslessly (bit interleave width = bits * ndims)."""
+    path = str(tmp_path_factory.mktemp("zorder_3d")) + "/t"
+    write_zordered(
+        orders,
+        path,
+        cluster_by=["o_custkey", "o_totalprice", "o_orderkey"],
+        num_files=8,
+    )
+    back = spark.read.parquet(path)
+    assert back.count() == orders.count()
+    assert (
+        back.agg(F.sum("o_orderkey")).first()[0]
+        == orders.agg(F.sum("o_orderkey")).first()[0]
+    )
