@@ -418,3 +418,65 @@ def group_split(
     return df.withColumn(
         split_col, F.when(u < val_frac, F.lit("val")).otherwise(F.lit("train"))
     )
+
+
+def deterministic_shuffle(
+    df: DataFrame,
+    num_shards: int,
+    seed: str = "shuf0",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Reproducible global training-order shuffle WITHOUT a global sort.
+
+    Training pipelines need the corpus in a pseudo-random order that is
+    exactly reproducible (resume a run, compare two runs, shard across
+    data-loader workers). Each row gets a rank key ``md5(seed|id)``; its
+    shard is a hex-prefix bucket of that key (uniform by construction —
+    no hot shards regardless of id distribution), and its position
+    within the shard is a ``row_number`` ordered by (key, id). Reading
+    shards ``0..num_shards-1``, each in position order, replays one
+    deterministic permutation of the corpus; changing ``seed`` gives an
+    independent permutation (fresh epoch order).
+
+    Scale: a pure projection plus ONE shuffle on the uniform shard key;
+    each shard sorts independently (no global ordering step — the
+    permutation is defined per shard, which is exactly how data-loader
+    workers consume it). Returns (id, shard, pos) plus the input columns.
+    """
+    key_sql = f"md5(concat('{seed}|', cast({id_col} as string)))"
+    shard = (
+        F.expr(f"conv(substr({key_sql}, 1, 5), 16, 10)").cast("long")
+        % num_shards
+    )
+    w = Window.partitionBy("shard").orderBy(
+        F.col("__shuffle_key").asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("__shuffle_key", F.expr(key_sql))
+        .withColumn("shard", shard)
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .drop("__shuffle_key")
+    )
+
+
+def deterministic_shuffle_oracle_sql(
+    inner_sql: str,
+    num_shards: int,
+    seed: str = "shuf0",
+    id_col: str = "doc_id",
+    extra_cols: str = "",
+) -> str:
+    """DuckDB twin of :func:`deterministic_shuffle` over ``inner_sql``."""
+    key = f"md5('{seed}|' || CAST({id_col} AS VARCHAR))"
+    return f"""
+    WITH t AS (
+      SELECT {id_col}{extra_cols},
+             {key} AS k,
+             (('0x' || substr({key}, 1, 5))::BIGINT) % {num_shards} AS shard
+      FROM ({inner_sql})
+    )
+    SELECT {id_col}{extra_cols}, shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY k, {id_col})
+                AS BIGINT) AS pos
+    FROM t
+    """

@@ -1725,3 +1725,24 @@ def q124_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return csim.ann_recall_at_k(spark, path, emb, queries, k=5, probes=1)
+
+
+@query(
+    "q130_deterministic_shuffle",
+    ccur.deterministic_shuffle_oracle_sql(
+        "SELECT doc_id, lang, source FROM documents",
+        num_shards=16,
+        extra_cols=", lang, source",
+    ),
+)
+def q130_deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible global corpus shuffle for training order
+    (corpus/curation.py::deterministic_shuffle): md5 rank keys, uniform
+    hex-prefix shards, per-shard positions — a full deterministic
+    permutation with ONE shuffle and NO global sort. The oracle replays
+    the identical permutation in DuckDB, so shard assignment AND
+    within-shard order are hash-pinned cross-engine."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return ccur.deterministic_shuffle(docs, num_shards=16).select(
+        "doc_id", "lang", "source", "shard", "pos"
+    )

@@ -146,3 +146,28 @@ def test_group_split_keeps_groups_together(spark):
         (r.doc_id, r.split) for r in group_split(df, "cluster_id", 0.2).collect()
     }
     assert again == {(r.doc_id, r.split) for r in out.collect()}
+
+
+def test_deterministic_shuffle_reproducible_and_balanced(spark, sf_dir):
+    from modular_etl_data_platform_spark.corpus.curation import (
+        deterministic_shuffle,
+    )
+    import pyspark.sql.functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    a = deterministic_shuffle(docs, num_shards=8)
+    b = deterministic_shuffle(docs, num_shards=8)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    # every row appears exactly once; positions are dense per shard
+    n = docs.count()
+    assert a.count() == n
+    dense = a.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("c"), F.max("pos").alias("m")
+    )
+    assert all(r["c"] == r["m"] for r in dense.collect())
+    # uniform shards: no shard is empty or dominant at 8 shards
+    counts = [r["c"] for r in dense.collect()]
+    assert len(counts) == 8 and max(counts) < n / 2
+    # a different seed yields a different permutation
+    c = deterministic_shuffle(docs, num_shards=8, seed="epoch1")
+    assert sorted(map(tuple, a.collect())) != sorted(map(tuple, c.collect()))
