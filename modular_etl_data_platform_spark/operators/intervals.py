@@ -123,12 +123,21 @@ def interval_join(
     inclusively, over-covering by at most one bin — the residual filter
     removes the excess).
 
-    ``how`` may be "inner" or "left_semi" ("rows inside any window").
-    For "inner", interval columns are suffixed with nothing — callers
-    select what they need; probe columns keep their names.
+    ``how``:
+    - "inner": one row per (probe row, containing interval);
+    - "left": additionally keeps probe rows inside NO interval, with the
+      interval columns null;
+    - "left_semi": probe rows inside at least one interval;
+    - "left_anti": probe rows inside NO interval (the
+      "exclude maintenance windows" filter).
+    The exact range predicate rides INSIDE the join condition, so outer
+    and anti semantics are with respect to the true containment test,
+    not the coarse bin match. Probe columns keep their names.
     """
-    if how not in ("inner", "left_semi"):
-        raise ValueError(f"interval_join supports inner|left_semi, got {how!r}")
+    if how not in ("inner", "left", "left_semi", "left_anti"):
+        raise ValueError(
+            f"interval_join supports inner|left|left_semi|left_anti, got {how!r}"
+        )
     keys = list(key_cols or [])
     bin_s = int(bin_seconds)
 
@@ -148,9 +157,9 @@ def interval_join(
     for k in keys:
         cond = cond & (p[k] == iv[k])
     cond = cond & (p[ts_col] >= iv[start_col]) & (p[ts_col] < iv[end_col])
-    if how == "left_semi":
-        return p.join(iv, cond, "left_semi").drop("__bin")
-    joined = p.join(iv, cond, "inner").drop(p["__bin"]).drop(iv["__bin"])
+    if how in ("left_semi", "left_anti"):
+        return p.join(iv, cond, how).drop("__bin")
+    joined = p.join(iv, cond, how).drop(p["__bin"]).drop(iv["__bin"])
     for k in keys:
         joined = joined.drop(iv[k])
     return joined

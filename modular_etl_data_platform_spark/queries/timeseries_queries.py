@@ -415,3 +415,35 @@ def q128_interval_join_attribution(spark: SparkSession, sf_dir: str) -> DataFram
         F.countDistinct("user_id").alias("n_users"),
         dsum(F.col("value"), "sum_value"),
     )
+
+
+@query(
+    "q131_outside_incident_windows",
+    f"""
+    WITH {_INCIDENT_MERGED_CTE}
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events e
+    WHERE NOT EXISTS (
+      SELECT 1 FROM merged m
+      WHERE e.ts >= m.window_start AND e.ts < m.window_end
+    )
+    GROUP BY event_type
+    """,
+)
+def q131_outside_incident_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned interval ANTI join (interval_join how='left_anti'): the
+    'exclude maintenance/incident windows' filter — events inside NO
+    merged window, per-type aggregates. Anti semantics are with respect
+    to the true containment predicate (it rides inside the join
+    condition), not the coarse bin match; the oracle is the naive
+    NOT EXISTS range scan in DuckDB."""
+    ev = _t(spark, sf_dir, "events")
+    outside = iv.interval_join(
+        ev, _incident_windows(spark, sf_dir), "ts", bin_seconds=600, how="left_anti"
+    )
+    return outside.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum(F.col("value"), "sum_value"),
+    )

@@ -124,11 +124,41 @@ def test_interval_join_left_semi(spark):
     assert out.columns == ["event_id", "ts"]
 
 
+def test_interval_join_left_outer_keeps_uncovered_rows(spark):
+    events = spark.createDataFrame(
+        [(1, _ts(5)), (2, _ts(50))], ["event_id", "ts"]
+    )
+    windows = _iv(spark, [(0, 10)]).selectExpr(
+        "start as window_start", "end as window_end"
+    )
+    out = {
+        (r["event_id"], r["window_start"])
+        for r in interval_join(events, windows, "ts", how="left").collect()
+    }
+    assert out == {(1, _ts(0)), (2, None)}
+
+
+def test_interval_join_left_anti_excludes_covered_rows(spark):
+    """The 'exclude maintenance windows' filter: keep only events inside
+    NO interval — anti semantics against the true containment test, not
+    the coarse bin match (event 3 shares a bin with the window but falls
+    outside it, so it must survive)."""
+    events = spark.createDataFrame(
+        [(1, _ts(5)), (2, _ts(50)), (3, _ts(10.5))], ["event_id", "ts"]
+    )
+    windows = _iv(spark, [(0, 10)]).selectExpr(
+        "start as window_start", "end as window_end"
+    )
+    out = interval_join(events, windows, "ts", bin_seconds=3600, how="left_anti")
+    assert sorted(r["event_id"] for r in out.collect()) == [2, 3]
+    assert out.columns == ["event_id", "ts"]
+
+
 def test_interval_join_rejects_unknown_how(spark):
     events = spark.createDataFrame([(1, _ts(5))], ["event_id", "ts"])
     windows = _iv(spark, [(0, 10)])
-    with pytest.raises(ValueError, match="inner|left_semi"):
-        interval_join(events, windows, "ts", start_col="start", end_col="end", how="left")
+    with pytest.raises(ValueError, match="inner|left"):
+        interval_join(events, windows, "ts", start_col="start", end_col="end", how="full")
 
 
 def test_interval_join_plan_is_equi_not_nested_loop(spark, sf_dir):
