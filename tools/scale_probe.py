@@ -49,6 +49,8 @@ DEFAULT_QUERIES = [
     "q127_merge_incident_windows",
     "q128_interval_join_attribution",
     "q129_zorder_write_prune",
+    "q130_deterministic_shuffle",
+    "q131_outside_incident_windows",
 ]
 
 BASE = "/root/testdata/sf0.1"
