@@ -45,6 +45,8 @@ from modular_etl_data_platform_spark.operators.upsert import merge_dataframes
 
 _MANIFEST_DIR = "_versions"
 _DATA_DIR = "files"
+#: stats-dict marker for a zero-row file (intersects no predicate)
+_EMPTY_MARK = "__empty__"
 
 
 class VersionedTable:
@@ -83,23 +85,40 @@ class VersionedTable:
             return json.load(f)
 
     def _publish(
-        self, files: list[str], schema_json: str, meta: dict | None = None
+        self,
+        files: list[str],
+        schema_json: str,
+        meta: dict | None = None,
+        prior: dict | None = None,
     ) -> int:
         """Atomically publish a new version: manifest JSON written to a
         temp name, then a same-directory ``os.rename`` — readers see the
         old version or the new one, never a torn manifest. The schema
         rides in the manifest so an EMPTY snapshot (files=[], a normal
         state for an all-filtered incremental batch) stays readable as a
-        0-row frame instead of bricking the table."""
+        0-row frame instead of bricking the table.
+
+        ``prior`` is the manifest the write built on (if any): per-file
+        stats for files that manifest already lists are CARRIED FORWARD
+        verbatim — files are immutable, so their footer stats cannot
+        change — and footers are opened only for newly landed files.
+        This keeps commit cost O(batch), not O(table): an append to a
+        table with 10^5 historical files opens zero of their footers
+        (the Delta design — the log carries stats so commits never
+        re-scan history)."""
         version = (self.current_version() or 0) + 1
+        prior_files = set(prior.get("files", [])) if prior else set()
+        prior_stats = prior.get("stats", {}) if prior else {}
+        # a file listed by the prior manifest WITHOUT a stats entry had
+        # no usable footer min/max — re-reading its footer would find
+        # the same nothing, so it is skipped too, not just stat-carriers
+        carried = {f: prior_stats[f] for f in files if f in prior_stats}
+        fresh = self._file_stats([f for f in files if f not in prior_files])
         manifest = {
             "version": version,
             "files": sorted(files),
             "schema": schema_json,
-            # per-file min/max from footer metadata (files are immutable,
-            # so recomputing for reused append files is exact; a
-            # warehouse-scale implementation would carry them forward)
-            "stats": self._file_stats(files),
+            "stats": {**carried, **fresh},
             **(meta or {}),
         }
         final = self._manifest_path(version)
@@ -133,6 +152,13 @@ class VersionedTable:
         out: dict[str, dict] = {}
         for f in files:
             md = pq.ParquetFile(f).metadata
+            if md.num_rows == 0:
+                # a zero-row file intersects NO predicate: record that
+                # explicitly so pruning reads skip it and pruned
+                # upserts/compactions carry it forward instead of
+                # treating "no stats" as "conservatively rewrite forever"
+                out[f] = {_EMPTY_MARK: True}
+                continue
             names = {md.schema.column(i).name: i for i in range(md.num_columns)}
             stats: dict[str, list] = {}
             for col in self.stats_columns:
@@ -152,6 +178,18 @@ class VersionedTable:
                 out[f] = stats
         return out
 
+    @staticmethod
+    def _may_intersect(stats_entry: dict | None, column: str, lo, hi) -> bool:
+        """Whether a file MAY hold rows with ``column`` in [lo, hi]:
+        False for recorded-empty files, True (conservative) when the
+        column has no recorded range, else the range-overlap test."""
+        entry = stats_entry or {}
+        if entry.get(_EMPTY_MARK):
+            return False
+        if column not in entry:
+            return True
+        return entry[column][0] <= hi and lo <= entry[column][1]
+
     def write(self, df: DataFrame, mode: str = "overwrite") -> int:
         """Publish a new version. ``overwrite`` replaces the logical
         contents; ``append`` adds the batch's files to the current
@@ -159,10 +197,11 @@ class VersionedTable:
         if mode not in ("overwrite", "append"):
             raise ValueError(f"unsupported mode {mode!r}")
         new_files = self._land_files(df)
+        prior = None
         if mode == "append" and self.current_version() is not None:
-            prior = self._read_manifest(self.current_version())["files"]
-            new_files = list(prior) + new_files
-        return self._publish(new_files, df.schema.json(), {"mode": mode})
+            prior = self._read_manifest(self.current_version())
+            new_files = list(prior["files"]) + new_files
+        return self._publish(new_files, df.schema.json(), {"mode": mode}, prior=prior)
 
     def upsert(
         self,
@@ -171,21 +210,76 @@ class VersionedTable:
         evolve_schema: bool = False,
     ) -> int:
         """MERGE semantics as a new version (WHEN MATCHED update / NOT
-        MATCHED insert — the reference's silver contract). The merged
-        frame lands as new files; the previous snapshot stays readable
-        until vacuumed. ``evolve_schema=True`` widens to the union
-        schema (Delta's mergeSchema; see ``merge_dataframes``) — unlike
-        the plain-parquet path, no special rewrite handling is needed:
-        every version's schema is recorded in its own manifest, so old
-        snapshots keep their schema and the new one carries the widened
-        one."""
-        current = self.read() if self.current_version() is not None else None
+        MATCHED insert — the reference's silver contract). The previous
+        snapshot stays readable until vacuumed. ``evolve_schema=True``
+        widens to the union schema (Delta's mergeSchema; see
+        ``merge_dataframes``) — every version's schema is recorded in
+        its own manifest, so old snapshots keep their schema and the new
+        one carries the widened one (reads pin the manifest schema, so
+        carried-forward files simply null-fill new columns).
+
+        **File pruning** (Delta's MERGE data-skipping): when a primary
+        key is among ``stats_columns``, the batch's [min, max] on that
+        key selects only the files whose recorded footer range
+        intersects it; every other file is carried into the new manifest
+        UNTOUCHED (no read, no rewrite, stats carried forward). Safe
+        because a match requires equality on every primary key, so a
+        row in a file disjoint from the batch's key range can never
+        match — a one-day upsert into a year of files rewrites one day.
+        Files without recorded stats are conservatively rewritten."""
+        if self.current_version() is None:
+            merged = merge_dataframes(None, batch, primary_keys, evolve_schema)
+            return self._publish(
+                self._land_files(merged), merged.schema.json(), {"mode": "upsert"}
+            )
+        manifest = self._read_manifest(self.current_version())
+        stats = manifest.get("stats", {})
+        prune_col = next(
+            (k for k in primary_keys if k in self.stats_columns), None
+        )
+        touched, untouched = manifest["files"], []
+        if prune_col is not None and manifest["files"]:
+            row = batch.agg(
+                F.min(prune_col).alias("lo"), F.max(prune_col).alias("hi")
+            ).first()  # 2-scalar driver read, same budget as a watermark probe
+            lo, hi = row["lo"], row["hi"]
+            if lo is not None:
+                touched = [
+                    f
+                    for f in manifest["files"]
+                    if self._may_intersect(stats.get(f), prune_col, lo, hi)
+                ]
+                untouched = [
+                    f for f in manifest["files"] if f not in set(touched)
+                ]
+        # zero touched files still goes through merge with an EMPTY
+        # schema-typed target: the table schema stays the contract
+        # (extra batch columns are dropped/raise exactly as a full
+        # merge would), instead of the batch schema silently winning
+        current = self._read_files(touched, manifest["schema"])
         merged = merge_dataframes(current, batch, primary_keys, evolve_schema)
         return self._publish(
-            self._land_files(merged), merged.schema.json(), {"mode": "upsert"}
+            untouched + self._land_files(merged),
+            merged.schema.json(),
+            {"mode": "upsert"},
+            prior=manifest,
         )
 
     # -- read paths -----------------------------------------------------------
+    def _read_files(self, files: list[str], schema_json: str) -> DataFrame:
+        """Read ``files`` pinned to the MANIFEST schema (not whatever
+        schema the first footer happens to carry): after a
+        schema-evolving upsert that carried old files forward, the old
+        files null-fill the new columns — the Delta behavior, where the
+        log's schema is authoritative over any one file's. Empty file
+        lists return a 0-row frame on the same schema."""
+        from pyspark.sql import types as T
+
+        schema = T.StructType.fromJson(json.loads(schema_json))
+        if not files:
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.schema(schema).parquet(*files)
+
     def read(self, version: int | None = None) -> DataFrame:
         """The snapshot at ``version`` (default: latest). Resolving
         through the manifest pins the exact file list — concurrent
@@ -194,13 +288,7 @@ class VersionedTable:
         if v is None or not os.path.exists(self._manifest_path(v)):
             raise FileNotFoundError(f"no version {version} in {self.path}")
         manifest = self._read_manifest(v)
-        if not manifest["files"]:
-            # empty snapshot (all-filtered batch): 0 rows, recorded schema
-            from pyspark.sql import types as T
-
-            schema = T.StructType.fromJson(json.loads(manifest["schema"]))
-            return self.spark.createDataFrame([], schema)
-        return self.spark.read.parquet(*manifest["files"])
+        return self._read_files(manifest["files"], manifest["schema"])
 
     def history(self) -> list[dict]:
         return [self._read_manifest(v) for v in self.versions()]
@@ -220,13 +308,10 @@ class VersionedTable:
         kept = [
             f
             for f in manifest["files"]
-            if column not in stats.get(f, {})
-            or (stats[f][column][0] <= hi and lo <= stats[f][column][1])
+            if self._may_intersect(stats.get(f), column, lo, hi)
         ]
         pred = (F.col(column) >= F.lit(lo)) & (F.col(column) <= F.lit(hi))
-        if not kept:
-            return self.read(v).filter(pred).limit(0)
-        return self.spark.read.parquet(*kept).filter(pred)
+        return self._read_files(kept, manifest["schema"]).filter(pred)
 
     def compact(
         self,
@@ -294,8 +379,12 @@ class VersionedTable:
         proportional to that range. Files with no recorded stats are
         conservatively treated as touched. Clustering options are those
         of :meth:`compact` and apply to the rewritten range only.
-        Returns the new version (or the current one unchanged if ≤1 file
-        intersects — nothing to compact)."""
+        Returns the new version — or the CURRENT version unchanged when
+        there is nothing to do (no intersecting file, or a single
+        intersecting file with no re-clustering requested; callers
+        detect the no-op by comparing the returned version). With
+        ``order_by``/``zorder_by`` set, even a single hot file is
+        rewritten, so its internal layout can be re-clustered."""
         if order_by and zorder_by:
             raise ValueError("pass either order_by or zorder_by, not both")
         v = self.current_version()
@@ -306,13 +395,12 @@ class VersionedTable:
         touched = [
             f
             for f in manifest["files"]
-            if column not in stats.get(f, {})
-            or (stats[f][column][0] <= hi and lo <= stats[f][column][1])
+            if self._may_intersect(stats.get(f), column, lo, hi)
         ]
-        if len(touched) <= 1:
+        if not touched or (len(touched) <= 1 and not (order_by or zorder_by)):
             return v
         untouched = [f for f in manifest["files"] if f not in set(touched)]
-        part = self.spark.read.parquet(*touched)
+        part = self._read_files(touched, manifest["schema"])
         if zorder_by:
             from modular_etl_data_platform_spark.sources.sinks import _zorder_key
 
@@ -334,6 +422,7 @@ class VersionedTable:
             untouched + self._land_files(merged),
             manifest["schema"],
             {"mode": "compact_where", "column": column},
+            prior=manifest,
         )
 
     def restore(self, version: int) -> int:
@@ -345,7 +434,10 @@ class VersionedTable:
         keeps every file a retained manifest references)."""
         m = self._read_manifest(version)
         return self._publish(
-            m["files"], m["schema"], {"mode": "restore", "restored_from": version}
+            m["files"],
+            m["schema"],
+            {"mode": "restore", "restored_from": version},
+            prior=m,
         )
 
     # -- retention ------------------------------------------------------------

@@ -693,3 +693,71 @@ def q129_zorder_write_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("o_custkey").cast("long").alias("sum_cust"),
         )
     )
+
+
+@query(
+    "q132_pruned_upsert",
+    """
+    WITH batch AS (
+      SELECT k AS o_orderkey, 'X' AS o_orderstatus,
+             CAST(k AS DOUBLE) / 10 AS o_totalprice
+      FROM range(1000, 5000) t(k)
+    ),
+    merged AS (
+      SELECT * FROM batch
+      UNION ALL
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      WHERE o_orderkey NOT BETWEEN 1000 AND 4999
+    )
+    SELECT o_orderstatus,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_total,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+    FROM merged GROUP BY o_orderstatus
+    """,
+)
+def q132_pruned_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-pruned versioned MERGE (operators/versioned.py::upsert —
+    Delta's MERGE data-skipping): orders land as range-disjoint files
+    with o_orderkey footer stats; a batch covering EVERY key in
+    [1000, 5000) (existing keys -> WHEN MATCHED update, absent keys ->
+    NOT MATCHED insert) upserts through the manifest log. Only files
+    whose stats range intersects the batch's key range are rewritten —
+    the query itself pins the reuse (raises if no prior file was carried
+    forward) and the oracle replays the full MERGE relationally, so a
+    pruning bug that skips a matching file (stale survivor kept) or
+    rewrites wrongly (row lost/duplicated) hash-mismatches."""
+    from modular_etl_data_platform_spark.operators.versioned import VersionedTable
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    scratch = _scratch("q132_pruned_upsert", sf_dir)
+    vt = VersionedTable(
+        spark, os.path.join(scratch, "orders_v"), stats_columns=["o_orderkey"]
+    )
+    splits = [0, 5_000, 50_000, 500_000, 10**12]
+    for i in range(len(splits) - 1):
+        part = orders.filter(
+            (F.col("o_orderkey") >= splits[i]) & (F.col("o_orderkey") < splits[i + 1])
+        ).coalesce(1)
+        vt.write(part, mode="append" if i else "overwrite")
+    before = set(vt._read_manifest(vt.current_version())["files"])
+    batch = spark.range(1000, 5000).select(
+        F.col("id").alias("o_orderkey"),
+        F.lit("X").alias("o_orderstatus"),
+        (F.col("id").cast("double") / 10).alias("o_totalprice"),
+    )
+    v = vt.upsert(batch, ["o_orderkey"])
+    reused = set(vt._read_manifest(v)["files"]) & before
+    if not reused:  # the scale property IS the point — fail loudly
+        raise AssertionError("pruned upsert carried no prior file forward")
+    return _pin(
+        vt.read()
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum(F.col("o_totalprice"), "sum_total"),
+            F.sum("o_orderkey").cast("long").alias("key_sum"),
+        )
+    )

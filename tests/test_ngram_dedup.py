@@ -85,6 +85,30 @@ def test_max_occurrences_cuts_flooded_gram_everywhere(spark):
     assert all(capped[i] == f"pre{i} tail{i}" for i in range(1, 6))
 
 
+def test_wide_shuffles_key_on_gram_hash_not_string(spark, docs):
+    """The scale contract of the module docstring: every gram-keyed
+    Exchange partitions on the 8-byte xxhash64 key (``__gh``) or the
+    uniform doc id — never on the gram STRING (~50-100 bytes at n=8,
+    ~10× the shuffle payload). Both public entry points are pinned."""
+    from modular_etl_data_platform_spark.corpus.ngram_dedup import (
+        build_gram_index,
+        incremental_remove_repeated,
+    )
+
+    for df in (
+        repeated_ngram_spans(docs, n=3, min_docs=2),
+        remove_repeated_ngrams(docs, n=3, min_docs=2, max_occurrences=10),
+        incremental_remove_repeated(docs, build_gram_index(docs, n=3), n=3),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        exchanges = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
+        assert exchanges, "expected shuffles in the pipeline"
+        narrow = ("__gh#", "__g#", "__d#", "doc_id#")
+        for line in exchanges:
+            assert "gram#" not in line, f"string-keyed exchange: {line.strip()}"
+            assert any(k in line for k in narrow), line.strip()
+
+
 def test_plan_stays_jvm_side(spark, docs):
     """No Python execution and no cartesian product anywhere in the
     pipeline — windows/rebuild are higher-order expressions."""

@@ -291,6 +291,146 @@ def test_compact_where_rewrites_only_intersecting_files(spark, tmp_path):
     assert vt.compact_where("id", 0, 50) == v
 
 
+def test_append_commit_opens_no_prior_footers(spark, tmp_path, monkeypatch):
+    """Commit cost is O(batch), not O(table): stats for files the prior
+    manifest lists are carried forward verbatim (immutable files ⇒
+    identical stats); only newly landed files have their footers read.
+    At 10^5 historical files this is the difference between an O(1)
+    append and a minutes-long driver-side footer sweep."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    vt = VersionedTable(spark, str(tmp_path / "t"), stats_columns=["id"])
+    for base in (0, 100, 200):
+        vt.write(
+            spark.range(base, base + 100)
+            .select(F.col("id"), (F.col("id") * 2).alias("v"))
+            .coalesce(1),
+            mode="append" if base else "overwrite",
+        )
+    prior = vt._read_manifest(vt.current_version())
+    prior_files = set(prior["files"])
+    prior_stats = dict(prior["stats"])
+
+    opened: list[str] = []
+    real = pq.ParquetFile
+
+    def counting(path, *a, **k):
+        opened.append(str(path))
+        return real(path, *a, **k)
+
+    monkeypatch.setattr(pq, "ParquetFile", counting)
+    v = vt.write(
+        spark.range(300, 400)
+        .select(F.col("id"), (F.col("id") * 2).alias("v"))
+        .coalesce(1),
+        mode="append",
+    )
+    assert opened, "new files must still have footers measured"
+    assert prior_files.isdisjoint(opened), "no prior footer may be re-read"
+    after = vt._read_manifest(v)
+    for f in prior_files:  # carried forward bit-identical
+        assert after["stats"][f] == prior_stats[f]
+    new_files = set(after["files"]) - prior_files
+    assert all(f in after["stats"] for f in new_files)
+
+
+def test_upsert_rewrites_only_key_range_intersecting_files(spark, tmp_path):
+    """Delta-style MERGE file pruning: an upsert whose batch key range
+    covers one of four range-disjoint files rewrites that file only;
+    the other three are carried into the new manifest at the SAME path
+    (byte-identical reuse), and the merged contents equal a full merge."""
+    from pyspark.sql import functions as F
+
+    vt = VersionedTable(spark, str(tmp_path / "t"), stats_columns=["id"])
+    for lo in range(0, 400, 100):
+        vt.write(
+            spark.range(lo, lo + 100)
+            .select(F.col("id"), (F.col("id") * 2).alias("v"))
+            .coalesce(1),
+            mode="append" if lo else "overwrite",
+        )
+    before = set(vt._read_manifest(vt.current_version())["files"])
+    assert len(before) == 4
+
+    batch = spark.createDataFrame([(150, -1), (199, -2)], "id long, v long")
+    v = vt.upsert(batch, ["id"])
+    after = vt._read_manifest(v)["files"]
+    reused = set(after) & before
+    assert len(reused) == 3  # only the [100,200) file was rewritten
+    for f in reused:
+        st = vt._read_manifest(v)["stats"][f]["id"]
+        assert st[1] < 150 or st[0] > 199
+
+    got = {r.id: r.v for r in vt.read().collect()}
+    expect = {i: 2 * i for i in range(400)} | {150: -1, 199: -2}
+    assert got == expect
+    assert vt.read(v - 1).count() == 400  # time travel intact
+
+    # insert-only batch outside every file range: ZERO files rewritten,
+    # all four carried forward, the new keys land in fresh files
+    v2 = vt.upsert(
+        spark.createDataFrame([(500, -5)], "id long, v long"), ["id"]
+    )
+    after2 = vt._read_manifest(v2)["files"]
+    assert set(after) <= set(after2)
+    got2 = {r.id: r.v for r in vt.read().collect()}
+    assert got2 == expect | {500: -5}
+
+
+def test_upsert_pruned_schema_evolution_null_fills_carried_files(spark, tmp_path):
+    """evolve_schema composes with file pruning: the widened manifest
+    schema is authoritative, so carried-forward old-schema files
+    null-fill the new column on read (the Delta log-schema behavior)."""
+    from pyspark.sql import functions as F
+
+    vt = VersionedTable(spark, str(tmp_path / "t"), stats_columns=["id"])
+    for lo in (0, 100):
+        vt.write(
+            spark.range(lo, lo + 100)
+            .select(F.col("id"), (F.col("id") * 2).alias("v"))
+            .coalesce(1),
+            mode="append" if lo else "overwrite",
+        )
+    before = set(vt._read_manifest(vt.current_version())["files"])
+    batch = spark.createDataFrame(
+        [(150, -1, "x")], "id long, v long, tag string"
+    )
+    v = vt.upsert(batch, ["id"], evolve_schema=True)
+    assert set(vt._read_manifest(v)["files"]) & before  # low file carried
+    out = vt.read()
+    assert out.columns == ["id", "v", "tag"]
+    rows = {r.id: (r.v, r.tag) for r in out.collect()}
+    assert rows[150] == (-1, "x")
+    assert rows[0] == (0, None)  # carried old-schema file null-fills
+    assert rows[120] == (240, None)  # rewritten rows null-fill too
+    assert len(rows) == 200
+
+
+def test_compact_where_reclusters_single_hot_file(spark, tmp_path):
+    """A requested re-clustering is never silently skipped: even when
+    only ONE file intersects, order_by/zorder_by rewrites it (the
+    single-hot-file layout fix); without clustering the single-file
+    case stays a no-op, detectable by the unchanged version."""
+    from pyspark.sql import functions as F
+
+    vt = VersionedTable(spark, str(tmp_path / "t"), stats_columns=["id"])
+    vt.write(
+        spark.range(100)
+        .select(F.col("id"), (F.col("id") * 2).alias("v"))
+        .coalesce(1)
+    )
+    v0 = vt.current_version()
+    assert vt.compact_where("id", 0, 99) == v0  # no clustering: no-op
+    v1 = vt.compact_where("id", 0, 99, target_files=4, order_by=["id"])
+    assert v1 == v0 + 1  # clustering requested: rewritten
+    assert len(vt._read_manifest(v1)["files"]) == 4
+    assert vt.read().count() == 100
+    assert len(vt.read_pruned("id", 10, 19).inputFiles()) == 1
+    # a range hitting nothing is still a no-op either way
+    assert vt.compact_where("id", 5000, 6000, order_by=["id"]) == v1
+
+
 # -- property: random op sequences vs a python model ------------------------
 
 from hypothesis import HealthCheck, given, settings  # noqa: E402
