@@ -442,21 +442,37 @@ def deterministic_shuffle(
     each shard sorts independently (no global ordering step — the
     permutation is defined per shard, which is exactly how data-loader
     workers consume it). Returns (id, shard, pos) plus the input columns.
-    """
-    key_sql = f"md5(concat('{seed}|', cast({id_col} as string)))"
+
+    ``seed`` is restricted to ``[A-Za-z0-9_.|-]`` (it is interpolated
+    into the DuckDB oracle twin as a literal; a quote would break the
+    parse there, so the contract rejects it uniformly). The Spark key is
+    built from column expressions, never string-spliced SQL."""
+    _validate_shuffle_seed(seed)
+    key = F.md5(
+        F.concat(F.lit(f"{seed}|"), F.col(id_col).cast("string"))
+    )
     shard = (
-        F.expr(f"conv(substr({key_sql}, 1, 5), 16, 10)").cast("long")
+        F.conv(F.substring(F.col("__shuffle_key"), 1, 5), 16, 10).cast("long")
         % num_shards
     )
     w = Window.partitionBy("shard").orderBy(
         F.col("__shuffle_key").asc(), F.col(id_col).asc()
     )
     return (
-        df.withColumn("__shuffle_key", F.expr(key_sql))
+        df.withColumn("__shuffle_key", key)
         .withColumn("shard", shard)
         .withColumn("pos", F.row_number().over(w).cast("long"))
         .drop("__shuffle_key")
     )
+
+
+def _validate_shuffle_seed(seed: str) -> None:
+    import re
+
+    if not re.fullmatch(r"[A-Za-z0-9_.|-]+", seed):
+        raise ValueError(
+            f"shuffle seed must match [A-Za-z0-9_.|-]+, got {seed!r}"
+        )
 
 
 def deterministic_shuffle_oracle_sql(
@@ -467,6 +483,7 @@ def deterministic_shuffle_oracle_sql(
     extra_cols: str = "",
 ) -> str:
     """DuckDB twin of :func:`deterministic_shuffle` over ``inner_sql``."""
+    _validate_shuffle_seed(seed)
     key = f"md5('{seed}|' || CAST({id_col} AS VARCHAR))"
     return f"""
     WITH t AS (

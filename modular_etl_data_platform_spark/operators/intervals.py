@@ -141,6 +141,12 @@ def interval_join(
     keys = list(key_cols or [])
     bin_s = int(bin_seconds)
 
+    # a malformed interval (end < start) contains no timestamp under the
+    # half-open test, so dropping it is semantics-preserving in every
+    # mode — without this, sequence() would generate a DESCENDING bin
+    # range for it (not an empty one) and explode garbage rows that the
+    # residual filter pays to discard
+    intervals = intervals.filter(F.col(end_col) >= F.col(start_col))
     p = probe.withColumn(
         "__bin", F.floor(F.unix_timestamp(F.col(ts_col)) / F.lit(bin_s))
     )

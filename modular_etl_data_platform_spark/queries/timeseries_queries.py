@@ -447,3 +447,125 @@ def q131_outside_incident_windows(spark: SparkSession, sf_dir: str) -> DataFrame
         F.count(F.lit(1)).alias("n_events"),
         dsum(F.col("value"), "sum_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Interval operators over REAL SCD2 validity ranges: the reference's
+# point-in-time semantics (config/gold/schema/README.md:197-210)
+# re-expressed through merge_intervals / interval_join, oracle-checked
+# against the PIT join itself.
+# ---------------------------------------------------------------------------
+
+#: clamp for the open-ended current version's HIGH_DATE sentinel —
+#: strictly beyond the testdata's event range (all SFs span Jan 2024),
+#: so clamping never changes containment, only bounds the bin explode
+_SCD2_CLAMP = "2024-02-01 00:00:00"
+
+
+def _scd2_validity_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events-derived SCD2 dimension's validity ranges as keyed
+    intervals (user_id, valid_from, vend, attr, version), the current
+    version's 9999-12-31 sentinel clamped to just past the data window
+    (an interval_join explodes [start, end] into time bins — an
+    unclamped open interval would explode ~10^8 bins; production
+    pipelines clamp to 'now' the same way)."""
+    from modular_etl_data_platform_spark.queries.catalog import _scd2_events_dim
+
+    return _scd2_events_dim(spark, sf_dir).select(
+        "user_id",
+        "valid_from",
+        F.least(
+            F.col("valid_to"), F.lit(_SCD2_CLAMP).cast("timestamp")
+        ).alias("vend"),
+        "attr",
+        "version",
+    )
+
+
+_SCD2_DIM_DUCK = """
+    dim AS (
+      SELECT user_id, ts AS valid_from,
+             COALESCE(LEAD(ts) OVER w, TIMESTAMP '9999-12-31 00:00:00') AS valid_to,
+             event_type AS attr,
+             CAST(ROW_NUMBER() OVER w AS INT) AS version
+      FROM events WHERE event_type IN ('signup', 'purchase', 'error')
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    )
+"""
+
+
+@query(
+    "q133_scd2_interval_pit",
+    f"""
+    WITH {_SCD2_DIM_DUCK}
+    SELECT c.event_id, c.user_id, c.ts, d.attr, d.version
+    FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+    LEFT JOIN dim d
+      ON d.user_id = c.user_id AND c.ts >= d.valid_from AND c.ts < d.valid_to
+    """,
+)
+def q133_scd2_interval_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIT-join equivalence of the binned interval join: click facts
+    joined to the SCD2 dimension version valid at event time — computed
+    with interval_join (keyed bins + residual range predicate, LEFT
+    mode so never-versioned users survive with nulls), while the ORACLE
+    runs the reference's point-in-time join itself (reference:
+    config/gold/schema/README.md:197-210). SCD2 intervals are disjoint
+    and adjacent per key, so the two formulations must agree row-for-row
+    — a bin-boundary bug (double match / dropped edge) or clamp error
+    changes the hash. One-day bins: validity runs span days-to-weeks in
+    the testdata; each interval explodes into ≤32 bins."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    joined = iv.interval_join(
+        clicks,
+        _scd2_validity_intervals(spark, sf_dir),
+        "ts",
+        start_col="valid_from",
+        end_col="vend",
+        bin_seconds=86_400,
+        key_cols=["user_id"],
+        how="left",
+    )
+    return joined.select("event_id", "user_id", "ts", "attr", "version")
+
+
+@query(
+    "q134_scd2_validity_coverage",
+    f"""
+    WITH {_SCD2_DIM_DUCK}
+    SELECT user_id,
+           strftime(MIN(valid_from), '%Y-%m-%d %H:%M:%S.%f') AS first_seen,
+           strftime(MAX(LEAST(valid_to, TIMESTAMP '{_SCD2_CLAMP}')),
+                    '%Y-%m-%d %H:%M:%S.%f') AS valid_until,
+           CAST(COUNT(*) AS BIGINT) AS n_versions
+    FROM dim GROUP BY user_id
+    """,
+)
+def q134_scd2_validity_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-free SCD2 coverage proof via merge_intervals: each key's
+    validity ranges are adjacent half-open intervals (valid_to == next
+    valid_from), so the gaps-and-islands merge MUST coalesce them into
+    exactly ONE island per user spanning first change -> clamped
+    sentinel with n_source = version count. The oracle computes that
+    single-island answer relationally (per-user min/max/count over the
+    PIT dimension) — if the merge fabricated a gap (extra islands:
+    row-count mismatch) or misplaced a boundary (hash mismatch), the
+    gate reds. Interval ends ship as formatted strings: the 9999
+    sentinel is clamped, but the string surface keeps the query
+    pandas-safe by convention (see q10)."""
+    merged = iv.merge_intervals(
+        _scd2_validity_intervals(spark, sf_dir),
+        start_col="valid_from",
+        end_col="vend",
+        key_cols=["user_id"],
+    )
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return merged.select(
+        "user_id",
+        F.date_format("window_start", fmt).alias("first_seen"),
+        F.date_format("window_end", fmt).alias("valid_until"),
+        F.col("n_source").alias("n_versions"),
+    )

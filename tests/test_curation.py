@@ -171,3 +171,24 @@ def test_deterministic_shuffle_reproducible_and_balanced(spark, sf_dir):
     # a different seed yields a different permutation
     c = deterministic_shuffle(docs, num_shards=8, seed="epoch1")
     assert sorted(map(tuple, a.collect())) != sorted(map(tuple, c.collect()))
+
+
+def test_deterministic_shuffle_rejects_unsafe_seed(spark, sf_dir):
+    """The seed is interpolated into the DuckDB oracle twin as a SQL
+    literal — a quote or expression fragment must be rejected up front,
+    in BOTH the operator and the oracle builder."""
+    import pytest
+
+    from modular_etl_data_platform_spark.corpus.curation import (
+        deterministic_shuffle,
+        deterministic_shuffle_oracle_sql,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    for bad in ("ep'och", 'x") --', "a;b", "s e e d"):
+        with pytest.raises(ValueError, match="seed must match"):
+            deterministic_shuffle(docs, num_shards=4, seed=bad)
+        with pytest.raises(ValueError, match="seed must match"):
+            deterministic_shuffle_oracle_sql("SELECT 1 AS doc_id", 4, seed=bad)
+    # the documented alphabet stays accepted
+    assert deterministic_shuffle(docs, num_shards=4, seed="Ep0_ch.2|x-")
