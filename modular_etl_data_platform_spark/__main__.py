@@ -29,6 +29,12 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--raw", required=True)
     p.add_argument("--warehouse", required=True)
     p.add_argument("--config-dir", default=None)
+    p.add_argument(
+        "--storage",
+        choices=("parquet", "versioned"),
+        default="parquet",
+        help="layer storage: plain parquet or versioned manifest-log tables",
+    )
 
     q = sub.add_parser("query", help="run a named catalog query")
     q.add_argument("name")
@@ -54,6 +60,13 @@ def main(argv: list[str] | None = None) -> int:
     a.add_argument("--warehouse", required=True)
     a.add_argument("--config-dir", default=None)
     a.add_argument("--strict", action="store_true", help="exit 1 on violations")
+    a.add_argument(
+        "--pin",
+        action="append",
+        default=[],
+        metavar="TABLE=VERSION",
+        help="audit a versioned table at a pinned snapshot (repeatable)",
+    )
 
     c = sub.add_parser(
         "corpus", help="run the corpus curation pipeline to training shards"
@@ -143,7 +156,11 @@ def main(argv: list[str] | None = None) -> int:
         )
 
         metrics = run_pipeline(
-            spark, args.raw, args.warehouse, config_dir=args.config_dir or CONFIG_DIR
+            spark,
+            args.raw,
+            args.warehouse,
+            config_dir=args.config_dir or CONFIG_DIR,
+            storage=args.storage,
         )
         print(json.dumps(metrics, indent=2, default=str))
         return 0
@@ -174,8 +191,15 @@ def main(argv: list[str] | None = None) -> int:
         )
         from modular_etl_data_platform_spark.pipeline.ecommerce import CONFIG_DIR
 
+        pins = {}
+        for spec in args.pin:
+            table, _, ver = spec.partition("=")
+            pins[table] = int(ver)
         report = audit_warehouse(
-            spark, args.warehouse, args.config_dir or CONFIG_DIR
+            spark,
+            args.warehouse,
+            args.config_dir or CONFIG_DIR,
+            at_versions=pins or None,
         )
         print(json.dumps(report, indent=2))
         if args.strict:

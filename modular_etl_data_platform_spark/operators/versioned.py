@@ -49,6 +49,18 @@ _DATA_DIR = "files"
 _EMPTY_MARK = "__empty__"
 
 
+def is_versioned_table(path: str) -> bool:
+    """Whether ``path`` holds a published versioned table (at least one
+    manifest in its commit log). Pure directory probe — unlike the
+    ``VersionedTable`` constructor, it never creates directories, so
+    callers can dispatch parquet-vs-versioned reads without side
+    effects."""
+    d = os.path.join(path, _MANIFEST_DIR)
+    if not os.path.isdir(d):
+        return False
+    return any(n.startswith("v") and n.endswith(".json") for n in os.listdir(d))
+
+
 class VersionedTable:
     """A parquet table with a manifest-per-version commit log."""
 
@@ -172,7 +184,17 @@ class VersionedTable:
                         break
                     lo = s.min if lo is None else min(lo, s.min)
                     hi = s.max if hi is None else max(hi, s.max)
-                if lo is not None:
+                # record NUMERIC ranges only: strings/binaries can be
+                # TRUNCATED in parquet footer stats (an underestimated
+                # max would wrongly exclude a file — a lost update on
+                # the pruned-upsert path), and datetimes/bytes aren't
+                # JSON-manifest-safe; non-numeric columns simply stay
+                # conservative (never pruned, never mis-pruned)
+                if (
+                    lo is not None
+                    and type(lo) in (int, float)
+                    and type(hi) in (int, float)
+                ):
                     stats[col] = [lo, hi]
             if stats:
                 out[f] = stats

@@ -31,17 +31,37 @@ from modular_etl_data_platform_spark.schema.registry import SchemaRegistry
 
 
 def audit_warehouse(
-    spark: SparkSession, warehouse: str, config_dir: str
+    spark: SparkSession,
+    warehouse: str,
+    config_dir: str,
+    at_versions: dict[str, int] | None = None,
 ) -> dict[str, dict[str, int]]:
-    """Run every applicable C7 check; returns {table: {check: violations}}."""
+    """Run every applicable C7 check; returns {table: {check: violations}}.
+
+    Versioned-storage tables (manifest commit log) are resolved through
+    their log; ``at_versions={"gold_dim_customer": 3}`` PINS a table to
+    a historical snapshot, so the audit can certify the exact versions a
+    report or training run consumed — the auditing counterpart of time
+    travel. Unpinned versioned tables audit at their current snapshot;
+    pinning a non-versioned table raises."""
+    from modular_etl_data_platform_spark.operators.versioned import (
+        VersionedTable,
+        is_versioned_table,
+    )
+
     reg = SchemaRegistry(config_dir=config_dir)
     report: dict[str, dict[str, int]] = {}
+    pins = dict(at_versions or {})
 
     def path(table: str) -> str:
         return os.path.join(warehouse, table)
 
     def read(table: str):
         p = path(table)
+        if is_versioned_table(p):
+            return VersionedTable(spark, p).read(pins.get(table))
+        if table in pins:
+            raise ValueError(f"{table} is not versioned; cannot pin a version")
         return spark.read.parquet(p) if os.path.exists(p) else None
 
     for name in reg.load_all():

@@ -24,7 +24,6 @@ from modular_etl_data_platform_spark.operators.date_dim import build_dim_date
 from modular_etl_data_platform_spark.operators.facts import DimensionLookup, load_fact
 from modular_etl_data_platform_spark.pipeline.medallion import MedallionPipeline
 from modular_etl_data_platform_spark.schema.registry import SchemaRegistry, TableConfig
-from modular_etl_data_platform_spark.sources.sinks import overwrite_table
 
 CONFIG_DIR = str(Path(__file__).resolve().parents[2] / "configs" / "ecommerce")
 
@@ -73,9 +72,7 @@ def build_fact(pipe: MedallionPipeline, config: TableConfig) -> DataFrame:
         date_keys=raw.get("date_keys") or None,
         counts_from=counts_from,
     )
-    overwrite_table(
-        fact, pipe.table_path(config.table_name), config.partition_by or None
-    )
+    pipe.write_table(fact, config.table_name, config.partition_by or None)
     return pipe.read_table(config.table_name)
 
 
@@ -85,10 +82,17 @@ def run_pipeline(
     warehouse: str,
     config_dir: str = CONFIG_DIR,
     with_updates: bool = True,
+    storage: str = "parquet",
 ) -> dict[str, dict]:
-    """Run the full medallion flow; returns per-table metrics."""
+    """Run the full medallion flow; returns per-table metrics.
+
+    ``storage="versioned"`` runs every layer on ``VersionedTable``
+    manifests (the reference's Delta deployment shape): each silver
+    upsert / SCD2 merge / fact rebuild publishes a new snapshot, so the
+    warehouse is time-travelable across the whole run AND across
+    reruns."""
     reg = SchemaRegistry(config_dir=config_dir)
-    pipe = MedallionPipeline(spark, warehouse, raw_base=raw_dir)
+    pipe = MedallionPipeline(spark, warehouse, raw_base=raw_dir, storage=storage)
     metrics: dict[str, dict] = {}
 
     # EP1: bronze
@@ -113,12 +117,8 @@ def run_pipeline(
         )
         # merge the update batch into silver_customers (keyed upsert), then
         # re-derive the dimension from the updated silver state
-        from modular_etl_data_platform_spark.operators.upsert import upsert_parquet
-
         updates = pipe.read_table("silver_customer_updates")
-        upsert_parquet(
-            spark, updates, pipe.table_path("silver_customers"), ["customer_id"]
-        )
+        pipe.upsert_table(updates, "silver_customers", ["customer_id"])
         dim_customer = pipe.build_dimension(
             reg.get("gold_dim_customer"), pipe.read_table("silver_customers")
         )
@@ -132,7 +132,7 @@ def run_pipeline(
     dd_cfg = reg.get("gold_dim_date")
     rng = dd_cfg.raw["date_range"]
     dim_date = build_dim_date(spark, rng["start"], rng["end"])
-    overwrite_table(dim_date, pipe.table_path("gold_dim_date"))
+    pipe.write_table(dim_date, "gold_dim_date")
     metrics["gold_dim_date"] = {"rows": dim_date.count()}
 
     for t in ["gold_fact_orders", "gold_fact_order_items", "gold_fact_inventory"]:

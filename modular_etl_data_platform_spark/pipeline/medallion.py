@@ -46,12 +46,31 @@ from modular_etl_data_platform_spark.sources.sinks import (
 
 @dataclass
 class MedallionPipeline:
+    """``storage`` selects the physical layer contract:
+
+    - ``"parquet"`` (default): plain parquet dirs, MERGE via
+      ``upsert_parquet`` (staging + atomic swap).
+    - ``"versioned"``: every layer table is a ``VersionedTable``
+      (manifest commit log — the reference's layers ARE Delta tables,
+      reference: config/bronze/schema/README.md:83-87): snapshot
+      isolation, time travel across reruns, file-pruned MERGE, RESTORE.
+      The shared append-only DQ error tables (``bronze_dq_errors`` /
+      ``silver_dq_errors``) stay plain parquet in both modes — they are
+      write-once logs with no MERGE/time-travel contract.
+
+    Reads dispatch on what is actually on disk (a manifest log ⇒
+    versioned), so a warehouse can be read back regardless of which
+    mode built it."""
+
     spark: SparkSession
     warehouse: str  # root dir for layer tables
     raw_base: str | None = None  # base dir for raw source files
+    storage: str = "parquet"  # "parquet" | "versioned"
     _watermarks: WatermarkStore = field(init=False)
 
     def __post_init__(self):
+        if self.storage not in ("parquet", "versioned"):
+            raise ValueError(f"storage must be parquet|versioned, got {self.storage!r}")
         os.makedirs(self.warehouse, exist_ok=True)
         self._watermarks = WatermarkStore(os.path.join(self.warehouse, "_watermarks.json"))
 
@@ -59,8 +78,70 @@ class MedallionPipeline:
     def table_path(self, name: str) -> str:
         return os.path.join(self.warehouse, name)
 
-    def read_table(self, name: str) -> DataFrame:
-        return self.spark.read.parquet(self.table_path(name))
+    def _vt(self, name: str, stats_columns: list[str] | None = None):
+        from modular_etl_data_platform_spark.operators.versioned import (
+            VersionedTable,
+        )
+
+        return VersionedTable(
+            self.spark, self.table_path(name), stats_columns=stats_columns or []
+        )
+
+    def table_exists(self, name: str) -> bool:
+        from modular_etl_data_platform_spark.operators.versioned import (
+            is_versioned_table,
+        )
+
+        p = self.table_path(name)
+        return is_versioned_table(p) or os.path.exists(p)
+
+    def read_table(self, name: str, version: int | None = None) -> DataFrame:
+        """Read a layer table; versioned tables resolve through their
+        manifest log (pass ``version`` for time travel), parquet tables
+        read the directory. ``version`` on a non-versioned table is an
+        error rather than a silent ignore."""
+        from modular_etl_data_platform_spark.operators.versioned import (
+            is_versioned_table,
+        )
+
+        p = self.table_path(name)
+        if is_versioned_table(p):
+            return self._vt(name).read(version)
+        if version is not None:
+            raise ValueError(f"{name} is not a versioned table; no version {version}")
+        return self.spark.read.parquet(p)
+
+    # -- storage-dispatch sinks ----------------------------------------------
+    def upsert_table(
+        self,
+        df: DataFrame,
+        name: str,
+        primary_keys: list[str],
+        partition_by: list[str] | None = None,
+    ) -> None:
+        """Keyed MERGE through the configured storage. Versioned mode
+        records footer stats on the primary keys so narrow-key upserts
+        take the file-pruned path (numeric keys; others stay on the
+        conservative full merge)."""
+        if self.storage == "versioned":
+            self._vt(name, stats_columns=primary_keys).upsert(df, primary_keys)
+        else:
+            upsert_parquet(
+                self.spark, df, self.table_path(name), primary_keys, partition_by
+            )
+
+    def write_table(
+        self, df: DataFrame, name: str, partition_by: list[str] | None = None
+    ) -> None:
+        """Full-refresh write through the configured storage (gold fact
+        rebuilds, generated dims). Versioned mode publishes a new
+        overwrite version — prior fact states stay time-travelable."""
+        if self.storage == "versioned":
+            self._vt(name).write(df, mode="overwrite")
+        else:
+            from modular_etl_data_platform_spark.sources.sinks import overwrite_table
+
+            overwrite_table(df, self.table_path(name), partition_by)
 
     # -- EP1: bronze (C1) ------------------------------------------------------
     def ingest_bronze(self, config: TableConfig, path_override: str | None = None) -> DataFrame:
@@ -107,12 +188,19 @@ class MedallionPipeline:
                 )
             bronze = bronze.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
         target = self.table_path(config.table_name)
-        if os.path.exists(target):
+        if self.table_exists(config.table_name):
             seen = (
-                self.spark.read.parquet(target).select("source_file").dropDuplicates()
+                self.read_table(config.table_name)
+                .select("source_file")
+                .dropDuplicates()
             )
             bronze = bronze.join(F.broadcast(seen), "source_file", "left_anti")
-        append_partitioned(bronze, target, config.partition_by or None)
+        if self.storage == "versioned":
+            vt = self._vt(config.table_name)
+            mode = "append" if vt.current_version() is not None else "overwrite"
+            vt.write(bronze, mode=mode)
+        else:
+            append_partitioned(bronze, target, config.partition_by or None)
         return bronze
 
     # -- EP2: silver (C2) -------------------------------------------------------
@@ -139,10 +227,9 @@ class MedallionPipeline:
         # has no parent in the already-loaded silver reference table
         # (parents load first per the layer ordering contract)
         for fk, ref in rules.referential.items():
-            parent_path = self.table_path(ref["reference_table"])
-            if not os.path.exists(parent_path):
+            if not self.table_exists(ref["reference_table"]):
                 continue
-            parent = self.spark.read.parquet(parent_path)
+            parent = self.read_table(ref["reference_table"])
             from modular_etl_data_platform_spark.operators.joins import (
                 ri_orphans,
                 ri_valid,
@@ -183,12 +270,8 @@ class MedallionPipeline:
         final = deduped.drop(order_col) if order_col not in config.column_names() else deduped
         obs_out = Observation()
         final = final.observe(obs_out, F.count(F.lit(1)).alias("rows"))
-        upsert_parquet(
-            self.spark,
-            final,
-            self.table_path(config.table_name),
-            config.primary_keys,
-            config.partition_by or None,
+        self.upsert_table(
+            final, config.table_name, config.primary_keys, config.partition_by or None
         )
         if inc_col:
             new_wm = advance_watermark(batch, inc_col)
@@ -200,9 +283,10 @@ class MedallionPipeline:
     # -- EP3: gold (C4/C5) -------------------------------------------------------
     def build_dimension(self, config: TableConfig, batch: DataFrame) -> DataFrame:
         scd = config.scd_config
-        dim_path = self.table_path(config.table_name)
         current = (
-            self.spark.read.parquet(dim_path) if os.path.exists(dim_path) else None
+            self.read_table(config.table_name)
+            if self.table_exists(config.table_name)
+            else None
         )
         dim = apply_scd_type2(
             current,
@@ -216,8 +300,8 @@ class MedallionPipeline:
             # config/gold/schema/gold_dim_customer_schema.json:11-15)
             surrogate_key_col=config.surrogate_key or "surrogate_key",
         )
-        upsert_parquet(self.spark, dim, dim_path, config.primary_keys + ["valid_from"])
-        return self.spark.read.parquet(dim_path)
+        self.upsert_table(dim, config.table_name, config.primary_keys + ["valid_from"])
+        return self.read_table(config.table_name)
 
     # -- statistics / CBO hook -------------------------------------------------
     def analyze_table(
@@ -238,8 +322,42 @@ class MedallionPipeline:
         At scale this is what turns join-reorder and broadcast decisions
         from byte-size heuristics into cardinality-based ones — run it
         after each gold load, on at least the PK/join columns.
+
+        VERSIONED tables cannot be registered as a parquet LOCATION (the
+        directory holds every retained snapshot's files — the catalog
+        would scan superseded versions). Their snapshot reads already
+        give Spark an exact per-snapshot sizeInBytes (the plan lists the
+        manifest's files), so this method computes the same statistics
+        directly over the current snapshot — one aggregate pass — and
+        returns them in the identical shape.
         """
+        from modular_etl_data_platform_spark.operators.versioned import (
+            is_versioned_table,
+        )
+
         spark = self.spark
+        if is_versioned_table(self.table_path(name)):
+            vt = self._vt(name)
+            snap = vt.read()
+            manifest = vt._read_manifest(vt.current_version())
+            nbytes = sum(os.path.getsize(f) for f in manifest["files"])
+            aggs = [F.count(F.lit(1)).alias("__n")]
+            for c in columns or []:
+                aggs += [
+                    F.countDistinct(F.col(c)).alias(f"__d_{c}"),
+                    F.sum(F.col(c).isNull().cast("long")).alias(f"__z_{c}"),
+                    F.min(F.col(c)).cast("string").alias(f"__lo_{c}"),
+                    F.max(F.col(c)).cast("string").alias(f"__hi_{c}"),
+                ]
+            row = snap.agg(*aggs).first()
+            stats = {"Statistics": f"{nbytes} bytes, {row['__n']} rows"}
+            for c in columns or []:
+                stats[f"col:{c}"] = (
+                    f"distinct_count={row[f'__d_{c}']}; "
+                    f"num_nulls={row[f'__z_{c}']}; "
+                    f"min={row[f'__lo_{c}']}; max={row[f'__hi_{c}']}"
+                )
+            return stats
         if not spark.catalog.tableExists(name):
             path = self.table_path(name)
             if not os.path.exists(path):

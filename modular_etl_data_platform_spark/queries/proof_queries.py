@@ -830,3 +830,87 @@ def q115_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
     return decoded.join(feats, "doc_id")
+
+
+@query(
+    "q135_versioned_silver_medallion",
+    """
+    WITH base AS (
+      SELECT c_custkey AS custkey, c_acctbal AS acctbal FROM customer
+    ),
+    v2 AS (
+      SELECT custkey, acctbal + 500.0 AS acctbal FROM base WHERE custkey % 5 = 0
+      UNION ALL
+      SELECT custkey, acctbal FROM base WHERE custkey % 5 <> 0
+    )
+    SELECT 1 AS version, COUNT(*) AS n_rows,
+           CAST(SUM(CAST(acctbal AS DECIMAL(18,6))) AS DOUBLE) AS sum_bal
+    FROM base
+    UNION ALL
+    SELECT 2 AS version, COUNT(*) AS n_rows,
+           CAST(SUM(CAST(acctbal AS DECIMAL(18,6))) AS DOUBLE) AS sum_bal
+    FROM v2
+    """,
+)
+def q135_versioned_silver_medallion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The medallion SILVER path on versioned storage
+    (MedallionPipeline(storage="versioned") — the reference's layers are
+    Delta tables, reference: config/bronze/schema/README.md:83-87): two
+    raw CSV batches flow through the full ingest->transform->dedup->
+    MERGE pipeline; each silver load publishes a manifest version, and
+    BOTH snapshots are read back through the log and aggregated. The
+    oracle recomputes each state relationally — a MERGE that leaks the
+    update batch into v1, drops a key, or a manifest resolution bug all
+    hash-mismatch. This is q123's time-travel contract exercised through
+    the PIPELINE entry points rather than the raw table API. (Bronze is
+    seeded directly as parquet appends — the CSV/corrupt-capture ingest
+    half is q96's proof; repeating it here would only add jobs.)"""
+    from modular_etl_data_platform_spark.operators.versioned import VersionedTable
+    from modular_etl_data_platform_spark.pipeline.medallion import MedallionPipeline
+    from modular_etl_data_platform_spark.schema.registry import TableConfig
+
+    scratch = _scratch("q135_versioned_silver_medallion", sf_dir)
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), F.col("c_acctbal").alias("acctbal")
+    )
+
+    silver_cfg = TableConfig(
+        raw={
+            "table_name": "silver_cust_v",
+            "source_table": "bronze_cust_v",
+            "load_type": "upsert",
+            "primary_keys": ["custkey"],
+            "columns": [
+                {"name": "custkey", "datatype": "bigint", "nullable": False},
+                {"name": "acctbal", "datatype": "double", "nullable": True},
+                {"name": "updated_at", "datatype": "string", "nullable": False},
+            ],
+        }
+    )
+
+    pipe = MedallionPipeline(
+        spark, warehouse=os.path.join(scratch, "wh"), raw_base=scratch,
+        storage="versioned",
+    )
+    bronze_path = pipe.table_path("bronze_cust_v")
+    cust.withColumn("updated_at", F.lit("2024-01-01")).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(bronze_path)
+    pipe.transform_silver(silver_cfg, order_col="updated_at")
+    cust.filter(F.col("custkey") % 5 == 0).withColumn(
+        "acctbal", F.col("acctbal") + 500.0
+    ).withColumn("updated_at", F.lit("2024-06-01")).coalesce(1).write.mode(
+        "append"
+    ).parquet(bronze_path)
+    pipe.transform_silver(silver_cfg, order_col="updated_at")
+
+    vt = VersionedTable(spark, pipe.table_path("silver_cust_v"))
+
+    def snap(v: int) -> DataFrame:
+        return vt.read(v).agg(
+            F.lit(v).alias("version"),
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum(F.col("acctbal"), "sum_bal"),
+        )
+
+    return _pin(snap(1).unionByName(snap(2)))

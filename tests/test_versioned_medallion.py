@@ -1,0 +1,160 @@
+"""The full e-commerce medallion demo on VERSIONED storage
+(MedallionPipeline(storage="versioned") — the reference's layers are
+Delta tables; this runs them on the manifest-log analogue): identical
+layer semantics, plus time travel across the in-run update batch AND
+across a whole pipeline rerun, and a gold audit that reads a PINNED
+snapshot."""
+
+from __future__ import annotations
+
+import pytest
+
+from modular_etl_data_platform_spark.devdata import FixtureSpec, generate
+from modular_etl_data_platform_spark.operators.versioned import (
+    VersionedTable,
+    is_versioned_table,
+)
+from modular_etl_data_platform_spark.pipeline.ecommerce import (
+    CONFIG_DIR,
+    run_pipeline,
+)
+from modular_etl_data_platform_spark.pipeline.medallion import MedallionPipeline
+
+
+@pytest.fixture(scope="module")
+def vdemo(spark, tmp_path_factory):
+    raw = tmp_path_factory.mktemp("vecom_raw")
+    wh = tmp_path_factory.mktemp("vecom_wh")
+    expected = generate(str(raw), FixtureSpec())
+    metrics = run_pipeline(spark, str(raw), str(wh), storage="versioned")
+    return {
+        "expected": expected,
+        "metrics": metrics,
+        "warehouse": str(wh),
+        "raw": str(raw),
+    }
+
+
+def _pipe(spark, vdemo):
+    return MedallionPipeline(spark, vdemo["warehouse"], storage="versioned")
+
+
+def test_every_layer_is_versioned_with_parquet_semantics(spark, vdemo):
+    """All layer tables publish manifest logs; the error tables stay
+    plain parquet (append-only log contract); cardinalities match the
+    fixture's expected values exactly — same answers as parquet mode."""
+    exp, m = vdemo["expected"], vdemo["metrics"]
+    wh = vdemo["warehouse"]
+    for t in (
+        "bronze_orders",
+        "silver_customers",
+        "gold_dim_customer",
+        "gold_fact_orders",
+        "gold_dim_date",
+    ):
+        assert is_versioned_table(f"{wh}/{t}"), t
+    assert not is_versioned_table(f"{wh}/silver_dq_errors")
+
+    assert m["bronze_orders"]["ingested"] == exp["orders_on_disk"]
+    assert m["bronze_customers"]["ingested"] == exp["customers"]
+    pipe = _pipe(spark, vdemo)
+    dim = pipe.read_table("gold_dim_customer")
+    assert dim.filter("is_current").count() == exp["customers"]
+    assert pipe.read_table("silver_orders").count() == exp["orders_unique"] - exp[
+        "orders_negative"
+    ]
+
+
+def test_time_travel_across_update_batch(spark, vdemo):
+    """The in-run customer update batch is a separate silver version:
+    the pre-update snapshot is still readable and differs from head on
+    exactly the updated business keys."""
+    wh = vdemo["warehouse"]
+    vt = VersionedTable(spark, f"{wh}/silver_customers")
+    assert len(vt.versions()) >= 2
+    v_first = vt.versions()[0]
+
+    def state(df):  # the Type-2 address surface the update batch touches
+        return {
+            r.customer_id: (r.address_line1, r.city, r.postal_code)
+            for r in df.collect()
+        }
+
+    before, head = state(vt.read(v_first)), state(vt.read())
+    assert set(before) == set(head)  # updates change rows, not keys
+    changed = {k for k in head if head[k] != before[k]}
+    assert len(changed) == vdemo["expected"]["customer_updates"]
+
+
+def test_rerun_is_idempotent_and_history_survives(spark, vdemo):
+    """A full rerun on the same versioned warehouse ingests nothing new
+    (file-lineage exactly-once), rebuilds gold to identical rows — and
+    every pre-rerun snapshot stays time-travelable."""
+    wh = vdemo["warehouse"]
+    dim_vt = VersionedTable(spark, f"{wh}/gold_dim_customer")
+    pre_versions = list(dim_vt.versions())
+    pre_head = {
+        tuple(r)
+        for r in dim_vt.read().select("customer_id", "email", "is_current").collect()
+    }
+
+    m2 = run_pipeline(spark, vdemo["raw"], wh, storage="versioned")
+    for t in ("bronze_orders", "bronze_customers", "bronze_inventory"):
+        assert m2[t]["ingested"] == 0
+    for t in ("gold_dim_customer", "gold_fact_orders", "gold_fact_order_items"):
+        assert m2[t]["rows"] == vdemo["metrics"][t]["rows"], t
+
+    # the pre-rerun head is now a historical version, readable unchanged
+    assert dim_vt.versions()[: len(pre_versions)] == pre_versions
+    replay = {
+        tuple(r)
+        for r in dim_vt.read(pre_versions[-1])
+        .select("customer_id", "email", "is_current")
+        .collect()
+    }
+    assert replay == pre_head
+
+
+def test_gold_audit_reads_pinned_version(spark, vdemo):
+    """C7 audit over versioned storage: clean at head, clean when PINNED
+    to the exact dimension snapshot the facts were built against (the
+    certify-what-you-consumed shape) — and a deliberately INCONSISTENT
+    pin (facts at head, dimension rolled back to its pre-update
+    snapshot) is CAUGHT as orphaned surrogate keys, which is precisely
+    what a version-pinned audit exists to detect."""
+    from modular_etl_data_platform_spark.pipeline.audit import (
+        assert_clean,
+        audit_warehouse,
+    )
+
+    wh = vdemo["warehouse"]
+    report = audit_warehouse(spark, wh, CONFIG_DIR)
+    assert "scd2_current" in report["gold_dim_customer"]
+    assert_clean(report)
+
+    dim_vt = VersionedTable(spark, f"{wh}/gold_dim_customer")
+    consistent = audit_warehouse(
+        spark,
+        wh,
+        CONFIG_DIR,
+        at_versions={"gold_dim_customer": dim_vt.current_version()},
+    )
+    assert_clean(consistent)
+
+    stale = audit_warehouse(
+        spark,
+        wh,
+        CONFIG_DIR,
+        at_versions={"gold_dim_customer": dim_vt.versions()[0]},
+    )
+    assert stale["gold_fact_orders"]["orphans_vs_gold_dim_customer"] > 0
+
+
+def test_analyze_table_versioned_snapshot_stats(spark, vdemo):
+    """ANALYZE over versioned storage: statistics come from the CURRENT
+    snapshot only (manifest file list), never superseded versions."""
+    pipe = _pipe(spark, vdemo)
+    stats = pipe.analyze_table("gold_dim_customer", ["customer_id"])
+    n_rows = pipe.read_table("gold_dim_customer").count()
+    assert f"{n_rows} rows" in stats["Statistics"]
+    assert "distinct_count=" in stats["col:customer_id"]
