@@ -10,17 +10,20 @@ manifests; public pattern from the Delta Lake paper, VLDB'20):
 
 - **Snapshot isolation for readers**: every write lands NEW data files
   and then publishes a manifest (one JSON file) with an atomic
-  single-file rename. Readers resolve a manifest to a fixed file list,
+  exclusive link. Readers resolve a manifest to a fixed file list,
   so a concurrent write can never make a reader see a half-written
   table — the failure mode of plain parquet overwrite.
 - **Time travel**: old manifests (and their files) stay until
   ``vacuum``; ``read(version=N)`` reproduces any retained snapshot
   exactly.
 
-Explicitly NOT provided (single-writer contract, like
-``operators/upsert.py``): multi-writer conflict detection — Delta's
-optimistic transaction protocol is the real answer there, and
-``upsert_parquet`` already routes to it when delta-spark is importable.
+- **Multi-writer optimistic concurrency**: commits CLAIM their version
+  number with an atomic exclusive ``os.link`` (the filesystem analogue
+  of Delta's conditional log put). A lost race rebases: appends and
+  overwrites re-attach their already-landed files to the new head;
+  upserts and compactions re-derive their content from it (Delta's
+  conflict-then-revalidate loop). No interleaving of writers can lose
+  a committed version or publish a torn manifest.
 
 Scale notes: a manifest lists file paths, not rows — publishing is O(1)
 in data size. ``write`` modes compose with the engine's sinks: ``append``
@@ -47,6 +50,17 @@ _MANIFEST_DIR = "_versions"
 _DATA_DIR = "files"
 #: stats-dict marker for a zero-row file (intersects no predicate)
 _EMPTY_MARK = "__empty__"
+#: bounded rebase attempts before surfacing the conflict to the caller
+_MAX_COMMIT_RETRIES = 20
+
+
+class ConcurrentWriteError(RuntimeError):
+    """Another writer claimed the version this commit targeted.
+
+    Raised to the caller only after the operation's own rebase budget
+    (``_MAX_COMMIT_RETRIES``) is exhausted, or immediately by
+    ``_publish`` internally (where the write paths catch it and rebase).
+    """
 
 
 def is_versioned_table(path: str) -> bool:
@@ -102,13 +116,25 @@ class VersionedTable:
         schema_json: str,
         meta: dict | None = None,
         prior: dict | None = None,
+        expected_base: int | None = None,
     ) -> int:
-        """Atomically publish a new version: manifest JSON written to a
-        temp name, then a same-directory ``os.rename`` — readers see the
-        old version or the new one, never a torn manifest. The schema
-        rides in the manifest so an EMPTY snapshot (files=[], a normal
-        state for an all-filtered incremental batch) stays readable as a
-        0-row frame instead of bricking the table.
+        """Atomically publish a new version — Delta's optimistic commit
+        protocol on a filesystem log: the manifest JSON is written fully
+        to a temp name, then CLAIMED with a same-directory ``os.link``
+        (atomic, and unlike rename it FAILS with EEXIST if the version
+        number is already taken). Readers see the old version or the new
+        one, never a torn manifest; two writers racing for the same
+        version number — the Delta paper's conflict signal — cannot both
+        win. On a lost race ``ConcurrentWriteError`` is raised; the
+        write paths rebase and retry with semantics matching their
+        operation (see each method). ``expected_base`` pins the version
+        this commit's CONTENT was derived from (claiming exactly
+        base+1), so a commit can never silently skip over — and thereby
+        drop — an interleaved writer's version.
+
+        The schema rides in the manifest so an EMPTY snapshot (files=[],
+        a normal state for an all-filtered incremental batch) stays
+        readable as a 0-row frame instead of bricking the table.
 
         ``prior`` is the manifest the write built on (if any): per-file
         stats for files that manifest already lists are CARRIED FORWARD
@@ -118,7 +144,8 @@ class VersionedTable:
         table with 10^5 historical files opens zero of their footers
         (the Delta design — the log carries stats so commits never
         re-scan history)."""
-        version = (self.current_version() or 0) + 1
+        base = expected_base if expected_base is not None else (self.current_version() or 0)
+        version = base + 1
         prior_files = set(prior.get("files", [])) if prior else set()
         prior_stats = prior.get("stats", {}) if prior else {}
         # a file listed by the prior manifest WITHOUT a stats entry had
@@ -134,10 +161,18 @@ class VersionedTable:
             **(meta or {}),
         }
         final = self._manifest_path(version)
-        tmp = final + f".tmp{os.getpid()}"
+        tmp = final + f".tmp{os.getpid()}_{uuid.uuid4().hex[:8]}"
         with open(tmp, "w") as f:
             json.dump(manifest, f)
-        os.rename(tmp, final)
+        try:
+            os.link(tmp, final)
+        except FileExistsError:
+            raise ConcurrentWriteError(
+                f"version {version} of {self.path} was committed by another writer"
+            )
+        finally:
+            if os.path.exists(tmp):
+                os.remove(tmp)
         return version
 
     # -- write paths ----------------------------------------------------------
@@ -215,15 +250,35 @@ class VersionedTable:
     def write(self, df: DataFrame, mode: str = "overwrite") -> int:
         """Publish a new version. ``overwrite`` replaces the logical
         contents; ``append`` adds the batch's files to the current
-        snapshot's file list (prior files are REUSED, not rewritten)."""
+        snapshot's file list (prior files are REUSED, not rewritten).
+
+        Multi-writer: both modes land their files ONCE and rebase on a
+        lost commit race without recomputing data. An append's content
+        depends on the head it read, so the rebase re-reads the new head
+        and re-attaches the same landed files — concurrent appends all
+        serialize, none is lost (the blind-append case Delta resolves
+        the same way). An overwrite's content is base-independent; it
+        just claims the next number."""
         if mode not in ("overwrite", "append"):
             raise ValueError(f"unsupported mode {mode!r}")
-        new_files = self._land_files(df)
-        prior = None
-        if mode == "append" and self.current_version() is not None:
-            prior = self._read_manifest(self.current_version())
-            new_files = list(prior["files"]) + new_files
-        return self._publish(new_files, df.schema.json(), {"mode": mode}, prior=prior)
+        landed = self._land_files(df)
+        for _ in range(_MAX_COMMIT_RETRIES):
+            base = self.current_version() or 0
+            prior = None
+            files = list(landed)
+            if mode == "append" and base:
+                prior = self._read_manifest(base)
+                files = list(prior["files"]) + files
+            try:
+                return self._publish(
+                    files, df.schema.json(), {"mode": mode},
+                    prior=prior, expected_base=base,
+                )
+            except ConcurrentWriteError:
+                continue
+        raise ConcurrentWriteError(
+            f"write({mode}) lost {_MAX_COMMIT_RETRIES} commit races on {self.path}"
+        )
 
     def upsert(
         self,
@@ -248,43 +303,65 @@ class VersionedTable:
         because a match requires equality on every primary key, so a
         row in a file disjoint from the batch's key range can never
         match — a one-day upsert into a year of files rewrites one day.
-        Files without recorded stats are conservatively rewritten."""
-        if self.current_version() is None:
-            merged = merge_dataframes(None, batch, primary_keys, evolve_schema)
-            return self._publish(
-                self._land_files(merged), merged.schema.json(), {"mode": "upsert"}
+        Files without recorded stats are conservatively rewritten.
+
+        Multi-writer: the merge's content is derived from the snapshot
+        it read, so a lost commit race RE-RUNS the merge against the new
+        head (Delta's conflict-then-revalidate loop — a rebase that
+        reused the already-merged files could resurrect rows a racing
+        writer changed). Orphaned files from lost attempts are cleaned
+        by ``vacuum``."""
+        for _ in range(_MAX_COMMIT_RETRIES):
+            base = self.current_version()
+            if base is None:
+                merged = merge_dataframes(None, batch, primary_keys, evolve_schema)
+                try:
+                    return self._publish(
+                        self._land_files(merged),
+                        merged.schema.json(),
+                        {"mode": "upsert"},
+                        expected_base=0,
+                    )
+                except ConcurrentWriteError:
+                    continue
+            manifest = self._read_manifest(base)
+            stats = manifest.get("stats", {})
+            prune_col = next(
+                (k for k in primary_keys if k in self.stats_columns), None
             )
-        manifest = self._read_manifest(self.current_version())
-        stats = manifest.get("stats", {})
-        prune_col = next(
-            (k for k in primary_keys if k in self.stats_columns), None
-        )
-        touched, untouched = manifest["files"], []
-        if prune_col is not None and manifest["files"]:
-            row = batch.agg(
-                F.min(prune_col).alias("lo"), F.max(prune_col).alias("hi")
-            ).first()  # 2-scalar driver read, same budget as a watermark probe
-            lo, hi = row["lo"], row["hi"]
-            if lo is not None:
-                touched = [
-                    f
-                    for f in manifest["files"]
-                    if self._may_intersect(stats.get(f), prune_col, lo, hi)
-                ]
-                untouched = [
-                    f for f in manifest["files"] if f not in set(touched)
-                ]
-        # zero touched files still goes through merge with an EMPTY
-        # schema-typed target: the table schema stays the contract
-        # (extra batch columns are dropped/raise exactly as a full
-        # merge would), instead of the batch schema silently winning
-        current = self._read_files(touched, manifest["schema"])
-        merged = merge_dataframes(current, batch, primary_keys, evolve_schema)
-        return self._publish(
-            untouched + self._land_files(merged),
-            merged.schema.json(),
-            {"mode": "upsert"},
-            prior=manifest,
+            touched, untouched = manifest["files"], []
+            if prune_col is not None and manifest["files"]:
+                row = batch.agg(
+                    F.min(prune_col).alias("lo"), F.max(prune_col).alias("hi")
+                ).first()  # 2-scalar driver read, same budget as a watermark probe
+                lo, hi = row["lo"], row["hi"]
+                if lo is not None:
+                    touched = [
+                        f
+                        for f in manifest["files"]
+                        if self._may_intersect(stats.get(f), prune_col, lo, hi)
+                    ]
+                    untouched = [
+                        f for f in manifest["files"] if f not in set(touched)
+                    ]
+            # zero touched files still goes through merge with an EMPTY
+            # schema-typed target: the table schema stays the contract
+            # (extra batch columns are dropped/raise exactly as a full
+            # merge would), instead of the batch schema silently winning
+            current = self._read_files(touched, manifest["schema"])
+            merged = merge_dataframes(current, batch, primary_keys, evolve_schema)
+            try:
+                return self._publish(
+                    untouched + self._land_files(merged),
+                    merged.schema.json(),
+                    {"mode": "upsert"},
+                    prior=manifest,
+                    expected_base=base,
+                )
+            except ConcurrentWriteError:
+                continue
+        raise ConcurrentWriteError(
+            f"upsert lost {_MAX_COMMIT_RETRIES} commit races on {self.path}"
         )
 
     # -- read paths -----------------------------------------------------------
@@ -377,9 +454,18 @@ class VersionedTable:
             )
         else:
             merged = cur.repartition(target_files)
-        return self._publish(
-            self._land_files(merged), cur.schema.json(), {"mode": "compact"}
-        )
+        landed = self._land_files(merged)
+        for _ in range(_MAX_COMMIT_RETRIES):
+            try:
+                return self._publish(
+                    landed, cur.schema.json(), {"mode": "compact"},
+                    expected_base=self.current_version() or 0,
+                )
+            except ConcurrentWriteError:
+                # a racing APPEND added files this compaction never read;
+                # blindly publishing would drop them — recompact from head
+                return self.compact(target_files, order_by, zorder_by)
+        raise ConcurrentWriteError(f"compact lost races on {self.path}")
 
     def compact_where(
         self,
@@ -440,12 +526,18 @@ class VersionedTable:
             )
         else:
             merged = part.repartition(target_files)
-        return self._publish(
-            untouched + self._land_files(merged),
-            manifest["schema"],
-            {"mode": "compact_where", "column": column},
-            prior=manifest,
-        )
+        try:
+            return self._publish(
+                untouched + self._land_files(merged),
+                manifest["schema"],
+                {"mode": "compact_where", "column": column},
+                prior=manifest,
+                expected_base=v,
+            )
+        except ConcurrentWriteError:
+            # rebase = re-select files against the new head (a racer may
+            # have rewritten or added files in this range)
+            return self.compact_where(column, lo, hi, target_files, order_by, zorder_by)
 
     def restore(self, version: int) -> int:
         """Make an old snapshot the new head (Delta ``RESTORE`` — an
@@ -455,12 +547,18 @@ class VersionedTable:
         why the restored-from version must still be retained (vacuum
         keeps every file a retained manifest references)."""
         m = self._read_manifest(version)
-        return self._publish(
-            m["files"],
-            m["schema"],
-            {"mode": "restore", "restored_from": version},
-            prior=m,
-        )
+        for _ in range(_MAX_COMMIT_RETRIES):
+            try:
+                return self._publish(
+                    m["files"],
+                    m["schema"],
+                    {"mode": "restore", "restored_from": version},
+                    prior=m,
+                    expected_base=self.current_version() or 0,
+                )
+            except ConcurrentWriteError:
+                continue
+        raise ConcurrentWriteError(f"restore lost races on {self.path}")
 
     # -- retention ------------------------------------------------------------
     def vacuum(self, keep_last: int = 1) -> int:
@@ -486,4 +584,8 @@ class VersionedTable:
         for v in vs:
             if v not in keep:
                 os.remove(self._manifest_path(v))
+        mdir = os.path.join(self.path, _MANIFEST_DIR)
+        for n in os.listdir(mdir):  # tmp manifests from crashed claims
+            if ".tmp" in n:
+                os.remove(os.path.join(mdir, n))
         return deleted

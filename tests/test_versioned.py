@@ -75,21 +75,22 @@ def test_vacuum_retention(spark, vt):
 
 
 def test_torn_manifest_never_published(spark, vt, monkeypatch):
-    """A crash between temp-manifest write and rename leaves the log
-    untouched: the version is simply absent, never half-readable."""
+    """A crash between temp-manifest write and the exclusive-link claim
+    leaves the log untouched: the version is simply absent, never
+    half-readable."""
     vt.write(spark.createDataFrame([(1, "a")], "id long, v string"))
 
-    real_rename = os.rename
+    real_link = os.link
 
     def killed(src, dst):
         if dst.endswith(".json"):
             raise OSError("simulated kill before manifest publish")
-        real_rename(src, dst)
+        real_link(src, dst)
 
-    monkeypatch.setattr(os, "rename", killed)
+    monkeypatch.setattr(os, "link", killed)
     with pytest.raises(OSError, match="simulated kill"):
         vt.upsert(spark.createDataFrame([(1, "A")], "id long, v string"), ["id"])
-    monkeypatch.setattr(os, "rename", real_rename)
+    monkeypatch.setattr(os, "link", real_link)
     assert vt.versions() == [1]
     assert _rows(vt.read()) == {(1, "a")}
     vt.vacuum(keep_last=1)  # cleans the crashed write's landed files
@@ -429,6 +430,79 @@ def test_compact_where_reclusters_single_hot_file(spark, tmp_path):
     assert len(vt.read_pruned("id", 10, 19).inputFiles()) == 1
     # a range hitting nothing is still a no-op either way
     assert vt.compact_where("id", 5000, 6000, order_by=["id"]) == v1
+
+
+# -- multi-writer optimistic concurrency ------------------------------------
+
+
+def test_concurrent_appends_all_serialize(spark, tmp_path):
+    """Delta's blind-append guarantee on the filesystem log: N writers
+    appending concurrently all win — every batch lands in the final
+    snapshot, versions are contiguous, and no commit overwrites
+    another's manifest (the exclusive-link claim + append rebase)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from modular_etl_data_platform_spark.operators.versioned import VersionedTable
+
+    path = str(tmp_path / "t")
+    VersionedTable(spark, path).write(
+        spark.createDataFrame([(-1, "seed")], "id long, v string")
+    )
+
+    def append(w: int) -> int:
+        vt = VersionedTable(spark, path)  # own handle, like a separate job
+        return vt.write(
+            spark.createDataFrame(
+                [(w * 10 + i, f"w{w}_{i}") for i in range(3)], "id long, v string"
+            ).coalesce(1),
+            mode="append",
+        )
+
+    with ThreadPoolExecutor(max_workers=4) as ex:
+        got = sorted(ex.map(append, range(4)))
+    vt = VersionedTable(spark, path)
+    assert vt.versions() == [1, 2, 3, 4, 5]  # contiguous, none lost
+    assert got == [2, 3, 4, 5]  # each writer won exactly one version
+    rows = {r.id for r in vt.read().collect()}
+    assert rows == {-1} | {w * 10 + i for w in range(4) for i in range(3)}
+
+
+def test_upsert_rebases_merge_over_interleaved_commit(spark, tmp_path, monkeypatch):
+    """The lost-update race: writer B commits an append BETWEEN writer
+    A's snapshot read and A's commit claim. A's first claim must FAIL
+    (expected-base pin) and the retry must re-merge against the new head
+    — B's rows survive alongside A's updates. A rebase that reused A's
+    stale merge would silently drop B's commit."""
+    from modular_etl_data_platform_spark.operators.versioned import VersionedTable
+
+    path = str(tmp_path / "t")
+    vt = VersionedTable(spark, path)
+    vt.write(spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"))
+
+    sneak = {"done": False}
+    real_land = VersionedTable._land_files
+
+    def landing_with_race(self, df):
+        files = real_land(self, df)
+        if not sneak["done"]:
+            sneak["done"] = True
+            # a second writer wins a commit after A landed but before
+            # A's claim — the classic read-modify-write interleaving
+            VersionedTable(spark, path).write(
+                spark.createDataFrame([(9, "sneak")], "id long, v string"),
+                mode="append",
+            )
+        return files
+
+    monkeypatch.setattr(VersionedTable, "_land_files", landing_with_race)
+    vt.upsert(spark.createDataFrame([(2, "B")], "id long, v string"), ["id"])
+    monkeypatch.setattr(VersionedTable, "_land_files", real_land)
+
+    rows = {r.id: r.v for r in vt.read().collect()}
+    assert rows == {1: "a", 2: "B", 9: "sneak"}  # both writers' effects
+    # history: v1 seed, v2 sneak append, v3 the rebased upsert
+    assert vt.versions() == [1, 2, 3]
+    assert {r.id for r in vt.read(2).collect()} == {1, 2, 9}
 
 
 # -- property: random op sequences vs a python model ------------------------
