@@ -389,6 +389,34 @@ class VersionedTable:
         manifest = self._read_manifest(v)
         return self._read_files(manifest["files"], manifest["schema"])
 
+    def read_incremental(
+        self, since_version: int, version: int | None = None
+    ) -> DataFrame:
+        """Rows in data files ADDED after ``since_version`` (up to
+        ``version``, default head) — the file-level change feed a
+        downstream consumer tails instead of re-reading the table:
+        ``process(read_incremental(last_seen)); last_seen = head``.
+
+        For an append-only table this is EXACTLY the new rows, at a cost
+        proportional to the new data (the manifest diff is a set
+        difference over file paths — no I/O). After an upsert/compaction
+        it returns the current rows of every REWRITTEN file — a superset
+        of the logically-changed rows (file-level granularity; Delta's
+        CDF row-level deltas need per-commit change tracking, which the
+        manifest log deliberately does not carry). Reads pin the TARGET
+        version's schema, so evolved columns appear null-filled for
+        pre-evolution consumers' replays."""
+        if since_version not in self.versions():
+            raise FileNotFoundError(
+                f"no version {since_version} in {self.path}"
+            )
+        v = self.current_version() if version is None else version
+        old = set(self._read_manifest(since_version)["files"])
+        cur = self._read_manifest(v)
+        return self._read_files(
+            [f for f in cur["files"] if f not in old], cur["schema"]
+        )
+
     def history(self) -> list[dict]:
         return [self._read_manifest(v) for v in self.versions()]
 

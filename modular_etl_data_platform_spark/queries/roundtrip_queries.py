@@ -761,3 +761,45 @@ def q132_pruned_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("o_orderkey").cast("long").alias("key_sum"),
         )
     )
+
+
+@query(
+    "q136_incremental_change_feed",
+    """
+    SELECT o_orderstatus,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_total,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+    FROM orders
+    WHERE o_orderkey % 4 >= 2
+    GROUP BY o_orderstatus
+    """,
+)
+def q136_incremental_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-level change feed on a versioned table
+    (operators/versioned.py::read_incremental): orders land as four
+    appended batches (o_orderkey % 4 buckets); a consumer that last saw
+    version 2 reads EXACTLY the rows appended since — batches 3 and 4 —
+    at a cost proportional to the new data (the manifest diff is a
+    path set-difference, no table re-scan). The oracle recomputes the
+    same subset relationally; a feed that leaks old rows, drops a new
+    file, or re-reads a compacted file all hash-mismatch."""
+    from modular_etl_data_platform_spark.operators.versioned import VersionedTable
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    scratch = _scratch("q136_incremental_change_feed", sf_dir)
+    vt = VersionedTable(spark, os.path.join(scratch, "orders_v"))
+    for i in range(4):
+        batch = orders.filter(F.col("o_orderkey") % 4 == i).coalesce(1)
+        vt.write(batch, mode="append" if i else "overwrite")
+    return _pin(
+        vt.read_incremental(since_version=2)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum(F.col("o_totalprice"), "sum_total"),
+            F.sum("o_orderkey").cast("long").alias("key_sum"),
+        )
+    )

@@ -585,3 +585,38 @@ def test_versioned_random_op_sequences_match_model(spark, tmp_path_factory, ops)
     for v, want in zip(vt.versions(), snapshots):
         got = {r.id: r.v for r in vt.read(v).collect()}
         assert got == want, (v, ops)
+
+
+def test_read_incremental_change_feed(spark, tmp_path):
+    """Append-only: the feed since version N is exactly the rows of the
+    appends after N. After an upsert, the feed is the rewritten files'
+    rows — a superset of the logical changes, never missing one."""
+    from pyspark.sql import functions as F
+
+    from modular_etl_data_platform_spark.operators.versioned import VersionedTable
+
+    vt = VersionedTable(spark, str(tmp_path / "t"))
+    for i in range(3):
+        vt.write(
+            spark.range(i * 10, i * 10 + 10)
+            .select(F.col("id"), (F.col("id") * 2).alias("v"))
+            .coalesce(1),
+            mode="append" if i else "overwrite",
+        )
+    feed = vt.read_incremental(since_version=1)
+    assert {r.id for r in feed.collect()} == set(range(10, 30))
+    # bounded upper version
+    assert {r.id for r in vt.read_incremental(1, version=2).collect()} == set(
+        range(10, 20)
+    )
+    assert vt.read_incremental(since_version=3).count() == 0
+
+    vt.upsert(spark.createDataFrame([(5, -1)], "id long, v long"), ["id"])
+    changed = {r.id: r.v for r in vt.read_incremental(since_version=3).collect()}
+    assert changed[5] == -1  # the logical change is present
+    assert set(changed) <= set(range(30))  # superset of changes, no inventions
+
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        vt.read_incremental(since_version=99)
