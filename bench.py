@@ -54,6 +54,12 @@ HEADLINE = [
     # an equi key) and the Morton-curve z-ordered write+pruned-read
     "q128_interval_join_attribution",
     "q129_zorder_write_prune",
+    # round-7 storage layer: file-pruned versioned MERGE (commit cost
+    # O(batch) + stats carry-forward) and the medallion silver path on
+    # versioned storage — wall-time regressions in the manifest/commit
+    # machinery show up here round-over-round
+    "q132_pruned_upsert",
+    "q135_versioned_silver_medallion",
 ]
 
 
