@@ -417,6 +417,127 @@ class VersionedTable:
             [f for f in cur["files"] if f not in old], cur["schema"]
         )
 
+    def table_changes(
+        self,
+        from_version: int,
+        to_version: int | None = None,
+        primary_keys: list[str] | None = None,
+    ) -> DataFrame:
+        """ROW-level changes between two snapshots — Delta's CHANGE DATA
+        FEED computed ON READ from the manifest diff (the log carries no
+        per-commit row tracking, so the feed is derived, not recorded):
+        returns the ``to`` schema's columns plus ``_change_type`` in
+        ``insert`` / ``update_postimage`` / ``delete`` (deletes carry
+        the old row's values, null-filled on evolved columns).
+
+        Cost scales with the CHANGED files only: a file carried by both
+        manifests cannot contribute a change, so only the file-set
+        difference is read on each side (at 100 TB a one-day MERGE diffs
+        one day of files, never the table). Within those files, rows are
+        keyed on ``primary_keys`` and full-outer-joined; rows present on
+        both sides with identical values (an unchanged neighbor in a
+        rewritten file, or a pure compaction) are filtered with a
+        null-safe whole-row comparison — a compaction or clustering
+        rewrite therefore yields ZERO changes, as it must."""
+        if primary_keys is None or not primary_keys:
+            raise ValueError("table_changes requires primary_keys")
+        if from_version not in self.versions():
+            raise FileNotFoundError(f"no version {from_version} in {self.path}")
+        v = self.current_version() if to_version is None else to_version
+        m_old, m_new = self._read_manifest(from_version), self._read_manifest(v)
+        old_only = [f for f in m_old["files"] if f not in set(m_new["files"])]
+        new_only = [f for f in m_new["files"] if f not in set(m_old["files"])]
+        # both sides read on the NEW schema: evolved columns null-fill
+        # on the old side, so pre/post images compare column-for-column
+        old = self._read_files(old_only, m_new["schema"])
+        new = self._read_files(new_only, m_new["schema"])
+        cols = [c for c in new.columns]
+        val_cols = [c for c in cols if c not in primary_keys]
+        o = old.select(
+            *[F.col(k).alias(f"__ok_{k}") for k in primary_keys],
+            *[F.col(c).alias(f"__ov_{c}") for c in val_cols],
+        )
+        n = new.select(
+            *[F.col(k).alias(f"__nk_{k}") for k in primary_keys],
+            *[F.col(c).alias(f"__nv_{c}") for c in val_cols],
+        )
+        cond = F.lit(True)
+        for k in primary_keys:
+            cond = cond & F.col(f"__ok_{k}").eqNullSafe(F.col(f"__nk_{k}"))
+        j = o.join(n, cond, "full_outer")
+        first_nk = F.col(f"__nk_{primary_keys[0]}")
+        first_ok = F.col(f"__ok_{primary_keys[0]}")
+        same = F.lit(True)
+        for c in val_cols:
+            same = same & F.col(f"__ov_{c}").eqNullSafe(F.col(f"__nv_{c}"))
+        change = (
+            F.when(first_ok.isNull(), F.lit("insert"))
+            .when(first_nk.isNull(), F.lit("delete"))
+            .when(same, F.lit(None))  # rewritten-but-unchanged neighbor
+            .otherwise(F.lit("update_postimage"))
+        )
+        out_cols = []
+        for c in cols:
+            if c in primary_keys:
+                out_cols.append(
+                    F.coalesce(F.col(f"__nk_{c}"), F.col(f"__ok_{c}")).alias(c)
+                )
+            else:
+                # postimage for insert/update; the old values for delete
+                out_cols.append(
+                    F.when(
+                        first_nk.isNull(), F.col(f"__ov_{c}")
+                    ).otherwise(F.col(f"__nv_{c}")).alias(c)
+                )
+        return (
+            j.withColumn("_change_type", change)
+            .filter(F.col("_change_type").isNotNull())
+            .select(*out_cols, "_change_type")
+        )
+
+    def delete_range(self, column: str, lo, hi) -> int:
+        """DELETE with data skipping (Delta's ``DELETE WHERE`` on a
+        range predicate): only files whose recorded [min, max] for
+        ``column`` intersects [lo, hi] are rewritten with the matching
+        rows removed; every other file is carried forward untouched —
+        the GDPR-erasure shape, at a cost proportional to the hot range.
+        Files with no recorded stats are conservatively rewritten.
+        Publishes a new version (prior snapshots retain the rows until
+        ``vacuum``, exactly like Delta: deletion becomes durable at
+        vacuum time). Rebases over concurrent appends by re-selecting
+        against the new head."""
+        v = self.current_version()
+        if v is None:
+            raise FileNotFoundError(f"no versions in {self.path}")
+        manifest = self._read_manifest(v)
+        stats = manifest.get("stats", {})
+        touched = [
+            f
+            for f in manifest["files"]
+            if self._may_intersect(stats.get(f), column, lo, hi)
+        ]
+        if not touched:
+            return v
+        untouched = [f for f in manifest["files"] if f not in set(touched)]
+        # keep = NOT(lo <= col <= hi), with NULLs KEPT: a null never
+        # matches the range predicate, so it is never deleted (the SQL
+        # DELETE WHERE three-valued-logic reading)
+        kept = self._read_files(touched, manifest["schema"]).filter(
+            F.col(column).isNull()
+            | (F.col(column) < F.lit(lo))
+            | (F.col(column) > F.lit(hi))
+        )
+        try:
+            return self._publish(
+                untouched + self._land_files(kept),
+                manifest["schema"],
+                {"mode": "delete", "column": column},
+                prior=manifest,
+                expected_base=v,
+            )
+        except ConcurrentWriteError:
+            return self.delete_range(column, lo, hi)
+
     def history(self) -> list[dict]:
         return [self._read_manifest(v) for v in self.versions()]
 

@@ -803,3 +803,82 @@ def q136_incremental_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("o_orderkey").cast("long").alias("key_sum"),
         )
     )
+
+
+@query(
+    "q137_table_changes",
+    """
+    WITH base AS (
+      SELECT o_orderkey AS k, o_orderstatus AS s, o_totalprice AS p FROM orders
+    ),
+    batch AS (
+      SELECT x AS k, 'X' AS s, CAST(x AS DOUBLE) / 10 AS p FROM range(1000, 3000) t(x)
+    ),
+    v3 AS (
+      SELECT * FROM (
+        SELECT * FROM batch
+        UNION ALL
+        SELECT k, s, p FROM base WHERE k NOT BETWEEN 1000 AND 2999
+      ) WHERE k NOT BETWEEN 2000 AND 2499
+    ),
+    ch AS (
+      SELECT COALESCE(n.k, o.k) AS k,
+             CASE WHEN o.k IS NULL THEN 'insert'
+                  WHEN n.k IS NULL THEN 'delete'
+                  WHEN o.s IS NOT DISTINCT FROM n.s
+                   AND o.p IS NOT DISTINCT FROM n.p THEN NULL
+                  ELSE 'update_postimage' END AS _change_type,
+             CASE WHEN n.k IS NULL THEN o.p ELSE n.p END AS p
+      FROM base o FULL OUTER JOIN v3 n ON o.k = n.k
+    )
+    SELECT _change_type,
+           COUNT(*) AS n_rows,
+           CAST(SUM(k) AS BIGINT) AS key_sum,
+           CAST(SUM(CAST(p AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+    FROM ch WHERE _change_type IS NOT NULL GROUP BY _change_type
+    """,
+)
+def q137_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level change data feed computed on read
+    (operators/versioned.py::table_changes — Delta CDF semantics derived
+    from the manifest diff): v1 lands orders as range-disjoint files,
+    v2 MERGEs a batch over [1000, 3000) (updates + inserts), v3 DELETEs
+    the [2000, 2500) key range with data skipping. table_changes(v1)
+    must classify every surviving batch key as update/insert, every
+    removed existing key as delete, and — critically — report ZERO
+    changes for unchanged neighbors inside rewritten files. The oracle
+    replays the same three states relationally and full-outer-diffs
+    them; counts, key sums and decimal-exact price sums per change type
+    all hash-pinned."""
+    from modular_etl_data_platform_spark.operators.versioned import VersionedTable
+
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("s"),
+        F.col("o_totalprice").alias("p"),
+    )
+    scratch = _scratch("q137_table_changes", sf_dir)
+    vt = VersionedTable(spark, os.path.join(scratch, "orders_v"), stats_columns=["k"])
+    splits = [0, 5_000, 50_000, 500_000, 10**12]
+    for i in range(len(splits) - 1):
+        part = orders.filter(
+            (F.col("k") >= splits[i]) & (F.col("k") < splits[i + 1])
+        ).coalesce(1)
+        vt.write(part, mode="append" if i else "overwrite")
+    v_loaded = vt.current_version()  # the 4 load batches are versions 1-4
+    batch = spark.range(1000, 3000).select(
+        F.col("id").alias("k"),
+        F.lit("X").alias("s"),
+        (F.col("id").cast("double") / 10).alias("p"),
+    )
+    vt.upsert(batch, ["k"])
+    vt.delete_range("k", 2000, 2499)
+    return _pin(
+        vt.table_changes(v_loaded, primary_keys=["k"])
+        .groupBy("_change_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("k").cast("long").alias("key_sum"),
+            dsum(F.col("p"), "sum_price"),
+        )
+    )

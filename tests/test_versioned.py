@@ -620,3 +620,82 @@ def test_read_incremental_change_feed(spark, tmp_path):
 
     with _pytest.raises(FileNotFoundError):
         vt.read_incremental(since_version=99)
+
+
+def test_delete_range_prunes_and_keeps_nulls(spark, tmp_path):
+    """DELETE with data skipping: only stats-intersecting files are
+    rewritten (others reused path-identical), rows with a NULL in the
+    predicate column survive (three-valued logic), and prior snapshots
+    retain the deleted rows until vacuum."""
+    from pyspark.sql import functions as F
+
+    from modular_etl_data_platform_spark.operators.versioned import VersionedTable
+
+    vt = VersionedTable(spark, str(tmp_path / "t"), stats_columns=["id"])
+    for lo in (0, 100):
+        vt.write(
+            spark.range(lo, lo + 100)
+            .select(F.col("id"), (F.col("id") * 2).alias("v"))
+            .coalesce(1),
+            mode="append" if lo else "overwrite",
+        )
+    vt.write(
+        spark.createDataFrame([(None, 999)], "id long, v long"), mode="append"
+    )
+    before = set(vt._read_manifest(vt.current_version())["files"])
+    v = vt.delete_range("id", 120, 129)
+    after = vt._read_manifest(v)["files"]
+    reused = set(after) & before
+    assert len(reused) >= 1  # the [0,100) file was carried forward
+    ids = [r.id for r in vt.read().collect()]
+    assert None in ids  # null row survived
+    assert set(i for i in ids if i is not None) == set(range(200)) - set(
+        range(120, 130)
+    )
+    assert vt.read(v - 1).count() == 201  # pre-delete snapshot intact
+    # a range hitting nothing deletes nothing (the stat-less null file
+    # is conservatively rewritten, so the version may advance — content
+    # is what must not change)
+    before_rows = {tuple(r) for r in vt.read().collect()}
+    vt.delete_range("id", 5000, 6000)
+    assert {tuple(r) for r in vt.read().collect()} == before_rows
+
+
+def test_table_changes_classifies_and_ignores_rewrites(spark, tmp_path):
+    """CDF-on-read: update/insert/delete classified, unchanged neighbors
+    in rewritten files excluded, and a pure compaction reports ZERO
+    changes."""
+    from pyspark.sql import functions as F
+
+    from modular_etl_data_platform_spark.operators.versioned import VersionedTable
+
+    vt = VersionedTable(spark, str(tmp_path / "t"))
+    vt.write(
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "id long, v string"
+        )
+    )
+    vt.upsert(
+        spark.createDataFrame([(2, "B"), (9, "new")], "id long, v string"), ["id"]
+    )
+    vt.delete_range("id", 3, 3)
+    ch = {
+        r.id: (r.v, r._change_type)
+        for r in vt.table_changes(1, primary_keys=["id"]).collect()
+    }
+    assert ch == {
+        2: ("B", "update_postimage"),
+        9: ("new", "insert"),
+        3: ("c", "delete"),
+    }
+    # intermediate window: v1 -> v2 has no delete yet
+    ch12 = {
+        r.id: r._change_type
+        for r in vt.table_changes(1, to_version=2, primary_keys=["id"]).collect()
+    }
+    assert ch12 == {2: "update_postimage", 9: "insert"}
+    # a compaction rewrites every file but changes nothing
+    v = vt.compact(target_files=1)
+    assert vt.table_changes(v - 1, primary_keys=["id"]).count() == 0
+    with pytest.raises(ValueError, match="primary_keys"):
+        vt.table_changes(1, primary_keys=[])
