@@ -914,3 +914,49 @@ def q135_versioned_silver_medallion(spark: SparkSession, sf_dir: str) -> DataFra
         )
 
     return _pin(snap(1).unionByName(snap(2)))
+
+
+@query(
+    "q138_versioned_stream_source",
+    """
+    SELECT c_mktsegment,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS sum_bal
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def q138_versioned_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SOURCE over the versioned commit log
+    (streaming/versioned_source.py — a Spark 4 Python Data Source whose
+    offsets are manifest VERSION numbers): the customer table lands as
+    three appended versions; one availableNow run must consume exactly
+    the union of their files through the log — per-segment counts and
+    decimal-exact balances equal the batch table (the oracle). A source
+    that skips a version's files, double-reads a carried file, or tears
+    a manifest resolution changes the hash."""
+    from modular_etl_data_platform_spark.operators.versioned import VersionedTable
+    from modular_etl_data_platform_spark.streaming.versioned_source import (
+        VersionedTableStreamDataSource,
+    )
+
+    spark.dataSource.register(VersionedTableStreamDataSource)
+    scratch = _scratch("q138_versioned_stream_source", sf_dir)
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    table = os.path.join(scratch, "cust_v")
+    vt = VersionedTable(spark, table)
+    for i in range(3):
+        vt.write(
+            cust.filter(F.col("c_custkey") % 3 == i).coalesce(1),
+            mode="append" if i else "overwrite",
+        )
+    stream = (
+        spark.readStream.format("versioned_table").option("path", table).load()
+    )
+    agg = stream.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum(F.col("c_acctbal"), "sum_bal"),
+    )
+    return _pin(_run_to_memory(agg, scratch, "complete"))

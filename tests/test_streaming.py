@@ -551,3 +551,46 @@ def test_sessionize_event_time_out_of_order_batch():
     list(fn((2,), iter([pd.DataFrame({"ts": [t(10)], "value": [1.0]})]), st2))
     assert list(fn((2,), iter([pd.DataFrame({"ts": [t(9, 30)], "value": [2.0]})]), st2)) == []
     assert st2.get[0] == t(9, 30) and st2.get[1] == t(10) and st2.get[2] == 2
+
+
+def test_versioned_table_stream_source_tails_the_log(spark, tmp_path):
+    """The Python Data Source over the versioned commit log: offsets are
+    version numbers, so each availableNow run consumes exactly the
+    versions published since the checkpoint — new appends arrive, old
+    rows never re-emit, restarts resume from the checkpoint."""
+    from pyspark.sql import functions as F
+
+    from modular_etl_data_platform_spark.operators.versioned import VersionedTable
+    from modular_etl_data_platform_spark.streaming.versioned_source import (
+        VersionedTableStreamDataSource,
+    )
+
+    spark.dataSource.register(VersionedTableStreamDataSource)
+    table = str(tmp_path / "vt")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    vt = VersionedTable(spark, table)
+    vt.write(spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"))
+
+    def drain():
+        q = (
+            spark.readStream.format("versioned_table")
+            .option("path", table)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {tuple(r) for r in spark.read.parquet(out).collect()}
+
+    assert drain() == {(1, "a"), (2, "b")}
+    vt.write(
+        spark.createDataFrame([(3, "c")], "id long, v string"), mode="append"
+    )
+    # second run with the SAME checkpoint: only version 2's file arrives
+    assert drain() == {(1, "a"), (2, "b"), (3, "c")}
+    # nothing new: a third drain emits nothing
+    assert drain() == {(1, "a"), (2, "b"), (3, "c")}
