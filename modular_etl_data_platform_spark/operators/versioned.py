@@ -63,6 +63,11 @@ class ConcurrentWriteError(RuntimeError):
     """
 
 
+class ConstraintViolationError(ValueError):
+    """A write's rows (or, for add_constraint, the existing table)
+    violate a CHECK constraint; nothing was published."""
+
+
 def is_versioned_table(path: str) -> bool:
     """Whether ``path`` holds a published versioned table (at least one
     manifest in its commit log). Pure directory probe — unlike the
@@ -146,6 +151,13 @@ class VersionedTable:
         re-scan history)."""
         base = expected_base if expected_base is not None else (self.current_version() or 0)
         version = base + 1
+        meta = dict(meta or {})
+        if "constraints" not in meta and base:
+            # CHECK constraints are table properties: they survive every
+            # write mode (including overwrite) unless explicitly changed
+            inherited = self._read_manifest(base).get("constraints")
+            if inherited:
+                meta["constraints"] = inherited
         prior_files = set(prior.get("files", [])) if prior else set()
         prior_stats = prior.get("stats", {}) if prior else {}
         # a file listed by the prior manifest WITHOUT a stats entry had
@@ -175,12 +187,100 @@ class VersionedTable:
                 os.remove(tmp)
         return version
 
+    # -- constraints -----------------------------------------------------------
+    def constraints(self) -> dict[str, str]:
+        """Active CHECK constraints (name -> SQL expression), carried in
+        every manifest like Delta table properties."""
+        v = self.current_version()
+        if v is None:
+            return {}
+        return dict(self._read_manifest(v).get("constraints", {}))
+
+    def add_constraint(self, name: str, sql_expr: str) -> int:
+        """ALTER TABLE ADD CONSTRAINT ... CHECK (the Delta constraint
+        contract): EXISTING data is validated first (one aggregate scan
+        — adding a constraint the table already violates must fail, or
+        the constraint is a lie), then a new version is published with
+        the same files and the constraint recorded; every later write
+        validates its landed rows against it for free (the check rides
+        the landing write as an Observation — no extra pass). NULL
+        evaluations PASS, the SQL CHECK three-valued-logic rule."""
+        v = self.current_version()
+        if v is None:
+            raise FileNotFoundError(f"no versions in {self.path}")
+        bad = (
+            self.read()
+            .filter(~F.coalesce(F.expr(sql_expr), F.lit(True)))
+            .limit(1)
+            .count()
+        )
+        if bad:
+            raise ConstraintViolationError(
+                f"existing rows violate {name!r}: {sql_expr}"
+            )
+        m = self._read_manifest(v)
+        cons = dict(m.get("constraints", {}))
+        cons[name] = sql_expr
+        return self._publish(
+            m["files"],
+            m["schema"],
+            {"mode": "add_constraint", "constraints": cons},
+            prior=m,
+            expected_base=v,
+        )
+
+    def drop_constraint(self, name: str) -> int:
+        v = self.current_version()
+        if v is None:
+            raise FileNotFoundError(f"no versions in {self.path}")
+        m = self._read_manifest(v)
+        cons = dict(m.get("constraints", {}))
+        cons.pop(name, None)
+        return self._publish(
+            m["files"],
+            m["schema"],
+            {"mode": "drop_constraint", "constraints": cons},
+            prior=m,
+            expected_base=v,
+        )
+
     # -- write paths ----------------------------------------------------------
     def _land_files(self, df: DataFrame) -> list[str]:
         """Write df as immutable data files under a fresh subdirectory
-        (never touching published files) and return their paths."""
+        (never touching published files) and return their paths.
+
+        Active CHECK constraints are enforced HERE, riding the landing
+        write as an ``Observation`` — zero additional scan; a violation
+        raises BEFORE any manifest publish, so the version simply never
+        exists (the landed orphans are vacuumable), which is the
+        transactional half of Delta's constraint contract. A row
+        violates only when the expression evaluates exactly FALSE
+        (NULL passes — SQL CHECK semantics)."""
+        cons = self.constraints()
+        obs = None
+        if cons:
+            from pyspark.sql import Observation
+
+            obs = Observation()
+            aggs = [
+                F.sum(
+                    (~F.coalesce(F.expr(e), F.lit(True))).cast("long")
+                ).alias(n)
+                for n, e in cons.items()
+            ]
+            df = df.observe(obs, *aggs)
         sub = os.path.join(self.path, _DATA_DIR, uuid.uuid4().hex)
         df.write.parquet(sub)
+        if obs is not None:
+            violated = {n: c for n, c in obs.get.items() if c}
+            if violated:
+                raise ConstraintViolationError(
+                    f"CHECK constraint(s) violated in {self.path}: "
+                    + ", ".join(
+                        f"{n} ({cons[n]}): {c} row(s)"
+                        for n, c in violated.items()
+                    )
+                )
         return [
             os.path.join(sub, f)
             for f in os.listdir(sub)

@@ -699,3 +699,47 @@ def test_table_changes_classifies_and_ignores_rewrites(spark, tmp_path):
     assert vt.table_changes(v - 1, primary_keys=["id"]).count() == 0
     with pytest.raises(ValueError, match="primary_keys"):
         vt.table_changes(1, primary_keys=[])
+
+
+def test_check_constraints_enforced_transactionally(spark, tmp_path):
+    """Delta-style CHECK constraints: recorded in the manifest, carried
+    through every write mode, enforced on landed rows via an
+    Observation riding the write (no extra scan). A violation aborts
+    BEFORE publish — the version never exists; NULL evaluations pass
+    (SQL CHECK three-valued logic)."""
+    from modular_etl_data_platform_spark.operators.versioned import (
+        ConstraintViolationError,
+        VersionedTable,
+    )
+
+    vt = VersionedTable(spark, str(tmp_path / "t"))
+    vt.write(spark.createDataFrame([(1, 10), (2, 20)], "id long, v long"))
+    vt.add_constraint("v_nonneg", "v >= 0")
+    assert vt.constraints() == {"v_nonneg": "v >= 0"}
+
+    # adding a constraint the data violates must fail
+    with pytest.raises(ConstraintViolationError, match="existing rows"):
+        vt.add_constraint("impossible", "v > 15")
+
+    vt.write(spark.createDataFrame([(3, 30)], "id long, v long"), mode="append")
+    head = vt.current_version()
+    with pytest.raises(ConstraintViolationError, match="v_nonneg"):
+        vt.write(
+            spark.createDataFrame([(4, -1)], "id long, v long"), mode="append"
+        )
+    assert vt.current_version() == head  # nothing published
+    assert {r.id for r in vt.read().collect()} == {1, 2, 3}
+    assert vt.vacuum(keep_last=len(vt.versions())) > 0  # orphans collected
+
+    # NULL passes; constraint survives an overwrite and gates upsert too
+    vt.write(
+        spark.createDataFrame([(5, None)], "id long, v long"), mode="append"
+    )
+    vt.write(spark.createDataFrame([(9, 90)], "id long, v long"))  # overwrite
+    assert vt.constraints() == {"v_nonneg": "v >= 0"}
+    with pytest.raises(ConstraintViolationError, match="v_nonneg"):
+        vt.upsert(spark.createDataFrame([(9, -5)], "id long, v long"), ["id"])
+
+    vt.drop_constraint("v_nonneg")
+    vt.write(spark.createDataFrame([(10, -7)], "id long, v long"), mode="append")
+    assert {r.v for r in vt.read().collect()} == {90, -7}
