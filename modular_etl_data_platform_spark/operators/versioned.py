@@ -4,42 +4,72 @@ Delta.
 The reference's storage contract is Delta Lake (reference:
 requirements.txt:2 delta-spark; time-travel recipe
 config/bronze/schema/README.md:83-87) — unavailable in this sandbox, so
-this module re-creates the two properties a reader actually depends on,
+this module re-creates the properties a reader actually depends on,
 using Delta's own design reduced to its core (a commit log of file
 manifests; public pattern from the Delta Lake paper, VLDB'20):
 
 - **Snapshot isolation for readers**: every write lands NEW data files
-  and then publishes a manifest (one JSON file) with an atomic
-  exclusive link. Readers resolve a manifest to a fixed file list,
-  so a concurrent write can never make a reader see a half-written
-  table — the failure mode of plain parquet overwrite.
-- **Time travel**: old manifests (and their files) stay until
+  and then publishes a commit record with an atomic put-if-absent.
+  Readers resolve a version to a fixed file list, so a concurrent write
+  can never make a reader see a half-written table — the failure mode
+  of plain parquet overwrite.
+- **Time travel**: old versions (and their files) stay until
   ``vacuum``; ``read(version=N)`` reproduces any retained snapshot
   exactly.
-
 - **Multi-writer optimistic concurrency**: commits CLAIM their version
-  number with an atomic exclusive ``os.link`` (the filesystem analogue
-  of Delta's conditional log put). A lost race rebases: appends and
-  overwrites re-attach their already-landed files to the new head;
-  upserts and compactions re-derive their content from it (Delta's
-  conflict-then-revalidate loop). No interleaving of writers can lose
-  a committed version or publish a torn manifest.
+  number with an atomic put-if-absent (``os.link`` on a filesystem —
+  the analogue of Delta's conditional log put). A lost race rebases:
+  appends and overwrites re-attach their already-landed files to the
+  new head; upserts, deletes and compactions re-derive their content
+  from it (Delta's conflict-then-revalidate loop). No interleaving of
+  writers can lose a committed version or publish a torn record.
 
-Scale notes: a manifest lists file paths, not rows — publishing is O(1)
-in data size. ``write`` modes compose with the engine's sinks: ``append``
-reuses prior files untouched (no rewrite), ``upsert`` rewrites only via
-the merge DataFrame, and files are immutable once published, which is
-what makes snapshots free. At warehouse scale you would partition the
-data files and store per-file min/max stats in the manifest for skipping
-— the hook is the manifest dict, deliberately JSON.
+**Log layout** (Delta's actual log design — delta-encoded commits plus
+periodic checkpoints — so no commit-path cost is O(table)):
+
+- ``_versions/vNNNNNNNN.json``: one commit RECORD per version, storing
+  only the DELTA (``add``/``remove`` file lists + stats for the added
+  files) against its base — commit bytes are O(batch), independent of
+  how many files the table has accumulated.
+- ``_versions/vNNNNNNNN.checkpoint.json``: every ``checkpoint_interval``
+  commits, the full resolved state (file list + stats + schema) is
+  written as a checkpoint SIDECAR, so resolving a snapshot reads one
+  checkpoint plus at most ``checkpoint_interval`` small deltas — never
+  the whole log.
+- ``_versions/_last_checkpoint``: pointer to the newest checkpoint
+  (Delta's ``_last_checkpoint``); head resolution starts there and
+  probes forward, instead of listing the whole log directory — head
+  lookup is O(commits since last checkpoint), not O(commits ever).
+
+Commit records are immutable once published; checkpoints and the
+pointer are derived data (last-writer-wins overwrite is safe — any
+published checkpoint for a version is correct).
+
+**I/O seam**: all log I/O goes through a :class:`LogStore` (put-if-
+absent / read / exists / list — Delta's LogStore abstraction). The
+default :class:`FileSystemLogStore` claims with ``os.link``; an object
+store deployment swaps in a store backed by S3 conditional PUT (or a
+coordination table) without touching the commit protocol. The
+:class:`InMemoryLogStore` drives deterministic race tests.
+
+Scale notes: a commit record lists file paths, not rows — publishing is
+O(batch) in data size AND in log bytes. ``append`` reuses prior files
+untouched (no rewrite, no footer reads — per-file stats are carried
+through the log), ``upsert`` rewrites only key-range-intersecting
+files, and files are immutable once published, which is what makes
+snapshots free.
 """
 
 from __future__ import annotations
 
+import abc
 import json
 import os
 import shutil
+import threading
+import time
 import uuid
+from datetime import date, datetime, timezone
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -52,6 +82,22 @@ _DATA_DIR = "files"
 _EMPTY_MARK = "__empty__"
 #: bounded rebase attempts before surfacing the conflict to the caller
 _MAX_COMMIT_RETRIES = 20
+#: full-state checkpoint cadence (commits between checkpoints)
+_CHECKPOINT_INTERVAL = 10
+#: vacuum only removes orphaned tmp claim files older than this — a
+#: LIVE writer's tmp (written but not yet linked) must never be swept
+_TMP_RETENTION_SECONDS = 3600
+_HINT_NAME = "_last_checkpoint"
+#: resolved snapshot states cached per CommitLog instance
+_STATE_CACHE_MAX = 8
+
+
+def _commit_name(version: int) -> str:
+    return f"v{version:08d}.json"
+
+
+def _checkpoint_name(version: int) -> str:
+    return f"v{version:08d}.checkpoint.json"
 
 
 class ConcurrentWriteError(RuntimeError):
@@ -59,8 +105,8 @@ class ConcurrentWriteError(RuntimeError):
 
     Raised to the caller only after the operation's own rebase budget
     (``_MAX_COMMIT_RETRIES``) is exhausted, or immediately by
-    ``_publish`` internally (where the write paths catch it and rebase).
-    """
+    ``LogStore.put_if_absent`` internally (where the write paths catch
+    it and rebase)."""
 
 
 class ConstraintViolationError(ValueError):
@@ -70,131 +116,496 @@ class ConstraintViolationError(ValueError):
 
 def is_versioned_table(path: str) -> bool:
     """Whether ``path`` holds a published versioned table (at least one
-    manifest in its commit log). Pure directory probe — unlike the
+    commit record in its log). Pure directory probe — unlike the
     ``VersionedTable`` constructor, it never creates directories, so
     callers can dispatch parquet-vs-versioned reads without side
     effects."""
     d = os.path.join(path, _MANIFEST_DIR)
     if not os.path.isdir(d):
         return False
-    return any(n.startswith("v") and n.endswith(".json") for n in os.listdir(d))
+    return any(
+        n.startswith("v") and n.endswith(".json") for n in os.listdir(d)
+    )
+
+
+# -- log I/O seam --------------------------------------------------------------
+class LogStore(abc.ABC):
+    """The commit log's I/O contract (Delta's LogStore abstraction):
+    everything the protocol needs from a backend is an atomic
+    put-if-absent plus plain read/exists/list/delete. The filesystem
+    implementation below claims with ``os.link``; an S3 deployment
+    implements ``put_if_absent`` with a conditional PUT (If-None-Match)
+    or a coordination table — the commit protocol is unchanged."""
+
+    @abc.abstractmethod
+    def put_if_absent(self, name: str, data: str) -> None:
+        """Publish ``name`` atomically; raise :class:`ConcurrentWriteError`
+        if it already exists. This is the ONLY primitive that must be
+        atomic — it is the commit claim."""
+
+    @abc.abstractmethod
+    def put(self, name: str, data: str) -> None:
+        """Overwrite-ok write for DERIVED artifacts (checkpoints, the
+        ``_last_checkpoint`` pointer) where last-writer-wins is safe."""
+
+    @abc.abstractmethod
+    def read(self, name: str) -> str:
+        """Return the contents; raise ``FileNotFoundError`` if absent."""
+
+    @abc.abstractmethod
+    def exists(self, name: str) -> bool:
+        """Cheap existence probe (no content read)."""
+
+    @abc.abstractmethod
+    def list(self) -> list[str]:
+        """All entry names (one log directory listing)."""
+
+    @abc.abstractmethod
+    def delete(self, name: str) -> None:
+        """Remove an entry if present (retention only)."""
+
+    def cleanup_tmp(self, max_age_seconds: float) -> int:
+        """Remove orphaned claim-scratch entries older than
+        ``max_age_seconds``. Default: nothing to clean."""
+        return 0
+
+
+class FileSystemLogStore(LogStore):
+    """POSIX log store: ``put_if_absent`` writes a tmp file then claims
+    the final name with ``os.link`` — atomic, and unlike rename it FAILS
+    with EEXIST when the name is taken, which is the conflict signal the
+    commit protocol runs on."""
+
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def _p(self, name: str) -> str:
+        return os.path.join(self.root, name)
+
+    def put_if_absent(self, name: str, data: str) -> None:
+        final = self._p(name)
+        tmp = final + f".tmp{os.getpid()}_{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            f.write(data)
+        try:
+            os.link(tmp, final)
+        except FileExistsError:
+            raise ConcurrentWriteError(
+                f"{name} was committed by another writer"
+            )
+        except FileNotFoundError:
+            # our tmp file vanished between write and link — a concurrent
+            # vacuum's scratch sweep raced us. Indistinguishable from a
+            # lost commit race to the caller, and safely retried the same
+            # way (nothing was published).
+            raise ConcurrentWriteError(
+                f"claim scratch for {name} was swept mid-commit; retry"
+            )
+        finally:
+            if os.path.exists(tmp):
+                os.remove(tmp)
+
+    def put(self, name: str, data: str) -> None:
+        final = self._p(name)
+        tmp = final + f".tmp{os.getpid()}_{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            f.write(data)
+        os.replace(tmp, final)  # atomic swap; last writer wins
+
+    def read(self, name: str) -> str:
+        with open(self._p(name)) as f:
+            return f.read()
+
+    def exists(self, name: str) -> bool:
+        return os.path.exists(self._p(name))
+
+    def list(self) -> list[str]:
+        return sorted(os.listdir(self.root))
+
+    def delete(self, name: str) -> None:
+        try:
+            os.remove(self._p(name))
+        except FileNotFoundError:
+            pass
+
+    def cleanup_tmp(self, max_age_seconds: float) -> int:
+        """Age-gated: a tmp younger than the retention window may belong
+        to a LIVE writer between its write and its ``os.link`` claim —
+        sweeping it would crash that commit, so only stale orphans (a
+        writer that died mid-claim) are removed."""
+        removed = 0
+        now = time.time()
+        for n in os.listdir(self.root):
+            if ".tmp" not in n:
+                continue
+            p = os.path.join(self.root, n)
+            try:
+                if now - os.path.getmtime(p) > max_age_seconds:
+                    os.remove(p)
+                    removed += 1
+            except FileNotFoundError:
+                continue  # another cleaner got it first
+        return removed
+
+
+class InMemoryLogStore(LogStore):
+    """Deterministic in-memory store for exercising the commit
+    protocol's race paths in tests (no real processes needed): a test
+    can interleave writers at exact points and assert the
+    ``ConcurrentWriteError`` / rebase behavior."""
+
+    def __init__(self):
+        self._entries: dict[str, str] = {}
+        self._lock = threading.Lock()
+
+    def put_if_absent(self, name: str, data: str) -> None:
+        with self._lock:
+            if name in self._entries:
+                raise ConcurrentWriteError(
+                    f"{name} was committed by another writer"
+                )
+            self._entries[name] = data
+
+    def put(self, name: str, data: str) -> None:
+        with self._lock:
+            self._entries[name] = data
+
+    def read(self, name: str) -> str:
+        with self._lock:
+            if name not in self._entries:
+                raise FileNotFoundError(name)
+            return self._entries[name]
+
+    def exists(self, name: str) -> bool:
+        with self._lock:
+            return name in self._entries
+
+    def list(self) -> list[str]:
+        with self._lock:
+            return sorted(self._entries)
+
+    def delete(self, name: str) -> None:
+        with self._lock:
+            self._entries.pop(name, None)
+
+
+# -- the commit log (Spark-free) -----------------------------------------------
+class CommitLog:
+    """Delta-encoded commit log with periodic checkpoints. Spark-free —
+    shared by :class:`VersionedTable` (batch) and the streaming source
+    (``streaming/versioned_source.py`` offset resolution), so the two
+    can never disagree about the format.
+
+    Resolved snapshot STATE is a dict with keys ``version``, ``files``,
+    ``stats`` (per-file, added-file granularity, carried through the
+    log), ``schema`` (JSON StructType), ``constraints``, plus the
+    originating commit's metadata (``mode`` etc.)."""
+
+    def __init__(
+        self,
+        path: str | None = None,
+        store: LogStore | None = None,
+        checkpoint_interval: int = _CHECKPOINT_INTERVAL,
+    ):
+        if store is None:
+            if path is None:
+                raise ValueError("CommitLog needs a path or a LogStore")
+            store = FileSystemLogStore(os.path.join(path, _MANIFEST_DIR))
+        self.store = store
+        self.checkpoint_interval = checkpoint_interval
+        self._cache: dict[int, dict] = {}
+
+    # -- head / listing -----------------------------------------------------
+    def versions(self) -> list[int]:
+        """Every committed version (one full log listing — retention and
+        history paths only; hot paths use ``current_version``)."""
+        out = []
+        for n in self.store.list():
+            if n.startswith("v") and n.endswith(".json") and ".checkpoint" not in n and ".tmp" not in n:
+                out.append(int(n[1:9]))
+        return sorted(out)
+
+    def _hint(self) -> int:
+        try:
+            return int(json.loads(self.store.read(_HINT_NAME))["version"])
+        except (FileNotFoundError, ValueError, KeyError):
+            return 0
+
+    def current_version(self) -> int | None:
+        """Head resolution via the ``_last_checkpoint`` pointer: start at
+        the hinted version and probe FORWARD for the first unclaimed
+        number — O(commits since last checkpoint) existence probes, no
+        directory listing, no content reads. Falls back to one listing
+        when the hint is absent/stale (fresh or legacy table)."""
+        h = self._hint()
+        if h and self.store.exists(_commit_name(h)):
+            v = h
+        else:
+            vs = self.versions()
+            if not vs:
+                return None
+            v = vs[-1]
+        while self.store.exists(_commit_name(v + 1)):
+            v += 1
+        return v
+
+    # -- state resolution ----------------------------------------------------
+    def _cache_put(self, version: int, state: dict) -> None:
+        self._cache[version] = state
+        while len(self._cache) > _STATE_CACHE_MAX:
+            self._cache.pop(min(self._cache))
+
+    @staticmethod
+    def _state_from_full(rec: dict) -> dict:
+        """A full record (checkpoint, legacy manifest, or first commit)
+        is already a state."""
+        state = {k: v for k, v in rec.items() if k not in ("add", "remove")}
+        state.setdefault("stats", {})
+        state.setdefault("constraints", {})
+        return state
+
+    def resolve(self, version: int) -> dict:
+        """The full state at ``version``: walk BACK from the target to
+        the nearest base (a checkpoint sidecar, a cached state, or a
+        full record), then fold the delta records forward. With
+        checkpoints every ``checkpoint_interval`` commits this opens at
+        most ``checkpoint_interval + 1`` log entries regardless of table
+        age or file count."""
+        if version in self._cache:
+            return self._cache[version]
+        deltas: list[dict] = []
+        base: dict | None = None
+        u = version
+        while True:
+            if u in self._cache:
+                base = self._cache[u]
+                break
+            if self.store.exists(_checkpoint_name(u)):
+                base = self._state_from_full(
+                    json.loads(self.store.read(_checkpoint_name(u)))
+                )
+                break
+            try:
+                rec = json.loads(self.store.read(_commit_name(u)))
+            except FileNotFoundError:
+                raise FileNotFoundError(
+                    f"version {u} is not in the log (vacuumed or never "
+                    f"committed) — cannot resolve version {version}"
+                )
+            if "files" in rec:  # full record: legacy format or v1
+                base = self._state_from_full(rec)
+                break
+            deltas.append(rec)
+            u -= 1
+            if u < 1:  # v1's delta folds against the empty table
+                base = {"files": [], "stats": {}, "constraints": {}}
+                break
+        state = base
+        for rec in reversed(deltas):
+            files = set(state["files"])
+            files.difference_update(rec.get("remove", []))
+            files.update(rec.get("add", []))
+            stats = {
+                f: s for f, s in state.get("stats", {}).items() if f in files
+            }
+            stats.update(rec.get("stats", {}))
+            state = {
+                **{
+                    k: v
+                    for k, v in rec.items()
+                    if k not in ("add", "remove", "stats")
+                },
+                "files": sorted(files),
+                "stats": stats,
+            }
+            state.setdefault("constraints", {})
+        self._cache_put(version, state)
+        return state
+
+    # -- publish -------------------------------------------------------------
+    def publish(
+        self,
+        files: list[str],
+        schema_json: str,
+        meta: dict | None,
+        expected_base: int,
+        fresh_stats: dict[str, dict],
+    ) -> int:
+        """Claim version ``expected_base + 1`` with an atomic
+        put-if-absent of the DELTA record (Delta's optimistic commit).
+        ``expected_base`` pins the version this commit's CONTENT was
+        derived from, so a commit can never silently skip over — and
+        thereby drop — an interleaved writer's version: the claim fails
+        with :class:`ConcurrentWriteError` instead and the caller
+        rebases. Record bytes are O(files changed), never O(table).
+
+        CHECK constraints are table properties: they ride every record
+        (small dict) and survive every write mode unless the caller's
+        ``meta`` explicitly replaces them."""
+        version = expected_base + 1
+        prior = (
+            self.resolve(expected_base)
+            if expected_base
+            else {"files": [], "stats": {}, "constraints": {}}
+        )
+        meta = dict(meta or {})
+        constraints = meta.pop("constraints", None)
+        if constraints is None:
+            constraints = prior.get("constraints", {})
+        files_set, prior_set = set(files), set(prior["files"])
+        add = sorted(files_set - prior_set)
+        remove = sorted(prior_set - files_set)
+        rec = {
+            "version": version,
+            "add": add,
+            "remove": remove,
+            "schema": schema_json,
+            "stats": {f: fresh_stats[f] for f in add if f in fresh_stats},
+            "constraints": constraints,
+            **meta,
+        }
+        self.store.put_if_absent(_commit_name(version), json.dumps(rec))
+        # the committer already knows the new full state — cache it so
+        # the next operation (and the checkpoint below) resolve for free
+        stats = {
+            f: s for f, s in prior.get("stats", {}).items() if f in files_set
+        }
+        stats.update(rec["stats"])
+        state = {
+            "version": version,
+            "files": sorted(files_set),
+            "stats": stats,
+            "schema": schema_json,
+            "constraints": constraints,
+            **meta,
+        }
+        self._cache_put(version, state)
+        if self.checkpoint_interval and version % self.checkpoint_interval == 0:
+            self.write_checkpoint(state)
+        return version
+
+    def write_checkpoint(self, state: dict) -> None:
+        """Materialize ``state`` as a checkpoint sidecar and advance the
+        ``_last_checkpoint`` pointer. Both are DERIVED artifacts —
+        rewriting them is idempotent, so plain last-writer-wins puts are
+        safe (no claim needed)."""
+        self.store.put(_checkpoint_name(state["version"]), json.dumps(state))
+        self.store.put(
+            _HINT_NAME, json.dumps({"version": state["version"]})
+        )
+
+    def checkpoints(self) -> list[int]:
+        return sorted(
+            int(n[1:9])
+            for n in self.store.list()
+            if n.endswith(".checkpoint.json") and ".tmp" not in n
+        )
+
+    def refresh_hint(self) -> None:
+        """Point ``_last_checkpoint`` at the newest surviving checkpoint
+        (retention housekeeping after vacuum)."""
+        cps = self.checkpoints()
+        if cps:
+            self.store.put(_HINT_NAME, json.dumps({"version": cps[-1]}))
+        else:
+            self.store.delete(_HINT_NAME)
+
+    def evict_cache_except(self, keep: set[int]) -> None:
+        self._cache = {v: s for v, s in self._cache.items() if v in keep}
+
+
+def _encode_stat_bound(value, kind: str):
+    """Normalize a pruning bound to the manifest's stats encoding for
+    ``kind`` (see ``_file_stats``); None when the bound's type doesn't
+    match the recorded kind — callers treat that as non-prunable
+    (conservative: a type-confused comparison must never exclude a
+    file)."""
+    if kind == "num":
+        return value if type(value) in (int, float) else None
+    if kind == "ts":
+        if isinstance(value, datetime):
+            if value.tzinfo is not None:
+                value = value.astimezone(timezone.utc).replace(tzinfo=None)
+            return value.isoformat()
+        if isinstance(value, str):
+            # watermark store stringifies datetimes with a space
+            return value.replace(" ", "T")
+        return None
+    if kind == "date":
+        if isinstance(value, date) and not isinstance(value, datetime):
+            return value.isoformat()
+        if isinstance(value, str):
+            return value
+        return None
+    return None
 
 
 class VersionedTable:
-    """A parquet table with a manifest-per-version commit log."""
+    """A parquet table over a :class:`CommitLog`."""
 
     def __init__(
         self,
         spark: SparkSession,
         path: str,
         stats_columns: list[str] | None = None,
+        log_store: LogStore | None = None,
+        checkpoint_interval: int = _CHECKPOINT_INTERVAL,
     ):
         self.spark = spark
         self.path = path
-        #: columns to record per-file min/max for in each manifest
+        #: columns to record per-file min/max for in each commit record
         #: (footer-metadata only); enables read_pruned file skipping
         self.stats_columns = stats_columns or []
-        os.makedirs(os.path.join(path, _MANIFEST_DIR), exist_ok=True)
         os.makedirs(os.path.join(path, _DATA_DIR), exist_ok=True)
-
-    # -- log ------------------------------------------------------------------
-    def _manifest_path(self, version: int) -> str:
-        return os.path.join(self.path, _MANIFEST_DIR, f"v{version:08d}.json")
-
-    def versions(self) -> list[int]:
-        names = os.listdir(os.path.join(self.path, _MANIFEST_DIR))
-        return sorted(
-            int(n[1:-5]) for n in names if n.startswith("v") and n.endswith(".json")
+        self.log = CommitLog(
+            path=path, store=log_store, checkpoint_interval=checkpoint_interval
         )
 
+    # -- log (delegated) ------------------------------------------------------
+    def versions(self) -> list[int]:
+        return self.log.versions()
+
     def current_version(self) -> int | None:
-        vs = self.versions()
-        return vs[-1] if vs else None
+        return self.log.current_version()
 
     def _read_manifest(self, version: int) -> dict:
-        with open(self._manifest_path(version)) as f:
-            return json.load(f)
+        """The RESOLVED state at ``version`` (files/stats/schema/
+        constraints + commit metadata) — checkpoint + delta replay under
+        the hood; callers see the same dict shape a full manifest gave."""
+        return self.log.resolve(version)
 
     def _publish(
         self,
         files: list[str],
         schema_json: str,
         meta: dict | None = None,
-        prior: dict | None = None,
         expected_base: int | None = None,
     ) -> int:
-        """Atomically publish a new version — Delta's optimistic commit
-        protocol on a filesystem log: the manifest JSON is written fully
-        to a temp name, then CLAIMED with a same-directory ``os.link``
-        (atomic, and unlike rename it FAILS with EEXIST if the version
-        number is already taken). Readers see the old version or the new
-        one, never a torn manifest; two writers racing for the same
-        version number — the Delta paper's conflict signal — cannot both
-        win. On a lost race ``ConcurrentWriteError`` is raised; the
-        write paths rebase and retry with semantics matching their
-        operation (see each method). ``expected_base`` pins the version
-        this commit's CONTENT was derived from (claiming exactly
-        base+1), so a commit can never silently skip over — and thereby
-        drop — an interleaved writer's version.
-
-        The schema rides in the manifest so an EMPTY snapshot (files=[],
-        a normal state for an all-filtered incremental batch) stays
-        readable as a 0-row frame instead of bricking the table.
-
-        ``prior`` is the manifest the write built on (if any): per-file
-        stats for files that manifest already lists are CARRIED FORWARD
-        verbatim — files are immutable, so their footer stats cannot
-        change — and footers are opened only for newly landed files.
-        This keeps commit cost O(batch), not O(table): an append to a
-        table with 10^5 historical files opens zero of their footers
-        (the Delta design — the log carries stats so commits never
-        re-scan history)."""
-        base = expected_base if expected_base is not None else (self.current_version() or 0)
-        version = base + 1
-        meta = dict(meta or {})
-        if "constraints" not in meta and base:
-            # CHECK constraints are table properties: they survive every
-            # write mode (including overwrite) unless explicitly changed
-            inherited = self._read_manifest(base).get("constraints")
-            if inherited:
-                meta["constraints"] = inherited
-        prior_files = set(prior.get("files", [])) if prior else set()
-        prior_stats = prior.get("stats", {}) if prior else {}
-        # a file listed by the prior manifest WITHOUT a stats entry had
-        # no usable footer min/max — re-reading its footer would find
-        # the same nothing, so it is skipped too, not just stat-carriers
-        carried = {f: prior_stats[f] for f in files if f in prior_stats}
+        """Publish ``files`` as the snapshot at ``expected_base + 1``.
+        Footer stats are computed ONLY for files the base state doesn't
+        already carry (newly landed ones): an append to a table with
+        10^5 historical files opens zero of their footers — stats ride
+        the log (checkpoint + deltas), commits never re-scan history."""
+        base = (
+            expected_base
+            if expected_base is not None
+            else (self.current_version() or 0)
+        )
+        prior_files: set[str] = set()
+        if base:
+            prior_files = set(self.log.resolve(base)["files"])
         fresh = self._file_stats([f for f in files if f not in prior_files])
-        manifest = {
-            "version": version,
-            "files": sorted(files),
-            "schema": schema_json,
-            "stats": {**carried, **fresh},
-            **(meta or {}),
-        }
-        final = self._manifest_path(version)
-        tmp = final + f".tmp{os.getpid()}_{uuid.uuid4().hex[:8]}"
-        with open(tmp, "w") as f:
-            json.dump(manifest, f)
-        try:
-            os.link(tmp, final)
-        except FileExistsError:
-            raise ConcurrentWriteError(
-                f"version {version} of {self.path} was committed by another writer"
-            )
-        finally:
-            if os.path.exists(tmp):
-                os.remove(tmp)
-        return version
+        return self.log.publish(files, schema_json, meta, base, fresh)
 
     # -- constraints -----------------------------------------------------------
     def constraints(self) -> dict[str, str]:
         """Active CHECK constraints (name -> SQL expression), carried in
-        every manifest like Delta table properties."""
+        every commit record like Delta table properties."""
         v = self.current_version()
         if v is None:
             return {}
-        return dict(self._read_manifest(v).get("constraints", {}))
+        return dict(self.log.resolve(v).get("constraints", {}))
 
     def add_constraint(self, name: str, sql_expr: str) -> int:
         """ALTER TABLE ADD CONSTRAINT ... CHECK (the Delta constraint
@@ -218,14 +629,13 @@ class VersionedTable:
             raise ConstraintViolationError(
                 f"existing rows violate {name!r}: {sql_expr}"
             )
-        m = self._read_manifest(v)
+        m = self.log.resolve(v)
         cons = dict(m.get("constraints", {}))
         cons[name] = sql_expr
         return self._publish(
             m["files"],
             m["schema"],
             {"mode": "add_constraint", "constraints": cons},
-            prior=m,
             expected_base=v,
         )
 
@@ -233,14 +643,13 @@ class VersionedTable:
         v = self.current_version()
         if v is None:
             raise FileNotFoundError(f"no versions in {self.path}")
-        m = self._read_manifest(v)
+        m = self.log.resolve(v)
         cons = dict(m.get("constraints", {}))
         cons.pop(name, None)
         return self._publish(
             m["files"],
             m["schema"],
             {"mode": "drop_constraint", "constraints": cons},
-            prior=m,
             expected_base=v,
         )
 
@@ -251,7 +660,7 @@ class VersionedTable:
 
         Active CHECK constraints are enforced HERE, riding the landing
         write as an ``Observation`` — zero additional scan; a violation
-        raises BEFORE any manifest publish, so the version simply never
+        raises BEFORE any commit publish, so the version simply never
         exists (the landed orphans are vacuumable), which is the
         transactional half of Delta's constraint contract. A row
         violates only when the expression evaluates exactly FALSE
@@ -291,7 +700,17 @@ class VersionedTable:
         """Per-file min/max for ``stats_columns``, read from the parquet
         FOOTER metadata (pyarrow) — no data scan; this is Delta's
         data-skipping statistic, and at 100 TB it is what lets a point
-        or range read open a handful of files instead of the table."""
+        or range read open a handful of files instead of the table.
+
+        Encodings (JSON-manifest-safe): numeric columns record a plain
+        ``[lo, hi]``; timestamp columns record UTC-naive ISO-8601 string
+        bounds ``{"k": "ts", "lo": ..., "hi": ...}`` (fixed-width fields
+        make ISO order = time order, including the fractional-seconds
+        suffix); dates likewise with ``"k": "date"``. Strings/binaries
+        stay unrecorded: parquet footers may TRUNCATE their min/max (an
+        underestimated max would wrongly exclude a file — a lost update
+        on the pruned-upsert path), so they are never pruned, never
+        mis-pruned."""
         if not self.stats_columns:
             return {}
         import pyarrow.parquet as pq
@@ -307,7 +726,7 @@ class VersionedTable:
                 out[f] = {_EMPTY_MARK: True}
                 continue
             names = {md.schema.column(i).name: i for i in range(md.num_columns)}
-            stats: dict[str, list] = {}
+            stats: dict[str, object] = {}
             for col in self.stats_columns:
                 if col not in names:
                     continue
@@ -319,33 +738,54 @@ class VersionedTable:
                         break
                     lo = s.min if lo is None else min(lo, s.min)
                     hi = s.max if hi is None else max(hi, s.max)
-                # record NUMERIC ranges only: strings/binaries can be
-                # TRUNCATED in parquet footer stats (an underestimated
-                # max would wrongly exclude a file — a lost update on
-                # the pruned-upsert path), and datetimes/bytes aren't
-                # JSON-manifest-safe; non-numeric columns simply stay
-                # conservative (never pruned, never mis-pruned)
-                if (
-                    lo is not None
-                    and type(lo) in (int, float)
-                    and type(hi) in (int, float)
-                ):
+                if lo is None:
+                    continue
+                if type(lo) in (int, float) and type(hi) in (int, float):
                     stats[col] = [lo, hi]
+                elif isinstance(lo, datetime) and isinstance(hi, datetime):
+                    stats[col] = {
+                        "k": "ts",
+                        "lo": _encode_stat_bound(lo, "ts"),
+                        "hi": _encode_stat_bound(hi, "ts"),
+                    }
+                elif isinstance(lo, date) and isinstance(hi, date):
+                    stats[col] = {
+                        "k": "date",
+                        "lo": lo.isoformat(),
+                        "hi": hi.isoformat(),
+                    }
             if stats:
                 out[f] = stats
         return out
 
     @staticmethod
     def _may_intersect(stats_entry: dict | None, column: str, lo, hi) -> bool:
-        """Whether a file MAY hold rows with ``column`` in [lo, hi]:
-        False for recorded-empty files, True (conservative) when the
-        column has no recorded range, else the range-overlap test."""
+        """Whether a file MAY hold rows with ``column`` in [lo, hi]
+        (``None`` bound = unbounded): False for recorded-empty files,
+        True (conservative) when the column has no recorded range or the
+        bound's type doesn't match the recorded kind, else the
+        range-overlap test."""
         entry = stats_entry or {}
         if entry.get(_EMPTY_MARK):
             return False
         if column not in entry:
             return True
-        return entry[column][0] <= hi and lo <= entry[column][1]
+        rec = entry[column]
+        if isinstance(rec, list):  # numeric [lo, hi]
+            f_lo, f_hi, kind = rec[0], rec[1], "num"
+        else:
+            f_lo, f_hi, kind = rec["lo"], rec["hi"], rec["k"]
+        e_lo = _encode_stat_bound(lo, kind) if lo is not None else None
+        e_hi = _encode_stat_bound(hi, kind) if hi is not None else None
+        if lo is not None and e_lo is None:
+            return True  # un-encodable bound: never mis-prune
+        if hi is not None and e_hi is None:
+            return True
+        if e_hi is not None and f_lo > e_hi:
+            return False
+        if e_lo is not None and f_hi < e_lo:
+            return False
+        return True
 
     def write(self, df: DataFrame, mode: str = "overwrite") -> int:
         """Publish a new version. ``overwrite`` replaces the logical
@@ -364,15 +804,13 @@ class VersionedTable:
         landed = self._land_files(df)
         for _ in range(_MAX_COMMIT_RETRIES):
             base = self.current_version() or 0
-            prior = None
             files = list(landed)
             if mode == "append" and base:
-                prior = self._read_manifest(base)
-                files = list(prior["files"]) + files
+                files = list(self.log.resolve(base)["files"]) + files
             try:
                 return self._publish(
                     files, df.schema.json(), {"mode": mode},
-                    prior=prior, expected_base=base,
+                    expected_base=base,
                 )
             except ConcurrentWriteError:
                 continue
@@ -391,19 +829,20 @@ class VersionedTable:
         snapshot stays readable until vacuumed. ``evolve_schema=True``
         widens to the union schema (Delta's mergeSchema; see
         ``merge_dataframes``) — every version's schema is recorded in
-        its own manifest, so old snapshots keep their schema and the new
-        one carries the widened one (reads pin the manifest schema, so
+        its own commit, so old snapshots keep their schema and the new
+        one carries the widened one (reads pin the recorded schema, so
         carried-forward files simply null-fill new columns).
 
         **File pruning** (Delta's MERGE data-skipping): when a primary
         key is among ``stats_columns``, the batch's [min, max] on that
         key selects only the files whose recorded footer range
-        intersects it; every other file is carried into the new manifest
-        UNTOUCHED (no read, no rewrite, stats carried forward). Safe
-        because a match requires equality on every primary key, so a
-        row in a file disjoint from the batch's key range can never
-        match — a one-day upsert into a year of files rewrites one day.
-        Files without recorded stats are conservatively rewritten.
+        intersects it; every other file is carried into the new version
+        UNTOUCHED (no read, no rewrite, stats carried forward through
+        the log). Safe because a match requires equality on every
+        primary key, so a row in a file disjoint from the batch's key
+        range can never match — a one-day upsert into a year of files
+        rewrites one day. Files without recorded stats are
+        conservatively rewritten.
 
         Multi-writer: the merge's content is derived from the snapshot
         it read, so a lost commit race RE-RUNS the merge against the new
@@ -424,7 +863,7 @@ class VersionedTable:
                     )
                 except ConcurrentWriteError:
                     continue
-            manifest = self._read_manifest(base)
+            manifest = self.log.resolve(base)
             stats = manifest.get("stats", {})
             prune_col = next(
                 (k for k in primary_keys if k in self.stats_columns), None
@@ -455,7 +894,6 @@ class VersionedTable:
                     untouched + self._land_files(merged),
                     merged.schema.json(),
                     {"mode": "upsert"},
-                    prior=manifest,
                     expected_base=base,
                 )
             except ConcurrentWriteError:
@@ -466,7 +904,7 @@ class VersionedTable:
 
     # -- read paths -----------------------------------------------------------
     def _read_files(self, files: list[str], schema_json: str) -> DataFrame:
-        """Read ``files`` pinned to the MANIFEST schema (not whatever
+        """Read ``files`` pinned to the COMMIT's schema (not whatever
         schema the first footer happens to carry): after a
         schema-evolving upsert that carried old files forward, the old
         files null-fill the new columns — the Delta behavior, where the
@@ -481,12 +919,12 @@ class VersionedTable:
 
     def read(self, version: int | None = None) -> DataFrame:
         """The snapshot at ``version`` (default: latest). Resolving
-        through the manifest pins the exact file list — concurrent
-        publishes cannot shift the data under the returned frame."""
+        through the log pins the exact file list — concurrent publishes
+        cannot shift the data under the returned frame."""
         v = self.current_version() if version is None else version
-        if v is None or not os.path.exists(self._manifest_path(v)):
+        if v is None:
             raise FileNotFoundError(f"no version {version} in {self.path}")
-        manifest = self._read_manifest(v)
+        manifest = self.log.resolve(v)
         return self._read_files(manifest["files"], manifest["schema"])
 
     def read_incremental(
@@ -498,21 +936,16 @@ class VersionedTable:
         ``process(read_incremental(last_seen)); last_seen = head``.
 
         For an append-only table this is EXACTLY the new rows, at a cost
-        proportional to the new data (the manifest diff is a set
-        difference over file paths — no I/O). After an upsert/compaction
-        it returns the current rows of every REWRITTEN file — a superset
-        of the logically-changed rows (file-level granularity; Delta's
-        CDF row-level deltas need per-commit change tracking, which the
-        manifest log deliberately does not carry). Reads pin the TARGET
-        version's schema, so evolved columns appear null-filled for
-        pre-evolution consumers' replays."""
-        if since_version not in self.versions():
-            raise FileNotFoundError(
-                f"no version {since_version} in {self.path}"
-            )
+        proportional to the new data (the file diff is a set difference
+        over paths — no I/O beyond the log entries). After an upsert/
+        compaction it returns the current rows of every REWRITTEN file —
+        a superset of the logically-changed rows (file-level
+        granularity; row-level deltas are :meth:`table_changes`). Reads
+        pin the TARGET version's schema, so evolved columns appear
+        null-filled for pre-evolution consumers' replays."""
+        old = set(self.log.resolve(since_version)["files"])
         v = self.current_version() if version is None else version
-        old = set(self._read_manifest(since_version)["files"])
-        cur = self._read_manifest(v)
+        cur = self.log.resolve(v)
         return self._read_files(
             [f for f in cur["files"] if f not in old], cur["schema"]
         )
@@ -524,14 +957,14 @@ class VersionedTable:
         primary_keys: list[str] | None = None,
     ) -> DataFrame:
         """ROW-level changes between two snapshots — Delta's CHANGE DATA
-        FEED computed ON READ from the manifest diff (the log carries no
+        FEED computed ON READ from the file diff (the log carries no
         per-commit row tracking, so the feed is derived, not recorded):
         returns the ``to`` schema's columns plus ``_change_type`` in
         ``insert`` / ``update_postimage`` / ``delete`` (deletes carry
         the old row's values, null-filled on evolved columns).
 
         Cost scales with the CHANGED files only: a file carried by both
-        manifests cannot contribute a change, so only the file-set
+        versions cannot contribute a change, so only the file-set
         difference is read on each side (at 100 TB a one-day MERGE diffs
         one day of files, never the table). Within those files, rows are
         keyed on ``primary_keys`` and full-outer-joined; rows present on
@@ -541,10 +974,9 @@ class VersionedTable:
         rewrite therefore yields ZERO changes, as it must."""
         if primary_keys is None or not primary_keys:
             raise ValueError("table_changes requires primary_keys")
-        if from_version not in self.versions():
-            raise FileNotFoundError(f"no version {from_version} in {self.path}")
+        m_old = self.log.resolve(from_version)
         v = self.current_version() if to_version is None else to_version
-        m_old, m_new = self._read_manifest(from_version), self._read_manifest(v)
+        m_new = self.log.resolve(v)
         old_only = [f for f in m_old["files"] if f not in set(m_new["files"])]
         new_only = [f for f in m_new["files"] if f not in set(m_old["files"])]
         # both sides read on the NEW schema: evolved columns null-fill
@@ -604,62 +1036,84 @@ class VersionedTable:
         Files with no recorded stats are conservatively rewritten.
         Publishes a new version (prior snapshots retain the rows until
         ``vacuum``, exactly like Delta: deletion becomes durable at
-        vacuum time). Rebases over concurrent appends by re-selecting
-        against the new head."""
-        v = self.current_version()
-        if v is None:
-            raise FileNotFoundError(f"no versions in {self.path}")
-        manifest = self._read_manifest(v)
-        stats = manifest.get("stats", {})
-        touched = [
-            f
-            for f in manifest["files"]
-            if self._may_intersect(stats.get(f), column, lo, hi)
-        ]
-        if not touched:
-            return v
-        untouched = [f for f in manifest["files"] if f not in set(touched)]
-        # keep = NOT(lo <= col <= hi), with NULLs KEPT: a null never
-        # matches the range predicate, so it is never deleted (the SQL
-        # DELETE WHERE three-valued-logic reading)
-        kept = self._read_files(touched, manifest["schema"]).filter(
-            F.col(column).isNull()
-            | (F.col(column) < F.lit(lo))
-            | (F.col(column) > F.lit(hi))
-        )
-        try:
-            return self._publish(
-                untouched + self._land_files(kept),
-                manifest["schema"],
-                {"mode": "delete", "column": column},
-                prior=manifest,
-                expected_base=v,
+        vacuum time). Rebases over concurrent commits by re-selecting
+        against the new head, bounded by ``_MAX_COMMIT_RETRIES``."""
+        for _ in range(_MAX_COMMIT_RETRIES):
+            v = self.current_version()
+            if v is None:
+                raise FileNotFoundError(f"no versions in {self.path}")
+            manifest = self.log.resolve(v)
+            stats = manifest.get("stats", {})
+            touched = [
+                f
+                for f in manifest["files"]
+                if self._may_intersect(stats.get(f), column, lo, hi)
+            ]
+            if not touched:
+                return v
+            untouched = [f for f in manifest["files"] if f not in set(touched)]
+            # keep = NOT(lo <= col <= hi), with NULLs KEPT: a null never
+            # matches the range predicate, so it is never deleted (the SQL
+            # DELETE WHERE three-valued-logic reading)
+            kept = self._read_files(touched, manifest["schema"]).filter(
+                F.col(column).isNull()
+                | (F.col(column) < F.lit(lo))
+                | (F.col(column) > F.lit(hi))
             )
-        except ConcurrentWriteError:
-            return self.delete_range(column, lo, hi)
+            try:
+                return self._publish(
+                    untouched + self._land_files(kept),
+                    manifest["schema"],
+                    {"mode": "delete", "column": column},
+                    expected_base=v,
+                )
+            except ConcurrentWriteError:
+                continue
+        raise ConcurrentWriteError(
+            f"delete_range lost {_MAX_COMMIT_RETRIES} commit races on {self.path}"
+        )
 
     def history(self) -> list[dict]:
-        return [self._read_manifest(v) for v in self.versions()]
+        return [self.log.resolve(v) for v in self.versions()]
 
-    def read_pruned(self, column: str, lo, hi, version: int | None = None) -> DataFrame:
+    def read_pruned(
+        self,
+        column: str,
+        lo,
+        hi,
+        version: int | None = None,
+        residual: bool = True,
+    ) -> DataFrame:
         """Snapshot read that opens ONLY the files whose recorded
-        [min, max] for ``column`` intersects [lo, hi] — manifest-level
-        file skipping (the Delta data-skipping read path). Files with no
-        recorded stats are conservatively kept. The residual filter is
-        still applied, so the result equals ``read().filter(...)``
-        exactly; only the I/O differs."""
+        [min, max] for ``column`` intersects [lo, hi] — log-level file
+        skipping (the Delta data-skipping read path). ``None`` bounds
+        are unbounded on that side. Files with no recorded stats are
+        conservatively kept. With ``residual=True`` (default) the exact
+        range filter is applied on top, so the result equals
+        ``read().filter(...)`` exactly; ``residual=False`` returns the
+        pruned file SCAN for callers that apply their own (possibly
+        stricter, e.g. strictly-greater watermark) predicate — the file
+        selection is conservative, so any predicate within [lo, hi]
+        stays exact."""
         v = self.current_version() if version is None else version
         if v is None:
             raise FileNotFoundError(f"no versions in {self.path}")
-        manifest = self._read_manifest(v)
+        manifest = self.log.resolve(v)
         stats = manifest.get("stats", {})
         kept = [
             f
             for f in manifest["files"]
             if self._may_intersect(stats.get(f), column, lo, hi)
         ]
-        pred = (F.col(column) >= F.lit(lo)) & (F.col(column) <= F.lit(hi))
-        return self._read_files(kept, manifest["schema"]).filter(pred)
+        scan = self._read_files(kept, manifest["schema"])
+        if not residual:
+            return scan
+        pred = F.lit(True)
+        if lo is not None:
+            pred = pred & (F.col(column) >= F.lit(lo))
+        if hi is not None:
+            pred = pred & (F.col(column) <= F.lit(hi))
+        return scan.filter(pred)
 
     def compact(
         self,
@@ -682,38 +1136,47 @@ class VersionedTable:
         columns (``sinks.py::_zorder_key`` — the OPTIMIZE ... ZORDER
         analogue): every file gets a narrow footer range on EVERY listed
         column, so ``read_pruned`` skips files on any of them, not just
-        the first. Mutually exclusive with ``order_by``."""
+        the first. Mutually exclusive with ``order_by``.
+
+        Multi-writer: the base version is PINNED before the snapshot is
+        read, and the publish claims exactly base+1 — an interleaved
+        commit (e.g. a racing append whose files this rewrite never
+        read) surfaces as a conflict and the compaction re-derives from
+        the new head, bounded by ``_MAX_COMMIT_RETRIES``. Without the
+        pin, a compaction racing an append would publish a snapshot
+        missing the append's committed files — a lost update."""
         if order_by and zorder_by:
             raise ValueError("pass either order_by or zorder_by, not both")
-        cur = self.read()
-        if zorder_by:
-            from modular_etl_data_platform_spark.sources.sinks import _zorder_key
-
-            key = _zorder_key(cur, zorder_by)
-            merged = (
-                cur.withColumn("__zkey", key)
-                .repartitionByRange(target_files, "__zkey")
-                .sortWithinPartitions("__zkey")
-                .drop("__zkey")
-            )
-        elif order_by:
-            cols = [F.col(c) for c in order_by]
-            merged = cur.repartitionByRange(target_files, *cols).sortWithinPartitions(
-                *cols
-            )
-        else:
-            merged = cur.repartition(target_files)
-        landed = self._land_files(merged)
         for _ in range(_MAX_COMMIT_RETRIES):
+            base = self.current_version()
+            if base is None:
+                raise FileNotFoundError(f"no versions in {self.path}")
+            cur = self.read(base)
+            if zorder_by:
+                from modular_etl_data_platform_spark.sources.sinks import _zorder_key
+
+                key = _zorder_key(cur, zorder_by)
+                merged = (
+                    cur.withColumn("__zkey", key)
+                    .repartitionByRange(target_files, "__zkey")
+                    .sortWithinPartitions("__zkey")
+                    .drop("__zkey")
+                )
+            elif order_by:
+                cols = [F.col(c) for c in order_by]
+                merged = cur.repartitionByRange(
+                    target_files, *cols
+                ).sortWithinPartitions(*cols)
+            else:
+                merged = cur.repartition(target_files)
+            landed = self._land_files(merged)
             try:
                 return self._publish(
                     landed, cur.schema.json(), {"mode": "compact"},
-                    expected_base=self.current_version() or 0,
+                    expected_base=base,
                 )
             except ConcurrentWriteError:
-                # a racing APPEND added files this compaction never read;
-                # blindly publishing would drop them — recompact from head
-                return self.compact(target_files, order_by, zorder_by)
+                continue  # re-derive the rewrite from the new head
         raise ConcurrentWriteError(f"compact lost races on {self.path}")
 
     def compact_where(
@@ -728,7 +1191,7 @@ class VersionedTable:
         """Incremental OPTIMIZE (Delta's ``OPTIMIZE ... WHERE``): rewrite
         ONLY the files whose recorded [min, max] for ``column``
         intersects [lo, hi]; every other file is carried into the new
-        manifest untouched (files are immutable, so reuse is free).
+        version untouched (files are immutable, so reuse is free).
 
         This is the 100 TB compaction story: a table that streams
         appends all day never rewrites its whole history — it compacts
@@ -741,68 +1204,74 @@ class VersionedTable:
         intersecting file with no re-clustering requested; callers
         detect the no-op by comparing the returned version). With
         ``order_by``/``zorder_by`` set, even a single hot file is
-        rewritten, so its internal layout can be re-clustered."""
+        rewritten, so its internal layout can be re-clustered.
+
+        Multi-writer: base pinned before the hot-range read (same
+        rationale as :meth:`compact`); a conflict re-selects the hot
+        files against the new head, bounded by ``_MAX_COMMIT_RETRIES``."""
         if order_by and zorder_by:
             raise ValueError("pass either order_by or zorder_by, not both")
-        v = self.current_version()
-        if v is None:
-            raise FileNotFoundError(f"no versions in {self.path}")
-        manifest = self._read_manifest(v)
-        stats = manifest.get("stats", {})
-        touched = [
-            f
-            for f in manifest["files"]
-            if self._may_intersect(stats.get(f), column, lo, hi)
-        ]
-        if not touched or (len(touched) <= 1 and not (order_by or zorder_by)):
-            return v
-        untouched = [f for f in manifest["files"] if f not in set(touched)]
-        part = self._read_files(touched, manifest["schema"])
-        if zorder_by:
-            from modular_etl_data_platform_spark.sources.sinks import _zorder_key
+        for _ in range(_MAX_COMMIT_RETRIES):
+            v = self.current_version()
+            if v is None:
+                raise FileNotFoundError(f"no versions in {self.path}")
+            manifest = self.log.resolve(v)
+            stats = manifest.get("stats", {})
+            touched = [
+                f
+                for f in manifest["files"]
+                if self._may_intersect(stats.get(f), column, lo, hi)
+            ]
+            if not touched or (
+                len(touched) <= 1 and not (order_by or zorder_by)
+            ):
+                return v
+            untouched = [f for f in manifest["files"] if f not in set(touched)]
+            part = self._read_files(touched, manifest["schema"])
+            if zorder_by:
+                from modular_etl_data_platform_spark.sources.sinks import _zorder_key
 
-            key = _zorder_key(part, zorder_by)
-            merged = (
-                part.withColumn("__zkey", key)
-                .repartitionByRange(target_files, "__zkey")
-                .sortWithinPartitions("__zkey")
-                .drop("__zkey")
-            )
-        elif order_by:
-            cols = [F.col(c) for c in order_by]
-            merged = part.repartitionByRange(target_files, *cols).sortWithinPartitions(
-                *cols
-            )
-        else:
-            merged = part.repartition(target_files)
-        try:
-            return self._publish(
-                untouched + self._land_files(merged),
-                manifest["schema"],
-                {"mode": "compact_where", "column": column},
-                prior=manifest,
-                expected_base=v,
-            )
-        except ConcurrentWriteError:
-            # rebase = re-select files against the new head (a racer may
-            # have rewritten or added files in this range)
-            return self.compact_where(column, lo, hi, target_files, order_by, zorder_by)
+                key = _zorder_key(part, zorder_by)
+                merged = (
+                    part.withColumn("__zkey", key)
+                    .repartitionByRange(target_files, "__zkey")
+                    .sortWithinPartitions("__zkey")
+                    .drop("__zkey")
+                )
+            elif order_by:
+                cols = [F.col(c) for c in order_by]
+                merged = part.repartitionByRange(
+                    target_files, *cols
+                ).sortWithinPartitions(*cols)
+            else:
+                merged = part.repartition(target_files)
+            try:
+                return self._publish(
+                    untouched + self._land_files(merged),
+                    manifest["schema"],
+                    {"mode": "compact_where", "column": column},
+                    expected_base=v,
+                )
+            except ConcurrentWriteError:
+                continue  # re-select the hot files against the new head
+        raise ConcurrentWriteError(
+            f"compact_where lost {_MAX_COMMIT_RETRIES} commit races on {self.path}"
+        )
 
     def restore(self, version: int) -> int:
         """Make an old snapshot the new head (Delta ``RESTORE`` — an
         undo that PRESERVES history): publishes a NEW version pointing
         at the old version's files. O(1) — no data moves; the files are
-        immutable and shared between the two manifests, which is also
+        immutable and shared between the two versions, which is also
         why the restored-from version must still be retained (vacuum
-        keeps every file a retained manifest references)."""
-        m = self._read_manifest(version)
+        keeps every file a retained version references)."""
+        m = self.log.resolve(version)
         for _ in range(_MAX_COMMIT_RETRIES):
             try:
                 return self._publish(
                     m["files"],
                     m["schema"],
                     {"mode": "restore", "restored_from": version},
-                    prior=m,
                     expected_base=self.current_version() or 0,
                 )
             except ConcurrentWriteError:
@@ -810,15 +1279,32 @@ class VersionedTable:
         raise ConcurrentWriteError(f"restore lost races on {self.path}")
 
     # -- retention ------------------------------------------------------------
-    def vacuum(self, keep_last: int = 1) -> int:
+    def vacuum(
+        self,
+        keep_last: int = 1,
+        tmp_retention_seconds: float = _TMP_RETENTION_SECONDS,
+    ) -> int:
         """Drop all but the newest ``keep_last`` versions and delete data
-        files no retained manifest references (this includes orphans from
-        writes that crashed before publishing). Returns files deleted."""
+        files no retained version references (this includes orphans from
+        writes that crashed before publishing). Returns files deleted.
+
+        Before any log entry is removed, the OLDEST retained version is
+        materialized as a checkpoint, so it stays resolvable after the
+        delta chain beneath it is gone (a delta record is meaningless
+        without a base). Orphaned claim-scratch files are swept only
+        past ``tmp_retention_seconds`` — a younger tmp may belong to a
+        LIVE writer between its record write and its atomic claim."""
         vs = self.versions()
-        keep = set(vs[-keep_last:]) if keep_last > 0 else set()
+        keep = vs[-keep_last:] if keep_last > 0 else []
         referenced: set[str] = set()
+        states: dict[int, dict] = {}
         for v in keep:
-            referenced.update(self._read_manifest(v)["files"])
+            states[v] = self.log.resolve(v)
+            referenced.update(states[v]["files"])
+        if keep:
+            oldest = keep[0]
+            if not self.log.store.exists(_checkpoint_name(oldest)):
+                self.log.write_checkpoint(states[oldest])
         deleted = 0
         data_root = os.path.join(self.path, _DATA_DIR)
         for sub in os.listdir(data_root):
@@ -830,11 +1316,12 @@ class VersionedTable:
                     deleted += 1
             if not any(p.endswith(".parquet") for p in os.listdir(subdir)):
                 shutil.rmtree(subdir)
+        keep_set = set(keep)
         for v in vs:
-            if v not in keep:
-                os.remove(self._manifest_path(v))
-        mdir = os.path.join(self.path, _MANIFEST_DIR)
-        for n in os.listdir(mdir):  # tmp manifests from crashed claims
-            if ".tmp" in n:
-                os.remove(os.path.join(mdir, n))
+            if v not in keep_set:
+                self.log.store.delete(_commit_name(v))
+                self.log.store.delete(_checkpoint_name(v))
+        self.log.refresh_hint()
+        self.log.evict_cache_except(keep_set)
+        self.log.store.cleanup_tmp(tmp_retention_seconds)
         return deleted

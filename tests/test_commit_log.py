@@ -1,0 +1,266 @@
+"""Round-8 commit-log contracts (operators/versioned.py): delta-encoded
+commit records + periodic checkpoints + ``_last_checkpoint`` pointer
+(Delta's log design), the LogStore I/O seam, and the multi-writer race
+paths exercised DETERMINISTICALLY through InMemoryLogStore."""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import pytest
+
+from modular_etl_data_platform_spark.operators import versioned as V
+from modular_etl_data_platform_spark.operators.versioned import (
+    CommitLog,
+    ConcurrentWriteError,
+    FileSystemLogStore,
+    InMemoryLogStore,
+    VersionedTable,
+)
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).selectExpr("id", "cast(id as string) as v")
+
+
+def _rows(df):
+    return {tuple(r) for r in df.select("id", "v").collect()}
+
+
+# -- O(batch) commit bytes ----------------------------------------------------
+def test_commit_record_bytes_independent_of_table_file_count(spark, tmp_path):
+    """The round-7 log wrote a FULL file inventory per commit —
+    O(table-file-count) bytes. The delta log writes only add/remove:
+    an identical append must produce a same-sized record whether the
+    table holds 2 prior files or 20."""
+    small = VersionedTable(spark, str(tmp_path / "small"))
+    big = VersionedTable(spark, str(tmp_path / "big"))
+    small.write(_df(spark, 0, 10).coalesce(2))
+    big.write(_df(spark, 0, 10).repartition(20))
+    for i in range(3):  # widen the gap: big accumulates more files
+        big.write(_df(spark, 100 * (i + 1), 100 * (i + 1) + 10).coalesce(2), mode="append")
+    batch = _df(spark, 1000, 1010).coalesce(1)
+    vs = small.write(batch, mode="append")
+    vb = big.write(batch, mode="append")
+    rec_s = json.loads(small.log.store.read(V._commit_name(vs)))
+    rec_b = json.loads(big.log.store.read(V._commit_name(vb)))
+    assert "files" not in rec_s and "files" not in rec_b  # delta format
+    assert len(rec_s["add"]) == len(rec_b["add"]) == 1
+    assert rec_s["remove"] == rec_b["remove"] == []
+    size_s = len(json.dumps(rec_s))
+    size_b = len(json.dumps(rec_b))
+    # identical modulo path-name noise — NOT proportional to 26-vs-3 files
+    assert abs(size_b - size_s) < 200
+
+
+class _CountingStore(FileSystemLogStore):
+    def __init__(self, root):
+        super().__init__(root)
+        self.reads = 0
+        self.lists = 0
+
+    def read(self, name):
+        self.reads += 1
+        return super().read(name)
+
+    def list(self):
+        self.lists += 1
+        return super().list()
+
+
+def test_head_and_snapshot_resolution_bounded_by_checkpoint_interval(
+    spark, tmp_path
+):
+    """current_version() must NOT list the whole log directory when the
+    ``_last_checkpoint`` pointer exists, and resolve(head) must open at
+    most checkpoint_interval + 1 log entries — a year of minute-cadence
+    commits costs the same as a day."""
+    path = str(tmp_path / "t")
+    store = _CountingStore(os.path.join(path, V._MANIFEST_DIR))
+    vt = VersionedTable(spark, path, log_store=store, checkpoint_interval=5)
+    for i in range(13):
+        vt.write(_df(spark, 10 * i, 10 * i + 5).coalesce(1), mode="append" if i else "overwrite")
+    assert vt.current_version() == 13
+    assert CommitLog(path=path).checkpoints() == [5, 10]
+
+    # a FRESH log instance (no warm cache) — e.g. a new reader process
+    cold_store = _CountingStore(os.path.join(path, V._MANIFEST_DIR))
+    cold = CommitLog(store=cold_store, checkpoint_interval=5)
+    assert cold.current_version() == 13
+    assert cold_store.lists == 0  # hint + forward probes, no listing
+    cold_store.reads = 0
+    state = cold.resolve(13)
+    # checkpoint at 10 + deltas 11..13 = 4 content reads, never 13
+    assert cold_store.reads <= 5 + 1
+    assert len(state["files"]) == 13
+
+
+def test_time_travel_across_checkpoint_and_delta_boundaries(spark, tmp_path):
+    vt = VersionedTable(spark, str(tmp_path / "t"), checkpoint_interval=4)
+    for i in range(9):
+        vt.write(_df(spark, 10 * i, 10 * i + 2).coalesce(1), mode="append" if i else "overwrite")
+    for v in [1, 3, 4, 5, 8, 9]:  # below, at, and above checkpoints
+        got = _rows(vt.read(version=v))
+        want = {
+            (i, str(i)) for b in range(v) for i in range(10 * b, 10 * b + 2)
+        }
+        assert got == want, f"version {v}"
+
+
+def test_legacy_full_manifest_tables_stay_readable(spark, tmp_path):
+    """Round-7 logs wrote full ``files`` manifests; the delta reader
+    must treat them as their own base and keep committing on top."""
+    vt = VersionedTable(spark, str(tmp_path / "t"))
+    vt.write(_df(spark, 0, 5).coalesce(1))
+    # rewrite v1's record into the legacy full format in place
+    rec = json.loads(vt.log.store.read(V._commit_name(1)))
+    legacy = {
+        "version": 1,
+        "files": rec["add"],
+        "schema": rec["schema"],
+        "stats": rec["stats"],
+        "mode": "overwrite",
+    }
+    vt.log.store.delete(V._commit_name(1))
+    vt.log.store.put(V._commit_name(1), json.dumps(legacy))
+    vt.log._cache.clear()
+    vt.write(_df(spark, 5, 8).coalesce(1), mode="append")
+    assert _rows(vt.read()) == {(i, str(i)) for i in range(8)}
+    assert _rows(vt.read(version=1)) == {(i, str(i)) for i in range(5)}
+
+
+# -- vacuum & retention -------------------------------------------------------
+def test_vacuum_checkpoints_oldest_retained_version(spark, tmp_path):
+    """Deleting the delta chain beneath the oldest retained version
+    would make it unresolvable — vacuum must materialize it as a
+    checkpoint first, and the ``_last_checkpoint`` pointer must land on
+    a checkpoint that still exists."""
+    vt = VersionedTable(spark, str(tmp_path / "t"), checkpoint_interval=100)
+    for i in range(7):  # interval 100 -> no organic checkpoints at all
+        vt.write(_df(spark, 10 * i, 10 * i + 2).coalesce(1), mode="append" if i else "overwrite")
+    vt.vacuum(keep_last=3)
+    assert vt.versions() == [5, 6, 7]
+    log = CommitLog(path=str(tmp_path / "t"))  # cold reader
+    assert 5 in log.checkpoints()
+    hint = json.loads(log.store.read(V._HINT_NAME))["version"]
+    assert log.store.exists(V._checkpoint_name(hint))
+    for v in (5, 6, 7):
+        assert len(log.resolve(v)["files"]) == v
+    with pytest.raises(FileNotFoundError):
+        log.resolve(4)
+    assert _rows(vt.read(version=5)) == {
+        (i, str(i)) for b in range(5) for i in (10 * b, 10 * b + 1)
+    }
+
+
+def test_vacuum_tmp_sweep_age_gate(spark, tmp_path):
+    """A tmp claim file younger than the retention window may belong to
+    a LIVE writer between record-write and os.link — vacuum must leave
+    it; only stale orphans (dead writers) are swept."""
+    vt = VersionedTable(spark, str(tmp_path / "t"))
+    vt.write(_df(spark, 0, 3).coalesce(1))
+    mdir = os.path.join(str(tmp_path / "t"), V._MANIFEST_DIR)
+    fresh = os.path.join(mdir, "v00000002.json.tmp999_live")
+    stale = os.path.join(mdir, "v00000002.json.tmp999_dead")
+    for p in (fresh, stale):
+        with open(p, "w") as f:
+            f.write("{}")
+    old = time.time() - 7200
+    os.utime(stale, (old, old))
+    vt.vacuum(keep_last=1)
+    assert os.path.exists(fresh)
+    assert not os.path.exists(stale)
+
+
+def test_swept_tmp_surfaces_as_concurrent_write_error(tmp_path, monkeypatch):
+    """If a racer's sweep (or any crash) removes the tmp file between
+    write and link, the claim must surface as ConcurrentWriteError —
+    the retriable conflict signal — not a raw FileNotFoundError that
+    crashes the commit with no rebase."""
+    store = FileSystemLogStore(str(tmp_path / "log"))
+    real_link = os.link
+
+    def steal_then_link(src, dst):
+        os.remove(src)  # the racing sweep
+        return real_link(src, dst)
+
+    monkeypatch.setattr(os, "link", steal_then_link)
+    with pytest.raises(ConcurrentWriteError):
+        store.put_if_absent("v00000001.json", "{}")
+
+
+# -- deterministic multi-writer races (InMemoryLogStore) ----------------------
+def test_compact_pins_base_and_keeps_racing_append(spark, tmp_path):
+    """The round-7 bug: compact() evaluated expected_base at PUBLISH
+    time, so an append committed during the rewrite was silently
+    dropped from the compacted snapshot. With the base pinned before
+    the snapshot read, the interleaved commit triggers a conflict and
+    the compaction re-derives from the new head — the appended rows
+    must survive. InMemoryLogStore makes the interleaving exact."""
+    store = InMemoryLogStore()
+    path = str(tmp_path / "t")
+    vt = VersionedTable(spark, path, log_store=store)
+    racer = VersionedTable(spark, path, log_store=store)
+    vt.write(_df(spark, 0, 10).coalesce(2))
+
+    real_land = VersionedTable._land_files
+    fired = {"done": False}
+
+    def land_with_interleaved_append(self, df):
+        files = real_land(self, df)
+        if not fired["done"]:
+            fired["done"] = True
+            racer.write(_df(spark, 100, 105).coalesce(1), mode="append")
+        return files
+
+    try:
+        VersionedTable._land_files = land_with_interleaved_append
+        vt.compact(target_files=1)
+    finally:
+        VersionedTable._land_files = real_land
+    assert _rows(vt.read()) == {(i, str(i)) for i in range(10)} | {
+        (i, str(i)) for i in range(100, 105)
+    }
+    # every committed version survives in the log: base, racer, compact(s)
+    assert vt.current_version() >= 3
+
+
+def test_rebase_retries_are_bounded_not_recursive(spark, tmp_path, monkeypatch):
+    """delete_range/compact/compact_where under SUSTAINED contention
+    must exhaust a bounded retry budget and raise ConcurrentWriteError
+    — never recurse unboundedly re-landing data files."""
+    monkeypatch.setattr(V, "_MAX_COMMIT_RETRIES", 3)
+    vt = VersionedTable(
+        spark, str(tmp_path / "t"), stats_columns=["id"]
+    )
+    vt.write(_df(spark, 0, 10).coalesce(1))
+
+    def always_taken(name, data):
+        raise ConcurrentWriteError(f"{name} taken")
+
+    monkeypatch.setattr(vt.log.store, "put_if_absent", always_taken)
+    with pytest.raises(ConcurrentWriteError, match="lost"):
+        vt.delete_range("id", 2, 4)
+    with pytest.raises(ConcurrentWriteError, match="lost"):
+        vt.compact(target_files=1)
+    with pytest.raises(ConcurrentWriteError, match="lost"):
+        vt.compact_where("id", 0, 100, order_by=["id"])
+
+
+def test_inmemory_store_serializes_concurrent_appends(spark, tmp_path):
+    """The OCC protocol through the seam: two writers on the SAME
+    InMemoryLogStore interleave appends; both commits land, neither is
+    lost, versions are contiguous."""
+    store = InMemoryLogStore()
+    path = str(tmp_path / "t")
+    a = VersionedTable(spark, path, log_store=store)
+    b = VersionedTable(spark, path, log_store=store)
+    a.write(_df(spark, 0, 5).coalesce(1))
+    b.write(_df(spark, 10, 15).coalesce(1), mode="append")
+    a.write(_df(spark, 20, 25).coalesce(1), mode="append")
+    assert a.versions() == [1, 2, 3]
+    assert _rows(a.read()) == {
+        (i, str(i)) for i in [*range(0, 5), *range(10, 15), *range(20, 25)]
+    }

@@ -594,3 +594,93 @@ def test_versioned_table_stream_source_tails_the_log(spark, tmp_path):
     assert drain() == {(1, "a"), (2, "b"), (3, "c")}
     # nothing new: a third drain emits nothing
     assert drain() == {(1, "a"), (2, "b"), (3, "c")}
+
+
+def _versioned_reader(table, schema, start=0, max_versions=None):
+    from modular_etl_data_platform_spark.streaming.versioned_source import (
+        _VersionedStreamReader,
+    )
+
+    return _VersionedStreamReader(table, schema, start, max_versions)
+
+
+def test_versioned_stream_vacuumed_start_fails_loudly(spark, tmp_path):
+    """A consumer whose checkpointed version left retention must FAIL,
+    not silently re-emit the whole table as 'new' (double-processing
+    every row is the one error downstream can't detect) — Delta's
+    startingVersion-out-of-retention behavior."""
+    import pytest
+
+    from modular_etl_data_platform_spark.operators.versioned import VersionedTable
+
+    table = str(tmp_path / "vt")
+    vt = VersionedTable(spark, table)
+    for i in range(4):
+        vt.write(
+            spark.createDataFrame([(i, "x")], "id long, v string"),
+            mode="append" if i else "overwrite",
+        )
+    vt.vacuum(keep_last=1)  # versions 1-3 leave retention
+    reader = _versioned_reader(table, vt.read().schema)
+    with pytest.raises(RuntimeError, match="no longer in the log"):
+        reader.partitions({"version": 2}, {"version": 4})
+
+
+def test_versioned_stream_rate_limit_drains_in_bounded_batches(spark, tmp_path):
+    """max_versions_per_batch caps each micro-batch's offset advance
+    (the maxFilesPerTrigger analogue): after downtime, 10 accumulated
+    versions drain as 3+3+3+1, and the union of all batches equals one
+    unbounded drain — no file skipped, none emitted twice."""
+    from modular_etl_data_platform_spark.operators.versioned import VersionedTable
+
+    table = str(tmp_path / "vt")
+    vt = VersionedTable(spark, table)
+    for i in range(10):
+        vt.write(
+            spark.createDataFrame([(i, "x")], "id long, v string").coalesce(1),
+            mode="append" if i else "overwrite",
+        )
+    reader = _versioned_reader(table, vt.read().schema, max_versions=3)
+    start = reader.initialOffset()
+    ends, seen = [], []
+    for _ in range(10):  # bounded loop; breaks when caught up
+        end = reader.latestOffset()
+        if end["version"] <= start["version"]:
+            break
+        parts = reader.partitions(start, end)
+        seen.extend(p.path for p in parts)
+        ends.append(end["version"])
+        start = end
+    assert ends == [3, 6, 9, 10]
+    all_files = vt._read_manifest(10)["files"]
+    assert sorted(seen) == sorted(all_files)  # exactly-once over the drain
+
+
+def test_versioned_stream_typed_nulls_for_evolved_columns(spark, tmp_path):
+    """A file carried forward from BEFORE a schema evolution lacks the
+    new column; the stream must null-fill it with the FIELD'S Arrow
+    type (int64 here), not a null-typed array — a type-mismatched batch
+    fails (or mis-casts) the executor-side Arrow-to-Spark conversion."""
+    import pyarrow as pa
+
+    from modular_etl_data_platform_spark.operators.versioned import VersionedTable
+
+    table = str(tmp_path / "vt")
+    vt = VersionedTable(spark, table, stats_columns=["id"])
+    vt.write(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string").coalesce(1)
+    )
+    old_files = set(vt._read_manifest(1)["files"])
+    # key-disjoint evolving upsert: the v1 file is carried forward and
+    # lacks the new column w
+    batch = spark.createDataFrame([(100, "z", 7)], "id long, v string, w long")
+    vt.upsert(batch, ["id"], evolve_schema=True)
+    carried = set(vt._read_manifest(vt.current_version())["files"]) & old_files
+    assert carried  # the premise: an un-rewritten pre-evolution file
+    reader = _versioned_reader(table, vt.read().schema)
+    parts = reader.partitions({"version": 0}, {"version": 2})
+    old_part = next(p for p in parts if p.path in carried)
+    batches = list(reader.read(old_part))
+    tbl = pa.Table.from_batches(batches)
+    assert tbl.schema.field("w").type == pa.int64()
+    assert tbl.column("w").null_count == tbl.num_rows
