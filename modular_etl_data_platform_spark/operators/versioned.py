@@ -522,7 +522,15 @@ def _encode_stat_bound(value, kind: str):
     (conservative: a type-confused comparison must never exclude a
     file)."""
     if kind == "num":
-        return value if type(value) in (int, float) else None
+        if type(value) in (int, float):
+            return value
+        if isinstance(value, str):
+            # the watermark store stringifies numeric marks
+            try:
+                return float(value)
+            except ValueError:
+                return None
+        return None
     if kind == "ts":
         if isinstance(value, datetime):
             if value.tzinfo is not None:
@@ -557,6 +565,14 @@ class VersionedTable:
         #: columns to record per-file min/max for in each commit record
         #: (footer-metadata only); enables read_pruned file skipping
         self.stats_columns = stats_columns or []
+        if spark is not None:
+            # INT96 (Spark's legacy parquet timestamp encoding) writes
+            # NO footer min/max — timestamp stats_columns would silently
+            # record nothing and every watermark read would scan the
+            # table. Micros is Delta's encoding; values are unaffected.
+            spark.conf.set(
+                "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
+            )
         os.makedirs(os.path.join(path, _DATA_DIR), exist_ok=True)
         self.log = CommitLog(
             path=path, store=log_store, checkpoint_interval=checkpoint_interval
@@ -759,12 +775,20 @@ class VersionedTable:
         return out
 
     @staticmethod
-    def _may_intersect(stats_entry: dict | None, column: str, lo, hi) -> bool:
+    def _may_intersect(
+        stats_entry: dict | None,
+        column: str,
+        lo,
+        hi,
+        lo_inclusive: bool = True,
+    ) -> bool:
         """Whether a file MAY hold rows with ``column`` in [lo, hi]
-        (``None`` bound = unbounded): False for recorded-empty files,
-        True (conservative) when the column has no recorded range or the
-        bound's type doesn't match the recorded kind, else the
-        range-overlap test."""
+        (``None`` bound = unbounded; ``lo_inclusive=False`` makes the
+        range (lo, hi] — the strictly-greater watermark shape, where a
+        file whose max EQUALS the mark holds no qualifying row): False
+        for recorded-empty files, True (conservative) when the column
+        has no recorded range or the bound's type doesn't match the
+        recorded kind, else the range-overlap test."""
         entry = stats_entry or {}
         if entry.get(_EMPTY_MARK):
             return False
@@ -783,8 +807,11 @@ class VersionedTable:
             return True
         if e_hi is not None and f_lo > e_hi:
             return False
-        if e_lo is not None and f_hi < e_lo:
-            return False
+        if e_lo is not None:
+            if lo_inclusive and f_hi < e_lo:
+                return False
+            if not lo_inclusive and f_hi <= e_lo:
+                return False
         return True
 
     def write(self, df: DataFrame, mode: str = "overwrite") -> int:
@@ -1083,18 +1110,20 @@ class VersionedTable:
         hi,
         version: int | None = None,
         residual: bool = True,
+        lo_inclusive: bool = True,
     ) -> DataFrame:
         """Snapshot read that opens ONLY the files whose recorded
         [min, max] for ``column`` intersects [lo, hi] — log-level file
         skipping (the Delta data-skipping read path). ``None`` bounds
-        are unbounded on that side. Files with no recorded stats are
-        conservatively kept. With ``residual=True`` (default) the exact
-        range filter is applied on top, so the result equals
-        ``read().filter(...)`` exactly; ``residual=False`` returns the
-        pruned file SCAN for callers that apply their own (possibly
-        stricter, e.g. strictly-greater watermark) predicate — the file
-        selection is conservative, so any predicate within [lo, hi]
-        stays exact."""
+        are unbounded on that side; ``lo_inclusive=False`` reads
+        (lo, hi] — the strictly-greater watermark shape, where a file
+        topping out exactly AT the mark is skipped. Files with no
+        recorded stats are conservatively kept. With ``residual=True``
+        (default) the exact range filter is applied on top, so the
+        result equals ``read().filter(...)`` exactly;
+        ``residual=False`` returns the pruned file SCAN for callers
+        that apply their own predicate — the file selection is
+        conservative, so any predicate within the bounds stays exact."""
         v = self.current_version() if version is None else version
         if v is None:
             raise FileNotFoundError(f"no versions in {self.path}")
@@ -1103,14 +1132,17 @@ class VersionedTable:
         kept = [
             f
             for f in manifest["files"]
-            if self._may_intersect(stats.get(f), column, lo, hi)
+            if self._may_intersect(
+                stats.get(f), column, lo, hi, lo_inclusive=lo_inclusive
+            )
         ]
         scan = self._read_files(kept, manifest["schema"])
         if not residual:
             return scan
         pred = F.lit(True)
         if lo is not None:
-            pred = pred & (F.col(column) >= F.lit(lo))
+            op = F.col(column) >= F.lit(lo) if lo_inclusive else F.col(column) > F.lit(lo)
+            pred = pred & op
         if hi is not None:
             pred = pred & (F.col(column) <= F.lit(hi))
         return scan.filter(pred)

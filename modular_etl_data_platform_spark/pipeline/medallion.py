@@ -111,6 +111,44 @@ class MedallionPipeline:
             raise ValueError(f"{name} is not a versioned table; no version {version}")
         return self.spark.read.parquet(p)
 
+    def _read_source_for_increment(
+        self, source_table: str, inc_col: str | None, wm
+    ) -> DataFrame:
+        """The incremental-read scan of a source layer table: a
+        file-pruned snapshot when the source is versioned and a
+        watermark exists (conservative file selection — the exact
+        ``col > wm`` predicate is applied by ``incremental_filter`` on
+        top), otherwise the plain table read (parquet mode already
+        prunes via hive partitions + pushed filters)."""
+        from modular_etl_data_platform_spark.operators.versioned import (
+            is_versioned_table,
+        )
+
+        p = self.table_path(source_table)
+        if inc_col and wm is not None and is_versioned_table(p):
+            return self._vt(source_table).read_pruned(
+                inc_col, lo=wm, hi=None, residual=False, lo_inclusive=False
+            )
+        return self.read_table(source_table)
+
+    @staticmethod
+    def _stats_cols(config: TableConfig) -> list[str]:
+        """Columns worth per-file min/max stats in versioned mode: the
+        primary keys (file-pruned MERGE), the incremental column (a
+        downstream watermark read prunes to the new batch's files — the
+        role hive partitioning by ``partition_by`` plays in parquet
+        mode), and the partition columns themselves (point reads on the
+        layout key skip files). Numeric/timestamp/date columns record;
+        others stay conservative (never pruned, never mis-pruned)."""
+        cols = list(config.primary_keys)
+        inc = config.incremental_column
+        if inc and inc not in cols:
+            cols.append(inc)
+        for c in config.partition_by:
+            if c not in cols:
+                cols.append(c)
+        return cols
+
     # -- storage-dispatch sinks ----------------------------------------------
     def upsert_table(
         self,
@@ -118,13 +156,17 @@ class MedallionPipeline:
         name: str,
         primary_keys: list[str],
         partition_by: list[str] | None = None,
+        stats_columns: list[str] | None = None,
     ) -> None:
         """Keyed MERGE through the configured storage. Versioned mode
-        records footer stats on the primary keys so narrow-key upserts
-        take the file-pruned path (numeric keys; others stay on the
-        conservative full merge)."""
+        records footer stats on ``stats_columns`` (default: the primary
+        keys) so narrow-key upserts take the file-pruned path
+        (numeric/timestamp keys; others stay on the conservative full
+        merge)."""
         if self.storage == "versioned":
-            self._vt(name, stats_columns=primary_keys).upsert(df, primary_keys)
+            self._vt(name, stats_columns=stats_columns or primary_keys).upsert(
+                df, primary_keys
+            )
         else:
             upsert_parquet(
                 self.spark, df, self.table_path(name), primary_keys, partition_by
@@ -196,7 +238,17 @@ class MedallionPipeline:
             )
             bronze = bronze.join(F.broadcast(seen), "source_file", "left_anti")
         if self.storage == "versioned":
-            vt = self._vt(config.table_name)
+            # stats on the incremental/partition columns give the
+            # versioned bronze table the pruning its parquet-mode hive
+            # layout would provide: a silver watermark read opens only
+            # the new batch's files (read_pruned), not the table. The
+            # stamped audit timestamps are always included — they are
+            # the default incremental handle downstream configs name.
+            stats = self._stats_cols(config)
+            for c in ("ingestion_timestamp", "ingestion_date"):
+                if c not in stats:
+                    stats.append(c)
+            vt = self._vt(config.table_name, stats_columns=stats)
             mode = "append" if vt.current_version() is not None else "overwrite"
             vt.write(bronze, mode=mode)
         else:
@@ -208,11 +260,17 @@ class MedallionPipeline:
         self, config: TableConfig, order_col: str = "ingestion_timestamp"
     ) -> dict[str, int]:
         """5-stage silver load; returns row-count metrics per stage."""
-        src = self.read_table(config.source_table)
-
-        # 1. incremental filter (P3) against stored watermark
+        # 1. incremental filter (P3) against stored watermark. On a
+        # VERSIONED source the watermark also prunes at the FILE level:
+        # only files whose recorded [min, max] on the incremental column
+        # can contain rows past the mark are opened (read_pruned with
+        # the exact strictly-greater predicate applied on top) — the
+        # versioned-mode analogue of hive-partition pruning, so an
+        # incremental pass over a year of bronze opens one batch's
+        # files, not the table.
         inc_col = config.incremental_column
         wm = self._watermarks.get(config.table_name) if inc_col else None
+        src = self._read_source_for_increment(config.source_table, inc_col, wm)
         batch = incremental_filter(src, inc_col, wm) if inc_col else src
 
         # 2. expression transforms (P2/T1-T7) + schema conformance (P1)
@@ -271,7 +329,11 @@ class MedallionPipeline:
         obs_out = Observation()
         final = final.observe(obs_out, F.count(F.lit(1)).alias("rows"))
         self.upsert_table(
-            final, config.table_name, config.primary_keys, config.partition_by or None
+            final,
+            config.table_name,
+            config.primary_keys,
+            config.partition_by or None,
+            stats_columns=self._stats_cols(config),
         )
         if inc_col:
             new_wm = advance_watermark(batch, inc_col)

@@ -882,3 +882,239 @@ def q137_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(F.col("p"), "sum_price"),
         )
     )
+
+
+@query(
+    "q139_versioned_incremental_silver",
+    """
+    WITH bronze AS (
+      SELECT o_orderkey AS id, o_orderkey AS seq, o_orderstatus AS val
+      FROM orders
+    ),
+    latest AS (
+      SELECT id, seq, val,
+             ROW_NUMBER() OVER (PARTITION BY id ORDER BY seq DESC) AS rn
+      FROM bronze
+    )
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(id) AS BIGINT) AS id_sum,
+           COUNT(DISTINCT val) AS n_vals
+    FROM latest WHERE rn = 1
+    """,
+)
+def q139_versioned_incremental_silver(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark file pruning on a VERSIONED bronze source
+    (pipeline/medallion.py::_read_source_for_increment + versioned.py::
+    read_pruned with a strictly-greater lower bound): bronze lands as
+    three key-range-disjoint appended batches with per-file ``seq``
+    stats; silver pass 1 consumes batches 1-2 and records the
+    watermark, then batch 3 is appended and pass 2 runs. The query
+    ASSERTS (raises — the scale property IS the point) that pass 2's
+    source scan opened ONLY batch 3's file, including skipping the file
+    whose max seq EQUALS the watermark; the oracle replays the full
+    dedup-latest silver state relationally, so a pruning bug that skips
+    a qualifying file (rows lost) or double-applies a batch changes the
+    hash."""
+    from modular_etl_data_platform_spark.operators.versioned import VersionedTable
+    from modular_etl_data_platform_spark.pipeline.medallion import MedallionPipeline
+    from modular_etl_data_platform_spark.schema.registry import TableConfig
+
+    scratch = _scratch("q139_versioned_incremental_silver", sf_dir)
+    bronze_src = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("id"),
+        F.col("o_orderkey").alias("seq"),
+        F.col("o_orderstatus").alias("val"),
+    )
+    cfg = TableConfig(
+        raw={
+            "table_name": "silver_inc",
+            "source_table": "bronze_inc",
+            "load_type": "upsert",
+            "primary_keys": ["id"],
+            "incremental_column": "seq",
+            "columns": [
+                {"name": "id", "datatype": "bigint", "nullable": False},
+                {"name": "seq", "datatype": "bigint", "nullable": False},
+                {"name": "val", "datatype": "string", "nullable": True},
+            ],
+        }
+    )
+    pipe = MedallionPipeline(
+        spark, warehouse=os.path.join(scratch, "wh"), storage="versioned"
+    )
+    bronze = VersionedTable(
+        spark, pipe.table_path("bronze_inc"), stats_columns=["seq"]
+    )
+    lo_cut = 2_000
+    hi_cut = 1_000_000_000_000
+    b1 = bronze_src.filter(F.col("seq") < lo_cut).coalesce(1)
+    b2 = bronze_src.filter(
+        (F.col("seq") >= lo_cut) & (F.col("seq") < hi_cut)
+    ).coalesce(1)
+    bronze.write(b1)
+    bronze.write(b2, mode="append")
+    pipe.transform_silver(cfg, order_col="seq")
+
+    b3 = bronze_src.filter(F.col("seq") >= hi_cut)  # empty at test SFs
+    # make batch 3 non-empty and disjoint: re-key a slice above the max
+    b3 = bronze_src.limit(0).unionByName(
+        bronze_src.filter(F.col("seq") < 500).select(
+            (F.col("id") + F.lit(hi_cut)).alias("id"),
+            (F.col("seq") + F.lit(hi_cut)).alias("seq"),
+            F.col("val"),
+        )
+    ).coalesce(1)
+    bronze.write(b3, mode="append")
+    pruned = pipe._read_source_for_increment(
+        "bronze_inc", "seq", pipe._watermarks.get("silver_inc")
+    )
+    opened = set(os.path.basename(f) for f in pruned.inputFiles())
+    head = bronze.current_version()
+    new_files = {
+        os.path.basename(f)
+        for f in bronze._read_manifest(head)["files"]
+        if f not in set(bronze._read_manifest(head - 1)["files"])
+    }
+    if opened != new_files:  # the scale property IS the point
+        raise AssertionError(
+            f"incremental silver scan opened {sorted(opened)}, "
+            f"expected only the new batch's {sorted(new_files)}"
+        )
+    pipe.transform_silver(cfg, order_col="seq")
+    # oracle scope: the original keys only (the re-keyed batch-3 rows
+    # are engine-side plumbing; subtract them the same way relationally
+    # would double the SQL for no extra signal)
+    return _pin(
+        pipe.read_table("silver_inc")
+        .filter(F.col("id") < hi_cut)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("id").cast("long").alias("id_sum"),
+            F.countDistinct("val").alias("n_vals"),
+        )
+    )
+
+
+@query(
+    "q140_check_constraints",
+    """
+    SELECT o_orderstatus,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_total
+    FROM (
+      SELECT o_orderstatus, o_totalprice FROM orders WHERE o_totalprice > 0
+      UNION ALL
+      SELECT 'N' AS o_orderstatus, CAST(NULL AS DOUBLE) AS o_totalprice
+    )
+    GROUP BY o_orderstatus
+    """,
+)
+def q140_check_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transactional CHECK constraints on a versioned table
+    (operators/versioned.py::add_constraint + the Observation-enforced
+    landing check): a ``o_totalprice > 0`` constraint is registered,
+    then (1) a batch containing a NULL price lands — NULL evaluations
+    PASS (SQL CHECK three-valued logic); (2) a violating batch
+    (negative price) must raise ConstraintViolationError AND leave the
+    version counter untouched — the transactional half: the rejected
+    version never exists. The query raises if the violation is accepted
+    or the rejection leaks a version; the oracle replays the surviving
+    state (valid rows + the NULL row) relationally."""
+    from modular_etl_data_platform_spark.operators.versioned import (
+        ConstraintViolationError,
+        VersionedTable,
+    )
+
+    scratch = _scratch("q140_check_constraints", sf_dir)
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    vt = VersionedTable(spark, os.path.join(scratch, "orders_v"))
+    vt.write(orders.filter(F.col("o_totalprice") > 0))
+    vt.add_constraint("price_positive", "o_totalprice > 0")
+    # NULL passes (three-valued logic): this append must succeed
+    null_row = spark.createDataFrame(
+        [(-1, "N", None)], "o_orderkey long, o_orderstatus string, o_totalprice double"
+    )
+    vt.write(null_row, mode="append")
+    head = vt.current_version()
+    bad = spark.createDataFrame(
+        [(-2, "B", -5.0)], "o_orderkey long, o_orderstatus string, o_totalprice double"
+    )
+    try:
+        vt.write(bad, mode="append")
+        raise AssertionError("violating write was accepted")
+    except ConstraintViolationError:
+        pass
+    if vt.current_version() != head:  # transactional: no version leaked
+        raise AssertionError("rejected write published a version")
+    return _pin(
+        vt.read()
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum(F.col("o_totalprice"), "sum_total"),
+        )
+    )
+
+
+@query(
+    "q141_checkpointed_log_time_travel",
+    """
+    WITH b AS (
+      SELECT o_orderkey, o_totalprice, o_orderkey % 12 AS bucket
+      FROM orders
+    )
+    SELECT 7 AS version, COUNT(*) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_total
+    FROM b WHERE bucket < 7
+    UNION ALL
+    SELECT 12 AS version, COUNT(*) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_total
+    FROM b
+    """,
+)
+def q141_checkpointed_log_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The delta-encoded commit log under a LONG history
+    (operators/versioned.py::CommitLog — add/remove deltas + periodic
+    checkpoints + ``_last_checkpoint``): 12 appended versions with
+    checkpoint_interval=5 cross two checkpoint boundaries; version 7
+    (checkpoint 5 + two deltas) and head (checkpoint 10 + two deltas)
+    are both resolved and aggregated. The query also ASSERTS the scale
+    contract directly: every non-checkpoint commit record is in delta
+    form (no full file inventory), and checkpoints exist at 5 and 10.
+    The oracle replays both snapshots relationally — a delta fold that
+    drops/doubles a file, a checkpoint that snapshots the wrong state,
+    or a hint that resolves the wrong head all change the hash."""
+    from modular_etl_data_platform_spark.operators import versioned as V
+    from modular_etl_data_platform_spark.operators.versioned import VersionedTable
+
+    scratch = _scratch("q141_checkpointed_log_time_travel", sf_dir)
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", (F.col("o_orderkey") % 12).alias("bucket")
+    )
+    vt = VersionedTable(
+        spark, os.path.join(scratch, "orders_v"), checkpoint_interval=5
+    )
+    for i in range(12):
+        vt.write(
+            orders.filter(F.col("bucket") == i).coalesce(1),
+            mode="append" if i else "overwrite",
+        )
+    if vt.log.checkpoints() != [5, 10]:
+        raise AssertionError(f"checkpoints at {vt.log.checkpoints()}, want [5, 10]")
+    import json as _json
+
+    for v in (2, 7, 12):  # delta-form commits (the O(batch) contract)
+        rec = _json.loads(vt.log.store.read(V._commit_name(v)))
+        if "files" in rec or "add" not in rec:
+            raise AssertionError(f"commit {v} is not in delta form")
+
+    def snap(v: int) -> DataFrame:
+        return vt.read(v).agg(
+            F.lit(v).alias("version"),
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum(F.col("o_totalprice"), "sum_total"),
+        )
+
+    return _pin(snap(7).unionByName(snap(12)))

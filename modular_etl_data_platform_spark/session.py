@@ -41,6 +41,11 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
+        # INT96 (Spark's legacy parquet timestamp encoding) carries NO
+        # footer min/max statistics, which kills timestamp data skipping
+        # (VersionedTable stats, watermark file pruning). Micros is what
+        # Delta writes and every modern reader expects.
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )

@@ -264,3 +264,45 @@ def test_inmemory_store_serializes_concurrent_appends(spark, tmp_path):
     assert _rows(a.read()) == {
         (i, str(i)) for i in [*range(0, 5), *range(10, 15), *range(20, 25)]
     }
+
+
+def test_timestamp_stats_prune_files_and_accept_watermark_strings(
+    spark, tmp_path
+):
+    """Round-8: footer stats now record timestamp columns (UTC-naive
+    ISO-8601 bounds — fixed-width fields make string order = time
+    order), so the medallion's ingestion_timestamp watermark prunes
+    versioned bronze files. Bounds arrive as datetimes OR as the
+    watermark store's stringified form ('YYYY-MM-DD HH:MM:SS') — both
+    must prune identically, and the pruned read must equal the full
+    filter exactly."""
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    vt = VersionedTable(spark, str(tmp_path / "t"), stats_columns=["ts"])
+    for day in (1, 5, 9):
+        batch = spark.range(0, 24).select(
+            F.col("id"),
+            F.to_timestamp(
+                F.format_string("2024-03-%02d %02d:00:00", F.lit(day), F.col("id"))
+            ).alias("ts"),
+        ).coalesce(1)
+        vt.write(batch, mode="append" if day > 1 else "overwrite")
+    state = vt._read_manifest(vt.current_version())
+    assert len(state["files"]) == 3
+    rec = next(iter(state["stats"].values()))["ts"]
+    assert rec["k"] == "ts" and rec["lo"].startswith("2024-03-")
+
+    lo_dt, hi_dt = datetime(2024, 3, 5), datetime(2024, 3, 6)
+    pruned = vt.read_pruned("ts", lo_dt, hi_dt)
+    assert len(pruned.inputFiles()) == 1  # only the day-5 file opened
+    full = vt.read().filter(F.col("ts").between(lo_dt, hi_dt))
+    assert pruned.count() == full.count() == 24
+
+    # the watermark store's string form: strictly-greater scan past the
+    # day-5 file's max must skip days 1 and 5 entirely
+    wm_scan = vt.read_pruned(
+        "ts", "2024-03-05 23:00:00", None, residual=False, lo_inclusive=False
+    )
+    assert len(wm_scan.inputFiles()) == 1  # the day-9 file only

@@ -158,3 +158,69 @@ def test_analyze_table_versioned_snapshot_stats(spark, vdemo):
     n_rows = pipe.read_table("gold_dim_customer").count()
     assert f"{n_rows} rows" in stats["Statistics"]
     assert "distinct_count=" in stats["col:customer_id"]
+
+
+def test_silver_incremental_read_prunes_to_new_bronze_files(spark, tmp_path):
+    """Round-8: the versioned-mode watermark read gets its file pruning
+    back (parquet mode prunes via hive partitions; versioned mode must
+    prune via log stats or every incremental pass scans the whole
+    bronze table). Two silver passes over a multi-batch versioned
+    bronze: the second pass's source scan must open ONLY the batch
+    appended after the first pass — including skipping the old file
+    whose max equals the watermark exactly (strictly-greater bound)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from modular_etl_data_platform_spark.schema.registry import TableConfig
+
+    cfg = TableConfig(
+        raw={
+            "table_name": "silver_inc_v",
+            "source_table": "bronze_inc_v",
+            "load_type": "upsert",
+            "primary_keys": ["id"],
+            "incremental_column": "seq",
+            "columns": [
+                {"name": "id", "datatype": "bigint", "nullable": False},
+                {"name": "seq", "datatype": "bigint", "nullable": False},
+                {"name": "val", "datatype": "string", "nullable": True},
+            ],
+        }
+    )
+    pipe = MedallionPipeline(
+        spark, warehouse=str(tmp_path / "wh"), storage="versioned"
+    )
+    bronze = VersionedTable(
+        spark, pipe.table_path("bronze_inc_v"), stats_columns=["seq"]
+    )
+
+    def batch(lo, hi):
+        return spark.range(lo, hi).select(
+            F.col("id"),
+            F.col("id").alias("seq"),
+            F.concat(F.lit("v"), F.col("id")).alias("val"),
+        ).coalesce(1)
+
+    bronze.write(batch(0, 100))
+    bronze.write(batch(100, 180), mode="append")
+    pipe.transform_silver(cfg, order_col="seq")
+    assert pipe._watermarks.get("silver_inc_v") == "179"
+    assert pipe.read_table("silver_inc_v").count() == 180
+
+    bronze.write(batch(180, 220), mode="append")
+    pruned = pipe._read_source_for_increment(
+        "bronze_inc_v", "seq", pipe._watermarks.get("silver_inc_v")
+    )
+    opened = [os.path.basename(f) for f in pruned.inputFiles()]
+    new_files = {
+        os.path.basename(f)
+        for f in bronze._read_manifest(3)["files"]
+        if f not in set(bronze._read_manifest(2)["files"])
+    }
+    # ONLY the new batch's file is opened — 1 of the 3 on disk
+    assert set(opened) == new_files and len(opened) == 1
+
+    metrics = pipe.transform_silver(cfg, order_col="seq")
+    assert metrics["upserted"] == 40
+    assert pipe.read_table("silver_inc_v").count() == 220
