@@ -1,16 +1,26 @@
 """Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
 
 Prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...,
+   "runs": N, "round_totals": [...], "loadavg_start": [...], "loadavg_end": [...]}
 
 Each query is executed to completion (collect) so the measured time covers
 scan + shuffle + aggregation, not just plan construction.
+
+Measurement process (round-8): the whole headline set runs
+``$SPARK_GRAFT_BENCH_RUNS`` times (default 3) and each query reports its
+MEDIAN — a single pass on a shared machine is one bad GC pause or one
+concurrent pytest away from a 2-3x phantom regression (round 7's
+artifact recorded 110s where a clean rerun measured 53s). The host's
+loadavg at start and end rides in the JSON so a contaminated run is
+self-identifying instead of silently becoming the round's perf record.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -60,6 +70,12 @@ HEADLINE = [
     # machinery show up here round-over-round
     "q132_pruned_upsert",
     "q135_versioned_silver_medallion",
+    # round-8 storage layer: the checkpointed commit log (delta commits
+    # + checkpoint replay + pointer-based head resolution) and the
+    # watermark-file-pruned versioned silver pass — wall-time
+    # regressions in log resolution or pruning show up here
+    "q139_versioned_incremental_silver",
+    "q141_checkpointed_log_time_travel",
 ]
 
 
@@ -88,18 +104,27 @@ def main() -> None:
         spark, warm_sf if os.path.isdir(warm_sf) else sf_dir
     ).collect()
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        # clean slate per query: cached frames from a previous query
-        # (signature/shingle caches, streaming memory sinks) otherwise
-        # pile up across the session, and by the ~20th query GC pressure
-        # inflates measurements 2-3x — the timing then reflects the
-        # session's history, not the query
-        spark.catalog.clearCache()
-        t0 = time.time()
-        df = QUERIES[name](spark, sf_dir)
-        df.collect()
-        timings[name] = round(time.time() - t0, 3)
+    load_start = os.getloadavg()
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+    samples: dict[str, list[float]] = {n: [] for n in HEADLINE}
+    round_totals: list[float] = []
+    for _ in range(runs):
+        total = 0.0
+        for name in HEADLINE:
+            # clean slate per query: cached frames from a previous query
+            # (signature/shingle caches, streaming memory sinks) otherwise
+            # pile up across the session, and by the ~20th query GC
+            # pressure inflates measurements 2-3x — the timing then
+            # reflects the session's history, not the query
+            spark.catalog.clearCache()
+            t0 = time.time()
+            df = QUERIES[name](spark, sf_dir)
+            df.collect()
+            dt = round(time.time() - t0, 3)
+            samples[name].append(dt)
+            total += dt
+        round_totals.append(round(total, 3))
+    timings = {n: round(statistics.median(ts), 3) for n, ts in samples.items()}
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     try:
@@ -114,6 +139,10 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf_val,
+                "runs": runs,
+                "round_totals": round_totals,
+                "loadavg_start": [round(x, 2) for x in load_start],
+                "loadavg_end": [round(x, 2) for x in os.getloadavg()],
             }
         )
     )
