@@ -1,0 +1,94 @@
+"""Empirical commit-log probe: is the log layer O(batch) at depth?
+
+Spark-free (synthetic file paths through CommitLog directly — the data
+plane would drown the log's microseconds in write time): publishes
+``N`` append-style commits into a FileSystemLogStore-backed log, each
+adding 2 files with stats, and measures
+
+- per-commit publish wall time, early window vs late window — a log
+  that re-serializes the table inventory per commit (round 7's design)
+  grows linearly with depth; the delta log must stay flat;
+- commit record bytes, first vs last — O(files changed), not O(table);
+- COLD head resolution + snapshot resolution time at full depth — the
+  checkpoint + pointer path, which must be bounded by
+  checkpoint_interval, not by N.
+
+Usage: python tools/log_probe.py [N]   (default 1000; prints one JSON
+line so the numbers can be pasted into SCALE.md verbatim).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import statistics
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from modular_etl_data_platform_spark.operators.versioned import (  # noqa: E402
+    CommitLog,
+    _commit_name,
+)
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 1000
+    root = tempfile.mkdtemp(prefix="log_probe_")
+    try:
+        log = CommitLog(path=root)
+        files: list[str] = []
+        publish_times: list[float] = []
+        rec_sizes: list[int] = []
+        for i in range(1, n + 1):
+            new = [f"{root}/files/batch{i:06d}/part-{j}.parquet" for j in range(2)]
+            files.extend(new)
+            stats = {f: {"k": [i, i]} for f in new}
+            t0 = time.perf_counter()
+            log.publish(files, '{"type":"struct","fields":[]}', {"mode": "append"}, i - 1, stats)
+            publish_times.append(time.perf_counter() - t0)
+            rec_sizes.append(len(log.store.read(_commit_name(i))))
+
+        def window(xs, lo, hi):
+            return round(statistics.mean(xs[lo:hi]) * 1e3, 3)
+
+        w = min(50, n // 4)
+        interval = log.checkpoint_interval
+        # split plain delta commits from the 1-in-interval commits that
+        # also write the (amortized-O(table)) checkpoint sidecar
+        plain = [t for i, t in enumerate(publish_times, 1) if i % interval]
+        ckpt = [t for i, t in enumerate(publish_times, 1) if not i % interval]
+        cold = CommitLog(path=root)  # fresh instance: no warm state cache
+        t0 = time.perf_counter()
+        head = cold.current_version()
+        t_head = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        state = cold.resolve(head)
+        t_resolve = time.perf_counter() - t0
+        print(
+            json.dumps(
+                {
+                    "commits": n,
+                    "table_files_at_end": len(state["files"]),
+                    "publish_ms_early": window(publish_times, 0, w),
+                    "publish_ms_late": window(publish_times, n - w, n),
+                    "delta_commit_ms_early": window(plain, 0, w),
+                    "delta_commit_ms_late": window(plain, len(plain) - w, len(plain)),
+                    "checkpoint_commit_ms_last": round(ckpt[-1] * 1e3, 3) if ckpt else None,
+                    "record_bytes_first": rec_sizes[0],
+                    "record_bytes_last": rec_sizes[-1],
+                    "cold_head_resolution_ms": round(t_head * 1e3, 3),
+                    "cold_snapshot_resolve_ms": round(t_resolve * 1e3, 3),
+                    "checkpoints": len(cold.checkpoints()),
+                }
+            )
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
