@@ -549,6 +549,71 @@ def _encode_stat_bound(value, kind: str):
     return None
 
 
+def collect_file_stats(files: list[str], stats_columns: list[str]) -> dict[str, dict]:
+    """Per-file min/max for ``stats_columns``, read from the parquet
+    FOOTER metadata (pyarrow) — no data scan; this is Delta's
+    data-skipping statistic, and at 100 TB it is what lets a point
+    or range read open a handful of files instead of the table.
+    Shared by :class:`VersionedTable` and the streaming sink
+    (``streaming/versioned_source.py``).
+
+    Encodings (JSON-record-safe): numeric columns record a plain
+    ``[lo, hi]``; timestamp columns record UTC-naive ISO-8601 string
+    bounds ``{"k": "ts", "lo": ..., "hi": ...}`` (fixed-width fields
+    make ISO order = time order, including the fractional-seconds
+    suffix); dates likewise with ``"k": "date"``. Strings/binaries
+    stay unrecorded: parquet footers may TRUNCATE their min/max (an
+    underestimated max would wrongly exclude a file — a lost update
+    on the pruned-upsert path), so they are never pruned, never
+    mis-pruned."""
+    if not stats_columns:
+        return {}
+    import pyarrow.parquet as pq
+
+    out: dict[str, dict] = {}
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        if md.num_rows == 0:
+            # a zero-row file intersects NO predicate: record that
+            # explicitly so pruning reads skip it and pruned
+            # upserts/compactions carry it forward instead of
+            # treating "no stats" as "conservatively rewrite forever"
+            out[f] = {_EMPTY_MARK: True}
+            continue
+        names = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        stats: dict[str, object] = {}
+        for col in stats_columns:
+            if col not in names:
+                continue
+            lo = hi = None
+            for rg in range(md.num_row_groups):
+                s = md.row_group(rg).column(names[col]).statistics
+                if s is None or not s.has_min_max:
+                    lo = hi = None
+                    break
+                lo = s.min if lo is None else min(lo, s.min)
+                hi = s.max if hi is None else max(hi, s.max)
+            if lo is None:
+                continue
+            if type(lo) in (int, float) and type(hi) in (int, float):
+                stats[col] = [lo, hi]
+            elif isinstance(lo, datetime) and isinstance(hi, datetime):
+                stats[col] = {
+                    "k": "ts",
+                    "lo": _encode_stat_bound(lo, "ts"),
+                    "hi": _encode_stat_bound(hi, "ts"),
+                }
+            elif isinstance(lo, date) and isinstance(hi, date):
+                stats[col] = {
+                    "k": "date",
+                    "lo": lo.isoformat(),
+                    "hi": hi.isoformat(),
+                }
+        if stats:
+            out[f] = stats
+    return out
+
+
 class VersionedTable:
     """A parquet table over a :class:`CommitLog`."""
 
@@ -713,66 +778,7 @@ class VersionedTable:
         ]
 
     def _file_stats(self, files: list[str]) -> dict[str, dict]:
-        """Per-file min/max for ``stats_columns``, read from the parquet
-        FOOTER metadata (pyarrow) — no data scan; this is Delta's
-        data-skipping statistic, and at 100 TB it is what lets a point
-        or range read open a handful of files instead of the table.
-
-        Encodings (JSON-manifest-safe): numeric columns record a plain
-        ``[lo, hi]``; timestamp columns record UTC-naive ISO-8601 string
-        bounds ``{"k": "ts", "lo": ..., "hi": ...}`` (fixed-width fields
-        make ISO order = time order, including the fractional-seconds
-        suffix); dates likewise with ``"k": "date"``. Strings/binaries
-        stay unrecorded: parquet footers may TRUNCATE their min/max (an
-        underestimated max would wrongly exclude a file — a lost update
-        on the pruned-upsert path), so they are never pruned, never
-        mis-pruned."""
-        if not self.stats_columns:
-            return {}
-        import pyarrow.parquet as pq
-
-        out: dict[str, dict] = {}
-        for f in files:
-            md = pq.ParquetFile(f).metadata
-            if md.num_rows == 0:
-                # a zero-row file intersects NO predicate: record that
-                # explicitly so pruning reads skip it and pruned
-                # upserts/compactions carry it forward instead of
-                # treating "no stats" as "conservatively rewrite forever"
-                out[f] = {_EMPTY_MARK: True}
-                continue
-            names = {md.schema.column(i).name: i for i in range(md.num_columns)}
-            stats: dict[str, object] = {}
-            for col in self.stats_columns:
-                if col not in names:
-                    continue
-                lo = hi = None
-                for rg in range(md.num_row_groups):
-                    s = md.row_group(rg).column(names[col]).statistics
-                    if s is None or not s.has_min_max:
-                        lo = hi = None
-                        break
-                    lo = s.min if lo is None else min(lo, s.min)
-                    hi = s.max if hi is None else max(hi, s.max)
-                if lo is None:
-                    continue
-                if type(lo) in (int, float) and type(hi) in (int, float):
-                    stats[col] = [lo, hi]
-                elif isinstance(lo, datetime) and isinstance(hi, datetime):
-                    stats[col] = {
-                        "k": "ts",
-                        "lo": _encode_stat_bound(lo, "ts"),
-                        "hi": _encode_stat_bound(hi, "ts"),
-                    }
-                elif isinstance(lo, date) and isinstance(hi, date):
-                    stats[col] = {
-                        "k": "date",
-                        "lo": lo.isoformat(),
-                        "hi": hi.isoformat(),
-                    }
-            if stats:
-                out[f] = stats
-        return out
+        return collect_file_stats(files, self.stats_columns)
 
     @staticmethod
     def _may_intersect(

@@ -960,3 +960,69 @@ def q138_versioned_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum(F.col("c_acctbal"), "sum_bal"),
     )
     return _pin(_run_to_memory(agg, scratch, "complete"))
+
+
+@query(
+    "q142_versioned_stream_sink",
+    """
+    SELECT c_mktsegment,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS sum_bal
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def q142_versioned_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SINK into the versioned commit log
+    (streaming/versioned_source.py::_VersionedStreamArrowWriter — the
+    write half of the Spark 4 Python Data Source): the customer table,
+    landed as three source versions, is piped LOG-TO-LOG — versioned
+    read-stream in, versioned write-stream out — and the DESTINATION
+    table is aggregated against the batch oracle. Exactly-once through
+    both halves: a source that re-emits a carried file, a sink that
+    tears a batch across versions, drops a task's file, or
+    double-publishes a retried batch all change the per-segment counts/
+    decimal-exact sums. The sink's commit mode + recorded batch id are
+    asserted in-query."""
+    from modular_etl_data_platform_spark.operators.versioned import VersionedTable
+    from modular_etl_data_platform_spark.streaming.versioned_source import (
+        VersionedTableStreamDataSource,
+    )
+
+    spark.dataSource.register(VersionedTableStreamDataSource)
+    scratch = _scratch("q142_versioned_stream_sink", sf_dir)
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    src_path = os.path.join(scratch, "cust_src")
+    dst_path = os.path.join(scratch, "cust_dst")
+    src = VersionedTable(spark, src_path)
+    for i in range(3):
+        src.write(
+            cust.filter(F.col("c_custkey") % 3 == i).coalesce(1),
+            mode="append" if i else "overwrite",
+        )
+    q = (
+        spark.readStream.format("versioned_table")
+        .option("path", src_path)
+        .load()
+        .writeStream.format("versioned_table")
+        .option("path", dst_path)
+        .option("stats_columns", "c_custkey")
+        .option("checkpointLocation", os.path.join(scratch, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    dst = VersionedTable(spark, dst_path)
+    head = dst._read_manifest(dst.current_version())
+    if head.get("mode") != "stream_write" or "stream_batch_id" not in head:
+        raise AssertionError("sink did not publish through the stream commit path")
+    return _pin(
+        dst.read()
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum(F.col("c_acctbal"), "sum_bal"),
+        )
+    )

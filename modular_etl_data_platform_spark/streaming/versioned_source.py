@@ -1,4 +1,5 @@
-"""Structured-Streaming SOURCE over a versioned table's commit log.
+"""Structured-Streaming SOURCE and SINK over a versioned table's
+commit log.
 
 The consumer half of the versioned layer's change feed
 (``operators/versioned.py``): a Spark 4 Python Data Source
@@ -40,21 +41,36 @@ Options:
   versions one micro-batch may drain (Delta's ``maxFilesPerTrigger``
   analogue, in version units): after downtime, the backlog is consumed
   in bounded batches instead of one unbounded catch-up batch.
+
+The WRITE side (``writeStream.format("versioned_table").option("path",
+...)``, :class:`_VersionedStreamArrowWriter`) publishes one table
+version per micro-batch through the same commit protocol as the batch
+writers, with ``stream_batch_id`` recorded per commit for Delta
+txn-style idempotence (a retried sink commit is a no-op) and CHECK
+constraints enforced transactionally per batch. Write option:
+``stats_columns`` (comma-separated) records footer min/max for
+stream-landed files.
 """
 
 from __future__ import annotations
 
 import json
+import os
 from collections.abc import Iterator
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceStreamArrowWriter,
     DataSourceStreamReader,
     InputPartition,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
-from modular_etl_data_platform_spark.operators.versioned import CommitLog
+from modular_etl_data_platform_spark.operators.versioned import (
+    _DATA_DIR,
+    CommitLog,
+)
 
 
 class _FilePartition(InputPartition):
@@ -185,3 +201,162 @@ class VersionedTableStreamDataSource(DataSource):
             int(self.options.get("starting_version", 0)),
             int(max_v) if max_v is not None else None,
         )
+
+    def streamWriter(self, schema: StructType, overwrite: bool):
+        """The WRITE side: ``writeStream.format("versioned_table")
+        .option("path", ...)`` — one published version per micro-batch
+        (see :class:`_VersionedStreamArrowWriter`). ``stats_columns``
+        (comma-separated option) records footer min/max per landed file
+        so downstream pruned reads skip stream-landed files too."""
+        stats = self.options.get("stats_columns")
+        return _VersionedStreamArrowWriter(
+            self._table(),
+            schema,
+            overwrite,
+            [c.strip() for c in stats.split(",") if c.strip()] if stats else [],
+        )
+
+
+# -- the write side: versioned table as a streaming SINK ----------------------
+class _FilesCommitMessage(WriterCommitMessage):
+    def __init__(self, files: list[str]):
+        self.files = files
+
+
+class _VersionedStreamArrowWriter(DataSourceStreamArrowWriter):
+    """``writeStream.format("versioned_table")`` — one table VERSION per
+    micro-batch, published through the same commit protocol as every
+    batch writer (so concurrent batch appends and the stream serialize
+    together), with Delta's txn-style idempotence: each commit records
+    its ``stream_batch_id``, and a RETRIED commit of an
+    already-published batch is a no-op — a crash between Spark's sink
+    commit and checkpoint advance cannot double-append.
+
+    Executors land one immutable parquet file per non-empty task
+    directly from Arrow RecordBatches (no Row materialization); the
+    driver-side ``commit`` claims the next version with the files from
+    ALL tasks — all-or-nothing, torn batches impossible. ``abort``
+    removes the landed orphans (vacuum would also collect them).
+
+    Active CHECK constraints are enforced at commit time with one scan
+    of the batch's landed files — the same transactional contract as
+    the batch path: a violating micro-batch publishes NOTHING and fails
+    the stream loudly."""
+
+    def __init__(
+        self,
+        table: str,
+        schema: StructType,
+        overwrite: bool,
+        stats_columns: list[str],
+    ):
+        self.table = table
+        self.pinned = schema
+        self.schema_json = schema.json()
+        self.overwrite = overwrite
+        self.stats_columns = stats_columns
+        os.makedirs(os.path.join(table, _DATA_DIR), exist_ok=True)
+
+    def write(self, iterator) -> _FilesCommitMessage:
+        """Executor-side: Arrow RecordBatches -> one parquet file."""
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        batches = [b for b in iterator if b.num_rows]
+        if not batches:
+            return _FilesCommitMessage([])
+        sub = os.path.join(
+            self.table, _DATA_DIR, f"stream-{uuid.uuid4().hex}"
+        )
+        os.makedirs(sub, exist_ok=True)
+        path = os.path.join(sub, f"part-{uuid.uuid4().hex}.parquet")
+        pq.write_table(pa.Table.from_batches(batches), path)
+        return _FilesCommitMessage([path])
+
+    def _check_constraints(self, files: list[str], constraints: dict) -> None:
+        from pyspark.sql import SparkSession
+        from pyspark.sql import functions as F
+
+        from modular_etl_data_platform_spark.operators.versioned import (
+            ConstraintViolationError,
+        )
+
+        if not constraints or not files:
+            return
+        spark = SparkSession.getActiveSession()
+        if spark is None:  # fail CLOSED: never skip a declared constraint
+            raise RuntimeError(
+                "cannot validate CHECK constraints: no active SparkSession"
+            )
+        batch = spark.read.schema(self.pinned).parquet(*files)
+        aggs = [
+            F.sum((~F.coalesce(F.expr(e), F.lit(True))).cast("long")).alias(n)
+            for n, e in constraints.items()
+        ]
+        row = batch.agg(*aggs).first()
+        violated = {n: row[n] for n in constraints if row[n]}
+        if violated:
+            raise ConstraintViolationError(
+                f"CHECK constraint(s) violated by micro-batch into "
+                f"{self.table}: "
+                + ", ".join(
+                    f"{n} ({constraints[n]}): {c} row(s)"
+                    for n, c in violated.items()
+                )
+            )
+
+    def commit(self, messages, batchId: int) -> None:
+        from modular_etl_data_platform_spark.operators.versioned import (
+            ConcurrentWriteError,
+            collect_file_stats,
+        )
+
+        files = [
+            f
+            for m in messages
+            if m is not None
+            for f in getattr(m, "files", [])
+        ]
+        log = CommitLog(path=self.table)
+        head = log.current_version()
+        if head:
+            st = log.resolve(head)
+            if (
+                st.get("mode") == "stream_write"
+                and st.get("stream_batch_id") == batchId
+            ):
+                return  # retried commit of an already-published batch
+            self._check_constraints(files, st.get("constraints", {}))
+        fresh = collect_file_stats(files, self.stats_columns)
+        for _ in range(20):
+            base = log.current_version() or 0
+            if self.overwrite or not base:
+                all_files = list(files)
+            else:  # append: racing batch writers rebase exactly like write()
+                all_files = list(log.resolve(base)["files"]) + files
+            try:
+                log.publish(
+                    all_files,
+                    self.schema_json,
+                    {"mode": "stream_write", "stream_batch_id": batchId},
+                    base,
+                    fresh,
+                )
+                return
+            except ConcurrentWriteError:
+                continue
+        raise ConcurrentWriteError(
+            f"stream batch {batchId} lost every commit race on {self.table}"
+        )
+
+    def abort(self, messages, batchId: int) -> None:
+        for m in messages or []:
+            if m is None:
+                continue
+            for f in getattr(m, "files", []):
+                try:
+                    os.remove(f)
+                except FileNotFoundError:
+                    continue

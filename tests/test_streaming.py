@@ -684,3 +684,117 @@ def test_versioned_stream_typed_nulls_for_evolved_columns(spark, tmp_path):
     tbl = pa.Table.from_batches(batches)
     assert tbl.schema.field("w").type == pa.int64()
     assert tbl.column("w").null_count == tbl.num_rows
+
+
+def test_versioned_stream_sink_one_version_per_batch_and_roundtrip(
+    spark, tmp_path
+):
+    """writeStream.format('versioned_table'): log-to-log pipe — a
+    versioned SOURCE drained through the versioned SINK must reproduce
+    the input table exactly, publishing through the commit log (mode
+    stream_write, batch id recorded), with footer stats recorded via
+    the stats_columns option so stream-landed files prune too."""
+    from pyspark.sql import functions as F
+
+    from modular_etl_data_platform_spark.operators.versioned import VersionedTable
+    from modular_etl_data_platform_spark.streaming.versioned_source import (
+        VersionedTableStreamDataSource,
+    )
+
+    spark.dataSource.register(VersionedTableStreamDataSource)
+    src_path, dst_path = str(tmp_path / "src"), str(tmp_path / "dst")
+    src = VersionedTable(spark, src_path)
+    for i in range(3):
+        src.write(
+            spark.range(10 * i, 10 * i + 10).selectExpr(
+                "id", "cast(id as string) as v"
+            ).coalesce(1),
+            mode="append" if i else "overwrite",
+        )
+    q = (
+        spark.readStream.format("versioned_table")
+        .option("path", src_path)
+        .load()
+        .writeStream.format("versioned_table")
+        .option("path", dst_path)
+        .option("stats_columns", "id")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    dst = VersionedTable(spark, dst_path)
+    assert {tuple(r) for r in dst.read().collect()} == {
+        (i, str(i)) for i in range(30)
+    }
+    head = dst._read_manifest(dst.current_version())
+    assert head["mode"] == "stream_write"
+    assert "stream_batch_id" in head
+    assert head["stats"]  # stats_columns option reached the footer pass
+    # pruned read over stream-landed files actually skips
+    pruned = dst.read_pruned("id", 0, 5)
+    assert len(pruned.inputFiles()) < len(head["files"]) or len(head["files"]) == 1
+
+
+def test_versioned_stream_sink_commit_is_idempotent_per_batch(spark, tmp_path):
+    """A sink commit retried with the SAME batchId (crash between sink
+    commit and checkpoint advance) must be a no-op — no duplicate
+    version, no duplicate rows (Delta txn idempotence)."""
+    import pyarrow as pa
+
+    from modular_etl_data_platform_spark.operators.versioned import VersionedTable
+    from modular_etl_data_platform_spark.streaming.versioned_source import (
+        _VersionedStreamArrowWriter,
+    )
+
+    table = str(tmp_path / "t")
+    schema = spark.range(1).selectExpr("id", "cast(id as string) as v").schema
+    w = _VersionedStreamArrowWriter(table, schema, overwrite=False, stats_columns=[])
+    batch = pa.RecordBatch.from_pydict({"id": [1, 2], "v": ["a", "b"]})
+    msg = w.write(iter([batch]))
+    w.commit([msg], batchId=0)
+    vt = VersionedTable(spark, table)
+    assert vt.current_version() == 1
+    w.commit([msg], batchId=0)  # the retry
+    assert vt.current_version() == 1
+    msg2 = w.write(iter([pa.RecordBatch.from_pydict({"id": [3], "v": ["c"]})]))
+    w.commit([msg2], batchId=1)
+    assert vt.current_version() == 2
+    assert {tuple(r) for r in vt.read().collect()} == {
+        (1, "a"), (2, "b"), (3, "c")
+    }
+
+
+def test_versioned_stream_sink_enforces_check_constraints(spark, tmp_path):
+    """A micro-batch violating a table CHECK constraint must publish
+    NOTHING and raise — the transactional constraint contract holds on
+    the streaming write path too (NULLs still pass)."""
+    import pyarrow as pa
+    import pytest
+
+    from modular_etl_data_platform_spark.operators.versioned import (
+        ConstraintViolationError,
+        VersionedTable,
+    )
+    from modular_etl_data_platform_spark.streaming.versioned_source import (
+        _VersionedStreamArrowWriter,
+    )
+
+    table = str(tmp_path / "t")
+    vt = VersionedTable(spark, table)
+    vt.write(spark.createDataFrame([(1, 10.0)], "id long, amt double"))
+    vt.add_constraint("amt_pos", "amt > 0")
+    w = _VersionedStreamArrowWriter(
+        table, vt.read().schema, overwrite=False, stats_columns=[]
+    )
+    ok = w.write(iter([pa.RecordBatch.from_pydict({"id": [2], "amt": [None]})]))
+    w.commit([ok], batchId=0)  # NULL passes (3VL)
+    head = vt.current_version()
+    bad = w.write(iter([pa.RecordBatch.from_pydict({"id": [3], "amt": [-1.0]})]))
+    with pytest.raises(ConstraintViolationError):
+        w.commit([bad], batchId=1)
+    assert vt.current_version() == head  # nothing published
+    w.abort([bad], batchId=1)
+    import os as _os
+
+    assert not any(_os.path.exists(f) for f in bad.files)  # orphans removed
