@@ -1153,6 +1153,45 @@ class VersionedTable:
             pred = pred & (F.col(column) <= F.lit(hi))
         return scan.filter(pred)
 
+    def read_pruned_multi(
+        self,
+        predicates: list[tuple],
+        version: int | None = None,
+        residual: bool = True,
+    ) -> DataFrame:
+        """Multi-predicate file skipping: ``predicates`` is a list of
+        ``(column, lo, hi)`` ranges (``None`` = unbounded side) and a
+        file is opened only if its recorded stats MAY intersect EVERY
+        range — the read-side payoff of ``compact(zorder_by=[a, b])``,
+        where each file carries a narrow range on every clustered
+        column, so conjunctive predicates multiply their skipping
+        instead of only the leading column pruning. Semantics match
+        ``read().filter(p1 AND p2 AND ...)`` exactly (conservative
+        selection + residual filter)."""
+        v = self.current_version() if version is None else version
+        if v is None:
+            raise FileNotFoundError(f"no versions in {self.path}")
+        manifest = self.log.resolve(v)
+        stats = manifest.get("stats", {})
+        kept = [
+            f
+            for f in manifest["files"]
+            if all(
+                self._may_intersect(stats.get(f), col, lo, hi)
+                for col, lo, hi in predicates
+            )
+        ]
+        scan = self._read_files(kept, manifest["schema"])
+        if not residual:
+            return scan
+        pred = F.lit(True)
+        for col, lo, hi in predicates:
+            if lo is not None:
+                pred = pred & (F.col(col) >= F.lit(lo))
+            if hi is not None:
+                pred = pred & (F.col(col) <= F.lit(hi))
+        return scan.filter(pred)
+
     def compact(
         self,
         target_files: int = 1,
@@ -1321,10 +1360,15 @@ class VersionedTable:
         self,
         keep_last: int = 1,
         tmp_retention_seconds: float = _TMP_RETENTION_SECONDS,
+        dry_run: bool = False,
     ) -> int:
         """Drop all but the newest ``keep_last`` versions and delete data
         files no retained version references (this includes orphans from
         writes that crashed before publishing). Returns files deleted.
+        ``dry_run=True`` only COUNTS the data files that would go
+        (Delta's ``VACUUM ... DRY RUN``) — no log entry, data file, or
+        pointer is touched, so an operator can see the blast radius of a
+        retention policy before committing to it.
 
         Before any log entry is removed, the OLDEST retained version is
         materialized as a checkpoint, so it stays resolvable after the
@@ -1339,6 +1383,15 @@ class VersionedTable:
         for v in keep:
             states[v] = self.log.resolve(v)
             referenced.update(states[v]["files"])
+        if dry_run:
+            would_delete = 0
+            data_root = os.path.join(self.path, _DATA_DIR)
+            for sub in os.listdir(data_root):
+                for f in os.listdir(os.path.join(data_root, sub)):
+                    fp = os.path.join(data_root, sub, f)
+                    if f.endswith(".parquet") and fp not in referenced:
+                        would_delete += 1
+            return would_delete
         if keep:
             oldest = keep[0]
             if not self.log.store.exists(_checkpoint_name(oldest)):

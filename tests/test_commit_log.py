@@ -306,3 +306,45 @@ def test_timestamp_stats_prune_files_and_accept_watermark_strings(
         "ts", "2024-03-05 23:00:00", None, residual=False, lo_inclusive=False
     )
     assert len(wm_scan.inputFiles()) == 1  # the day-9 file only
+
+
+def test_read_pruned_multi_skips_on_every_zordered_column(spark, tmp_path):
+    """Multi-predicate file skipping over a Z-ordered compaction: with
+    files Morton-clustered on (a, b), a conjunctive range on BOTH
+    columns must open fewer files than either single-column prune, and
+    the result must equal the full filter exactly."""
+    from pyspark.sql import functions as F
+
+    vt = VersionedTable(
+        spark, str(tmp_path / "t"), stats_columns=["a", "b"]
+    )
+    df = spark.range(0, 4096).select(
+        (F.col("id") % 64).alias("a"),
+        (F.col("id") / 64).cast("long").alias("b"),
+        F.col("id").alias("payload"),
+    )
+    vt.write(df)
+    vt.compact(target_files=16, zorder_by=["a", "b"])
+    both = vt.read_pruned_multi([("a", 5, 10), ("b", 5, 10)])
+    only_a = vt.read_pruned("a", 5, 10)
+    full = vt.read().filter(
+        F.col("a").between(5, 10) & F.col("b").between(5, 10)
+    )
+    n_both = len(both.inputFiles())
+    assert n_both < len(only_a.inputFiles())
+    assert n_both < 16
+    assert {r.payload for r in both.collect()} == {
+        r.payload for r in full.collect()
+    }
+
+
+def test_vacuum_dry_run_counts_without_deleting(spark, tmp_path):
+    vt = VersionedTable(spark, str(tmp_path / "t"))
+    vt.write(_df(spark, 0, 5).coalesce(1))
+    vt.write(_df(spark, 0, 3).coalesce(1))  # overwrite: v1's file orphans
+    before_versions = vt.versions()
+    n = vt.vacuum(keep_last=1, dry_run=True)
+    assert n == 1
+    assert vt.versions() == before_versions  # nothing touched
+    assert _rows(vt.read(version=1)) == {(i, str(i)) for i in range(5)}
+    assert vt.vacuum(keep_last=1) == 1  # the real pass deletes exactly that
