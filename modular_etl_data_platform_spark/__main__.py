@@ -114,12 +114,15 @@ def main(argv: list[str] | None = None) -> int:
     aq.add_argument("--dim", type=int, default=64)
 
     vt = sub.add_parser(
-        "vt", help="versioned-table ops: history/read/restore/compact/vacuum"
+        "vt", help="versioned-table ops: history/read/restore/compact/vacuum/export-delta"
     )
     vt.add_argument("path", help="versioned table root")
     vt.add_argument(
         "action",
-        choices=["history", "read", "restore", "compact", "compact-where", "vacuum"],
+        choices=[
+            "history", "read", "restore", "compact", "compact-where",
+            "vacuum", "export-delta",
+        ],
     )
     vt.add_argument("--version", type=int, default=None, help="for read/restore")
     vt.add_argument("--keep-last", type=int, default=1, help="for vacuum")
@@ -134,6 +137,7 @@ def main(argv: list[str] | None = None) -> int:
     vt.add_argument("--lo", type=float, default=None, help="for compact-where")
     vt.add_argument("--hi", type=float, default=None, help="for compact-where")
     vt.add_argument("--limit", type=int, default=20, help="for read")
+    vt.add_argument("--dest", default=None, help="for export-delta: output dir")
 
     args = ap.parse_args(argv)
 
@@ -347,6 +351,15 @@ def main(argv: list[str] | None = None) -> int:
         elif args.action == "vacuum":
             deleted = table.vacuum(keep_last=args.keep_last)
             print(json.dumps({"deleted_files": deleted}))
+        elif args.action == "export-delta":
+            if not args.dest:
+                ap.error("export-delta requires --dest")
+            from modular_etl_data_platform_spark.operators.delta_export import (
+                export_delta_snapshot,
+            )
+
+            out = export_delta_snapshot(table, args.dest, version=args.version)
+            print(json.dumps({"exported": out, "version": args.version}))
         return 0
 
     return 2
