@@ -453,6 +453,12 @@ class CommitLog:
         constraints = meta.pop("constraints", None)
         if constraints is None:
             constraints = prior.get("constraints", {})
+        # like constraints, application transaction versions (Delta's
+        # txnAppId/txnVersion idempotent-write contract) are TABLE state
+        # carried through every commit: a writer that recorded
+        # txn={app: N} can ask "did my N land?" at any later head, even
+        # after unrelated commits interleaved
+        txn = {**prior.get("txn", {}), **meta.pop("txn", {})}
         files_set, prior_set = set(files), set(prior["files"])
         add = sorted(files_set - prior_set)
         remove = sorted(prior_set - files_set)
@@ -463,6 +469,7 @@ class CommitLog:
             "schema": schema_json,
             "stats": {f: fresh_stats[f] for f in add if f in fresh_stats},
             "constraints": constraints,
+            **({"txn": txn} if txn else {}),
             **meta,
         }
         self.store.put_if_absent(_commit_name(version), json.dumps(rec))
@@ -478,6 +485,7 @@ class CommitLog:
             "stats": stats,
             "schema": schema_json,
             "constraints": constraints,
+            **({"txn": txn} if txn else {}),
             **meta,
         }
         self._cache_put(version, state)

@@ -97,18 +97,27 @@ class _VersionedStreamReader(DataSourceStreamReader):
         self.max_versions = max_versions_per_batch
         self.log = CommitLog(path=table)
         #: highest version already handed out as a batch END — the
-        #: rate-limit floor. Re-learned from Spark's checkpointed offsets
-        #: via partitions() after a restart, so the cap never re-drains
-        #: versions a committed batch already covered.
+        #: rate-limit floor. KNOWN only once Spark has told us a real
+        #: offset: initialOffset (fresh stream — no checkpoint exists)
+        #: or any partitions(start, end) call. After a RESTART neither
+        #: has happened when the first latestOffset fires, and capping
+        #: against a stale floor could propose an offset BELOW the
+        #: checkpointed start — Spark would then plan (and commit) a
+        #: regressed offset and later re-emit already-processed
+        #: versions. So an uninformed latestOffset returns the UNCAPPED
+        #: head (always safe — it is the un-rate-limited behavior) and
+        #: the cap engages from the next trigger on.
         self._floor = starting_version
+        self._floor_known = False
 
     # -- offsets (version numbers; JSON-able dicts per the API) -----------
     def initialOffset(self) -> dict:
+        self._floor_known = True  # only called when no checkpoint exists
         return {"version": self.start_version}
 
     def latestOffset(self) -> dict:
         head = self.log.current_version() or 0
-        if self.max_versions is not None:
+        if self.max_versions is not None and self._floor_known:
             head = min(head, self._floor + self.max_versions)
         head = max(head, self._floor)  # offsets must be monotone
         self._floor = head
@@ -116,7 +125,8 @@ class _VersionedStreamReader(DataSourceStreamReader):
 
     def partitions(self, start: dict, end: dict) -> list[InputPartition]:
         v0, v1 = int(start["version"]), int(end["version"])
-        self._floor = max(self._floor, v1)
+        self._floor = max(self._floor, v0, v1)
+        self._floor_known = True
         if v1 <= v0:
             return []
         old: set[str] = set()
@@ -214,6 +224,7 @@ class VersionedTableStreamDataSource(DataSource):
             schema,
             overwrite,
             [c.strip() for c in stats.split(",") if c.strip()] if stats else [],
+            txn_app_id=self.options.get("txn_app_id", "stream"),
         )
 
 
@@ -249,12 +260,22 @@ class _VersionedStreamArrowWriter(DataSourceStreamArrowWriter):
         schema: StructType,
         overwrite: bool,
         stats_columns: list[str],
+        txn_app_id: str = "stream",
     ):
         self.table = table
         self.pinned = schema
         self.schema_json = schema.json()
         self.overwrite = overwrite
         self.stats_columns = stats_columns
+        #: Delta's public txnAppId contract: the (app id, batch id) pair
+        #: rides the table state, so a retried commit is recognized even
+        #: if unrelated BATCH writers committed in between (a head-only
+        #: check would miss that interleaving and double-append). Two
+        #: independent streams into one table must use distinct app ids
+        #: (option ``txn_app_id``), and a stream restarted from a FRESH
+        #: checkpoint (batch ids reset to 0) needs a new app id — the
+        #: same rule Delta documents for foreachBatch txnAppId writes.
+        self.txn_app_id = txn_app_id
         os.makedirs(os.path.join(table, _DATA_DIR), exist_ok=True)
 
     def write(self, iterator) -> _FilesCommitMessage:
@@ -323,11 +344,13 @@ class _VersionedStreamArrowWriter(DataSourceStreamArrowWriter):
         head = log.current_version()
         if head:
             st = log.resolve(head)
-            if (
-                st.get("mode") == "stream_write"
-                and st.get("stream_batch_id") == batchId
-            ):
-                return  # retried commit of an already-published batch
+            done = st.get("txn", {}).get(self.txn_app_id)
+            if done is not None and done >= batchId:
+                # retried commit of an already-published batch — and
+                # because the txn map is TABLE state (carried through
+                # every commit), this holds even when unrelated batch
+                # writers committed between the publish and the retry
+                return
             self._check_constraints(files, st.get("constraints", {}))
         fresh = collect_file_stats(files, self.stats_columns)
         for _ in range(20):
@@ -340,7 +363,11 @@ class _VersionedStreamArrowWriter(DataSourceStreamArrowWriter):
                 log.publish(
                     all_files,
                     self.schema_json,
-                    {"mode": "stream_write", "stream_batch_id": batchId},
+                    {
+                        "mode": "stream_write",
+                        "stream_batch_id": batchId,
+                        "txn": {self.txn_app_id: batchId},
+                    },
                     base,
                     fresh,
                 )

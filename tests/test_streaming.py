@@ -757,11 +757,19 @@ def test_versioned_stream_sink_commit_is_idempotent_per_batch(spark, tmp_path):
     assert vt.current_version() == 1
     w.commit([msg], batchId=0)  # the retry
     assert vt.current_version() == 1
+    # the hard case: an unrelated BATCH writer commits BETWEEN the sink
+    # publish and its retry — the txn map rides the table state, so the
+    # retry is still recognized (a head-only check would double-append)
+    vt.write(
+        spark.createDataFrame([(9, "z")], "id long, v string"), mode="append"
+    )
+    w.commit([msg], batchId=0)
+    assert vt.current_version() == 2  # only the batch writer's version
     msg2 = w.write(iter([pa.RecordBatch.from_pydict({"id": [3], "v": ["c"]})]))
     w.commit([msg2], batchId=1)
-    assert vt.current_version() == 2
+    assert vt.current_version() == 3
     assert {tuple(r) for r in vt.read().collect()} == {
-        (1, "a"), (2, "b"), (3, "c")
+        (1, "a"), (2, "b"), (3, "c"), (9, "z")
     }
 
 
@@ -798,3 +806,38 @@ def test_versioned_stream_sink_enforces_check_constraints(spark, tmp_path):
     import os as _os
 
     assert not any(_os.path.exists(f) for f in bad.files)  # orphans removed
+
+
+def test_versioned_stream_rate_limit_is_restart_safe(spark, tmp_path):
+    """After a RESTART, Spark calls latestOffset before the reader has
+    seen any real offset (initialOffset is only called on fresh
+    checkpoints) — a cap computed from the stale starting floor could
+    propose an offset BELOW the checkpointed start, regressing the
+    checkpoint and re-emitting processed versions. The uninformed first
+    latestOffset must therefore return the UNCAPPED head; the cap
+    engages once partitions() reveals the true floor."""
+    from modular_etl_data_platform_spark.operators.versioned import VersionedTable
+
+    table = str(tmp_path / "vt")
+    vt = VersionedTable(spark, table)
+    for i in range(10):
+        vt.write(
+            spark.createDataFrame([(i, "x")], "id long, v string").coalesce(1),
+            mode="append" if i else "overwrite",
+        )
+    # restart simulation: NO initialOffset call; checkpoint committed at 7
+    reader = _versioned_reader(table, vt.read().schema, max_versions=2)
+    first = reader.latestOffset()
+    assert first["version"] == 10  # uncapped — never below the checkpoint
+    reader.partitions({"version": 7}, first)
+    # floor learned; cap engages relative to it on later triggers
+    vt.write(
+        spark.createDataFrame([(99, "y")], "id long, v string"), mode="append"
+    )
+    assert reader.latestOffset()["version"] == 11
+
+    # fresh-checkpoint path: initialOffset informs the floor, so the
+    # very first batch IS capped
+    fresh = _versioned_reader(table, vt.read().schema, max_versions=2)
+    assert fresh.initialOffset() == {"version": 0}
+    assert fresh.latestOffset()["version"] == 2
