@@ -1343,6 +1343,53 @@ class VersionedTable:
             f"compact_where lost {_MAX_COMMIT_RETRIES} commit races on {self.path}"
         )
 
+    def maybe_compact(
+        self,
+        max_small_files: int = 16,
+        small_file_bytes: int = 32 * 1024 * 1024,
+        target_files: int = 1,
+    ) -> int | None:
+        """Auto-compaction policy (Delta's autoCompact analogue): when
+        the current snapshot holds MORE than ``max_small_files`` files
+        smaller than ``small_file_bytes``, rewrite JUST the small ones
+        into ``target_files``; every adequately-sized file is carried
+        forward untouched. Returns the new version, or None when the
+        policy doesn't trigger.
+
+        This is the small-file hygiene a streaming producer needs: one
+        version per micro-batch means one (small) file per batch, and
+        without periodic consolidation a day of minute-cadence batches
+        turns every read into 1440 file opens. Selection is by SIZE
+        (unlike :meth:`compact_where`, which selects by key range), the
+        rewrite cost is proportional to the small-file bytes only, and
+        a lost commit race re-derives from the new head like every
+        other rewrite."""
+        for _ in range(_MAX_COMMIT_RETRIES):
+            v = self.current_version()
+            if v is None:
+                return None
+            manifest = self.log.resolve(v)
+            sizes = {f: os.path.getsize(f) for f in manifest["files"]}
+            small = [f for f, n in sizes.items() if n < small_file_bytes]
+            if len(small) <= max_small_files:
+                return None
+            keep = [f for f in manifest["files"] if f not in set(small)]
+            merged = self._read_files(small, manifest["schema"]).repartition(
+                target_files
+            )
+            try:
+                return self._publish(
+                    keep + self._land_files(merged),
+                    manifest["schema"],
+                    {"mode": "auto_compact"},
+                    expected_base=v,
+                )
+            except ConcurrentWriteError:
+                continue
+        raise ConcurrentWriteError(
+            f"maybe_compact lost {_MAX_COMMIT_RETRIES} commit races on {self.path}"
+        )
+
     def restore(self, version: int) -> int:
         """Make an old snapshot the new head (Delta ``RESTORE`` — an
         undo that PRESERVES history): publishes a NEW version pointing

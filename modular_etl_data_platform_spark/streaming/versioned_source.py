@@ -225,6 +225,11 @@ class VersionedTableStreamDataSource(DataSource):
             overwrite,
             [c.strip() for c in stats.split(",") if c.strip()] if stats else [],
             txn_app_id=self.options.get("txn_app_id", "stream"),
+            auto_compact_small_files=(
+                int(self.options["auto_compact_small_files"])
+                if "auto_compact_small_files" in self.options
+                else None
+            ),
         )
 
 
@@ -261,6 +266,7 @@ class _VersionedStreamArrowWriter(DataSourceStreamArrowWriter):
         overwrite: bool,
         stats_columns: list[str],
         txn_app_id: str = "stream",
+        auto_compact_small_files: int | None = None,
     ):
         self.table = table
         self.pinned = schema
@@ -276,6 +282,11 @@ class _VersionedStreamArrowWriter(DataSourceStreamArrowWriter):
         #: checkpoint (batch ids reset to 0) needs a new app id — the
         #: same rule Delta documents for foreachBatch txnAppId writes.
         self.txn_app_id = txn_app_id
+        #: when set, each committed micro-batch triggers the table's
+        #: size-based auto-compaction policy (Delta autoCompact): a
+        #: stream that lands one small file per batch stays read-
+        #: efficient without an external OPTIMIZE job
+        self.auto_compact_small_files = auto_compact_small_files
         os.makedirs(os.path.join(table, _DATA_DIR), exist_ok=True)
 
     def write(self, iterator) -> _FilesCommitMessage:
@@ -371,12 +382,28 @@ class _VersionedStreamArrowWriter(DataSourceStreamArrowWriter):
                     base,
                     fresh,
                 )
+                if self.auto_compact_small_files is not None:
+                    self._auto_compact()
                 return
             except ConcurrentWriteError:
                 continue
         raise ConcurrentWriteError(
             f"stream batch {batchId} lost every commit race on {self.table}"
         )
+
+    def _auto_compact(self) -> None:
+        from pyspark.sql import SparkSession
+
+        from modular_etl_data_platform_spark.operators.versioned import (
+            VersionedTable,
+        )
+
+        spark = SparkSession.getActiveSession()
+        if spark is None:  # compaction is hygiene, never worth failing a batch
+            return
+        VersionedTable(
+            spark, self.table, stats_columns=self.stats_columns
+        ).maybe_compact(max_small_files=self.auto_compact_small_files)
 
     def abort(self, messages, batchId: int) -> None:
         for m in messages or []:

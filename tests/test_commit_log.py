@@ -348,3 +348,23 @@ def test_vacuum_dry_run_counts_without_deleting(spark, tmp_path):
     assert vt.versions() == before_versions  # nothing touched
     assert _rows(vt.read(version=1)) == {(i, str(i)) for i in range(5)}
     assert vt.vacuum(keep_last=1) == 1  # the real pass deletes exactly that
+
+
+def test_maybe_compact_consolidates_only_small_files(spark, tmp_path):
+    """Size-based auto-compaction (Delta autoCompact analogue): with
+    many sub-threshold files, the policy rewrites THEM into one file
+    and carries adequately-sized files forward untouched; below the
+    count threshold it is a no-op (returns None, publishes nothing)."""
+    vt = VersionedTable(spark, str(tmp_path / "t"))
+    vt.write(_df(spark, 0, 50_000).coalesce(1))  # one "big" file
+    for i in range(6):
+        vt.write(_df(spark, 10 * i, 10 * i + 5).coalesce(1), mode="append")
+    before = vt._read_manifest(vt.current_version())
+    big = max(before["files"], key=lambda f: os.path.getsize(f))
+    assert vt.maybe_compact(max_small_files=10) is None  # under threshold
+    v = vt.maybe_compact(max_small_files=3, small_file_bytes=100_000)
+    assert v is not None
+    after = vt._read_manifest(v)
+    assert big in after["files"]  # the big file was never rewritten
+    assert len(after["files"]) == 2  # big + one consolidated file
+    assert vt.read().count() == 50_000 + 30  # nothing lost or doubled

@@ -841,3 +841,33 @@ def test_versioned_stream_rate_limit_is_restart_safe(spark, tmp_path):
     fresh = _versioned_reader(table, vt.read().schema, max_versions=2)
     assert fresh.initialOffset() == {"version": 0}
     assert fresh.latestOffset()["version"] == 2
+
+
+def test_versioned_stream_sink_auto_compacts_small_batches(spark, tmp_path):
+    """auto_compact_small_files on the sink: six tiny micro-batches
+    keep the table's file count bounded instead of growing one file per
+    batch — the stream is self-maintaining (Delta autoCompact)."""
+    import pyarrow as pa
+
+    from modular_etl_data_platform_spark.operators.versioned import VersionedTable
+    from modular_etl_data_platform_spark.streaming.versioned_source import (
+        _VersionedStreamArrowWriter,
+    )
+
+    table = str(tmp_path / "t")
+    schema = spark.range(1).selectExpr("id", "cast(id as string) as v").schema
+    w = _VersionedStreamArrowWriter(
+        table, schema, overwrite=False, stats_columns=[],
+        auto_compact_small_files=3,
+    )
+    for b in range(6):
+        msg = w.write(
+            iter([pa.RecordBatch.from_pydict({"id": [b], "v": [str(b)]})])
+        )
+        w.commit([msg], batchId=b)
+    vt = VersionedTable(spark, table)
+    head = vt._read_manifest(vt.current_version())
+    assert len(head["files"]) <= 4  # bounded, not 6
+    assert {tuple(r) for r in vt.read().collect()} == {
+        (b, str(b)) for b in range(6)
+    }
