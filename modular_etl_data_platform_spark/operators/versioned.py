@@ -554,6 +554,10 @@ def _encode_stat_bound(value, kind: str):
         if isinstance(value, str):
             return value
         return None
+    if kind == "str":
+        # Python str comparison is code-point order == UTF-8 byte order
+        # (the parquet string sort order), so bounds compare directly
+        return value if isinstance(value, str) else None
     return None
 
 
@@ -569,11 +573,16 @@ def collect_file_stats(files: list[str], stats_columns: list[str]) -> dict[str, 
     ``[lo, hi]``; timestamp columns record UTC-naive ISO-8601 string
     bounds ``{"k": "ts", "lo": ..., "hi": ...}`` (fixed-width fields
     make ISO order = time order, including the fractional-seconds
-    suffix); dates likewise with ``"k": "date"``. Strings/binaries
-    stay unrecorded: parquet footers may TRUNCATE their min/max (an
-    underestimated max would wrongly exclude a file — a lost update
-    on the pruned-upsert path), so they are never pruned, never
-    mis-pruned."""
+    suffix); dates likewise with ``"k": "date"``. STRING columns
+    record ``{"k": "str", ...}`` bounds (round 8) — safe because every
+    file here is landed by this engine's Spark writer, whose parquet-mr
+    truncation produces valid WIDENED bounds (truncated max is rounded
+    UP — PARQUET-1685 BinaryTruncator), so a recorded range can only
+    over-approximate, never exclude a matching file; this is what lets
+    categorical partition/key columns (region, status) prune files
+    where hive layout would have. Bounds longer than 256 chars (or
+    that fail to decode) stay unrecorded. Binary columns are never
+    recorded."""
     if not stats_columns:
         return {}
     import pyarrow.parquet as pq
@@ -594,13 +603,19 @@ def collect_file_stats(files: list[str], stats_columns: list[str]) -> dict[str, 
             if col not in names:
                 continue
             lo = hi = None
-            for rg in range(md.num_row_groups):
-                s = md.row_group(rg).column(names[col]).statistics
-                if s is None or not s.has_min_max:
-                    lo = hi = None
-                    break
-                lo = s.min if lo is None else min(lo, s.min)
-                hi = s.max if hi is None else max(hi, s.max)
+            try:
+                for rg in range(md.num_row_groups):
+                    s = md.row_group(rg).column(names[col]).statistics
+                    if s is None or not s.has_min_max:
+                        lo = hi = None
+                        break
+                    lo = s.min if lo is None else min(lo, s.min)
+                    hi = s.max if hi is None else max(hi, s.max)
+            except (UnicodeDecodeError, TypeError):
+                # a truncated-and-incremented string bound can be
+                # invalid UTF-8; unreadable stats simply stay
+                # unrecorded (conservative, never mis-pruned)
+                continue
             if lo is None:
                 continue
             if type(lo) in (int, float) and type(hi) in (int, float):
@@ -617,6 +632,13 @@ def collect_file_stats(files: list[str], stats_columns: list[str]) -> dict[str, 
                     "lo": lo.isoformat(),
                     "hi": hi.isoformat(),
                 }
+            elif (
+                isinstance(lo, str)
+                and isinstance(hi, str)
+                and len(lo) <= 256
+                and len(hi) <= 256
+            ):
+                stats[col] = {"k": "str", "lo": lo, "hi": hi}
         if stats:
             out[f] = stats
     return out

@@ -368,3 +368,49 @@ def test_maybe_compact_consolidates_only_small_files(spark, tmp_path):
     assert big in after["files"]  # the big file was never rewritten
     assert len(after["files"]) == 2  # big + one consolidated file
     assert vt.read().count() == 50_000 + 30  # nothing lost or doubled
+
+
+def test_string_stats_prune_files_and_pruned_upsert_stays_exact(
+    spark, tmp_path
+):
+    """Round-8: string columns record footer bounds (safe: this
+    engine's Spark writer produces valid widened bounds under
+    truncation), so categorical partition/key columns prune files
+    where hive layout would have. Point read on a segment opens one
+    file; a string-keyed pruned MERGE rewrites only the intersecting
+    file and the merged table equals the unpruned merge exactly."""
+    from pyspark.sql import functions as F
+
+    vt = VersionedTable(spark, str(tmp_path / "t"), stats_columns=["seg", "k"])
+    for seg in ("ASIA", "EUROPE", "MACHINERY"):
+        batch = spark.range(0, 100).select(
+            F.lit(seg).alias("seg"),
+            F.concat(F.lit(seg + "#"), F.col("id")).alias("k"),
+            F.col("id").alias("val"),
+        ).coalesce(1)
+        vt.write(batch, mode="append" if seg != "ASIA" else "overwrite")
+    state = vt._read_manifest(vt.current_version())
+    rec = next(iter(state["stats"].values()))["seg"]
+    assert rec["k"] == "str"
+    point = vt.read_pruned("seg", "EUROPE", "EUROPE")
+    assert len(point.inputFiles()) == 1
+    assert point.count() == 100
+
+    # string-PK pruned upsert: batch keys all inside EUROPE's range
+    before = set(state["files"])
+    batch = spark.range(0, 50).select(
+        F.lit("EUROPE").alias("seg"),
+        F.concat(F.lit("EUROPE#"), F.col("id")).alias("k"),
+        (F.col("id") + 1000).alias("val"),
+    )
+    v = vt.upsert(batch, ["k"])
+    after = vt._read_manifest(v)
+    assert len(set(after["files"]) & before) == 2  # ASIA + MACHINERY reused
+    got = {
+        (r.k, r.val)
+        for r in vt.read().filter(F.col("seg") == "EUROPE").collect()
+    }
+    want = {(f"EUROPE#{i}", i + 1000) for i in range(50)} | {
+        (f"EUROPE#{i}", i) for i in range(50, 100)
+    }
+    assert got == want
