@@ -173,13 +173,22 @@ class MedallionPipeline:
             )
 
     def write_table(
-        self, df: DataFrame, name: str, partition_by: list[str] | None = None
+        self,
+        df: DataFrame,
+        name: str,
+        partition_by: list[str] | None = None,
+        stats_columns: list[str] | None = None,
     ) -> None:
         """Full-refresh write through the configured storage (gold fact
         rebuilds, generated dims). Versioned mode publishes a new
-        overwrite version — prior fact states stay time-travelable."""
+        overwrite version — prior fact states stay time-travelable —
+        and records footer stats on the layout columns (default: the
+        partition columns), so the range/point reads hive partitioning
+        would have served go through ``read_pruned`` instead."""
         if self.storage == "versioned":
-            self._vt(name).write(df, mode="overwrite")
+            self._vt(
+                name, stats_columns=stats_columns or partition_by or []
+            ).write(df, mode="overwrite")
         else:
             from modular_etl_data_platform_spark.sources.sinks import overwrite_table
 
