@@ -523,19 +523,30 @@ _OPS = st.lists(
 )
 
 
-@given(ops=_OPS)
+@given(ops=_OPS, checkpoint_interval=st.sampled_from([1, 2, 100]))
 @settings(
     max_examples=6,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
-def test_versioned_random_op_sequences_match_model(spark, tmp_path_factory, ops):
+def test_versioned_random_op_sequences_match_model(
+    spark, tmp_path_factory, ops, checkpoint_interval
+):
     """Replay any write/append/upsert/compact/restore sequence against a
     plain python dict model: every head snapshot AND every historical
-    version must match what the model said at that point."""
+    version must match what the model said at that point. The
+    checkpoint interval varies down to 1 (every commit checkpoints) and
+    2 (every sequence straddles boundaries), so the delta-fold +
+    checkpoint-base resolution paths are both exercised by every
+    generated sequence — a fold that drops/doubles a file under any op
+    interleaving shows up as a model mismatch."""
     from modular_etl_data_platform_spark.operators.versioned import VersionedTable
 
-    vt = VersionedTable(spark, str(tmp_path_factory.mktemp("vtp") / "t"))
+    vt = VersionedTable(
+        spark,
+        str(tmp_path_factory.mktemp("vtp") / "t"),
+        checkpoint_interval=checkpoint_interval,
+    )
 
     def frame(keys, tag):
         return spark.createDataFrame(
