@@ -98,7 +98,16 @@ def load_warehouse(spark: SparkSession, warehouse: str):
     """Register every table in a warehouse directory as a temp view — the
     reference's worked BI queries (reference:
     config/gold/schema/README.md:399-436) run verbatim against these
-    (``gold_fact_orders``, ``gold_dim_customer``, ...)."""
+    (``gold_fact_orders``, ``gold_dim_customer``, ...). VERSIONED tables
+    resolve through their commit log to the CURRENT snapshot (a raw
+    directory read would either fail or sweep up superseded versions'
+    files), so the same BI queries run unchanged over a
+    ``storage="versioned"`` warehouse."""
+    from modular_etl_data_platform_spark.operators.versioned import (
+        VersionedTable,
+        is_versioned_table,
+    )
+
     dfs = {}
     if not os.path.isdir(warehouse):
         return dfs
@@ -107,7 +116,10 @@ def load_warehouse(spark: SparkSession, warehouse: str):
         if not os.path.isdir(path):
             continue
         try:
-            df = spark.read.parquet(path)
+            if is_versioned_table(path):
+                df = VersionedTable(spark, path).read()
+            else:
+                df = spark.read.parquet(path)
         except Exception:
             continue
         df.createOrReplaceTempView(name)

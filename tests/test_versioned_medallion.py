@@ -224,3 +224,24 @@ def test_silver_incremental_read_prunes_to_new_bronze_files(spark, tmp_path):
     metrics = pipe.transform_silver(cfg, order_col="seq")
     assert metrics["upserted"] == 40
     assert pipe.read_table("silver_inc_v").count() == 220
+
+
+def test_load_warehouse_resolves_versioned_tables_to_current_snapshot(
+    spark, tmp_path
+):
+    """The SQL-passthrough surface (session.load_warehouse) must see a
+    versioned warehouse: each versioned table resolves through its log
+    to the CURRENT snapshot — before round 8 the raw directory read
+    failed and the table silently vanished from the BI view set."""
+    from modular_etl_data_platform_spark.session import load_warehouse
+
+    wh = str(tmp_path / "wh")
+    vt = VersionedTable(spark, f"{wh}/gold_t")
+    vt.write(spark.range(5).selectExpr("id", "'old' v"))
+    vt.upsert(spark.range(5).selectExpr("id", "'new' v"), ["id"])
+    spark.range(3).selectExpr("id").write.parquet(f"{wh}/plain_t")
+    dfs = load_warehouse(spark, wh)
+    assert set(dfs) == {"gold_t", "plain_t"}
+    assert dfs["gold_t"].count() == 5  # snapshot, not the union of versions
+    assert {r.v for r in dfs["gold_t"].collect()} == {"new"}
+    assert spark.sql("SELECT COUNT(*) n FROM gold_t").first().n == 5
