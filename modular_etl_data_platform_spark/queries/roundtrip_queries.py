@@ -1118,3 +1118,65 @@ def q141_checkpointed_log_time_travel(spark: SparkSession, sf_dir: str) -> DataF
         )
 
     return _pin(snap(7).unionByName(snap(12)))
+
+
+@query(
+    "q143_analyze_statistics",
+    """
+    SELECT 'o_orderkey' AS column_name,
+           COUNT(DISTINCT o_orderkey) AS distinct_count,
+           CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS num_nulls,
+           CAST(MIN(o_orderkey) AS STRING) AS min_value,
+           CAST(MAX(o_orderkey) AS STRING) AS max_value
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey',
+           COUNT(DISTINCT o_custkey),
+           CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(MIN(o_custkey) AS STRING),
+           CAST(MAX(o_custkey) AS STRING)
+    FROM orders
+    """,
+)
+def q143_analyze_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANALYZE/CBO statistics hook, oracle-gated
+    (pipeline/medallion.py::analyze_table — the reference's post-load
+    ``ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS`` step,
+    reference: config/gold/schema/README.md:391): orders lands in a
+    VERSIONED warehouse table, analyze_table computes per-column
+    distinct/null/min/max over the current snapshot, and the recorded
+    statistics are parsed back into rows and hash-compared against the
+    oracle computing the same aggregates relationally — a stats pass
+    that reads a stale snapshot, miscounts, or drops a column changes
+    the hash. (exact COUNT DISTINCT here, matching the oracle; Spark's
+    own ANALYZE uses HLL±5% — the versioned branch is the exact one.)"""
+    import re as _re
+
+    from modular_etl_data_platform_spark.pipeline.medallion import MedallionPipeline
+
+    scratch = _scratch("q143_analyze_statistics", sf_dir)
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pipe = MedallionPipeline(
+        spark, warehouse=os.path.join(scratch, "wh"), storage="versioned"
+    )
+    pipe.write_table(orders, "gold_orders_stats", stats_columns=["o_orderkey"])
+    stats = pipe.analyze_table(
+        "gold_orders_stats", columns=["o_orderkey", "o_custkey"]
+    )
+    rows = []
+    for col in ("o_orderkey", "o_custkey"):
+        m = _re.match(
+            r"distinct_count=(\d+); num_nulls=(\d+); min=(.*); max=(.*)$",
+            stats[f"col:{col}"],
+        )
+        if m is None:  # the hook's output contract is part of the proof
+            raise AssertionError(f"unparseable stats line for {col}: {stats}")
+        rows.append((col, int(m.group(1)), int(m.group(2)), m.group(3), m.group(4)))
+    return _pin(
+        spark.createDataFrame(
+            rows,
+            "column_name string, distinct_count long, num_nulls long, "
+            "min_value string, max_value string",
+        )
+    )
