@@ -850,10 +850,60 @@ class VersionedTable:
                 return False
         return True
 
-    def write(self, df: DataFrame, mode: str = "overwrite") -> int:
+    @staticmethod
+    def _append_schema(batch_schema, table_schema_json: str, evolve: bool) -> str:
+        """The schema an APPEND may publish (Delta's writer-side schema
+        enforcement): the batch must carry exactly the table's columns
+        (name + type; order-insensitive) — publishing the batch schema
+        unchecked would silently DROP any table column the batch lacks
+        from every subsequent read of the carried files. With
+        ``evolve=True`` new batch columns widen the schema to the union
+        (Delta mergeSchema) and history null-fills; missing or
+        type-changed columns are rejected either way."""
+        import json as _json
+
+        from pyspark.sql import types as T
+
+        table = T.StructType.fromJson(_json.loads(table_schema_json))
+        t_fields = {f.name: f.dataType for f in table.fields}
+        b_fields = {f.name: f.dataType for f in batch_schema.fields}
+        missing = [n for n in t_fields if n not in b_fields]
+        if missing:
+            raise ValueError(
+                f"append batch lacks table column(s) {missing}; an "
+                "unchecked append would silently drop them from every "
+                "read — align the batch or overwrite explicitly"
+            )
+        changed = [
+            n for n, t in t_fields.items() if b_fields[n] != t
+        ]
+        if changed:
+            raise ValueError(
+                f"append batch changes column type(s) {changed}; "
+                "type changes require an explicit overwrite"
+            )
+        extra = [n for n in b_fields if n not in t_fields]
+        if extra and not evolve:
+            raise ValueError(
+                f"append batch adds column(s) {extra}; pass "
+                "evolve_schema=True (mergeSchema) to widen the table"
+            )
+        if not extra:
+            return table_schema_json
+        widened = T.StructType(
+            list(table.fields)
+            + [f for f in batch_schema.fields if f.name in set(extra)]
+        )
+        return widened.json()
+
+    def write(
+        self, df: DataFrame, mode: str = "overwrite", evolve_schema: bool = False
+    ) -> int:
         """Publish a new version. ``overwrite`` replaces the logical
         contents; ``append`` adds the batch's files to the current
         snapshot's file list (prior files are REUSED, not rewritten).
+        Appends enforce the table schema (see ``_append_schema``);
+        ``evolve_schema=True`` is the mergeSchema escape hatch.
 
         Multi-writer: both modes land their files ONCE and rebase on a
         lost commit race without recomputing data. An append's content
@@ -868,11 +918,16 @@ class VersionedTable:
         for _ in range(_MAX_COMMIT_RETRIES):
             base = self.current_version() or 0
             files = list(landed)
+            schema_json = df.schema.json()
             if mode == "append" and base:
-                files = list(self.log.resolve(base)["files"]) + files
+                prior = self.log.resolve(base)
+                files = list(prior["files"]) + files
+                schema_json = self._append_schema(
+                    df.schema, prior["schema"], evolve_schema
+                )
             try:
                 return self._publish(
-                    files, df.schema.json(), {"mode": mode},
+                    files, schema_json, {"mode": mode},
                     expected_base=base,
                 )
             except ConcurrentWriteError:

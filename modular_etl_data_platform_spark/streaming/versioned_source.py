@@ -230,6 +230,9 @@ class VersionedTableStreamDataSource(DataSource):
                 if "auto_compact_small_files" in self.options
                 else None
             ),
+            merge_schema=str(
+                self.options.get("merge_schema", "false")
+            ).lower() == "true",
         )
 
 
@@ -267,6 +270,7 @@ class _VersionedStreamArrowWriter(DataSourceStreamArrowWriter):
         stats_columns: list[str],
         txn_app_id: str = "stream",
         auto_compact_small_files: int | None = None,
+        merge_schema: bool = False,
     ):
         self.table = table
         self.pinned = schema
@@ -287,6 +291,9 @@ class _VersionedStreamArrowWriter(DataSourceStreamArrowWriter):
         #: stream that lands one small file per batch stays read-
         #: efficient without an external OPTIMIZE job
         self.auto_compact_small_files = auto_compact_small_files
+        #: mergeSchema for the stream: new columns widen the table;
+        #: missing/type-changed columns always fail the batch
+        self.merge_schema = merge_schema
         os.makedirs(os.path.join(table, _DATA_DIR), exist_ok=True)
 
     def write(self, iterator) -> _FilesCommitMessage:
@@ -363,17 +370,29 @@ class _VersionedStreamArrowWriter(DataSourceStreamArrowWriter):
                 # writers committed between the publish and the retry
                 return
             self._check_constraints(files, st.get("constraints", {}))
+        from modular_etl_data_platform_spark.operators.versioned import (
+            VersionedTable,
+        )
+
         fresh = collect_file_stats(files, self.stats_columns)
         for _ in range(20):
             base = log.current_version() or 0
+            schema_json = self.schema_json
             if self.overwrite or not base:
                 all_files = list(files)
             else:  # append: racing batch writers rebase exactly like write()
-                all_files = list(log.resolve(base)["files"]) + files
+                prior = log.resolve(base)
+                all_files = list(prior["files"]) + files
+                # writer-side schema enforcement, same rule as batch
+                # appends: a drifting stream must FAIL the batch, never
+                # silently drop table columns from carried files
+                schema_json = VersionedTable._append_schema(
+                    self.pinned, prior["schema"], self.merge_schema
+                )
             try:
                 log.publish(
                     all_files,
-                    self.schema_json,
+                    schema_json,
                     {
                         "mode": "stream_write",
                         "stream_batch_id": batchId,

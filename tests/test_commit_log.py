@@ -414,3 +414,40 @@ def test_string_stats_prune_files_and_pruned_upsert_stays_exact(
         (f"EUROPE#{i}", i) for i in range(50, 100)
     }
     assert got == want
+
+
+def test_append_enforces_table_schema(spark, tmp_path):
+    """Writer-side schema enforcement on append (Delta's contract): a
+    batch MISSING a table column must be rejected — publishing its
+    schema unchecked would silently drop that column from every read of
+    the carried files; type changes are rejected; NEW columns require
+    the explicit evolve_schema=True (mergeSchema), which widens the
+    schema and null-fills history."""
+    vt = VersionedTable(spark, str(tmp_path / "t"))
+    vt.write(_df(spark, 0, 5).coalesce(1))
+    with pytest.raises(ValueError, match="lacks table column"):
+        vt.write(spark.range(5, 8).selectExpr("id"), mode="append")
+    with pytest.raises(ValueError, match="changes column type"):
+        vt.write(
+            spark.range(5, 8).selectExpr("id", "cast(id as int) as v"),
+            mode="append",
+        )
+    with pytest.raises(ValueError, match="adds column"):
+        vt.write(
+            spark.range(5, 8).selectExpr(
+                "id", "cast(id as string) as v", "id * 2 as w"
+            ),
+            mode="append",
+        )
+    assert vt.current_version() == 1  # nothing published
+    v = vt.write(
+        spark.range(5, 8).selectExpr(
+            "id", "cast(id as string) as v", "id * 2 as w"
+        ),
+        mode="append",
+        evolve_schema=True,
+    )
+    got = {(r.id, r.v, r.w) for r in vt.read(v).collect()}
+    assert got == {(i, str(i), None) for i in range(5)} | {
+        (i, str(i), 2 * i) for i in range(5, 8)
+    }

@@ -871,3 +871,37 @@ def test_versioned_stream_sink_auto_compacts_small_batches(spark, tmp_path):
     assert {tuple(r) for r in vt.read().collect()} == {
         (b, str(b)) for b in range(6)
     }
+
+
+def test_versioned_stream_sink_rejects_schema_drift(spark, tmp_path):
+    """A drifting stream (missing a table column) must FAIL the batch —
+    never silently drop the column from carried files; merge_schema
+    widens on NEW columns only."""
+    import pyarrow as pa
+    import pytest
+
+    from modular_etl_data_platform_spark.operators.versioned import VersionedTable
+    from modular_etl_data_platform_spark.streaming.versioned_source import (
+        _VersionedStreamArrowWriter,
+    )
+
+    table = str(tmp_path / "t")
+    vt = VersionedTable(spark, table)
+    vt.write(spark.range(2).selectExpr("id", "cast(id as string) as v"))
+    narrow = spark.range(1).selectExpr("id").schema
+    w = _VersionedStreamArrowWriter(table, narrow, False, [])
+    msg = w.write(iter([pa.RecordBatch.from_pydict({"id": [7]})]))
+    with pytest.raises(ValueError, match="lacks table column"):
+        w.commit([msg], batchId=0)
+    assert vt.current_version() == 1  # nothing published
+
+    wide = spark.range(1).selectExpr(
+        "id", "cast(id as string) as v", "id * 2 as w"
+    ).schema
+    w2 = _VersionedStreamArrowWriter(table, wide, False, [], merge_schema=True)
+    msg2 = w2.write(
+        iter([pa.RecordBatch.from_pydict({"id": [7], "v": ["x"], "w": [14]})])
+    )
+    w2.commit([msg2], batchId=0)
+    got = {tuple(r) for r in vt.read().collect()}
+    assert got == {(0, "0", None), (1, "1", None), (7, "x", 14)}
