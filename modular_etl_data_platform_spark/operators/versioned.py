@@ -464,6 +464,7 @@ class CommitLog:
         remove = sorted(prior_set - files_set)
         rec = {
             "version": version,
+            "ts": int(time.time() * 1000),  # commit time (timestampAsOf)
             "add": add,
             "remove": remove,
             "schema": schema_json,
@@ -481,6 +482,7 @@ class CommitLog:
         stats.update(rec["stats"])
         state = {
             "version": version,
+            "ts": rec["ts"],
             "files": sorted(files_set),
             "stats": stats,
             "schema": schema_json,
@@ -492,6 +494,30 @@ class CommitLog:
         if self.checkpoint_interval and version % self.checkpoint_interval == 0:
             self.write_checkpoint(state)
         return version
+
+    def version_at_timestamp(self, ts_ms: int) -> int:
+        """The latest version committed AT or BEFORE ``ts_ms`` (epoch
+        millis) — Delta's ``TIMESTAMP AS OF`` resolution. Walks head-
+        downward reading commit RECORDS (small JSON each; cost is
+        O(versions newer than the target), the recent-read case Delta
+        optimizes for too). Records without a recorded ``ts`` (legacy)
+        sort as infinitely old. Raises when the timestamp predates the
+        oldest retained commit."""
+        head = self.current_version()
+        if head is None:
+            raise FileNotFoundError("empty log")
+        v = head
+        while v >= 1:
+            try:
+                rec = json.loads(self.store.read(_commit_name(v)))
+            except FileNotFoundError:
+                break  # vacuumed below this point
+            if rec.get("ts", 0) <= ts_ms:
+                return v
+            v -= 1
+        raise ValueError(
+            f"timestamp {ts_ms} predates the oldest retained commit"
+        )
 
     def write_checkpoint(self, state: dict) -> None:
         """Materialize ``state`` as a checkpoint sidecar and advance the
@@ -1035,10 +1061,26 @@ class VersionedTable:
             return self.spark.createDataFrame([], schema)
         return self.spark.read.schema(schema).parquet(*files)
 
-    def read(self, version: int | None = None) -> DataFrame:
-        """The snapshot at ``version`` (default: latest). Resolving
-        through the log pins the exact file list — concurrent publishes
-        cannot shift the data under the returned frame."""
+    def read(
+        self, version: int | None = None, timestamp=None
+    ) -> DataFrame:
+        """The snapshot at ``version`` (default: latest), or — Delta's
+        ``TIMESTAMP AS OF`` — the snapshot current as of ``timestamp``
+        (a ``datetime`` or epoch milliseconds; mutually exclusive with
+        ``version``). Resolving through the log pins the exact file
+        list — concurrent publishes cannot shift the data under the
+        returned frame."""
+        if timestamp is not None:
+            if version is not None:
+                raise ValueError("pass version OR timestamp, not both")
+            if isinstance(timestamp, datetime):
+                ts = timestamp
+                if ts.tzinfo is not None:
+                    ts = ts.astimezone(timezone.utc).replace(tzinfo=None)
+                timestamp = int(
+                    ts.replace(tzinfo=timezone.utc).timestamp() * 1000
+                )
+            version = self.log.version_at_timestamp(int(timestamp))
         v = self.current_version() if version is None else version
         if v is None:
             raise FileNotFoundError(f"no version {version} in {self.path}")

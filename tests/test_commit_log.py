@@ -451,3 +451,27 @@ def test_append_enforces_table_schema(spark, tmp_path):
     assert got == {(i, str(i), None) for i in range(5)} | {
         (i, str(i), 2 * i) for i in range(5, 8)
     }
+
+
+def test_timestamp_as_of_resolves_the_right_snapshot(spark, tmp_path):
+    """TIMESTAMP AS OF: commit records carry their commit time; a read
+    at time T returns the latest version committed at-or-before T, a
+    pre-history timestamp raises, and 'now' resolves to head."""
+    vt = VersionedTable(spark, str(tmp_path / "t"))
+    vt.write(_df(spark, 0, 3).coalesce(1))
+    time.sleep(0.05)
+    between = int(time.time() * 1000)
+    time.sleep(0.05)
+    vt.write(_df(spark, 3, 6).coalesce(1), mode="append")
+    assert _rows(vt.read(timestamp=between)) == {(i, str(i)) for i in range(3)}
+    assert _rows(vt.read(timestamp=int(time.time() * 1000) + 10)) == {
+        (i, str(i)) for i in range(6)
+    }
+    first_ts = json.loads(vt.log.store.read(V._commit_name(1)))["ts"]
+    with pytest.raises(ValueError, match="predates"):
+        vt.read(timestamp=first_ts - 1000)
+    # datetime form (UTC) hits the same resolution
+    from datetime import datetime, timezone
+
+    dt = datetime.fromtimestamp(between / 1000, tz=timezone.utc)
+    assert _rows(vt.read(timestamp=dt)) == {(i, str(i)) for i in range(3)}
