@@ -138,6 +138,11 @@ def main(argv: list[str] | None = None) -> int:
     vt.add_argument("--hi", type=float, default=None, help="for compact-where")
     vt.add_argument("--limit", type=int, default=20, help="for read")
     vt.add_argument("--dest", default=None, help="for export-delta: output dir")
+    vt.add_argument(
+        "--as-of-timestamp",
+        default=None,
+        help="for read: ISO-8601 UTC instant (TIMESTAMP AS OF)",
+    )
 
     args = ap.parse_args(argv)
 
@@ -321,7 +326,16 @@ def main(argv: list[str] | None = None) -> int:
                 )
             )
         elif args.action == "read":
-            table.read(args.version).show(args.limit, truncate=False)
+            ts = None
+            if args.as_of_timestamp:
+                from datetime import datetime, timezone
+
+                ts = datetime.fromisoformat(args.as_of_timestamp)
+                if ts.tzinfo is None:
+                    ts = ts.replace(tzinfo=timezone.utc)
+            table.read(args.version, timestamp=ts).show(
+                args.limit, truncate=False
+            )
         elif args.action == "restore":
             if args.version is None:
                 print("restore requires --version", file=sys.stderr)
