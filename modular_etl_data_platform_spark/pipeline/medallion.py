@@ -95,20 +95,25 @@ class MedallionPipeline:
         p = self.table_path(name)
         return is_versioned_table(p) or os.path.exists(p)
 
-    def read_table(self, name: str, version: int | None = None) -> DataFrame:
+    def read_table(
+        self, name: str, version: int | None = None, timestamp=None
+    ) -> DataFrame:
         """Read a layer table; versioned tables resolve through their
-        manifest log (pass ``version`` for time travel), parquet tables
-        read the directory. ``version`` on a non-versioned table is an
-        error rather than a silent ignore."""
+        commit log (pass ``version`` — or ``timestamp`` for Delta's
+        TIMESTAMP AS OF — for time travel), parquet tables read the
+        directory. Time travel on a non-versioned table is an error
+        rather than a silent ignore."""
         from modular_etl_data_platform_spark.operators.versioned import (
             is_versioned_table,
         )
 
         p = self.table_path(name)
         if is_versioned_table(p):
-            return self._vt(name).read(version)
-        if version is not None:
-            raise ValueError(f"{name} is not a versioned table; no version {version}")
+            return self._vt(name).read(version, timestamp=timestamp)
+        if version is not None or timestamp is not None:
+            raise ValueError(
+                f"{name} is not a versioned table; cannot time-travel"
+            )
         return self.spark.read.parquet(p)
 
     def _read_source_for_increment(
