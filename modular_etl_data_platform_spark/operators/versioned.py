@@ -410,14 +410,19 @@ class CommitLog:
                 f: s for f, s in state.get("stats", {}).items() if f in files
             }
             stats.update(rec.get("stats", {}))
+            sizes = {
+                f: s for f, s in state.get("sizes", {}).items() if f in files
+            }
+            sizes.update(rec.get("sizes", {}))
             state = {
                 **{
                     k: v
                     for k, v in rec.items()
-                    if k not in ("add", "remove", "stats")
+                    if k not in ("add", "remove", "stats", "sizes")
                 },
                 "files": sorted(files),
                 "stats": stats,
+                "sizes": sizes,
             }
             state.setdefault("constraints", {})
         self._cache_put(version, state)
@@ -462,6 +467,14 @@ class CommitLog:
         files_set, prior_set = set(files), set(prior["files"])
         add = sorted(files_set - prior_set)
         remove = sorted(prior_set - files_set)
+        sizes: dict[str, int] = {}
+        for f in add:
+            # file size rides the log (Delta's add.size): consumers like
+            # size-based auto-compaction never stat the whole table
+            try:
+                sizes[f] = os.path.getsize(f)
+            except OSError:
+                continue
         rec = {
             "version": version,
             "ts": int(time.time() * 1000),  # commit time (timestampAsOf)
@@ -469,6 +482,7 @@ class CommitLog:
             "remove": remove,
             "schema": schema_json,
             "stats": {f: fresh_stats[f] for f in add if f in fresh_stats},
+            "sizes": sizes,
             "constraints": constraints,
             **({"txn": txn} if txn else {}),
             **meta,
@@ -480,11 +494,16 @@ class CommitLog:
             f: s for f, s in prior.get("stats", {}).items() if f in files_set
         }
         stats.update(rec["stats"])
+        state_sizes = {
+            f: s for f, s in prior.get("sizes", {}).items() if f in files_set
+        }
+        state_sizes.update(sizes)
         state = {
             "version": version,
             "ts": rec["ts"],
             "files": sorted(files_set),
             "stats": stats,
+            "sizes": state_sizes,
             "schema": schema_json,
             "constraints": constraints,
             **({"txn": txn} if txn else {}),
@@ -1488,7 +1507,13 @@ class VersionedTable:
             if v is None:
                 return None
             manifest = self.log.resolve(v)
-            sizes = {f: os.path.getsize(f) for f in manifest["files"]}
+            # sizes from the LOG (Delta's add.size) — no O(table) stat
+            # pass; files predating size recording fall back to one stat
+            logged = manifest.get("sizes", {})
+            sizes = {
+                f: logged.get(f, None) or os.path.getsize(f)
+                for f in manifest["files"]
+            }
             small = [f for f, n in sizes.items() if n < small_file_bytes]
             if len(small) <= max_small_files:
                 return None

@@ -143,8 +143,9 @@ class MedallionPipeline:
         downstream watermark read prunes to the new batch's files — the
         role hive partitioning by ``partition_by`` plays in parquet
         mode), and the partition columns themselves (point reads on the
-        layout key skip files). Numeric/timestamp/date columns record;
-        others stay conservative (never pruned, never mis-pruned)."""
+        layout key skip files). Numeric/timestamp/date/string columns
+        record; others stay conservative (never pruned, never
+        mis-pruned)."""
         cols = list(config.primary_keys)
         inc = config.incremental_column
         if inc and inc not in cols:
@@ -416,7 +417,10 @@ class MedallionPipeline:
             vt = self._vt(name)
             snap = vt.read()
             manifest = vt._read_manifest(vt.current_version())
-            nbytes = sum(os.path.getsize(f) for f in manifest["files"])
+            logged = manifest.get("sizes", {})
+            nbytes = sum(
+                logged.get(f) or os.path.getsize(f) for f in manifest["files"]
+            )
             aggs = [F.count(F.lit(1)).alias("__n")]
             for c in columns or []:
                 aggs += [
