@@ -1180,3 +1180,56 @@ def q143_analyze_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
             "min_value string, max_value string",
         )
     )
+
+
+@query(
+    "q144_timestamp_time_travel",
+    """
+    WITH v1 AS (
+      SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 2 = 0
+    ),
+    v2 AS (
+      SELECT o_orderkey, o_totalprice FROM orders
+    )
+    SELECT 1 AS snapshot, COUNT(*) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_total
+    FROM v1
+    UNION ALL
+    SELECT 2 AS snapshot, COUNT(*) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_total
+    FROM v2
+    """,
+)
+def q144_timestamp_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIMESTAMP AS OF time travel (operators/versioned.py — commit
+    records carry their commit time; ``read(timestamp=...)`` resolves
+    to the latest version at-or-before it): even orders land as v1,
+    the odd rows append as v2; a read at EXACTLY v1's recorded commit
+    time must reproduce v1 (at-or-before is inclusive), and a read at
+    v2's time reproduces the full table. Both snapshots are aggregated
+    and oracle-replayed — a resolution that rounds the wrong way,
+    walks to the wrong record, or loses the boundary case changes the
+    hash. (v2's Spark write takes orders of magnitude longer than a
+    millisecond, so the two commit times can never collide.)"""
+    from modular_etl_data_platform_spark.operators.versioned import VersionedTable
+
+    scratch = _scratch("q144_timestamp_time_travel", sf_dir)
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    vt = VersionedTable(spark, os.path.join(scratch, "orders_v"))
+    vt.write(orders.filter(F.col("o_orderkey") % 2 == 0).coalesce(1))
+    vt.write(
+        orders.filter(F.col("o_orderkey") % 2 == 1).coalesce(1), mode="append"
+    )
+    ts1 = vt._read_manifest(1)["ts"]
+    ts2 = vt._read_manifest(2)["ts"]
+    if not ts1 < ts2:  # the premise of the boundary assertion
+        raise AssertionError(f"commit times not increasing: {ts1} vs {ts2}")
+
+    def snap(label: int, ts: int) -> DataFrame:
+        return vt.read(timestamp=ts).agg(
+            F.lit(label).alias("snapshot"),
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum(F.col("o_totalprice"), "sum_total"),
+        )
+
+    return _pin(snap(1, ts1).unionByName(snap(2, ts2)))
