@@ -50,6 +50,15 @@ txn-style idempotence (a retried sink commit is a no-op) and CHECK
 constraints enforced transactionally per batch. Write option:
 ``stats_columns`` (comma-separated) records footer min/max for
 stream-landed files.
+
+The same format also serves BATCH reads and writes through the
+standard DataFrameReader/Writer API: ``spark.read.format(
+"versioned_table").option("path", ...)`` with ``version`` /
+``timestamp`` options (Delta's versionAsOf / timestampAsOf), and
+``df.write.format("versioned_table").mode("append"|"overwrite")`` —
+one published version per save, append-time schema enforcement
+included. A versioned table is a first-class Spark table without
+importing the engine's classes.
 """
 
 from __future__ import annotations
@@ -60,6 +69,8 @@ from collections.abc import Iterator
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
+    DataSourceReader,
     DataSourceStreamArrowWriter,
     DataSourceStreamReader,
     InputPartition,
@@ -159,27 +170,59 @@ class _VersionedStreamReader(DataSourceStreamReader):
         with the FIELD'S Arrow type, matching the manifest-schema read
         contract batch-side — a plain null-typed array would fail the
         Arrow-to-Spark conversion on schema-evolved tables)."""
-        import pyarrow as pa
-        import pyarrow.parquet as pq
-        from pyspark.sql.pandas.types import to_arrow_type
-        from pyspark.sql.types import _parse_datatype_json_string
-
-        tbl = pq.read_table(partition.path)
-        arrays, names, n = [], [], tbl.num_rows
-        for name, type_json in partition.fields:
-            arrow_t = to_arrow_type(_parse_datatype_json_string(type_json))
-            if name in tbl.column_names:
-                col = tbl.column(name).combine_chunks()
-                if col.type != arrow_t:
-                    col = col.cast(arrow_t)
-                arrays.append(col)
-            else:
-                arrays.append(pa.nulls(n, type=arrow_t))
-            names.append(name)
-        yield from pa.table(dict(zip(names, arrays))).to_batches()
+        yield from _read_parquet_aligned(partition.path, partition.fields)
 
     def commit(self, end: dict) -> None:  # offsets live in the checkpoint
         pass
+
+
+def _read_parquet_aligned(path: str, fields: list[tuple[str, str]]) -> Iterator:
+    """Executor-side: one parquet file -> Arrow batches aligned to the
+    pinned (name, Spark-type-JSON) field list — shared by the streaming
+    and batch read paths."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.pandas.types import to_arrow_type
+    from pyspark.sql.types import _parse_datatype_json_string
+
+    tbl = pq.read_table(path)
+    arrays, names, n = [], [], tbl.num_rows
+    for name, type_json in fields:
+        arrow_t = to_arrow_type(_parse_datatype_json_string(type_json))
+        if name in tbl.column_names:
+            col = tbl.column(name).combine_chunks()
+            if col.type != arrow_t:
+                col = col.cast(arrow_t)
+            arrays.append(col)
+        else:
+            arrays.append(pa.nulls(n, type=arrow_t))
+        names.append(name)
+    yield from pa.table(dict(zip(names, arrays))).to_batches()
+
+
+class _VersionedBatchReader(DataSourceReader):
+    """``spark.read.format("versioned_table")`` — a BATCH snapshot read
+    through the standard reader API: the ``version`` / ``timestamp``
+    options give DataFrameReader users the same time travel as
+    ``VersionedTable.read`` (Delta's versionAsOf / timestampAsOf),
+    one input partition per snapshot file, Arrow-aligned to the
+    snapshot's recorded schema."""
+
+    def __init__(self, table: str, schema: StructType, version: int | None):
+        self.log = CommitLog(path=table)
+        v = self.log.current_version() if version is None else version
+        if v is None:
+            raise ValueError(f"no published versions under {table}")
+        self.version = v
+        self.pinned = schema
+
+    def partitions(self) -> list[InputPartition]:
+        state = self.log.resolve(self.version)
+        fields = [(f.name, f.dataType.json()) for f in self.pinned.fields]
+        return [_FilePartition(f, fields) for f in state["files"]]
+
+    def read(self, partition: _FilePartition) -> Iterator:
+        yield from _read_parquet_aligned(partition.path, partition.fields)
 
 
 class VersionedTableStreamDataSource(DataSource):
@@ -196,12 +239,60 @@ class VersionedTableStreamDataSource(DataSource):
             raise ValueError("versioned_table source requires .option('path', ...)")
         return path
 
+    def _requested_version(self, log: CommitLog) -> int | None:
+        """The batch-read ``version`` / ``timestamp`` options (Delta's
+        versionAsOf / timestampAsOf; timestamp accepts epoch millis or
+        an ISO-8601 instant, naive = UTC)."""
+        v = self.options.get("version")
+        ts = self.options.get("timestamp")
+        if v is not None and ts is not None:
+            raise ValueError("pass option version OR timestamp, not both")
+        if v is not None:
+            return int(v)
+        if ts is not None:
+            try:
+                ms = int(ts)
+            except ValueError:
+                from datetime import datetime, timezone
+
+                dt = datetime.fromisoformat(ts)
+                if dt.tzinfo is None:
+                    dt = dt.replace(tzinfo=timezone.utc)
+                ms = int(dt.timestamp() * 1000)
+            return log.version_at_timestamp(ms)
+        return None
+
     def schema(self) -> StructType:
         log = CommitLog(path=self._table())
-        v = log.current_version()
+        v = self._requested_version(log)
+        if v is None:
+            v = log.current_version()
         if not v:
             raise ValueError(f"no published versions under {self._table()}")
         return StructType.fromJson(json.loads(log.resolve(v)["schema"]))
+
+    def reader(self, schema: StructType) -> _VersionedBatchReader:
+        log = CommitLog(path=self._table())
+        return _VersionedBatchReader(
+            self._table(), schema, self._requested_version(log)
+        )
+
+    def writer(self, schema: StructType, overwrite: bool):
+        """Batch writes through the standard writer API:
+        ``df.write.format("versioned_table").mode("append"|"overwrite")
+        .option("path", ...).save()`` — one published version per save,
+        with the same append-time schema enforcement and CHECK
+        constraint checks as ``VersionedTable.write``."""
+        stats = self.options.get("stats_columns")
+        return _VersionedBatchArrowWriter(
+            self._table(),
+            schema,
+            overwrite,
+            [c.strip() for c in stats.split(",") if c.strip()] if stats else [],
+            merge_schema=str(
+                self.options.get("merge_schema", "false")
+            ).lower() == "true",
+        )
 
     def streamReader(self, schema: StructType) -> _VersionedStreamReader:
         max_v = self.options.get("max_versions_per_batch")
@@ -242,7 +333,145 @@ class _FilesCommitMessage(WriterCommitMessage):
         self.files = files
 
 
-class _VersionedStreamArrowWriter(DataSourceStreamArrowWriter):
+class _ArrowFileLander:
+    """Shared landing machinery for the streaming and batch writers:
+    executors write one immutable parquet file per non-empty task
+    straight from Arrow RecordBatches; ``abort`` removes the orphans;
+    CHECK constraints are validated driver-side with one scan of the
+    landed files before anything publishes."""
+
+    table: str
+    pinned: StructType
+
+    def write(self, iterator) -> _FilesCommitMessage:
+        """Executor-side: Arrow RecordBatches -> one parquet file."""
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        batches = [b for b in iterator if b.num_rows]
+        if not batches:
+            return _FilesCommitMessage([])
+        sub = os.path.join(
+            self.table, _DATA_DIR, f"stream-{uuid.uuid4().hex}"
+        )
+        os.makedirs(sub, exist_ok=True)
+        path = os.path.join(sub, f"part-{uuid.uuid4().hex}.parquet")
+        pq.write_table(pa.Table.from_batches(batches), path)
+        return _FilesCommitMessage([path])
+
+    def _check_constraints(self, files: list[str], constraints: dict) -> None:
+        from pyspark.sql import SparkSession
+        from pyspark.sql import functions as F
+
+        from modular_etl_data_platform_spark.operators.versioned import (
+            ConstraintViolationError,
+        )
+
+        if not constraints or not files:
+            return
+        spark = SparkSession.getActiveSession()
+        if spark is None:  # fail CLOSED: never skip a declared constraint
+            raise RuntimeError(
+                "cannot validate CHECK constraints: no active SparkSession"
+            )
+        batch = spark.read.schema(self.pinned).parquet(*files)
+        aggs = [
+            F.sum((~F.coalesce(F.expr(e), F.lit(True))).cast("long")).alias(n)
+            for n, e in constraints.items()
+        ]
+        row = batch.agg(*aggs).first()
+        violated = {n: row[n] for n in constraints if row[n]}
+        if violated:
+            raise ConstraintViolationError(
+                f"CHECK constraint(s) violated by write into "
+                f"{self.table}: "
+                + ", ".join(
+                    f"{n} ({constraints[n]}): {c} row(s)"
+                    for n, c in violated.items()
+                )
+            )
+
+    def abort(self, messages, batchId: int | None = None) -> None:
+        for m in messages or []:
+            if m is None:
+                continue
+            for f in getattr(m, "files", []):
+                try:
+                    os.remove(f)
+                except FileNotFoundError:
+                    continue
+
+
+class _VersionedBatchArrowWriter(_ArrowFileLander, DataSourceArrowWriter):
+    """``df.write.format("versioned_table")`` — one published version
+    per save. Append mode enforces the table schema writer-side and
+    rebases over racing commits exactly like ``VersionedTable.write``;
+    overwrite replaces the logical contents. All tasks' files land in
+    one commit — a torn save is impossible."""
+
+    def __init__(
+        self,
+        table: str,
+        schema: StructType,
+        overwrite: bool,
+        stats_columns: list[str],
+        merge_schema: bool = False,
+    ):
+        self.table = table
+        self.pinned = schema
+        self.schema_json = schema.json()
+        self.overwrite = overwrite
+        self.stats_columns = stats_columns
+        self.merge_schema = merge_schema
+        os.makedirs(os.path.join(table, _DATA_DIR), exist_ok=True)
+
+    def commit(self, messages) -> None:
+        from modular_etl_data_platform_spark.operators.versioned import (
+            ConcurrentWriteError,
+            VersionedTable,
+            collect_file_stats,
+        )
+
+        files = [
+            f
+            for m in messages
+            if m is not None
+            for f in getattr(m, "files", [])
+        ]
+        log = CommitLog(path=self.table)
+        head = log.current_version()
+        if head and not self.overwrite:
+            self._check_constraints(
+                files, log.resolve(head).get("constraints", {})
+            )
+        fresh = collect_file_stats(files, self.stats_columns)
+        mode = "overwrite" if self.overwrite else "append"
+        for _ in range(20):
+            base = log.current_version() or 0
+            schema_json = self.schema_json
+            if self.overwrite or not base:
+                all_files = list(files)
+            else:
+                prior = log.resolve(base)
+                all_files = list(prior["files"]) + files
+                schema_json = VersionedTable._append_schema(
+                    self.pinned, prior["schema"], self.merge_schema
+                )
+            try:
+                log.publish(
+                    all_files, schema_json, {"mode": mode}, base, fresh
+                )
+                return
+            except ConcurrentWriteError:
+                continue
+        raise ConcurrentWriteError(
+            f"batch save lost every commit race on {self.table}"
+        )
+
+
+class _VersionedStreamArrowWriter(_ArrowFileLander, DataSourceStreamArrowWriter):
     """``writeStream.format("versioned_table")`` — one table VERSION per
     micro-batch, published through the same commit protocol as every
     batch writer (so concurrent batch appends and the stream serialize
@@ -295,56 +524,6 @@ class _VersionedStreamArrowWriter(DataSourceStreamArrowWriter):
         #: missing/type-changed columns always fail the batch
         self.merge_schema = merge_schema
         os.makedirs(os.path.join(table, _DATA_DIR), exist_ok=True)
-
-    def write(self, iterator) -> _FilesCommitMessage:
-        """Executor-side: Arrow RecordBatches -> one parquet file."""
-        import uuid
-
-        import pyarrow as pa
-        import pyarrow.parquet as pq
-
-        batches = [b for b in iterator if b.num_rows]
-        if not batches:
-            return _FilesCommitMessage([])
-        sub = os.path.join(
-            self.table, _DATA_DIR, f"stream-{uuid.uuid4().hex}"
-        )
-        os.makedirs(sub, exist_ok=True)
-        path = os.path.join(sub, f"part-{uuid.uuid4().hex}.parquet")
-        pq.write_table(pa.Table.from_batches(batches), path)
-        return _FilesCommitMessage([path])
-
-    def _check_constraints(self, files: list[str], constraints: dict) -> None:
-        from pyspark.sql import SparkSession
-        from pyspark.sql import functions as F
-
-        from modular_etl_data_platform_spark.operators.versioned import (
-            ConstraintViolationError,
-        )
-
-        if not constraints or not files:
-            return
-        spark = SparkSession.getActiveSession()
-        if spark is None:  # fail CLOSED: never skip a declared constraint
-            raise RuntimeError(
-                "cannot validate CHECK constraints: no active SparkSession"
-            )
-        batch = spark.read.schema(self.pinned).parquet(*files)
-        aggs = [
-            F.sum((~F.coalesce(F.expr(e), F.lit(True))).cast("long")).alias(n)
-            for n, e in constraints.items()
-        ]
-        row = batch.agg(*aggs).first()
-        violated = {n: row[n] for n in constraints if row[n]}
-        if violated:
-            raise ConstraintViolationError(
-                f"CHECK constraint(s) violated by micro-batch into "
-                f"{self.table}: "
-                + ", ".join(
-                    f"{n} ({constraints[n]}): {c} row(s)"
-                    for n, c in violated.items()
-                )
-            )
 
     def commit(self, messages, batchId: int) -> None:
         from modular_etl_data_platform_spark.operators.versioned import (
@@ -423,13 +602,3 @@ class _VersionedStreamArrowWriter(DataSourceStreamArrowWriter):
         VersionedTable(
             spark, self.table, stats_columns=self.stats_columns
         ).maybe_compact(max_small_files=self.auto_compact_small_files)
-
-    def abort(self, messages, batchId: int) -> None:
-        for m in messages or []:
-            if m is None:
-                continue
-            for f in getattr(m, "files", []):
-                try:
-                    os.remove(f)
-                except FileNotFoundError:
-                    continue

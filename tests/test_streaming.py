@@ -905,3 +905,79 @@ def test_versioned_stream_sink_rejects_schema_drift(spark, tmp_path):
     w2.commit([msg2], batchId=0)
     got = {tuple(r) for r in vt.read().collect()}
     assert got == {(0, "0", None), (1, "1", None), (7, "x", 14)}
+
+
+def test_versioned_batch_reader_and_writer_through_format_api(spark, tmp_path):
+    """The standard DataFrameReader/Writer API over the versioned log:
+    df.write.format('versioned_table') publishes one version per save
+    (append enforces the table schema), spark.read.format(...) reads
+    the current snapshot, and the version/timestamp options time-travel
+    — Delta's versionAsOf/timestampAsOf through the public API."""
+    from modular_etl_data_platform_spark.operators.versioned import VersionedTable
+    from modular_etl_data_platform_spark.streaming.versioned_source import (
+        VersionedTableStreamDataSource,
+    )
+
+    spark.dataSource.register(VersionedTableStreamDataSource)
+    table = str(tmp_path / "t")
+    df1 = spark.range(0, 5).selectExpr("id", "cast(id as string) as v")
+    # Python data sources accept only Append/Overwrite save modes
+    df1.write.format("versioned_table").mode("append").option(
+        "path", table
+    ).option("stats_columns", "id").save()
+    df2 = spark.range(5, 8).selectExpr("id", "cast(id as string) as v")
+    df2.write.format("versioned_table").mode("append").option(
+        "path", table
+    ).save()
+    vt = VersionedTable(spark, table)
+    assert vt.versions() == [1, 2]
+    assert vt._read_manifest(2)["mode"] == "append"
+    import json as _json
+
+    from modular_etl_data_platform_spark.operators import versioned as V
+
+    rec2 = _json.loads(vt.log.store.read(V._commit_name(2)))
+    assert rec2["stats"] == {}  # writer 2 passed no stats option
+    # ...but v1's footer stats are carried in the resolved state
+    assert any("id" in s for s in vt._read_manifest(2)["stats"].values())
+
+    back = (
+        spark.read.format("versioned_table").option("path", table).load()
+    )
+    assert {tuple(r) for r in back.collect()} == {
+        (i, str(i)) for i in range(8)
+    }
+    v1 = (
+        spark.read.format("versioned_table")
+        .option("path", table)
+        .option("version", "1")
+        .load()
+    )
+    assert {tuple(r) for r in v1.collect()} == {(i, str(i)) for i in range(5)}
+    ts1 = vt._read_manifest(1)["ts"]
+    t1 = (
+        spark.read.format("versioned_table")
+        .option("path", table)
+        .option("timestamp", str(ts1))
+        .load()
+    )
+    assert {tuple(r) for r in t1.collect()} == {(i, str(i)) for i in range(5)}
+
+    # append-time schema enforcement holds through the format API too
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    bad = spark.range(8, 9).selectExpr("id")
+    with pytest.raises(Exception) as ei:
+        bad.write.format("versioned_table").mode("append").option(
+            "path", table
+        ).save()
+    assert "lacks table column" in str(ei.value)
+    assert vt.current_version() == 2  # nothing published
+
+    # overwrite mode replaces the logical contents as version 3
+    df1.write.format("versioned_table").mode("overwrite").option(
+        "path", table
+    ).save()
+    assert vt.current_version() == 3
+    assert vt.read().count() == 5
