@@ -46,6 +46,10 @@ def get_spark(
         # (VersionedTable stats, watermark file pruning). Micros is what
         # Delta writes and every modern reader expects.
         .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+        # Python Data Source filter pushdown (off by default in Spark
+        # 4.1): lets format("versioned_table") reads turn pushed range/
+        # equality predicates into log-stats FILE skipping
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )

@@ -200,7 +200,42 @@ def _read_parquet_aligned(path: str, fields: list[tuple[str, str]]) -> Iterator:
     yield from pa.table(dict(zip(names, arrays))).to_batches()
 
 
-class _VersionedBatchReader(DataSourceReader):
+def _filter_to_range(f):
+    """Map a pushed Spark filter onto a stats-pruning range
+    ``(column, lo, hi, lo_inclusive)`` — None when the filter shape
+    can't prune (nested column, disjunction-derived, etc.). Exclusive
+    upper bounds fall back to inclusive (conservative: a file is only
+    ever KEPT extra, never wrongly skipped)."""
+    from pyspark.sql.datasource import (
+        EqualTo,
+        GreaterThan,
+        GreaterThanOrEqual,
+        In,
+        LessThan,
+        LessThanOrEqual,
+    )
+
+    attr = getattr(f, "attribute", None)
+    if not attr or len(attr) != 1:
+        return None
+    col = attr[0]
+    if isinstance(f, EqualTo):
+        return (col, f.value, f.value, True)
+    if isinstance(f, GreaterThan):
+        return (col, f.value, None, False)
+    if isinstance(f, GreaterThanOrEqual):
+        return (col, f.value, None, True)
+    if isinstance(f, (LessThan, LessThanOrEqual)):
+        return (col, None, f.value, True)
+    if isinstance(f, In) and f.value:
+        try:
+            return (col, min(f.value), max(f.value), True)
+        except TypeError:
+            return None
+    return None
+
+
+class _VersionedBatchReaderBase(DataSourceReader):
     """``spark.read.format("versioned_table")`` — a BATCH snapshot read
     through the standard reader API: the ``version`` / ``timestamp``
     options give DataFrameReader users the same time travel as
@@ -215,14 +250,50 @@ class _VersionedBatchReader(DataSourceReader):
             raise ValueError(f"no published versions under {table}")
         self.version = v
         self.pinned = schema
+        self._ranges: list[tuple] = []
 
     def partitions(self) -> list[InputPartition]:
+        from modular_etl_data_platform_spark.operators.versioned import (
+            VersionedTable,
+        )
+
         state = self.log.resolve(self.version)
+        stats = state.get("stats", {})
+        files = [
+            f
+            for f in state["files"]
+            if all(
+                VersionedTable._may_intersect(
+                    stats.get(f), col, lo, hi, lo_inclusive=lo_inc
+                )
+                for col, lo, hi, lo_inc in self._ranges
+            )
+        ]
         fields = [(f.name, f.dataType.json()) for f in self.pinned.fields]
-        return [_FilePartition(f, fields) for f in state["files"]]
+        return [_FilePartition(f, fields) for f in files]
 
     def read(self, partition: _FilePartition) -> Iterator:
         yield from _read_parquet_aligned(partition.path, partition.fields)
+
+
+class _VersionedBatchReader(_VersionedBatchReaderBase):
+    """The pushdown-capable variant: ``pushFilters`` turns Spark's
+    pushed predicates into FILE skipping against the log's recorded
+    stats (the Delta read path) — a range or equality predicate on a
+    stats column opens only intersecting files. Every filter is handed
+    back to Spark for row-level evaluation, so pruning here is
+    partition elimination, never filtering — conservative by
+    construction. Only instantiated when
+    ``spark.sql.python.filterPushdown.enabled`` is true (Spark REFUSES
+    readers that implement pushFilters while the conf is off, so the
+    base class serves vanilla sessions unchanged)."""
+
+    def pushFilters(self, filters):
+        for f in filters:
+            rng = _filter_to_range(f)
+            if rng is not None:
+                self._ranges.append(rng)
+            yield f  # Spark still evaluates every filter row-level
 
 
 class VersionedTableStreamDataSource(DataSource):
@@ -271,11 +342,19 @@ class VersionedTableStreamDataSource(DataSource):
             raise ValueError(f"no published versions under {self._table()}")
         return StructType.fromJson(json.loads(log.resolve(v)["schema"]))
 
-    def reader(self, schema: StructType) -> _VersionedBatchReader:
+    def reader(self, schema: StructType) -> _VersionedBatchReaderBase:
+        from pyspark.sql import SparkSession
+
         log = CommitLog(path=self._table())
-        return _VersionedBatchReader(
-            self._table(), schema, self._requested_version(log)
+        sess = SparkSession.getActiveSession()
+        pushdown = (
+            sess is not None
+            and str(
+                sess.conf.get("spark.sql.python.filterPushdown.enabled", "false")
+            ).lower() == "true"
         )
+        cls = _VersionedBatchReader if pushdown else _VersionedBatchReaderBase
+        return cls(self._table(), schema, self._requested_version(log))
 
     def writer(self, schema: StructType, overwrite: bool):
         """Batch writes through the standard writer API:

@@ -981,3 +981,49 @@ def test_versioned_batch_reader_and_writer_through_format_api(spark, tmp_path):
     ).save()
     assert vt.current_version() == 3
     assert vt.read().count() == 5
+
+
+def test_versioned_batch_reader_pushed_filters_prune_files(spark, tmp_path):
+    """pushFilters -> file skipping against the log's stats (the Delta
+    read path through the public API): a range predicate on a stats
+    column plans only the intersecting file, and because every filter
+    is handed back to Spark, results equal the unpruned filter exactly
+    — even for residual predicates inside the kept file."""
+    from pyspark.sql.datasource import (
+        GreaterThanOrEqual,
+        LessThanOrEqual,
+    )
+
+    from modular_etl_data_platform_spark.operators.versioned import VersionedTable
+    from modular_etl_data_platform_spark.streaming.versioned_source import (
+        VersionedTableStreamDataSource,
+        _VersionedBatchReader,
+    )
+
+    spark.dataSource.register(VersionedTableStreamDataSource)
+    table = str(tmp_path / "t")
+    vt = VersionedTable(spark, table, stats_columns=["id"])
+    for lo in (0, 100, 200):
+        vt.write(
+            spark.range(lo, lo + 100).selectExpr(
+                "id", "cast(id as string) as v"
+            ).coalesce(1),
+            mode="append" if lo else "overwrite",
+        )
+    schema = vt.read().schema
+    reader = _VersionedBatchReader(table, schema, None)
+    leftover = list(
+        reader.pushFilters(
+            [GreaterThanOrEqual(("id",), 120), LessThanOrEqual(("id",), 150)]
+        )
+    )
+    assert len(leftover) == 2  # Spark still applies both row-level
+    assert len(reader.partitions()) == 1  # only the middle file planned
+
+    df = (
+        spark.read.format("versioned_table")
+        .option("path", table)
+        .load()
+        .filter("id >= 120 and id <= 150")
+    )
+    assert {r.id for r in df.collect()} == set(range(120, 151))
