@@ -855,6 +855,30 @@ class VersionedTable:
     def _file_stats(self, files: list[str]) -> dict[str, dict]:
         return collect_file_stats(files, self.stats_columns)
 
+    def _validate_landed(
+        self, files: list[str], schema_json: str, constraints: dict[str, str]
+    ) -> None:
+        """One aggregate scan of already-landed files against
+        ``constraints`` (NULL passes — SQL CHECK 3VL); raises
+        :class:`ConstraintViolationError` before anything publishes."""
+        if not constraints or not files:
+            return
+        batch = self._read_files(files, schema_json)
+        aggs = [
+            F.sum((~F.coalesce(F.expr(e), F.lit(True))).cast("long")).alias(n)
+            for n, e in constraints.items()
+        ]
+        row = batch.agg(*aggs).first()
+        violated = {n: row[n] for n in constraints if row[n]}
+        if violated:
+            raise ConstraintViolationError(
+                f"CHECK constraint(s) violated in {self.path}: "
+                + ", ".join(
+                    f"{n} ({constraints[n]}): {c} row(s)"
+                    for n, c in violated.items()
+                )
+            )
+
     @staticmethod
     def _may_intersect(
         stats_entry: dict | None,
@@ -959,17 +983,29 @@ class VersionedTable:
         just claims the next number."""
         if mode not in ("overwrite", "append"):
             raise ValueError(f"unsupported mode {mode!r}")
+        checked_cons = self.constraints()  # enforced by the landing write
         landed = self._land_files(df)
         for _ in range(_MAX_COMMIT_RETRIES):
             base = self.current_version() or 0
             files = list(landed)
             schema_json = df.schema.json()
-            if mode == "append" and base:
-                prior = self.log.resolve(base)
+            prior = self.log.resolve(base) if base else None
+            if mode == "append" and prior is not None:
                 files = list(prior["files"]) + files
                 schema_json = self._append_schema(
                     df.schema, prior["schema"], evolve_schema
                 )
+            # a rebase may land on a head whose constraints CHANGED
+            # since this batch was validated (ADD CONSTRAINT raced the
+            # commit) — revalidate the already-landed files against the
+            # new set before attaching them (Delta's metadata-conflict
+            # re-check). Other write paths re-land per retry, which
+            # re-validates implicitly; only this single-land path needs
+            # the explicit pass.
+            cur_cons = (prior or {}).get("constraints", {})
+            if cur_cons != checked_cons:
+                self._validate_landed(landed, df.schema.json(), cur_cons)
+                checked_cons = cur_cons
             try:
                 return self._publish(
                     files, schema_json, {"mode": mode},

@@ -520,24 +520,27 @@ class _VersionedBatchArrowWriter(_ArrowFileLander, DataSourceArrowWriter):
             for f in getattr(m, "files", [])
         ]
         log = CommitLog(path=self.table)
-        head = log.current_version()
-        if head and not self.overwrite:
-            self._check_constraints(
-                files, log.resolve(head).get("constraints", {})
-            )
         fresh = collect_file_stats(files, self.stats_columns)
         mode = "overwrite" if self.overwrite else "append"
+        checked_cons: dict | None = None
         for _ in range(20):
             base = log.current_version() or 0
             schema_json = self.schema_json
-            if self.overwrite or not base:
+            prior = log.resolve(base) if base else None
+            if self.overwrite or prior is None:
                 all_files = list(files)
             else:
-                prior = log.resolve(base)
                 all_files = list(prior["files"]) + files
                 schema_json = VersionedTable._append_schema(
                     self.pinned, prior["schema"], self.merge_schema
                 )
+            # constraints are validated against THIS attempt's base —
+            # a rebase onto a head whose constraint set changed (ADD
+            # CONSTRAINT raced the save) revalidates before publishing
+            cur_cons = (prior or {}).get("constraints", {})
+            if not self.overwrite and cur_cons != checked_cons:
+                self._check_constraints(files, cur_cons)
+                checked_cons = cur_cons
             try:
                 log.publish(
                     all_files, schema_json, {"mode": mode}, base, fresh
@@ -627,19 +630,19 @@ class _VersionedStreamArrowWriter(_ArrowFileLander, DataSourceStreamArrowWriter)
                 # every commit), this holds even when unrelated batch
                 # writers committed between the publish and the retry
                 return
-            self._check_constraints(files, st.get("constraints", {}))
         from modular_etl_data_platform_spark.operators.versioned import (
             VersionedTable,
         )
 
         fresh = collect_file_stats(files, self.stats_columns)
+        checked_cons: dict | None = None
         for _ in range(20):
             base = log.current_version() or 0
             schema_json = self.schema_json
-            if self.overwrite or not base:
+            prior = log.resolve(base) if base else None
+            if self.overwrite or prior is None:
                 all_files = list(files)
             else:  # append: racing batch writers rebase exactly like write()
-                prior = log.resolve(base)
                 all_files = list(prior["files"]) + files
                 # writer-side schema enforcement, same rule as batch
                 # appends: a drifting stream must FAIL the batch, never
@@ -647,6 +650,12 @@ class _VersionedStreamArrowWriter(_ArrowFileLander, DataSourceStreamArrowWriter)
                 schema_json = VersionedTable._append_schema(
                     self.pinned, prior["schema"], self.merge_schema
                 )
+            # validate against THIS attempt's base constraints (an ADD
+            # CONSTRAINT racing the micro-batch revalidates on rebase)
+            cur_cons = (prior or {}).get("constraints", {})
+            if cur_cons != checked_cons:
+                self._check_constraints(files, cur_cons)
+                checked_cons = cur_cons
             try:
                 log.publish(
                     all_files,

@@ -475,3 +475,45 @@ def test_timestamp_as_of_resolves_the_right_snapshot(spark, tmp_path):
 
     dt = datetime.fromtimestamp(between / 1000, tz=timezone.utc)
     assert _rows(vt.read(timestamp=dt)) == {(i, str(i)) for i in range(3)}
+
+
+def test_append_revalidates_constraints_added_during_commit_race(
+    spark, tmp_path
+):
+    """TOCTOU on the constraint contract: write() validates its rows
+    via the landing Observation, but a rebase can land on a head whose
+    constraints CHANGED (ADD CONSTRAINT raced the commit) — the
+    already-landed files must be revalidated against the new set, and a
+    now-violating batch must publish nothing. InMemoryLogStore makes
+    the interleaving exact."""
+    from modular_etl_data_platform_spark.operators.versioned import (
+        ConstraintViolationError,
+    )
+
+    store = InMemoryLogStore()
+    path = str(tmp_path / "t")
+    writer = VersionedTable(spark, path, log_store=store)
+    racer = VersionedTable(spark, path, log_store=store)
+    writer.write(
+        spark.createDataFrame([(1, 5.0)], "id long, amt double")
+    )
+
+    bad_batch = spark.createDataFrame([(2, -1.0)], "id long, amt double")
+    real_publish = V.CommitLog.publish
+    fired = {"done": False}
+
+    def constraint_lands_first(self, *args, **kwargs):
+        if not fired["done"] and self is writer.log:
+            fired["done"] = True
+            racer.add_constraint("amt_pos", "amt > 0")
+        return real_publish(self, *args, **kwargs)
+
+    try:
+        V.CommitLog.publish = constraint_lands_first
+        with pytest.raises(ConstraintViolationError):
+            writer.write(bad_batch, mode="append")
+    finally:
+        V.CommitLog.publish = real_publish
+    head = writer.current_version()
+    assert writer.log.resolve(head).get("constraints", {})  # racer won
+    assert writer.read().count() == 1  # the violating append never landed
