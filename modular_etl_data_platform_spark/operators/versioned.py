@@ -632,9 +632,23 @@ def collect_file_stats(files: list[str], stats_columns: list[str]) -> dict[str, 
         return {}
     import pyarrow.parquet as pq
 
+    # footer reads are tiny but LATENCY-bound (one open+seek each); a
+    # large landed batch pays them concurrently instead of serially —
+    # Delta collects these executor-side during the write, a thread
+    # pool is the driver-side equivalent for metadata-only I/O
+    if len(files) > 8:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=16) as pool:
+            metas = dict(
+                zip(files, pool.map(lambda f: pq.ParquetFile(f).metadata, files))
+            )
+    else:
+        metas = {f: pq.ParquetFile(f).metadata for f in files}
+
     out: dict[str, dict] = {}
     for f in files:
-        md = pq.ParquetFile(f).metadata
+        md = metas[f]
         if md.num_rows == 0:
             # a zero-row file intersects NO predicate: record that
             # explicitly so pruning reads skip it and pruned
