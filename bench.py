@@ -76,6 +76,9 @@ HEADLINE = [
     # regressions in log resolution or pruning show up here
     "q139_versioned_incremental_silver",
     "q141_checkpointed_log_time_travel",
+    # round-8 late addition: merge-on-read DELETE via deletion vectors
+    # (sidecar write + anti-join read + CDF over a dv-only commit)
+    "q145_deletion_vectors",
 ]
 
 

@@ -56,6 +56,15 @@ def export_delta_snapshot(
     if v is None:
         raise FileNotFoundError(f"no versions in {table.path}")
     state = table.log.resolve(v)
+    if state.get("dv"):
+        # hard-linked files would RESURRECT vector-deleted rows, and
+        # Delta protocol 1/2 (this export's target) cannot express
+        # deletion vectors — materialize first, then export
+        raise ValueError(
+            f"snapshot v{v} of {table.path} carries deletion vectors; "
+            "run compact()/compact_where() to materialize them before "
+            "exporting (protocol-1/2 Delta cannot express DVs)"
+        )
     if os.path.isdir(dest) and os.listdir(dest):
         raise FileExistsError(f"export destination {dest} is not empty")
     log_dir = os.path.join(dest, "_delta_log")

@@ -58,6 +58,17 @@ untouched (no rewrite, no footer reads — per-file stats are carried
 through the log), ``upsert`` rewrites only key-range-intersecting
 files, and files are immutable once published, which is what makes
 snapshots free.
+
+**Deletion vectors** (round 8; Delta's merge-on-read DELETE):
+``delete_where`` records matching rows as (file, row-position) pairs in
+a parquet sidecar under ``_dv/`` and points the touched files at it in
+the commit — no data file is rewritten, so deleting a handful of rows
+scattered across a year of files costs one scan plus a tiny sidecar.
+Reads apply the vector with a broadcast anti-join on (file, position);
+any rewrite (upsert/compaction/delete_range) reads merge-on-read and
+lands clean files, MATERIALIZING the vector. DV commits carry a
+``protocol`` floor (min_reader/min_writer = 2) so a pre-DV engine
+fails loudly instead of resurrecting deleted rows.
 """
 
 from __future__ import annotations
@@ -78,6 +89,15 @@ from modular_etl_data_platform_spark.operators.upsert import merge_dataframes
 
 _MANIFEST_DIR = "_versions"
 _DATA_DIR = "files"
+#: deletion-vector sidecars (merge-on-read deletes) live here
+_DV_DIR = "_dv"
+#: protocol versions this engine can read/write (Delta's minReaderVersion/
+#: minWriterVersion gate): 1 = base log, 2 = deletion vectors. A commit
+#: that introduces a feature records the protocol floor it requires;
+#: older engines fail LOUDLY at snapshot load instead of silently
+#: resurrecting deleted rows.
+_SUPPORTED_READER = 2
+_SUPPORTED_WRITER = 2
 #: stats-dict marker for a zero-row file (intersects no predicate)
 _EMPTY_MARK = "__empty__"
 #: bounded rebase attempts before surfacing the conflict to the caller
@@ -363,6 +383,7 @@ class CommitLog:
         state = {k: v for k, v in rec.items() if k not in ("add", "remove")}
         state.setdefault("stats", {})
         state.setdefault("constraints", {})
+        state.setdefault("dv", {})
         return state
 
     def resolve(self, version: int) -> dict:
@@ -399,7 +420,7 @@ class CommitLog:
             deltas.append(rec)
             u -= 1
             if u < 1:  # v1's delta folds against the empty table
-                base = {"files": [], "stats": {}, "constraints": {}}
+                base = {"files": [], "stats": {}, "constraints": {}, "dv": {}}
                 break
         state = base
         for rec in reversed(deltas):
@@ -414,17 +435,47 @@ class CommitLog:
                 f: s for f, s in state.get("sizes", {}).items() if f in files
             }
             sizes.update(rec.get("sizes", {}))
+            # deletion vectors fold like stats: a rewritten/removed file
+            # drops its DV (the rewrite materialized it); the record's
+            # dv map points touched files at their NEW sidecar; a null
+            # value CLEARS the entry (restore resetting to a pre-delete
+            # snapshot)
+            dv = {
+                f: p for f, p in state.get("dv", {}).items() if f in files
+            }
+            for f, p in rec.get("dv", {}).items():
+                if f not in files:
+                    continue
+                if p is None:
+                    dv.pop(f, None)
+                else:
+                    dv[f] = p
+            # protocol floors are monotone: a feature once required stays
+            # required (max per field), matching Delta's protocol action
+            proto = dict(state.get("protocol", {}))
+            for pk, pv in rec.get("protocol", {}).items():
+                proto[pk] = max(proto.get(pk, 1), pv)
             state = {
                 **{
                     k: v
                     for k, v in rec.items()
-                    if k not in ("add", "remove", "stats", "sizes")
+                    if k not in ("add", "remove", "stats", "sizes", "dv", "protocol")
                 },
                 "files": sorted(files),
                 "stats": stats,
                 "sizes": sizes,
+                "dv": dv,
+                **({"protocol": proto} if proto else {}),
             }
             state.setdefault("constraints", {})
+        mr = state.get("protocol", {}).get("min_reader", 1)
+        if mr > _SUPPORTED_READER:
+            raise RuntimeError(
+                f"table requires reader protocol {mr} (this engine supports "
+                f"{_SUPPORTED_READER}) — refusing to read rather than "
+                "silently mis-reading a newer feature (e.g. resurrecting "
+                "vector-deleted rows)"
+            )
         self._cache_put(version, state)
         return state
 
@@ -436,6 +487,7 @@ class CommitLog:
         meta: dict | None,
         expected_base: int,
         fresh_stats: dict[str, dict],
+        dv_updates: dict[str, str] | None = None,
     ) -> int:
         """Claim version ``expected_base + 1`` with an atomic
         put-if-absent of the DELTA record (Delta's optimistic commit).
@@ -452,8 +504,14 @@ class CommitLog:
         prior = (
             self.resolve(expected_base)
             if expected_base
-            else {"files": [], "stats": {}, "constraints": {}}
+            else {"files": [], "stats": {}, "constraints": {}, "dv": {}}
         )
+        mw = prior.get("protocol", {}).get("min_writer", 1)
+        if mw > _SUPPORTED_WRITER:
+            raise RuntimeError(
+                f"table requires writer protocol {mw} (this engine supports "
+                f"{_SUPPORTED_WRITER}) — refusing to commit"
+            )
         meta = dict(meta or {})
         constraints = meta.pop("constraints", None)
         if constraints is None:
@@ -467,6 +525,24 @@ class CommitLog:
         files_set, prior_set = set(files), set(prior["files"])
         add = sorted(files_set - prior_set)
         remove = sorted(prior_set - files_set)
+        dv_updates = {
+            f: p for f, p in (dv_updates or {}).items() if f in files_set
+        }
+        dv = {f: p for f, p in prior.get("dv", {}).items() if f in files_set}
+        for f, p in dv_updates.items():
+            if p is None:  # explicit clear (restore to a pre-delete state)
+                dv.pop(f, None)
+            else:
+                dv[f] = p
+        proto = dict(prior.get("protocol", {}))
+        rec_proto: dict[str, int] = {}
+        if any(p is not None for p in dv_updates.values()):
+            # deletion vectors require a reader that applies them: bump
+            # the protocol floor so a pre-DV engine fails loudly instead
+            # of resurrecting the deleted rows (Delta's protocol action)
+            rec_proto = {"min_reader": 2, "min_writer": 2}
+            for pk, pv in rec_proto.items():
+                proto[pk] = max(proto.get(pk, 1), pv)
         sizes: dict[str, int] = {}
         for f in add:
             # file size rides the log (Delta's add.size): consumers like
@@ -484,6 +560,8 @@ class CommitLog:
             "stats": {f: fresh_stats[f] for f in add if f in fresh_stats},
             "sizes": sizes,
             "constraints": constraints,
+            **({"dv": dv_updates} if dv_updates else {}),
+            **({"protocol": rec_proto} if rec_proto else {}),
             **({"txn": txn} if txn else {}),
             **meta,
         }
@@ -506,6 +584,8 @@ class CommitLog:
             "sizes": state_sizes,
             "schema": schema_json,
             "constraints": constraints,
+            "dv": dv,
+            **({"protocol": proto} if proto else {}),
             **({"txn": txn} if txn else {}),
             **meta,
         }
@@ -566,6 +646,25 @@ class CommitLog:
 
     def evict_cache_except(self, keep: set[int]) -> None:
         self._cache = {v: s for v, s in self._cache.items() if v in keep}
+
+
+#: scheme prefix of a file URI ("file:", "file://", "hdfs://", "s3a://").
+#: Both sides of every DV join strip it with the SAME pattern, so the
+#: sidecar's recorded path and Spark's ``_metadata.file_path`` compare
+#: equal regardless of how the filesystem spells its URIs.
+_URI_SCHEME_RE = r"^[a-zA-Z][a-zA-Z0-9+.\-]*:(//)?"
+
+
+def _strip_scheme(col):
+    """Normalize a file-path column to a scheme-less path (see
+    ``_URI_SCHEME_RE``)."""
+    return F.regexp_replace(col, _URI_SCHEME_RE, "")
+
+
+def _strip_scheme_py(path: str) -> str:
+    import re
+
+    return re.sub(_URI_SCHEME_RE, "", path)
 
 
 def _encode_stat_bound(value, kind: str):
@@ -751,6 +850,7 @@ class VersionedTable:
         schema_json: str,
         meta: dict | None = None,
         expected_base: int | None = None,
+        dv_updates: dict[str, str] | None = None,
     ) -> int:
         """Publish ``files`` as the snapshot at ``expected_base + 1``.
         Footer stats are computed ONLY for files the base state doesn't
@@ -766,7 +866,9 @@ class VersionedTable:
         if base:
             prior_files = set(self.log.resolve(base)["files"])
         fresh = self._file_stats([f for f in files if f not in prior_files])
-        return self.log.publish(files, schema_json, meta, base, fresh)
+        return self.log.publish(
+            files, schema_json, meta, base, fresh, dv_updates=dv_updates
+        )
 
     # -- constraints -----------------------------------------------------------
     def constraints(self) -> dict[str, str]:
@@ -1100,7 +1202,9 @@ class VersionedTable:
             # schema-typed target: the table schema stays the contract
             # (extra batch columns are dropped/raise exactly as a full
             # merge would), instead of the batch schema silently winning
-            current = self._read_files(touched, manifest["schema"])
+            current = self._read_files(
+                touched, manifest["schema"], manifest.get("dv")
+            )
             merged = merge_dataframes(current, batch, primary_keys, evolve_schema)
             try:
                 return self._publish(
@@ -1116,19 +1220,73 @@ class VersionedTable:
         )
 
     # -- read paths -----------------------------------------------------------
-    def _read_files(self, files: list[str], schema_json: str) -> DataFrame:
+    def _read_files(
+        self,
+        files: list[str],
+        schema_json: str,
+        dv: dict[str, str] | None = None,
+    ) -> DataFrame:
         """Read ``files`` pinned to the COMMIT's schema (not whatever
         schema the first footer happens to carry): after a
         schema-evolving upsert that carried old files forward, the old
         files null-fill the new columns — the Delta behavior, where the
         log's schema is authoritative over any one file's. Empty file
-        lists return a 0-row frame on the same schema."""
+        lists return a 0-row frame on the same schema.
+
+        ``dv`` is the snapshot's deletion-vector map (data file ->
+        sidecar); files with a DV are read merge-on-read — an anti-join
+        on (file, row position) against the sidecar rows removes the
+        vector-deleted rows. Files without a DV take the plain scan
+        path untouched (zero overhead for tables that never delete)."""
         from pyspark.sql import types as T
 
         schema = T.StructType.fromJson(json.loads(schema_json))
         if not files:
             return self.spark.createDataFrame([], schema)
-        return self.spark.read.schema(schema).parquet(*files)
+        dv = {f: p for f, p in (dv or {}).items() if f in set(files)}
+        if not dv:
+            return self.spark.read.schema(schema).parquet(*files)
+        clean = [f for f in files if f not in dv]
+        live = self._apply_dv(sorted(dv), schema, dv)
+        if clean:
+            live = self.spark.read.schema(schema).parquet(*clean).unionByName(
+                live
+            )
+        return live
+
+    def _apply_dv(
+        self, files: list[str], schema, dv: dict[str, str]
+    ) -> DataFrame:
+        """Merge-on-read: scan ``files`` with their (file, row-position)
+        identity from the parquet reader's ``_metadata`` columns and
+        anti-join the deletion-vector rows away. The DV side is tiny by
+        construction (only deleted positions, compacted away by any
+        rewrite), so it broadcasts — the Delta deletion-vector read
+        path, with an anti-join standing in for the per-file bitmap."""
+        cols = [f.name for f in schema.fields]
+        scan = (
+            self.spark.read.schema(schema)
+            .parquet(*files)
+            .withColumn(
+                "__dv_file", _strip_scheme(F.col("_metadata.file_path"))
+            )
+            .withColumn("__dv_pos", F.col("_metadata.row_index"))
+        )
+        dv_rows = (
+            self.spark.read.parquet(*sorted(set(dv.values())))
+            # a shared sidecar may carry rows for files this snapshot no
+            # longer maps to it — restrict to the files actually read
+            .filter(
+                F.col("file_path").isin([_strip_scheme_py(f) for f in files])
+            )
+            .select(
+                F.col("file_path").alias("__dv_file"),
+                F.col("row_index").alias("__dv_pos"),
+            )
+        )
+        return scan.join(
+            F.broadcast(dv_rows), ["__dv_file", "__dv_pos"], "left_anti"
+        ).select(*cols)
 
     def read(
         self, version: int | None = None, timestamp=None
@@ -1154,7 +1312,9 @@ class VersionedTable:
         if v is None:
             raise FileNotFoundError(f"no version {version} in {self.path}")
         manifest = self.log.resolve(v)
-        return self._read_files(manifest["files"], manifest["schema"])
+        return self._read_files(
+            manifest["files"], manifest["schema"], manifest.get("dv")
+        )
 
     def read_incremental(
         self, since_version: int, version: int | None = None
@@ -1176,7 +1336,9 @@ class VersionedTable:
         v = self.current_version() if version is None else version
         cur = self.log.resolve(v)
         return self._read_files(
-            [f for f in cur["files"] if f not in old], cur["schema"]
+            [f for f in cur["files"] if f not in old],
+            cur["schema"],
+            cur.get("dv"),
         )
 
     def table_changes(
@@ -1206,12 +1368,23 @@ class VersionedTable:
         m_old = self.log.resolve(from_version)
         v = self.current_version() if to_version is None else to_version
         m_new = self.log.resolve(v)
+        dv_old, dv_new = m_old.get("dv", {}), m_new.get("dv", {})
         old_only = [f for f in m_old["files"] if f not in set(m_new["files"])]
         new_only = [f for f in m_new["files"] if f not in set(m_old["files"])]
+        # a file CARRIED by both versions cannot contribute a change —
+        # unless its deletion vector changed: a DV-only delete rewrites
+        # no file, so the diff must also read carried files whose DV
+        # pointer differs (old side with the old DV, new side with the
+        # new one); the vector-deleted rows then surface as 'delete'
+        dv_changed = [
+            f
+            for f in m_new["files"]
+            if f in set(m_old["files"]) and dv_old.get(f) != dv_new.get(f)
+        ]
         # both sides read on the NEW schema: evolved columns null-fill
         # on the old side, so pre/post images compare column-for-column
-        old = self._read_files(old_only, m_new["schema"])
-        new = self._read_files(new_only, m_new["schema"])
+        old = self._read_files(old_only + dv_changed, m_new["schema"], dv_old)
+        new = self._read_files(new_only + dv_changed, m_new["schema"], dv_new)
         cols = [c for c in new.columns]
         val_cols = [c for c in cols if c not in primary_keys]
         o = old.select(
@@ -1284,7 +1457,9 @@ class VersionedTable:
             # keep = NOT(lo <= col <= hi), with NULLs KEPT: a null never
             # matches the range predicate, so it is never deleted (the SQL
             # DELETE WHERE three-valued-logic reading)
-            kept = self._read_files(touched, manifest["schema"]).filter(
+            kept = self._read_files(
+                touched, manifest["schema"], manifest.get("dv")
+            ).filter(
                 F.col(column).isNull()
                 | (F.col(column) < F.lit(lo))
                 | (F.col(column) > F.lit(hi))
@@ -1300,6 +1475,132 @@ class VersionedTable:
                 continue
         raise ConcurrentWriteError(
             f"delete_range lost {_MAX_COMMIT_RETRIES} commit races on {self.path}"
+        )
+
+    def delete_where(
+        self, condition: str, prune: tuple | None = None
+    ) -> int:
+        """DELETE with an ARBITRARY SQL predicate via deletion vectors
+        (Delta's merge-on-read DELETE): no data file is rewritten —
+        matching rows are recorded as (file, row position) pairs in a
+        small parquet SIDECAR, the commit points the touched files at
+        it, and every read anti-joins the sidecar away. This is the
+        rewrite-amplification fix :meth:`delete_range` can't give you:
+        deleting 100 rows scattered across a year of files costs one
+        scan plus a sidecar of 100 positions, not a year of rewrites.
+        Rows delete only where the predicate is exactly TRUE (NULL
+        keeps — SQL DELETE three-valued logic, same as filter()).
+
+        ``prune=(column, lo, hi)`` optionally restricts the matching
+        scan to files whose recorded stats intersect the range — pass
+        it when the predicate implies a range on a stats column (the
+        automatic predicate→range analysis Delta does; here the caller
+        states it). Files outside the range are provably match-free,
+        so skipping them is exact.
+
+        Any later rewrite of a DV'd file (upsert, compaction,
+        delete_range) reads it merge-on-read and lands it clean — the
+        rewrite MATERIALIZES the vector and the fold drops the sidecar
+        pointer, exactly Delta's REORG/PURGE behavior. Prior snapshots
+        keep their rows until vacuum, and the commit bumps the
+        protocol floor to min_reader=2 so a pre-DV engine fails loudly
+        instead of resurrecting the deleted rows.
+
+        Returns the new version — or the current one unchanged when
+        nothing matches (no commit, no sidecar kept)."""
+        for _ in range(_MAX_COMMIT_RETRIES):
+            v = self.current_version()
+            if v is None:
+                raise FileNotFoundError(f"no versions in {self.path}")
+            manifest = self.log.resolve(v)
+            files = manifest["files"]
+            if prune is not None:
+                stats = manifest.get("stats", {})
+                col, lo, hi = prune
+                files = [
+                    f
+                    for f in files
+                    if self._may_intersect(stats.get(f), col, lo, hi)
+                ]
+            if not files:
+                return v
+            from pyspark.sql import types as T
+
+            schema = T.StructType.fromJson(json.loads(manifest["schema"]))
+            matches = (
+                self.spark.read.schema(schema)
+                .parquet(*files)
+                .filter(F.expr(condition))
+                .select(
+                    _strip_scheme(F.col("_metadata.file_path")).alias(
+                        "file_path"
+                    ),
+                    F.col("_metadata.row_index").alias("row_index"),
+                )
+            )
+            # ONE scan: land the match positions as a sidecar directly,
+            # then learn the touched files from the (tiny) sidecar's
+            # distinct paths driver-side — never a second table scan
+            sub = os.path.join(self.path, _DV_DIR, uuid.uuid4().hex)
+            matches.coalesce(1).write.parquet(sub)
+            sidecar = next(
+                os.path.join(sub, n)
+                for n in sorted(os.listdir(sub))
+                if n.endswith(".parquet")
+            )
+            import pyarrow.parquet as pq
+
+            by_path = {_strip_scheme_py(f): f for f in files}
+            touched = sorted(
+                by_path[p]
+                for p in set(
+                    pq.read_table(sidecar, columns=["file_path"])
+                    .column("file_path")
+                    .to_pylist()
+                )
+            )
+            if not touched:
+                shutil.rmtree(sub, ignore_errors=True)
+                return v
+            old_dv = manifest.get("dv", {})
+            prior_sidecars = sorted(
+                {old_dv[f] for f in touched if f in old_dv}
+            )
+            if prior_sidecars:
+                # the new sidecar REPLACES the touched files' pointer, so
+                # it must carry the union of old and new positions (a row
+                # already deleted that re-matches dedups away) — this
+                # pass reads SIDECARS only, cost O(deleted positions)
+                merged = (
+                    self.spark.read.parquet(sidecar, *prior_sidecars)
+                    .filter(
+                        F.col("file_path").isin(
+                            [_strip_scheme_py(f) for f in touched]
+                        )
+                    )
+                    .select("file_path", "row_index")
+                    .dropDuplicates()
+                )
+                sub2 = os.path.join(self.path, _DV_DIR, uuid.uuid4().hex)
+                merged.coalesce(1).write.parquet(sub2)
+                sidecar = next(
+                    os.path.join(sub2, n)
+                    for n in sorted(os.listdir(sub2))
+                    if n.endswith(".parquet")
+                )
+            try:
+                return self._publish(
+                    manifest["files"],
+                    manifest["schema"],
+                    {"mode": "delete_where", "predicate": condition},
+                    expected_base=v,
+                    dv_updates={f: sidecar for f in touched},
+                )
+            except ConcurrentWriteError:
+                continue  # re-match against the new head (orphaned
+                # sidecars from lost attempts are vacuumed)
+        raise ConcurrentWriteError(
+            f"delete_where lost {_MAX_COMMIT_RETRIES} commit races on {self.path}"
         )
 
     def history(self) -> list[dict]:
@@ -1338,7 +1639,7 @@ class VersionedTable:
                 stats.get(f), column, lo, hi, lo_inclusive=lo_inclusive
             )
         ]
-        scan = self._read_files(kept, manifest["schema"])
+        scan = self._read_files(kept, manifest["schema"], manifest.get("dv"))
         if not residual:
             return scan
         pred = F.lit(True)
@@ -1377,7 +1678,7 @@ class VersionedTable:
                 for col, lo, hi in predicates
             )
         ]
-        scan = self._read_files(kept, manifest["schema"])
+        scan = self._read_files(kept, manifest["schema"], manifest.get("dv"))
         if not residual:
             return scan
         pred = F.lit(True)
@@ -1500,7 +1801,9 @@ class VersionedTable:
             ):
                 return v
             untouched = [f for f in manifest["files"] if f not in set(touched)]
-            part = self._read_files(touched, manifest["schema"])
+            part = self._read_files(
+                touched, manifest["schema"], manifest.get("dv")
+            )
             if zorder_by:
                 from modular_etl_data_platform_spark.sources.sinks import _zorder_key
 
@@ -1568,9 +1871,9 @@ class VersionedTable:
             if len(small) <= max_small_files:
                 return None
             keep = [f for f in manifest["files"] if f not in set(small)]
-            merged = self._read_files(small, manifest["schema"]).repartition(
-                target_files
-            )
+            merged = self._read_files(
+                small, manifest["schema"], manifest.get("dv")
+            ).repartition(target_files)
             try:
                 return self._publish(
                     keep + self._land_files(merged),
@@ -1592,13 +1895,27 @@ class VersionedTable:
         why the restored-from version must still be retained (vacuum
         keeps every file a retained version references)."""
         m = self.log.resolve(version)
+        m_dv = m.get("dv", {})
         for _ in range(_MAX_COMMIT_RETRIES):
+            base = self.current_version() or 0
+            # the restored snapshot's DELETION VECTORS must come back
+            # too: files shared with the head could otherwise keep the
+            # head's DV (resurrect = missing entry, over-delete = extra
+            # entry). Record only the entries that DIFFER from the head
+            # (null = clear), so the record stays O(difference).
+            head_dv = self.log.resolve(base).get("dv", {}) if base else {}
+            dv_updates = {
+                f: m_dv.get(f)
+                for f in m["files"]
+                if head_dv.get(f) != m_dv.get(f)
+            }
             try:
                 return self._publish(
                     m["files"],
                     m["schema"],
                     {"mode": "restore", "restored_from": version},
-                    expected_base=self.current_version() or 0,
+                    expected_base=base,
+                    dv_updates=dv_updates,
                 )
             except ConcurrentWriteError:
                 continue
@@ -1612,8 +1929,9 @@ class VersionedTable:
         dry_run: bool = False,
     ) -> int:
         """Drop all but the newest ``keep_last`` versions and delete data
-        files no retained version references (this includes orphans from
-        writes that crashed before publishing). Returns files deleted.
+        files AND deletion-vector sidecars no retained version references
+        (this includes orphans from writes that crashed before
+        publishing). Returns files deleted.
         ``dry_run=True`` only COUNTS the data files that would go
         (Delta's ``VACUUM ... DRY RUN``) — no log entry, data file, or
         pointer is touched, so an operator can see the blast radius of a
@@ -1628,10 +1946,13 @@ class VersionedTable:
         vs = self.versions()
         keep = vs[-keep_last:] if keep_last > 0 else []
         referenced: set[str] = set()
+        referenced_dv: set[str] = set()
         states: dict[int, dict] = {}
         for v in keep:
             states[v] = self.log.resolve(v)
             referenced.update(states[v]["files"])
+            referenced_dv.update(states[v].get("dv", {}).values())
+        dv_root = os.path.join(self.path, _DV_DIR)
         if dry_run:
             would_delete = 0
             data_root = os.path.join(self.path, _DATA_DIR)
@@ -1640,6 +1961,12 @@ class VersionedTable:
                     fp = os.path.join(data_root, sub, f)
                     if f.endswith(".parquet") and fp not in referenced:
                         would_delete += 1
+            if os.path.isdir(dv_root):
+                for sub in os.listdir(dv_root):
+                    for f in os.listdir(os.path.join(dv_root, sub)):
+                        fp = os.path.join(dv_root, sub, f)
+                        if f.endswith(".parquet") and fp not in referenced_dv:
+                            would_delete += 1
             return would_delete
         if keep:
             oldest = keep[0]
@@ -1656,6 +1983,21 @@ class VersionedTable:
                     deleted += 1
             if not any(p.endswith(".parquet") for p in os.listdir(subdir)):
                 shutil.rmtree(subdir)
+        # deletion-vector sidecars no retained version points at
+        # (superseded by a later delete's union sidecar, materialized by
+        # a rewrite, or orphaned by a lost commit race)
+        if os.path.isdir(dv_root):
+            for sub in os.listdir(dv_root):
+                subdir = os.path.join(dv_root, sub)
+                for f in list(os.listdir(subdir)):
+                    fp = os.path.join(subdir, f)
+                    if f.endswith(".parquet") and fp not in referenced_dv:
+                        os.remove(fp)
+                        deleted += 1
+                if not any(
+                    p.endswith(".parquet") for p in os.listdir(subdir)
+                ):
+                    shutil.rmtree(subdir)
         keep_set = set(keep)
         for v in vs:
             if v not in keep_set:

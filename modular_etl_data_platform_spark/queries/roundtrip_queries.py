@@ -1233,3 +1233,91 @@ def q144_timestamp_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return _pin(snap(1, ts1).unionByName(snap(2, ts2)))
+
+
+@query(
+    "q145_deletion_vectors",
+    """
+    WITH base AS (
+      SELECT o_orderkey AS k, o_orderstatus AS s, o_totalprice AS p FROM orders
+    ),
+    live AS (
+      SELECT * FROM base
+      WHERE NOT COALESCE(s = 'F' AND k % 3 = 0, FALSE)
+        AND NOT COALESCE(k < 1000, FALSE)
+    ),
+    deleted AS (
+      SELECT * FROM base
+      WHERE COALESCE(s = 'F' AND k % 3 = 0, FALSE)
+         OR COALESCE(k < 1000, FALSE)
+    )
+    SELECT 'v_loaded' AS snapshot, COUNT(*) AS n_rows,
+           CAST(SUM(k) AS BIGINT) AS key_sum,
+           CAST(SUM(CAST(p AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+    FROM base
+    UNION ALL
+    SELECT 'live', COUNT(*), CAST(SUM(k) AS BIGINT),
+           CAST(SUM(CAST(p AS DECIMAL(18,6))) AS DOUBLE)
+    FROM live
+    UNION ALL
+    SELECT 'cdf_delete', COUNT(*), CAST(SUM(k) AS BIGINT),
+           CAST(SUM(CAST(p AS DECIMAL(18,6))) AS DOUBLE)
+    FROM deleted
+    """,
+)
+def q145_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read DELETE via deletion vectors
+    (operators/versioned.py::delete_where — Delta's DV contract):
+    orders land as four range-split files; two deletes run, one on an
+    ARBITRARY non-range predicate (status + modular arithmetic — the
+    shape delete_range cannot express) and one accumulating onto the
+    same files. NEITHER rewrites a data file — the query asserts the
+    snapshot's file list is bit-identical across both deletes (the
+    merge-on-read property itself, not just the visible rows). Three
+    legs hash-checked against the oracle: the pre-delete snapshot
+    (time travel over the DV commits), the live rows (vector applied
+    on read), and the row-level change feed, which must classify every
+    vector-deleted row as a delete without a single file having moved."""
+    from modular_etl_data_platform_spark.operators.versioned import VersionedTable
+
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("s"),
+        F.col("o_totalprice").alias("p"),
+    )
+    scratch = _scratch("q145_deletion_vectors", sf_dir)
+    vt = VersionedTable(spark, os.path.join(scratch, "orders_v"), stats_columns=["k"])
+    splits = [0, 5_000, 50_000, 500_000, 10**12]
+    for i in range(len(splits) - 1):
+        part = orders.filter(
+            (F.col("k") >= splits[i]) & (F.col("k") < splits[i + 1])
+        ).coalesce(1)
+        vt.write(part, mode="append" if i else "overwrite")
+    v_loaded = vt.current_version()
+    files_loaded = vt._read_manifest(v_loaded)["files"]
+    vt.delete_where("s = 'F' AND k % 3 = 0")
+    # the second delete is range-shaped: the prune hint skips files
+    # whose recorded k-range can't match (exact — stats are conservative)
+    vt.delete_where("k < 1000", prune=("k", None, 999))
+    head = vt.current_version()
+    if vt._read_manifest(head)["files"] != files_loaded:
+        raise AssertionError(
+            "deletion vectors rewrote data files — merge-on-read violated"
+        )
+
+    def leg(label: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(label).alias("snapshot"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("k").cast("long").alias("key_sum"),
+            dsum(F.col("p"), "sum_price"),
+        )
+
+    changes = vt.table_changes(v_loaded, primary_keys=["k"]).filter(
+        F.col("_change_type") == "delete"
+    )
+    return _pin(
+        leg("v_loaded", vt.read(version=v_loaded))
+        .unionByName(leg("live", vt.read()))
+        .unionByName(leg("cdf_delete", changes))
+    )

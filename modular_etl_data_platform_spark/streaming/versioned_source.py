@@ -85,13 +85,21 @@ from modular_etl_data_platform_spark.operators.versioned import (
 
 
 class _FilePartition(InputPartition):
-    def __init__(self, path: str, fields: list[tuple[str, str]]):
+    def __init__(
+        self,
+        path: str,
+        fields: list[tuple[str, str]],
+        dv_path: str | None = None,
+    ):
         self.path = path
         #: (column name, Spark type JSON) pairs — the pinned schema,
         #: shipped per-partition so the executor can build TYPED null
         #: arrays for evolved-away columns (a null-typed Arrow array
         #: would mismatch the declared source schema)
         self.fields = fields
+        #: deletion-vector sidecar for this file (None = no deletes);
+        #: the executor filters the vector-deleted row positions out
+        self.dv_path = dv_path
 
 
 class _VersionedStreamReader(DataSourceStreamReader):
@@ -101,11 +109,13 @@ class _VersionedStreamReader(DataSourceStreamReader):
         schema: StructType,
         starting_version: int,
         max_versions_per_batch: int | None = None,
+        ignore_deletes: bool = False,
     ):
         self.table = table
         self.pinned = schema
         self.start_version = starting_version
         self.max_versions = max_versions_per_batch
+        self.ignore_deletes = ignore_deletes
         self.log = CommitLog(path=table)
         #: highest version already handed out as a batch END — the
         #: rate-limit floor. KNOWN only once Spark has told us a real
@@ -141,9 +151,12 @@ class _VersionedStreamReader(DataSourceStreamReader):
         if v1 <= v0:
             return []
         old: set[str] = set()
+        old_dv: dict[str, str] = {}
         if v0 > 0:
             try:
-                old = set(self.log.resolve(v0)["files"])
+                old_state = self.log.resolve(v0)
+                old = set(old_state["files"])
+                old_dv = old_state.get("dv", {})
             except FileNotFoundError:
                 # the consumer's last-committed version left retention
                 # (vacuumed while the stream was down). Re-emitting the
@@ -157,11 +170,34 @@ class _VersionedStreamReader(DataSourceStreamReader):
                     "version or a fresh checkpoint"
                 )
         cur = self.log.resolve(v1)
+        cur_dv = cur.get("dv", {})
+        # a deletion-vector change on a CARRIED file is a delete this
+        # file-level feed cannot express (no file was added) — fail
+        # loudly like Delta streaming without ignoreDeletes, instead of
+        # silently emitting nothing for deleted rows
+        dv_changed = [
+            f
+            for f in cur["files"]
+            if f in old and old_dv.get(f) != cur_dv.get(f)
+        ]
+        if dv_changed and not self.ignore_deletes:
+            raise RuntimeError(
+                f"versions ({v0}, {v1}] of {self.table} contain "
+                f"deletion-vector deletes on {len(dv_changed)} carried "
+                "file(s); an append-mode stream cannot express deletes — "
+                "set option ignore_deletes=true to skip them (Delta's "
+                "ignoreDeletes) or restart from a snapshot"
+            )
         fields = [
             (f.name, f.dataType.json()) for f in self.pinned.fields
         ]
+        # files ADDED in the range are emitted net of the range-end's
+        # deletion vector: the rows a batch hands downstream are the
+        # rows live at its offset, never ones already deleted by v1
         return [
-            _FilePartition(f, fields) for f in cur["files"] if f not in old
+            _FilePartition(f, fields, cur_dv.get(f))
+            for f in cur["files"]
+            if f not in old
         ]
 
     def read(self, partition: _FilePartition) -> Iterator:
@@ -170,22 +206,47 @@ class _VersionedStreamReader(DataSourceStreamReader):
         with the FIELD'S Arrow type, matching the manifest-schema read
         contract batch-side — a plain null-typed array would fail the
         Arrow-to-Spark conversion on schema-evolved tables)."""
-        yield from _read_parquet_aligned(partition.path, partition.fields)
+        yield from _read_parquet_aligned(
+            partition.path, partition.fields, partition.dv_path
+        )
 
     def commit(self, end: dict) -> None:  # offsets live in the checkpoint
         pass
 
 
-def _read_parquet_aligned(path: str, fields: list[tuple[str, str]]) -> Iterator:
+def _read_parquet_aligned(
+    path: str,
+    fields: list[tuple[str, str]],
+    dv_path: str | None = None,
+) -> Iterator:
     """Executor-side: one parquet file -> Arrow batches aligned to the
     pinned (name, Spark-type-JSON) field list — shared by the streaming
-    and batch read paths."""
+    and batch read paths. ``dv_path`` applies the file's deletion
+    vector: the sidecar's row positions for this file are masked out
+    before the batches are emitted (merge-on-read, same contract as
+    ``VersionedTable._apply_dv``)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
     from pyspark.sql.pandas.types import to_arrow_type
     from pyspark.sql.types import _parse_datatype_json_string
 
     tbl = pq.read_table(path)
+    if dv_path is not None:
+        import numpy as np
+
+        from modular_etl_data_platform_spark.operators.versioned import (
+            _strip_scheme_py,
+        )
+
+        norm = _strip_scheme_py(path)
+        dv_tbl = pq.read_table(
+            dv_path, filters=[("file_path", "=", norm)]
+        )
+        pos = dv_tbl.column("row_index").to_pylist()
+        if pos:
+            mask = np.ones(tbl.num_rows, dtype=bool)
+            mask[np.asarray(pos, dtype=np.int64)] = False
+            tbl = tbl.filter(pa.array(mask))
     arrays, names, n = [], [], tbl.num_rows
     for name, type_json in fields:
         arrow_t = to_arrow_type(_parse_datatype_json_string(type_json))
@@ -259,6 +320,7 @@ class _VersionedBatchReaderBase(DataSourceReader):
 
         state = self.log.resolve(self.version)
         stats = state.get("stats", {})
+        dv = state.get("dv", {})
         files = [
             f
             for f in state["files"]
@@ -270,10 +332,12 @@ class _VersionedBatchReaderBase(DataSourceReader):
             )
         ]
         fields = [(f.name, f.dataType.json()) for f in self.pinned.fields]
-        return [_FilePartition(f, fields) for f in files]
+        return [_FilePartition(f, fields, dv.get(f)) for f in files]
 
     def read(self, partition: _FilePartition) -> Iterator:
-        yield from _read_parquet_aligned(partition.path, partition.fields)
+        yield from _read_parquet_aligned(
+            partition.path, partition.fields, partition.dv_path
+        )
 
 
 class _VersionedBatchReader(_VersionedBatchReaderBase):
@@ -380,6 +444,9 @@ class VersionedTableStreamDataSource(DataSource):
             schema,
             int(self.options.get("starting_version", 0)),
             int(max_v) if max_v is not None else None,
+            ignore_deletes=str(
+                self.options.get("ignore_deletes", "false")
+            ).lower() == "true",
         )
 
     def streamWriter(self, schema: StructType, overwrite: bool):

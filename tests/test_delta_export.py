@@ -115,3 +115,43 @@ def test_delta_spark_reads_the_export(spark, exported):
     vt, dest = exported
     df = spark.read.format("delta").load(dest)
     assert df.count() == 150
+
+
+def test_export_refuses_dv_snapshots(spark, tmp_path):
+    """Hard-linking a DV'd snapshot would resurrect vector-deleted rows
+    (protocol-1/2 Delta can't express deletion vectors) — the export
+    must refuse and point at materialization, and succeed again once a
+    compaction has purged the vectors."""
+    import pytest as _pytest
+
+    from modular_etl_data_platform_spark.operators.delta_export import (
+        export_delta_snapshot,
+    )
+    from modular_etl_data_platform_spark.operators.versioned import VersionedTable
+
+    vt = VersionedTable(spark, str(tmp_path / "t"))
+    vt.write(spark.range(30).selectExpr("id").coalesce(1))
+    vt.delete_where("id >= 20")
+    with _pytest.raises(ValueError, match="deletion vectors"):
+        export_delta_snapshot(vt, str(tmp_path / "exp"))
+    v = vt.compact(target_files=1)  # materializes the vector
+    dest = export_delta_snapshot(vt, str(tmp_path / "exp2"), version=v)
+    import json as _json
+    import os as _os
+
+    log = sorted(_os.listdir(_os.path.join(dest, "_delta_log")))
+    adds = [
+        _json.loads(line)
+        for line in open(_os.path.join(dest, "_delta_log", log[0]))
+        if '"add"' in line
+    ]
+    assert len(adds) >= 1
+    # the exported snapshot holds exactly the post-delete rows
+    import pyarrow.parquet as pq
+
+    n = sum(
+        pq.ParquetFile(_os.path.join(dest, f)).metadata.num_rows
+        for f in _os.listdir(dest)
+        if f.endswith(".parquet")
+    )
+    assert n == 20

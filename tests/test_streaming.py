@@ -1027,3 +1027,73 @@ def test_versioned_batch_reader_pushed_filters_prune_files(spark, tmp_path):
         .filter("id >= 120 and id <= 150")
     )
     assert {r.id for r in df.collect()} == set(range(120, 151))
+
+
+def test_versioned_stream_dv_deletes_guarded_and_applied(spark, tmp_path):
+    """Deletion vectors vs the streaming source: (a) a DV change on a
+    CARRIED file in the batch range fails loudly (append-mode streams
+    can't express deletes; Delta's ignoreDeletes contract), (b) with
+    ignore_deletes=true the commit is skipped, and (c) files ADDED in
+    the range are emitted NET of the range-end's vector — already-
+    deleted rows never reach downstream."""
+    import pytest as _pytest
+
+    from modular_etl_data_platform_spark.operators.versioned import VersionedTable
+    from modular_etl_data_platform_spark.streaming.versioned_source import (
+        _VersionedStreamReader,
+    )
+
+    table = str(tmp_path / "vt")
+    vt = VersionedTable(spark, table)
+    vt.write(spark.range(20).selectExpr("id", "id % 4 as grp").coalesce(1))
+    vt.delete_where("grp = 1")  # v2: DV on the v1 file
+
+    schema = vt.read().schema
+    # (a) range (1, 2] carries the v1 file with a changed vector
+    r = _VersionedStreamReader(table, schema, 1)
+    with _pytest.raises(RuntimeError, match="ignore_deletes"):
+        r.partitions({"version": 1}, {"version": 2})
+    # (b) ignore_deletes skips the commit: no partitions, no rows
+    r2 = _VersionedStreamReader(table, schema, 1, ignore_deletes=True)
+    assert r2.partitions({"version": 1}, {"version": 2}) == []
+    # (c) a fresh consumer over (0, 2] gets the file net of the vector
+    parts = _VersionedStreamReader(table, schema, 0).partitions(
+        {"version": 0}, {"version": 2}
+    )
+    assert len(parts) == 1 and parts[0].dv_path is not None
+    import pyarrow as pa
+
+    got = pa.Table.from_batches(
+        [b for p in parts for b in _VersionedStreamReader(
+            table, schema, 0
+        ).read(p)]
+    )
+    ids = set(got.column("id").to_pylist())
+    assert ids == {i for i in range(20) if i % 4 != 1}
+
+
+def test_versioned_batch_format_read_applies_deletion_vectors(spark, tmp_path):
+    """spark.read.format('versioned_table') over a DV'd snapshot: the
+    executor-side Arrow path masks the vector-deleted positions, and
+    version time travel reads the pre-delete snapshot intact."""
+    from modular_etl_data_platform_spark.operators.versioned import VersionedTable
+    from modular_etl_data_platform_spark.streaming.versioned_source import (
+        VersionedTableStreamDataSource,
+    )
+
+    spark.dataSource.register(VersionedTableStreamDataSource)
+    table = str(tmp_path / "vt")
+    vt = VersionedTable(spark, table)
+    vt.write(spark.range(50).selectExpr("id", "id * 2 as v").coalesce(2))
+    vt.delete_where("id BETWEEN 10 AND 29")
+    live = (
+        spark.read.format("versioned_table").option("path", table).load()
+    )
+    assert {r.id for r in live.collect()} == set(range(50)) - set(range(10, 30))
+    v1 = (
+        spark.read.format("versioned_table")
+        .option("path", table)
+        .option("version", 1)
+        .load()
+    )
+    assert v1.count() == 50

@@ -754,3 +754,204 @@ def test_check_constraints_enforced_transactionally(spark, tmp_path):
     vt.drop_constraint("v_nonneg")
     vt.write(spark.createDataFrame([(10, -7)], "id long, v long"), mode="append")
     assert {r.v for r in vt.read().collect()} == {90, -7}
+
+
+# -- deletion vectors (merge-on-read DELETE) ---------------------------------
+
+
+def test_delete_where_is_merge_on_read(spark, tmp_path):
+    """delete_where rewrites NO data file: the snapshot's file list is
+    unchanged, matching rows disappear from reads via the sidecar
+    anti-join, NULL predicate evaluations keep their rows (SQL DELETE
+    3VL), and the pre-delete snapshot stays readable."""
+    from pyspark.sql import functions as F
+
+    vt = VersionedTable(spark, str(tmp_path / "t"), stats_columns=["id"])
+    vt.write(
+        spark.range(200)
+        .select(F.col("id"), (F.col("id") % 5).alias("grp"))
+        .coalesce(4),
+        mode="overwrite",
+    )
+    vt.write(
+        spark.createDataFrame([(None, 3)], "id long, grp long"), mode="append"
+    )
+    files_before = vt._read_manifest(vt.current_version())["files"]
+    v = vt.delete_where("grp = 3 AND id IS NOT NULL")
+    m = vt._read_manifest(v)
+    assert m["files"] == files_before  # no rewrite, no new data files
+    assert set(m["dv"]) <= set(files_before)
+    ids = [r.id for r in vt.read().collect()]
+    assert None in ids  # NULL row survived (predicate was not TRUE)
+    assert {i for i in ids if i is not None} == {
+        i for i in range(200) if i % 5 != 3
+    }
+    assert vt.read(v - 1).count() == 201  # time travel: rows retained
+    # protocol floor recorded: a pre-DV reader must fail loudly
+    assert m["protocol"]["min_reader"] == 2
+
+
+def test_delete_where_accumulates_and_noops(spark, tmp_path):
+    """A second delete on already-DV'd files unions positions into a
+    fresh sidecar (the pointer is replaced, never mutated); a delete
+    matching nothing publishes nothing and leaves no sidecar orphan."""
+    from pyspark.sql import functions as F
+
+    vt = VersionedTable(spark, str(tmp_path / "t"))
+    vt.write(spark.range(100).select("id").coalesce(2), mode="overwrite")
+    v2 = vt.delete_where("id % 10 = 0")
+    dv_v2 = vt._read_manifest(v2)["dv"]
+    v3 = vt.delete_where("id < 25")
+    dv_v3 = vt._read_manifest(v3)["dv"]
+    # files the second delete touched point at a FRESH sidecar
+    # (replaced, never mutated); untouched files keep their old pointer
+    changed = {f for f in dv_v3 if dv_v2.get(f) != dv_v3[f]}
+    assert changed and all(dv_v3[f] not in set(dv_v2.values()) for f in changed)
+    live = {r.id for r in vt.read().collect()}
+    assert live == {i for i in range(25, 100) if i % 10 != 0}
+    # v2's snapshot still applies ONLY its own vector
+    assert {r.id for r in vt.read(v2).collect()} == {
+        i for i in range(100) if i % 10 != 0
+    }
+    # no-op: version unchanged and the _dv dir gained nothing
+    import os as _os
+
+    dv_root = str(tmp_path / "t" / "_dv")
+    n_before = sum(len(fs) for _, _, fs in _os.walk(dv_root))
+    assert vt.delete_where("id > 10000") == v3
+    assert sum(len(fs) for _, _, fs in _os.walk(dv_root)) == n_before
+
+
+def test_rewrites_materialize_deletion_vectors(spark, tmp_path):
+    """Any rewrite of a DV'd file reads it merge-on-read and lands it
+    clean: the new version's dv map drops the entry and the deleted
+    rows stay deleted — Delta's REORG/PURGE semantics for free."""
+    from pyspark.sql import functions as F
+
+    vt = VersionedTable(spark, str(tmp_path / "t"), stats_columns=["id"])
+    vt.write(
+        spark.range(100).select("id", (F.col("id") * 2).alias("v")).coalesce(2),
+        mode="overwrite",
+    )
+    vt.delete_where("id BETWEEN 10 AND 19")
+    # upsert rewrites the intersecting file: its vector materializes
+    vt.upsert(
+        spark.createDataFrame([(5, -1)], "id long, v long"), ["id"]
+    )
+    live = {r.id for r in vt.read().collect()}
+    assert live == set(range(100)) - set(range(10, 20))
+    # full compaction clears every vector
+    v = vt.compact(target_files=1)
+    m = vt._read_manifest(v)
+    assert m["dv"] == {}
+    assert vt.read().count() == 90
+
+
+def test_restore_restores_deletion_vectors_both_ways(spark, tmp_path):
+    """RESTORE must reset the DV map exactly: restoring to a pre-delete
+    snapshot resurrects the rows (clears the head's vector on shared
+    files); restoring back to the DV'd snapshot re-deletes them."""
+    vt = VersionedTable(spark, str(tmp_path / "t"))
+    vt.write(spark.range(50).select("id").coalesce(1), mode="overwrite")  # v1
+    v2 = vt.delete_where("id >= 40")
+    assert vt.read().count() == 40
+    vt.restore(1)  # v3: same files, vector must CLEAR
+    assert vt.read().count() == 50
+    vt.restore(v2)  # v4: vector must come back
+    assert vt.read().count() == 40
+    assert {r.id for r in vt.read().collect()} == set(range(40))
+
+
+def test_table_changes_reports_dv_only_deletes(spark, tmp_path):
+    """CDF-on-read over a deletion-vector commit: no file moved, yet
+    the diff must surface exactly the vector-deleted rows as 'delete'
+    (carried files with a changed DV pointer are read on both sides)."""
+    from pyspark.sql import functions as F
+
+    vt = VersionedTable(spark, str(tmp_path / "t"))
+    vt.write(
+        spark.range(100).select("id", (F.col("id") % 7).alias("v")).coalesce(3),
+        mode="overwrite",
+    )
+    v2 = vt.delete_where("v = 2")
+    ch = vt.table_changes(1, v2, primary_keys=["id"]).collect()
+    assert {r._change_type for r in ch} == {"delete"}
+    assert {r.id for r in ch} == {i for i in range(100) if i % 7 == 2}
+    # and a pure no-change window reports nothing
+    assert vt.table_changes(v2, v2, primary_keys=["id"]).count() == 0
+
+
+def test_vacuum_sweeps_orphaned_dv_sidecars(spark, tmp_path):
+    """Retention: sidecars referenced by retained versions survive,
+    superseded/orphaned ones go, and the retained snapshot still
+    applies its vector afterwards."""
+    import os as _os
+
+    vt = VersionedTable(spark, str(tmp_path / "t"))
+    vt.write(spark.range(60).select("id").coalesce(1), mode="overwrite")
+    vt.delete_where("id < 10")
+    vt.delete_where("id >= 50")  # same file: supersedes the first sidecar
+    live_sidecars = set(
+        vt._read_manifest(vt.current_version())["dv"].values()
+    )
+    assert vt.vacuum(keep_last=1) > 0
+    dv_root = str(tmp_path / "t" / "_dv")
+    remaining = {
+        _os.path.join(d, f)
+        for d, _, fs in _os.walk(dv_root)
+        for f in fs
+        if f.endswith(".parquet")
+    }
+    assert remaining == live_sidecars
+    assert len(live_sidecars) == 1  # the union sidecar superseded S1
+    assert {r.id for r in vt.read().collect()} == set(range(10, 50))
+
+
+def test_protocol_gates_unknown_future_features(spark, tmp_path):
+    """A table whose log demands a newer reader/writer protocol than
+    this engine supports must fail LOUDLY at resolve/commit time —
+    never silently mis-read (Delta's min-protocol contract)."""
+    import json as _json
+
+    vt = VersionedTable(spark, str(tmp_path / "t"))
+    vt.write(spark.range(5).select("id").coalesce(1), mode="overwrite")
+    rec = _json.loads(vt.log.store.read("v00000001.json"))
+    rec["protocol"] = {"min_reader": 99, "min_writer": 99}
+    vt.log.store.delete("v00000001.json")
+    vt.log.store.put_if_absent("v00000001.json", _json.dumps(rec))
+    vt.log._cache.clear()
+    with pytest.raises(RuntimeError, match="reader protocol 99"):
+        vt.read().collect()
+
+
+def test_delete_where_rebases_over_interleaved_commit(spark, tmp_path):
+    """delete_where racing an append: the expected-base pin makes the
+    first claim fail and the retry re-matches against the new head —
+    the racer's rows are visible to the delete's predicate (re-scan),
+    and nothing committed is lost."""
+    from modular_etl_data_platform_spark.operators import versioned as V
+
+    path = str(tmp_path / "t")
+    vt = VersionedTable(spark, path)
+    vt.write(spark.range(20).select("id").coalesce(1), mode="overwrite")
+
+    sneak = {"done": False}
+    real_publish = V.CommitLog.publish
+
+    def publish_with_race(self, *a, **kw):
+        if not sneak["done"]:
+            sneak["done"] = True
+            VersionedTable(spark, path).write(
+                spark.range(100, 110).select("id").coalesce(1), mode="append"
+            )
+        return real_publish(self, *a, **kw)
+
+    try:
+        V.CommitLog.publish = publish_with_race
+        vt.delete_where("id % 2 = 1")
+    finally:
+        V.CommitLog.publish = real_publish
+    live = {r.id for r in vt.read().collect()}
+    # the racer's odd ids were re-matched by the rebase and deleted too
+    assert live == {i for i in list(range(20)) + list(range(100, 110)) if i % 2 == 0}
+    assert vt.versions() == [1, 2, 3]
