@@ -114,14 +114,18 @@ def main(argv: list[str] | None = None) -> int:
     aq.add_argument("--dim", type=int, default=64)
 
     vt = sub.add_parser(
-        "vt", help="versioned-table ops: history/read/restore/compact/vacuum/export-delta"
+        "vt",
+        help=(
+            "versioned-table ops: history/read/restore/compact/"
+            "delete-where/vacuum/export-delta"
+        ),
     )
     vt.add_argument("path", help="versioned table root")
     vt.add_argument(
         "action",
         choices=[
             "history", "read", "restore", "compact", "compact-where",
-            "vacuum", "export-delta",
+            "delete-where", "vacuum", "export-delta",
         ],
     )
     vt.add_argument("--version", type=int, default=None, help="for read/restore")
@@ -138,6 +142,11 @@ def main(argv: list[str] | None = None) -> int:
     vt.add_argument("--hi", type=float, default=None, help="for compact-where")
     vt.add_argument("--limit", type=int, default=20, help="for read")
     vt.add_argument("--dest", default=None, help="for export-delta: output dir")
+    vt.add_argument(
+        "--where",
+        default=None,
+        help="for delete-where: SQL predicate (merge-on-read DELETE)",
+    )
     vt.add_argument(
         "--as-of-timestamp",
         default=None,
@@ -361,6 +370,14 @@ def main(argv: list[str] | None = None) -> int:
                 order_by=order,
                 zorder_by=zorder,
             )
+            print(json.dumps({"new_version": v}))
+        elif args.action == "delete-where":
+            if not args.where:
+                raise SystemExit("delete-where requires --where '<predicate>'")
+            prune = None
+            if args.column is not None:
+                prune = (args.column, args.lo, args.hi)
+            v = table.delete_where(args.where, prune=prune)
             print(json.dumps({"new_version": v}))
         elif args.action == "vacuum":
             deleted = table.vacuum(keep_last=args.keep_last)

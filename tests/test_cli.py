@@ -119,3 +119,33 @@ def test_cli_versioned_table_ops(spark, capsys, tmp_path):
         (1, "a"),
         (2, "b"),
     }
+
+
+def test_cli_vt_delete_where(spark, capsys, tmp_path):
+    """vt delete-where: merge-on-read DELETE from the CLI — publishes a
+    new version, rows disappear, no data file rewritten; --column/--lo/
+    --hi optionally pass the stats prune hint."""
+    import json
+
+    from modular_etl_data_platform_spark.operators.versioned import VersionedTable
+
+    path = str(tmp_path / "t")
+    vt = VersionedTable(spark, path, stats_columns=["id"])
+    vt.write(spark.range(40).selectExpr("id", "id % 4 as grp").coalesce(2))
+    files_before = vt._read_manifest(1)["files"]
+
+    assert main(["vt", path, "delete-where", "--where", "grp = 2"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["new_version"] == 2
+    assert vt._read_manifest(2)["files"] == files_before  # no rewrite
+    assert {r.id for r in vt.read().collect()} == {
+        i for i in range(40) if i % 4 != 2
+    }
+    # prune-hinted range delete through the CLI
+    assert main([
+        "vt", path, "delete-where", "--where", "id < 5",
+        "--column", "id", "--hi", "4",
+    ]) == 0
+    assert {r.id for r in vt.read().collect()} == {
+        i for i in range(5, 40) if i % 4 != 2
+    }

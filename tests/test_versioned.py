@@ -517,6 +517,7 @@ _OPS = st.lists(
         st.tuples(st.just("upsert"), st.sets(st.integers(0, 9), min_size=1)),
         st.tuples(st.just("compact"), st.just(None)),
         st.tuples(st.just("restore_first"), st.just(None)),
+        st.tuples(st.just("delete_mod3"), st.just(None)),
     ),
     min_size=1,
     max_size=5,
@@ -532,9 +533,10 @@ _OPS = st.lists(
 def test_versioned_random_op_sequences_match_model(
     spark, tmp_path_factory, ops, checkpoint_interval
 ):
-    """Replay any write/append/upsert/compact/restore sequence against a
-    plain python dict model: every head snapshot AND every historical
-    version must match what the model said at that point. The
+    """Replay any write/append/upsert/compact/restore/vector-delete
+    sequence against a plain python dict model: every head snapshot AND
+    every historical version must match what the model said at that
+    point. The
     checkpoint interval varies down to 1 (every commit checkpoints) and
     2 (every sequence straddles boundaries), so the delta-fold +
     checkpoint-base resolution paths are both exercised by every
@@ -590,6 +592,15 @@ def test_versioned_random_op_sequences_match_model(
                 return
             vt.restore(1)
             model = dict(snapshots[0])
+        elif op == "delete_mod3":
+            if not snapshots:
+                return
+            before = vt.current_version()
+            after = vt.delete_where("id % 3 = 0")
+            model = {k: val for k, val in model.items() if k % 3 != 0}
+            if after == before:
+                # nothing matched: no commit published, no new snapshot
+                continue
         snapshots.append(dict(model))
 
     assert len(vt.versions()) == len(snapshots)
