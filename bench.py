@@ -76,9 +76,11 @@ HEADLINE = [
     # regressions in log resolution or pruning show up here
     "q139_versioned_incremental_silver",
     "q141_checkpointed_log_time_travel",
-    # round-8 late addition: merge-on-read DELETE via deletion vectors
-    # (sidecar write + anti-join read + CDF over a dv-only commit)
+    # round-8 late additions: merge-on-read DELETE via deletion vectors
+    # (sidecar write + anti-join read + CDF over a dv-only commit) and
+    # the DV-backed MERGE (no-rewrite upsert: PK-column scan + batch)
     "q145_deletion_vectors",
+    "q146_dv_merge",
 ]
 
 

@@ -1138,6 +1138,7 @@ class VersionedTable:
         batch: DataFrame,
         primary_keys: list[str],
         evolve_schema: bool = False,
+        use_deletion_vectors: bool = False,
     ) -> int:
         """MERGE semantics as a new version (WHEN MATCHED update / NOT
         MATCHED insert — the reference's silver contract). The previous
@@ -1164,7 +1165,22 @@ class VersionedTable:
         head (Delta's conflict-then-revalidate loop — a rebase that
         reused the already-merged files could resurrect rows a racing
         writer changed). Orphaned files from lost attempts are cleaned
-        by ``vacuum``."""
+        by ``vacuum``.
+
+        ``use_deletion_vectors=True`` (Delta's DV-backed low-shuffle
+        MERGE): instead of REWRITING every stats-intersecting file,
+        matched rows are vector-deleted in place and the batch lands as
+        new files — valid because this MERGE's contract is whole-row
+        replace (batch wins), so new state = old rows minus matched PKs
+        plus the batch. Cost drops from O(touched files' bytes) to one
+        PK-COLUMN scan of the touched files (column-pruned at the
+        parquet level) plus the batch itself: a 100-row upsert into a
+        year of wide files reads two key columns and rewrites nothing.
+        The tradeoff is vector accumulation under sustained merging —
+        run ``compact_where`` on the hot range (or ``maybe_compact``)
+        to materialize, exactly Delta's guidance for DV tables. Default
+        stays the rewrite path: at high matched fractions rewriting is
+        cheaper than carrying vectors."""
         for _ in range(_MAX_COMMIT_RETRIES):
             base = self.current_version()
             if base is None:
@@ -1198,6 +1214,14 @@ class VersionedTable:
                     untouched = [
                         f for f in manifest["files"] if f not in set(touched)
                     ]
+            if use_deletion_vectors:
+                try:
+                    return self._upsert_with_dv(
+                        batch, primary_keys, evolve_schema, base, manifest,
+                        touched,
+                    )
+                except ConcurrentWriteError:
+                    continue
             # zero touched files still goes through merge with an EMPTY
             # schema-typed target: the table schema stays the contract
             # (extra batch columns are dropped/raise exactly as a full
@@ -1217,6 +1241,65 @@ class VersionedTable:
                 continue
         raise ConcurrentWriteError(
             f"upsert lost {_MAX_COMMIT_RETRIES} commit races on {self.path}"
+        )
+
+    def _upsert_with_dv(
+        self,
+        batch: DataFrame,
+        primary_keys: list[str],
+        evolve_schema: bool,
+        base: int,
+        manifest: dict,
+        touched: list[str],
+    ) -> int:
+        """One MERGE attempt on the DV strategy (see :meth:`upsert`):
+        because this engine's MERGE is whole-row replace, the new state
+        is exactly (old rows minus matched PKs) plus the batch — so
+        matched rows are vector-deleted via a PK-COLUMN-ONLY scan of
+        the stats-pruned files (parquet reads just the key columns) and
+        the batch lands as new files; no data file is rewritten. A row
+        already vector-deleted that re-matches re-records its position
+        harmlessly (the sidecar union dedups)."""
+        from pyspark.sql import types as T
+
+        # the empty schema-typed target enforces the table contract on
+        # the batch exactly as the rewrite path does (extra columns
+        # dropped or widening via evolve_schema; missing columns raise)
+        aligned = merge_dataframes(
+            self._read_files([], manifest["schema"]),
+            batch,
+            primary_keys,
+            evolve_schema,
+        )
+        landed = self._land_files(aligned)
+        dv_updates: dict[str, str] = {}
+        if touched:
+            schema = T.StructType.fromJson(json.loads(manifest["schema"]))
+            keys = batch.select(*primary_keys).dropDuplicates()
+            matches = (
+                self.spark.read.schema(schema)
+                .parquet(*touched)
+                .select(
+                    *primary_keys,
+                    _strip_scheme(F.col("_metadata.file_path")).alias(
+                        "file_path"
+                    ),
+                    F.col("_metadata.row_index").alias("row_index"),
+                )
+                .join(keys, primary_keys, "left_semi")
+                .select("file_path", "row_index")
+            )
+            sidecar, dv_touched = self._land_dv_sidecar(
+                matches, touched, manifest.get("dv", {})
+            )
+            if sidecar is not None:
+                dv_updates = {f: sidecar for f in dv_touched}
+        return self._publish(
+            manifest["files"] + landed,
+            aligned.schema.json(),
+            {"mode": "upsert", "strategy": "dv"},
+            expected_base=base,
+            dv_updates=dv_updates,
         )
 
     # -- read paths -----------------------------------------------------------
@@ -1477,6 +1560,62 @@ class VersionedTable:
             f"delete_range lost {_MAX_COMMIT_RETRIES} commit races on {self.path}"
         )
 
+    def _land_dv_sidecar(
+        self,
+        matches: DataFrame,
+        candidate_files: list[str],
+        old_dv: dict[str, str],
+    ) -> tuple[str | None, list[str]]:
+        """Land a deletion-vector sidecar for ``matches`` — a frame of
+        (file_path, row_index) pairs over ``candidate_files`` — in ONE
+        scan: write the positions, learn the touched files from the
+        (tiny) sidecar's distinct paths driver-side, and if any touched
+        file already carries a vector, union the old positions in (the
+        pointer is REPLACED, never mutated; superseded sidecars are
+        vacuumable). Returns (sidecar path, touched manifest paths) —
+        (None, []) when nothing matched (scratch cleaned up)."""
+        sub = os.path.join(self.path, _DV_DIR, uuid.uuid4().hex)
+        matches.coalesce(1).write.parquet(sub)
+        sidecar = next(
+            os.path.join(sub, n)
+            for n in sorted(os.listdir(sub))
+            if n.endswith(".parquet")
+        )
+        import pyarrow.parquet as pq
+
+        by_path = {_strip_scheme_py(f): f for f in candidate_files}
+        touched = sorted(
+            by_path[p]
+            for p in set(
+                pq.read_table(sidecar, columns=["file_path"])
+                .column("file_path")
+                .to_pylist()
+            )
+        )
+        if not touched:
+            shutil.rmtree(sub, ignore_errors=True)
+            return None, []
+        prior_sidecars = sorted({old_dv[f] for f in touched if f in old_dv})
+        if prior_sidecars:
+            merged = (
+                self.spark.read.parquet(sidecar, *prior_sidecars)
+                .filter(
+                    F.col("file_path").isin(
+                        [_strip_scheme_py(f) for f in touched]
+                    )
+                )
+                .select("file_path", "row_index")
+                .dropDuplicates()
+            )
+            sub2 = os.path.join(self.path, _DV_DIR, uuid.uuid4().hex)
+            merged.coalesce(1).write.parquet(sub2)
+            sidecar = next(
+                os.path.join(sub2, n)
+                for n in sorted(os.listdir(sub2))
+                if n.endswith(".parquet")
+            )
+        return sidecar, touched
+
     def delete_where(
         self, condition: str, prune: tuple | None = None
     ) -> int:
@@ -1541,53 +1680,11 @@ class VersionedTable:
             # ONE scan: land the match positions as a sidecar directly,
             # then learn the touched files from the (tiny) sidecar's
             # distinct paths driver-side — never a second table scan
-            sub = os.path.join(self.path, _DV_DIR, uuid.uuid4().hex)
-            matches.coalesce(1).write.parquet(sub)
-            sidecar = next(
-                os.path.join(sub, n)
-                for n in sorted(os.listdir(sub))
-                if n.endswith(".parquet")
+            sidecar, touched = self._land_dv_sidecar(
+                matches, files, manifest.get("dv", {})
             )
-            import pyarrow.parquet as pq
-
-            by_path = {_strip_scheme_py(f): f for f in files}
-            touched = sorted(
-                by_path[p]
-                for p in set(
-                    pq.read_table(sidecar, columns=["file_path"])
-                    .column("file_path")
-                    .to_pylist()
-                )
-            )
-            if not touched:
-                shutil.rmtree(sub, ignore_errors=True)
+            if sidecar is None:
                 return v
-            old_dv = manifest.get("dv", {})
-            prior_sidecars = sorted(
-                {old_dv[f] for f in touched if f in old_dv}
-            )
-            if prior_sidecars:
-                # the new sidecar REPLACES the touched files' pointer, so
-                # it must carry the union of old and new positions (a row
-                # already deleted that re-matches dedups away) — this
-                # pass reads SIDECARS only, cost O(deleted positions)
-                merged = (
-                    self.spark.read.parquet(sidecar, *prior_sidecars)
-                    .filter(
-                        F.col("file_path").isin(
-                            [_strip_scheme_py(f) for f in touched]
-                        )
-                    )
-                    .select("file_path", "row_index")
-                    .dropDuplicates()
-                )
-                sub2 = os.path.join(self.path, _DV_DIR, uuid.uuid4().hex)
-                merged.coalesce(1).write.parquet(sub2)
-                sidecar = next(
-                    os.path.join(sub2, n)
-                    for n in sorted(os.listdir(sub2))
-                    if n.endswith(".parquet")
-                )
             try:
                 return self._publish(
                     manifest["files"],

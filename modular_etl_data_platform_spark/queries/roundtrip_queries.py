@@ -1321,3 +1321,92 @@ def q145_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(leg("live", vt.read()))
         .unionByName(leg("cdf_delete", changes))
     )
+
+
+@query(
+    "q146_dv_merge",
+    """
+    WITH base AS (
+      SELECT o_orderkey AS k, o_orderstatus AS s, o_totalprice AS p FROM orders
+    ),
+    batch AS (
+      SELECT x AS k, 'X' AS s, CAST(x AS DOUBLE) / 10 AS p
+      FROM range(1000, 3000) t(x)
+    ),
+    merged AS (
+      SELECT * FROM batch
+      UNION ALL
+      SELECT k, s, p FROM base WHERE k NOT BETWEEN 1000 AND 2999
+    )
+    SELECT 'pre' AS snapshot, COUNT(*) AS n_rows,
+           CAST(SUM(k) AS BIGINT) AS key_sum,
+           CAST(SUM(CAST(p AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+    FROM base
+    UNION ALL
+    SELECT 'merged', COUNT(*), CAST(SUM(k) AS BIGINT),
+           CAST(SUM(CAST(p AS DECIMAL(18,6))) AS DOUBLE)
+    FROM merged
+    UNION ALL
+    SELECT 'cdf_upd', COUNT(*), CAST(SUM(k) AS BIGINT),
+           CAST(SUM(CAST(p AS DECIMAL(18,6))) AS DOUBLE)
+    FROM batch WHERE k IN (SELECT k FROM base)
+    """,
+)
+def q146_dv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DV-backed MERGE (operators/versioned.py::upsert
+    use_deletion_vectors=True — Delta's low-shuffle MERGE with deletion
+    vectors): orders land as four range-split files, then a 2000-key
+    batch merges WITHOUT rewriting a single data file — matched rows
+    are vector-deleted via a PK-column-only scan and the batch lands as
+    new files. The query asserts every pre-merge file is carried
+    path-identical (the no-rewrite property) and that a vector exists.
+    Oracle legs: the pre-merge snapshot (time travel), the merged state
+    (vector applied + batch visible — any dropped survivor, surviving
+    matched row, or lost insert changes the hash), and the change feed
+    restricted to updates (vector-deleted rows whose key re-landed must
+    classify as update_postimage, carrying the batch's values)."""
+    from modular_etl_data_platform_spark.operators.versioned import VersionedTable
+
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("s"),
+        F.col("o_totalprice").alias("p"),
+    )
+    scratch = _scratch("q146_dv_merge", sf_dir)
+    vt = VersionedTable(spark, os.path.join(scratch, "orders_v"), stats_columns=["k"])
+    splits = [0, 5_000, 50_000, 500_000, 10**12]
+    for i in range(len(splits) - 1):
+        part = orders.filter(
+            (F.col("k") >= splits[i]) & (F.col("k") < splits[i + 1])
+        ).coalesce(1)
+        vt.write(part, mode="append" if i else "overwrite")
+    v_loaded = vt.current_version()
+    files_loaded = vt._read_manifest(v_loaded)["files"]
+    batch = spark.range(1000, 3000).select(
+        F.col("id").alias("k"),
+        F.lit("X").alias("s"),
+        (F.col("id").cast("double") / 10).alias("p"),
+    )
+    head = vt.upsert(batch, ["k"], use_deletion_vectors=True)
+    m = vt._read_manifest(head)
+    if not set(files_loaded) <= set(m["files"]):
+        raise AssertionError("DV merge rewrote a data file")
+    if not m["dv"]:
+        raise AssertionError("DV merge recorded no deletion vector")
+
+    def leg(label: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(label).alias("snapshot"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("k").cast("long").alias("key_sum"),
+            dsum(F.col("p"), "sum_price"),
+        )
+
+    updates = vt.table_changes(v_loaded, primary_keys=["k"]).filter(
+        F.col("_change_type") == "update_postimage"
+    )
+    return _pin(
+        leg("pre", vt.read(version=v_loaded))
+        .unionByName(leg("merged", vt.read()))
+        .unionByName(leg("cdf_upd", updates))
+    )

@@ -966,3 +966,72 @@ def test_delete_where_rebases_over_interleaved_commit(spark, tmp_path):
     # the racer's odd ids were re-matched by the rebase and deleted too
     assert live == {i for i in list(range(20)) + list(range(100, 110)) if i % 2 == 0}
     assert vt.versions() == [1, 2, 3]
+
+
+def test_dv_upsert_equals_rewrite_upsert(spark, tmp_path):
+    """The DV-backed MERGE strategy must be row-for-row equivalent to
+    the rewrite MERGE (whole-row replace, unmatched survive, inserts
+    land) while carrying EVERY prior data file untouched — cost is the
+    PK-column scan plus the batch, never the touched files' bytes."""
+    from pyspark.sql import functions as F
+
+    def build(path):
+        vt = VersionedTable(spark, path, stats_columns=["id"])
+        vt.write(
+            spark.range(500)
+            .select("id", (F.col("id") * 3).alias("v"))
+            .repartitionByRange(4, "id")
+            .sortWithinPartitions("id"),
+            mode="overwrite",
+        )
+        return vt
+
+    batch = spark.range(100, 160).select(
+        "id", F.lit(-1).cast("long").alias("v")
+    ).union(
+        spark.range(900, 910).select("id", F.lit(-2).cast("long").alias("v"))
+    )
+    a = build(str(tmp_path / "rewrite"))
+    b = build(str(tmp_path / "dv"))
+    a.upsert(batch, ["id"])
+    files_before = b._read_manifest(1)["files"]
+    v = b.upsert(batch, ["id"], use_deletion_vectors=True)
+    m = b._read_manifest(v)
+    assert set(files_before) <= set(m["files"])  # zero rewrites
+    assert m["dv"]  # matched rows vector-deleted
+    assert m["protocol"]["min_reader"] == 2
+    rows_a = {(r.id, r.v) for r in a.read().collect()}
+    rows_b = {(r.id, r.v) for r in b.read().collect()}
+    assert rows_a == rows_b
+    # only the stats-intersecting file(s) carry a vector
+    stats = m["stats"]
+    for f in m["dv"]:
+        lo, hi = stats[f]["id"]
+        assert lo <= 159 and hi >= 100  # intersects the matched range
+
+
+def test_dv_upsert_insert_only_and_accumulation(spark, tmp_path):
+    """An insert-only DV merge publishes no vector at all; repeated
+    DV merges over the same hot file accumulate through union sidecars
+    and a compaction materializes everything away."""
+    vt = VersionedTable(spark, str(tmp_path / "t"), stats_columns=["id"])
+    vt.write(spark.range(100).selectExpr("id", "id as v").coalesce(1))
+    v2 = vt.upsert(
+        spark.range(1000, 1010).selectExpr("id", "id as v"),
+        ["id"],
+        use_deletion_vectors=True,
+    )
+    assert vt._read_manifest(v2)["dv"] == {}  # nothing matched
+    assert vt.read().count() == 110
+    for lo in (0, 5, 50):  # overlapping hot-range merges
+        vt.upsert(
+            spark.range(lo, lo + 10).selectExpr("id", "id * 100 as v"),
+            ["id"],
+            use_deletion_vectors=True,
+        )
+    got = {r.id: r.v for r in vt.read().collect()}
+    assert len(got) == 110
+    assert got[7] == 700 and got[55] == 5500 and got[20] == 20
+    v = vt.compact(target_files=1)
+    assert vt._read_manifest(v)["dv"] == {}
+    assert {r.id: r.v for r in vt.read().collect()} == got
