@@ -66,6 +66,10 @@ class MedallionPipeline:
     warehouse: str  # root dir for layer tables
     raw_base: str | None = None  # base dir for raw source files
     storage: str = "parquet"  # "parquet" | "versioned"
+    #: versioned mode only: route keyed MERGEs through deletion vectors
+    #: (no data-file rewrites; see VersionedTable.upsert — worth it for
+    #: wide tables with small scattered batches, a loss on toy tables)
+    use_deletion_vectors: bool = False
     _watermarks: WatermarkStore = field(init=False)
 
     def __post_init__(self):
@@ -171,7 +175,8 @@ class MedallionPipeline:
         merge)."""
         if self.storage == "versioned":
             self._vt(name, stats_columns=stats_columns or primary_keys).upsert(
-                df, primary_keys
+                df, primary_keys,
+                use_deletion_vectors=self.use_deletion_vectors,
             )
         else:
             upsert_parquet(

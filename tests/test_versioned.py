@@ -1035,3 +1035,34 @@ def test_dv_upsert_insert_only_and_accumulation(spark, tmp_path):
     v = vt.compact(target_files=1)
     assert vt._read_manifest(v)["dv"] == {}
     assert {r.id: r.v for r in vt.read().collect()} == got
+
+
+def test_concurrent_vector_deletes_union_not_lose(spark, tmp_path):
+    """Two vector deletes racing on the SAME file: the loser's pointer
+    replacement would drop the winner's positions if it rebased from a
+    stale dv map — the expected-base pin forces a re-match against the
+    new head, whose sidecar union must carry BOTH deletes' positions."""
+    from modular_etl_data_platform_spark.operators import versioned as V
+
+    path = str(tmp_path / "t")
+    vt = VersionedTable(spark, path)
+    vt.write(spark.range(100).selectExpr("id").coalesce(1))
+
+    sneak = {"done": False}
+    real_publish = V.CommitLog.publish
+
+    def publish_with_race(self, *a, **kw):
+        if not sneak["done"]:
+            sneak["done"] = True
+            VersionedTable(spark, path).delete_where("id >= 90")
+        return real_publish(self, *a, **kw)
+
+    try:
+        V.CommitLog.publish = publish_with_race
+        vt.delete_where("id < 10")
+    finally:
+        V.CommitLog.publish = real_publish
+    assert vt.versions() == [1, 2, 3]
+    assert {r.id for r in vt.read().collect()} == set(range(10, 90))
+    # v2 (the sneak) applied only its own delete
+    assert {r.id for r in vt.read(2).collect()} == set(range(90))

@@ -245,3 +245,38 @@ def test_load_warehouse_resolves_versioned_tables_to_current_snapshot(
     assert dfs["gold_t"].count() == 5  # snapshot, not the union of versions
     assert {r.v for r in dfs["gold_t"].collect()} == {"new"}
     assert spark.sql("SELECT COUNT(*) n FROM gold_t").first().n == 5
+
+
+def test_silver_merge_via_deletion_vectors_no_rewrite(spark, tmp_path):
+    """MedallionPipeline(use_deletion_vectors=True): the silver keyed
+    MERGE publishes through the DV path — the update batch rewrites no
+    bronze-derived silver file, yet the visible state is identical to
+    the rewrite-mode pipeline."""
+    from pyspark.sql import functions as F
+
+    wh_a, wh_b = str(tmp_path / "a"), str(tmp_path / "b")
+    rows = [(i, i % 7, f"v{i}") for i in range(200)]
+    upd = [(i, 99, "UPD") for i in range(50, 80)]
+
+    def run(wh, dv):
+        pipe = MedallionPipeline(
+            spark, wh, storage="versioned", use_deletion_vectors=dv
+        )
+        df = spark.createDataFrame(rows, "id long, grp long, v string")
+        pipe.upsert_table(df.coalesce(4), "silver_t", ["id"])
+        pipe.upsert_table(
+            spark.createDataFrame(upd, "id long, grp long, v string"),
+            "silver_t",
+            ["id"],
+        )
+        return pipe
+
+    a = run(wh_a, dv=False)
+    b = run(wh_b, dv=True)
+    ra = {tuple(r) for r in a.read_table("silver_t").collect()}
+    rb = {tuple(r) for r in b.read_table("silver_t").collect()}
+    assert ra == rb and len(ra) == 200
+    vt = VersionedTable(spark, b.table_path("silver_t"))
+    m1, m2 = vt._read_manifest(1), vt._read_manifest(2)
+    assert set(m1["files"]) <= set(m2["files"])  # nothing rewritten
+    assert m2["dv"]  # matched rows vector-deleted
