@@ -100,6 +100,9 @@ _SUPPORTED_READER = 2
 _SUPPORTED_WRITER = 2
 #: stats-dict marker for a zero-row file (intersects no predicate)
 _EMPTY_MARK = "__empty__"
+#: stats-dict marker for a file's row count (Delta's add.stats
+#: numRecords) — rides the same footer read as the min/max bounds
+_ROWS_MARK = "__rows__"
 #: bounded rebase attempts before surfacing the conflict to the caller
 _MAX_COMMIT_RETRIES = 20
 #: full-state checkpoint cadence (commits between checkpoints)
@@ -551,11 +554,33 @@ class CommitLog:
                 sizes[f] = os.path.getsize(f)
             except OSError:
                 continue
+        # operation metrics (Delta's DESCRIBE HISTORY operationMetrics),
+        # derived from data already in hand — zero extra I/O: row counts
+        # ride the added files' footer stats, removed-file counts come
+        # from the set diff
+        metrics: dict[str, int] = {
+            "num_added_files": len(add),
+            "num_removed_files": len(remove),
+        }
+        added_rows = [
+            fresh_stats[f].get(_ROWS_MARK)
+            for f in add
+            if f in fresh_stats and _ROWS_MARK in fresh_stats[f]
+        ]
+        if len(added_rows) == len(add):
+            metrics["num_added_rows"] = sum(added_rows)
+        removed_rows = [
+            prior.get("stats", {}).get(f, {}).get(_ROWS_MARK)
+            for f in remove
+        ]
+        if remove and all(r is not None for r in removed_rows):
+            metrics["num_removed_rows"] = sum(removed_rows)
         rec = {
             "version": version,
             "ts": int(time.time() * 1000),  # commit time (timestampAsOf)
             "add": add,
             "remove": remove,
+            "metrics": metrics,
             "schema": schema_json,
             "stats": {f: fresh_stats[f] for f in add if f in fresh_stats},
             "sizes": sizes,
@@ -582,6 +607,7 @@ class CommitLog:
             "files": sorted(files_set),
             "stats": stats,
             "sizes": state_sizes,
+            "metrics": metrics,
             "schema": schema_json,
             "constraints": constraints,
             "dv": dv,
@@ -726,9 +752,12 @@ def collect_file_stats(files: list[str], stats_columns: list[str]) -> dict[str, 
     categorical partition/key columns (region, status) prune files
     where hive layout would have. Bounds longer than 256 chars (or
     that fail to decode) stay unrecorded. Binary columns are never
-    recorded."""
-    if not stats_columns:
-        return {}
+    recorded.
+
+    Every file's ROW COUNT also rides the entry (``__rows__`` —
+    Delta's add.stats numRecords, same footer read as the bounds), so
+    commit records can carry operation metrics and consumers never
+    re-stat the table for counts."""
     import pyarrow.parquet as pq
 
     # footer reads are tiny but LATENCY-bound (one open+seek each); a
@@ -753,10 +782,10 @@ def collect_file_stats(files: list[str], stats_columns: list[str]) -> dict[str, 
             # explicitly so pruning reads skip it and pruned
             # upserts/compactions carry it forward instead of
             # treating "no stats" as "conservatively rewrite forever"
-            out[f] = {_EMPTY_MARK: True}
+            out[f] = {_EMPTY_MARK: True, _ROWS_MARK: 0}
             continue
         names = {md.schema.column(i).name: i for i in range(md.num_columns)}
-        stats: dict[str, object] = {}
+        stats: dict[str, object] = {_ROWS_MARK: md.num_rows}
         for col in stats_columns:
             if col not in names:
                 continue
@@ -797,8 +826,7 @@ def collect_file_stats(files: list[str], stats_columns: list[str]) -> dict[str, 
                 and len(hi) <= 256
             ):
                 stats[col] = {"k": "str", "lo": lo, "hi": hi}
-        if stats:
-            out[f] = stats
+        out[f] = stats
     return out
 
 
@@ -2024,11 +2052,19 @@ class VersionedTable:
         keep_last: int = 1,
         tmp_retention_seconds: float = _TMP_RETENTION_SECONDS,
         dry_run: bool = False,
+        retention_hours: float | None = None,
     ) -> int:
         """Drop all but the newest ``keep_last`` versions and delete data
         files AND deletion-vector sidecars no retained version references
         (this includes orphans from writes that crashed before
         publishing). Returns files deleted.
+
+        ``retention_hours`` widens retention by TIME (Delta's VACUUM
+        retention window): every version committed within the last N
+        hours is kept IN ADDITION to the newest ``keep_last`` — so
+        time-travel readers and downstream change-feed consumers get a
+        guaranteed replay horizon regardless of commit cadence. Legacy
+        records without a commit time count as outside the window.
         ``dry_run=True`` only COUNTS the data files that would go
         (Delta's ``VACUUM ... DRY RUN``) — no log entry, data file, or
         pointer is touched, so an operator can see the blast radius of a
@@ -2042,6 +2078,19 @@ class VersionedTable:
         LIVE writer between its record write and its atomic claim."""
         vs = self.versions()
         keep = vs[-keep_last:] if keep_last > 0 else []
+        if retention_hours is not None and vs:
+            cutoff = int((time.time() - retention_hours * 3600) * 1000)
+            keep_set_t = set(keep)
+            for v in vs:
+                if v in keep_set_t:
+                    continue
+                try:
+                    rec = json.loads(self.log.store.read(_commit_name(v)))
+                except FileNotFoundError:
+                    continue
+                if rec.get("ts", 0) >= cutoff:
+                    keep_set_t.add(v)
+            keep = sorted(keep_set_t)
         referenced: set[str] = set()
         referenced_dv: set[str] = set()
         states: dict[int, dict] = {}

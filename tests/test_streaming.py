@@ -937,7 +937,10 @@ def test_versioned_batch_reader_and_writer_through_format_api(spark, tmp_path):
     from modular_etl_data_platform_spark.operators import versioned as V
 
     rec2 = _json.loads(vt.log.store.read(V._commit_name(2)))
-    assert rec2["stats"] == {}  # writer 2 passed no stats option
+    # writer 2 passed no stats option: its entries carry ONLY the row
+    # count (operation-metrics numRecords rides every commit), never a
+    # column bound
+    assert all(set(s) == {V._ROWS_MARK} for s in rec2["stats"].values())
     # ...but v1's footer stats are carried in the resolved state
     assert any("id" in s for s in vt._read_manifest(2)["stats"].values())
 

@@ -1066,3 +1066,45 @@ def test_concurrent_vector_deletes_union_not_lose(spark, tmp_path):
     assert {r.id for r in vt.read().collect()} == set(range(10, 90))
     # v2 (the sneak) applied only its own delete
     assert {r.id for r in vt.read(2).collect()} == set(range(90))
+
+
+def test_operation_metrics_ride_every_commit(spark, tmp_path):
+    """DESCRIBE HISTORY-style operation metrics: every commit records
+    files added/removed and row counts derived from data already in
+    hand (added rows from the landed footers, removed rows from the
+    carried stats) — zero extra I/O, no table re-stat."""
+    vt = VersionedTable(spark, str(tmp_path / "t"), stats_columns=["id"])
+    vt.write(spark.range(100).selectExpr("id").coalesce(2))
+    vt.write(spark.range(100, 150).selectExpr("id").coalesce(1), mode="append")
+    h = {m["version"]: m["metrics"] for m in vt.history()}
+    assert h[1]["num_added_rows"] == 100 and h[1]["num_removed_files"] == 0
+    assert h[2]["num_added_rows"] == 50 and h[2]["num_added_files"] == 1
+    v3 = vt.delete_range("id", 0, 49)
+    m3 = vt._read_manifest(v3)["metrics"]
+    # the hot file (0..49) was rewritten empty-of-range: removed rows
+    # counted from carried stats, added from the rewrite's footers
+    assert m3["num_removed_rows"] - m3["num_added_rows"] == 50
+    # a dv delete moves no files at all
+    v4 = vt.delete_where("id = 70")
+    m4 = vt._read_manifest(v4)["metrics"]
+    assert m4 == {"num_added_files": 0, "num_removed_files": 0, "num_added_rows": 0}
+
+
+def test_vacuum_time_based_retention(spark, tmp_path):
+    """retention_hours widens retention by commit time: versions inside
+    the window survive beyond keep_last (a guaranteed time-travel
+    horizon); retention_hours=0 degrades to pure keep_last."""
+    vt = VersionedTable(spark, str(tmp_path / "t"))
+    for i in range(4):
+        vt.write(
+            spark.range(i * 10, i * 10 + 10).selectExpr("id").coalesce(1),
+            mode="append" if i else "overwrite",
+        )
+    # all four commits are seconds old: a 1h window keeps everything
+    vt.vacuum(keep_last=1, retention_hours=1.0)
+    assert vt.versions() == [1, 2, 3, 4]
+    assert vt.read(1).count() == 10  # oldest snapshot still readable
+    # a zero-hour window keeps only keep_last
+    vt.vacuum(keep_last=2, retention_hours=0.0)
+    assert vt.versions() == [3, 4]
+    assert vt.read(3).count() == 30
