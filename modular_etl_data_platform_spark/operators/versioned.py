@@ -110,6 +110,10 @@ _CHECKPOINT_INTERVAL = 10
 #: vacuum only removes orphaned tmp claim files older than this — a
 #: LIVE writer's tmp (written but not yet linked) must never be swept
 _TMP_RETENTION_SECONDS = 3600
+#: deletion-vector sidecars up to this many bytes broadcast in the
+#: merge-on-read anti-join; above it the join goes unhinted (AQE picks
+#: a shuffle join) — a pathological vector must degrade, never OOM
+_DV_BROADCAST_CAP_BYTES = 256 * 1024 * 1024
 _HINT_NAME = "_last_checkpoint"
 #: resolved snapshot states cached per CommitLog instance
 _STATE_CACHE_MAX = 8
@@ -1373,7 +1377,11 @@ class VersionedTable:
         anti-join the deletion-vector rows away. The DV side is tiny by
         construction (only deleted positions, compacted away by any
         rewrite), so it broadcasts — the Delta deletion-vector read
-        path, with an anti-join standing in for the per-file bitmap."""
+        path, with an anti-join standing in for the per-file bitmap.
+        Past ``_DV_BROADCAST_CAP_BYTES`` of sidecar the hint is dropped
+        (AQE shuffles both sides): a pathological vector an operator
+        never compacted degrades to a slower join, never a driver
+        OOM."""
         cols = [f.name for f in schema.fields]
         scan = (
             self.spark.read.schema(schema)
@@ -1395,8 +1403,17 @@ class VersionedTable:
                 F.col("row_index").alias("__dv_pos"),
             )
         )
+        dv_bytes = 0
+        for p in set(dv.values()):
+            try:
+                dv_bytes += os.path.getsize(p)
+            except OSError:
+                dv_bytes = _DV_BROADCAST_CAP_BYTES + 1  # unknown: no hint
+                break
+        if dv_bytes <= _DV_BROADCAST_CAP_BYTES:
+            dv_rows = F.broadcast(dv_rows)
         return scan.join(
-            F.broadcast(dv_rows), ["__dv_file", "__dv_pos"], "left_anti"
+            dv_rows, ["__dv_file", "__dv_pos"], "left_anti"
         ).select(*cols)
 
     def read(
