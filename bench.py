@@ -81,6 +81,9 @@ HEADLINE = [
     # the DV-backed MERGE (no-rewrite upsert: PK-column scan + batch)
     "q145_deletion_vectors",
     "q146_dv_merge",
+    # SemDeDup: within-cluster pairwise cosine (the cluster bound is
+    # what keeps the pass off the n^2 cliff — worth timing per round)
+    "q147_semdedup",
 ]
 
 

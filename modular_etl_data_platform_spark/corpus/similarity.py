@@ -775,3 +775,84 @@ def knn_join(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
     )
+
+
+def semdedup(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str | None = None,
+    k: int = 8,
+    iters: int = 3,
+    dim: int = 64,
+    max_cell_size: int | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, public paper): semantic
+    deduplication by embedding clustering — cluster the corpus, compare
+    pairs ONLY within a cluster, and drop every item that has a
+    lower-id near-duplicate (cos >= ``threshold``) in its cluster. The
+    cluster bound is the whole trick: pairwise cost is sum(c_i^2) over
+    cell sizes instead of n^2, and the paper sizes k so cells stay
+    small. Returns (id, cell, is_dup) — is_dup=True rows are the ones a
+    curation pass removes; the kept set always contains the lowest-id
+    member of every duplicate group (deterministic, engine-portable —
+    no RNG, no float-order dependence).
+
+    ``cell_col`` plugs in an existing cluster assignment (the paper's
+    quantizer is pluggable; a pre-labeled column also lets a relational
+    oracle replay the exact semantics). ``cell_col=None`` learns cells
+    with :func:`kmeans_cells` (deterministic Lloyd's — the production
+    path). ``max_cell_size`` is the hub guard, same rationale as the
+    MinHash bucket cap (corpus/dedup.py::_cap_buckets): a degenerate
+    mega-cell (embedding collapse, all-zero vectors) would pay cap^2 in
+    one join partition — cells past the cap SKIP pair generation and
+    keep all their items (conservative: never drops without evidence,
+    mirrored by a QUALIFY window count in the oracle).
+
+    Scale shape: one shuffle of (id, vector) by cell for the self-join,
+    pair predicates evaluated JVM-side (higher-order dot product), the
+    drop set is a distinct of matched ids. At 100 TB the paper's regime
+    holds: k grows with n so cells stay ~constant-size, making the
+    whole pass linear-ish in corpus size."""
+    base = (
+        emb.select(
+            F.col(id_col), F.col(vec_col), F.col(cell_col).alias("cell")
+        )
+        if cell_col is not None
+        else emb.select(F.col(id_col), F.col(vec_col)).join(
+            kmeans_cells(emb, k, iters, id_col, vec_col, dim), id_col
+        )
+    )
+    eligible = base
+    if max_cell_size is not None:
+        oversized = (
+            base.groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("__csz"))
+            .filter(F.col("__csz") > max_cell_size)
+            .select("cell")
+        )
+        eligible = base.join(F.broadcast(oversized), "cell", "left_anti")
+    a = eligible.select(
+        F.col(id_col).alias("__id_a"), F.col(vec_col).alias("__va"), "cell"
+    )
+    b = eligible.select(
+        F.col(id_col).alias("__id_b"), F.col(vec_col).alias("__vb"), "cell"
+    )
+    dropped = (
+        a.join(b, "cell")
+        .filter(F.col("__id_b") < F.col("__id_a"))
+        .filter(cosine("__va", "__vb") >= F.lit(threshold))
+        .select(F.col("__id_a").alias(id_col))
+        .dropDuplicates()
+        .withColumn("is_dup", F.lit(True))
+    )
+    return (
+        base.select(id_col, "cell")
+        .join(dropped, id_col, "left")
+        .select(
+            id_col,
+            "cell",
+            F.coalesce("is_dup", F.lit(False)).alias("is_dup"),
+        )
+    )

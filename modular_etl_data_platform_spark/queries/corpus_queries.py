@@ -1746,3 +1746,48 @@ def q130_deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ccur.deterministic_shuffle(docs, num_shards=16).select(
         "doc_id", "lang", "source", "shard", "pos"
     )
+
+
+@query(
+    "q147_semdedup",
+    f"""
+    WITH dropped AS (
+      SELECT DISTINCT a.vec_id
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND b.vec_id < a.vec_id
+      WHERE {_dd_cos('a.embedding', 'b.embedding')} >= 0.3
+    )
+    SELECT e.label AS cell,
+           COUNT(*) AS n_items,
+           CAST(COALESCE(SUM(CASE WHEN d.vec_id IS NULL THEN 0 ELSE 1 END), 0) AS BIGINT) AS n_dropped,
+           CAST(COALESCE(SUM(CASE WHEN d.vec_id IS NULL THEN NULL ELSE e.vec_id END), 0) AS BIGINT) AS dropped_id_sum
+    FROM embeddings e LEFT JOIN dropped d ON e.vec_id = d.vec_id
+    GROUP BY e.label
+    """,
+)
+def q147_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (corpus/similarity.py::semdedup — Abbas et al. 2023):
+    semantic dedup by embedding clustering. Pairwise cosine runs ONLY
+    within a cluster (here the pre-labeled cells, so the oracle can
+    replay the exact semantics; production plugs kmeans_cells in as the
+    quantizer) and every item with a lower-id near-duplicate in its
+    cell is marked dropped — the kept set retains the lowest-id member
+    of each duplicate group. Per-cell item counts, drop counts and the
+    dropped-id checksum are hash-pinned: a cross-cell comparison, a
+    flipped keep-direction, or a float-order-dependent cosine all
+    change the hash."""
+    marked = csim.semdedup(
+        _t(spark, sf_dir, "embeddings"),
+        threshold=0.3,
+        cell_col="label",
+    )
+    return (
+        marked.groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.col("is_dup").cast("long")).alias("n_dropped"),
+            F.coalesce(
+                F.sum(F.when(F.col("is_dup"), F.col("vec_id"))), F.lit(0)
+            ).cast("long").alias("dropped_id_sum"),
+        )
+    )

@@ -577,3 +577,39 @@ def test_ann_recall_at_k_bounds_and_perfect_probe(spark, emb, tmp_path):
         assert 0.0 <= r.recall <= 1.0 and r.n_found == round(r.recall * 2)
     # vec 0's top-2 is {0, 100}, both in label cell 0 -> perfect recall
     assert out[0].recall == 1.0
+
+
+def test_semdedup_drops_higher_id_near_duplicates(spark, emb):
+    """SemDeDup on pre-labeled cells: vec 100 (near-identical to vec 0,
+    same label) is dropped and vec 0 kept (lowest id of the duplicate
+    group survives); drops never cross cells."""
+    marked = {r.vec_id: (r.cell, r.is_dup) for r in
+              csim.semdedup(emb, threshold=0.999, cell_col="label").collect()}
+    assert marked[100][1] is True and marked[0][1] is False
+    assert sum(1 for _, d in marked.values() if d) == 1  # only the planted dup
+    # cross-cell twin: same vector, DIFFERENT label must survive
+    import pyspark.sql.functions as F
+
+    twin = emb.unionByName(
+        emb.filter("vec_id = 0").select(
+            F.lit(200).alias("vec_id"), "embedding", F.lit(99).alias("label")
+        )
+    )
+    m2 = {r.vec_id: r.is_dup for r in
+          csim.semdedup(twin, threshold=0.999, cell_col="label").collect()}
+    assert m2[200] is False  # never compared across cells
+
+
+def test_semdedup_learned_cells_and_hub_cap(spark, emb):
+    """The kmeans path: near-identical vectors land in one learned cell
+    and the higher id is dropped. The hub guard: with max_cell_size
+    below every cell's size, NO pairs are generated — every item kept
+    (conservative, mirrors the MinHash bucket cap contract)."""
+    marked = {r.vec_id: r.is_dup for r in
+              csim.semdedup(emb, threshold=0.999, k=3, iters=3, dim=8).collect()}
+    assert marked[100] is True and marked[0] is False
+    capped = csim.semdedup(
+        emb, threshold=0.0, cell_col="label", max_cell_size=1
+    )
+    assert capped.filter("is_dup").count() == 0
+    assert capped.count() == emb.count()  # capped cells keep all items
