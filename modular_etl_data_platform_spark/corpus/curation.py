@@ -497,3 +497,114 @@ def deterministic_shuffle_oracle_sql(
                 AS BIGINT) AS pos
     FROM t
     """
+
+
+def _bucketed_ngram_sql(text_col: str, n: int, buckets: int) -> str:
+    """Spark SQL: one hashed feature BUCKET per word n-gram (md5-prefix
+    int mod ``buckets``) — NOT distinct: DSIR's features are counts.
+    Twin of :func:`_bucketed_ngram_duckdb`."""
+    w = f"split({text_col}, ' ')"
+    return (
+        f"transform(sequence(0, greatest(size({w}) - {n}, 0)), "
+        f"i -> pmod(cast(conv(substr(md5(concat_ws(' ', slice({w}, i+1, {n}))), 1, 15), 16, 10) as bigint), {buckets}))"
+    )
+
+
+def _bucketed_ngram_duckdb(text_col: str, n: int, buckets: int) -> str:
+    w = f"string_split({text_col}, ' ')"
+    return (
+        f"list_transform(range(0, greatest(len({w}) - {n}, 0) + 1), "
+        f"i -> ('0x' || substr(md5(array_to_string({w}[i+1:i+{n}], ' ')), 1, 15))::BIGINT % {buckets})"
+    )
+
+
+def dsir_logweights(
+    df: DataFrame,
+    target_filter: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 64,
+    ngram: int = 2,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, Data Selection via
+    Importance Resampling — public paper): score every raw document by
+    how much its hashed n-gram feature profile looks like the TARGET
+    domain (``target_filter`` selects the target sample, e.g.
+    ``lang = 'en'`` or a curated-domain flag). Per document,
+    ``logw = sum_b count_b * (ln p_target(b) - ln p_raw(b))`` with
+    Laplace-smoothed bucket distributions — the paper's bag-of-hashed-
+    ngrams importance estimator.
+
+    Determinism across engines: the per-document sum folds the bucket
+    terms in SORTED bucket order (``aggregate`` over a sorted struct
+    array — same fold order as the oracle's ``list(... ORDER BY b)``),
+    so float addition order can never differ between engines; the only
+    residual is libm's ln (sub-ulp), which is why driver-gated outputs
+    aggregate the SELECTED SET, not raw weights.
+
+    Scale shape: one explode + two-key groupBy for per-doc counts (map-
+    side combined), the bucket distribution table is ``buckets`` rows
+    (broadcast), T/R totals are two scalar driver probes (watermark
+    budget). Nothing is ever all-pairs; cost is linear in corpus tokens.
+
+    Returns (id, logw)."""
+    feats = df.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(_bucketed_ngram_sql(text_col, ngram, buckets))
+        ).alias("b"),
+    )
+    cnts = feats.groupBy(id_col, "b").agg(F.count(F.lit(1)).alias("c"))
+    tgt_feats = df.filter(F.expr(target_filter)).select(
+        F.col(id_col),
+        F.explode(
+            F.expr(_bucketed_ngram_sql(text_col, ngram, buckets))
+        ).alias("b"),
+    )
+    raw = feats.groupBy("b").agg(F.count(F.lit(1)).alias("rc"))
+    tgt = tgt_feats.groupBy("b").agg(F.count(F.lit(1)).alias("tc"))
+    T = tgt_feats.count()  # scalar driver probes (watermark budget)
+    R = feats.count()
+    ratio = (
+        raw.join(tgt, "b", "left")
+        .select(
+            "b",
+            (
+                (F.log(F.coalesce(F.col("tc"), F.lit(0)) + 1) - F.log(F.lit(float(T + buckets))))
+                - (F.log(F.col("rc") + 1) - F.log(F.lit(float(R + buckets))))
+            ).alias("lr"),
+        )
+    )
+    terms = cnts.join(F.broadcast(ratio), "b").select(
+        F.col(id_col),
+        F.struct(F.col("b"), (F.col("c") * F.col("lr")).alias("t")).alias("s"),
+    )
+    return terms.groupBy(id_col).agg(
+        F.aggregate(
+            F.array_sort(F.collect_list("s")),
+            F.lit(0.0),
+            lambda acc, x: acc + x["t"],
+        ).alias("logw")
+    )
+
+
+def dsir_select(
+    df: DataFrame,
+    target_filter: str,
+    n_select: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 64,
+    ngram: int = 2,
+) -> DataFrame:
+    """Top ``n_select`` documents by DSIR importance weight
+    (deterministic rank: weight desc, id asc — the paper's Gumbel
+    resampling swapped for a reproducible top-k, the same determinism
+    tradeoff the corpus samplers make). Returns the selected rows of
+    ``df`` with ``logw`` attached."""
+    w = dsir_logweights(df, target_filter, id_col, text_col, buckets, ngram)
+    top = (
+        w.orderBy(F.col("logw").desc(), F.col(id_col).asc())
+        .limit(n_select)
+    )
+    return df.join(top, id_col)

@@ -1791,3 +1791,70 @@ def q147_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("dropped_id_sum"),
         )
     )
+
+
+def _dsir_oracle(buckets: int = 64, n: int = 2, frac: float = 0.2) -> str:
+    w = "string_split(text, ' ')"
+    feat = (
+        f"list_transform(range(0, greatest(len({w}) - {n}, 0) + 1), "
+        f"i -> ('0x' || substr(md5(array_to_string({w}[i+1:i+{n}], ' ')), 1, 15))::BIGINT % {buckets})"
+    )
+    return f"""
+    WITH feats AS (
+      SELECT doc_id, lang, unnest({feat}) AS b FROM documents
+    ),
+    cnts AS (SELECT doc_id, b, COUNT(*) AS c FROM feats GROUP BY 1, 2),
+    raw AS (SELECT b, COUNT(*) AS rc FROM feats GROUP BY b),
+    tgt AS (SELECT b, COUNT(*) AS tc FROM feats WHERE lang = 'en' GROUP BY b),
+    tot AS (SELECT (SELECT COUNT(*) FROM feats WHERE lang = 'en') AS T,
+                   (SELECT COUNT(*) FROM feats) AS R),
+    ratio AS (
+      SELECT raw.b,
+             (ln(COALESCE(tgt.tc, 0) + 1) - ln(CAST(T + {buckets} AS DOUBLE)))
+           - (ln(raw.rc + 1) - ln(CAST(R + {buckets} AS DOUBLE))) AS lr
+      FROM raw LEFT JOIN tgt USING (b), tot
+    ),
+    wts AS (
+      SELECT cnts.doc_id,
+             list_reduce(list(cnts.c * ratio.lr ORDER BY cnts.b), (a, x) -> a + x) AS logw
+      FROM cnts JOIN ratio USING (b) GROUP BY cnts.doc_id
+    ),
+    ranked AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY logw DESC, doc_id ASC) AS rn
+      FROM wts
+    ),
+    sel AS (
+      SELECT d.doc_id, d.lang FROM ranked r JOIN documents d USING (doc_id)
+      WHERE r.rn <= (SELECT CAST(COUNT(*) * {frac} AS BIGINT) FROM documents)
+    )
+    SELECT lang, COUNT(*) AS n_sel, CAST(SUM(doc_id) AS BIGINT) AS id_sum
+    FROM sel GROUP BY lang
+    """
+
+
+@query("q148_dsir_selection", _dsir_oracle())
+def q148_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (corpus/curation.py::dsir_select — Xie et
+    al. 2023): score every document by the log-likelihood ratio of its
+    hashed-bigram feature counts under the TARGET distribution (the
+    corpus's English documents) vs the raw distribution, Laplace-
+    smoothed, then keep the top 20% (deterministic rank: weight desc,
+    id asc). Per-language counts and id checksums of the SELECTED set
+    are hash-pinned — the en share must dominate (the method working),
+    and any fold-order drift, smoothing slip, or rank instability
+    changes the set. The per-doc sum folds bucket terms in sorted
+    bucket order on BOTH engines, so float addition order is pinned;
+    selection margins at the cutoff are ~1e-3 (measured), 10^12 x
+    libm's ulp noise."""
+    from modular_etl_data_platform_spark.corpus import curation as ccur
+
+    docs = _t(spark, sf_dir, "documents")
+    n_sel = int(docs.count() * 0.2)
+    sel = ccur.dsir_select(docs, "lang = 'en'", n_sel)
+    return (
+        sel.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_sel"),
+            F.sum("doc_id").cast("long").alias("id_sum"),
+        )
+    )

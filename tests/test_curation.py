@@ -192,3 +192,29 @@ def test_deterministic_shuffle_rejects_unsafe_seed(spark, sf_dir):
             deterministic_shuffle_oracle_sql("SELECT 1 AS doc_id", 4, seed=bad)
     # the documented alphabet stays accepted
     assert deterministic_shuffle(docs, num_shards=4, seed="Ep0_ch.2|x-")
+
+
+def test_dsir_enriches_target_domain(spark):
+    """DSIR (hashed-bigram importance weights): documents written in
+    the target's vocabulary outrank off-domain ones, selection is
+    deterministic, and the selected set keeps the requested size."""
+    from modular_etl_data_platform_spark.corpus.curation import (
+        dsir_logweights,
+        dsir_select,
+    )
+
+    rows = []
+    for i in range(30):  # target-like docs: English-ish function words
+        rows.append((i, "the cat sat on the mat and the dog ran", "en"))
+    for i in range(30, 60):  # off-domain docs: disjoint vocabulary
+        rows.append((i, "zqx wvu rrr kkk ppp mmm nnn bbb ccc ddd", "xx"))
+    # the scorer only SEES the target via the filter; text drives ranks
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    w = {r.doc_id: r.logw for r in dsir_logweights(docs, "lang = 'en'").collect()}
+    assert min(w[i] for i in range(30)) > max(w[i] for i in range(30, 60))
+    sel = dsir_select(docs, "lang = 'en'", 30)
+    ids = {r.doc_id for r in sel.collect()}
+    assert ids == set(range(30))  # exactly the on-domain docs
+    # deterministic: same data -> same weights
+    w2 = {r.doc_id: r.logw for r in dsir_logweights(docs, "lang = 'en'").collect()}
+    assert w == w2
