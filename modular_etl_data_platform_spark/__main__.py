@@ -125,8 +125,13 @@ def main(argv: list[str] | None = None) -> int:
         "action",
         choices=[
             "history", "read", "restore", "compact", "compact-where",
-            "delete-where", "vacuum", "export-delta",
+            "delete-where", "vacuum", "export-delta", "convert",
         ],
+    )
+    vt.add_argument(
+        "--stats-columns",
+        default=None,
+        help="for convert: comma-sep columns to record footer stats for",
     )
     vt.add_argument("--version", type=int, default=None, help="for read/restore")
     vt.add_argument("--keep-last", type=int, default=1, help="for vacuum")
@@ -371,6 +376,18 @@ def main(argv: list[str] | None = None) -> int:
                 zorder_by=zorder,
             )
             print(json.dumps({"new_version": v}))
+        elif args.action == "convert":
+            from modular_etl_data_platform_spark.operators.versioned import (
+                convert_to_versioned,
+            )
+
+            cols = (
+                [c.strip() for c in args.stats_columns.split(",") if c.strip()]
+                if args.stats_columns
+                else None
+            )
+            vt2 = convert_to_versioned(spark, args.path, stats_columns=cols)
+            print(json.dumps({"converted": args.path, "version": vt2.current_version()}))
         elif args.action == "delete-where":
             if not args.where:
                 raise SystemExit("delete-where requires --where '<predicate>'")

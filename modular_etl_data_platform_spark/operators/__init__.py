@@ -13,6 +13,7 @@ from modular_etl_data_platform_spark.operators.versioned import (
     InMemoryLogStore,
     LogStore,
     VersionedTable,
+    convert_to_versioned,
     is_versioned_table,
 )
 
@@ -27,5 +28,6 @@ __all__ = [
     "InMemoryLogStore",
     "LogStore",
     "VersionedTable",
+    "convert_to_versioned",
     "is_versioned_table",
 ]

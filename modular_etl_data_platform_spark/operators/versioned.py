@@ -2170,3 +2170,53 @@ class VersionedTable:
         self.log.evict_cache_except(keep_set)
         self.log.store.cleanup_tmp(tmp_retention_seconds)
         return deleted
+
+
+def convert_to_versioned(
+    spark: SparkSession,
+    path: str,
+    stats_columns: list[str] | None = None,
+) -> VersionedTable:
+    """CONVERT TO DELTA analogue: publish an EXISTING plain-parquet
+    directory as version 1 of a versioned table IN PLACE — the data
+    files are referenced, never rewritten or moved; the only work is
+    one footer pass over the files (O(files), parallelized) to record
+    the skipping stats and one log write. From then on the directory
+    is a full VersionedTable (snapshot isolation, time travel from the
+    conversion point, MERGE/DELETE/constraints), and every storage-
+    dispatch read (``is_versioned_table`` probes) picks the log up
+    automatically — the migration path from the medallion's parquet
+    mode to versioned mode without a data copy.
+
+    Hive-PARTITIONED layouts are REJECTED: partition values live in
+    directory names, not in the files, so a log that lists bare files
+    would silently DROP the partition columns from every read (Delta's
+    CONVERT handles this with partition metadata this log format does
+    not carry — rewrite through ``VersionedTable.write`` instead).
+
+    Imported files live OUTSIDE the table's ``files/`` landing dir, so
+    ``vacuum`` never deletes them even once an overwrite orphans them
+    (retention walks the landing dirs only) — run ``compact()`` after
+    conversion if reclaiming the imported files on vacuum matters."""
+    existing = CommitLog(path=path)
+    if existing.current_version() is not None:
+        raise FileExistsError(f"{path} is already a versioned table")
+    files: list[str] = []
+    for name in sorted(os.listdir(path)):
+        p = os.path.join(path, name)
+        if os.path.isdir(p):
+            if "=" in name:
+                raise ValueError(
+                    f"{path} is hive-partitioned ({name!r}): converting "
+                    "in place would drop the partition columns from "
+                    "every read — rewrite through VersionedTable.write"
+                )
+            continue  # _versions/files/_dv scaffolding or unrelated dirs
+        if name.endswith(".parquet"):
+            files.append(p)
+    if not files:
+        raise FileNotFoundError(f"no parquet files to convert under {path}")
+    schema = spark.read.parquet(*files).schema
+    vt = VersionedTable(spark, path, stats_columns=stats_columns)
+    vt._publish(files, schema.json(), {"mode": "convert"}, expected_base=0)
+    return vt

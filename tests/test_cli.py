@@ -149,3 +149,24 @@ def test_cli_vt_delete_where(spark, capsys, tmp_path):
     assert {r.id for r in vt.read().collect()} == {
         i for i in range(5, 40) if i % 4 != 2
     }
+
+
+def test_cli_vt_convert(spark, capsys, tmp_path):
+    """vt convert: in-place CONVERT-TO-DELTA analogue from the CLI."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from modular_etl_data_platform_spark.operators.versioned import (
+        VersionedTable,
+        is_versioned_table,
+    )
+
+    path = str(tmp_path / "plain")
+    spark.range(50).select("id", (F.col("id") * 3).alias("v")).coalesce(
+        1
+    ).write.parquet(path)
+    assert main(["vt", path, "convert", "--stats-columns", "id"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["version"] == 1 and is_versioned_table(path)
+    assert VersionedTable(spark, path).read().count() == 50

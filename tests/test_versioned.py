@@ -1108,3 +1108,46 @@ def test_vacuum_time_based_retention(spark, tmp_path):
     vt.vacuum(keep_last=2, retention_hours=0.0)
     assert vt.versions() == [3, 4]
     assert vt.read(3).count() == 30
+
+
+def test_convert_to_versioned_in_place(spark, tmp_path):
+    """CONVERT TO DELTA analogue: an existing plain-parquet dir becomes
+    v1 without moving a byte (paths referenced verbatim), footer stats
+    make pruned reads work immediately, subsequent writes stack
+    versions on top, and hive-partitioned layouts are refused (bare
+    files would drop the partition columns)."""
+    from pyspark.sql import functions as F
+
+    from modular_etl_data_platform_spark.operators.versioned import (
+        convert_to_versioned,
+        is_versioned_table,
+    )
+
+    path = str(tmp_path / "plain")
+    spark.range(100).select("id", (F.col("id") * 2).alias("v")).coalesce(
+        2
+    ).write.parquet(path)
+    assert not is_versioned_table(path)
+    vt = convert_to_versioned(spark, path, stats_columns=["id"])
+    assert is_versioned_table(path) and vt.current_version() == 1
+    m = vt._read_manifest(1)
+    assert all(os.path.dirname(f) == path for f in m["files"])  # in place
+    assert m["mode"] == "convert"
+    assert {r.id for r in vt.read().collect()} == set(range(100))
+    # stats from the imported footers drive pruning immediately
+    pruned = vt.read_pruned("id", 0, 10)
+    assert len(pruned.inputFiles()) < len(vt.read().inputFiles())
+    # life continues as a versioned table: merge + time travel
+    vt.upsert(spark.createDataFrame([(5, -1)], "id long, v long"), ["id"])
+    assert vt.read(1).count() == 100
+    assert {r.v for r in vt.read().filter("id = 5").collect()} == {-1}
+    # double conversion refused
+    with pytest.raises(FileExistsError):
+        convert_to_versioned(spark, path)
+    # hive-partitioned dirs refused
+    part = str(tmp_path / "part")
+    spark.range(10).select("id", (F.col("id") % 2).alias("p")).write.partitionBy(
+        "p"
+    ).parquet(part)
+    with pytest.raises(ValueError, match="hive-partitioned"):
+        convert_to_versioned(spark, part)
