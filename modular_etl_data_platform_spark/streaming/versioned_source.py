@@ -81,6 +81,7 @@ from pyspark.sql.types import StructType
 from modular_etl_data_platform_spark.operators.versioned import (
     _DATA_DIR,
     CommitLog,
+    _commit_name,
 )
 
 
@@ -110,12 +111,17 @@ class _VersionedStreamReader(DataSourceStreamReader):
         starting_version: int,
         max_versions_per_batch: int | None = None,
         ignore_deletes: bool = False,
+        ignore_changes: bool = False,
     ):
         self.table = table
         self.pinned = schema
         self.start_version = starting_version
         self.max_versions = max_versions_per_batch
         self.ignore_deletes = ignore_deletes
+        #: Delta's ignoreChanges (subsumes ignore_deletes): accept batch
+        #: ranges containing UPDATE commits (upsert/delete rewrites),
+        #: re-emitting the rewritten files' current rows
+        self.ignore_changes = ignore_changes
         self.log = CommitLog(path=table)
         #: highest version already handed out as a batch END — the
         #: rate-limit floor. KNOWN only once Spark has told us a real
@@ -174,13 +180,14 @@ class _VersionedStreamReader(DataSourceStreamReader):
         # a deletion-vector change on a CARRIED file is a delete this
         # file-level feed cannot express (no file was added) — fail
         # loudly like Delta streaming without ignoreDeletes, instead of
-        # silently emitting nothing for deleted rows
+        # silently emitting nothing for deleted rows. ignore_changes
+        # subsumes the opt-in (Delta: ignoreChanges covers deletes too).
         dv_changed = [
             f
             for f in cur["files"]
             if f in old and old_dv.get(f) != cur_dv.get(f)
         ]
-        if dv_changed and not self.ignore_deletes:
+        if dv_changed and not (self.ignore_deletes or self.ignore_changes):
             raise RuntimeError(
                 f"versions ({v0}, {v1}] of {self.table} contain "
                 f"deletion-vector deletes on {len(dv_changed)} carried "
@@ -188,6 +195,36 @@ class _VersionedStreamReader(DataSourceStreamReader):
                 "set option ignore_deletes=true to skip them (Delta's "
                 "ignoreDeletes) or restart from a snapshot"
             )
+        # walk the range's commit RECORDS (small JSON each, at most
+        # max_versions_per_batch of them) to classify the commits:
+        # - a compaction/auto-compaction re-arranges rows the stream
+        #   already emitted (Delta's dataChange=false) — its added
+        #   files are SKIPPED, never duplicated downstream;
+        # - any other commit that REMOVES files is an update (upsert /
+        #   delete rewrite / RESTORE, which can re-point at files the
+        #   stream never saw — Delta marks restore dataChange=true):
+        #   its added files carry re-emitted or resurrected rows, so it
+        #   REQUIRES ignore_changes (Delta's ignoreChanges) rather than
+        #   silently double-processing.
+        no_change_modes = {"compact", "compact_where", "auto_compact"}
+        skip: set[str] = set()
+        for v in range(v0 + 1, v1 + 1):
+            rec = json.loads(self.log.store.read(_commit_name(v)))
+            mode = rec.get("mode", "")
+            if mode in no_change_modes:
+                skip.update(rec.get("add", []))
+            elif rec.get("remove"):
+                skip.difference_update(rec.get("remove", []))
+                if not self.ignore_changes:
+                    raise RuntimeError(
+                        f"version {v} of {self.table} is an update commit "
+                        f"(mode {mode!r}: rewrote "
+                        f"{len(rec['remove'])} file(s)); its re-added "
+                        "files would re-emit already-processed rows — "
+                        "set option ignore_changes=true to accept "
+                        "re-emission (Delta's ignoreChanges) or restart "
+                        "from a snapshot"
+                    )
         fields = [
             (f.name, f.dataType.json()) for f in self.pinned.fields
         ]
@@ -197,7 +234,7 @@ class _VersionedStreamReader(DataSourceStreamReader):
         return [
             _FilePartition(f, fields, cur_dv.get(f))
             for f in cur["files"]
-            if f not in old
+            if f not in old and f not in skip
         ]
 
     def read(self, partition: _FilePartition) -> Iterator:
@@ -446,6 +483,9 @@ class VersionedTableStreamDataSource(DataSource):
             int(max_v) if max_v is not None else None,
             ignore_deletes=str(
                 self.options.get("ignore_deletes", "false")
+            ).lower() == "true",
+            ignore_changes=str(
+                self.options.get("ignore_changes", "false")
             ).lower() == "true",
         )
 

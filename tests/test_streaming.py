@@ -1100,3 +1100,42 @@ def test_versioned_batch_format_read_applies_deletion_vectors(spark, tmp_path):
         .load()
     )
     assert v1.count() == 50
+
+
+def test_versioned_stream_update_commits_guarded_and_compactions_skipped(
+    spark, tmp_path
+):
+    """Delta's ignoreChanges/dataChange contract on the log source:
+    (a) an upsert in the batch range fails loudly — its re-added files
+    would silently re-emit already-processed neighbor rows; (b) with
+    ignore_changes=true the rewritten files DO re-emit (the documented
+    tradeoff); (c) a compaction's added files are dataChange=false and
+    never emit at all."""
+    import pytest as _pytest
+
+    from modular_etl_data_platform_spark.operators.versioned import VersionedTable
+    from modular_etl_data_platform_spark.streaming.versioned_source import (
+        _VersionedStreamReader,
+    )
+
+    table = str(tmp_path / "vt")
+    vt = VersionedTable(spark, table)
+    vt.write(spark.range(10).selectExpr("id").coalesce(1))            # v1
+    vt.upsert(spark.createDataFrame([(5,)], "id long"), ["id"])       # v2: rewrite
+    schema = vt.read().schema
+    r = _VersionedStreamReader(table, schema, 1)
+    with _pytest.raises(RuntimeError, match="ignore_changes"):
+        r.partitions({"version": 1}, {"version": 2})
+    # (b) opt-in: the rewritten file re-emits its current rows
+    r2 = _VersionedStreamReader(table, schema, 1, ignore_changes=True)
+    parts = r2.partitions({"version": 1}, {"version": 2})
+    import pyarrow as pa
+
+    got = pa.Table.from_batches(
+        [b for p in parts for b in r2.read(p)]
+    )
+    assert set(got.column("id").to_pylist()) == set(range(10))
+    # (c) compaction: nothing emits (rows were already delivered)
+    vt.compact(target_files=1)                                        # v3
+    r3 = _VersionedStreamReader(table, schema, 2)
+    assert r3.partitions({"version": 2}, {"version": 3}) == []
