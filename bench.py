@@ -84,6 +84,9 @@ HEADLINE = [
     # SemDeDup: within-cluster pairwise cosine (the cluster bound is
     # what keeps the pass off the n^2 cliff — worth timing per round)
     "q147_semdedup",
+    # DSIR: full-corpus hashed-ngram featurization (linear by design;
+    # a regression here means the explode/groupBy path fattened)
+    "q148_dsir_selection",
 ]
 
 

@@ -542,10 +542,15 @@ def dsir_logweights(
     residual is libm's ln (sub-ulp), which is why driver-gated outputs
     aggregate the SELECTED SET, not raw weights.
 
-    Scale shape: one explode + two-key groupBy for per-doc counts (map-
-    side combined), the bucket distribution table is ``buckets`` rows
-    (broadcast), T/R totals are two scalar driver probes (watermark
-    budget). Nothing is ever all-pairs; cost is linear in corpus tokens.
+    Scale shape: the corpus is featurized ONCE — a single explode +
+    two-key groupBy yields the per-doc counts (map-side combined), and
+    BOTH distributions derive from that table by further aggregation
+    (raw = sum over all docs, target = sum over the semi-joined target
+    ids), so no second pass over the text ever runs. The bucket
+    distribution table is ``buckets`` rows: it collects to the driver
+    once (same budget as a watermark probe) to fold the T/R totals into
+    the broadcast ratio table. Nothing is ever all-pairs; cost is
+    linear in corpus tokens.
 
     Returns (id, logw)."""
     feats = df.select(
@@ -555,25 +560,32 @@ def dsir_logweights(
         ).alias("b"),
     )
     cnts = feats.groupBy(id_col, "b").agg(F.count(F.lit(1)).alias("c"))
-    tgt_feats = df.filter(F.expr(target_filter)).select(
-        F.col(id_col),
-        F.explode(
-            F.expr(_bucketed_ngram_sql(text_col, ngram, buckets))
-        ).alias("b"),
+    cnts = cnts.localCheckpoint(eager=False)  # one featurization pass
+    tgt_ids = df.filter(F.expr(target_filter)).select(F.col(id_col))
+    raw = cnts.groupBy("b").agg(F.sum("c").alias("rc"))
+    tgt = (
+        cnts.join(tgt_ids, id_col, "left_semi")
+        .groupBy("b")
+        .agg(F.sum("c").alias("tc"))
     )
-    raw = feats.groupBy("b").agg(F.count(F.lit(1)).alias("rc"))
-    tgt = tgt_feats.groupBy("b").agg(F.count(F.lit(1)).alias("tc"))
-    T = tgt_feats.count()  # scalar driver probes (watermark budget)
-    R = feats.count()
-    ratio = (
-        raw.join(tgt, "b", "left")
-        .select(
-            "b",
-            (
-                (F.log(F.coalesce(F.col("tc"), F.lit(0)) + 1) - F.log(F.lit(float(T + buckets))))
-                - (F.log(F.col("rc") + 1) - F.log(F.lit(float(R + buckets))))
-            ).alias("lr"),
-        )
+    # <= buckets rows each: fold totals driver-side, ship one ratio map
+    dist = {
+        r["b"]: [r["rc"], 0] for r in raw.collect()
+    }
+    for r in tgt.collect():
+        dist[r["b"]][1] = r["tc"]
+    R = sum(v[0] for v in dist.values())
+    T = sum(v[1] for v in dist.values())
+    spark = df.sparkSession
+    ratio = spark.createDataFrame(
+        [(b, int(rc), int(tc)) for b, (rc, tc) in sorted(dist.items())],
+        "b long, rc long, tc long",
+    ).select(
+        "b",
+        (
+            (F.log(F.col("tc") + 1) - F.log(F.lit(float(T + buckets))))
+            - (F.log(F.col("rc") + 1) - F.log(F.lit(float(R + buckets))))
+        ).alias("lr"),
     )
     terms = cnts.join(F.broadcast(ratio), "b").select(
         F.col(id_col),
