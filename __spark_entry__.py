@@ -7,8 +7,8 @@ implemented operator from SURVEY.md §2).
 
 Ordering: the driver's correctness gate records only the FIRST 50
 entries of ``queries()`` (observed: CORRECTNESS_r01/r02/r03 each hold
-exactly 50 rows — the first 50 in insertion order). With 130 registered
-queries a fixed order would leave half the catalog permanently unrecorded,
+exactly 50 rows — the first 50 in insertion order). With ~150 registered
+queries a fixed order would leave most of the catalog permanently unrecorded,
 so ``queries()`` self-rotates: it reads the prior-round
 ``CORRECTNESS_r*.json`` artifacts next to this file and sorts the
 catalog by re-verification urgency: never-recorded queries first, then

