@@ -560,7 +560,11 @@ def dsir_logweights(
         ).alias("b"),
     )
     cnts = feats.groupBy(id_col, "b").agg(F.count(F.lit(1)).alias("c"))
-    cnts = cnts.localCheckpoint(eager=False)  # one featurization pass
+    # one featurization pass across the three consumers; cache() (not
+    # localCheckpoint) so the blocks stay LRU-EVICTABLE — a pinned
+    # checkpoint per invocation would accumulate un-reclaimable memory
+    # across a long session (recompute-on-eviction is the safe failure)
+    cnts = cnts.cache()
     tgt_ids = df.filter(F.expr(target_filter)).select(F.col(id_col))
     raw = cnts.groupBy("b").agg(F.sum("c").alias("rc"))
     tgt = (
