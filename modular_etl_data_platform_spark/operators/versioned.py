@@ -1613,29 +1613,37 @@ class VersionedTable:
     ) -> tuple[str | None, list[str]]:
         """Land a deletion-vector sidecar for ``matches`` — a frame of
         (file_path, row_index) pairs over ``candidate_files`` — in ONE
-        scan: write the positions, learn the touched files from the
-        (tiny) sidecar's distinct paths driver-side, and if any touched
-        file already carries a vector, union the old positions in (the
-        pointer is REPLACED, never mutated; superseded sidecars are
-        vacuumable). Returns (sidecar path, touched manifest paths) —
+        scan, then learn the touched files from the sidecar's distinct
+        paths (one aggregate over the sidecar, driver result bounded by
+        file count). If any touched file already carries a vector, the
+        old positions union in (the pointer is REPLACED, never mutated;
+        superseded sidecars are vacuumable).
+
+        The sidecar is a parquet DIRECTORY, range-partitioned + sorted
+        on (file_path, row_index): a mass delete's positions land from
+        MANY tasks (a single-task ``coalesce(1)`` write would serialize
+        billions of positions through one executor at 100 TB), the sort
+        gives each row group a tight file_path range, so an executor
+        loading ONE file's vector prunes to its row groups via the
+        pushed filter. Returns (sidecar dir, touched manifest paths) —
         (None, []) when nothing matched (scratch cleaned up)."""
         sub = os.path.join(self.path, _DV_DIR, uuid.uuid4().hex)
-        matches.coalesce(1).write.parquet(sub)
-        sidecar = next(
-            os.path.join(sub, n)
-            for n in sorted(os.listdir(sub))
-            if n.endswith(".parquet")
-        )
-        import pyarrow.parquet as pq
 
+        def land(df: DataFrame) -> None:
+            (
+                df.repartitionByRange(F.col("file_path"), F.col("row_index"))
+                .sortWithinPartitions("file_path", "row_index")
+                .write.parquet(sub)
+            )
+
+        land(matches)
         by_path = {_strip_scheme_py(f): f for f in candidate_files}
         touched = sorted(
-            by_path[p]
-            for p in set(
-                pq.read_table(sidecar, columns=["file_path"])
-                .column("file_path")
-                .to_pylist()
-            )
+            by_path[r["file_path"]]
+            for r in self.spark.read.parquet(sub)
+            .select("file_path")
+            .distinct()
+            .collect()
         )
         if not touched:
             shutil.rmtree(sub, ignore_errors=True)
@@ -1643,7 +1651,7 @@ class VersionedTable:
         prior_sidecars = sorted({old_dv[f] for f in touched if f in old_dv})
         if prior_sidecars:
             merged = (
-                self.spark.read.parquet(sidecar, *prior_sidecars)
+                self.spark.read.parquet(sub, *prior_sidecars)
                 .filter(
                     F.col("file_path").isin(
                         [_strip_scheme_py(f) for f in touched]
@@ -1652,14 +1660,9 @@ class VersionedTable:
                 .select("file_path", "row_index")
                 .dropDuplicates()
             )
-            sub2 = os.path.join(self.path, _DV_DIR, uuid.uuid4().hex)
-            merged.coalesce(1).write.parquet(sub2)
-            sidecar = next(
-                os.path.join(sub2, n)
-                for n in sorted(os.listdir(sub2))
-                if n.endswith(".parquet")
-            )
-        return sidecar, touched
+            sub = os.path.join(self.path, _DV_DIR, uuid.uuid4().hex)
+            land(merged)
+        return sub, touched
 
     def delete_where(
         self, condition: str, prune: tuple | None = None
@@ -2126,9 +2129,14 @@ class VersionedTable:
                         would_delete += 1
             if os.path.isdir(dv_root):
                 for sub in os.listdir(dv_root):
-                    for f in os.listdir(os.path.join(dv_root, sub)):
-                        fp = os.path.join(dv_root, sub, f)
-                        if f.endswith(".parquet") and fp not in referenced_dv:
+                    subdir = os.path.join(dv_root, sub)
+                    for f in os.listdir(subdir):
+                        fp = os.path.join(subdir, f)
+                        if (
+                            f.endswith(".parquet")
+                            and fp not in referenced_dv
+                            and subdir not in referenced_dv
+                        ):
                             would_delete += 1
             return would_delete
         if keep:
@@ -2148,13 +2156,19 @@ class VersionedTable:
                 shutil.rmtree(subdir)
         # deletion-vector sidecars no retained version points at
         # (superseded by a later delete's union sidecar, materialized by
-        # a rewrite, or orphaned by a lost commit race)
+        # a rewrite, or orphaned by a lost commit race). A pointer is a
+        # sidecar DIRECTORY (or a single file in the legacy layout) —
+        # a parquet file survives if it or its directory is referenced.
         if os.path.isdir(dv_root):
             for sub in os.listdir(dv_root):
                 subdir = os.path.join(dv_root, sub)
                 for f in list(os.listdir(subdir)):
                     fp = os.path.join(subdir, f)
-                    if f.endswith(".parquet") and fp not in referenced_dv:
+                    if (
+                        f.endswith(".parquet")
+                        and fp not in referenced_dv
+                        and subdir not in referenced_dv
+                    ):
                         os.remove(fp)
                         deleted += 1
                 if not any(

@@ -907,13 +907,12 @@ def test_vacuum_sweeps_orphaned_dv_sidecars(spark, tmp_path):
     )
     assert vt.vacuum(keep_last=1) > 0
     dv_root = str(tmp_path / "t" / "_dv")
-    remaining = {
-        _os.path.join(d, f)
+    remaining_dirs = {
+        d
         for d, _, fs in _os.walk(dv_root)
-        for f in fs
-        if f.endswith(".parquet")
+        if any(f.endswith(".parquet") for f in fs)
     }
-    assert remaining == live_sidecars
+    assert remaining_dirs == live_sidecars
     assert len(live_sidecars) == 1  # the union sidecar superseded S1
     assert {r.id for r in vt.read().collect()} == set(range(10, 50))
 
