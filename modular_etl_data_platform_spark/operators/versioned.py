@@ -1406,7 +1406,15 @@ class VersionedTable:
         dv_bytes = 0
         for p in set(dv.values()):
             try:
-                dv_bytes += os.path.getsize(p)
+                if os.path.isdir(p):
+                    dv_bytes += sum(
+                        os.path.getsize(os.path.join(d, f))
+                        for d, _, fs in os.walk(p)
+                        for f in fs
+                        if f.endswith(".parquet")
+                    )
+                else:
+                    dv_bytes += os.path.getsize(p)
             except OSError:
                 dv_bytes = _DV_BROADCAST_CAP_BYTES + 1  # unknown: no hint
                 break
