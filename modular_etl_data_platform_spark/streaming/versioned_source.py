@@ -213,7 +213,9 @@ class _VersionedStreamReader(DataSourceStreamReader):
             mode = rec.get("mode", "")
             if mode in no_change_modes:
                 skip.update(rec.get("add", []))
-            elif rec.get("remove"):
+            elif rec.get("remove") or mode == "restore":
+                # restore is an update even when it only ADDS files: a
+                # re-pointed file may carry rows emitted long ago
                 skip.difference_update(rec.get("remove", []))
                 if not self.ignore_changes:
                     raise RuntimeError(

@@ -1150,3 +1150,39 @@ def test_convert_to_versioned_in_place(spark, tmp_path):
     ).parquet(part)
     with pytest.raises(ValueError, match="hive-partitioned"):
         convert_to_versioned(spark, part)
+
+
+def test_delete_where_crash_before_publish_leaves_table_intact(
+    spark, tmp_path, monkeypatch
+):
+    """A crash between the sidecar landing and the commit claim must
+    leave the table untouched: no version appears, reads see every row,
+    and vacuum sweeps the orphaned sidecar directory."""
+    import os as _os
+
+    from modular_etl_data_platform_spark.operators import versioned as V
+
+    vt = VersionedTable(spark, str(tmp_path / "t"))
+    vt.write(spark.range(50).selectExpr("id").coalesce(1))
+
+    real_publish = V.CommitLog.publish
+
+    def killed(self, *a, **kw):
+        raise OSError("simulated kill before dv commit")
+
+    monkeypatch.setattr(V.CommitLog, "publish", killed)
+    with pytest.raises(OSError, match="simulated kill"):
+        vt.delete_where("id < 10")
+    monkeypatch.setattr(V.CommitLog, "publish", real_publish)
+    assert vt.versions() == [1]
+    assert vt.read().count() == 50
+    dv_root = str(tmp_path / "t" / "_dv")
+    orphan_parts = sum(
+        1 for _, _, fs in _os.walk(dv_root) for f in fs if f.endswith(".parquet")
+    )
+    assert orphan_parts > 0  # the crash left a landed sidecar behind
+    vt.vacuum(keep_last=1)
+    assert not any(
+        f.endswith(".parquet") for _, _, fs in _os.walk(dv_root) for f in fs
+    )
+    assert vt.read().count() == 50
