@@ -853,28 +853,42 @@ def semdedup(
         .select("p.id_a", "p.id_b")
         .filter(F.col("id_a") < F.col("id_b"))
     )
-    # normalize ONCE per vector (n rows), score pairs with a single dot
-    # product: Spark's higher-order lambdas are interpreted (no codegen,
-    # no subexpression elimination — see the q76 postmortem), so the
-    # 3-dot cosine form pays 3x per pair; normalize-then-dot measured
-    # 2.4x faster at 200k pairs with identical matches (the float-
-    # rounding difference is ~1e-16 relative, 10^12 below the
-    # threshold margins this operator is used with)
+    # norm ONCE per vector as a scalar COLUMN, score pairs with a
+    # single dot divided by the two carried norms: Spark's higher-order
+    # lambdas are interpreted (no codegen, no subexpression elimination
+    # — see the q76 postmortem), so the 3-dot cosine form pays 3x per
+    # pair (measured 2.4x slower at 200k pairs). Normalizing the ARRAY
+    # would re-evaluate the norm aggregate per element (O(dim^2), the
+    # same no-CSE trap) — the scalar-column form computes it once per
+    # row and survives projection collapse because the join is a
+    # barrier. Zero-norm vectors (cosine undefined) score -inf and
+    # never match, instead of tripping ANSI DIVIDE_BY_ZERO.
     vecs = base.select(
         F.col(id_col),
-        F.transform(
-            F.col(vec_col), lambda x: x.cast("double") / norm(vec_col)
-        ).alias("__nv"),
+        F.col(vec_col).alias("__v"),
+        norm(vec_col).alias("__n"),
     )
     scored = pairs.join(
-        vecs.select(F.col(id_col).alias("id_a"), F.col("__nv").alias("__va")),
+        vecs.select(
+            F.col(id_col).alias("id_a"),
+            F.col("__v").alias("__va"),
+            F.col("__n").alias("__na"),
+        ),
         "id_a",
     ).join(
-        vecs.select(F.col(id_col).alias("id_b"), F.col("__nv").alias("__vb")),
+        vecs.select(
+            F.col(id_col).alias("id_b"),
+            F.col("__v").alias("__vb"),
+            F.col("__n").alias("__nb"),
+        ),
         "id_b",
     )
+    sim = F.when(
+        (F.col("__na") != 0) & (F.col("__nb") != 0),
+        dot("__va", "__vb") / (F.col("__na") * F.col("__nb")),
+    ).otherwise(F.lit(float("-inf")))
     dropped = (
-        scored.filter(dot("__va", "__vb") >= F.lit(threshold))
+        scored.filter(sim >= F.lit(threshold))
         # id_a < id_b by construction: the HIGHER id of a matching pair
         # is the duplicate; the lowest id of every group always survives
         .select(F.col("id_b").alias(id_col))

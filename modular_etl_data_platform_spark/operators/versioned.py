@@ -846,7 +846,12 @@ class VersionedTable:
         checkpoint_interval: int = _CHECKPOINT_INTERVAL,
     ):
         self.spark = spark
-        self.path = path
+        # canonicalize: manifest file paths derive from this root, and
+        # the deletion-vector machinery matches them against Spark's
+        # RESOLVED `_metadata.file_path` — a relative or symlinked root
+        # would record paths that never match the scan's (macOS /tmp,
+        # `VersionedTable(spark, "warehouse/t")`)
+        self.path = os.path.realpath(path)
         #: columns to record per-file min/max for in each commit record
         #: (footer-metadata only); enables read_pruned file skipping
         self.stats_columns = stats_columns or []
@@ -1505,8 +1510,9 @@ class VersionedTable:
         v = self.current_version() if to_version is None else to_version
         m_new = self.log.resolve(v)
         dv_old, dv_new = m_old.get("dv", {}), m_new.get("dv", {})
-        old_only = [f for f in m_old["files"] if f not in set(m_new["files"])]
-        new_only = [f for f in m_new["files"] if f not in set(m_old["files"])]
+        old_set, new_set = set(m_old["files"]), set(m_new["files"])
+        old_only = [f for f in m_old["files"] if f not in new_set]
+        new_only = [f for f in m_new["files"] if f not in old_set]
         # a file CARRIED by both versions cannot contribute a change —
         # unless its deletion vector changed: a DV-only delete rewrites
         # no file, so the diff must also read carried files whose DV
@@ -1515,7 +1521,7 @@ class VersionedTable:
         dv_changed = [
             f
             for f in m_new["files"]
-            if f in set(m_old["files"]) and dv_old.get(f) != dv_new.get(f)
+            if f in old_set and dv_old.get(f) != dv_new.get(f)
         ]
         # both sides read on the NEW schema: evolved columns null-fill
         # on the old side, so pre/post images compare column-for-column
@@ -2138,6 +2144,8 @@ class VersionedTable:
             if os.path.isdir(dv_root):
                 for sub in os.listdir(dv_root):
                     subdir = os.path.join(dv_root, sub)
+                    if not os.path.isdir(subdir):
+                        continue
                     for f in os.listdir(subdir):
                         fp = os.path.join(subdir, f)
                         if (
@@ -2170,6 +2178,8 @@ class VersionedTable:
         if os.path.isdir(dv_root):
             for sub in os.listdir(dv_root):
                 subdir = os.path.join(dv_root, sub)
+                if not os.path.isdir(subdir):
+                    continue  # foreign file directly under _dv/: not ours
                 for f in list(os.listdir(subdir)):
                     fp = os.path.join(subdir, f)
                     if (
@@ -2220,6 +2230,7 @@ def convert_to_versioned(
     ``vacuum`` never deletes them even once an overwrite orphans them
     (retention walks the landing dirs only) — run ``compact()`` after
     conversion if reclaiming the imported files on vacuum matters."""
+    path = os.path.realpath(path)  # same canonical root VersionedTable uses
     existing = CommitLog(path=path)
     if existing.current_version() is not None:
         raise FileExistsError(f"{path} is already a versioned table")

@@ -1825,7 +1825,10 @@ def _dsir_oracle(buckets: int = 64, n: int = 2, frac: float = 0.2) -> str:
     ),
     sel AS (
       SELECT d.doc_id, d.lang FROM ranked r JOIN documents d USING (doc_id)
-      WHERE r.rn <= (SELECT CAST(COUNT(*) * {frac} AS BIGINT) FROM documents)
+      -- FLOOR matches the Spark side's int() truncation: CAST alone
+      -- ROUNDS in DuckDB, so a doc count not divisible by 5 would
+      -- select one extra document and hash-mismatch
+      WHERE r.rn <= (SELECT CAST(FLOOR(COUNT(*) * {frac}) AS BIGINT) FROM documents)
     )
     SELECT lang, COUNT(*) AS n_sel, CAST(SUM(doc_id) AS BIGINT) AS id_sum
     FROM sel GROUP BY lang

@@ -15,10 +15,13 @@ any bookkeeping in user code:
               .option("path", table_path).load())
 
 Semantics: EXACT new-row feed for append-only producers (the streaming
-intake case this exists for — ``stream_upsert_versioned`` publishing
-one version per micro-batch on the write side). After an upsert or
-compaction, rewritten files are re-emitted in full (file-level
-granularity; row-level deltas are ``table_changes``'s job, batch-side).
+intake case this exists for — the stream sink publishing one version
+per micro-batch on the write side). Emission is per-COMMIT (the Delta
+model): compaction commits never re-emit (dataChange=false), update
+commits (upsert/delete rewrites/restore) fail loudly unless
+``ignore_changes`` opts into re-emission, and deletion-vector deletes
+fail loudly unless ``ignore_deletes``/``ignore_changes`` — row-level
+deltas are ``table_changes``'s job, batch-side.
 
 Offset/state resolution rides :class:`CommitLog` — the SAME
 checkpoint + delta-replay reader the batch side uses (never a private
@@ -157,12 +160,9 @@ class _VersionedStreamReader(DataSourceStreamReader):
         if v1 <= v0:
             return []
         old: set[str] = set()
-        old_dv: dict[str, str] = {}
         if v0 > 0:
             try:
-                old_state = self.log.resolve(v0)
-                old = set(old_state["files"])
-                old_dv = old_state.get("dv", {})
+                old = set(self.log.resolve(v0)["files"])
             except FileNotFoundError:
                 # the consumer's last-committed version left retention
                 # (vacuumed while the stream was down). Re-emitting the
@@ -176,67 +176,79 @@ class _VersionedStreamReader(DataSourceStreamReader):
                     "version or a fresh checkpoint"
                 )
         cur = self.log.resolve(v1)
+        cur_files = set(cur["files"])
         cur_dv = cur.get("dv", {})
-        # a deletion-vector change on a CARRIED file is a delete this
-        # file-level feed cannot express (no file was added) — fail
-        # loudly like Delta streaming without ignoreDeletes, instead of
-        # silently emitting nothing for deleted rows. ignore_changes
-        # subsumes the opt-in (Delta: ignoreChanges covers deletes too).
-        dv_changed = [
-            f
-            for f in cur["files"]
-            if f in old and old_dv.get(f) != cur_dv.get(f)
-        ]
-        if dv_changed and not (self.ignore_deletes or self.ignore_changes):
-            raise RuntimeError(
-                f"versions ({v0}, {v1}] of {self.table} contain "
-                f"deletion-vector deletes on {len(dv_changed)} carried "
-                "file(s); an append-mode stream cannot express deletes — "
-                "set option ignore_deletes=true to skip them (Delta's "
-                "ignoreDeletes) or restart from a snapshot"
-            )
-        # walk the range's commit RECORDS (small JSON each, at most
-        # max_versions_per_batch of them) to classify the commits:
-        # - a compaction/auto-compaction re-arranges rows the stream
-        #   already emitted (Delta's dataChange=false) — its added
-        #   files are SKIPPED, never duplicated downstream;
-        # - any other commit that REMOVES files is an update (upsert /
-        #   delete rewrite / RESTORE, which can re-point at files the
-        #   stream never saw — Delta marks restore dataChange=true):
-        #   its added files carry re-emitted or resurrected rows, so it
-        #   REQUIRES ignore_changes (Delta's ignoreChanges) rather than
-        #   silently double-processing.
+        # Emission is PER-RECORD, not an endpoint file-set diff (the
+        # Delta model: each version's add actions are the stream's
+        # content). An endpoint diff silently LOSES rows appended and
+        # then compacted away inside one catch-up range — the appended
+        # file is absent from the end state and the compacted file is
+        # dataChange=false. Walking the records (small JSON each, at
+        # most the rate-limit's worth) classifies every commit:
+        # - compaction/auto-compaction re-arranges rows the stream
+        #   already emitted (Delta's dataChange=false): its adds never
+        #   emit; a file it compacts AWAY that was appended earlier in
+        #   the same range still emits (data files outlive manifest
+        #   membership until vacuum);
+        # - any commit carrying a deletion-vector update is a DELETE
+        #   (delete_where; needs ignore_deletes) or an UPDATE (the
+        #   DV-backed upsert; needs ignore_changes) — record-level
+        #   detection catches dv commits even when a later in-range
+        #   compaction materialized the vectored file away, which an
+        #   endpoint dv diff would miss;
+        # - any other commit that removes files — upsert, delete
+        #   rewrite, RESTORE (which can re-point at files the stream
+        #   never saw; Delta marks restore dataChange=true) — is an
+        #   update and requires ignore_changes (Delta's ignoreChanges,
+        #   which subsumes ignore_deletes) rather than silently
+        #   double-processing.
         no_change_modes = {"compact", "compact_where", "auto_compact"}
-        skip: set[str] = set()
+        emit: list[str] = []
+        emitted: set[str] = set()
         for v in range(v0 + 1, v1 + 1):
             rec = json.loads(self.log.store.read(_commit_name(v)))
             mode = rec.get("mode", "")
             if mode in no_change_modes:
-                skip.update(rec.get("add", []))
-            elif rec.get("remove") or mode == "restore":
-                # restore is an update even when it only ADDS files: a
-                # re-pointed file may carry rows emitted long ago
-                skip.difference_update(rec.get("remove", []))
-                if not self.ignore_changes:
-                    raise RuntimeError(
-                        f"version {v} of {self.table} is an update commit "
-                        f"(mode {mode!r}: rewrote "
-                        f"{len(rec['remove'])} file(s)); its re-added "
-                        "files would re-emit already-processed rows — "
-                        "set option ignore_changes=true to accept "
-                        "re-emission (Delta's ignoreChanges) or restart "
-                        "from a snapshot"
-                    )
+                continue  # dataChange=false: adds never emit
+            is_update = bool(rec.get("remove")) or mode == "restore"
+            if mode == "upsert" and rec.get("dv"):
+                is_update = True  # DV-backed MERGE rewrites no file
+            if is_update and not self.ignore_changes:
+                raise RuntimeError(
+                    f"version {v} of {self.table} is an update commit "
+                    f"(mode {mode!r}); its rows would re-emit or "
+                    "resurrect already-processed data — set option "
+                    "ignore_changes=true to accept re-emission (Delta's "
+                    "ignoreChanges) or restart from a snapshot"
+                )
+            if (
+                rec.get("dv")
+                and not is_update
+                and not (self.ignore_deletes or self.ignore_changes)
+            ):
+                raise RuntimeError(
+                    f"version {v} of {self.table} deletes rows via a "
+                    "deletion vector; an append-mode stream cannot "
+                    "express deletes — set option ignore_deletes=true "
+                    "to skip them (Delta's ignoreDeletes) or restart "
+                    "from a snapshot"
+                )
+            for f in rec.get("add", []):
+                if f not in emitted and f not in old:
+                    emitted.add(f)
+                    emit.append(f)
         fields = [
             (f.name, f.dataType.json()) for f in self.pinned.fields
         ]
-        # files ADDED in the range are emitted net of the range-end's
-        # deletion vector: the rows a batch hands downstream are the
-        # rows live at its offset, never ones already deleted by v1
+        # emitted files that SURVIVE to the range end apply the
+        # range-end vector (rows handed downstream are the rows live at
+        # the offset); files compacted/rewritten away mid-range emit as
+        # committed (their content is still on disk until vacuum)
         return [
-            _FilePartition(f, fields, cur_dv.get(f))
-            for f in cur["files"]
-            if f not in old and f not in skip
+            _FilePartition(
+                f, fields, cur_dv.get(f) if f in cur_files else None
+            )
+            for f in emit
         ]
 
     def read(self, partition: _FilePartition) -> Iterator:

@@ -1059,18 +1059,19 @@ def test_versioned_stream_dv_deletes_guarded_and_applied(spark, tmp_path):
     # (b) ignore_deletes skips the commit: no partitions, no rows
     r2 = _VersionedStreamReader(table, schema, 1, ignore_deletes=True)
     assert r2.partitions({"version": 1}, {"version": 2}) == []
-    # (c) a fresh consumer over (0, 2] gets the file net of the vector
-    parts = _VersionedStreamReader(table, schema, 0).partitions(
-        {"version": 0}, {"version": 2}
-    )
+    # (c) a fresh consumer over (0, 2] also needs the opt-in (the range
+    # CONTAINS the delete commit — Delta fails here too) ...
+    with _pytest.raises(RuntimeError, match="ignore_deletes"):
+        _VersionedStreamReader(table, schema, 0).partitions(
+            {"version": 0}, {"version": 2}
+        )
+    # ... and with it, the v1 add emits NET of the range-end vector
+    r3 = _VersionedStreamReader(table, schema, 0, ignore_deletes=True)
+    parts = r3.partitions({"version": 0}, {"version": 2})
     assert len(parts) == 1 and parts[0].dv_path is not None
     import pyarrow as pa
 
-    got = pa.Table.from_batches(
-        [b for p in parts for b in _VersionedStreamReader(
-            table, schema, 0
-        ).read(p)]
-    )
+    got = pa.Table.from_batches([b for p in parts for b in r3.read(p)])
     ids = set(got.column("id").to_pylist())
     assert ids == {i for i in range(20) if i % 4 != 1}
 
@@ -1139,3 +1140,49 @@ def test_versioned_stream_update_commits_guarded_and_compactions_skipped(
     vt.compact(target_files=1)                                        # v3
     r3 = _VersionedStreamReader(table, schema, 2)
     assert r3.partitions({"version": 2}, {"version": 3}) == []
+
+
+def test_versioned_stream_append_then_compact_in_one_range_loses_nothing(
+    spark, tmp_path
+):
+    """The append-then-compact catch-up hazard: an offline consumer
+    whose batch range contains BOTH an append and a compaction that
+    swallowed the appended file must still receive the appended rows
+    (per-record emission; an endpoint file-set diff loses them — the
+    appended file leaves the end state and the compacted file is
+    dataChange=false)."""
+    import pyarrow as pa
+
+    from modular_etl_data_platform_spark.operators.versioned import VersionedTable
+    from modular_etl_data_platform_spark.streaming.versioned_source import (
+        _VersionedStreamReader,
+    )
+
+    table = str(tmp_path / "vt")
+    vt = VersionedTable(spark, table)
+    vt.write(spark.range(10).selectExpr("id").coalesce(1))            # v1
+    vt.write(spark.range(100, 105).selectExpr("id").coalesce(1), mode="append")  # v2
+    vt.compact(target_files=1)                                        # v3
+    r = _VersionedStreamReader(table, vt.read().schema, 1)
+    parts = r.partitions({"version": 1}, {"version": 3})
+    got = pa.Table.from_batches([b for p in parts for b in r.read(p)])
+    assert set(got.column("id").to_pylist()) == set(range(100, 105))
+    # and the dv-then-compact interleaving cannot slip past the gate:
+    # the delete commit is detected from its RECORD even though the
+    # compaction already materialized the vectored file away
+    import pytest as _pytest
+
+    vt.delete_where("id = 3")                                         # v4
+    vt.compact(target_files=1)                                        # v5
+    r2 = _VersionedStreamReader(table, vt.read().schema, 3)
+    with _pytest.raises(RuntimeError, match="ignore_deletes"):
+        r2.partitions({"version": 3}, {"version": 5})
+    # a DV-backed MERGE is an UPDATE: ignore_deletes alone is not enough
+    vt.upsert(
+        spark.range(2).selectExpr("id"), ["id"], use_deletion_vectors=True
+    )                                                                 # v6
+    r3 = _VersionedStreamReader(
+        table, vt.read().schema, 5, ignore_deletes=True
+    )
+    with _pytest.raises(RuntimeError, match="ignore_changes"):
+        r3.partitions({"version": 5}, {"version": 6})
