@@ -125,7 +125,8 @@ def main(argv: list[str] | None = None) -> int:
         "action",
         choices=[
             "history", "read", "restore", "compact", "compact-where",
-            "delete-where", "vacuum", "export-delta", "convert",
+            "delete-where", "update-where", "vacuum", "export-delta",
+            "convert", "clone",
         ],
     )
     vt.add_argument(
@@ -150,7 +151,19 @@ def main(argv: list[str] | None = None) -> int:
     vt.add_argument(
         "--where",
         default=None,
-        help="for delete-where: SQL predicate (merge-on-read DELETE)",
+        help="for delete-where/update-where: SQL predicate",
+    )
+    vt.add_argument(
+        "--set",
+        action="append",
+        default=None,
+        metavar="COL=EXPR",
+        help="for update-where: assignment (repeatable)",
+    )
+    vt.add_argument(
+        "--use-dv",
+        action="store_true",
+        help="for update-where: deletion-vector strategy (no file rewrites)",
     )
     vt.add_argument(
         "--as-of-timestamp",
@@ -396,6 +409,37 @@ def main(argv: list[str] | None = None) -> int:
                 prune = (args.column, args.lo, args.hi)
             v = table.delete_where(args.where, prune=prune)
             print(json.dumps({"new_version": v}))
+        elif args.action == "update-where":
+            if not args.where or not args.set:
+                raise SystemExit(
+                    "update-where requires --where '<predicate>' and at "
+                    "least one --set COL=EXPR"
+                )
+            assignments = {}
+            for a in args.set:
+                col, eq, expr = a.partition("=")
+                if not eq:
+                    raise SystemExit(f"--set needs COL=EXPR, got {a!r}")
+                assignments[col.strip()] = expr.strip()
+            prune = None
+            if args.column is not None:
+                prune = (args.column, args.lo, args.hi)
+            v = table.update_where(
+                assignments,
+                args.where,
+                prune=prune,
+                use_deletion_vectors=args.use_dv,
+            )
+            print(json.dumps({"new_version": v}))
+        elif args.action == "clone":
+            if not args.dest:
+                ap.error("clone requires --dest")
+            c = table.clone(args.dest, version=args.version)
+            print(
+                json.dumps(
+                    {"cloned_to": c.path, "version": c.current_version()}
+                )
+            )
         elif args.action == "vacuum":
             deleted = table.vacuum(keep_last=args.keep_last)
             print(json.dumps({"deleted_files": deleted}))

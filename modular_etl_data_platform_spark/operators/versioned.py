@@ -1396,10 +1396,20 @@ class VersionedTable:
             )
             .withColumn("__dv_pos", F.col("_metadata.row_index"))
         )
+        dv_rows = self._dv_rows(set(dv.values()), files)
+        return scan.join(
+            dv_rows, ["__dv_file", "__dv_pos"], "left_anti"
+        ).select(*cols)
+
+    def _dv_rows(self, dv_paths: set[str], files: list[str]) -> DataFrame:
+        """The (file, position) rows of the given deletion-vector
+        sidecars as ``__dv_file``/``__dv_pos``, restricted to ``files``
+        (a shared sidecar may carry rows for files a snapshot no longer
+        maps to it), broadcast-hinted while the sidecar bytes stay under
+        ``_DV_BROADCAST_CAP_BYTES`` — past the cap the hint is dropped
+        and AQE shuffles both sides (slower join, never a driver OOM)."""
         dv_rows = (
-            self.spark.read.parquet(*sorted(set(dv.values())))
-            # a shared sidecar may carry rows for files this snapshot no
-            # longer maps to it — restrict to the files actually read
+            self.spark.read.parquet(*sorted(dv_paths))
             .filter(
                 F.col("file_path").isin([_strip_scheme_py(f) for f in files])
             )
@@ -1409,7 +1419,7 @@ class VersionedTable:
             )
         )
         dv_bytes = 0
-        for p in set(dv.values()):
+        for p in dv_paths:
             try:
                 if os.path.isdir(p):
                     dv_bytes += sum(
@@ -1425,9 +1435,36 @@ class VersionedTable:
                 break
         if dv_bytes <= _DV_BROADCAST_CAP_BYTES:
             dv_rows = F.broadcast(dv_rows)
-        return scan.join(
-            dv_rows, ["__dv_file", "__dv_pos"], "left_anti"
-        ).select(*cols)
+        return dv_rows
+
+    def _scan_with_identity(
+        self, files: list[str], schema, dv_map: dict[str, str] | None
+    ) -> DataFrame:
+        """Scan ``files`` pinned to ``schema`` with each row's (file,
+        row-position) identity exposed as ``__vt_file``/``__vt_pos``,
+        LIVE rows only — positions already recorded in a deletion
+        vector are anti-joined away, because a predicate DML that acted
+        on a vector-deleted row would resurrect it (unlike
+        ``delete_where``, where re-deleting a deleted position is a
+        harmless sidecar-union no-op). Spark's column pruning still
+        applies: a caller that only evaluates a predicate and reads
+        ``__vt_file`` costs a predicate-columns scan, not a full one."""
+        scan = (
+            self.spark.read.schema(schema)
+            .parquet(*files)
+            .withColumn(
+                "__vt_file", _strip_scheme(F.col("_metadata.file_path"))
+            )
+            .withColumn("__vt_pos", F.col("_metadata.row_index"))
+        )
+        dv = {f: p for f, p in (dv_map or {}).items() if f in set(files)}
+        if not dv:
+            return scan
+        dv_rows = self._dv_rows(set(dv.values()), files).select(
+            F.col("__dv_file").alias("__vt_file"),
+            F.col("__dv_pos").alias("__vt_pos"),
+        )
+        return scan.join(dv_rows, ["__vt_file", "__vt_pos"], "left_anti")
 
     def read(
         self, version: int | None = None, timestamp=None
@@ -1762,6 +1799,230 @@ class VersionedTable:
             f"delete_where lost {_MAX_COMMIT_RETRIES} commit races on {self.path}"
         )
 
+    def update_where(
+        self,
+        assignments: dict[str, str],
+        condition: str,
+        prune: tuple | None = None,
+        use_deletion_vectors: bool = False,
+    ) -> int:
+        """UPDATE ... SET with an ARBITRARY SQL predicate (Delta's
+        UPDATE DML). ``assignments`` maps column -> SQL expression;
+        every expression evaluates against the PRE-update row (standard
+        SQL UPDATE: ``{"a": "b", "b": "a"}`` swaps) and is cast back to
+        the column's declared type, so the table schema never drifts
+        under an expression that widens. Rows update only where
+        ``condition`` is exactly TRUE (NULL leaves the row unchanged —
+        the three-valued-logic reading shared with ``delete_where``).
+        CHECK constraints validate the updated rows transactionally
+        (they ride the landing write; a violation publishes nothing).
+
+        Two jobs, like Delta's own UPDATE: phase 1 scans ONLY the
+        predicate columns of the candidate files (all files, or the
+        stats-intersecting subset when ``prune=(column, lo, hi)``
+        states the predicate's implied range) to find the files
+        actually holding matched live rows; phase 2 touches only
+        those. The default strategy REWRITES each matched file with
+        the assignments applied (materializing any prior deletion
+        vector, pointer dropped — Delta's classic copy-on-write
+        UPDATE). ``use_deletion_vectors=True`` instead vector-deletes
+        the matched positions and lands the updated row images as NEW
+        files — zero data files rewritten, Delta's DV-backed UPDATE:
+        cost is the predicate scan plus the matched ROWS, not the
+        matched files' bytes. Rows already vector-deleted are never
+        updated (an update that acted on them would resurrect them).
+        Prior snapshots keep the pre-update rows until ``vacuum``.
+        Returns the new version — or the current one unchanged when
+        nothing matches (no commit)."""
+        if not assignments:
+            raise ValueError("update_where needs at least one assignment")
+        from pyspark.sql import types as T
+
+        for _ in range(_MAX_COMMIT_RETRIES):
+            v = self.current_version()
+            if v is None:
+                raise FileNotFoundError(f"no versions in {self.path}")
+            manifest = self.log.resolve(v)
+            files = manifest["files"]
+            if prune is not None:
+                stats = manifest.get("stats", {})
+                col, lo, hi = prune
+                files = [
+                    f
+                    for f in files
+                    if self._may_intersect(stats.get(f), col, lo, hi)
+                ]
+            if not files:
+                return v
+            schema = T.StructType.fromJson(json.loads(manifest["schema"]))
+            fields = {f.name: f.dataType for f in schema.fields}
+            unknown = sorted(set(assignments) - set(fields))
+            if unknown:
+                raise ValueError(
+                    f"update_where assigns unknown column(s) {unknown}"
+                )
+            dv_map = manifest.get("dv", {})
+            cond = F.coalesce(F.expr(condition), F.lit(False))
+            by_path = {_strip_scheme_py(f): f for f in files}
+            touched = sorted(
+                by_path[r["__vt_file"]]
+                for r in self._scan_with_identity(files, schema, dv_map)
+                .filter(cond)
+                .select("__vt_file")
+                .distinct()
+                .collect()  # driver result bounded by file count
+            )
+            if not touched:
+                return v
+            cols = [f.name for f in schema.fields]
+            try:
+                if use_deletion_vectors:
+                    matched = self._scan_with_identity(
+                        touched, schema, dv_map
+                    ).filter(cond)
+                    images = matched.select(
+                        *[
+                            (
+                                F.expr(assignments[n]).cast(fields[n])
+                                if n in assignments
+                                else F.col(n)
+                            ).alias(n)
+                            for n in cols
+                        ]
+                    )
+                    landed = self._land_files(images)
+                    positions = matched.select(
+                        F.col("__vt_file").alias("file_path"),
+                        F.col("__vt_pos").alias("row_index"),
+                    )
+                    sidecar, dv_touched = self._land_dv_sidecar(
+                        positions, touched, dv_map
+                    )
+                    return self._publish(
+                        manifest["files"] + landed,
+                        manifest["schema"],
+                        {
+                            "mode": "update_where",
+                            "predicate": condition,
+                            "strategy": "dv",
+                        },
+                        expected_base=v,
+                        dv_updates=(
+                            {f: sidecar for f in dv_touched} if sidecar else {}
+                        ),
+                    )
+                untouched = [
+                    f for f in manifest["files"] if f not in set(touched)
+                ]
+                cur = self._read_files(touched, manifest["schema"], dv_map)
+                rewritten = cur.select(
+                    *[
+                        (
+                            F.when(
+                                cond,
+                                F.expr(assignments[n]).cast(fields[n]),
+                            ).otherwise(F.col(n))
+                            if n in assignments
+                            else F.col(n)
+                        ).alias(n)
+                        for n in cols
+                    ]
+                )
+                return self._publish(
+                    untouched + self._land_files(rewritten),
+                    manifest["schema"],
+                    {"mode": "update_where", "predicate": condition},
+                    expected_base=v,
+                )
+            except ConcurrentWriteError:
+                continue  # re-match against the new head; orphans vacuum
+        raise ConcurrentWriteError(
+            f"update_where lost {_MAX_COMMIT_RETRIES} commit races on {self.path}"
+        )
+
+    def overwrite_where(
+        self, df: DataFrame, condition: str, prune: tuple | None = None
+    ) -> int:
+        """Delta's ``replaceWhere`` — an atomic SELECTIVE overwrite:
+        every live row matching ``condition`` (exactly TRUE; a NULL
+        evaluation keeps the row, the 3VL reading of the other DML) is
+        replaced by ``df``'s rows in ONE commit. The batch is validated
+        against the predicate FIRST: a batch row that does not satisfy
+        ``condition`` would silently land outside the replaced region,
+        so it is rejected (Delta's replaceWhere check). The batch must
+        carry the table schema (writer-side enforcement, the append
+        contract). Files holding no matching live row are carried
+        forward untouched; ``prune=(column, lo, hi)`` stating the
+        predicate's implied range lets provably-disjoint files skip
+        even the phase-1 predicate scan — the dynamic-partition-
+        overwrite shape: replaceWhere on a day column reads and
+        rewrites one day's files, never the year's."""
+        bad = (
+            df.filter(~F.coalesce(F.expr(condition), F.lit(False)))
+            .limit(1)
+            .count()
+        )
+        if bad:
+            raise ValueError(
+                f"overwrite_where batch carries row(s) not matching "
+                f"{condition!r} — replaceWhere requires every batch row "
+                "to satisfy the predicate"
+            )
+        from pyspark.sql import types as T
+
+        for _ in range(_MAX_COMMIT_RETRIES):
+            v = self.current_version()
+            if v is None:
+                raise FileNotFoundError(f"no versions in {self.path}")
+            manifest = self.log.resolve(v)
+            # append-contract schema enforcement (no evolution: replace
+            # is a content operation, not a schema one)
+            self._append_schema(df.schema, manifest["schema"], False)
+            schema = T.StructType.fromJson(json.loads(manifest["schema"]))
+            cols = [f.name for f in schema.fields]
+            files = manifest["files"]
+            if prune is not None:
+                stats = manifest.get("stats", {})
+                col, lo, hi = prune
+                files = [
+                    f
+                    for f in files
+                    if self._may_intersect(stats.get(f), col, lo, hi)
+                ]
+            dv_map = manifest.get("dv", {})
+            cond = F.coalesce(F.expr(condition), F.lit(False))
+            touched: list[str] = []
+            if files:
+                by_path = {_strip_scheme_py(f): f for f in files}
+                touched = sorted(
+                    by_path[r["__vt_file"]]
+                    for r in self._scan_with_identity(files, schema, dv_map)
+                    .filter(cond)
+                    .select("__vt_file")
+                    .distinct()
+                    .collect()
+                )
+            untouched = [
+                f for f in manifest["files"] if f not in set(touched)
+            ]
+            kept = self._read_files(
+                touched, manifest["schema"], dv_map
+            ).filter(~cond)
+            out = kept.unionByName(df.select(*cols))
+            try:
+                return self._publish(
+                    untouched + self._land_files(out),
+                    manifest["schema"],
+                    {"mode": "replace_where", "predicate": condition},
+                    expected_base=v,
+                )
+            except ConcurrentWriteError:
+                continue
+        raise ConcurrentWriteError(
+            f"overwrite_where lost {_MAX_COMMIT_RETRIES} commit races on "
+            f"{self.path}"
+        )
+
     def history(self) -> list[dict]:
         return [self.log.resolve(v) for v in self.versions()]
 
@@ -2079,6 +2340,59 @@ class VersionedTable:
             except ConcurrentWriteError:
                 continue
         raise ConcurrentWriteError(f"restore lost races on {self.path}")
+
+    def clone(self, dest: str, version: int | None = None) -> "VersionedTable":
+        """SHALLOW CLONE (Delta's ``CREATE TABLE ... SHALLOW CLONE``):
+        a new, INDEPENDENT versioned table at ``dest`` whose version 1
+        references this table's data files — and deletion-vector
+        sidecars — verbatim. Zero bytes of data copy; skipping stats,
+        schema, CHECK constraints and (via the carried vectors) the
+        protocol floor ride the one log write, so the cost is
+        independent of table size. ``version`` clones any retained
+        snapshot (defaults to the head) — the cheap
+        test-against-production-data / experiment-branch shape.
+
+        Divergence is real: writes to the clone land under the clone's
+        own directory and never touch the source; the clone's
+        ``vacuum`` walks only its OWN landing dirs (source files live
+        outside them), so it can never delete source data — a clone's
+        rewrite (compact/upsert/update) progressively re-homes content
+        into the clone. The one liability is Delta's own documented
+        one: the SOURCE's vacuum knows nothing about clones, so
+        vacuuming source versions whose files a clone still references
+        breaks that clone — ``clone.compact()`` first (materializes
+        every referenced byte into the clone) if the source will be
+        vacuumed."""
+        v = self.current_version() if version is None else version
+        if v is None:
+            raise FileNotFoundError(f"no versions in {self.path}")
+        manifest = self.log.resolve(v)
+        dest_real = os.path.realpath(dest)
+        if dest_real == self.path:
+            raise ValueError("clone destination is the source table itself")
+        target = VersionedTable(
+            self.spark, dest_real, stats_columns=self.stats_columns
+        )
+        if target.current_version() is not None:
+            raise FileExistsError(
+                f"{dest_real} is already a versioned table"
+            )
+        stats = manifest.get("stats", {})
+        dv = manifest.get("dv", {})
+        target.log.publish(
+            manifest["files"],
+            manifest["schema"],
+            {
+                "mode": "clone",
+                "source": self.path,
+                "source_version": v,
+                "constraints": manifest.get("constraints", {}),
+            },
+            0,
+            {f: stats[f] for f in manifest["files"] if f in stats},
+            dv_updates=dv or None,
+        )
+        return target
 
     # -- retention ------------------------------------------------------------
     def vacuum(

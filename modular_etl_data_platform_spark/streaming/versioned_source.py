@@ -211,8 +211,10 @@ class _VersionedStreamReader(DataSourceStreamReader):
             if mode in no_change_modes:
                 continue  # dataChange=false: adds never emit
             is_update = bool(rec.get("remove")) or mode == "restore"
-            if mode == "upsert" and rec.get("dv"):
-                is_update = True  # DV-backed MERGE rewrites no file
+            if mode in ("upsert", "update_where") and rec.get("dv"):
+                # DV-backed MERGE / DV-backed UPDATE rewrite no file:
+                # the only trace is the vector plus the new row images
+                is_update = True
             if is_update and not self.ignore_changes:
                 raise RuntimeError(
                     f"version {v} of {self.table} is an update commit "

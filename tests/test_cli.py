@@ -170,3 +170,38 @@ def test_cli_vt_convert(spark, capsys, tmp_path):
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["version"] == 1 and is_versioned_table(path)
     assert VersionedTable(spark, path).read().count() == 50
+
+
+def test_cli_vt_update_where_and_clone(spark, capsys, tmp_path):
+    """vt update-where: predicate UPDATE from the CLI (repeatable --set,
+    optional --use-dv strategy); vt clone: shallow clone to --dest."""
+    import json
+
+    from modular_etl_data_platform_spark.operators.versioned import VersionedTable
+
+    path = str(tmp_path / "t")
+    vt = VersionedTable(spark, path, stats_columns=["id"])
+    vt.write(spark.range(40).selectExpr("id", "id * 1.0 as p").coalesce(2))
+
+    assert main([
+        "vt", path, "update-where", "--where", "id < 10",
+        "--set", "p = p + 100",
+    ]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["new_version"] == 2
+    assert vt.read().filter("id = 3").first().p == 103.0
+    files_v2 = vt._read_manifest(2)["files"]
+    assert main([
+        "vt", path, "update-where", "--where", "id >= 30",
+        "--set", "p = 0", "--use-dv",
+    ]) == 0
+    capsys.readouterr()
+    assert set(files_v2) <= set(vt._read_manifest(3)["files"])  # no rewrite
+    assert vt.read().filter("id >= 30").agg({"p": "sum"}).first()[0] == 0.0
+
+    dest = str(tmp_path / "c")
+    assert main(["vt", path, "clone", "--dest", dest]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["version"] == 1
+    c = VersionedTable(spark, dest)
+    assert c.read().count() == 40

@@ -1186,3 +1186,39 @@ def test_versioned_stream_append_then_compact_in_one_range_loses_nothing(
     )
     with _pytest.raises(RuntimeError, match="ignore_changes"):
         r3.partitions({"version": 5}, {"version": 6})
+
+
+def test_versioned_stream_guards_update_where_and_replace_where(
+    spark, tmp_path
+):
+    """The new predicate DML classifies correctly on the log source:
+    a rewrite-mode UPDATE and a replaceWhere both remove files (update
+    commits — ignore_changes required), and a DV-backed UPDATE, which
+    removes NO file, is detected from its commit record (it would
+    otherwise pass as a plain append and silently re-emit the updated
+    rows' neighbors as new images)."""
+    import pytest as _pytest
+    from pyspark.sql import functions as _F
+
+    from modular_etl_data_platform_spark.operators.versioned import VersionedTable
+    from modular_etl_data_platform_spark.streaming.versioned_source import (
+        _VersionedStreamReader,
+    )
+
+    table = str(tmp_path / "vt")
+    vt = VersionedTable(spark, table)
+    vt.write(
+        spark.range(20).select("id", _F.lit(1.0).alias("p")).coalesce(1)
+    )                                                                  # v1
+    vt.update_where({"p": "p + 1"}, "id < 5")                          # v2 rewrite
+    vt.update_where({"p": "p + 1"}, "id >= 15", use_deletion_vectors=True)  # v3 dv
+    batch = spark.range(5, 8).select("id", _F.lit(9.0).alias("p"))
+    vt.overwrite_where(batch, "id >= 5 AND id < 8")                    # v4
+    schema = vt.read().schema
+    for v0, v1 in [(1, 2), (2, 3), (3, 4)]:
+        r = _VersionedStreamReader(table, schema, v0)
+        with _pytest.raises(RuntimeError, match="ignore_changes"):
+            r.partitions({"version": v0}, {"version": v1})
+    # opt-in drains the whole range without error
+    r = _VersionedStreamReader(table, schema, 1, ignore_changes=True)
+    assert r.partitions({"version": 1}, {"version": 4})

@@ -1186,3 +1186,195 @@ def test_delete_where_crash_before_publish_leaves_table_intact(
         f.endswith(".parquet") for _, _, fs in _os.walk(dv_root) for f in fs
     )
     assert vt.read().count() == 50
+
+
+def test_update_where_rewrite_semantics(spark, tmp_path):
+    """UPDATE ... SET (rewrite strategy): assignments evaluate against
+    the PRE-update row (a={b}, b={a} swaps), results cast back to the
+    declared column type, NULL predicate evaluations leave their rows
+    unchanged (SQL UPDATE 3VL), and only files holding matched rows are
+    rewritten — disjoint files carry forward path-identical."""
+    from pyspark.sql import functions as F
+
+    vt = VersionedTable(spark, str(tmp_path / "t"), stats_columns=["id"])
+    vt.write(
+        spark.range(100)
+        .select(F.col("id"), (F.col("id") * 2).alias("a"), F.lit(7).cast("long").alias("b"))
+        .coalesce(1),
+        mode="overwrite",
+    )
+    vt.write(
+        spark.range(100, 200)
+        .select(F.col("id"), (F.col("id") * 2).alias("a"), F.lit(7).cast("long").alias("b"))
+        .coalesce(1),
+        mode="append",
+    )
+    vt.write(
+        spark.createDataFrame([(None, 5, 5)], "id long, a long, b long"),
+        mode="append",
+    )
+    files_before = vt._read_manifest(vt.current_version())["files"]
+    v = vt.update_where({"a": "b", "b": "a"}, "id < 50")
+    m = vt._read_manifest(v)
+    # phase 1 finds matches only in the first file (id < 50): the
+    # 100-199 file and the NULL-id row's file(s) carry path-identical
+    # (a NULL id evaluates the predicate to NULL -> row kept, file
+    # never touched)
+    untouched = set(files_before) & set(m["files"])
+    assert len(set(files_before) - set(m["files"])) == 1  # one file rewritten
+    assert len(untouched) == len(files_before) - 1
+    rows = {r.id: (r.a, r.b) for r in vt.read().collect()}
+    for i in range(50):
+        assert rows[i] == (7, i * 2)  # swapped
+    for i in range(50, 200):
+        assert rows[i] == (i * 2, 7)  # untouched
+    assert rows[None] == (5, 5)  # NULL predicate -> unchanged
+    # pre-update snapshot intact
+    old = {r.id: (r.a, r.b) for r in vt.read(version=v - 1).collect()}
+    assert old[10] == (20, 7)
+    # type preserved: an expression that would widen casts back
+    v2 = vt.update_where({"b": "b * 1.9"}, "id = 60")
+    schema = dict(vt.read().dtypes)
+    assert schema["b"] == "bigint"
+    assert {r.b for r in vt.read().filter("id = 60").collect()} == {13}
+
+
+def test_update_where_dv_no_rewrite_no_resurrection(spark, tmp_path):
+    """DV-backed UPDATE: zero data files rewritten (images land as new
+    files, old positions vector-delete), already-vector-deleted rows
+    are never updated back to life, and the streaming source classifies
+    the commit as an update (ignore_changes required)."""
+    from pyspark.sql import functions as F
+
+    vt = VersionedTable(spark, str(tmp_path / "t"), stats_columns=["id"])
+    vt.write(
+        spark.range(100).select(F.col("id"), F.lit(1.0).alias("p")).coalesce(2),
+        mode="overwrite",
+    )
+    vt.delete_where("id >= 90")  # vector-deleted rows
+    files_before = vt._read_manifest(vt.current_version())["files"]
+    v = vt.update_where(
+        {"p": "p + 10"}, "id >= 80", use_deletion_vectors=True
+    )
+    m = vt._read_manifest(v)
+    assert set(files_before) <= set(m["files"])  # no rewrite
+    got = {r.id: r.p for r in vt.read().collect()}
+    assert len(got) == 90  # deleted rows NOT resurrected by the update
+    for i in range(80, 90):
+        assert got[i] == 11.0
+    assert got[5] == 1.0
+    # update commit gates an append-mode stream
+    rec_mode = m["mode"]
+    assert rec_mode == "update_where"
+    # a second DV update accumulates onto the same files
+    v2 = vt.update_where({"p": "p * 2"}, "id = 85", use_deletion_vectors=True)
+    assert vt.read().filter("id = 85").first().p == 22.0
+    assert set(files_before) <= set(vt._read_manifest(v2)["files"])
+
+
+def test_update_where_validates_and_noops(spark, tmp_path):
+    """Unknown assignment columns raise; a predicate matching nothing
+    publishes no version; constraints validate the updated rows
+    transactionally (a violating update publishes NOTHING)."""
+    from modular_etl_data_platform_spark.operators.versioned import (
+        ConstraintViolationError,
+    )
+
+    vt = VersionedTable(spark, str(tmp_path / "t"))
+    vt.write(spark.range(10).selectExpr("id", "id * 2 AS a").coalesce(1))
+    with pytest.raises(ValueError, match="unknown column"):
+        vt.update_where({"zz": "1"}, "id = 1")
+    v = vt.current_version()
+    assert vt.update_where({"a": "0"}, "id > 999") == v
+    vt.add_constraint("a_nonneg", "a >= 0")
+    with pytest.raises(ConstraintViolationError):
+        vt.update_where({"a": "-5"}, "id < 3")
+    assert vt.read().filter("a < 0").count() == 0
+    assert vt.current_version() == v + 1  # only the constraint commit
+
+
+def test_overwrite_where_replaces_atomically(spark, tmp_path):
+    """replaceWhere: matched live rows are replaced by the batch in one
+    commit, NULL predicate evaluations keep their rows, files disjoint
+    from the predicate carry forward path-identical, and a batch row
+    that does not satisfy the predicate is rejected up front."""
+    from pyspark.sql import functions as F
+
+    vt = VersionedTable(spark, str(tmp_path / "t"), stats_columns=["id"])
+    vt.write(
+        spark.range(100).select(F.col("id"), F.lit("old").alias("v")).coalesce(1),
+        mode="overwrite",
+    )
+    vt.write(
+        spark.range(100, 200)
+        .select(F.col("id"), F.lit("old").alias("v"))
+        .coalesce(1),
+        mode="append",
+    )
+    vt.write(
+        spark.createDataFrame([(None, "keepme")], "id long, v string"),
+        mode="append",
+    )
+    files_before = vt._read_manifest(vt.current_version())["files"]
+    batch = spark.range(20, 30).select(
+        F.col("id"), F.lit("new").alias("v")
+    )
+    v = vt.overwrite_where(batch, "id >= 20 AND id < 40", prune=("id", 20, 39))
+    m = vt._read_manifest(v)
+    # only the 0-99 file is rewritten; the 100-199 file and the
+    # NULL-id row's file(s) carry path-identical
+    assert len(set(files_before) - set(m["files"])) == 1
+    assert len(set(files_before) & set(m["files"])) == len(files_before) - 1
+    rows = {r.id: r.v for r in vt.read().collect()}
+    assert len(rows) == 191  # 200 - 20 replaced + 10 new + null row
+    assert all(rows[i] == "new" for i in range(20, 30))
+    assert all(i not in rows for i in range(30, 40))  # replaced away
+    assert rows[None] == "keepme"  # NULL predicate keeps
+    assert rows[50] == "old"
+    with pytest.raises(ValueError, match="not matching"):
+        vt.overwrite_where(batch, "id >= 25")
+    # schema contract: a batch missing a column is rejected
+    with pytest.raises(ValueError, match="lacks table column"):
+        vt.overwrite_where(spark.range(5).select("id"), "id < 5")
+
+
+def test_clone_is_shallow_and_divergent(spark, tmp_path):
+    """Shallow clone: v1 of the clone references the source's files
+    verbatim (zero data copy, stats + constraints + deletion vectors
+    carried through the log — read_pruned works without a footer
+    pass), writes diverge, and the clone's vacuum never deletes source
+    data."""
+    from pyspark.sql import functions as F
+
+    vt = VersionedTable(spark, str(tmp_path / "s"), stats_columns=["id"])
+    vt.write(
+        spark.range(100).select(F.col("id"), F.lit(1.0).alias("p")).coalesce(2),
+        mode="overwrite",
+    )
+    vt.add_constraint("id_nonneg", "id >= 0")
+    vt.delete_where("id % 10 = 9")
+    src_head = vt.current_version()
+    src_manifest = vt._read_manifest(src_head)
+    c = vt.clone(str(tmp_path / "c"))
+    cm = c._read_manifest(1)
+    assert cm["files"] == src_manifest["files"]  # verbatim references
+    assert cm["mode"] == "clone" and cm["source_version"] == src_head
+    assert {r.id for r in c.read().collect()} == {
+        i for i in range(100) if i % 10 != 9
+    }  # dv carried
+    assert c.constraints() == {"id_nonneg": "id >= 0"}
+    # stats carried: pruned read resolves from the clone's own log
+    assert c.read_pruned("id", 0, 10).count() > 0
+    # divergence: a clone write/update never touches the source
+    c.update_where({"p": "p + 1"}, "id < 5")
+    assert vt.read().filter("id < 5").agg(F.sum("p")).first()[0] == 5.0
+    assert c.read().filter("id < 5").agg(F.sum("p")).first()[0] == 10.0
+    # clone vacuum walks only its own landing dirs: source data intact
+    c.vacuum(keep_last=1)
+    assert vt.read().count() == 90
+    assert vt.read(version=src_head).count() == 90
+    # cloning at an old version works; cloning onto a table refuses
+    c2 = vt.clone(str(tmp_path / "c2"), version=1)
+    assert c2.read().count() == 100
+    with pytest.raises(FileExistsError):
+        vt.clone(str(tmp_path / "c"))
