@@ -1410,3 +1410,293 @@ def q146_dv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(leg("merged", vt.read()))
         .unionByName(leg("cdf_upd", updates))
     )
+
+
+@query(
+    "q149_update_where",
+    """
+    WITH base AS (
+      SELECT o_orderkey AS k, o_orderstatus AS s, o_totalprice AS p FROM orders
+    ),
+    u1 AS (
+      SELECT k, s AS s0,
+             CASE WHEN s = 'F' AND k % 7 = 0 THEN 'U' ELSE s END AS s,
+             CASE WHEN s = 'F' AND k % 7 = 0 THEN p + k ELSE p END AS p
+      FROM base
+    ),
+    u2 AS (
+      SELECT k, s0,
+             CASE WHEN k < 2000 THEN lower(s) ELSE s END AS s, p
+      FROM u1
+    ),
+    chg AS (
+      SELECT * FROM u2
+      WHERE (s0 = 'F' AND k % 7 = 0) OR k < 2000
+    )
+    SELECT 'pre' AS snapshot, COUNT(*) AS n_rows,
+           CAST(SUM(k) AS BIGINT) AS key_sum,
+           CAST(SUM(CAST(p AS DECIMAL(18,6))) AS DOUBLE) AS sum_price,
+           CAST(SUM(ascii(s)) AS BIGINT) AS status_sum
+    FROM base
+    UNION ALL
+    SELECT 'live', COUNT(*), CAST(SUM(k) AS BIGINT),
+           CAST(SUM(CAST(p AS DECIMAL(18,6))) AS DOUBLE),
+           CAST(SUM(ascii(s)) AS BIGINT)
+    FROM u2
+    UNION ALL
+    SELECT 'cdf_upd', COUNT(*), CAST(SUM(k) AS BIGINT),
+           CAST(SUM(CAST(p AS DECIMAL(18,6))) AS DOUBLE),
+           CAST(SUM(ascii(s)) AS BIGINT)
+    FROM chg
+    """,
+)
+def q149_update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate UPDATE, both strategies
+    (operators/versioned.py::update_where — Delta's UPDATE DML): orders
+    land as four range-split files; update 1 (REWRITE strategy) hits an
+    arbitrary status+modular predicate, and its assignment reads
+    another column of the PRE-update row (p = p + k) — mis-ordered
+    assignment evaluation changes the hash; update 2 (DELETION-VECTOR
+    strategy, prune-hinted) lowercases the status of a key range
+    WITHOUT rewriting a single file — the query asserts update 1
+    rewrote exactly the matched file and update 2 rewrote nothing
+    while recording a vector. Three legs oracle-replayed: the
+    pre-update snapshot (time travel), the live state (both updates
+    composed in commit order), and the row-level change feed, which
+    must carry the FINAL image of every condition-matched row."""
+    from modular_etl_data_platform_spark.operators.versioned import VersionedTable
+
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("s"),
+        F.col("o_totalprice").alias("p"),
+    )
+    scratch = _scratch("q149_update_where", sf_dir)
+    vt = VersionedTable(spark, os.path.join(scratch, "orders_v"), stats_columns=["k"])
+    splits = [0, 5_000, 50_000, 500_000, 10**12]
+    for i in range(len(splits) - 1):
+        part = orders.filter(
+            (F.col("k") >= splits[i]) & (F.col("k") < splits[i + 1])
+        ).coalesce(1)
+        vt.write(part, mode="append" if i else "overwrite")
+    v_loaded = vt.current_version()
+    files_loaded = vt._read_manifest(v_loaded)["files"]
+    v1 = vt.update_where({"p": "p + k", "s": "'U'"}, "s = 'F' AND k % 7 = 0")
+    files_v1 = vt._read_manifest(v1)["files"]
+    if not set(files_loaded) - set(files_v1):
+        raise AssertionError("rewrite-strategy UPDATE rewrote no file")
+    v2 = vt.update_where(
+        {"s": "lower(s)"},
+        "k < 2000",
+        prune=("k", None, 1999),
+        use_deletion_vectors=True,
+    )
+    m2 = vt._read_manifest(v2)
+    if not set(files_v1) <= set(m2["files"]):
+        raise AssertionError("DV-strategy UPDATE rewrote a data file")
+    if not m2.get("dv"):
+        raise AssertionError("DV-strategy UPDATE recorded no vector")
+
+    def leg(label: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(label).alias("snapshot"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("k").cast("long").alias("key_sum"),
+            dsum(F.col("p"), "sum_price"),
+            F.sum(F.ascii("s")).cast("long").alias("status_sum"),
+        )
+
+    changes = vt.table_changes(v_loaded, primary_keys=["k"]).filter(
+        F.col("_change_type") == "update_postimage"
+    )
+    return _pin(
+        leg("pre", vt.read(version=v_loaded))
+        .unionByName(leg("live", vt.read()))
+        .unionByName(leg("cdf_upd", changes))
+    )
+
+
+@query(
+    "q150_replace_where",
+    """
+    WITH base AS (
+      SELECT o_orderkey AS k, o_orderstatus AS s, o_totalprice AS p FROM orders
+    ),
+    batch AS (
+      SELECT x AS k, 'R' AS s, CAST(x AS DOUBLE) / 100 AS p
+      FROM range(1000, 3000) t(x)
+    ),
+    post AS (
+      SELECT * FROM batch
+      UNION ALL
+      SELECT k, s, p FROM base WHERE NOT COALESCE(k >= 1000 AND k < 3000, FALSE)
+    )
+    SELECT 'pre' AS snapshot, COUNT(*) AS n_rows,
+           CAST(SUM(k) AS BIGINT) AS key_sum,
+           CAST(SUM(CAST(p AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+    FROM base
+    UNION ALL
+    SELECT 'post', COUNT(*), CAST(SUM(k) AS BIGINT),
+           CAST(SUM(CAST(p AS DECIMAL(18,6))) AS DOUBLE)
+    FROM post
+    UNION ALL
+    SELECT 'cdf_ins', COUNT(*), CAST(SUM(k) AS BIGINT),
+           CAST(SUM(CAST(p AS DECIMAL(18,6))) AS DOUBLE)
+    FROM batch WHERE k NOT IN (SELECT k FROM base)
+    UNION ALL
+    SELECT 'cdf_upd', COUNT(*), CAST(SUM(k) AS BIGINT),
+           CAST(SUM(CAST(p AS DECIMAL(18,6))) AS DOUBLE)
+    FROM batch WHERE k IN (SELECT k FROM base)
+    """,
+)
+def q150_replace_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """replaceWhere (operators/versioned.py::overwrite_where — Delta's
+    selective overwrite): orders land as four range-split files, then
+    every live row in [1000, 3000) is atomically replaced by a
+    synthetic batch. The prune hint restricts even the phase-1
+    predicate scan to the one stats-intersecting file; the query
+    asserts exactly that file was rewritten and every other carried
+    path-identical. Four legs oracle-replayed: the pre-replace
+    snapshot, the post state (any leaked old row, lost batch row, or
+    touched outside-range row changes the hash), and the change feed
+    split into inserts (batch keys new to the table) and updates
+    (batch keys that replaced an existing order)."""
+    from modular_etl_data_platform_spark.operators.versioned import VersionedTable
+
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("s"),
+        F.col("o_totalprice").alias("p"),
+    )
+    scratch = _scratch("q150_replace_where", sf_dir)
+    vt = VersionedTable(spark, os.path.join(scratch, "orders_v"), stats_columns=["k"])
+    splits = [0, 5_000, 50_000, 500_000, 10**12]
+    for i in range(len(splits) - 1):
+        part = orders.filter(
+            (F.col("k") >= splits[i]) & (F.col("k") < splits[i + 1])
+        ).coalesce(1)
+        vt.write(part, mode="append" if i else "overwrite")
+    v_loaded = vt.current_version()
+    files_loaded = vt._read_manifest(v_loaded)["files"]
+    batch = spark.range(1000, 3000).select(
+        F.col("id").alias("k"),
+        F.lit("R").alias("s"),
+        (F.col("id").cast("double") / 100).alias("p"),
+    )
+    v = vt.overwrite_where(
+        batch, "k >= 1000 AND k < 3000", prune=("k", 1000, 2999)
+    )
+    m = vt._read_manifest(v)
+    removed = set(files_loaded) - set(m["files"])
+    if len(removed) != 1:
+        raise AssertionError(
+            f"replaceWhere should rewrite exactly the one intersecting "
+            f"file, rewrote {len(removed)}"
+        )
+
+    def leg(label: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(label).alias("snapshot"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("k").cast("long").alias("key_sum"),
+            dsum(F.col("p"), "sum_price"),
+        )
+
+    cdf = vt.table_changes(v_loaded, primary_keys=["k"])
+    return _pin(
+        leg("pre", vt.read(version=v_loaded))
+        .unionByName(leg("post", vt.read()))
+        .unionByName(
+            leg("cdf_ins", cdf.filter(F.col("_change_type") == "insert"))
+        )
+        .unionByName(
+            leg(
+                "cdf_upd",
+                cdf.filter(F.col("_change_type") == "update_postimage"),
+            )
+        )
+    )
+
+
+@query(
+    "q151_shallow_clone",
+    """
+    WITH base AS (
+      SELECT o_orderkey AS k, o_orderstatus AS s, o_totalprice AS p FROM orders
+    ),
+    src_after_dv AS (
+      SELECT * FROM base WHERE NOT COALESCE(k % 10 = 7, FALSE)
+    ),
+    clone_live AS (
+      SELECT k, s, CASE WHEN k < 5000 THEN p + 1000 ELSE p END AS p
+      FROM src_after_dv
+    ),
+    src_live AS (
+      SELECT * FROM src_after_dv WHERE NOT COALESCE(k % 10 = 3, FALSE)
+    )
+    SELECT 'clone_v1' AS snapshot, COUNT(*) AS n_rows,
+           CAST(SUM(k) AS BIGINT) AS key_sum,
+           CAST(SUM(CAST(p AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+    FROM src_after_dv
+    UNION ALL
+    SELECT 'clone_live', COUNT(*), CAST(SUM(k) AS BIGINT),
+           CAST(SUM(CAST(p AS DECIMAL(18,6))) AS DOUBLE)
+    FROM clone_live
+    UNION ALL
+    SELECT 'src_live', COUNT(*), CAST(SUM(k) AS BIGINT),
+           CAST(SUM(CAST(p AS DECIMAL(18,6))) AS DOUBLE)
+    FROM src_live
+    """,
+)
+def q151_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shallow clone (operators/versioned.py::clone — Delta's SHALLOW
+    CLONE): orders land in a source table, a deletion-vector delete
+    runs (so the clone must carry the vector, not just the files), then
+    the table is cloned — the query asserts the clone's v1 references
+    the source's files VERBATIM (zero data copied). Both sides then
+    diverge: the clone updates a key range (rewrite — re-homing content
+    into the clone), the source deletes a different residue class.
+    Three legs oracle-replayed: the clone's v1 (must equal the source
+    at clone time INCLUDING the carried vector), the clone's live state
+    (update applied, source's later delete invisible), and the source's
+    live state (clone's update invisible) — any cross-contamination
+    between the two tables changes a hash."""
+    from modular_etl_data_platform_spark.operators.versioned import VersionedTable
+
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("s"),
+        F.col("o_totalprice").alias("p"),
+    )
+    scratch = _scratch("q151_shallow_clone", sf_dir)
+    vt = VersionedTable(spark, os.path.join(scratch, "src"), stats_columns=["k"])
+    splits = [0, 50_000, 10**12]
+    for i in range(len(splits) - 1):
+        part = orders.filter(
+            (F.col("k") >= splits[i]) & (F.col("k") < splits[i + 1])
+        ).coalesce(1)
+        vt.write(part, mode="append" if i else "overwrite")
+    vt.delete_where("k % 10 = 7")
+    src_head = vt.current_version()
+    src_files = vt._read_manifest(src_head)["files"]
+    clone = vt.clone(os.path.join(scratch, "clone"))
+    if clone._read_manifest(1)["files"] != src_files:
+        raise AssertionError("clone v1 does not reference source files verbatim")
+    clone.update_where({"p": "p + 1000"}, "k < 5000")
+    vt.delete_where("k % 10 = 3")
+    if vt.current_version() != src_head + 1:
+        raise AssertionError("clone operations leaked commits into the source")
+
+    def leg(label: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(label).alias("snapshot"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("k").cast("long").alias("key_sum"),
+            dsum(F.col("p"), "sum_price"),
+        )
+
+    return _pin(
+        leg("clone_v1", clone.read(version=1))
+        .unionByName(leg("clone_live", clone.read()))
+        .unionByName(leg("src_live", vt.read()))
+    )
