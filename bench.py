@@ -87,6 +87,12 @@ HEADLINE = [
     # DSIR: full-corpus hashed-ngram featurization (linear by design;
     # a regression here means the explode/groupBy path fattened)
     "q148_dsir_selection",
+    # round-8 DML surface: predicate UPDATE both strategies (phase-1
+    # predicate-column scan + rewrite vs DV sidecar + image landing)
+    # and replaceWhere (one-file rewrite under the prune hint) — the
+    # write-amplification contracts these exist for are what's timed
+    "q149_update_where",
+    "q150_replace_where",
 ]
 
 

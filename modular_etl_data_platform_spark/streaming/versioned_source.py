@@ -226,6 +226,10 @@ class _VersionedStreamReader(DataSourceStreamReader):
             if (
                 rec.get("dv")
                 and not is_update
+                # a clone's v1 carries the SOURCE's vectors, but it is an
+                # initial snapshot: no row was ever emitted, so there is
+                # no delete to miss — the range-end vector masks them
+                and mode != "clone"
                 and not (self.ignore_deletes or self.ignore_changes)
             ):
                 raise RuntimeError(

@@ -1222,3 +1222,15 @@ def test_versioned_stream_guards_update_where_and_replace_where(
     # opt-in drains the whole range without error
     r = _VersionedStreamReader(table, schema, 1, ignore_changes=True)
     assert r.partitions({"version": 1}, {"version": 4})
+    # a fresh CLONE's v1 carries the source's vectors, but it is an
+    # initial snapshot — streaming it needs no ignore_* flag, and the
+    # range-end vector masks the deleted positions
+    vt.delete_where("id = 0")                                          # v5: dv
+    clone_path = str(tmp_path / "clone")
+    clone = vt.clone(clone_path)
+    rc = _VersionedStreamReader(clone_path, schema, 0)
+    parts = rc.partitions({"version": 0}, {"version": 1})
+    import pyarrow as pa
+
+    got = pa.Table.from_batches([b for p in parts for b in rc.read(p)])
+    assert 0 not in set(got.column("id").to_pylist())  # vector applied

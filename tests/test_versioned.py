@@ -518,6 +518,8 @@ _OPS = st.lists(
         st.tuples(st.just("compact"), st.just(None)),
         st.tuples(st.just("restore_first"), st.just(None)),
         st.tuples(st.just("delete_mod3"), st.just(None)),
+        st.tuples(st.just("update_mod2"), st.booleans()),  # payload: use_dv
+        st.tuples(st.just("replace_band"), st.sets(st.integers(3, 6), min_size=1)),
     ),
     min_size=1,
     max_size=5,
@@ -601,6 +603,27 @@ def test_versioned_random_op_sequences_match_model(
             if after == before:
                 # nothing matched: no commit published, no new snapshot
                 continue
+        elif op == "update_mod2":
+            if not snapshots:
+                return
+            before = vt.current_version()
+            after = vt.update_where(
+                {"v": "concat(v, '!')"},
+                "id % 2 = 0",
+                use_deletion_vectors=bool(keys),
+            )
+            model = {
+                k: (val + "!" if k % 2 == 0 else val)
+                for k, val in model.items()
+            }
+            if after == before:
+                continue  # nothing matched
+        elif op == "replace_band":
+            if not snapshots:
+                return
+            vt.overwrite_where(frame(keys, tag), "id >= 3 AND id < 7")
+            model = {k: val for k, val in model.items() if not 3 <= k < 7}
+            model.update({k: f"{tag}{k}" for k in keys})
         snapshots.append(dict(model))
 
     assert len(vt.versions()) == len(snapshots)
