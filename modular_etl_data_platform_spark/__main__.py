@@ -126,7 +126,7 @@ def main(argv: list[str] | None = None) -> int:
         choices=[
             "history", "read", "restore", "compact", "compact-where",
             "delete-where", "update-where", "vacuum", "export-delta",
-            "convert", "clone",
+            "convert", "clone", "rename-column", "drop-column",
         ],
     )
     vt.add_argument(
@@ -164,6 +164,11 @@ def main(argv: list[str] | None = None) -> int:
         "--use-dv",
         action="store_true",
         help="for update-where: deletion-vector strategy (no file rewrites)",
+    )
+    vt.add_argument("--old", default=None, help="for rename-column")
+    vt.add_argument("--new", default=None, help="for rename-column")
+    vt.add_argument(
+        "--drop", default=None, help="for drop-column: the column name"
     )
     vt.add_argument(
         "--as-of-timestamp",
@@ -430,6 +435,16 @@ def main(argv: list[str] | None = None) -> int:
                 prune=prune,
                 use_deletion_vectors=args.use_dv,
             )
+            print(json.dumps({"new_version": v}))
+        elif args.action == "rename-column":
+            if not args.old or not args.new:
+                raise SystemExit("rename-column requires --old and --new")
+            v = table.rename_column(args.old, args.new)
+            print(json.dumps({"new_version": v}))
+        elif args.action == "drop-column":
+            if not args.drop:
+                raise SystemExit("drop-column requires --drop <column>")
+            v = table.drop_column(args.drop)
             print(json.dumps({"new_version": v}))
         elif args.action == "clone":
             if not args.dest:

@@ -65,6 +65,16 @@ def export_delta_snapshot(
             "run compact()/compact_where() to materialize them before "
             "exporting (protocol-1/2 Delta cannot express DVs)"
         )
+    if state.get("column_mapping"):
+        # the files carry PHYSICAL column names; a protocol-1/2 Delta
+        # log (no columnMapping metadata) would read them as missing
+        # columns — rewrite to identity naming first
+        raise ValueError(
+            f"snapshot v{v} of {table.path} uses column mapping "
+            "(renamed/dropped columns); this export targets protocol-1/2 "
+            "Delta, which cannot express it — export a pre-mapping "
+            "version, or copy out via read().write.parquet(...)"
+        )
     if os.path.isdir(dest) and os.listdir(dest):
         raise FileExistsError(f"export destination {dest} is not empty")
     log_dir = os.path.join(dest, "_delta_log")

@@ -96,8 +96,9 @@ _DV_DIR = "_dv"
 #: that introduces a feature records the protocol floor it requires;
 #: older engines fail LOUDLY at snapshot load instead of silently
 #: resurrecting deleted rows.
-_SUPPORTED_READER = 2
-_SUPPORTED_WRITER = 2
+#: protocol 2 = deletion vectors; 3 = column mapping (rename/drop)
+_SUPPORTED_READER = 3
+_SUPPORTED_WRITER = 3
 #: stats-dict marker for a zero-row file (intersects no predicate)
 _EMPTY_MARK = "__empty__"
 #: stats-dict marker for a file's row count (Delta's add.stats
@@ -125,6 +126,31 @@ def _commit_name(version: int) -> str:
 
 def _checkpoint_name(version: int) -> str:
     return f"v{version:08d}.checkpoint.json"
+
+
+def _extend_mapping(
+    mapping: dict[str, str], retired: list[str], names: list[str]
+) -> dict[str, str]:
+    """Deterministically extend a column mapping with entries for the
+    logical ``names`` it lacks: physical = logical unless that name is
+    already a live or retired physical, else the first free
+    ``name_rN``. DETERMINISM is load-bearing — the landing write
+    (which names the parquet columns) and the commit publish (which
+    records the mapping) compute this independently from the same base
+    state and must agree, or a re-added column would silently
+    null-fill."""
+    taken = set(mapping.values()) | set(retired)
+    out = dict(mapping)
+    for name in names:
+        if name in out:
+            continue
+        phys, i = name, 0
+        while phys in taken:
+            i += 1
+            phys = f"{name}_r{i}"
+        out[name] = phys
+        taken.add(phys)
+    return out
 
 
 class ConcurrentWriteError(RuntimeError):
@@ -523,6 +549,40 @@ class CommitLog:
         constraints = meta.pop("constraints", None)
         if constraints is None:
             constraints = prior.get("constraints", {})
+        # column mapping (Delta's columnMapping feature): logical name ->
+        # physical (parquet) name, carried through every commit like
+        # constraints; ``retired_physical`` tombstones physical names a
+        # DROP abandoned, so a re-added logical column can never read a
+        # dead column's bytes back to life. A commit that INTRODUCES the
+        # mapping bumps the protocol floor to 3 (a mapping-unaware
+        # engine would silently null-fill every renamed column).
+        mapping = meta.pop("column_mapping", None)
+        introduces_mapping = bool(mapping) and not prior.get(
+            "column_mapping"
+        )
+        if mapping is None:
+            mapping = prior.get("column_mapping")
+        retired = meta.pop(
+            "retired_physical", prior.get("retired_physical", [])
+        )
+        if mapping is not None:
+            # every current schema field needs an entry: widening commits
+            # (evolve_schema, overwrite with new columns) extend it here,
+            # fresh physical names avoid every live AND retired physical
+            from pyspark.sql import types as _T
+
+            fields = [
+                f.name
+                for f in _T.StructType.fromJson(json.loads(schema_json)).fields
+            ]
+            mapping = _extend_mapping(mapping, retired, fields)
+            # logicals absent from the published schema (overwrite with a
+            # narrower schema) leave the mapping; their physicals retire
+            # (strictly safer: no future widen can ever reuse the name)
+            gone = [p for n, p in mapping.items() if n not in set(fields)]
+            if gone:
+                retired = sorted(set(retired) | set(gone))
+            mapping = {n: p for n, p in mapping.items() if n in set(fields)}
         # like constraints, application transaction versions (Delta's
         # txnAppId/txnVersion idempotent-write contract) are TABLE state
         # carried through every commit: a writer that recorded
@@ -548,8 +608,13 @@ class CommitLog:
             # the protocol floor so a pre-DV engine fails loudly instead
             # of resurrecting the deleted rows (Delta's protocol action)
             rec_proto = {"min_reader": 2, "min_writer": 2}
-            for pk, pv in rec_proto.items():
-                proto[pk] = max(proto.get(pk, 1), pv)
+        if introduces_mapping:
+            rec_proto = {
+                "min_reader": max(rec_proto.get("min_reader", 1), 3),
+                "min_writer": max(rec_proto.get("min_writer", 1), 3),
+            }
+        for pk, pv in rec_proto.items():
+            proto[pk] = max(proto.get(pk, 1), pv)
         sizes: dict[str, int] = {}
         for f in add:
             # file size rides the log (Delta's add.size): consumers like
@@ -589,6 +654,8 @@ class CommitLog:
             "stats": {f: fresh_stats[f] for f in add if f in fresh_stats},
             "sizes": sizes,
             "constraints": constraints,
+            **({"column_mapping": mapping} if mapping is not None else {}),
+            **({"retired_physical": retired} if retired else {}),
             **({"dv": dv_updates} if dv_updates else {}),
             **({"protocol": rec_proto} if rec_proto else {}),
             **({"txn": txn} if txn else {}),
@@ -614,6 +681,8 @@ class CommitLog:
             "metrics": metrics,
             "schema": schema_json,
             "constraints": constraints,
+            **({"column_mapping": mapping} if mapping is not None else {}),
+            **({"retired_physical": retired} if retired else {}),
             "dv": dv,
             **({"protocol": proto} if proto else {}),
             **({"txn": txn} if txn else {}),
@@ -900,11 +969,161 @@ class VersionedTable:
             else (self.current_version() or 0)
         )
         prior_files: set[str] = set()
+        mapping = (meta or {}).get("column_mapping")
         if base:
-            prior_files = set(self.log.resolve(base)["files"])
-        fresh = self._file_stats([f for f in files if f not in prior_files])
+            prior = self.log.resolve(base)
+            prior_files = set(prior["files"])
+            if mapping is None:
+                mapping = prior.get("column_mapping")
+        # footer stats are keyed by PHYSICAL column name (that is what
+        # the parquet footer carries); stats_columns are logical. A
+        # widened stats column not yet in the mapping defaults to its
+        # own name — the non-collision extension rule; a collision there
+        # just records no stats for it (conservative, never wrong).
+        stat_cols = (
+            [mapping.get(c, c) for c in self.stats_columns]
+            if mapping
+            else self.stats_columns
+        )
+        fresh = collect_file_stats(
+            [f for f in files if f not in prior_files], stat_cols
+        )
         return self.log.publish(
             files, schema_json, meta, base, fresh, dv_updates=dv_updates
+        )
+
+    # -- column mapping --------------------------------------------------------
+    def column_mapping(self) -> dict[str, str]:
+        """Active logical -> physical column mapping (Delta's
+        columnMapping): empty for tables that never renamed/dropped —
+        every translation below is then the identity and costs nothing."""
+        v = self.current_version()
+        if v is None:
+            return {}
+        return dict(self.log.resolve(v).get("column_mapping") or {})
+
+    @staticmethod
+    def _phys(manifest: dict, col: str) -> str:
+        """The physical (parquet) name of logical ``col`` under the
+        manifest's mapping — stats entries and footer columns are keyed
+        physical, the API surface is logical."""
+        m = manifest.get("column_mapping")
+        return m.get(col, col) if m else col
+
+    @staticmethod
+    def _phys_schema(schema, mapping: dict[str, str] | None):
+        """``schema`` with every field renamed to its physical name
+        (types/nullability preserved). Identity when no mapping."""
+        if not mapping:
+            return schema
+        from pyspark.sql import types as T
+
+        return T.StructType(
+            [
+                T.StructField(
+                    mapping.get(f.name, f.name), f.dataType, f.nullable
+                )
+                for f in schema.fields
+            ]
+        )
+
+    def rename_column(self, old: str, new: str) -> int:
+        """ALTER TABLE RENAME COLUMN — METADATA-ONLY (Delta's column
+        mapping): no data file is touched; the new logical name maps to
+        the column's unchanged physical name, so every existing file —
+        and its recorded stats — keeps serving reads, time travel to
+        pre-rename versions answers under the old name, and the commit
+        bumps the protocol floor to 3 (a mapping-unaware engine would
+        silently null-fill the renamed column rather than mis-read it).
+        Refused while a CHECK constraint references the column (drop or
+        re-create the constraint first — Delta's dependency rule)."""
+        import re as _re
+
+        v = self.current_version()
+        if v is None:
+            raise FileNotFoundError(f"no versions in {self.path}")
+        m = self.log.resolve(v)
+        from pyspark.sql import types as T
+
+        schema = T.StructType.fromJson(json.loads(m["schema"]))
+        names = [f.name for f in schema.fields]
+        if old not in names:
+            raise ValueError(f"no such column {old!r}")
+        if new in names:
+            raise ValueError(f"column {new!r} already exists")
+        for cname, expr in m.get("constraints", {}).items():
+            if _re.search(rf"\b{_re.escape(old)}\b", expr):
+                raise ValueError(
+                    f"constraint {cname!r} references {old!r}; drop it "
+                    "before renaming (re-create it against the new name)"
+                )
+        mapping = dict(m.get("column_mapping") or {n: n for n in names})
+        mapping[new] = mapping.pop(old)
+        renamed = T.StructType(
+            [
+                T.StructField(
+                    new if f.name == old else f.name, f.dataType, f.nullable
+                )
+                for f in schema.fields
+            ]
+        )
+        return self._publish(
+            m["files"],
+            renamed.json(),
+            {
+                "mode": "rename_column",
+                "renamed": {"from": old, "to": new},
+                "column_mapping": mapping,
+            },
+            expected_base=v,
+        )
+
+    def drop_column(self, name: str) -> int:
+        """ALTER TABLE DROP COLUMN — METADATA-ONLY: the column leaves
+        the logical schema, its physical name is TOMBSTONED
+        (``retired_physical``), and the bytes stay in the files until a
+        rewrite materializes the narrower schema. A later re-add of the
+        same logical name therefore gets a FRESH physical name and
+        null-fills — the dead column's values can never resurface
+        (exactly why Delta gates DROP COLUMN behind column mapping).
+        Refused while a CHECK constraint references the column."""
+        import re as _re
+
+        v = self.current_version()
+        if v is None:
+            raise FileNotFoundError(f"no versions in {self.path}")
+        m = self.log.resolve(v)
+        from pyspark.sql import types as T
+
+        schema = T.StructType.fromJson(json.loads(m["schema"]))
+        names = [f.name for f in schema.fields]
+        if name not in names:
+            raise ValueError(f"no such column {name!r}")
+        if len(names) == 1:
+            raise ValueError("cannot drop the only column")
+        for cname, expr in m.get("constraints", {}).items():
+            if _re.search(rf"\b{_re.escape(name)}\b", expr):
+                raise ValueError(
+                    f"constraint {cname!r} references {name!r}; drop it "
+                    "before dropping the column"
+                )
+        mapping = dict(m.get("column_mapping") or {n: n for n in names})
+        retired = sorted(
+            set(m.get("retired_physical", [])) | {mapping.pop(name)}
+        )
+        narrowed = T.StructType(
+            [f for f in schema.fields if f.name != name]
+        )
+        return self._publish(
+            m["files"],
+            narrowed.json(),
+            {
+                "mode": "drop_column",
+                "dropped": name,
+                "column_mapping": mapping,
+                "retired_physical": retired,
+            },
+            expected_base=v,
         )
 
     # -- constraints -----------------------------------------------------------
@@ -974,7 +1193,9 @@ class VersionedTable:
         transactional half of Delta's constraint contract. A row
         violates only when the expression evaluates exactly FALSE
         (NULL passes — SQL CHECK semantics)."""
-        cons = self.constraints()
+        v = self.current_version()
+        head = self.log.resolve(v) if v is not None else {}
+        cons = head.get("constraints", {})
         obs = None
         if cons:
             from pyspark.sql import Observation
@@ -987,6 +1208,19 @@ class VersionedTable:
                 for n, e in cons.items()
             ]
             df = df.observe(obs, *aggs)
+        # under an active column mapping, files carry PHYSICAL names:
+        # rename after the (logical) constraint observation
+        mapping = head.get("column_mapping")
+        if mapping:
+            # extend deterministically for batch columns the mapping
+            # lacks (widening commits) — publish() re-derives the SAME
+            # extension from the same base, so file and record agree
+            mapping = _extend_mapping(
+                mapping, head.get("retired_physical", []), list(df.columns)
+            )
+            df = df.select(
+                *[F.col(c).alias(mapping[c]) for c in df.columns]
+            )
         sub = os.path.join(self.path, _DATA_DIR, uuid.uuid4().hex)
         df.write.parquet(sub)
         if obs is not None:
@@ -1009,14 +1243,21 @@ class VersionedTable:
         return collect_file_stats(files, self.stats_columns)
 
     def _validate_landed(
-        self, files: list[str], schema_json: str, constraints: dict[str, str]
+        self,
+        files: list[str],
+        schema_json: str,
+        constraints: dict[str, str],
+        mapping: dict[str, str] | None = None,
     ) -> None:
         """One aggregate scan of already-landed files against
         ``constraints`` (NULL passes — SQL CHECK 3VL); raises
-        :class:`ConstraintViolationError` before anything publishes."""
+        :class:`ConstraintViolationError` before anything publishes.
+        ``mapping`` must be the mapping the files were LANDED under
+        (physical column names), or the logical constraint expressions
+        would evaluate over null-filled ghosts."""
         if not constraints or not files:
             return
-        batch = self._read_files(files, schema_json)
+        batch = self._read_files(files, schema_json, mapping=mapping)
         aggs = [
             F.sum((~F.coalesce(F.expr(e), F.lit(True))).cast("long")).alias(n)
             for n, e in constraints.items()
@@ -1137,6 +1378,7 @@ class VersionedTable:
         if mode not in ("overwrite", "append"):
             raise ValueError(f"unsupported mode {mode!r}")
         checked_cons = self.constraints()  # enforced by the landing write
+        used_mapping = self.column_mapping()
         landed = self._land_files(df)
         for _ in range(_MAX_COMMIT_RETRIES):
             base = self.current_version() or 0
@@ -1148,16 +1390,28 @@ class VersionedTable:
                 schema_json = self._append_schema(
                     df.schema, prior["schema"], evolve_schema
                 )
-            # a rebase may land on a head whose constraints CHANGED
-            # since this batch was validated (ADD CONSTRAINT raced the
-            # commit) — revalidate the already-landed files against the
-            # new set before attaching them (Delta's metadata-conflict
-            # re-check). Other write paths re-land per retry, which
-            # re-validates implicitly; only this single-land path needs
-            # the explicit pass.
+            # a rebase may land on a head whose metadata CHANGED since
+            # this batch landed: new constraints revalidate the landed
+            # files (Delta's metadata-conflict re-check); a changed
+            # COLUMN MAPPING re-lands them outright — the files carry
+            # the old physical names, and the record the rebase would
+            # publish must agree with the bytes. Other write paths
+            # re-land per retry, which covers both implicitly.
+            cur_map = (prior or {}).get("column_mapping") or {}
+            if cur_map != used_mapping:
+                landed = self._land_files(df)
+                used_mapping = cur_map
+                files = (
+                    list(prior["files"]) + list(landed)
+                    if mode == "append" and prior is not None
+                    else list(landed)
+                )
             cur_cons = (prior or {}).get("constraints", {})
             if cur_cons != checked_cons:
-                self._validate_landed(landed, df.schema.json(), cur_cons)
+                self._validate_landed(
+                    landed, df.schema.json(), cur_cons,
+                    mapping=used_mapping or None,
+                )
                 checked_cons = cur_cons
             try:
                 return self._publish(
@@ -1243,10 +1497,11 @@ class VersionedTable:
                 ).first()  # 2-scalar driver read, same budget as a watermark probe
                 lo, hi = row["lo"], row["hi"]
                 if lo is not None:
+                    phys_col = self._phys(manifest, prune_col)
                     touched = [
                         f
                         for f in manifest["files"]
-                        if self._may_intersect(stats.get(f), prune_col, lo, hi)
+                        if self._may_intersect(stats.get(f), phys_col, lo, hi)
                     ]
                     untouched = [
                         f for f in manifest["files"] if f not in set(touched)
@@ -1264,7 +1519,10 @@ class VersionedTable:
             # (extra batch columns are dropped/raise exactly as a full
             # merge would), instead of the batch schema silently winning
             current = self._read_files(
-                touched, manifest["schema"], manifest.get("dv")
+                touched,
+                manifest["schema"],
+                manifest.get("dv"),
+                manifest.get("column_mapping"),
             )
             merged = merge_dataframes(current, batch, primary_keys, evolve_schema)
             try:
@@ -1314,14 +1572,13 @@ class VersionedTable:
             schema = T.StructType.fromJson(json.loads(manifest["schema"]))
             keys = batch.select(*primary_keys).dropDuplicates()
             matches = (
-                self.spark.read.schema(schema)
-                .parquet(*touched)
+                self._scan_with_identity(
+                    touched, schema, None, manifest.get("column_mapping")
+                )
                 .select(
                     *primary_keys,
-                    _strip_scheme(F.col("_metadata.file_path")).alias(
-                        "file_path"
-                    ),
-                    F.col("_metadata.row_index").alias("row_index"),
+                    F.col("__vt_file").alias("file_path"),
+                    F.col("__vt_pos").alias("row_index"),
                 )
                 .join(keys, primary_keys, "left_semi")
                 .select("file_path", "row_index")
@@ -1345,6 +1602,7 @@ class VersionedTable:
         files: list[str],
         schema_json: str,
         dv: dict[str, str] | None = None,
+        mapping: dict[str, str] | None = None,
     ) -> DataFrame:
         """Read ``files`` pinned to the COMMIT's schema (not whatever
         schema the first footer happens to carry): after a
@@ -1357,21 +1615,38 @@ class VersionedTable:
         sidecar); files with a DV are read merge-on-read — an anti-join
         on (file, row position) against the sidecar rows removes the
         vector-deleted rows. Files without a DV take the plain scan
-        path untouched (zero overhead for tables that never delete)."""
+        path untouched (zero overhead for tables that never delete).
+
+        ``mapping`` is the commit's column mapping: files are scanned
+        under their PHYSICAL names and aliased back to the logical
+        schema, so renamed columns keep serving from unchanged files
+        (identity — and zero-cost — when no mapping is active)."""
         from pyspark.sql import types as T
 
         schema = T.StructType.fromJson(json.loads(schema_json))
         if not files:
             return self.spark.createDataFrame([], schema)
+        phys = self._phys_schema(schema, mapping)
         dv = {f: p for f, p in (dv or {}).items() if f in set(files)}
-        if not dv:
-            return self.spark.read.schema(schema).parquet(*files)
-        clean = [f for f in files if f not in dv]
-        live = self._apply_dv(sorted(dv), schema, dv)
-        if clean:
-            live = self.spark.read.schema(schema).parquet(*clean).unionByName(
-                live
+
+        def unmap(df: DataFrame) -> DataFrame:
+            if not mapping:
+                return df
+            return df.select(
+                *[
+                    F.col(p.name).alias(l.name)
+                    for p, l in zip(phys.fields, schema.fields)
+                ]
             )
+
+        if not dv:
+            return unmap(self.spark.read.schema(phys).parquet(*files))
+        clean = [f for f in files if f not in dv]
+        live = unmap(self._apply_dv(sorted(dv), phys, dv))
+        if clean:
+            live = unmap(
+                self.spark.read.schema(phys).parquet(*clean)
+            ).unionByName(live)
         return live
 
     def _apply_dv(
@@ -1438,7 +1713,11 @@ class VersionedTable:
         return dv_rows
 
     def _scan_with_identity(
-        self, files: list[str], schema, dv_map: dict[str, str] | None
+        self,
+        files: list[str],
+        schema,
+        dv_map: dict[str, str] | None,
+        mapping: dict[str, str] | None = None,
     ) -> DataFrame:
         """Scan ``files`` pinned to ``schema`` with each row's (file,
         row-position) identity exposed as ``__vt_file``/``__vt_pos``,
@@ -1449,14 +1728,24 @@ class VersionedTable:
         harmless sidecar-union no-op). Spark's column pruning still
         applies: a caller that only evaluates a predicate and reads
         ``__vt_file`` costs a predicate-columns scan, not a full one."""
+        phys = self._phys_schema(schema, mapping)
         scan = (
-            self.spark.read.schema(schema)
+            self.spark.read.schema(phys)
             .parquet(*files)
             .withColumn(
                 "__vt_file", _strip_scheme(F.col("_metadata.file_path"))
             )
             .withColumn("__vt_pos", F.col("_metadata.row_index"))
         )
+        if mapping:
+            scan = scan.select(
+                *[
+                    F.col(p.name).alias(l.name)
+                    for p, l in zip(phys.fields, schema.fields)
+                ],
+                "__vt_file",
+                "__vt_pos",
+            )
         dv = {f: p for f, p in (dv_map or {}).items() if f in set(files)}
         if not dv:
             return scan
@@ -1491,7 +1780,10 @@ class VersionedTable:
             raise FileNotFoundError(f"no version {version} in {self.path}")
         manifest = self.log.resolve(v)
         return self._read_files(
-            manifest["files"], manifest["schema"], manifest.get("dv")
+            manifest["files"],
+            manifest["schema"],
+            manifest.get("dv"),
+            manifest.get("column_mapping"),
         )
 
     def read_incremental(
@@ -1517,6 +1809,7 @@ class VersionedTable:
             [f for f in cur["files"] if f not in old],
             cur["schema"],
             cur.get("dv"),
+            cur.get("column_mapping"),
         )
 
     def table_changes(
@@ -1562,8 +1855,15 @@ class VersionedTable:
         ]
         # both sides read on the NEW schema: evolved columns null-fill
         # on the old side, so pre/post images compare column-for-column
-        old = self._read_files(old_only + dv_changed, m_new["schema"], dv_old)
-        new = self._read_files(new_only + dv_changed, m_new["schema"], dv_new)
+        # physical names never change under rename (metadata-only), so
+        # the NEW mapping serves both sides' files
+        m_map = m_new.get("column_mapping")
+        old = self._read_files(
+            old_only + dv_changed, m_new["schema"], dv_old, m_map
+        )
+        new = self._read_files(
+            new_only + dv_changed, m_new["schema"], dv_new, m_map
+        )
         cols = [c for c in new.columns]
         val_cols = [c for c in cols if c not in primary_keys]
         o = old.select(
@@ -1628,7 +1928,9 @@ class VersionedTable:
             touched = [
                 f
                 for f in manifest["files"]
-                if self._may_intersect(stats.get(f), column, lo, hi)
+                if self._may_intersect(
+                    stats.get(f), self._phys(manifest, column), lo, hi
+                )
             ]
             if not touched:
                 return v
@@ -1637,7 +1939,10 @@ class VersionedTable:
             # matches the range predicate, so it is never deleted (the SQL
             # DELETE WHERE three-valued-logic reading)
             kept = self._read_files(
-                touched, manifest["schema"], manifest.get("dv")
+                touched,
+                manifest["schema"],
+                manifest.get("dv"),
+                manifest.get("column_mapping"),
             ).filter(
                 F.col(column).isNull()
                 | (F.col(column) < F.lit(lo))
@@ -1758,7 +2063,9 @@ class VersionedTable:
                 files = [
                     f
                     for f in files
-                    if self._may_intersect(stats.get(f), col, lo, hi)
+                    if self._may_intersect(
+                        stats.get(f), self._phys(manifest, col), lo, hi
+                    )
                 ]
             if not files:
                 return v
@@ -1766,14 +2073,13 @@ class VersionedTable:
 
             schema = T.StructType.fromJson(json.loads(manifest["schema"]))
             matches = (
-                self.spark.read.schema(schema)
-                .parquet(*files)
+                self._scan_with_identity(
+                    files, schema, None, manifest.get("column_mapping")
+                )
                 .filter(F.expr(condition))
                 .select(
-                    _strip_scheme(F.col("_metadata.file_path")).alias(
-                        "file_path"
-                    ),
-                    F.col("_metadata.row_index").alias("row_index"),
+                    F.col("__vt_file").alias("file_path"),
+                    F.col("__vt_pos").alias("row_index"),
                 )
             )
             # ONE scan: land the match positions as a sidecar directly,
@@ -1850,7 +2156,9 @@ class VersionedTable:
                 files = [
                     f
                     for f in files
-                    if self._may_intersect(stats.get(f), col, lo, hi)
+                    if self._may_intersect(
+                        stats.get(f), self._phys(manifest, col), lo, hi
+                    )
                 ]
             if not files:
                 return v
@@ -1862,11 +2170,12 @@ class VersionedTable:
                     f"update_where assigns unknown column(s) {unknown}"
                 )
             dv_map = manifest.get("dv", {})
+            col_map = manifest.get("column_mapping")
             cond = F.coalesce(F.expr(condition), F.lit(False))
             by_path = {_strip_scheme_py(f): f for f in files}
             touched = sorted(
                 by_path[r["__vt_file"]]
-                for r in self._scan_with_identity(files, schema, dv_map)
+                for r in self._scan_with_identity(files, schema, dv_map, col_map)
                 .filter(cond)
                 .select("__vt_file")
                 .distinct()
@@ -1878,7 +2187,7 @@ class VersionedTable:
             try:
                 if use_deletion_vectors:
                     matched = self._scan_with_identity(
-                        touched, schema, dv_map
+                        touched, schema, dv_map, col_map
                     ).filter(cond)
                     images = matched.select(
                         *[
@@ -1914,7 +2223,9 @@ class VersionedTable:
                 untouched = [
                     f for f in manifest["files"] if f not in set(touched)
                 ]
-                cur = self._read_files(touched, manifest["schema"], dv_map)
+                cur = self._read_files(
+                    touched, manifest["schema"], dv_map, col_map
+                )
                 rewritten = cur.select(
                     *[
                         (
@@ -1987,16 +2298,21 @@ class VersionedTable:
                 files = [
                     f
                     for f in files
-                    if self._may_intersect(stats.get(f), col, lo, hi)
+                    if self._may_intersect(
+                        stats.get(f), self._phys(manifest, col), lo, hi
+                    )
                 ]
             dv_map = manifest.get("dv", {})
+            col_map = manifest.get("column_mapping")
             cond = F.coalesce(F.expr(condition), F.lit(False))
             touched: list[str] = []
             if files:
                 by_path = {_strip_scheme_py(f): f for f in files}
                 touched = sorted(
                     by_path[r["__vt_file"]]
-                    for r in self._scan_with_identity(files, schema, dv_map)
+                    for r in self._scan_with_identity(
+                        files, schema, dv_map, col_map
+                    )
                     .filter(cond)
                     .select("__vt_file")
                     .distinct()
@@ -2006,7 +2322,7 @@ class VersionedTable:
                 f for f in manifest["files"] if f not in set(touched)
             ]
             kept = self._read_files(
-                touched, manifest["schema"], dv_map
+                touched, manifest["schema"], dv_map, col_map
             ).filter(~cond)
             out = kept.unionByName(df.select(*cols))
             try:
@@ -2056,10 +2372,19 @@ class VersionedTable:
             f
             for f in manifest["files"]
             if self._may_intersect(
-                stats.get(f), column, lo, hi, lo_inclusive=lo_inclusive
+                stats.get(f),
+                self._phys(manifest, column),
+                lo,
+                hi,
+                lo_inclusive=lo_inclusive,
             )
         ]
-        scan = self._read_files(kept, manifest["schema"], manifest.get("dv"))
+        scan = self._read_files(
+            kept,
+            manifest["schema"],
+            manifest.get("dv"),
+            manifest.get("column_mapping"),
+        )
         if not residual:
             return scan
         pred = F.lit(True)
@@ -2094,11 +2419,18 @@ class VersionedTable:
             f
             for f in manifest["files"]
             if all(
-                self._may_intersect(stats.get(f), col, lo, hi)
+                self._may_intersect(
+                    stats.get(f), self._phys(manifest, col), lo, hi
+                )
                 for col, lo, hi in predicates
             )
         ]
-        scan = self._read_files(kept, manifest["schema"], manifest.get("dv"))
+        scan = self._read_files(
+            kept,
+            manifest["schema"],
+            manifest.get("dv"),
+            manifest.get("column_mapping"),
+        )
         if not residual:
             return scan
         pred = F.lit(True)
@@ -2214,7 +2546,9 @@ class VersionedTable:
             touched = [
                 f
                 for f in manifest["files"]
-                if self._may_intersect(stats.get(f), column, lo, hi)
+                if self._may_intersect(
+                    stats.get(f), self._phys(manifest, column), lo, hi
+                )
             ]
             if not touched or (
                 len(touched) <= 1 and not (order_by or zorder_by)
@@ -2222,7 +2556,10 @@ class VersionedTable:
                 return v
             untouched = [f for f in manifest["files"] if f not in set(touched)]
             part = self._read_files(
-                touched, manifest["schema"], manifest.get("dv")
+                touched,
+                manifest["schema"],
+                manifest.get("dv"),
+                manifest.get("column_mapping"),
             )
             if zorder_by:
                 from modular_etl_data_platform_spark.sources.sinks import _zorder_key
@@ -2292,7 +2629,10 @@ class VersionedTable:
                 return None
             keep = [f for f in manifest["files"] if f not in set(small)]
             merged = self._read_files(
-                small, manifest["schema"], manifest.get("dv")
+                small,
+                manifest["schema"],
+                manifest.get("dv"),
+                manifest.get("column_mapping"),
             ).repartition(target_files)
             try:
                 return self._publish(
@@ -2323,17 +2663,27 @@ class VersionedTable:
             # head's DV (resurrect = missing entry, over-delete = extra
             # entry). Record only the entries that DIFFER from the head
             # (null = clear), so the record stays O(difference).
-            head_dv = self.log.resolve(base).get("dv", {}) if base else {}
+            head_state = self.log.resolve(base) if base else {}
+            head_dv = head_state.get("dv", {})
             dv_updates = {
                 f: m_dv.get(f)
                 for f in m["files"]
                 if head_dv.get(f) != m_dv.get(f)
             }
+            meta = {"mode": "restore", "restored_from": version}
+            # crossing a column-mapping boundary: the restored snapshot
+            # must come back under ITS OWN mapping/tombstones (the head's
+            # would re-derive wrong physicals for restored columns); an
+            # empty dict deliberately overrides a mapped head with the
+            # target's identity naming
+            if head_state.get("column_mapping") or m.get("column_mapping"):
+                meta["column_mapping"] = m.get("column_mapping") or {}
+                meta["retired_physical"] = m.get("retired_physical", [])
             try:
                 return self._publish(
                     m["files"],
                     m["schema"],
-                    {"mode": "restore", "restored_from": version},
+                    meta,
                     expected_base=base,
                     dv_updates=dv_updates,
                 )
@@ -2387,6 +2737,16 @@ class VersionedTable:
                 "source": self.path,
                 "source_version": v,
                 "constraints": manifest.get("constraints", {}),
+                **(
+                    {
+                        "column_mapping": manifest["column_mapping"],
+                        "retired_physical": manifest.get(
+                            "retired_physical", []
+                        ),
+                    }
+                    if manifest.get("column_mapping")
+                    else {}
+                ),
             },
             0,
             {f: stats[f] for f in manifest["files"] if f in stats},

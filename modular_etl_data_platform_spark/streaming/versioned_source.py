@@ -96,10 +96,12 @@ class _FilePartition(InputPartition):
         dv_path: str | None = None,
     ):
         self.path = path
-        #: (column name, Spark type JSON) pairs — the pinned schema,
-        #: shipped per-partition so the executor can build TYPED null
-        #: arrays for evolved-away columns (a null-typed Arrow array
-        #: would mismatch the declared source schema)
+        #: (logical name, Spark type JSON, physical name) triples — the
+        #: pinned schema, shipped per-partition so the executor can
+        #: build TYPED null arrays for evolved-away columns (a
+        #: null-typed Arrow array would mismatch the declared source
+        #: schema) and read column-mapped files under their PHYSICAL
+        #: parquet name while emitting the logical one
         self.fields = fields
         #: deletion-vector sidecar for this file (None = no deletes);
         #: the executor filters the vector-deleted row positions out
@@ -243,8 +245,10 @@ class _VersionedStreamReader(DataSourceStreamReader):
                 if f not in emitted and f not in old:
                     emitted.add(f)
                     emit.append(f)
+        cmap = cur.get("column_mapping") or {}
         fields = [
-            (f.name, f.dataType.json()) for f in self.pinned.fields
+            (f.name, f.dataType.json(), cmap.get(f.name, f.name))
+            for f in self.pinned.fields
         ]
         # emitted files that SURVIVE to the range end apply the
         # range-end vector (rows handed downstream are the rows live at
@@ -305,10 +309,13 @@ def _read_parquet_aligned(
             mask[np.asarray(pos, dtype=np.int64)] = False
             tbl = tbl.filter(pa.array(mask))
     arrays, names, n = [], [], tbl.num_rows
-    for name, type_json in fields:
+    for entry in fields:
+        name, type_json = entry[0], entry[1]
+        # column-mapped files carry the PHYSICAL name; emit the logical
+        phys = entry[2] if len(entry) > 2 else name
         arrow_t = to_arrow_type(_parse_datatype_json_string(type_json))
-        if name in tbl.column_names:
-            col = tbl.column(name).combine_chunks()
+        if phys in tbl.column_names:
+            col = tbl.column(phys).combine_chunks()
             if col.type != arrow_t:
                 col = col.cast(arrow_t)
             arrays.append(col)
@@ -378,17 +385,25 @@ class _VersionedBatchReaderBase(DataSourceReader):
         state = self.log.resolve(self.version)
         stats = state.get("stats", {})
         dv = state.get("dv", {})
+        cmap = state.get("column_mapping") or {}
         files = [
             f
             for f in state["files"]
             if all(
                 VersionedTable._may_intersect(
-                    stats.get(f), col, lo, hi, lo_inclusive=lo_inc
+                    stats.get(f),
+                    cmap.get(col, col),
+                    lo,
+                    hi,
+                    lo_inclusive=lo_inc,
                 )
                 for col, lo, hi, lo_inc in self._ranges
             )
         ]
-        fields = [(f.name, f.dataType.json()) for f in self.pinned.fields]
+        fields = [
+            (f.name, f.dataType.json(), cmap.get(f.name, f.name))
+            for f in self.pinned.fields
+        ]
         return [_FilePartition(f, fields, dv.get(f)) for f in files]
 
     def read(self, partition: _FilePartition) -> Iterator:
@@ -654,6 +669,13 @@ class _VersionedBatchArrowWriter(_ArrowFileLander, DataSourceArrowWriter):
             base = log.current_version() or 0
             schema_json = self.schema_json
             prior = log.resolve(base) if base else None
+            if (prior or {}).get("column_mapping"):
+                raise RuntimeError(
+                    f"{self.table} uses column mapping (renamed/dropped "
+                    "columns); the format-API writers land files under "
+                    "logical names and would corrupt the physical-name "
+                    "contract — write through VersionedTable instead"
+                )
             if self.overwrite or prior is None:
                 all_files = list(files)
             else:
@@ -767,6 +789,13 @@ class _VersionedStreamArrowWriter(_ArrowFileLander, DataSourceStreamArrowWriter)
             base = log.current_version() or 0
             schema_json = self.schema_json
             prior = log.resolve(base) if base else None
+            if (prior or {}).get("column_mapping"):
+                raise RuntimeError(
+                    f"{self.table} uses column mapping (renamed/dropped "
+                    "columns); the format-API writers land files under "
+                    "logical names and would corrupt the physical-name "
+                    "contract — write through VersionedTable instead"
+                )
             if self.overwrite or prior is None:
                 all_files = list(files)
             else:  # append: racing batch writers rebase exactly like write()

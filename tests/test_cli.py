@@ -205,3 +205,22 @@ def test_cli_vt_update_where_and_clone(spark, capsys, tmp_path):
     assert out["version"] == 1
     c = VersionedTable(spark, dest)
     assert c.read().count() == 40
+
+
+def test_cli_vt_rename_and_drop_column(spark, capsys, tmp_path):
+    """vt rename-column / drop-column: metadata-only ALTERs from the CLI."""
+    import json
+
+    from modular_etl_data_platform_spark.operators.versioned import VersionedTable
+
+    path = str(tmp_path / "t")
+    vt = VersionedTable(spark, path)
+    vt.write(spark.range(5).selectExpr("id", "id * 2 AS a", "id AS junk"))
+    assert main(["vt", path, "rename-column", "--old", "a", "--new", "b"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["new_version"] == 2
+    assert vt.read().columns == ["id", "b", "junk"]
+    assert main(["vt", path, "drop-column", "--drop", "junk"]) == 0
+    capsys.readouterr()
+    assert vt.read().columns == ["id", "b"]
+    assert vt.read().filter("id = 3").first().b == 6
