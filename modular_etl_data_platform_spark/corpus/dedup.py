@@ -307,13 +307,20 @@ def jaccard_verify(
     id_b sides), and without the cache each side would re-shingle the
     full corpus. Pass an already-cached ``pairs`` or the id-collection
     scan recomputes it.
+
+    The semi-join runs BEFORE the fan-out repartition: the broadcast
+    filter is evaluated scan-side, so only the surviving candidate docs
+    are ever shuffled — fanning out first would repartition the entire
+    corpus text just to score a handful of pairs (the kind of
+    full-table shuffle that is invisible at test SF and fatal at
+    100 TB).
     """
     ids = (
         pairs.select(F.col("id_a").alias(id_col))
         .unionByName(pairs.select(F.col("id_b").alias(id_col)))
         .dropDuplicates()
     )
-    df = fan_out(df, parallelism).join(F.broadcast(ids), id_col, "left_semi")
+    df = fan_out(df.join(F.broadcast(ids), id_col, "left_semi"), parallelism)
     sh = df.select(
         F.col(id_col),
         F.array_distinct(F.expr(shingles_sql(text_col, shingle))).alias("sh"),
@@ -345,12 +352,15 @@ def minhash_lsh_dedup(
 ) -> DataFrame:
     """End-to-end fuzzy dedup: signatures → LSH candidates → Jaccard verify.
 
-    Signatures and candidate pairs are cached: the LSH self-join reads the
-    signature table twice and the verify stage reads the pairs twice (once
-    to collect candidate ids, once for the scoring join). Signatures are
-    tiny relative to the corpus (k longs per doc) — at 100 TB you would
-    persist them to a table instead; the cache is the single-job analogue."""
-    sigs = minhash_signatures(df, id_col, text_col, k, shingle, parallelism).cache()
+    Candidate pairs are cached (the verify stage reads them twice: once
+    to collect candidate ids, once for the scoring join). The signature
+    frame is NOT cached: since the single-shuffle candidate rewrite,
+    only the BANDED frame is read twice — and
+    :func:`lsh_candidate_pairs` caches that itself — so signatures flow
+    through exactly one downstream pass and a cache there would be pure
+    serialization overhead. At 100 TB you would persist signatures to a
+    table for reuse across runs; within one run nothing re-reads them."""
+    sigs = minhash_signatures(df, id_col, text_col, k, shingle, parallelism)
     cands = lsh_candidate_pairs(sigs, id_col, k, bands, max_bucket_size).cache()
     return jaccard_verify(df, cands, id_col, text_col, shingle, threshold, parallelism)
 
