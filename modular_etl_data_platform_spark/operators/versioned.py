@@ -59,6 +59,17 @@ through the log), ``upsert`` rewrites only key-range-intersecting
 files, and files are immutable once published, which is what makes
 snapshots free.
 
+**Bloom-filter file skipping** (round 8; Delta's bloom filter index):
+tables that opt in via ``bloom_columns`` build a per-file bloom over
+each indexed column's distinct values at commit time (one JSON sidecar
+per commit under ``_bloom/``; the commit record carries only a
+pointer, so log bytes stay O(batch)). Equality reads through
+``read_pruned``/``read_pruned_multi`` probe the bitmaps AFTER min/max
+pruning — the point-lookup case min/max can never serve (a
+hash-distributed key makes every file's [min, max] span the whole
+domain). False positives only cost an extra file open; false negatives
+are impossible, and files without a bloom are always kept.
+
 **Deletion vectors** (round 8; Delta's merge-on-read DELETE):
 ``delete_where`` records matching rows as (file, row-position) pairs in
 a parquet sidecar under ``_dv/`` and points the touched files at it in
@@ -74,6 +85,8 @@ fails loudly instead of resurrecting deleted rows.
 from __future__ import annotations
 
 import abc
+import base64
+import hashlib
 import json
 import os
 import shutil
@@ -91,6 +104,18 @@ _MANIFEST_DIR = "_versions"
 _DATA_DIR = "files"
 #: deletion-vector sidecars (merge-on-read deletes) live here
 _DV_DIR = "_dv"
+#: bloom-filter sidecars (point-lookup file skipping) live here
+_BLOOM_DIR = "_bloom"
+#: stats-dict marker pointing a file at its bloom sidecar
+_BLOOM_MARK = "__bloom__"
+#: bloom sizing: ~10 bits/key with 7 hashes ≈ 1% false-positive rate
+_BLOOM_BITS_PER_KEY = 10
+_BLOOM_NUM_HASHES = 7
+_BLOOM_MIN_BITS = 1024
+#: 1 MiB bitmap cap per (file, column) — a file with more distinct keys
+#: than this supports (~800k at 1% fp) records no bloom (conservative)
+_BLOOM_MAX_BITS = 1 << 23
+_BLOOM_MAX_NDV = 500_000
 #: protocol versions this engine can read/write (Delta's minReaderVersion/
 #: minWriterVersion gate): 1 = base log, 2 = deletion vectors. A commit
 #: that introduces a feature records the protocol floor it requires;
@@ -903,6 +928,110 @@ def collect_file_stats(files: list[str], stats_columns: list[str]) -> dict[str, 
     return out
 
 
+# ---------------------------------------------------------------------------
+# Bloom-filter file skipping (Delta's bloom filter index, sidecar form)
+# ---------------------------------------------------------------------------
+
+
+def _bloom_key_bytes(value) -> bytes | None:
+    """Canonical hash input for a bloom key; ``None`` for types the
+    index doesn't cover (floats have no canonical text form across
+    engines, booleans/binary gain nothing over min/max). The encoding is
+    part of the on-disk contract — build and probe must agree forever."""
+    if value is None or isinstance(value, bool):
+        return None
+    if isinstance(value, int):
+        return b"i:" + str(value).encode("ascii")
+    if isinstance(value, str):
+        return b"s:" + value.encode("utf-8")
+    return None
+
+
+def _bloom_bit_positions(key: bytes, m: int, k: int) -> list[int]:
+    """k bit positions via double hashing (h1 + i*h2 mod m) over one
+    sha1 — the standard Kirsch-Mitzenmacher construction, so the
+    per-key cost is one digest, not k."""
+    d = hashlib.sha1(key).digest()
+    h1 = int.from_bytes(d[:8], "big")
+    h2 = int.from_bytes(d[8:16], "big") | 1
+    return [(h1 + i * h2) % m for i in range(k)]
+
+
+def _build_bloom(values) -> dict | None:
+    """Sidecar record for one (file, column): sized to the file's
+    observed distinct count at ``_BLOOM_BITS_PER_KEY``, power-of-two
+    bits between the min/max caps. ``None`` when nothing hashable or
+    the file's key cardinality outgrows the bitmap cap."""
+    keys = [b for b in (_bloom_key_bytes(v) for v in values) if b is not None]
+    if not keys or len(keys) > _BLOOM_MAX_NDV:
+        return None
+    m = max(_BLOOM_MIN_BITS, 1 << (len(keys) * _BLOOM_BITS_PER_KEY - 1).bit_length())
+    m = min(m, _BLOOM_MAX_BITS)
+    bitmap = bytearray(m // 8)
+    for kb in keys:
+        for p in _bloom_bit_positions(kb, m, _BLOOM_NUM_HASHES):
+            bitmap[p >> 3] |= 1 << (p & 7)
+    return {
+        "m": m,
+        "k": _BLOOM_NUM_HASHES,
+        "b": base64.b64encode(bytes(bitmap)).decode("ascii"),
+    }
+
+
+def _bloom_probe(rec: dict, key: bytes) -> bool:
+    """Whether the recorded bloom MAY contain ``key`` (false positives
+    possible, false negatives impossible)."""
+    bitmap = base64.b64decode(rec["b"])
+    return all(
+        bitmap[p >> 3] & (1 << (p & 7))
+        for p in _bloom_bit_positions(key, rec["m"], rec["k"])
+    )
+
+
+def collect_file_blooms(
+    files: list[str], bloom_columns: list[str]
+) -> dict[str, dict]:
+    """Per-file bloom filters for ``bloom_columns``: one column-pruned
+    parquet read per landed file, distinct values hashed into a sized
+    bitmap. This is Delta's bloom filter INDEX — the point-lookup
+    complement to min/max stats, which never prune when a
+    high-cardinality key is hash-distributed across files (every file's
+    [min, max] spans the whole domain).
+
+    Unlike footer stats this reads column DATA, so it is O(landed
+    batch) per commit — the price of the index, paid only on tables
+    that opt in via ``bloom_columns``. At cluster scale the hashing
+    would ride the write job executor-side (as Delta's index build
+    does); the driver thread pool is the local-metadata-path analogue,
+    reading only the indexed columns. Unsupported types (floats,
+    binary, bools) and files whose key cardinality exceeds the bitmap
+    cap simply record no bloom — probing keeps such files
+    (conservative, never wrong)."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    def one(f: str) -> dict:
+        pf = pq.ParquetFile(f)
+        cols = [c for c in bloom_columns if c in set(pf.schema_arrow.names)]
+        if not cols or pf.metadata.num_rows == 0:
+            return {}
+        tbl = pq.read_table(f, columns=cols)
+        res: dict[str, dict] = {}
+        for c in cols:
+            uniq = pc.unique(tbl.column(c)).to_pylist()
+            b = _build_bloom(u for u in uniq if u is not None)
+            if b:
+                res[c] = b
+        return res
+
+    if len(files) > 4:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=8) as pool:
+            return dict(zip(files, pool.map(one, files)))
+    return {f: one(f) for f in files}
+
+
 class VersionedTable:
     """A parquet table over a :class:`CommitLog`."""
 
@@ -913,6 +1042,7 @@ class VersionedTable:
         stats_columns: list[str] | None = None,
         log_store: LogStore | None = None,
         checkpoint_interval: int = _CHECKPOINT_INTERVAL,
+        bloom_columns: list[str] | None = None,
     ):
         self.spark = spark
         # canonicalize: manifest file paths derive from this root, and
@@ -924,6 +1054,12 @@ class VersionedTable:
         #: columns to record per-file min/max for in each commit record
         #: (footer-metadata only); enables read_pruned file skipping
         self.stats_columns = stats_columns or []
+        #: columns to build per-file bloom sidecars for on every commit
+        #: that lands files — point-lookup (equality) file skipping
+        #: where min/max never prunes (hash-distributed keys). Costs one
+        #: column-pruned read of each LANDED file per commit; sidecars
+        #: live under _bloom/, the commit record carries only a pointer.
+        self.bloom_columns = bloom_columns or []
         if spark is not None:
             # INT96 (Spark's legacy parquet timestamp encoding) writes
             # NO footer min/max — timestamp stats_columns would silently
@@ -985,9 +1121,34 @@ class VersionedTable:
             if mapping
             else self.stats_columns
         )
-        fresh = collect_file_stats(
-            [f for f in files if f not in prior_files], stat_cols
+        fresh_files = [f for f in files if f not in prior_files]
+        fresh = collect_file_stats(fresh_files, stat_cols)
+        # bloom sidecar for the landed batch: ONE file per commit keyed
+        # (file, physical column); the commit record carries only the
+        # pointer, so log bytes stay O(batch) regardless of bitmap size.
+        # An orphaned sidecar (publish lost the race and the retry wrote
+        # a fresh one, or the commit crashed) is swept by vacuum exactly
+        # like orphaned data files.
+        bloom_cols = (
+            [mapping.get(c, c) for c in self.bloom_columns]
+            if mapping
+            else self.bloom_columns
         )
+        if bloom_cols and fresh_files:
+            blooms = {
+                f: b
+                for f, b in collect_file_blooms(fresh_files, bloom_cols).items()
+                if b
+            }
+            if blooms:
+                os.makedirs(os.path.join(self.path, _BLOOM_DIR), exist_ok=True)
+                sidecar = os.path.join(
+                    self.path, _BLOOM_DIR, uuid.uuid4().hex + ".json"
+                )
+                with open(sidecar, "w") as fh:
+                    json.dump(blooms, fh)
+                for f in blooms:
+                    fresh.setdefault(f, {})[_BLOOM_MARK] = sidecar
         return self.log.publish(
             files, schema_json, meta, base, fresh, dv_updates=dv_updates
         )
@@ -2342,6 +2503,38 @@ class VersionedTable:
     def history(self) -> list[dict]:
         return [self.log.resolve(v) for v in self.versions()]
 
+    def _bloom_prune(
+        self, manifest: dict, files: list[str], col_phys: str, value
+    ) -> list[str]:
+        """Drop files whose recorded bloom filter proves ``column !=
+        value`` everywhere in the file. Files without a bloom for the
+        column (never indexed, unsupported type, cardinality cap) are
+        kept — the probe can only ever REMOVE files the equality
+        predicate provably misses. Sidecars are loaded once per commit
+        batch (one JSON per commit), not once per file."""
+        key = _bloom_key_bytes(value)
+        if key is None:
+            return files
+        stats = manifest.get("stats", {})
+        sidecars: dict[str, dict] = {}
+        kept = []
+        for f in files:
+            ptr = (stats.get(f) or {}).get(_BLOOM_MARK)
+            if not ptr:
+                kept.append(f)
+                continue
+            if ptr not in sidecars:
+                try:
+                    with open(ptr) as fh:
+                        sidecars[ptr] = json.load(fh)
+                except (FileNotFoundError, ValueError):
+                    # vacuumed/foreign sidecar: degrade to no pruning
+                    sidecars[ptr] = {}
+            rec = sidecars[ptr].get(f, {}).get(col_phys)
+            if rec is None or _bloom_probe(rec, key):
+                kept.append(f)
+        return kept
+
     def read_pruned(
         self,
         column: str,
@@ -2379,6 +2572,12 @@ class VersionedTable:
                 lo_inclusive=lo_inclusive,
             )
         ]
+        # equality reads additionally probe the bloom index: min/max
+        # cannot prune a hash-distributed key (every file's range spans
+        # the domain) — the bloom can, and it only ever removes files
+        # the point predicate provably misses
+        if lo is not None and lo == hi and lo_inclusive:
+            kept = self._bloom_prune(manifest, kept, self._phys(manifest, column), lo)
         scan = self._read_files(
             kept,
             manifest["schema"],
@@ -2425,6 +2624,11 @@ class VersionedTable:
                 for col, lo, hi in predicates
             )
         ]
+        for col, lo, hi in predicates:
+            if lo is not None and lo == hi:
+                kept = self._bloom_prune(
+                    manifest, kept, self._phys(manifest, col), lo
+                )
         scan = self._read_files(
             kept,
             manifest["schema"],
@@ -2801,12 +3005,18 @@ class VersionedTable:
             keep = sorted(keep_set_t)
         referenced: set[str] = set()
         referenced_dv: set[str] = set()
+        referenced_bloom: set[str] = set()
         states: dict[int, dict] = {}
         for v in keep:
             states[v] = self.log.resolve(v)
             referenced.update(states[v]["files"])
             referenced_dv.update(states[v].get("dv", {}).values())
+            for entry in states[v].get("stats", {}).values():
+                ptr = (entry or {}).get(_BLOOM_MARK)
+                if ptr:
+                    referenced_bloom.add(ptr)
         dv_root = os.path.join(self.path, _DV_DIR)
+        bloom_root = os.path.join(self.path, _BLOOM_DIR)
         if dry_run:
             would_delete = 0
             data_root = os.path.join(self.path, _DATA_DIR)
@@ -2828,6 +3038,11 @@ class VersionedTable:
                             and subdir not in referenced_dv
                         ):
                             would_delete += 1
+            if os.path.isdir(bloom_root):
+                for f in os.listdir(bloom_root):
+                    fp = os.path.join(bloom_root, f)
+                    if f.endswith(".json") and fp not in referenced_bloom:
+                        would_delete += 1
             return would_delete
         if keep:
             oldest = keep[0]
@@ -2867,6 +3082,14 @@ class VersionedTable:
                     p.endswith(".parquet") for p in os.listdir(subdir)
                 ):
                     shutil.rmtree(subdir)
+        # bloom sidecars no retained version's stats point at (superseded
+        # by a rewrite's fresh sidecar, or orphaned by a lost commit race)
+        if os.path.isdir(bloom_root):
+            for f in list(os.listdir(bloom_root)):
+                fp = os.path.join(bloom_root, f)
+                if f.endswith(".json") and fp not in referenced_bloom:
+                    os.remove(fp)
+                    deleted += 1
         keep_set = set(keep)
         for v in vs:
             if v not in keep_set:

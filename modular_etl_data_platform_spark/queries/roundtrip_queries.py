@@ -1700,3 +1700,84 @@ def q151_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(leg("clone_live", clone.read()))
         .unionByName(leg("src_live", vt.read()))
     )
+
+
+@query(
+    "q152_bloom_point_lookup",
+    """
+    WITH t AS (
+      SELECT o_orderkey AS k, o_orderstatus AS s, o_totalprice AS p
+      FROM orders
+    )
+    SELECT 'hit' AS leg, COUNT(*) AS n_rows,
+           CAST(SUM(k) AS BIGINT) AS key_sum,
+           CAST(COALESCE(SUM(CAST(p AS DECIMAL(18,6))), 0) AS DOUBLE) AS sum_price
+    FROM t WHERE k = 7
+    UNION ALL
+    SELECT 'miss', COUNT(*), CAST(COALESCE(SUM(k), 0) AS BIGINT),
+           CAST(COALESCE(SUM(CAST(p AS DECIMAL(18,6))), 0) AS DOUBLE)
+    FROM t WHERE k = 1000000000000
+    """,
+)
+def q152_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter file skipping (operators/versioned.py bloom
+    sidecars — Delta's bloom filter index): orders land as four
+    residue-class batches (k % 4), so every file's [min, max] spans the
+    ENTIRE key domain and range stats can never prune a point lookup.
+    The query ASSERTS (raises — the scale property IS the point) that
+    (a) min/max alone keeps all four files, (b) the bloom probe opens
+    at most two for an equality read on a present key including the one
+    true file, and (c) a key absent from every file opens ZERO files.
+    The oracle replays both point lookups relationally — a bloom false
+    negative (rows lost) or a probe on the wrong column changes the
+    hash."""
+    from modular_etl_data_platform_spark.operators.versioned import VersionedTable
+
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("s"),
+        F.col("o_totalprice").alias("p"),
+    )
+    scratch = _scratch("q152_bloom_point_lookup", sf_dir)
+    vt = VersionedTable(
+        spark,
+        os.path.join(scratch, "orders_b"),
+        stats_columns=["k"],
+        bloom_columns=["k"],
+    )
+    for r in range(4):
+        part = orders.filter(F.col("k") % 4 == r).coalesce(1)
+        vt.write(part, mode="append" if r else "overwrite")
+    head = vt._read_manifest(vt.current_version())
+    ranged = [
+        f
+        for f in head["files"]
+        if VersionedTable._may_intersect(head["stats"].get(f), "k", 7, 7)
+    ]
+    if len(ranged) != 4:  # residue classes must defeat min/max pruning
+        raise AssertionError(
+            f"expected all 4 files range-kept for k=7, got {len(ranged)}"
+        )
+    hit = vt.read_pruned("k", 7, 7)
+    opened = set(hit.inputFiles())
+    if not (1 <= len(opened) <= 2):  # one true file + at most one fp
+        raise AssertionError(
+            f"bloom point read opened {len(opened)}/4 files, expected <=2"
+        )
+    miss = vt.read_pruned("k", 1_000_000_000_000, 1_000_000_000_000)
+    if miss.inputFiles():
+        raise AssertionError(
+            "bloom probe on an absent key should open zero files"
+        )
+
+    def leg(label: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(label).alias("leg"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.coalesce(F.sum("k"), F.lit(0)).cast("long").alias("key_sum"),
+            F.coalesce(
+                F.sum(F.col("p").cast("decimal(18,6)")), F.lit(0).cast("decimal(18,6)")
+            ).cast("double").alias("sum_price"),
+        )
+
+    return _pin(leg("hit", hit).unionByName(leg("miss", miss)))
