@@ -1757,6 +1757,246 @@ class VersionedTable:
             dv_updates=dv_updates,
         )
 
+    def merge(
+        self,
+        source: DataFrame,
+        on: list[str],
+        matched: list[tuple] | None = None,
+        not_matched: list[tuple] | None = None,
+        not_matched_by_source: list[tuple] | None = None,
+    ) -> int:
+        """Full MERGE INTO with ordered conditional clauses (Delta's
+        complete MERGE surface; ``upsert`` is the whole-row-replace
+        special case). Each clause list is evaluated IN ORDER per row
+        and the first clause whose condition holds applies (SQL/Delta
+        clause semantics); a row no clause claims is kept unchanged
+        (matched / not-matched-by-source) or dropped (not-matched).
+
+        - ``matched``: clauses for rows present on BOTH sides —
+          ``("update", {col: sql_expr} | None, condition | None)`` or
+          ``("delete", None, condition | None)``. ``None`` assignments
+          = every column from the source (UPDATE SET *).
+        - ``not_matched``: ``("insert", assignments | None, condition |
+          None)`` for source-only rows; ``None`` assignments = INSERT *
+          (source must then supply every target column); columns an
+          explicit assignment dict omits null-fill.
+        - ``not_matched_by_source``: update/delete clauses for TARGET-
+          only rows (Delta's whenNotMatchedBySource); their
+          expressions may reference only ``t.`` columns.
+
+        Defaults (everything ``None``) are classic upsert: update-all
+        matched + insert-all unmatched. Expressions and conditions are
+        SQL over the QUALIFIED aliases ``t`` (target) and ``s``
+        (source) — ``"s.qty > t.qty"``; unqualified references to
+        columns present on both sides are ambiguous by design. A
+        condition evaluating NULL does not fire its clause (3VL, as
+        ``update_where``). Every assigned value casts back to the
+        target column's declared type, so the schema never drifts.
+
+        Plan shape: ONE full-outer join of the touched-file scan
+        against the source on the merge keys, a projection resolving
+        the clause per row, one landing write — no per-clause passes.
+        **File pruning**: without ``not_matched_by_source`` clauses,
+        only matched-row behavior touches existing rows, so files
+        range-disjoint from the source's key span are carried untouched
+        (the same data-skipping as ``upsert``; a 2-scalar driver probe
+        finds the span). With them, every target row is in scope and
+        all files are touched. CHECK constraints validate the landed
+        result transactionally; a lost commit race re-derives from the
+        new head (bounded rebases).
+
+        Sources with DUPLICATE merge keys are rejected when any
+        matched / not-matched-by-source clause exists — one target row
+        matching two source rows is nondeterministic (Delta raises
+        MULTIPLE_MATCHES at runtime; this engine rejects dup-keyed
+        sources up front, slightly stricter, via one map-combined
+        aggregate probe). Insert-only merges allow them (both rows
+        insert, as Delta does)."""
+        from pyspark.sql import types as T
+
+        if matched is None and not_matched is None and not_matched_by_source is None:
+            matched = [("update", None, None)]
+            not_matched = [("insert", None, None)]
+        matched = list(matched or [])
+        not_matched = list(not_matched or [])
+        nms = list(not_matched_by_source or [])
+        for act, assigns, _cond in matched + nms:
+            if act not in ("update", "delete"):
+                raise ValueError(f"invalid matched-clause action {act!r}")
+            if act == "delete" and assigns:
+                raise ValueError("delete clauses take no assignments")
+        for act, _assigns, _cond in not_matched:
+            if act != "insert":
+                raise ValueError(f"invalid not-matched action {act!r}")
+        if not (matched or not_matched or nms):
+            raise ValueError("merge needs at least one clause")
+        if not on:
+            raise ValueError("merge needs at least one equality key")
+        missing = sorted(set(on) - set(source.columns))
+        if missing:
+            raise ValueError(f"source lacks merge key column(s) {missing}")
+        if matched or nms:
+            dup = (
+                source.groupBy(*on)
+                .agg(F.count(F.lit(1)).alias("__n"))
+                .agg(F.max("__n").alias("mx"))
+                .first()  # 1-scalar probe, map-side combined
+            )
+            if dup["mx"] is not None and dup["mx"] > 1:
+                raise ValueError(
+                    "source has duplicate merge keys — one target row "
+                    "matching several source rows is nondeterministic "
+                    "(Delta's MULTIPLE_MATCHES)"
+                )
+
+        for _ in range(_MAX_COMMIT_RETRIES):
+            v = self.current_version()
+            if v is None:
+                raise FileNotFoundError(
+                    f"no versions in {self.path} — create the table with "
+                    "write()/upsert() before merging into it"
+                )
+            manifest = self.log.resolve(v)
+            schema = T.StructType.fromJson(json.loads(manifest["schema"]))
+            fields = {f.name: f.dataType for f in schema.fields}
+            cols = [f.name for f in schema.fields]
+            bad_on = sorted(set(on) - set(cols))
+            if bad_on:
+                raise ValueError(f"target lacks merge key column(s) {bad_on}")
+            for _act, assigns, _cond in matched + not_matched + nms:
+                unknown = sorted(set(assigns or {}) - set(cols))
+                if unknown:
+                    raise ValueError(
+                        f"merge assigns unknown column(s) {unknown}"
+                    )
+
+            stats = manifest.get("stats", {})
+            touched, untouched = manifest["files"], []
+            prune_col = next(
+                (k for k in on if k in self.stats_columns), None
+            )
+            if not nms and prune_col is not None and manifest["files"]:
+                row = source.agg(
+                    F.min(prune_col).alias("lo"), F.max(prune_col).alias("hi")
+                ).first()
+                if row["lo"] is not None:
+                    phys_col = self._phys(manifest, prune_col)
+                    touched = [
+                        f
+                        for f in manifest["files"]
+                        if self._may_intersect(
+                            stats.get(f), phys_col, row["lo"], row["hi"]
+                        )
+                    ]
+                    untouched = [
+                        f for f in manifest["files"] if f not in set(touched)
+                    ]
+
+            cur = (
+                self._read_files(
+                    touched,
+                    manifest["schema"],
+                    manifest.get("dv"),
+                    manifest.get("column_mapping"),
+                )
+                .withColumn("__vt_t", F.lit(1))
+                .alias("t")
+            )
+            src = source.withColumn("__vt_s", F.lit(1)).alias("s")
+            joined = cur.join(
+                src,
+                [F.col(f"t.`{k}`") == F.col(f"s.`{k}`") for k in on],
+                "full_outer",
+            )
+            is_m = F.col("t.__vt_t").isNotNull() & F.col("s.__vt_s").isNotNull()
+            is_src = F.col("t.__vt_t").isNull() & F.col("s.__vt_s").isNotNull()
+
+            def act_expr(clauses, base_pred):
+                """Index of the first clause whose condition holds for a
+                row of this class; -1 = no clause claims the row."""
+                e = None
+                for i, (_act, _assigns, cond) in enumerate(clauses):
+                    p = base_pred
+                    if cond is not None:
+                        p = p & F.coalesce(F.expr(cond), F.lit(False))
+                    e = F.when(p, F.lit(i)) if e is None else e.when(p, F.lit(i))
+                return F.lit(-1) if e is None else e.otherwise(F.lit(-1))
+
+            joined = (
+                joined.withColumn("__vt_m", act_expr(matched, is_m))
+                .withColumn("__vt_i", act_expr(not_matched, is_src))
+                .withColumn(
+                    "__vt_o", act_expr(nms, ~is_m & ~is_src)
+                )
+            )
+
+            def resolved(c: str):
+                m_val = F.col(f"t.`{c}`")
+                for i, (act, assigns, _cond) in enumerate(matched):
+                    if act != "update":
+                        continue
+                    exprs = (
+                        assigns
+                        if assigns is not None
+                        else {cc: f"s.`{cc}`" for cc in cols}
+                    )
+                    if c in exprs:
+                        m_val = F.when(
+                            F.col("__vt_m") == i,
+                            F.expr(exprs[c]).cast(fields[c]),
+                        ).otherwise(m_val)
+                o_val = F.col(f"t.`{c}`")
+                for i, (act, assigns, _cond) in enumerate(nms):
+                    if act == "update" and c in (assigns or {}):
+                        o_val = F.when(
+                            F.col("__vt_o") == i,
+                            F.expr(assigns[c]).cast(fields[c]),
+                        ).otherwise(o_val)
+                s_val = F.lit(None).cast(fields[c])
+                for i, (_act, assigns, _cond) in enumerate(not_matched):
+                    exprs = (
+                        assigns
+                        if assigns is not None
+                        else {cc: f"s.`{cc}`" for cc in cols}
+                    )
+                    if c in exprs:
+                        s_val = F.when(
+                            F.col("__vt_i") == i,
+                            F.expr(exprs[c]).cast(fields[c]),
+                        ).otherwise(s_val)
+                return (
+                    F.when(is_m, m_val)
+                    .when(is_src, s_val)
+                    .otherwise(o_val)
+                    .alias(c)
+                )
+
+            m_del = [i for i, cl in enumerate(matched) if cl[0] == "delete"]
+            o_del = [i for i, cl in enumerate(nms) if cl[0] == "delete"]
+            keep = (
+                F.when(
+                    is_m,
+                    ~F.col("__vt_m").isin(m_del) if m_del else F.lit(True),
+                )
+                .when(is_src, F.col("__vt_i") >= 0)
+                .otherwise(
+                    ~F.col("__vt_o").isin(o_del) if o_del else F.lit(True)
+                )
+            )
+            result = joined.filter(keep).select(*[resolved(c) for c in cols])
+            try:
+                return self._publish(
+                    untouched + self._land_files(result),
+                    manifest["schema"],
+                    {"mode": "merge", "on": list(on)},
+                    expected_base=v,
+                )
+            except ConcurrentWriteError:
+                continue  # re-derive against the new head; orphans vacuum
+        raise ConcurrentWriteError(
+            f"merge lost {_MAX_COMMIT_RETRIES} commit races on {self.path}"
+        )
+
     # -- read paths -----------------------------------------------------------
     def _read_files(
         self,

@@ -1781,3 +1781,113 @@ def q152_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return _pin(leg("hit", hit).unionByName(leg("miss", miss)))
+
+
+@query(
+    "q153_merge_clauses",
+    """
+    WITH t AS (
+      SELECT o_orderkey AS k, o_orderstatus AS s, o_totalprice AS p
+      FROM orders
+    ),
+    src AS (
+      SELECT k, 'SRC' AS s, CAST(k AS DOUBLE) / 10 + 10 AS p
+      FROM t WHERE k < 3000
+      UNION ALL
+      SELECT k + 1000000000000, 'NEW', CAST(k AS DOUBLE)
+      FROM t WHERE k < 500
+    ),
+    j AS (
+      SELECT t.k AS tk, t.s AS ts, t.p AS tp,
+             src.k AS sk, src.s AS ss, src.p AS sp
+      FROM t FULL OUTER JOIN src ON t.k = src.k
+    ),
+    res AS (
+      -- matched: delete if t.p > 150000, else update when s.k even,
+      -- else keep unchanged
+      SELECT tk AS k, CASE WHEN sk % 2 = 0 THEN ss ELSE ts END AS s,
+             CASE WHEN sk % 2 = 0 THEN tp + sp ELSE tp END AS p
+      FROM j WHERE tk IS NOT NULL AND sk IS NOT NULL AND tp <= 150000
+      UNION ALL
+      -- not matched: conditional insert
+      SELECT sk, lower(ss), sp
+      FROM j WHERE tk IS NULL AND sk % 3 = 0
+      UNION ALL
+      -- not matched by source: delete k%1000=7, flag k%1000=11, keep rest
+      SELECT tk, CASE WHEN tk % 1000 = 11 THEN 'X' ELSE ts END, tp
+      FROM j WHERE sk IS NULL AND tk % 1000 != 7
+    )
+    SELECT s, COUNT(*) AS n_rows,
+           CAST(SUM(k) AS BIGINT) AS key_sum,
+           CAST(SUM(CAST(p AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+    FROM res GROUP BY s
+    """,
+)
+def q153_merge_clauses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full MERGE INTO clause surface (operators/versioned.py::merge —
+    Delta's ordered conditional whenMatched / whenNotMatched /
+    whenNotMatchedBySource semantics, reference storage contract
+    requirements.txt:2 delta-spark): orders land as a versioned table,
+    then ONE merge applies five clauses at once — matched rows above a
+    price threshold DELETE, even-keyed matches UPDATE from the source
+    (first-match-wins order), odd unclaimed matches carry unchanged,
+    source-only keys conditionally INSERT with expression assignments,
+    and target-only rows split three ways (delete / flag-update /
+    keep). The oracle replays the identical clause resolution
+    relationally over a full outer join; per-status counts, key sums
+    and decimal-exact price sums all hash-pinned — any clause
+    mis-ordering, 3VL slip or type drift changes the hash."""
+    from modular_etl_data_platform_spark.operators.versioned import VersionedTable
+
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("s"),
+        F.col("o_totalprice").alias("p"),
+    )
+    scratch = _scratch("q153_merge_clauses", sf_dir)
+    vt = VersionedTable(spark, os.path.join(scratch, "orders_m"), stats_columns=["k"])
+    splits = [0, 50_000, 10**12]
+    for i in range(len(splits) - 1):
+        part = orders.filter(
+            (F.col("k") >= splits[i]) & (F.col("k") < splits[i + 1])
+        ).coalesce(1)
+        vt.write(part, mode="append" if i else "overwrite")
+    src = (
+        orders.filter(F.col("k") < 3000)
+        .select(
+            "k",
+            F.lit("SRC").alias("s"),
+            (F.col("k").cast("double") / 10 + 10).alias("p"),
+        )
+        .unionByName(
+            orders.filter(F.col("k") < 500).select(
+                (F.col("k") + F.lit(10**12)).alias("k"),
+                F.lit("NEW").alias("s"),
+                F.col("k").cast("double").alias("p"),
+            )
+        )
+    )
+    vt.merge(
+        src,
+        on=["k"],
+        matched=[
+            ("delete", None, "t.p > 150000"),
+            ("update", {"s": "s.s", "p": "t.p + s.p"}, "s.k % 2 = 0"),
+        ],
+        not_matched=[
+            ("insert", {"k": "s.k", "s": "lower(s.s)", "p": "s.p"}, "s.k % 3 = 0"),
+        ],
+        not_matched_by_source=[
+            ("delete", None, "t.k % 1000 = 7"),
+            ("update", {"s": "'X'"}, "t.k % 1000 = 11"),
+        ],
+    )
+    return _pin(
+        vt.read()
+        .groupBy("s")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("k").cast("long").alias("key_sum"),
+            dsum(F.col("p"), "sum_price"),
+        )
+    )
