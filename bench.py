@@ -93,6 +93,11 @@ HEADLINE = [
     # write-amplification contracts these exist for are what's timed
     "q149_update_where",
     "q150_replace_where",
+    # round-8 session-3: bloom-index point lookup (sidecar build cost +
+    # probe-time log resolution are what's timed) and the full MERGE
+    # clause surface (one full-outer-join pass for five clauses)
+    "q152_bloom_point_lookup",
+    "q153_merge_clauses",
 ]
 
 

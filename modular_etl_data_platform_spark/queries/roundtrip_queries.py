@@ -1891,3 +1891,66 @@ def q153_merge_clauses(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(F.col("p"), "sum_price"),
         )
     )
+
+
+@query(
+    "q154_history_metrics",
+    """
+    WITH t AS (SELECT o_orderkey AS k FROM orders),
+    n AS (SELECT COUNT(*) AS n_all FROM t),
+    add200 AS (SELECT COUNT(*) AS n_new FROM t WHERE k < 200),
+    del AS (SELECT COUNT(*) AS n_del FROM t WHERE k BETWEEN 2000 AND 2999)
+    SELECT 1 AS version, 'overwrite' AS mode,
+           n_all AS added_rows, 0 AS removed_rows
+    FROM n
+    UNION ALL
+    SELECT 2, 'upsert', n_all + n_new, n_all FROM n, add200
+    UNION ALL
+    SELECT 3, 'delete', n_all + n_new - n_del, n_all + n_new
+    FROM n, add200, del
+    """,
+)
+def q154_history_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operation metrics on every commit (operators/versioned.py
+    publish-time metrics — Delta's DESCRIBE HISTORY operationMetrics,
+    derived from footer row counts already in hand, zero extra I/O):
+    three commits with relationally-predictable row movement — full
+    write, whole-table upsert (every prior row replaced + 200 new
+    keys), range delete — and the HISTORY's recorded
+    num_added_rows/num_removed_rows per version are returned as data.
+    The oracle derives the same counts from orders directly, so a
+    metrics bug (rows counted from the wrong side of the diff, carried
+    files miscounted as added, removed rows not summed from the prior
+    snapshot's stats) changes the hash."""
+    from modular_etl_data_platform_spark.operators.versioned import VersionedTable
+
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("p")
+    )
+    scratch = _scratch("q154_history_metrics", sf_dir)
+    # deliberately NO stats_columns: every rewrite conservatively
+    # touches all files, so removed-row counts are file-layout-
+    # independent (the pruned variants are pinned by q132/q150/q153)
+    vt = VersionedTable(spark, os.path.join(scratch, "orders_h"))
+    vt.write(orders)
+    batch = orders.unionByName(
+        orders.filter(F.col("k") < 200).select(
+            (F.col("k") + F.lit(10**12)).alias("k"), F.col("p")
+        )
+    )
+    vt.upsert(batch, ["k"])
+    vt.delete_range("k", 2000, 2999)
+    rows = [
+        (
+            h["version"],
+            h["mode"],
+            int(h["metrics"]["num_added_rows"]),
+            int(h["metrics"].get("num_removed_rows", 0)),
+        )
+        for h in vt.history()
+    ]
+    return _pin(
+        spark.createDataFrame(
+            rows, "version int, mode string, added_rows long, removed_rows long"
+        )
+    )
