@@ -1521,13 +1521,28 @@ class VersionedTable:
         return widened.json()
 
     def write(
-        self, df: DataFrame, mode: str = "overwrite", evolve_schema: bool = False
+        self,
+        df: DataFrame,
+        mode: str = "overwrite",
+        evolve_schema: bool = False,
+        txn_app_id: str | None = None,
+        txn_version: int | None = None,
     ) -> int:
         """Publish a new version. ``overwrite`` replaces the logical
         contents; ``append`` adds the batch's files to the current
         snapshot's file list (prior files are REUSED, not rewritten).
         Appends enforce the table schema (see ``_append_schema``);
         ``evolve_schema=True`` is the mergeSchema escape hatch.
+
+        ``txn_app_id``/``txn_version`` (given together) make the write
+        IDEMPOTENT — Delta's public txnAppId/txnVersion contract for
+        retried batch jobs: the pair rides the commit as table state,
+        and a write whose ``txn_version`` is ≤ the version already
+        recorded for its app id is a NO-OP returning the current head
+        (the retry of a commit that already landed — a crashed driver
+        re-running its job can never double-append). Versions must be
+        monotonically increasing per app id, exactly Delta's rule; the
+        streaming sink rides the same state with (app id, batch id).
 
         Multi-writer: both modes land their files ONCE and rebase on a
         lost commit race without recomputing data. An append's content
@@ -1538,6 +1553,12 @@ class VersionedTable:
         just claims the next number."""
         if mode not in ("overwrite", "append"):
             raise ValueError(f"unsupported mode {mode!r}")
+        if (txn_app_id is None) != (txn_version is None):
+            raise ValueError("txn_app_id and txn_version go together")
+        if txn_app_id is not None and self._txn_already_landed(
+            txn_app_id, txn_version
+        ):
+            return self.current_version()
         checked_cons = self.constraints()  # enforced by the landing write
         used_mapping = self.column_mapping()
         landed = self._land_files(df)
@@ -1574,9 +1595,16 @@ class VersionedTable:
                     mapping=used_mapping or None,
                 )
                 checked_cons = cur_cons
+            meta = {"mode": mode}
+            if txn_app_id is not None:
+                # re-check against the head this attempt rebases onto:
+                # a concurrent retry of the SAME app may have landed it
+                if (prior or {}).get("txn", {}).get(txn_app_id, -1) >= txn_version:
+                    return base  # landed files become vacuumable orphans
+                meta["txn"] = {txn_app_id: txn_version}
             try:
                 return self._publish(
-                    files, schema_json, {"mode": mode},
+                    files, schema_json, meta,
                     expected_base=base,
                 )
             except ConcurrentWriteError:
@@ -1585,12 +1613,23 @@ class VersionedTable:
             f"write({mode}) lost {_MAX_COMMIT_RETRIES} commit races on {self.path}"
         )
 
+    def _txn_already_landed(self, app_id: str, version: int) -> bool:
+        """Whether the table already carries ``app_id``'s transaction at
+        ``version`` or newer (the txn map is table state carried through
+        every commit, so ANY later head answers this)."""
+        head = self.current_version()
+        if head is None:
+            return False
+        return self.log.resolve(head).get("txn", {}).get(app_id, -1) >= version
+
     def upsert(
         self,
         batch: DataFrame,
         primary_keys: list[str],
         evolve_schema: bool = False,
         use_deletion_vectors: bool = False,
+        txn_app_id: str | None = None,
+        txn_version: int | None = None,
     ) -> int:
         """MERGE semantics as a new version (WHEN MATCHED update / NOT
         MATCHED insert — the reference's silver contract). The previous
@@ -1632,16 +1671,29 @@ class VersionedTable:
         run ``compact_where`` on the hot range (or ``maybe_compact``)
         to materialize, exactly Delta's guidance for DV tables. Default
         stays the rewrite path: at high matched fractions rewriting is
-        cheaper than carrying vectors."""
+        cheaper than carrying vectors.
+
+        ``txn_app_id``/``txn_version`` make the MERGE idempotent under
+        retries, exactly as on :meth:`write` — the foreachBatch-retry
+        contract (Delta's txnAppId for idempotent table writes)."""
+        if (txn_app_id is None) != (txn_version is None):
+            raise ValueError("txn_app_id and txn_version go together")
+        txn_meta = (
+            {"txn": {txn_app_id: txn_version}} if txn_app_id is not None else {}
+        )
         for _ in range(_MAX_COMMIT_RETRIES):
             base = self.current_version()
+            if txn_app_id is not None and self._txn_already_landed(
+                txn_app_id, txn_version
+            ):
+                return base
             if base is None:
                 merged = merge_dataframes(None, batch, primary_keys, evolve_schema)
                 try:
                     return self._publish(
                         self._land_files(merged),
                         merged.schema.json(),
-                        {"mode": "upsert"},
+                        {"mode": "upsert", **txn_meta},
                         expected_base=0,
                     )
                 except ConcurrentWriteError:
@@ -1671,7 +1723,7 @@ class VersionedTable:
                 try:
                     return self._upsert_with_dv(
                         batch, primary_keys, evolve_schema, base, manifest,
-                        touched,
+                        touched, txn_meta=txn_meta,
                     )
                 except ConcurrentWriteError:
                     continue
@@ -1690,7 +1742,7 @@ class VersionedTable:
                 return self._publish(
                     untouched + self._land_files(merged),
                     merged.schema.json(),
-                    {"mode": "upsert"},
+                    {"mode": "upsert", **txn_meta},
                     expected_base=base,
                 )
             except ConcurrentWriteError:
@@ -1707,6 +1759,7 @@ class VersionedTable:
         base: int,
         manifest: dict,
         touched: list[str],
+        txn_meta: dict | None = None,
     ) -> int:
         """One MERGE attempt on the DV strategy (see :meth:`upsert`):
         because this engine's MERGE is whole-row replace, the new state
@@ -1752,7 +1805,7 @@ class VersionedTable:
         return self._publish(
             manifest["files"] + landed,
             aligned.schema.json(),
-            {"mode": "upsert", "strategy": "dv"},
+            {"mode": "upsert", "strategy": "dv", **(txn_meta or {})},
             expected_base=base,
             dv_updates=dv_updates,
         )

@@ -1401,3 +1401,44 @@ def test_clone_is_shallow_and_divergent(spark, tmp_path):
     assert c2.read().count() == 100
     with pytest.raises(FileExistsError):
         vt.clone(str(tmp_path / "c"))
+
+
+def test_idempotent_txn_writes_and_upserts(spark, tmp_path):
+    """Delta's txnAppId/txnVersion contract on batch writes: a retried
+    commit whose (app, version) already landed is a no-op, even with
+    unrelated commits in between; a NEWER app version lands normally."""
+    vt = VersionedTable(spark, str(tmp_path / "t"))
+    df1 = spark.createDataFrame([(1, "a")], "id long, v string")
+    v1 = vt.write(df1, txn_app_id="job", txn_version=1)
+    # retry of the same logical commit: no-op, no new version
+    assert vt.write(df1, mode="append", txn_app_id="job", txn_version=1) == v1
+    assert vt.current_version() == v1
+    assert vt.read().count() == 1
+    # an unrelated writer commits; the retry is STILL recognized
+    vt.write(spark.createDataFrame([(2, "b")], "id long, v string"), mode="append")
+    assert (
+        vt.write(df1, mode="append", txn_app_id="job", txn_version=1)
+        == vt.current_version()
+    )
+    assert vt.read().count() == 2
+    # a newer app version lands
+    vt.write(
+        spark.createDataFrame([(3, "c")], "id long, v string"),
+        mode="append",
+        txn_app_id="job",
+        txn_version=2,
+    )
+    assert vt.read().count() == 3
+    # upserts ride the same contract (both strategies)
+    batch = spark.createDataFrame([(3, "C")], "id long, v string")
+    v = vt.upsert(batch, ["id"], txn_app_id="merge-job", txn_version=10)
+    assert vt.upsert(batch, ["id"], txn_app_id="merge-job", txn_version=10) == v
+    assert vt.upsert(
+        batch, ["id"], use_deletion_vectors=True,
+        txn_app_id="merge-job", txn_version=9,
+    ) == v  # older version: skipped
+    assert {tuple(r) for r in vt.read().filter("id = 3").collect()} == {(3, "C")}
+    with pytest.raises(ValueError, match="go together"):
+        vt.write(df1, txn_app_id="job")
+    with pytest.raises(ValueError, match="go together"):
+        vt.upsert(batch, ["id"], txn_version=5)
