@@ -98,6 +98,9 @@ HEADLINE = [
     # clause surface (one full-outer-join pass for five clauses)
     "q152_bloom_point_lookup",
     "q153_merge_clauses",
+    # generated columns: write-side compute+validate and the
+    # UPDATE-recompute path (Observation-riding checks are what's timed)
+    "q155_generated_columns",
 ]
 
 

@@ -574,6 +574,11 @@ class CommitLog:
         constraints = meta.pop("constraints", None)
         if constraints is None:
             constraints = prior.get("constraints", {})
+        # generated-column expressions (Delta's GENERATED ALWAYS AS) are
+        # table properties like constraints: they ride every record
+        generated = meta.pop("generated", None)
+        if generated is None:
+            generated = prior.get("generated", {})
         # column mapping (Delta's columnMapping feature): logical name ->
         # physical (parquet) name, carried through every commit like
         # constraints; ``retired_physical`` tombstones physical names a
@@ -679,6 +684,7 @@ class CommitLog:
             "stats": {f: fresh_stats[f] for f in add if f in fresh_stats},
             "sizes": sizes,
             "constraints": constraints,
+            **({"generated": generated} if generated else {}),
             **({"column_mapping": mapping} if mapping is not None else {}),
             **({"retired_physical": retired} if retired else {}),
             **({"dv": dv_updates} if dv_updates else {}),
@@ -706,6 +712,7 @@ class CommitLog:
             "metrics": metrics,
             "schema": schema_json,
             "constraints": constraints,
+            **({"generated": generated} if generated else {}),
             **({"column_mapping": mapping} if mapping is not None else {}),
             **({"retired_physical": retired} if retired else {}),
             "dv": dv,
@@ -1043,6 +1050,7 @@ class VersionedTable:
         log_store: LogStore | None = None,
         checkpoint_interval: int = _CHECKPOINT_INTERVAL,
         bloom_columns: list[str] | None = None,
+        generated_columns: dict[str, str] | None = None,
     ):
         self.spark = spark
         # canonicalize: manifest file paths derive from this root, and
@@ -1060,6 +1068,12 @@ class VersionedTable:
         #: column-pruned read of each LANDED file per commit; sidecars
         #: live under _bloom/, the commit record carries only a pointer.
         self.bloom_columns = bloom_columns or []
+        #: generated columns declared at table creation (Delta's
+        #: GENERATED ALWAYS AS): col -> SQL expression over the row's
+        #: other columns. Stamped into the log on the FIRST commit;
+        #: once the table exists, the LOG's map is authoritative (this
+        #: argument is then ignored, like a schema on an existing table)
+        self._declared_generated = dict(generated_columns or {})
         if spark is not None:
             # INT96 (Spark's legacy parquet timestamp encoding) writes
             # NO footer min/max — timestamp stats_columns would silently
@@ -1104,6 +1118,12 @@ class VersionedTable:
             if expected_base is not None
             else (self.current_version() or 0)
         )
+        # stamp declared generated columns into the FIRST commit; later
+        # commits inherit the log's map (publish falls back to prior's)
+        if not base and self._declared_generated and "generated" not in (
+            meta or {}
+        ):
+            meta = {**(meta or {}), "generated": dict(self._declared_generated)}
         prior_files: set[str] = set()
         mapping = (meta or {}).get("column_mapping")
         if base:
@@ -1152,6 +1172,28 @@ class VersionedTable:
         return self.log.publish(
             files, schema_json, meta, base, fresh, dv_updates=dv_updates
         )
+
+    # -- generated columns -----------------------------------------------------
+    def generated_columns(self) -> dict[str, str]:
+        """Active generated-column expressions (Delta's GENERATED ALWAYS
+        AS): the log's map once the table exists, the constructor's
+        declaration before the first commit."""
+        v = self.current_version()
+        if v is None:
+            return dict(self._declared_generated)
+        return self.log.resolve(v).get("generated", {})
+
+    def _apply_generated(self, df: DataFrame) -> DataFrame:
+        """Compute declared generated columns a batch omits (the common
+        case — writers supply the source columns and the engine derives
+        the rest). Columns the batch DOES supply are validated against
+        their expression by the landing write instead (see
+        ``_land_files``) — a wrong value fails the transaction rather
+        than silently diverging from the generation invariant."""
+        for c, e in self.generated_columns().items():
+            if c not in df.columns:
+                df = df.withColumn(c, F.expr(e))
+        return df
 
     # -- column mapping --------------------------------------------------------
     def column_mapping(self) -> dict[str, str]:
@@ -1218,6 +1260,12 @@ class VersionedTable:
                     f"constraint {cname!r} references {old!r}; drop it "
                     "before renaming (re-create it against the new name)"
                 )
+        for gname, expr in m.get("generated", {}).items():
+            if gname == old or _re.search(rf"\b{_re.escape(old)}\b", expr):
+                raise ValueError(
+                    f"generated column {gname!r} is or references {old!r}; "
+                    "generation expressions bind logical names"
+                )
         mapping = dict(m.get("column_mapping") or {n: n for n in names})
         mapping[new] = mapping.pop(old)
         renamed = T.StructType(
@@ -1268,6 +1316,13 @@ class VersionedTable:
                     f"constraint {cname!r} references {name!r}; drop it "
                     "before dropping the column"
                 )
+        gen = m.get("generated", {})
+        for gname, expr in gen.items():
+            if gname != name and _re.search(rf"\b{_re.escape(name)}\b", expr):
+                raise ValueError(
+                    f"generated column {gname!r} references {name!r}; "
+                    "it must be dropped first"
+                )
         mapping = dict(m.get("column_mapping") or {n: n for n in names})
         retired = sorted(
             set(m.get("retired_physical", [])) | {mapping.pop(name)}
@@ -1283,6 +1338,13 @@ class VersionedTable:
                 "dropped": name,
                 "column_mapping": mapping,
                 "retired_physical": retired,
+                # dropping a generated column retires its expression too
+                # (an explicit empty map CLEARS the carried table state)
+                **(
+                    {"generated": {k: e for k, e in gen.items() if k != name}}
+                    if name in gen
+                    else {}
+                ),
             },
             expected_base=v,
         )
@@ -1357,8 +1419,22 @@ class VersionedTable:
         v = self.current_version()
         head = self.log.resolve(v) if v is not None else {}
         cons = head.get("constraints", {})
+        # generated-column invariants validate exactly like CHECK
+        # constraints (same Observation, zero extra scan): a batch that
+        # SUPPLIES a generated column must supply the generated value —
+        # null-safe equality, so a NULL expression result requires a
+        # NULL supplied value (never a free pass)
+        gen = (
+            head.get("generated", {})
+            if v is not None
+            else dict(self._declared_generated)
+        )
+        checks = dict(cons)
+        for c, e in gen.items():
+            if c in df.columns:
+                checks[f"generated column {c}"] = f"`{c}` <=> ({e})"
         obs = None
-        if cons:
+        if checks:
             from pyspark.sql import Observation
 
             obs = Observation()
@@ -1366,9 +1442,10 @@ class VersionedTable:
                 F.sum(
                     (~F.coalesce(F.expr(e), F.lit(True))).cast("long")
                 ).alias(n)
-                for n, e in cons.items()
+                for n, e in checks.items()
             ]
             df = df.observe(obs, *aggs)
+        logical_schema_json = df.schema.json()
         # under an active column mapping, files carry PHYSICAL names:
         # rename after the (logical) constraint observation
         mapping = head.get("column_mapping")
@@ -1384,21 +1461,35 @@ class VersionedTable:
             )
         sub = os.path.join(self.path, _DATA_DIR, uuid.uuid4().hex)
         df.write.parquet(sub)
-        if obs is not None:
-            violated = {n: c for n, c in obs.get.items() if c}
-            if violated:
-                raise ConstraintViolationError(
-                    f"CHECK constraint(s) violated in {self.path}: "
-                    + ", ".join(
-                        f"{n} ({cons[n]}): {c} row(s)"
-                        for n, c in violated.items()
-                    )
-                )
-        return [
+        landed = [
             os.path.join(sub, f)
             for f in os.listdir(sub)
             if f.endswith(".parquet")
         ]
+        if obs is not None:
+            got = obs.get
+            violated = {n: c for n, c in got.items() if c}
+            if violated:
+                raise ConstraintViolationError(
+                    f"CHECK constraint(s) violated in {self.path}: "
+                    + ", ".join(
+                        f"{n} ({checks[n]}): {c} row(s)"
+                        for n, c in violated.items()
+                    )
+                )
+            # a None metric means the aggregate saw NO rows — an empty
+            # batch (SUM over zero rows is NULL), or an engine that
+            # dropped the observation. "Unknown" must never pass as
+            # "no violations": re-validate those checks with an
+            # explicit aggregate scan of the just-landed files (a
+            # trivial job for the empty-batch case; correctness over
+            # latency for any metric-losing plan shape).
+            lost = {n: checks[n] for n, c in got.items() if c is None}
+            if lost:
+                self._validate_landed(
+                    landed, logical_schema_json, lost, mapping=mapping
+                )
+        return landed
 
     def _file_stats(self, files: list[str]) -> dict[str, dict]:
         return collect_file_stats(files, self.stats_columns)
@@ -1559,6 +1650,7 @@ class VersionedTable:
             txn_app_id, txn_version
         ):
             return self.current_version()
+        df = self._apply_generated(df)
         checked_cons = self.constraints()  # enforced by the landing write
         used_mapping = self.column_mapping()
         landed = self._land_files(df)
@@ -1681,6 +1773,7 @@ class VersionedTable:
         txn_meta = (
             {"txn": {txn_app_id: txn_version}} if txn_app_id is not None else {}
         )
+        batch = self._apply_generated(batch)
         for _ in range(_MAX_COMMIT_RETRIES):
             base = self.current_version()
             if txn_app_id is not None and self._txn_already_landed(
@@ -2623,6 +2716,42 @@ class VersionedTable:
                 raise ValueError(
                     f"update_where assigns unknown column(s) {unknown}"
                 )
+            # generated columns are ALWAYS computed (Delta's rule): they
+            # cannot be assigned directly, and any update touching a
+            # column a generation expression references recomputes the
+            # generated column on the post-update row — the invariant
+            # can never drift through UPDATE
+            gen = manifest.get("generated", {})
+            bad_gen = sorted(set(assignments) & set(gen))
+            if bad_gen:
+                raise ValueError(
+                    f"column(s) {bad_gen} are generated (GENERATED ALWAYS "
+                    "AS) — they are recomputed, never assigned"
+                )
+            import re as _re
+
+            recompute = [
+                g
+                for g, ge in gen.items()
+                if any(
+                    _re.search(rf"\b{_re.escape(a)}\b", ge)
+                    for a in assignments
+                )
+            ]
+
+            def _regen(frame):
+                if not recompute:
+                    return frame
+                return frame.select(
+                    *[
+                        (
+                            F.expr(gen[n]).cast(fields[n]).alias(n)
+                            if n in recompute
+                            else F.col(n)
+                        )
+                        for n in cols
+                    ]
+                )
             dv_map = manifest.get("dv", {})
             col_map = manifest.get("column_mapping")
             cond = F.coalesce(F.expr(condition), F.lit(False))
@@ -2643,15 +2772,17 @@ class VersionedTable:
                     matched = self._scan_with_identity(
                         touched, schema, dv_map, col_map
                     ).filter(cond)
-                    images = matched.select(
-                        *[
-                            (
-                                F.expr(assignments[n]).cast(fields[n])
-                                if n in assignments
-                                else F.col(n)
-                            ).alias(n)
-                            for n in cols
-                        ]
+                    images = _regen(
+                        matched.select(
+                            *[
+                                (
+                                    F.expr(assignments[n]).cast(fields[n])
+                                    if n in assignments
+                                    else F.col(n)
+                                ).alias(n)
+                                for n in cols
+                            ]
+                        )
                     )
                     landed = self._land_files(images)
                     positions = matched.select(
@@ -2680,18 +2811,20 @@ class VersionedTable:
                 cur = self._read_files(
                     touched, manifest["schema"], dv_map, col_map
                 )
-                rewritten = cur.select(
-                    *[
-                        (
-                            F.when(
-                                cond,
-                                F.expr(assignments[n]).cast(fields[n]),
-                            ).otherwise(F.col(n))
-                            if n in assignments
-                            else F.col(n)
-                        ).alias(n)
-                        for n in cols
-                    ]
+                rewritten = _regen(
+                    cur.select(
+                        *[
+                            (
+                                F.when(
+                                    cond,
+                                    F.expr(assignments[n]).cast(fields[n]),
+                                ).otherwise(F.col(n))
+                                if n in assignments
+                                else F.col(n)
+                            ).alias(n)
+                            for n in cols
+                        ]
+                    )
                 )
                 return self._publish(
                     untouched + self._land_files(rewritten),
@@ -2722,6 +2855,7 @@ class VersionedTable:
         even the phase-1 predicate scan — the dynamic-partition-
         overwrite shape: replaceWhere on a day column reads and
         rewrites one day's files, never the year's."""
+        df = self._apply_generated(df)
         bad = (
             df.filter(~F.coalesce(F.expr(condition), F.lit(False)))
             .limit(1)

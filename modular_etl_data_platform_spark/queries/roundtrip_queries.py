@@ -1954,3 +1954,89 @@ def q154_history_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows, "version int, mode string, added_rows long, removed_rows long"
         )
     )
+
+
+@query(
+    "q155_generated_columns",
+    """
+    WITH t AS (
+      SELECT o_orderkey AS k,
+             CASE WHEN o_orderkey % 100 = 0
+                  THEN o_orderdate + INTERVAL 400 DAY
+                  ELSE o_orderdate END AS ts
+      FROM orders
+    ),
+    g AS (SELECT k, CAST(strftime(ts, '%Y%m%d') AS INT) AS date_key FROM t)
+    SELECT CAST(date_key // 10000 AS INT) AS year, COUNT(*) AS n_rows,
+           CAST(SUM(date_key) AS BIGINT) AS dk_sum,
+           CAST(SUM(k) AS BIGINT) AS key_sum
+    FROM g GROUP BY 1
+    """,
+)
+def q155_generated_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generated columns (operators/versioned.py — Delta's GENERATED
+    ALWAYS AS): a date_key column declared as an expression over ts is
+    COMPUTED by the engine on every write (batches never supply it),
+    recorded in per-file stats so date-range reads prune files
+    (asserted in-query: the middle of three year-ranged files), kept
+    consistent by UPDATE (changing ts recomputes date_key — asserted by
+    the oracle replaying the same derivation), and enforced
+    transactionally (a batch supplying a WRONG date_key must fail and
+    publish nothing — asserted in-query). The oracle derives date_key
+    relationally from the same timestamps, so a stale or mis-derived
+    generated value changes the hash."""
+    from modular_etl_data_platform_spark.operators.versioned import (
+        ConstraintViolationError,
+        VersionedTable,
+    )
+
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"), F.col("o_orderdate").alias("ts")
+    )
+    scratch = _scratch("q155_generated_columns", sf_dir)
+    vt = VersionedTable(
+        spark,
+        os.path.join(scratch, "orders_g"),
+        stats_columns=["date_key"],
+        generated_columns={
+            "date_key": "CAST(date_format(ts, 'yyyyMMdd') AS INT)"
+        },
+    )
+    cuts = ["1997-01-01", "1999-01-01"]  # data spans 1995..2001
+    b1 = orders.filter(F.col("ts") < cuts[0]).coalesce(1)
+    b2 = orders.filter(
+        (F.col("ts") >= cuts[0]) & (F.col("ts") < cuts[1])
+    ).coalesce(1)
+    b3 = orders.filter(F.col("ts") >= cuts[1]).coalesce(1)
+    vt.write(b1)
+    vt.write(b2, mode="append")
+    vt.write(b3, mode="append")
+    # the generated column's stats prune a date-range read to one file
+    pruned = vt.read_pruned("date_key", 19970101, 19981231)
+    if len(set(pruned.inputFiles())) != 1:  # the scale property IS the point
+        raise AssertionError(
+            "date-range read over the generated column should open "
+            f"exactly the middle file, opened {len(set(pruned.inputFiles()))}"
+        )
+    # a batch supplying a WRONG generated value must fail and publish
+    # nothing (transactional enforcement)
+    head = vt.current_version()
+    bad = b1.limit(5).withColumn("date_key", F.lit(11111111))
+    try:
+        vt.write(bad, mode="append")
+        raise AssertionError("wrong generated value was accepted")
+    except ConstraintViolationError:
+        pass
+    if vt.current_version() != head:
+        raise AssertionError("violating write published a version")
+    # UPDATE on the source column recomputes the generated column
+    vt.update_where({"ts": "ts + INTERVAL 400 DAYS"}, "k % 100 = 0")
+    return _pin(
+        vt.read()
+        .groupBy(F.floor(F.col("date_key") / 10000).cast("int").alias("year"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("date_key").cast("long").alias("dk_sum"),
+            F.sum("k").cast("long").alias("key_sum"),
+        )
+    )

@@ -676,6 +676,13 @@ class _VersionedBatchArrowWriter(_ArrowFileLander, DataSourceArrowWriter):
                     "logical names and would corrupt the physical-name "
                     "contract — write through VersionedTable instead"
                 )
+            if (prior or {}).get("generated"):
+                raise RuntimeError(
+                    f"{self.table} declares generated columns; the "
+                    "format-API writers cannot compute or validate "
+                    "generation expressions executor-side — write "
+                    "through VersionedTable instead"
+                )
             if self.overwrite or prior is None:
                 all_files = list(files)
             else:
@@ -795,6 +802,13 @@ class _VersionedStreamArrowWriter(_ArrowFileLander, DataSourceStreamArrowWriter)
                     "columns); the format-API writers land files under "
                     "logical names and would corrupt the physical-name "
                     "contract — write through VersionedTable instead"
+                )
+            if (prior or {}).get("generated"):
+                raise RuntimeError(
+                    f"{self.table} declares generated columns; the "
+                    "format-API writers cannot compute or validate "
+                    "generation expressions executor-side — write "
+                    "through VersionedTable instead"
                 )
             if self.overwrite or prior is None:
                 all_files = list(files)
