@@ -129,6 +129,16 @@ def main() -> None:
         spark, warm_sf if os.path.isdir(warm_sf) else sf_dir
     ).collect()
 
+    # one UNTIMED pass over the whole headline first: per-query codegen
+    # compiles once per plan shape per session, and a cold first pass
+    # otherwise drags every median up ~20% (observed round totals
+    # 120/102/85s — run 1 measures compilation, not the operators).
+    # Steady-state is the number that scales to a long-lived cluster.
+    if os.environ.get("SPARK_GRAFT_BENCH_WARM", "1") != "0":
+        for name in HEADLINE:
+            spark.catalog.clearCache()
+            QUERIES[name](spark, sf_dir).collect()
+
     load_start = os.getloadavg()
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     samples: dict[str, list[float]] = {n: [] for n in HEADLINE}
