@@ -1405,7 +1405,9 @@ class VersionedTable:
         )
 
     # -- write paths ----------------------------------------------------------
-    def _land_files(self, df: DataFrame) -> list[str]:
+    def _land_files(
+        self, df: DataFrame, enforce_not_null: bool = True
+    ) -> list[str]:
         """Write df as immutable data files under a fresh subdirectory
         (never touching published files) and return their paths.
 
@@ -1415,7 +1417,10 @@ class VersionedTable:
         exists (the landed orphans are vacuumable), which is the
         transactional half of Delta's constraint contract. A row
         violates only when the expression evaluates exactly FALSE
-        (NULL passes — SQL CHECK semantics)."""
+        (NULL passes — SQL CHECK semantics). Columns the TABLE schema
+        declares non-nullable reject NULL values the same way (Delta's
+        nullability enforcement); ``enforce_not_null=False`` skips that
+        for overwrites, whose batch REDEFINES the schema."""
         v = self.current_version()
         head = self.log.resolve(v) if v is not None else {}
         cons = head.get("constraints", {})
@@ -1433,6 +1438,13 @@ class VersionedTable:
         for c, e in gen.items():
             if c in df.columns:
                 checks[f"generated column {c}"] = f"`{c}` <=> ({e})"
+        if enforce_not_null and v is not None:
+            from pyspark.sql import types as T
+
+            tbl_schema = T.StructType.fromJson(json.loads(head["schema"]))
+            for f in tbl_schema.fields:
+                if not f.nullable and f.name in df.columns:
+                    checks[f"NOT NULL {f.name}"] = f"`{f.name}` IS NOT NULL"
         obs = None
         if checks:
             from pyspark.sql import Observation
@@ -1653,7 +1665,7 @@ class VersionedTable:
         df = self._apply_generated(df)
         checked_cons = self.constraints()  # enforced by the landing write
         used_mapping = self.column_mapping()
-        landed = self._land_files(df)
+        landed = self._land_files(df, enforce_not_null=(mode == "append"))
         for _ in range(_MAX_COMMIT_RETRIES):
             base = self.current_version() or 0
             files = list(landed)
@@ -1673,7 +1685,9 @@ class VersionedTable:
             # re-land per retry, which covers both implicitly.
             cur_map = (prior or {}).get("column_mapping") or {}
             if cur_map != used_mapping:
-                landed = self._land_files(df)
+                landed = self._land_files(
+                    df, enforce_not_null=(mode == "append")
+                )
                 used_mapping = cur_map
                 files = (
                     list(prior["files"]) + list(landed)

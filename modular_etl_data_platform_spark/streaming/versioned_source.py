@@ -40,6 +40,11 @@ Options:
 
 - ``path`` (required)
 - ``starting_version`` (default 0 = everything; N = only versions > N)
+- ``starting_timestamp`` (ISO-8601; naive = UTC) — Delta's
+  ``startingTimestamp``: begin after the last version committed
+  at-or-before the instant (mutually exclusive with
+  ``starting_version``; an instant predating the log streams
+  everything)
 - ``max_versions_per_batch`` (default unbounded) — caps how many table
   versions one micro-batch may drain (Delta's ``maxFilesPerTrigger``
   analogue, in version units): after downtime, the backlog is consumed
@@ -511,10 +516,38 @@ class VersionedTableStreamDataSource(DataSource):
 
     def streamReader(self, schema: StructType) -> _VersionedStreamReader:
         max_v = self.options.get("max_versions_per_batch")
+        start = int(self.options.get("starting_version", 0))
+        start_ts = self.options.get("starting_timestamp")
+        if start_ts is not None:
+            # Delta's startingTimestamp: begin AFTER the last version
+            # committed at-or-before the instant — i.e. the first batch
+            # emits versions committed strictly later. Resolved once at
+            # stream construction against the commit times in the log;
+            # mutually exclusive with starting_version (two different
+            # answers to the same question must not race).
+            if "starting_version" in self.options:
+                raise ValueError(
+                    "starting_version and starting_timestamp are "
+                    "mutually exclusive"
+                )
+            from datetime import datetime, timezone
+
+            dt = datetime.fromisoformat(str(start_ts))
+            if dt.tzinfo is None:
+                dt = dt.replace(tzinfo=timezone.utc)
+            from modular_etl_data_platform_spark.operators.versioned import (
+                CommitLog,
+            )
+
+            log = CommitLog(path=self._table())
+            try:
+                start = log.version_at_timestamp(int(dt.timestamp() * 1000))
+            except ValueError:
+                start = 0  # predates the oldest commit: stream everything
         return _VersionedStreamReader(
             self._table(),
             schema,
-            int(self.options.get("starting_version", 0)),
+            start,
             int(max_v) if max_v is not None else None,
             ignore_deletes=str(
                 self.options.get("ignore_deletes", "false")

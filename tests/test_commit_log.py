@@ -208,8 +208,8 @@ def test_compact_pins_base_and_keeps_racing_append(spark, tmp_path):
     real_land = VersionedTable._land_files
     fired = {"done": False}
 
-    def land_with_interleaved_append(self, df):
-        files = real_land(self, df)
+    def land_with_interleaved_append(self, df, **kw):
+        files = real_land(self, df, **kw)
         if not fired["done"]:
             fired["done"] = True
             racer.write(_df(spark, 100, 105).coalesce(1), mode="append")

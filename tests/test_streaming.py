@@ -1234,3 +1234,53 @@ def test_versioned_stream_guards_update_where_and_replace_where(
 
     got = pa.Table.from_batches([b for p in parts for b in rc.read(p)])
     assert 0 not in set(got.column("id").to_pylist())  # vector applied
+
+
+def test_versioned_stream_starting_timestamp(spark, tmp_path):
+    """Delta's startingTimestamp: the stream begins after the last
+    version committed at-or-before the instant — the first batch emits
+    only later versions; an instant predating the log streams the whole
+    table; combining both start options is refused."""
+    from datetime import datetime, timezone
+
+    from modular_etl_data_platform_spark.operators.versioned import VersionedTable
+    from modular_etl_data_platform_spark.streaming.versioned_source import (
+        VersionedTableStreamDataSource,
+    )
+
+    spark.dataSource.register(VersionedTableStreamDataSource)
+    table = str(tmp_path / "vt")
+    vt = VersionedTable(spark, table)
+    vt.write(spark.createDataFrame([(1, "a")], "id long, v string"))
+    vt.write(spark.createDataFrame([(2, "b")], "id long, v string"), mode="append")
+    vt.write(spark.createDataFrame([(3, "c")], "id long, v string"), mode="append")
+    v2_ts = vt.history()[1]["ts"]  # epoch ms of version 2's commit
+    iso = datetime.fromtimestamp(v2_ts / 1000, tz=timezone.utc).isoformat()
+
+    def drain(tag, **opts):
+        reader = spark.readStream.format("versioned_table").option("path", table)
+        for k, val in opts.items():
+            reader = reader.option(k, val)
+        out, ckpt = str(tmp_path / f"out{tag}"), str(tmp_path / f"ckpt{tag}")
+        q = (
+            reader.load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {tuple(r) for r in spark.read.parquet(out).collect()}
+
+    # at v2's commit instant: only version 3 is strictly later
+    assert drain("a", starting_timestamp=iso) == {(3, "c")}
+    # an instant predating the log: everything streams
+    assert drain("b", starting_timestamp="1990-01-01T00:00:00+00:00") == {
+        (1, "a"), (2, "b"), (3, "c"),
+    }
+    # both start options together are refused
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="mutually exclusive"):
+        drain("c", starting_timestamp=iso, starting_version="1")

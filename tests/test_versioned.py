@@ -389,7 +389,10 @@ def test_upsert_pruned_schema_evolution_null_fills_carried_files(spark, tmp_path
     for lo in (0, 100):
         vt.write(
             spark.range(lo, lo + 100)
-            .select(F.col("id"), (F.col("id") * 2).alias("v"))
+            # nullable id (nullif is not constant-folded): a later
+            # append carries a NULL row, which the table schema must
+            # allow — NOT NULL is now writer-enforced
+            .select(F.nullif(F.col("id"), F.lit(-1)).alias("id"), (F.col("id") * 2).alias("v"))
             .coalesce(1),
             mode="append" if lo else "overwrite",
         )
@@ -482,8 +485,8 @@ def test_upsert_rebases_merge_over_interleaved_commit(spark, tmp_path, monkeypat
     sneak = {"done": False}
     real_land = VersionedTable._land_files
 
-    def landing_with_race(self, df):
-        files = real_land(self, df)
+    def landing_with_race(self, df, **kw):
+        files = real_land(self, df, **kw)
         if not sneak["done"]:
             sneak["done"] = True
             # a second writer wins a commit after A landed but before
@@ -680,7 +683,10 @@ def test_delete_range_prunes_and_keeps_nulls(spark, tmp_path):
     for lo in (0, 100):
         vt.write(
             spark.range(lo, lo + 100)
-            .select(F.col("id"), (F.col("id") * 2).alias("v"))
+            # nullable id (nullif is not constant-folded): a later
+            # append carries a NULL row, which the table schema must
+            # allow — NOT NULL is now writer-enforced
+            .select(F.nullif(F.col("id"), F.lit(-1)).alias("id"), (F.col("id") * 2).alias("v"))
             .coalesce(1),
             mode="append" if lo else "overwrite",
         )
@@ -803,7 +809,7 @@ def test_delete_where_is_merge_on_read(spark, tmp_path):
     vt = VersionedTable(spark, str(tmp_path / "t"), stats_columns=["id"])
     vt.write(
         spark.range(200)
-        .select(F.col("id"), (F.col("id") % 5).alias("grp"))
+        .select(F.nullif(F.col("id"), F.lit(-1)).alias("id"), (F.col("id") % 5).alias("grp"))
         .coalesce(4),
         mode="overwrite",
     )
@@ -1222,7 +1228,7 @@ def test_update_where_rewrite_semantics(spark, tmp_path):
     vt = VersionedTable(spark, str(tmp_path / "t"), stats_columns=["id"])
     vt.write(
         spark.range(100)
-        .select(F.col("id"), (F.col("id") * 2).alias("a"), F.lit(7).cast("long").alias("b"))
+        .select(F.nullif(F.col("id"), F.lit(-1)).alias("id"), (F.col("id") * 2).alias("a"), F.lit(7).cast("long").alias("b"))
         .coalesce(1),
         mode="overwrite",
     )
@@ -1325,7 +1331,9 @@ def test_overwrite_where_replaces_atomically(spark, tmp_path):
 
     vt = VersionedTable(spark, str(tmp_path / "t"), stats_columns=["id"])
     vt.write(
-        spark.range(100).select(F.col("id"), F.lit("old").alias("v")).coalesce(1),
+        spark.range(100)
+        .select(F.nullif(F.col("id"), F.lit(-1)).alias("id"), F.lit("old").alias("v"))
+        .coalesce(1),
         mode="overwrite",
     )
     vt.write(
@@ -1442,3 +1450,40 @@ def test_idempotent_txn_writes_and_upserts(spark, tmp_path):
         vt.write(df1, txn_app_id="job")
     with pytest.raises(ValueError, match="go together"):
         vt.upsert(batch, ["id"], txn_version=5)
+
+
+def test_not_null_enforced_on_append(spark, tmp_path):
+    """Columns the table schema declares non-nullable reject NULL values
+    writer-side (Delta's nullability enforcement); an overwrite's batch
+    REDEFINES the schema and is exempt."""
+    from modular_etl_data_platform_spark.operators.versioned import (
+        ConstraintViolationError,
+    )
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType(), nullable=False),
+            T.StructField("v", T.StringType(), nullable=True),
+        ]
+    )
+    vt = VersionedTable(spark, str(tmp_path / "t"))
+    vt.write(spark.createDataFrame([(1, "a")], schema))
+    with pytest.raises(ConstraintViolationError, match="NOT NULL id"):
+        vt.write(
+            spark.createDataFrame([(None, "b")], "id long, v string"),
+            mode="append",
+        )
+    assert vt.current_version() == 1  # nothing published
+    # NULL in a nullable column is fine
+    vt.write(
+        spark.createDataFrame([(2, None)], "id long, v string"), mode="append"
+    )
+    # an upsert with a NULL key value is rejected the same way
+    with pytest.raises(ConstraintViolationError, match="NOT NULL id"):
+        vt.upsert(
+            spark.createDataFrame([(None, "x")], "id long, v string"), ["id"]
+        )
+    # overwrite redefines the schema: a nullable batch is accepted
+    vt.write(spark.createDataFrame([(None, "z")], "id long, v string"))
+    assert vt.read().count() == 1
