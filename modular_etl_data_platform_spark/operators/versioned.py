@@ -2316,6 +2316,23 @@ class VersionedTable:
         )
         return scan.join(dv_rows, ["__vt_file", "__vt_pos"], "left_anti")
 
+    def _resolve_version_bound(self, bound) -> int:
+        """A version bound given as an int passes through; a ``datetime``
+        or ISO-8601 string (naive = UTC) resolves to the last version
+        committed at or before the instant — the timestamp form of
+        Delta CDF's starting/endingTimestamp."""
+        if isinstance(bound, int):
+            return bound
+        if isinstance(bound, str):
+            bound = datetime.fromisoformat(bound)
+        if isinstance(bound, datetime):
+            if bound.tzinfo is None:
+                bound = bound.replace(tzinfo=timezone.utc)
+            return self.log.version_at_timestamp(
+                int(bound.timestamp() * 1000)
+            )
+        raise TypeError(f"unsupported version bound {bound!r}")
+
     def read(
         self, version: int | None = None, timestamp=None
     ) -> DataFrame:
@@ -2375,8 +2392,8 @@ class VersionedTable:
 
     def table_changes(
         self,
-        from_version: int,
-        to_version: int | None = None,
+        from_version: int | datetime | str,
+        to_version: int | datetime | str | None = None,
         primary_keys: list[str] | None = None,
     ) -> DataFrame:
         """ROW-level changes between two snapshots — Delta's CHANGE DATA
@@ -2385,6 +2402,11 @@ class VersionedTable:
         returns the ``to`` schema's columns plus ``_change_type`` in
         ``insert`` / ``update_postimage`` / ``delete`` (deletes carry
         the old row's values, null-filled on evolved columns).
+
+        Bounds are version numbers, or TIMESTAMPS (``datetime`` or
+        ISO-8601 string; naive = UTC — Delta CDF's startingTimestamp/
+        endingTimestamp): a timestamp resolves to the last version
+        committed at or before it via the log's commit times.
 
         Cost scales with the CHANGED files only: a file carried by both
         versions cannot contribute a change, so only the file-set
@@ -2397,8 +2419,13 @@ class VersionedTable:
         rewrite therefore yields ZERO changes, as it must."""
         if primary_keys is None or not primary_keys:
             raise ValueError("table_changes requires primary_keys")
+        from_version = self._resolve_version_bound(from_version)
         m_old = self.log.resolve(from_version)
-        v = self.current_version() if to_version is None else to_version
+        v = (
+            self.current_version()
+            if to_version is None
+            else self._resolve_version_bound(to_version)
+        )
         m_new = self.log.resolve(v)
         dv_old, dv_new = m_old.get("dv", {}), m_new.get("dv", {})
         old_set, new_set = set(m_old["files"]), set(m_new["files"])

@@ -1487,3 +1487,30 @@ def test_not_null_enforced_on_append(spark, tmp_path):
     # overwrite redefines the schema: a nullable batch is accepted
     vt.write(spark.createDataFrame([(None, "z")], "id long, v string"))
     assert vt.read().count() == 1
+
+
+def test_table_changes_accepts_timestamp_bounds(spark, tmp_path):
+    """Delta CDF's timestamp bounds: a datetime/ISO bound resolves to
+    the last version committed at or before the instant, equal to the
+    version-number form."""
+    from datetime import datetime, timezone
+
+    vt = VersionedTable(spark, str(tmp_path / "t"))
+    vt.write(spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"))
+    vt.upsert(spark.createDataFrame([(2, "B"), (3, "c")], "id long, v string"), ["id"])
+    v1_ts = vt.history()[0]["ts"]
+    by_version = {
+        (r.id, r._change_type)
+        for r in vt.table_changes(1, primary_keys=["id"]).collect()
+    }
+    iso = datetime.fromtimestamp(v1_ts / 1000, tz=timezone.utc).isoformat()
+    by_ts = {
+        (r.id, r._change_type)
+        for r in vt.table_changes(iso, primary_keys=["id"]).collect()
+    }
+    assert by_version == by_ts == {(2, "update_postimage"), (3, "insert")}
+    # naive datetime = UTC; end bound accepted too
+    naive = datetime.utcfromtimestamp(v1_ts / 1000)
+    assert vt.table_changes(
+        naive, datetime.utcnow(), primary_keys=["id"]
+    ).count() == 2
