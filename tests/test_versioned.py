@@ -523,6 +523,7 @@ _OPS = st.lists(
         st.tuples(st.just("delete_mod3"), st.just(None)),
         st.tuples(st.just("update_mod2"), st.booleans()),  # payload: use_dv
         st.tuples(st.just("replace_band"), st.sets(st.integers(3, 6), min_size=1)),
+        st.tuples(st.just("merge_cl"), st.sets(st.integers(0, 9), min_size=1)),
     ),
     min_size=1,
     max_size=5,
@@ -627,6 +628,36 @@ def test_versioned_random_op_sequences_match_model(
             vt.overwrite_where(frame(keys, tag), "id >= 3 AND id < 7")
             model = {k: val for k, val in model.items() if not 3 <= k < 7}
             model.update({k: f"{tag}{k}" for k in keys})
+        elif op == "merge_cl":
+            # full clause surface in one op: matched delete (id%5=0) /
+            # update-from-source (even) / unclaimed carry (odd),
+            # conditional insert (id>=2), notMatchedBySource flag (id%4=1)
+            if not snapshots:
+                return
+            vt.merge(
+                frame(keys, tag),
+                on=["id"],
+                matched=[
+                    ("delete", None, "t.id % 5 = 0"),
+                    ("update", {"v": "s.v"}, "s.id % 2 = 0"),
+                ],
+                not_matched=[("insert", None, "s.id >= 2")],
+                not_matched_by_source=[
+                    ("update", {"v": "concat(t.v, '?')"}, "t.id % 4 = 1")
+                ],
+            )
+            new = {}
+            for k, val in model.items():
+                if k in keys:
+                    if k % 5 == 0:
+                        continue
+                    new[k] = f"{tag}{k}" if k % 2 == 0 else val
+                else:
+                    new[k] = val + "?" if k % 4 == 1 else val
+            for k in keys:
+                if k not in model and k >= 2:
+                    new[k] = f"{tag}{k}"
+            model = new
         snapshots.append(dict(model))
 
     assert len(vt.versions()) == len(snapshots)
