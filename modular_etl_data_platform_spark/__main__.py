@@ -136,6 +136,17 @@ def main(argv: list[str] | None = None) -> int:
     )
     vt.add_argument("--version", type=int, default=None, help="for read/restore")
     vt.add_argument("--keep-last", type=int, default=1, help="for vacuum")
+    vt.add_argument(
+        "--retention-hours",
+        type=float,
+        default=None,
+        help="for vacuum: ALSO keep every version committed this recently",
+    )
+    vt.add_argument(
+        "--dry-run",
+        action="store_true",
+        help="for vacuum: count what would be deleted, touch nothing",
+    )
     vt.add_argument("--target-files", type=int, default=1, help="for compact")
     vt.add_argument("--order-by", default=None, help="for compact: comma-sep cols")
     vt.add_argument(
@@ -456,8 +467,13 @@ def main(argv: list[str] | None = None) -> int:
                 )
             )
         elif args.action == "vacuum":
-            deleted = table.vacuum(keep_last=args.keep_last)
-            print(json.dumps({"deleted_files": deleted}))
+            deleted = table.vacuum(
+                keep_last=args.keep_last,
+                retention_hours=args.retention_hours,
+                dry_run=args.dry_run,
+            )
+            key = "would_delete_files" if args.dry_run else "deleted_files"
+            print(json.dumps({key: deleted}))
         elif args.action == "export-delta":
             if not args.dest:
                 ap.error("export-delta requires --dest")

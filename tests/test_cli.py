@@ -113,8 +113,12 @@ def test_cli_versioned_table_ops(spark, capsys, tmp_path):
 
     assert main(["vt", path, "compact", "--target-files", "1"]) == 0
     capsys.readouterr()
+    # dry run counts, touches nothing
+    assert main(["vt", path, "vacuum", "--keep-last", "1", "--dry-run"]) == 0
+    would = json.loads(capsys.readouterr().out)["would_delete_files"]
+    assert would >= 1
     assert main(["vt", path, "vacuum", "--keep-last", "1"]) == 0
-    assert json.loads(capsys.readouterr().out)["deleted_files"] >= 1
+    assert json.loads(capsys.readouterr().out)["deleted_files"] == would
     assert {tuple(r) for r in VersionedTable(spark, path).read().collect()} == {
         (1, "a"),
         (2, "b"),
