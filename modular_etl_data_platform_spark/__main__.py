@@ -127,6 +127,7 @@ def main(argv: list[str] | None = None) -> int:
             "history", "read", "restore", "compact", "compact-where",
             "delete-where", "update-where", "vacuum", "export-delta",
             "convert", "clone", "rename-column", "drop-column",
+            "merge", "add-constraint", "drop-constraint",
         ],
     )
     vt.add_argument(
@@ -180,6 +181,28 @@ def main(argv: list[str] | None = None) -> int:
     vt.add_argument("--new", default=None, help="for rename-column")
     vt.add_argument(
         "--drop", default=None, help="for drop-column: the column name"
+    )
+    vt.add_argument(
+        "--source", default=None, help="for merge: parquet path of the source batch"
+    )
+    vt.add_argument(
+        "--on", default=None, help="for merge: comma-sep equality key columns"
+    )
+    vt.add_argument(
+        "--clauses",
+        default=None,
+        help=(
+            "for merge: JSON list of clauses, e.g. "
+            '[{"when":"matched","action":"update"},'
+            '{"when":"not_matched","action":"insert","condition":"s.qty>0"},'
+            '{"when":"not_matched_by_source","action":"delete"}] '
+            "(set: optional {col: sql_expr}; omitted = all from source). "
+            "Default: classic upsert (update-all + insert-all)"
+        ),
+    )
+    vt.add_argument("--name", default=None, help="for add/drop-constraint")
+    vt.add_argument(
+        "--expr", default=None, help="for add-constraint: the CHECK SQL"
     )
     vt.add_argument(
         "--as-of-timestamp",
@@ -447,6 +470,36 @@ def main(argv: list[str] | None = None) -> int:
                 use_deletion_vectors=args.use_dv,
             )
             print(json.dumps({"new_version": v}))
+        elif args.action == "merge":
+            if not args.source or not args.on:
+                raise SystemExit("merge requires --source and --on")
+            kw = {}
+            if args.clauses:
+                groups = {"matched": [], "not_matched": [], "not_matched_by_source": []}
+                for cl in json.loads(args.clauses):
+                    when = cl.get("when")
+                    if when not in groups:
+                        raise SystemExit(f"unknown clause 'when': {when!r}")
+                    groups[when].append(
+                        (cl.get("action"), cl.get("set"), cl.get("condition"))
+                    )
+                kw = {k: v for k, v in groups.items() if v}
+            v = table.merge(
+                spark.read.parquet(args.source),
+                on=[c.strip() for c in args.on.split(",") if c.strip()],
+                **kw,
+            )
+            print(json.dumps({"new_version": v}))
+        elif args.action == "add-constraint":
+            if not args.name or not args.expr:
+                raise SystemExit("add-constraint requires --name and --expr")
+            v = table.add_constraint(args.name, args.expr)
+            print(json.dumps({"new_version": v, "constraints": table.constraints()}))
+        elif args.action == "drop-constraint":
+            if not args.name:
+                raise SystemExit("drop-constraint requires --name")
+            v = table.drop_constraint(args.name)
+            print(json.dumps({"new_version": v, "constraints": table.constraints()}))
         elif args.action == "rename-column":
             if not args.old or not args.new:
                 raise SystemExit("rename-column requires --old and --new")

@@ -228,3 +228,47 @@ def test_cli_vt_rename_and_drop_column(spark, capsys, tmp_path):
     capsys.readouterr()
     assert vt.read().columns == ["id", "b"]
     assert vt.read().filter("id = 3").first().b == 6
+
+
+def test_cli_vt_merge_and_constraints(spark, capsys, tmp_path):
+    """vt merge --clauses JSON drives the full MERGE surface; constraint
+    add/drop round-trips through the CLI."""
+    import json
+
+    from modular_etl_data_platform_spark.__main__ import main
+    from modular_etl_data_platform_spark.operators.versioned import VersionedTable
+
+    path = str(tmp_path / "t")
+    vt = VersionedTable(spark, path)
+    vt.write(
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20), (5, "e", 50)], "id long, v string, qty long"
+        )
+    )
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(2, "B", 200), (3, "c", 30), (9, "z", 0)], "id long, v string, qty long"
+    ).coalesce(1).write.parquet(src)
+    clauses = json.dumps(
+        [
+            {"when": "matched", "action": "update", "condition": "s.qty >= 100"},
+            {"when": "not_matched", "action": "insert", "condition": "s.qty > 0"},
+            {"when": "not_matched_by_source", "action": "delete",
+             "condition": "t.qty >= 50"},
+        ]
+    )
+    assert main(
+        ["vt", path, "merge", "--source", src, "--on", "id", "--clauses", clauses]
+    ) == 0
+    assert json.loads(capsys.readouterr().out)["new_version"] == 2
+    rows = {tuple(r) for r in vt.read().collect()}
+    assert rows == {(1, "a", 10), (2, "B", 200), (3, "c", 30)}
+
+    assert main(
+        ["vt", path, "add-constraint", "--name", "qty_pos", "--expr", "qty >= 0"]
+    ) == 0
+    assert json.loads(capsys.readouterr().out)["constraints"] == {
+        "qty_pos": "qty >= 0"
+    }
+    assert main(["vt", path, "drop-constraint", "--name", "qty_pos"]) == 0
+    assert json.loads(capsys.readouterr().out)["constraints"] == {}
