@@ -3409,6 +3409,13 @@ class VersionedTable:
                 "source": self.path,
                 "source_version": v,
                 "constraints": manifest.get("constraints", {}),
+                # generated-column expressions are table state like
+                # constraints: the clone keeps generating/validating
+                **(
+                    {"generated": manifest["generated"]}
+                    if manifest.get("generated")
+                    else {}
+                ),
                 **(
                     {
                         "column_mapping": manifest["column_mapping"],

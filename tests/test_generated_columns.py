@@ -135,3 +135,21 @@ def test_generated_guards_rename_drop_and_stream_writer(spark, tmp_path):
     df = _batch(spark, [(7, dt.datetime(2024, 8, 8))])
     with pytest.raises(Exception, match="generated columns"):
         df.write.format("versioned_table").mode("append").save(vt2.path)
+
+
+def test_clone_carries_generated_expressions(spark, tmp_path):
+    import datetime as dt
+
+    vt = _mk(spark, tmp_path)
+    vt.write(_batch(spark, [(1, dt.datetime(2024, 3, 5))]))
+    clone = vt.clone(str(tmp_path / "c"))
+    assert clone.generated_columns() == GEN
+    clone.write(_batch(spark, [(2, dt.datetime(2025, 1, 2))]), mode="append")
+    assert (2, 20250102) in {
+        tuple(r) for r in clone.read().select("id", "date_key").collect()
+    }
+    bad = _batch(spark, [(3, dt.datetime(2025, 1, 3))]).withColumn(
+        "date_key", F.lit(1)
+    )
+    with pytest.raises(ConstraintViolationError):
+        clone.write(bad, mode="append")
