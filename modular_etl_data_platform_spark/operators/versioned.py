@@ -1039,6 +1039,39 @@ def collect_file_blooms(
     return {f: one(f) for f in files}
 
 
+def bloom_prune_files(
+    stats: dict, files: list[str], col_phys: str, value
+) -> list[str]:
+    """Drop files whose recorded bloom filter proves ``column != value``
+    everywhere in the file. Files without a bloom for the column (never
+    indexed, unsupported type, cardinality cap) are kept — the probe
+    can only ever REMOVE files the equality predicate provably misses.
+    Sidecars are loaded once per commit batch (one JSON per commit),
+    not once per file. Shared by ``VersionedTable.read_pruned`` and the
+    format-API pushdown reader."""
+    key = _bloom_key_bytes(value)
+    if key is None:
+        return files
+    sidecars: dict[str, dict] = {}
+    kept = []
+    for f in files:
+        ptr = (stats.get(f) or {}).get(_BLOOM_MARK)
+        if not ptr:
+            kept.append(f)
+            continue
+        if ptr not in sidecars:
+            try:
+                with open(ptr) as fh:
+                    sidecars[ptr] = json.load(fh)
+            except (FileNotFoundError, ValueError):
+                # vacuumed/foreign sidecar: degrade to no pruning
+                sidecars[ptr] = {}
+        rec = sidecars[ptr].get(f, {}).get(col_phys)
+        if rec is None or _bloom_probe(rec, key):
+            kept.append(f)
+    return kept
+
+
 class VersionedTable:
     """A parquet table over a :class:`CommitLog`."""
 
@@ -2974,34 +3007,9 @@ class VersionedTable:
     def _bloom_prune(
         self, manifest: dict, files: list[str], col_phys: str, value
     ) -> list[str]:
-        """Drop files whose recorded bloom filter proves ``column !=
-        value`` everywhere in the file. Files without a bloom for the
-        column (never indexed, unsupported type, cardinality cap) are
-        kept — the probe can only ever REMOVE files the equality
-        predicate provably misses. Sidecars are loaded once per commit
-        batch (one JSON per commit), not once per file."""
-        key = _bloom_key_bytes(value)
-        if key is None:
-            return files
-        stats = manifest.get("stats", {})
-        sidecars: dict[str, dict] = {}
-        kept = []
-        for f in files:
-            ptr = (stats.get(f) or {}).get(_BLOOM_MARK)
-            if not ptr:
-                kept.append(f)
-                continue
-            if ptr not in sidecars:
-                try:
-                    with open(ptr) as fh:
-                        sidecars[ptr] = json.load(fh)
-                except (FileNotFoundError, ValueError):
-                    # vacuumed/foreign sidecar: degrade to no pruning
-                    sidecars[ptr] = {}
-            rec = sidecars[ptr].get(f, {}).get(col_phys)
-            if rec is None or _bloom_probe(rec, key):
-                kept.append(f)
-        return kept
+        return bloom_prune_files(
+            manifest.get("stats", {}), files, col_phys, value
+        )
 
     def read_pruned(
         self,

@@ -405,6 +405,16 @@ class _VersionedBatchReaderBase(DataSourceReader):
                 for col, lo, hi, lo_inc in self._ranges
             )
         ]
+        # pushed EQUALITY predicates additionally probe the bloom index
+        # (tables with bloom_columns) — the point-lookup case min/max
+        # can't prune on hash-distributed keys
+        from modular_etl_data_platform_spark.operators.versioned import (
+            bloom_prune_files,
+        )
+
+        for col, lo, hi, lo_inc in self._ranges:
+            if lo is not None and lo == hi and lo_inc:
+                files = bloom_prune_files(stats, files, cmap.get(col, col), lo)
         fields = [
             (f.name, f.dataType.json(), cmap.get(f.name, f.name))
             for f in self.pinned.fields

@@ -136,3 +136,34 @@ def test_rewrites_rebuild_blooms_for_new_files(spark, tmp_path):
     assert len(set(pruned.inputFiles())) < len(
         vt._read_manifest(vt.current_version())["files"]
     )
+
+
+def test_format_api_pushed_equality_probes_bloom(spark, tmp_path):
+    """The pushdown batch reader probes the bloom index for pushed
+    EQUALITY predicates: residue-class files defeat min/max, the bloom
+    plans only the hit file(s), and results equal the unpruned filter."""
+    from pyspark.sql.datasource import EqualTo, GreaterThanOrEqual
+
+    from modular_etl_data_platform_spark.streaming.versioned_source import (
+        VersionedTableStreamDataSource,
+        _VersionedBatchReader,
+    )
+
+    spark.dataSource.register(VersionedTableStreamDataSource)
+    vt = _mk(spark, tmp_path)
+    schema = vt.read().schema
+    reader = _VersionedBatchReader(vt.path, schema, None)
+    list(reader.pushFilters([EqualTo(("k",), 17)]))
+    parts = reader.partitions()
+    assert 1 <= len(parts) <= 2  # one true file + at most one fp, of 4
+    # range predicates don't probe blooms: all 4 residue files planned
+    r2 = _VersionedBatchReader(vt.path, schema, None)
+    list(r2.pushFilters([GreaterThanOrEqual(("k",), 0)]))
+    assert len(r2.partitions()) == 4
+    df = (
+        spark.read.format("versioned_table")
+        .option("path", vt.path)
+        .load()
+        .filter("k = 17")
+    )
+    assert [tuple(r) for r in df.collect()] == [(17, "v17")]
