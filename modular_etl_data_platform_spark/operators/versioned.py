@@ -1989,12 +1989,16 @@ class VersionedTable:
         Plan shape: ONE full-outer join of the touched-file scan
         against the source on the merge keys, a projection resolving
         the clause per row, one landing write — no per-clause passes.
-        **File pruning**: without ``not_matched_by_source`` clauses,
-        only matched-row behavior touches existing rows, so files
-        range-disjoint from the source's key span are carried untouched
-        (the same data-skipping as ``upsert``; a 2-scalar driver probe
-        finds the span). With them, every target row is in scope and
-        all files are touched. CHECK constraints validate the landed
+        **File pruning** (without ``not_matched_by_source`` clauses;
+        with them every target row is in scope): files range-disjoint
+        from the source's key span carry untouched (a 2-scalar driver
+        probe finds the span), then a phase-1 key-column semi-join —
+        Delta's MERGE touched-file discovery — keeps only candidates
+        actually HOLDING a source key: a merge whose keys live in one
+        file of a thousand rewrites one file. A merge with ONLY
+        not-matched clauses (insert-only) rewrites NOTHING: no target
+        row can change, so every file carries and just the surviving
+        source rows land (Delta's insert-only merge optimization). CHECK constraints validate the landed
         result transactionally; a lost commit race re-derives from the
         new head (bounded rebases).
 
@@ -2084,6 +2088,32 @@ class VersionedTable:
                     untouched = [
                         f for f in manifest["files"] if f not in set(touched)
                     ]
+            if not nms and touched:
+                # phase 1 (Delta's MERGE touched-file discovery): only
+                # files actually HOLDING a source key can change or
+                # affect match classification — a key-column semi-join
+                # over the range candidates finds them; every other
+                # candidate carries forward untouched. A file with no
+                # source key cannot hold a matched row, so classifying
+                # source rows against the hit subset alone stays exact.
+                keys = source.select(*on).dropDuplicates()
+                ident = self._scan_with_identity(
+                    touched,
+                    schema,
+                    manifest.get("dv", {}),
+                    manifest.get("column_mapping"),
+                )
+                by_path = {_strip_scheme_py(f): f for f in touched}
+                hit = sorted(
+                    by_path[r["__vt_file"]]
+                    for r in ident.join(keys, on, "left_semi")
+                    .select("__vt_file")
+                    .distinct()
+                    .collect()  # driver result bounded by file count
+                )
+                hit_set = set(hit)
+                untouched += [f for f in touched if f not in hit_set]
+                touched = hit
 
             cur = (
                 self._read_files(
@@ -2176,10 +2206,22 @@ class VersionedTable:
                     ~F.col("__vt_o").isin(o_del) if o_del else F.lit(True)
                 )
             )
-            result = joined.filter(keep).select(*[resolved(c) for c in cols])
+            if not matched and not nms:
+                # insert-only MERGE (Delta's insert-only optimization):
+                # no target row can change, so EVERY existing file
+                # carries forward and only the surviving source rows
+                # land — the touched-file scan above served purely to
+                # classify matched keys out of the insert set
+                result = joined.filter(is_src & (F.col("__vt_i") >= 0)).select(
+                    *[resolved(c) for c in cols]
+                )
+                carried = manifest["files"]
+            else:
+                result = joined.filter(keep).select(*[resolved(c) for c in cols])
+                carried = untouched
             try:
                 return self._publish(
-                    untouched + self._land_files(result),
+                    carried + self._land_files(result),
                     manifest["schema"],
                     {"mode": "merge", "on": list(on)},
                     expected_base=v,

@@ -174,3 +174,52 @@ def test_merge_is_a_gated_update_commit_for_streams(spark, vt, tmp_path):
     rec = json.loads(vt.log.store.read(_commit_name(vt.current_version())))
     assert rec["mode"] == "merge"
     assert rec.get("remove")
+
+
+def test_merge_rewrites_only_files_holding_source_keys(spark, tmp_path):
+    """Phase-1 touched-file discovery: range pruning alone keeps every
+    overlapping file; the key semi-join narrows the rewrite to files
+    actually holding a source key."""
+    t = VersionedTable(spark, str(tmp_path / "p"), stats_columns=["id"])
+    # three files with INTERLEAVED ranges 0..299 (residue classes), so
+    # min/max cannot separate them
+    for r in range(3):
+        part = (
+            spark.range(0, 300)
+            .filter(F.col("id") % 3 == r)
+            .select("id", F.lit(1).alias("qty"))
+            .coalesce(1)
+        )
+        t.write(part, mode="append" if r else "overwrite")
+    before = set(t._read_manifest(t.current_version())["files"])
+    # keys 0 and 9: both residue 0 — only that file holds them
+    src = spark.createDataFrame([(0, 99), (9, 99)], "id long, qty long")
+    t.merge(src, on=["id"], matched=[("update", None, None)])
+    head = t._read_manifest(t.current_version())
+    carried = set(head["files"]) & before
+    assert len(carried) == 2  # residues 1 and 2 carried untouched
+    assert t.read().filter("id in (0, 9)").agg(F.sum("qty")).first()[0] == 198
+
+
+def test_insert_only_merge_rewrites_nothing(spark, tmp_path):
+    """Delta's insert-only merge optimization: with only not-matched
+    clauses every existing file carries; matched source keys classify
+    out of the insert set without rewriting their files."""
+    t = VersionedTable(spark, str(tmp_path / "i"), stats_columns=["id"])
+    t.write(
+        spark.range(0, 100).select("id", F.lit(1).alias("qty")).coalesce(1)
+    )
+    before = t._read_manifest(t.current_version())["files"]
+    src = spark.createDataFrame(
+        [(5, 99), (200, 99), (300, 0)], "id long, qty long"
+    )
+    t.merge(
+        src,
+        on=["id"],
+        matched=[],
+        not_matched=[("insert", None, "s.qty > 0")],
+    )
+    head = t._read_manifest(t.current_version())
+    assert set(before) <= set(head["files"])  # zero rewrites
+    rows = {tuple(r) for r in t.read().filter("id >= 100 or id = 5").collect()}
+    assert rows == {(5, 1), (200, 99)}  # matched key NOT re-inserted; cond honored
