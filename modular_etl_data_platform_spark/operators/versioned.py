@@ -579,6 +579,12 @@ class CommitLog:
         generated = meta.pop("generated", None)
         if generated is None:
             generated = prior.get("generated", {})
+        # clustering columns (Delta's CLUSTER BY): the table's declared
+        # layout policy — compactions default their Morton clustering to
+        # it. Carried like constraints; explicit [] clears.
+        cluster_by = meta.pop("cluster_by", None)
+        if cluster_by is None:
+            cluster_by = prior.get("cluster_by", [])
         # column mapping (Delta's columnMapping feature): logical name ->
         # physical (parquet) name, carried through every commit like
         # constraints; ``retired_physical`` tombstones physical names a
@@ -685,6 +691,7 @@ class CommitLog:
             "sizes": sizes,
             "constraints": constraints,
             **({"generated": generated} if generated else {}),
+            **({"cluster_by": cluster_by} if cluster_by else {}),
             **({"column_mapping": mapping} if mapping is not None else {}),
             **({"retired_physical": retired} if retired else {}),
             **({"dv": dv_updates} if dv_updates else {}),
@@ -713,6 +720,7 @@ class CommitLog:
             "schema": schema_json,
             "constraints": constraints,
             **({"generated": generated} if generated else {}),
+            **({"cluster_by": cluster_by} if cluster_by else {}),
             **({"column_mapping": mapping} if mapping is not None else {}),
             **({"retired_physical": retired} if retired else {}),
             "dv": dv,
@@ -1084,6 +1092,7 @@ class VersionedTable:
         checkpoint_interval: int = _CHECKPOINT_INTERVAL,
         bloom_columns: list[str] | None = None,
         generated_columns: dict[str, str] | None = None,
+        cluster_by: list[str] | None = None,
     ):
         self.spark = spark
         # canonicalize: manifest file paths derive from this root, and
@@ -1107,6 +1116,10 @@ class VersionedTable:
         #: once the table exists, the LOG's map is authoritative (this
         #: argument is then ignored, like a schema on an existing table)
         self._declared_generated = dict(generated_columns or {})
+        #: clustering columns declared at creation (Delta's CLUSTER BY);
+        #: like generated columns, the log is authoritative once the
+        #: table exists — change it with set_clustered_columns()
+        self._declared_cluster_by = list(cluster_by or [])
         if spark is not None:
             # INT96 (Spark's legacy parquet timestamp encoding) writes
             # NO footer min/max — timestamp stats_columns would silently
@@ -1151,12 +1164,16 @@ class VersionedTable:
             if expected_base is not None
             else (self.current_version() or 0)
         )
-        # stamp declared generated columns into the FIRST commit; later
-        # commits inherit the log's map (publish falls back to prior's)
+        # stamp declared generated/clustering columns into the FIRST
+        # commit; later commits inherit the log's (publish falls back)
         if not base and self._declared_generated and "generated" not in (
             meta or {}
         ):
             meta = {**(meta or {}), "generated": dict(self._declared_generated)}
+        if not base and self._declared_cluster_by and "cluster_by" not in (
+            meta or {}
+        ):
+            meta = {**(meta or {}), "cluster_by": list(self._declared_cluster_by)}
         prior_files: set[str] = set()
         mapping = (meta or {}).get("column_mapping")
         if base:
@@ -1227,6 +1244,42 @@ class VersionedTable:
             if c not in df.columns:
                 df = df.withColumn(c, F.expr(e))
         return df
+
+    # -- clustering policy -------------------------------------------------------
+    def clustered_columns(self) -> list[str]:
+        """The table's declared CLUSTER BY columns (layout policy):
+        compactions Morton-cluster their rewrites on these by default,
+        so a point/range read on ANY of them keeps skipping files as
+        the table is maintained — Delta's liquid-clustering surface,
+        expressed over the z-order rewrite."""
+        v = self.current_version()
+        if v is None:
+            return list(self._declared_cluster_by)
+        return list(self.log.resolve(v).get("cluster_by", []))
+
+    def set_clustered_columns(self, columns: list[str]) -> int:
+        """ALTER TABLE CLUSTER BY — a metadata-only commit changing the
+        layout POLICY for future rewrites (existing files keep their
+        layout until the next compaction, exactly Delta's contract;
+        ``[]`` = CLUSTER BY NONE)."""
+        v = self.current_version()
+        if v is None:
+            raise FileNotFoundError(f"no versions in {self.path}")
+        m = self.log.resolve(v)
+        from pyspark.sql import types as T
+
+        names = {
+            f.name for f in T.StructType.fromJson(json.loads(m["schema"])).fields
+        }
+        unknown = sorted(set(columns) - names)
+        if unknown:
+            raise ValueError(f"cluster columns not in schema: {unknown}")
+        return self._publish(
+            m["files"],
+            m["schema"],
+            {"mode": "set_cluster_by", "cluster_by": list(columns)},
+            expected_base=v,
+        )
 
     # -- column mapping --------------------------------------------------------
     def column_mapping(self) -> dict[str, str]:
@@ -1316,6 +1369,19 @@ class VersionedTable:
                 "mode": "rename_column",
                 "renamed": {"from": old, "to": new},
                 "column_mapping": mapping,
+                # the clustering POLICY follows the rename (it names
+                # logical columns; the files' physical layout is
+                # untouched either way)
+                **(
+                    {
+                        "cluster_by": [
+                            new if c == old else c
+                            for c in m.get("cluster_by", [])
+                        ]
+                    }
+                    if m.get("cluster_by")
+                    else {}
+                ),
             },
             expected_base=v,
         )
@@ -1376,6 +1442,15 @@ class VersionedTable:
                 **(
                     {"generated": {k: e for k, e in gen.items() if k != name}}
                     if name in gen
+                    else {}
+                ),
+                **(
+                    {
+                        "cluster_by": [
+                            c for c in m.get("cluster_by", []) if c != name
+                        ]
+                    }
+                    if name in m.get("cluster_by", [])
                     else {}
                 ),
             },
@@ -3195,6 +3270,10 @@ class VersionedTable:
         missing the append's committed files — a lost update."""
         if order_by and zorder_by:
             raise ValueError("pass either order_by or zorder_by, not both")
+        if not order_by and not zorder_by:
+            # the table's declared CLUSTER BY is the default layout for
+            # every rewrite (Delta's clustered-table OPTIMIZE behavior)
+            zorder_by = self.clustered_columns() or None
         for _ in range(_MAX_COMMIT_RETRIES):
             base = self.current_version()
             if base is None:
@@ -3350,12 +3429,30 @@ class VersionedTable:
             if len(small) <= max_small_files:
                 return None
             keep = [f for f in manifest["files"] if f not in set(small)]
-            merged = self._read_files(
+            frame = self._read_files(
                 small,
                 manifest["schema"],
                 manifest.get("dv"),
                 manifest.get("column_mapping"),
-            ).repartition(target_files)
+            )
+            cluster = manifest.get("cluster_by", [])
+            if cluster:
+                # clustered tables keep their layout policy through
+                # auto-compaction: the consolidated file(s) are Morton-
+                # clustered so reads keep skipping on every clustered
+                # column (Delta's clustered-table OPTIMIZE behavior)
+                from modular_etl_data_platform_spark.sources.sinks import (
+                    _zorder_key,
+                )
+
+                merged = (
+                    frame.withColumn("__zkey", _zorder_key(frame, cluster))
+                    .repartitionByRange(target_files, "__zkey")
+                    .sortWithinPartitions("__zkey")
+                    .drop("__zkey")
+                )
+            else:
+                merged = frame.repartition(target_files)
             try:
                 return self._publish(
                     keep + self._land_files(merged),
