@@ -207,3 +207,36 @@ def test_rename_validations(spark, tmp_path):
     vt.drop_column("a")
     with pytest.raises(ValueError, match="only column"):
         vt.drop_column("id")
+
+
+def test_merge_clauses_through_the_mapping(spark, tmp_path):
+    """Full MERGE on a renamed table: the source and every clause
+    expression use the NEW logical name; files land physical, phase-1
+    touched-file discovery and the insert path both translate."""
+    vt = VersionedTable(spark, str(tmp_path / "t"), stats_columns=["id"])
+    vt.write(
+        spark.range(10).select("id", F.lit(1.0).alias("a")).coalesce(1)
+    )
+    vt.rename_column("a", "b")
+    src = spark.createDataFrame(
+        [(3, 9.0), (4, 0.5), (30, 5.0)], "id long, b double"
+    )
+    vt.merge(
+        src,
+        on=["id"],
+        matched=[
+            ("delete", None, "s.b < 1.0"),
+            ("update", {"b": "t.b + s.b"}, None),
+        ],
+        not_matched=[("insert", None, None)],
+    )
+    rows = {r.id: r.b for r in vt.read().collect()}
+    assert rows[3] == 10.0 and rows[30] == 5.0 and 4 not in rows
+    assert len(rows) == 10  # 10 - deleted + inserted
+    import pyarrow.parquet as pq
+
+    m = vt._read_manifest(vt.current_version())
+    names = set()
+    for f in m["files"]:
+        names.update(pq.ParquetFile(f).schema_arrow.names)
+    assert "a" in names and "b" not in names  # physical contract held
