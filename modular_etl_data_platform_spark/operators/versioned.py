@@ -2135,11 +2135,18 @@ class VersionedTable:
             bad_on = sorted(set(on) - set(cols))
             if bad_on:
                 raise ValueError(f"target lacks merge key column(s) {bad_on}")
+            gen_cols = manifest.get("generated", {})
             for _act, assigns, _cond in matched + not_matched + nms:
                 unknown = sorted(set(assigns or {}) - set(cols))
                 if unknown:
                     raise ValueError(
                         f"merge assigns unknown column(s) {unknown}"
+                    )
+                bad_gen = sorted(set(assigns or {}) & set(gen_cols))
+                if bad_gen:
+                    raise ValueError(
+                        f"column(s) {bad_gen} are generated (GENERATED "
+                        "ALWAYS AS) — they are recomputed, never assigned"
                     )
 
             stats = manifest.get("stats", {})
@@ -2294,6 +2301,22 @@ class VersionedTable:
             else:
                 result = joined.filter(keep).select(*[resolved(c) for c in cols])
                 carried = untouched
+            if gen_cols:
+                # generated columns are ALWAYS computed (Delta's rule):
+                # recompute each over the resolved row — identity for
+                # rows whose referenced columns a clause didn't touch,
+                # the correct derived value for updates and inserts
+                # (an inserting source never needs to supply them)
+                result = result.select(
+                    *[
+                        (
+                            F.expr(gen_cols[c]).cast(fields[c]).alias(c)
+                            if c in gen_cols
+                            else F.col(c)
+                        )
+                        for c in cols
+                    ]
+                )
             try:
                 return self._publish(
                     carried + self._land_files(result),

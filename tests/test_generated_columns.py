@@ -153,3 +153,30 @@ def test_clone_carries_generated_expressions(spark, tmp_path):
     )
     with pytest.raises(ConstraintViolationError):
         clone.write(bad, mode="append")
+
+
+def test_merge_recomputes_and_refuses_generated(spark, tmp_path):
+    """Full MERGE on a generated table: updates touching a referenced
+    column recompute the generated one, inserts never need to supply
+    it, and assigning it in a clause is refused (Delta's rule)."""
+    import datetime as dt
+
+    vt = _mk(spark, tmp_path)
+    vt.write(
+        _batch(spark, [(1, dt.datetime(2024, 3, 5)), (2, dt.datetime(2024, 6, 7))])
+    )
+    src = _batch(spark, [(1, dt.datetime(2030, 1, 1)), (9, dt.datetime(2031, 2, 2))])
+    vt.merge(
+        src,
+        on=["id"],
+        matched=[("update", {"ts": "s.ts"}, None)],
+        not_matched=[("insert", {"id": "s.id", "ts": "s.ts"}, None)],
+    )
+    rows = {tuple(r) for r in vt.read().select("id", "date_key").collect()}
+    assert rows == {(1, 20300101), (2, 20240607), (9, 20310202)}
+    with pytest.raises(ValueError, match="recomputed, never assigned"):
+        vt.merge(
+            src,
+            on=["id"],
+            matched=[("update", {"date_key": "0"}, None)],
+        )
