@@ -101,6 +101,9 @@ HEADLINE = [
     # generated columns: write-side compute+validate and the
     # UPDATE-recompute path (Observation-riding checks are what's timed)
     "q155_generated_columns",
+    # clustered-table maintenance: the declared-layout compact + the
+    # multi-column pruned read over the maintained table
+    "q156_clustered_table_maintenance",
 ]
 
 
