@@ -3261,6 +3261,56 @@ class VersionedTable:
                 pred = pred & (F.col(col) <= F.lit(hi))
         return scan.filter(pred)
 
+    def read_pruned_in(
+        self,
+        column: str,
+        values: list,
+        version: int | None = None,
+        residual: bool = True,
+    ) -> DataFrame:
+        """IN-list file skipping: open only files that MAY hold ANY of
+        ``values`` — per value, the recorded [min, max] range test plus
+        the bloom probe (tables with ``bloom_columns``), unioned over
+        the list. The multi-key point-lookup shape (``WHERE k IN
+        (...)``): min/max alone cannot prune hash-distributed keys, and
+        a plain range over the list's [min, max] spans the whole
+        domain; probing per value keeps only the files that can
+        actually hold one. Semantics match ``read().filter(isin)``
+        exactly (conservative selection + residual filter)."""
+        if not values:
+            raise ValueError("read_pruned_in needs at least one value")
+        v = self.current_version() if version is None else version
+        if v is None:
+            raise FileNotFoundError(f"no versions in {self.path}")
+        manifest = self.log.resolve(v)
+        stats = manifest.get("stats", {})
+        phys = self._phys(manifest, column)
+        kept: list[str] = []
+        remaining = list(manifest["files"])
+        for val in values:
+            hit = [
+                f
+                for f in remaining
+                if self._may_intersect(stats.get(f), phys, val, val)
+            ]
+            hit = self._bloom_prune(manifest, hit, phys, val)
+            if hit:
+                hit_set = set(hit)
+                kept.extend(hit)
+                remaining = [f for f in remaining if f not in hit_set]
+        # preserve manifest order for stable plans
+        kept_set = set(kept)
+        kept = [f for f in manifest["files"] if f in kept_set]
+        scan = self._read_files(
+            kept,
+            manifest["schema"],
+            manifest.get("dv"),
+            manifest.get("column_mapping"),
+        )
+        if not residual:
+            return scan
+        return scan.filter(F.col(column).isin(values))
+
     def compact(
         self,
         target_files: int = 1,

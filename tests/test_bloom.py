@@ -167,3 +167,23 @@ def test_format_api_pushed_equality_probes_bloom(spark, tmp_path):
         .filter("k = 17")
     )
     assert [tuple(r) for r in df.collect()] == [(17, "v17")]
+
+
+def test_read_pruned_in_probes_each_value(spark, tmp_path):
+    """IN-list file skipping: per-value range + bloom probing unioned
+    over the list — a plain range over the list's span would keep every
+    residue file; per-value probing keeps only the true holders."""
+    vt = _mk(spark, tmp_path)
+    # 17 and 21: both residue 1 -> ONE file; 18: residue 2 -> one more
+    df = vt.read_pruned_in("k", [17, 21, 18])
+    opened = set(df.inputFiles())
+    assert len(opened) <= 3  # 2 true files + at most one fp, of 4
+    assert {tuple(r) for r in df.collect()} == {
+        (17, "v17"), (21, "v21"), (18, "v18"),
+    }
+    # all-absent values open nothing
+    assert vt.read_pruned_in("k", [10**9, 10**9 + 1]).count() == 0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="at least one value"):
+        vt.read_pruned_in("k", [])
