@@ -381,6 +381,7 @@ class _VersionedBatchReaderBase(DataSourceReader):
         self.version = v
         self.pinned = schema
         self._ranges: list[tuple] = []
+        self._in_lists: list[tuple] = []
 
     def partitions(self) -> list[InputPartition]:
         from modular_etl_data_platform_spark.operators.versioned import (
@@ -415,6 +416,24 @@ class _VersionedBatchReaderBase(DataSourceReader):
         for col, lo, hi, lo_inc in self._ranges:
             if lo is not None and lo == hi and lo_inc:
                 files = bloom_prune_files(stats, files, cmap.get(col, col), lo)
+        # pushed IN lists probe PER VALUE (range + bloom, unioned): the
+        # list's overall [min, max] spans the domain on hash-distributed
+        # keys, but each value individually prunes
+        for col, vals in self._in_lists:
+            phys = cmap.get(col, col)
+            keep: set[str] = set()
+            remaining = list(files)
+            for val in vals:
+                hit = [
+                    f
+                    for f in remaining
+                    if VersionedTable._may_intersect(stats.get(f), phys, val, val)
+                ]
+                hit = bloom_prune_files(stats, hit, phys, val)
+                if hit:
+                    keep.update(hit)
+                    remaining = [f for f in remaining if f not in keep]
+            files = [f for f in files if f in keep]
         fields = [
             (f.name, f.dataType.json(), cmap.get(f.name, f.name))
             for f in self.pinned.fields
@@ -440,10 +459,15 @@ class _VersionedBatchReader(_VersionedBatchReaderBase):
     base class serves vanilla sessions unchanged)."""
 
     def pushFilters(self, filters):
+        from pyspark.sql.datasource import In
+
         for f in filters:
             rng = _filter_to_range(f)
             if rng is not None:
                 self._ranges.append(rng)
+            attr = getattr(f, "attribute", None)
+            if isinstance(f, In) and f.value and attr and len(attr) == 1:
+                self._in_lists.append((attr[0], list(f.value)))
             yield f  # Spark still evaluates every filter row-level
 
 

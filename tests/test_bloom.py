@@ -187,3 +187,28 @@ def test_read_pruned_in_probes_each_value(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="at least one value"):
         vt.read_pruned_in("k", [])
+
+
+def test_format_api_pushed_in_list_probes_per_value(spark, tmp_path):
+    from pyspark.sql.datasource import In
+
+    from modular_etl_data_platform_spark.streaming.versioned_source import (
+        VersionedTableStreamDataSource,
+        _VersionedBatchReader,
+    )
+
+    spark.dataSource.register(VersionedTableStreamDataSource)
+    vt = _mk(spark, tmp_path)
+    schema = vt.read().schema
+    reader = _VersionedBatchReader(vt.path, schema, None)
+    list(reader.pushFilters([In(("k",), (17, 21, 18))]))
+    assert 2 <= len(reader.partitions()) <= 3  # residues {1, 2} of 4
+    df = (
+        spark.read.format("versioned_table")
+        .option("path", vt.path)
+        .load()
+        .filter("k in (17, 21, 18)")
+    )
+    assert {tuple(r) for r in df.collect()} == {
+        (17, "v17"), (21, "v21"), (18, "v18"),
+    }
