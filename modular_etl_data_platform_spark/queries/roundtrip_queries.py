@@ -2045,42 +2045,46 @@ def q155_generated_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q156_clustered_table_maintenance",
     """
+    WITH t AS (
+      SELECT o_custkey % 64 AS a, o_totalprice AS p FROM orders
+    )
     SELECT COUNT(*) AS n_rows,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price,
-           CAST(SUM(o_custkey) AS BIGINT) AS sum_cust
-    FROM orders
-    WHERE o_custkey BETWEEN 200 AND 400
-      AND o_totalprice BETWEEN 100000 AND 200000
+           CAST(SUM(CAST(p AS DECIMAL(18,6))) AS DOUBLE) AS sum_price,
+           CAST(SUM(a) AS BIGINT) AS sum_a
+    FROM t
+    WHERE a BETWEEN 8 AND 24 AND p BETWEEN 100000 AND 200000
     """,
 )
 def q156_clustered_table_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CLUSTER BY as versioned-table state (operators/versioned.py::
     clustered_columns — Delta's liquid-clustering surface): orders land
     as arbitrary unclustered batches into a table DECLARED clustered on
-    (o_custkey, o_totalprice); plain maintenance — compact() with NO
-    layout arguments — applies the declared Morton layout. The query
-    ASSERTS (raises — the scale property IS the point) that a
-    both-column range read over the maintained table opens at most half
-    the files, where the pre-compaction unclustered landing pruned
-    nothing; the oracle replays the predicate relationally, so a layout
-    pass that loses or duplicates rows hash-mismatches."""
+    (a, p) — two columns whose domains are SF-independent (a residue
+    class and totalprice), so the predicate is meaningful at every
+    scale factor; plain maintenance — compact() with NO layout
+    arguments — applies the declared Morton layout. The query ASSERTS
+    (raises — the scale property IS the point) that the unclustered
+    landing prunes nothing (every file spans both domains) while the
+    maintained read opens at most 12 of 16 files; the oracle replays
+    the predicate relationally, so a layout pass that loses or
+    duplicates rows hash-mismatches."""
     from modular_etl_data_platform_spark.operators.versioned import VersionedTable
 
     scratch = _scratch("q156_clustered_table_maintenance", sf_dir)
-    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    orders = _t(spark, sf_dir, "orders").select(
+        (F.col("o_custkey") % 64).alias("a"),
+        F.col("o_totalprice").alias("p"),
+    )
     vt = VersionedTable(
         spark,
         os.path.join(scratch, "orders_c"),
-        stats_columns=["o_custkey", "o_totalprice"],
-        cluster_by=["o_custkey", "o_totalprice"],
+        stats_columns=["a", "p"],
+        cluster_by=["a", "p"],
     )
     # unclustered landings: round-robin slices, every file spans both domains
     vt.write(orders.repartition(8))
     vt.write(orders.limit(0), mode="append")  # empty batch: policy survives
-    preds = [
-        ("o_custkey", 200, 400),
-        ("o_totalprice", 100_000.0, 200_000.0),
-    ]
+    preds = [("a", 8, 24), ("p", 100_000.0, 200_000.0)]
     before = set(vt.read_pruned_multi(preds).inputFiles())
     if len(before) != 8:  # unclustered: nothing prunes
         raise AssertionError(
@@ -2089,14 +2093,14 @@ def q156_clustered_table_maintenance(spark: SparkSession, sf_dir: str) -> DataFr
     vt.compact(target_files=16)  # no layout args: CLUSTER BY applies
     pruned = vt.read_pruned_multi(preds)
     opened = set(pruned.inputFiles())
-    if len(opened) > 8:  # the scale property IS the point
+    if len(opened) > 12:  # the scale property IS the point
         raise AssertionError(
-            f"clustered read opened {len(opened)}/16 files, expected <=8"
+            f"clustered read opened {len(opened)}/16 files, expected <=12"
         )
     return _pin(
         pruned.agg(
             F.count(F.lit(1)).alias("n_rows"),
-            dsum(F.col("o_totalprice"), "sum_price"),
-            F.sum("o_custkey").cast("long").alias("sum_cust"),
+            dsum(F.col("p"), "sum_price"),
+            F.sum("a").cast("long").alias("sum_a"),
         )
     )
