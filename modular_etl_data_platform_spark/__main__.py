@@ -148,6 +148,17 @@ def main(argv: list[str] | None = None) -> int:
         action="store_true",
         help="for vacuum: count what would be deleted, touch nothing",
     )
+    vt.add_argument(
+        "--file-retention-seconds",
+        type=float,
+        default=None,
+        help=(
+            "for vacuum: only delete unreferenced data/DV/bloom files "
+            "older than this (default 1h — protects files a live "
+            "writer landed but hasn't committed yet); 0 reclaims "
+            "immediately"
+        ),
+    )
     vt.add_argument("--target-files", type=int, default=1, help="for compact")
     vt.add_argument("--order-by", default=None, help="for compact: comma-sep cols")
     vt.add_argument(
@@ -524,6 +535,11 @@ def main(argv: list[str] | None = None) -> int:
                 keep_last=args.keep_last,
                 retention_hours=args.retention_hours,
                 dry_run=args.dry_run,
+                **(
+                    {"file_retention_seconds": args.file_retention_seconds}
+                    if args.file_retention_seconds is not None
+                    else {}
+                ),
             )
             key = "would_delete_files" if args.dry_run else "deleted_files"
             print(json.dumps({key: deleted}))

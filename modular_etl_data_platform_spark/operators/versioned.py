@@ -31,11 +31,16 @@ periodic checkpoints — so no commit-path cost is O(table)):
   only the DELTA (``add``/``remove`` file lists + stats for the added
   files) against its base — commit bytes are O(batch), independent of
   how many files the table has accumulated.
-- ``_versions/vNNNNNNNN.checkpoint.json``: every ``checkpoint_interval``
-  commits, the full resolved state (file list + stats + schema) is
-  written as a checkpoint SIDECAR, so resolving a snapshot reads one
-  checkpoint plus at most ``checkpoint_interval`` small deltas — never
-  the whole log.
+- ``_versions/vNNNNNNNN.checkpoint.json`` +
+  ``vNNNNNNNN.checkpoint.NNNN.parquet``: every ``checkpoint_interval``
+  commits, the full resolved state is materialized as a checkpoint —
+  the O(1) state (schema, constraints, protocol, txn) in the small
+  JSON meta record, the per-FILE state (paths, stats, sizes, DV
+  pointers) as size-bounded columnar parquet PARTS (Delta's multi-part
+  parquet checkpoint shape) — so resolving a snapshot reads one
+  checkpoint plus at most ``checkpoint_interval`` small deltas, never
+  the whole log, and checkpoint bytes stream as compressed parquet
+  instead of one O(table) ``json.dumps``.
 - ``_versions/_last_checkpoint``: pointer to the newest checkpoint
   (Delta's ``_last_checkpoint``); head resolution starts there and
   probes forward, instead of listing the whole log directory — head
@@ -133,6 +138,10 @@ _ROWS_MARK = "__rows__"
 _MAX_COMMIT_RETRIES = 20
 #: full-state checkpoint cadence (commits between checkpoints)
 _CHECKPOINT_INTERVAL = 10
+#: rows (add-file records) per checkpoint parquet part — Delta's
+#: multi-part checkpoint bound: a 10^6-file table checkpoints as ~20
+#: independently-readable ~size-bounded parts instead of one monolith
+_CHECKPOINT_PART_ROWS = 50_000
 #: vacuum only removes orphaned tmp claim files older than this — a
 #: LIVE writer's tmp (written but not yet linked) must never be swept
 _TMP_RETENTION_SECONDS = 3600
@@ -151,6 +160,10 @@ def _commit_name(version: int) -> str:
 
 def _checkpoint_name(version: int) -> str:
     return f"v{version:08d}.checkpoint.json"
+
+
+def _checkpoint_part_name(version: int, part: int) -> str:
+    return f"v{version:08d}.checkpoint.{part:04d}.parquet"
 
 
 def _extend_mapping(
@@ -242,6 +255,16 @@ class LogStore(abc.ABC):
     def delete(self, name: str) -> None:
         """Remove an entry if present (retention only)."""
 
+    @abc.abstractmethod
+    def put_bytes(self, name: str, data: bytes) -> None:
+        """Overwrite-ok BINARY write — checkpoint parquet parts (derived
+        artifacts, last-writer-wins safe like :meth:`put`). Maps to a
+        plain object PUT on S3/GCS."""
+
+    @abc.abstractmethod
+    def read_bytes(self, name: str) -> bytes:
+        """Binary read; raise ``FileNotFoundError`` if absent."""
+
     def cleanup_tmp(self, max_age_seconds: float) -> int:
         """Remove orphaned claim-scratch entries older than
         ``max_age_seconds``. Default: nothing to clean."""
@@ -295,6 +318,17 @@ class FileSystemLogStore(LogStore):
         with open(self._p(name)) as f:
             return f.read()
 
+    def put_bytes(self, name: str, data: bytes) -> None:
+        final = self._p(name)
+        tmp = final + f".tmp{os.getpid()}_{uuid.uuid4().hex[:8]}"
+        with open(tmp, "wb") as f:
+            f.write(data)
+        os.replace(tmp, final)  # atomic swap; last writer wins
+
+    def read_bytes(self, name: str) -> bytes:
+        with open(self._p(name), "rb") as f:
+            return f.read()
+
     def exists(self, name: str) -> bool:
         return os.path.exists(self._p(name))
 
@@ -335,6 +369,7 @@ class InMemoryLogStore(LogStore):
 
     def __init__(self):
         self._entries: dict[str, str] = {}
+        self._blobs: dict[str, bytes] = {}
         self._lock = threading.Lock()
 
     def put_if_absent(self, name: str, data: str) -> None:
@@ -355,17 +390,132 @@ class InMemoryLogStore(LogStore):
                 raise FileNotFoundError(name)
             return self._entries[name]
 
+    def put_bytes(self, name: str, data: bytes) -> None:
+        with self._lock:
+            self._blobs[name] = data
+
+    def read_bytes(self, name: str) -> bytes:
+        with self._lock:
+            if name not in self._blobs:
+                raise FileNotFoundError(name)
+            return self._blobs[name]
+
     def exists(self, name: str) -> bool:
         with self._lock:
-            return name in self._entries
+            return name in self._entries or name in self._blobs
 
     def list(self) -> list[str]:
         with self._lock:
-            return sorted(self._entries)
+            return sorted(set(self._entries) | set(self._blobs))
 
     def delete(self, name: str) -> None:
         with self._lock:
             self._entries.pop(name, None)
+            self._blobs.pop(name, None)
+
+
+class TransientStoreError(Exception):
+    """An object-store request kept failing past the retry budget —
+    the caller cannot know whether the commit landed (ambiguous)."""
+
+
+class ConditionalPutLogStore(LogStore):
+    """In-process model of an OBJECT STORE with conditional PUT —
+    S3 ``If-None-Match: *`` / GCS ``x-goog-if-generation-match: 0`` /
+    ADLS ``If-None-Match`` — the store the 100 TB deployment plugs in.
+    ``put_if_absent`` is ONE atomic conditional PUT: no tmp files, no
+    hard links, no rename (none of those exist on object stores), so
+    passing the commit protocol's race matrix under this store proves
+    the design carries to S3 without a rewrite.
+
+    The contract object stores add that POSIX doesn't: a PUT can fail
+    AFTER the write became durable (5xx/timeout with the object
+    landed), so a claim's outcome can be AMBIGUOUS. The store's retry
+    loop resolves it the way production S3 commit services do: retry
+    the conditional PUT, and treat a 412-Precondition-Failed whose
+    existing content BYTE-EQUALS the attempted record as this writer's
+    own earlier success — sound for commit records because their
+    content is writer-unique (landed file paths are uuid-fresh per
+    attempt), so equal bytes can only be this attempt's durable
+    ghost. A 412 with DIFFERENT content is a genuinely lost race
+    (:class:`ConcurrentWriteError`, the caller rebases).
+
+    Deterministic fault injection (``inject``) drives the matrix: each
+    injected item is consumed by one conditional-PUT attempt —
+    ``"ambiguous"`` lands the object then reports failure, in
+    ``"unavailable"`` nothing lands before the failure, and a CALLABLE
+    runs first (a racing writer's commit, at exactly the claim
+    boundary)."""
+
+    def __init__(self, max_put_attempts: int = 5):
+        self._entries: dict[str, str] = {}
+        self._blobs: dict[str, bytes] = {}
+        self._lock = threading.Lock()
+        self._faults: list = []
+        self.max_put_attempts = max_put_attempts
+        #: instrumentation: total conditional-PUT requests issued
+        self.conditional_puts = 0
+
+    def inject(self, *faults) -> None:
+        """Queue faults, one consumed per conditional-PUT attempt."""
+        self._faults.extend(faults)
+
+    def put_if_absent(self, name: str, data: str) -> None:
+        for _ in range(self.max_put_attempts):
+            fault = self._faults.pop(0) if self._faults else None
+            if callable(fault):
+                fault()  # a racing writer, exactly at the claim boundary
+                fault = None
+            self.conditional_puts += 1
+            with self._lock:
+                if name in self._entries:
+                    if self._entries[name] == data:
+                        return  # our own ambiguous earlier attempt landed
+                    raise ConcurrentWriteError(
+                        f"{name} was committed by another writer"
+                    )
+                if fault == "unavailable":
+                    continue  # 5xx, nothing durable: plain retry
+                self._entries[name] = data  # durable...
+                if fault == "ambiguous":
+                    continue  # ...but reported failed: retry disambiguates
+                return
+        raise TransientStoreError(
+            f"conditional PUT of {name} failed {self.max_put_attempts} times"
+        )
+
+    def put(self, name: str, data: str) -> None:
+        with self._lock:
+            self._entries[name] = data
+
+    def read(self, name: str) -> str:
+        with self._lock:
+            if name not in self._entries:
+                raise FileNotFoundError(name)
+            return self._entries[name]
+
+    def put_bytes(self, name: str, data: bytes) -> None:
+        with self._lock:
+            self._blobs[name] = data
+
+    def read_bytes(self, name: str) -> bytes:
+        with self._lock:
+            if name not in self._blobs:
+                raise FileNotFoundError(name)
+            return self._blobs[name]
+
+    def exists(self, name: str) -> bool:
+        with self._lock:
+            return name in self._entries or name in self._blobs
+
+    def list(self) -> list[str]:
+        with self._lock:
+            return sorted(set(self._entries) | set(self._blobs))
+
+    def delete(self, name: str) -> None:
+        with self._lock:
+            self._entries.pop(name, None)
+            self._blobs.pop(name, None)
 
 
 # -- the commit log (Spark-free) -----------------------------------------------
@@ -460,10 +610,9 @@ class CommitLog:
             if u in self._cache:
                 base = self._cache[u]
                 break
-            if self.store.exists(_checkpoint_name(u)):
-                base = self._state_from_full(
-                    json.loads(self.store.read(_checkpoint_name(u)))
-                )
+            cp = self._read_checkpoint(u)
+            if cp is not None:
+                base = cp
                 break
             try:
                 rec = json.loads(self.store.read(_commit_name(u)))
@@ -758,14 +907,143 @@ class CommitLog:
         )
 
     def write_checkpoint(self, state: dict) -> None:
-        """Materialize ``state`` as a checkpoint sidecar and advance the
-        ``_last_checkpoint`` pointer. Both are DERIVED artifacts —
+        """Materialize ``state`` as a checkpoint and advance the
+        ``_last_checkpoint`` pointer. All DERIVED artifacts —
         rewriting them is idempotent, so plain last-writer-wins puts are
-        safe (no claim needed)."""
-        self.store.put(_checkpoint_name(state["version"]), json.dumps(state))
-        self.store.put(
-            _HINT_NAME, json.dumps({"version": state["version"]})
+        safe (no claim needed).
+
+        Format (v2, Delta's parquet checkpoint shape): the per-FILE
+        state (paths, stats, sizes, DV pointers) is written as columnar
+        parquet PARTS of at most ``_CHECKPOINT_PART_ROWS`` add-file rows
+        each, and the small O(1) state (schema, constraints, protocol,
+        txn, ...) plus the part count as the ``.checkpoint.json`` meta
+        record. A single ``json.dumps`` of the whole state was O(table)
+        bytes written per interval AND parsed per cold read — at 10^5+
+        files that is tens of MB a reader can't project; parquet parts
+        are size-bounded, compressed columnar, and a consumer that only
+        needs paths reads one column. Parts land BEFORE the meta record
+        so a visible checkpoint always has its parts."""
+        import io
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        files = state.get("files", [])
+        stats = state.get("stats", {})
+        sizes = state.get("sizes", {})
+        dv = state.get("dv", {})
+        version = state["version"]
+        nparts = (
+            (len(files) + _CHECKPOINT_PART_ROWS - 1) // _CHECKPOINT_PART_ROWS
+            if files
+            else 0
         )
+        for i in range(nparts):
+            chunk = files[
+                i * _CHECKPOINT_PART_ROWS : (i + 1) * _CHECKPOINT_PART_ROWS
+            ]
+            tbl = pa.table(
+                {
+                    "path": pa.array(chunk, pa.string()),
+                    "stats": pa.array(
+                        [
+                            json.dumps(stats[f]) if f in stats else None
+                            for f in chunk
+                        ],
+                        pa.string(),
+                    ),
+                    "size": pa.array(
+                        [sizes.get(f) for f in chunk], pa.int64()
+                    ),
+                    "dv": pa.array(
+                        [dv.get(f) for f in chunk], pa.string()
+                    ),
+                }
+            )
+            buf = io.BytesIO()
+            pq.write_table(tbl, buf, compression="zstd")
+            self.store.put_bytes(
+                _checkpoint_part_name(version, i), buf.getvalue()
+            )
+        meta = {
+            k: v
+            for k, v in state.items()
+            if k not in ("files", "stats", "sizes", "dv")
+        }
+        meta["checkpoint_format"] = 2
+        meta["parts"] = nparts
+        self.store.put(_checkpoint_name(version), json.dumps(meta))
+        self.store.put(_HINT_NAME, json.dumps({"version": version}))
+
+    def _read_checkpoint(self, version: int) -> dict | None:
+        """The resolved state stored at ``version``'s checkpoint, or
+        ``None`` when no checkpoint exists there. Reads v2 parquet
+        parts; a pre-round-9 single-JSON checkpoint (no
+        ``checkpoint_format`` field) still loads — old tables stay
+        readable."""
+        if not self.store.exists(_checkpoint_name(version)):
+            return None  # cheap probe first: most walked versions have none
+        try:
+            rec = json.loads(self.store.read(_checkpoint_name(version)))
+        except FileNotFoundError:
+            return None  # deleted between probe and read
+        if rec.get("checkpoint_format", 1) < 2:
+            return self._state_from_full(rec)  # legacy single-JSON
+        import io
+
+        import pyarrow.parquet as pq
+
+        files: list[str] = []
+        stats: dict[str, dict] = {}
+        sizes: dict[str, int] = {}
+        dv: dict[str, str] = {}
+        for i in range(rec["parts"]):
+            try:
+                raw = self.store.read_bytes(_checkpoint_part_name(version, i))
+            except FileNotFoundError:
+                # a racing retention sweep took the parts: the WHOLE
+                # checkpoint is treated as absent (resolve falls back to
+                # the delta walk / an older base) — a truncated file set
+                # would be a silently WRONG state, no checkpoint is
+                # merely a slower one (checkpoints are derived; the
+                # commit records stay the truth)
+                return None
+            tbl = pq.read_table(io.BytesIO(raw))
+            cols = {c: tbl.column(c).to_pylist() for c in tbl.column_names}
+            for path, st, sz, dvp in zip(
+                cols["path"], cols["stats"], cols["size"], cols["dv"]
+            ):
+                files.append(path)
+                if st is not None:
+                    stats[path] = json.loads(st)
+                if sz is not None:
+                    sizes[path] = sz
+                if dvp is not None:
+                    dv[path] = dvp
+        state = {
+            k: v
+            for k, v in rec.items()
+            if k not in ("parts", "checkpoint_format")
+        }
+        state.update({"files": files, "stats": stats, "sizes": sizes, "dv": dv})
+        state.setdefault("constraints", {})
+        return state
+
+    def delete_checkpoint(self, version: int) -> None:
+        """Retention: drop ``version``'s checkpoint meta AND its parquet
+        parts. META goes first: a reader racing this sweep then either
+        sees the full checkpoint or none at all (and ``_read_checkpoint``
+        already degrades a part-less meta to "no checkpoint"), never a
+        truncated state. A crash between the two steps orphans derived
+        part bytes at worst."""
+        try:
+            rec = json.loads(self.store.read(_checkpoint_name(version)))
+            nparts = int(rec.get("parts", 0))
+        except (FileNotFoundError, ValueError):
+            nparts = 0
+        self.store.delete(_checkpoint_name(version))
+        for i in range(nparts):
+            self.store.delete(_checkpoint_part_name(version, i))
 
     def checkpoints(self) -> list[int]:
         return sorted(
@@ -844,13 +1122,75 @@ def _encode_stat_bound(value, kind: str):
     return None
 
 
+def _stats_for_file(path: str, stats_columns: list[str]) -> dict:
+    """Footer min/max + row count for ONE parquet file (see
+    :func:`collect_file_stats` for the encoding contract). Pure and
+    picklable — this is the unit of work both the driver thread pool
+    and the executor-side metadata job run."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    if md.num_rows == 0:
+        # a zero-row file intersects NO predicate: record that
+        # explicitly so pruning reads skip it and pruned
+        # upserts/compactions carry it forward instead of
+        # treating "no stats" as "conservatively rewrite forever"
+        return {_EMPTY_MARK: True, _ROWS_MARK: 0}
+    names = {md.schema.column(i).name: i for i in range(md.num_columns)}
+    stats: dict[str, object] = {_ROWS_MARK: md.num_rows}
+    for col in stats_columns:
+        if col not in names:
+            continue
+        lo = hi = None
+        try:
+            for rg in range(md.num_row_groups):
+                s = md.row_group(rg).column(names[col]).statistics
+                if s is None or not s.has_min_max:
+                    lo = hi = None
+                    break
+                lo = s.min if lo is None else min(lo, s.min)
+                hi = s.max if hi is None else max(hi, s.max)
+        except (UnicodeDecodeError, TypeError):
+            # a truncated-and-incremented string bound can be
+            # invalid UTF-8; unreadable stats simply stay
+            # unrecorded (conservative, never mis-pruned)
+            continue
+        if lo is None:
+            continue
+        if type(lo) in (int, float) and type(hi) in (int, float):
+            stats[col] = [lo, hi]
+        elif isinstance(lo, datetime) and isinstance(hi, datetime):
+            stats[col] = {
+                "k": "ts",
+                "lo": _encode_stat_bound(lo, "ts"),
+                "hi": _encode_stat_bound(hi, "ts"),
+            }
+        elif isinstance(lo, date) and isinstance(hi, date):
+            stats[col] = {
+                "k": "date",
+                "lo": lo.isoformat(),
+                "hi": hi.isoformat(),
+            }
+        elif (
+            isinstance(lo, str)
+            and isinstance(hi, str)
+            and len(lo) <= 256
+            and len(hi) <= 256
+        ):
+            stats[col] = {"k": "str", "lo": lo, "hi": hi}
+    return stats
+
+
 def collect_file_stats(files: list[str], stats_columns: list[str]) -> dict[str, dict]:
     """Per-file min/max for ``stats_columns``, read from the parquet
     FOOTER metadata (pyarrow) — no data scan; this is Delta's
     data-skipping statistic, and at 100 TB it is what lets a point
     or range read open a handful of files instead of the table.
     Shared by :class:`VersionedTable` and the streaming sink
-    (``streaming/versioned_source.py``).
+    (``streaming/versioned_source.py``). This is the DRIVER-side
+    collector (metadata-only footer reads); commit paths with a live
+    SparkSession route through :func:`collect_file_metadata`, which
+    moves the reads into an executor job.
 
     Encodings (JSON-record-safe): numeric columns record a plain
     ``[lo, hi]``; timestamp columns record UTC-naive ISO-8601 string
@@ -871,76 +1211,19 @@ def collect_file_stats(files: list[str], stats_columns: list[str]) -> dict[str, 
     Delta's add.stats numRecords, same footer read as the bounds), so
     commit records can carry operation metrics and consumers never
     re-stat the table for counts."""
-    import pyarrow.parquet as pq
-
     # footer reads are tiny but LATENCY-bound (one open+seek each); a
-    # large landed batch pays them concurrently instead of serially —
-    # Delta collects these executor-side during the write, a thread
-    # pool is the driver-side equivalent for metadata-only I/O
+    # large landed batch pays them concurrently instead of serially
     if len(files) > 8:
         from concurrent.futures import ThreadPoolExecutor
 
         with ThreadPoolExecutor(max_workers=16) as pool:
-            metas = dict(
-                zip(files, pool.map(lambda f: pq.ParquetFile(f).metadata, files))
+            return dict(
+                zip(
+                    files,
+                    pool.map(lambda f: _stats_for_file(f, stats_columns), files),
+                )
             )
-    else:
-        metas = {f: pq.ParquetFile(f).metadata for f in files}
-
-    out: dict[str, dict] = {}
-    for f in files:
-        md = metas[f]
-        if md.num_rows == 0:
-            # a zero-row file intersects NO predicate: record that
-            # explicitly so pruning reads skip it and pruned
-            # upserts/compactions carry it forward instead of
-            # treating "no stats" as "conservatively rewrite forever"
-            out[f] = {_EMPTY_MARK: True, _ROWS_MARK: 0}
-            continue
-        names = {md.schema.column(i).name: i for i in range(md.num_columns)}
-        stats: dict[str, object] = {_ROWS_MARK: md.num_rows}
-        for col in stats_columns:
-            if col not in names:
-                continue
-            lo = hi = None
-            try:
-                for rg in range(md.num_row_groups):
-                    s = md.row_group(rg).column(names[col]).statistics
-                    if s is None or not s.has_min_max:
-                        lo = hi = None
-                        break
-                    lo = s.min if lo is None else min(lo, s.min)
-                    hi = s.max if hi is None else max(hi, s.max)
-            except (UnicodeDecodeError, TypeError):
-                # a truncated-and-incremented string bound can be
-                # invalid UTF-8; unreadable stats simply stay
-                # unrecorded (conservative, never mis-pruned)
-                continue
-            if lo is None:
-                continue
-            if type(lo) in (int, float) and type(hi) in (int, float):
-                stats[col] = [lo, hi]
-            elif isinstance(lo, datetime) and isinstance(hi, datetime):
-                stats[col] = {
-                    "k": "ts",
-                    "lo": _encode_stat_bound(lo, "ts"),
-                    "hi": _encode_stat_bound(hi, "ts"),
-                }
-            elif isinstance(lo, date) and isinstance(hi, date):
-                stats[col] = {
-                    "k": "date",
-                    "lo": lo.isoformat(),
-                    "hi": hi.isoformat(),
-                }
-            elif (
-                isinstance(lo, str)
-                and isinstance(hi, str)
-                and len(lo) <= 256
-                and len(hi) <= 256
-            ):
-                stats[col] = {"k": "str", "lo": lo, "hi": hi}
-        out[f] = stats
-    return out
+    return {f: _stats_for_file(f, stats_columns) for f in files}
 
 
 # ---------------------------------------------------------------------------
@@ -1003,6 +1286,36 @@ def _bloom_probe(rec: dict, key: bytes) -> bool:
     )
 
 
+def _blooms_for_file(path: str, bloom_columns: list[str]) -> dict:
+    """Bloom bitmaps for ONE file's indexed columns (column-pruned
+    data read + distinct + hash). Pure and picklable — the unit of
+    work for :func:`collect_file_metadata`'s executor job and the
+    sessionless driver fallback. High-cardinality columns are rejected
+    from the ARROW array's length BEFORE any Python-object
+    materialization: a file with tens of millions of distinct keys
+    must cost an O(1) length check, not tens of millions of
+    ``to_pylist`` conversions that ``_build_bloom`` would then throw
+    away against ``_BLOOM_MAX_NDV`` anyway."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(path)
+    cols = [c for c in bloom_columns if c in set(pf.schema_arrow.names)]
+    if not cols or pf.metadata.num_rows == 0:
+        return {}
+    tbl = pq.read_table(path, columns=cols)
+    res: dict[str, dict] = {}
+    for c in cols:
+        uniq = pc.unique(tbl.column(c).combine_chunks())
+        # +1: one entry may be the null, which _build_bloom drops
+        if len(uniq) > _BLOOM_MAX_NDV + 1:
+            continue  # over the cap: record no bloom (kept on probe)
+        b = _build_bloom(u for u in uniq.to_pylist() if u is not None)
+        if b:
+            res[c] = b
+    return res
+
+
 def collect_file_blooms(
     files: list[str], bloom_columns: list[str]
 ) -> dict[str, dict]:
@@ -1015,36 +1328,89 @@ def collect_file_blooms(
 
     Unlike footer stats this reads column DATA, so it is O(landed
     batch) per commit — the price of the index, paid only on tables
-    that opt in via ``bloom_columns``. At cluster scale the hashing
-    would ride the write job executor-side (as Delta's index build
-    does); the driver thread pool is the local-metadata-path analogue,
-    reading only the indexed columns. Unsupported types (floats,
+    that opt in via ``bloom_columns``. This thread-pool collector is
+    the SESSIONLESS fallback only (format-API commits running in a
+    Python worker); every commit path with a live SparkSession builds
+    blooms executor-side through :func:`collect_file_metadata`, as
+    Delta's index build rides the write job. Unsupported types (floats,
     binary, bools) and files whose key cardinality exceeds the bitmap
     cap simply record no bloom — probing keeps such files
     (conservative, never wrong)."""
-    import pyarrow.compute as pc
-    import pyarrow.parquet as pq
-
-    def one(f: str) -> dict:
-        pf = pq.ParquetFile(f)
-        cols = [c for c in bloom_columns if c in set(pf.schema_arrow.names)]
-        if not cols or pf.metadata.num_rows == 0:
-            return {}
-        tbl = pq.read_table(f, columns=cols)
-        res: dict[str, dict] = {}
-        for c in cols:
-            uniq = pc.unique(tbl.column(c)).to_pylist()
-            b = _build_bloom(u for u in uniq if u is not None)
-            if b:
-                res[c] = b
-        return res
-
     if len(files) > 4:
         from concurrent.futures import ThreadPoolExecutor
 
         with ThreadPoolExecutor(max_workers=8) as pool:
-            return dict(zip(files, pool.map(one, files)))
-    return {f: one(f) for f in files}
+            return dict(
+                zip(
+                    files,
+                    pool.map(lambda f: _blooms_for_file(f, bloom_columns), files),
+                )
+            )
+    return {f: _blooms_for_file(f, bloom_columns) for f in files}
+
+
+def collect_file_metadata(
+    spark: SparkSession | None,
+    files: list[str],
+    stats_columns: list[str],
+    bloom_columns: list[str],
+) -> tuple[dict[str, dict], dict[str, dict]]:
+    """Commit-time metadata for a landed batch — ``(stats, blooms)``
+    keyed by file — computed EXECUTOR-SIDE as one Spark job when a
+    session is available (Delta computes add-file stats and bloom
+    indexes inside the write job): each task opens its files' footers
+    (stats) and column-pruned key columns (blooms) locally and ships
+    back only the O(files) result rows, so the driver never touches
+    data-plane bytes — at 1,000 landed files x 1 GB the driver
+    receives kilobytes of bounds and capped bitmaps, not the key
+    columns. Sessionless callers (format-API commits inside a Python
+    worker) and tiny bloom-free batches (<= 8 files, footer-only —
+    metadata reads too small to be worth a job) fall back to the local
+    collectors."""
+    if not files:
+        return {}, {}
+    stat_cols = list(stats_columns)
+    bloom_cols = list(bloom_columns)
+    if spark is None or (not bloom_cols and len(files) <= 8):
+        stats = collect_file_stats(files, stat_cols)
+        blooms = (
+            collect_file_blooms(files, bloom_cols) if bloom_cols else {}
+        )
+        return stats, {f: b for f, b in blooms.items() if b}
+
+    def gen(batches):
+        import pandas as pd
+
+        for b in batches:
+            paths = list(b["path"])
+            yield pd.DataFrame(
+                {
+                    "path": paths,
+                    "stats": [
+                        json.dumps(_stats_for_file(p, stat_cols))
+                        for p in paths
+                    ],
+                    "blooms": [
+                        json.dumps(_blooms_for_file(p, bloom_cols))
+                        if bloom_cols
+                        else None
+                        for p in paths
+                    ],
+                }
+            )
+
+    n = max(1, min(len(files), spark.sparkContext.defaultParallelism))
+    rows = (
+        spark.createDataFrame([(f,) for f in files], "path string")
+        .repartition(n)
+        .mapInPandas(gen, "path string, stats string, blooms string")
+        .collect()
+    )
+    stats = {r["path"]: json.loads(r["stats"]) for r in rows}
+    blooms = {
+        r["path"]: json.loads(r["blooms"]) for r in rows if r["blooms"]
+    }
+    return stats, {f: b for f, b in blooms.items() if b}
 
 
 def bloom_prune_files(
@@ -1192,7 +1558,6 @@ class VersionedTable:
             else self.stats_columns
         )
         fresh_files = [f for f in files if f not in prior_files]
-        fresh = collect_file_stats(fresh_files, stat_cols)
         # bloom sidecar for the landed batch: ONE file per commit keyed
         # (file, physical column); the commit record carries only the
         # pointer, so log bytes stay O(batch) regardless of bitmap size.
@@ -1204,21 +1569,21 @@ class VersionedTable:
             if mapping
             else self.bloom_columns
         )
-        if bloom_cols and fresh_files:
-            blooms = {
-                f: b
-                for f, b in collect_file_blooms(fresh_files, bloom_cols).items()
-                if b
-            }
-            if blooms:
-                os.makedirs(os.path.join(self.path, _BLOOM_DIR), exist_ok=True)
-                sidecar = os.path.join(
-                    self.path, _BLOOM_DIR, uuid.uuid4().hex + ".json"
-                )
-                with open(sidecar, "w") as fh:
-                    json.dump(blooms, fh)
-                for f in blooms:
-                    fresh.setdefault(f, {})[_BLOOM_MARK] = sidecar
+        # stats + blooms ride ONE executor job (collect_file_metadata):
+        # the commit path never pulls landed column data through the
+        # driver — the 100 TB contract for bloom-indexed tables
+        fresh, blooms = collect_file_metadata(
+            self.spark, fresh_files, stat_cols, bloom_cols
+        )
+        if blooms:
+            os.makedirs(os.path.join(self.path, _BLOOM_DIR), exist_ok=True)
+            sidecar = os.path.join(
+                self.path, _BLOOM_DIR, uuid.uuid4().hex + ".json"
+            )
+            with open(sidecar, "w") as fh:
+                json.dump(blooms, fh)
+            for f in blooms:
+                fresh.setdefault(f, {})[_BLOOM_MARK] = sidecar
         return self.log.publish(
             files, schema_json, meta, base, fresh, dv_updates=dv_updates
         )
@@ -1610,9 +1975,6 @@ class VersionedTable:
                     landed, logical_schema_json, lost, mapping=mapping
                 )
         return landed
-
-    def _file_stats(self, files: list[str]) -> dict[str, dict]:
-        return collect_file_stats(files, self.stats_columns)
 
     def _validate_landed(
         self,
@@ -3562,7 +3924,21 @@ class VersionedTable:
                 for f in m["files"]
                 if head_dv.get(f) != m_dv.get(f)
             }
-            meta = {"mode": "restore", "restored_from": version}
+            meta = {
+                "mode": "restore",
+                "restored_from": version,
+                # TABLE PROPERTIES travel with the snapshot (Delta's
+                # RESTORE restores metadata too): without these, publish
+                # would fall back to the HEAD's constraints/generated/
+                # cluster_by — e.g. restoring to a pre-generated-columns
+                # version would keep head generation expressions that
+                # reference columns absent from the restored schema,
+                # failing every subsequent write. Explicit {} / []
+                # deliberately CLEAR a head-only property.
+                "constraints": m.get("constraints", {}),
+                "generated": m.get("generated", {}),
+                "cluster_by": m.get("cluster_by", []),
+            }
             # crossing a column-mapping boundary: the restored snapshot
             # must come back under ITS OWN mapping/tombstones (the head's
             # would re-derive wrong physicals for restored columns); an
@@ -3660,6 +4036,7 @@ class VersionedTable:
         tmp_retention_seconds: float = _TMP_RETENTION_SECONDS,
         dry_run: bool = False,
         retention_hours: float | None = None,
+        file_retention_seconds: float = _TMP_RETENTION_SECONDS,
     ) -> int:
         """Drop all but the newest ``keep_last`` versions and delete data
         files AND deletion-vector sidecars no retained version references
@@ -3682,7 +4059,16 @@ class VersionedTable:
         delta chain beneath it is gone (a delta record is meaningless
         without a base). Orphaned claim-scratch files are swept only
         past ``tmp_retention_seconds`` — a younger tmp may belong to a
-        LIVE writer between its record write and its atomic claim."""
+        LIVE writer between its record write and its atomic claim.
+
+        Unreferenced DATA files (and DV/bloom sidecars) get the same
+        mtime age gate, ``file_retention_seconds``: a vacuum racing a
+        live writer between ``_land_files`` and ``publish`` would
+        otherwise delete freshly-landed files the imminent commit will
+        reference, corrupting the new version (Delta's VACUUM age-gates
+        all candidates for exactly this reason — its default window is
+        7 days). Pass ``0`` to reclaim immediately when no writer can
+        be in flight (tests, single-writer maintenance jobs)."""
         vs = self.versions()
         keep = vs[-keep_last:] if keep_last > 0 else []
         if retention_hours is not None and vs:
@@ -3712,13 +4098,28 @@ class VersionedTable:
                     referenced_bloom.add(ptr)
         dv_root = os.path.join(self.path, _DV_DIR)
         bloom_root = os.path.join(self.path, _BLOOM_DIR)
+        # the age gate: an unreferenced-but-YOUNG file may belong to a
+        # live writer between _land_files and publish — the imminent
+        # commit will reference it, so deleting it would corrupt that
+        # version. Only files older than the window are candidates.
+        age_cutoff = time.time() - file_retention_seconds
+
+        def _stale(fp: str) -> bool:
+            try:
+                return os.path.getmtime(fp) <= age_cutoff
+            except OSError:
+                return False  # vanished under us: nothing to delete
         if dry_run:
             would_delete = 0
             data_root = os.path.join(self.path, _DATA_DIR)
             for sub in os.listdir(data_root):
                 for f in os.listdir(os.path.join(data_root, sub)):
                     fp = os.path.join(data_root, sub, f)
-                    if f.endswith(".parquet") and fp not in referenced:
+                    if (
+                        f.endswith(".parquet")
+                        and fp not in referenced
+                        and _stale(fp)
+                    ):
                         would_delete += 1
             if os.path.isdir(dv_root):
                 for sub in os.listdir(dv_root):
@@ -3731,12 +4132,17 @@ class VersionedTable:
                             f.endswith(".parquet")
                             and fp not in referenced_dv
                             and subdir not in referenced_dv
+                            and _stale(fp)
                         ):
                             would_delete += 1
             if os.path.isdir(bloom_root):
                 for f in os.listdir(bloom_root):
                     fp = os.path.join(bloom_root, f)
-                    if f.endswith(".json") and fp not in referenced_bloom:
+                    if (
+                        f.endswith(".json")
+                        and fp not in referenced_bloom
+                        and _stale(fp)
+                    ):
                         would_delete += 1
             return would_delete
         if keep:
@@ -3749,10 +4155,18 @@ class VersionedTable:
             subdir = os.path.join(data_root, sub)
             for f in list(os.listdir(subdir)):
                 fp = os.path.join(subdir, f)
-                if f.endswith(".parquet") and fp not in referenced:
+                if (
+                    f.endswith(".parquet")
+                    and fp not in referenced
+                    and _stale(fp)
+                ):
                     os.remove(fp)
                     deleted += 1
             if not any(p.endswith(".parquet") for p in os.listdir(subdir)):
+                # no data left (only _SUCCESS-style markers, themselves
+                # never referenced): the landing dir can go. A live
+                # writer's dir still holds its young parquet, so the
+                # age gate above keeps it out of this branch.
                 shutil.rmtree(subdir)
         # deletion-vector sidecars no retained version points at
         # (superseded by a later delete's union sidecar, materialized by
@@ -3770,6 +4184,7 @@ class VersionedTable:
                         f.endswith(".parquet")
                         and fp not in referenced_dv
                         and subdir not in referenced_dv
+                        and _stale(fp)
                     ):
                         os.remove(fp)
                         deleted += 1
@@ -3782,14 +4197,18 @@ class VersionedTable:
         if os.path.isdir(bloom_root):
             for f in list(os.listdir(bloom_root)):
                 fp = os.path.join(bloom_root, f)
-                if f.endswith(".json") and fp not in referenced_bloom:
+                if (
+                    f.endswith(".json")
+                    and fp not in referenced_bloom
+                    and _stale(fp)
+                ):
                     os.remove(fp)
                     deleted += 1
         keep_set = set(keep)
         for v in vs:
             if v not in keep_set:
                 self.log.store.delete(_commit_name(v))
-                self.log.store.delete(_checkpoint_name(v))
+                self.log.delete_checkpoint(v)
         self.log.refresh_hint()
         self.log.evict_cache_except(keep_set)
         self.log.store.cleanup_tmp(tmp_retention_seconds)

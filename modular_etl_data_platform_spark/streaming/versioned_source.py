@@ -483,7 +483,14 @@ class VersionedTableStreamDataSource(DataSource):
         path = self.options.get("path")
         if not path:
             raise ValueError("versioned_table source requires .option('path', ...)")
-        return path
+        # canonicalize exactly like VersionedTable.__init__: manifest
+        # paths derive from this root and the DV machinery matches them
+        # against Spark's RESOLVED `_metadata.file_path` — a relative or
+        # symlinked option would log paths that never match the scan's
+        # (silent DV mismatch), and the table's own vacuum (which
+        # realpaths) would see the relatively-logged live files as
+        # unreferenced and delete them
+        return os.path.realpath(path)
 
     def _requested_version(self, log: CommitLog) -> int | None:
         """The batch-read ``version`` / ``timestamp`` options (Delta's
@@ -716,10 +723,12 @@ class _VersionedBatchArrowWriter(_ArrowFileLander, DataSourceArrowWriter):
         os.makedirs(os.path.join(table, _DATA_DIR), exist_ok=True)
 
     def commit(self, messages) -> None:
+        from pyspark.sql import SparkSession
+
         from modular_etl_data_platform_spark.operators.versioned import (
             ConcurrentWriteError,
             VersionedTable,
-            collect_file_stats,
+            collect_file_metadata,
         )
 
         files = [
@@ -729,7 +738,13 @@ class _VersionedBatchArrowWriter(_ArrowFileLander, DataSourceArrowWriter):
             for f in getattr(m, "files", [])
         ]
         log = CommitLog(path=self.table)
-        fresh = collect_file_stats(files, self.stats_columns)
+        # executor-side when a session is reachable (driver-invoked
+        # writers, tests); the real save() path commits inside a
+        # sessionless Python worker and falls back to local footer
+        # reads — metadata-only either way (no bloom columns here)
+        fresh, _ = collect_file_metadata(
+            SparkSession.getActiveSession(), files, self.stats_columns, []
+        )
         mode = "overwrite" if self.overwrite else "append"
         checked_cons: dict | None = None
         for _ in range(20):
@@ -759,9 +774,14 @@ class _VersionedBatchArrowWriter(_ArrowFileLander, DataSourceArrowWriter):
                 )
             # constraints are validated against THIS attempt's base —
             # a rebase onto a head whose constraint set changed (ADD
-            # CONSTRAINT raced the save) revalidates before publishing
+            # CONSTRAINT raced the save) revalidates before publishing.
+            # OVERWRITE saves validate too: publish CARRIES the prior
+            # constraints into the new version (they survive overwrite
+            # unless explicitly replaced, and the format API has no way
+            # to replace them), so an unchecked overwrite could publish
+            # rows that violate a still-active constraint
             cur_cons = (prior or {}).get("constraints", {})
-            if not self.overwrite and cur_cons != checked_cons:
+            if cur_cons != checked_cons:
                 self._check_constraints(files, cur_cons)
                 checked_cons = cur_cons
             try:
@@ -833,7 +853,7 @@ class _VersionedStreamArrowWriter(_ArrowFileLander, DataSourceStreamArrowWriter)
     def commit(self, messages, batchId: int) -> None:
         from modular_etl_data_platform_spark.operators.versioned import (
             ConcurrentWriteError,
-            collect_file_stats,
+            collect_file_metadata,
         )
 
         files = [
@@ -857,12 +877,26 @@ class _VersionedStreamArrowWriter(_ArrowFileLander, DataSourceStreamArrowWriter)
             VersionedTable,
         )
 
-        fresh = collect_file_stats(files, self.stats_columns)
+        from pyspark.sql import SparkSession
+
+        # executor-side stats when the session is reachable (the real
+        # streaming sink commit runs on the driver with an active
+        # session); sessionless fallback reads footers locally
+        fresh, _ = collect_file_metadata(
+            SparkSession.getActiveSession(), files, self.stats_columns, []
+        )
         checked_cons: dict | None = None
         for _ in range(20):
             base = log.current_version() or 0
             schema_json = self.schema_json
             prior = log.resolve(base) if base else None
+            # idempotence re-check against EACH rebased head, not just
+            # the one observed before the loop (VersionedTable.write's
+            # rule): a zombie driver retrying this same batch can land
+            # its publish between our attempts, and a head-only check
+            # done once would let the loser double-append the batch
+            if (prior or {}).get("txn", {}).get(self.txn_app_id, -1) >= batchId:
+                return
             if (prior or {}).get("column_mapping"):
                 raise RuntimeError(
                     f"{self.table} uses column mapping (renamed/dropped "

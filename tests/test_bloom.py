@@ -118,7 +118,7 @@ def test_vacuum_sweeps_unreferenced_sidecars(spark, tmp_path):
     assert len(before) == 4  # one sidecar per commit
     vt.compact()  # rewrite: fresh files, fresh sidecar
     assert len(os.listdir(bloom_dir)) == 5
-    vt.vacuum(keep_last=1)
+    vt.vacuum(keep_last=1, file_retention_seconds=0.0)
     after = set(os.listdir(bloom_dir))
     assert len(after) == 1  # only the compacted head's sidecar survives
     assert not (after & before)

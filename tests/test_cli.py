@@ -114,10 +114,18 @@ def test_cli_versioned_table_ops(spark, capsys, tmp_path):
     assert main(["vt", path, "compact", "--target-files", "1"]) == 0
     capsys.readouterr()
     # dry run counts, touches nothing
-    assert main(["vt", path, "vacuum", "--keep-last", "1", "--dry-run"]) == 0
+    # --file-retention-seconds 0: reclaim immediately (no writer can be
+    # in flight here); the default 1h gate would count/delete nothing
+    assert main([
+        "vt", path, "vacuum", "--keep-last", "1", "--dry-run",
+        "--file-retention-seconds", "0",
+    ]) == 0
     would = json.loads(capsys.readouterr().out)["would_delete_files"]
     assert would >= 1
-    assert main(["vt", path, "vacuum", "--keep-last", "1"]) == 0
+    assert main([
+        "vt", path, "vacuum", "--keep-last", "1",
+        "--file-retention-seconds", "0",
+    ]) == 0
     assert json.loads(capsys.readouterr().out)["deleted_files"] == would
     assert {tuple(r) for r in VersionedTable(spark, path).read().collect()} == {
         (1, "a"),

@@ -15,6 +15,7 @@ from modular_etl_data_platform_spark.operators import versioned as V
 from modular_etl_data_platform_spark.operators.versioned import (
     CommitLog,
     ConcurrentWriteError,
+    ConditionalPutLogStore,
     FileSystemLogStore,
     InMemoryLogStore,
     VersionedTable,
@@ -140,7 +141,7 @@ def test_vacuum_checkpoints_oldest_retained_version(spark, tmp_path):
     vt = VersionedTable(spark, str(tmp_path / "t"), checkpoint_interval=100)
     for i in range(7):  # interval 100 -> no organic checkpoints at all
         vt.write(_df(spark, 10 * i, 10 * i + 2).coalesce(1), mode="append" if i else "overwrite")
-    vt.vacuum(keep_last=3)
+    vt.vacuum(keep_last=3, file_retention_seconds=0.0)
     assert vt.versions() == [5, 6, 7]
     log = CommitLog(path=str(tmp_path / "t"))  # cold reader
     assert 5 in log.checkpoints()
@@ -169,7 +170,7 @@ def test_vacuum_tmp_sweep_age_gate(spark, tmp_path):
             f.write("{}")
     old = time.time() - 7200
     os.utime(stale, (old, old))
-    vt.vacuum(keep_last=1)
+    vt.vacuum(keep_last=1, file_retention_seconds=0.0)
     assert os.path.exists(fresh)
     assert not os.path.exists(stale)
 
@@ -192,14 +193,18 @@ def test_swept_tmp_surfaces_as_concurrent_write_error(tmp_path, monkeypatch):
 
 
 # -- deterministic multi-writer races (InMemoryLogStore) ----------------------
-def test_compact_pins_base_and_keeps_racing_append(spark, tmp_path):
+@pytest.mark.parametrize(
+    "store_cls", [InMemoryLogStore, ConditionalPutLogStore]
+)
+def test_compact_pins_base_and_keeps_racing_append(spark, tmp_path, store_cls):
     """The round-7 bug: compact() evaluated expected_base at PUBLISH
     time, so an append committed during the rewrite was silently
     dropped from the compacted snapshot. With the base pinned before
     the snapshot read, the interleaved commit triggers a conflict and
     the compaction re-derives from the new head — the appended rows
-    must survive. InMemoryLogStore makes the interleaving exact."""
-    store = InMemoryLogStore()
+    must survive. The in-process stores make the interleaving exact;
+    the conditional-PUT store additionally proves the S3 mapping."""
+    store = store_cls()
     path = str(tmp_path / "t")
     vt = VersionedTable(spark, path, log_store=store)
     racer = VersionedTable(spark, path, log_store=store)
@@ -249,11 +254,16 @@ def test_rebase_retries_are_bounded_not_recursive(spark, tmp_path, monkeypatch):
         vt.compact_where("id", 0, 100, order_by=["id"])
 
 
-def test_inmemory_store_serializes_concurrent_appends(spark, tmp_path):
+@pytest.mark.parametrize(
+    "store_cls", [InMemoryLogStore, ConditionalPutLogStore]
+)
+def test_inmemory_store_serializes_concurrent_appends(
+    spark, tmp_path, store_cls
+):
     """The OCC protocol through the seam: two writers on the SAME
-    InMemoryLogStore interleave appends; both commits land, neither is
+    in-process store interleave appends; both commits land, neither is
     lost, versions are contiguous."""
-    store = InMemoryLogStore()
+    store = store_cls()
     path = str(tmp_path / "t")
     a = VersionedTable(spark, path, log_store=store)
     b = VersionedTable(spark, path, log_store=store)
@@ -343,11 +353,11 @@ def test_vacuum_dry_run_counts_without_deleting(spark, tmp_path):
     vt.write(_df(spark, 0, 5).coalesce(1))
     vt.write(_df(spark, 0, 3).coalesce(1))  # overwrite: v1's file orphans
     before_versions = vt.versions()
-    n = vt.vacuum(keep_last=1, dry_run=True)
+    n = vt.vacuum(keep_last=1, dry_run=True, file_retention_seconds=0.0)
     assert n == 1
     assert vt.versions() == before_versions  # nothing touched
     assert _rows(vt.read(version=1)) == {(i, str(i)) for i in range(5)}
-    assert vt.vacuum(keep_last=1) == 1  # the real pass deletes exactly that
+    assert vt.vacuum(keep_last=1, file_retention_seconds=0.0) == 1  # the real pass deletes exactly that
 
 
 def test_maybe_compact_consolidates_only_small_files(spark, tmp_path):
@@ -477,8 +487,11 @@ def test_timestamp_as_of_resolves_the_right_snapshot(spark, tmp_path):
     assert _rows(vt.read(timestamp=dt)) == {(i, str(i)) for i in range(3)}
 
 
+@pytest.mark.parametrize(
+    "store_cls", [InMemoryLogStore, ConditionalPutLogStore]
+)
 def test_append_revalidates_constraints_added_during_commit_race(
-    spark, tmp_path
+    spark, tmp_path, store_cls
 ):
     """TOCTOU on the constraint contract: write() validates its rows
     via the landing Observation, but a rebase can land on a head whose
@@ -490,7 +503,7 @@ def test_append_revalidates_constraints_added_during_commit_race(
         ConstraintViolationError,
     )
 
-    store = InMemoryLogStore()
+    store = store_cls()
     path = str(tmp_path / "t")
     writer = VersionedTable(spark, path, log_store=store)
     racer = VersionedTable(spark, path, log_store=store)
@@ -517,3 +530,199 @@ def test_append_revalidates_constraints_added_during_commit_race(
     head = writer.current_version()
     assert writer.log.resolve(head).get("constraints", {})  # racer won
     assert writer.read().count() == 1  # the violating append never landed
+
+
+# -- round-9 parquet checkpoints ------------------------------------------------
+def test_parquet_checkpoint_meta_is_o1_and_parts_are_columnar(spark, tmp_path):
+    """The v2 checkpoint splits state: O(1) table metadata in the small
+    JSON meta record, per-file state in size-bounded columnar parquet
+    parts — the meta must stay constant-size as files accumulate, and
+    a consumer that needs only paths can project one column."""
+    import io
+
+    import pyarrow.parquet as pq
+
+    vt = VersionedTable(spark, str(tmp_path / "t"), checkpoint_interval=3,
+                        stats_columns=["id"])
+    for i in range(7):
+        vt.write(_df(spark, 10 * i, 10 * i + 4).coalesce(1),
+                 mode="append" if i else "overwrite")
+    log = vt.log
+    meta = json.loads(log.store.read(V._checkpoint_name(6)))
+    assert meta["checkpoint_format"] == 2
+    assert meta["parts"] == 1
+    assert "files" not in meta and "stats" not in meta  # O(1) record
+    assert len(json.dumps(meta)) < 2500
+    raw = log.store.read_bytes(V._checkpoint_part_name(6, 0))
+    tbl = pq.read_table(io.BytesIO(raw), columns=["path"])  # projection
+    assert tbl.num_rows == 6
+    # the checkpoint state equals the delta-walk state (ground truth)
+    cold = V.CommitLog(path=vt.path, checkpoint_interval=3)
+    via_ckpt = cold.resolve(6)
+    log.delete_checkpoint(6)
+    log.delete_checkpoint(3)
+    walked = V.CommitLog(path=vt.path, checkpoint_interval=3).resolve(6)
+    for k in ("files", "stats", "sizes", "dv", "schema", "constraints"):
+        assert via_ckpt.get(k) == walked.get(k), k
+
+
+def test_checkpoint_splits_into_bounded_parts(spark, tmp_path, monkeypatch):
+    """A table with more add-file rows than ``_CHECKPOINT_PART_ROWS``
+    checkpoints as MULTIPLE parts that reassemble exactly."""
+    monkeypatch.setattr(V, "_CHECKPOINT_PART_ROWS", 2)
+    vt = VersionedTable(spark, str(tmp_path / "t"), checkpoint_interval=5)
+    for i in range(5):
+        vt.write(_df(spark, 10 * i, 10 * i + 2).coalesce(1),
+                 mode="append" if i else "overwrite")
+    meta = json.loads(vt.log.store.read(V._checkpoint_name(5)))
+    assert meta["parts"] == 3  # 5 files / 2 rows per part
+    cold = V.CommitLog(path=vt.path, checkpoint_interval=5)
+    st = cold.resolve(5)
+    assert len(st["files"]) == 5
+    assert _rows(vt.read(version=5)) == {
+        (i, str(i)) for b in range(5) for i in range(10 * b, 10 * b + 2)
+    }
+
+
+def test_missing_checkpoint_part_degrades_to_delta_walk(spark, tmp_path):
+    """A checkpoint whose parts a racing retention sweep removed must
+    read as NO checkpoint (resolve falls back to the delta chain) —
+    never a silently truncated file set."""
+    vt = VersionedTable(spark, str(tmp_path / "t"), checkpoint_interval=3)
+    for i in range(4):
+        vt.write(_df(spark, 10 * i, 10 * i + 2).coalesce(1),
+                 mode="append" if i else "overwrite")
+    vt.log.store.delete(V._checkpoint_part_name(3, 0))  # meta survives
+    cold = V.CommitLog(path=vt.path, checkpoint_interval=3)
+    st = cold.resolve(4)
+    assert len(st["files"]) == 4  # full state via the delta walk
+    assert _rows(vt.read(version=4)) == {
+        (i, str(i)) for b in range(4) for i in range(10 * b, 10 * b + 2)
+    }
+
+
+def test_legacy_single_json_checkpoints_stay_readable(spark, tmp_path):
+    """Pre-round-9 checkpoints were one full-state JSON record (no
+    ``checkpoint_format`` field) — they must still resolve."""
+    vt = VersionedTable(spark, str(tmp_path / "t"), checkpoint_interval=3)
+    for i in range(4):
+        vt.write(_df(spark, 10 * i, 10 * i + 2).coalesce(1),
+                 mode="append" if i else "overwrite")
+    state = vt.log.resolve(3)
+    # rewrite v3's checkpoint into the legacy shape in place
+    vt.log.delete_checkpoint(3)
+    vt.log.store.put(V._checkpoint_name(3), json.dumps(state))
+    cold = V.CommitLog(path=vt.path, checkpoint_interval=3)
+    assert len(cold.resolve(4)["files"]) == 4
+    assert _rows(vt.read(version=3)) == {
+        (i, str(i)) for b in range(3) for i in range(10 * b, 10 * b + 2)
+    }
+
+
+def test_vacuum_drops_checkpoint_parts_with_their_meta(spark, tmp_path):
+    """Retention removes the parquet parts of dropped checkpoints, not
+    just the meta record — no unreachable part bytes accumulate."""
+    vt = VersionedTable(spark, str(tmp_path / "t"), checkpoint_interval=2)
+    for i in range(7):
+        vt.write(_df(spark, 10 * i, 10 * i + 2).coalesce(1),
+                 mode="append" if i else "overwrite")
+    assert vt.log.checkpoints() == [2, 4, 6]
+    vt.vacuum(keep_last=1, file_retention_seconds=0.0)
+    names = vt.log.store.list()
+    for v in (2, 4):
+        assert V._checkpoint_name(v) not in names
+        assert V._checkpoint_part_name(v, 0) not in names
+    # the oldest retained version keeps a resolvable checkpoint
+    assert vt.read().count() == 14
+
+
+# -- conditional-PUT object-store semantics (the S3 plug point) -----------------
+def test_conditional_put_ambiguous_failure_does_not_double_commit(
+    spark, tmp_path
+):
+    """An object-store PUT can fail AFTER becoming durable. The store's
+    retry must recognize the 412-with-our-own-bytes as its OWN success
+    — committing once, never claiming the next version with the same
+    batch (which would double-append every row)."""
+    store = ConditionalPutLogStore()
+    vt = VersionedTable(spark, str(tmp_path / "t"), log_store=store)
+    store.inject("ambiguous")  # first claim lands, then reports 5xx
+    vt.write(_df(spark, 0, 5).coalesce(1))
+    assert vt.versions() == [1]
+    assert _rows(vt.read()) == {(i, str(i)) for i in range(5)}
+    assert store.conditional_puts == 2  # the PUT + the disambiguating retry
+
+
+def test_conditional_put_plain_unavailability_retries_through(
+    spark, tmp_path
+):
+    """Pure 5xx (nothing durable) retries transparently inside the
+    store; past the budget it surfaces as TransientStoreError — a
+    failure the caller must NOT treat as a lost race (rebasing on
+    ambiguity is how batches double-land)."""
+    from modular_etl_data_platform_spark.operators.versioned import (
+        TransientStoreError,
+    )
+
+    store = ConditionalPutLogStore(max_put_attempts=3)
+    vt = VersionedTable(spark, str(tmp_path / "t"), log_store=store)
+    store.inject("unavailable", "unavailable")  # 2 x 5xx, then success
+    vt.write(_df(spark, 0, 3).coalesce(1))
+    assert vt.versions() == [1]
+
+    store.inject("unavailable", "unavailable", "unavailable")
+    with pytest.raises(TransientStoreError):
+        vt.write(_df(spark, 10, 13).coalesce(1), mode="append")
+    assert vt.current_version() == 1  # nothing published past the budget
+
+
+def test_conditional_put_race_at_claim_boundary_rebases(spark, tmp_path):
+    """A racing writer lands at EXACTLY the claim boundary (after our
+    head read, before our conditional PUT): the 412 carries foreign
+    bytes -> ConcurrentWriteError -> the commit rebases, and both
+    batches survive in serialized versions."""
+    store = ConditionalPutLogStore()
+    path = str(tmp_path / "t")
+    vt = VersionedTable(spark, path, log_store=store)
+    racer = VersionedTable(spark, path, log_store=store)
+    vt.write(_df(spark, 0, 5).coalesce(1))
+
+    store.inject(
+        lambda: racer.write(_df(spark, 100, 103).coalesce(1), mode="append")
+    )
+    vt.write(_df(spark, 10, 15).coalesce(1), mode="append")
+    assert vt.versions() == [1, 2, 3]
+    assert _rows(vt.read()) == {
+        (i, str(i)) for i in [*range(0, 5), *range(100, 103), *range(10, 15)]
+    }
+
+
+def test_conditional_put_store_carries_checkpoints_and_time_travel(
+    spark, tmp_path
+):
+    """The full log lifecycle under the object-store model: parquet
+    checkpoints (binary parts via put_bytes), hint-based head
+    resolution, time travel, vacuum retention — no POSIX primitive
+    anywhere."""
+    store = ConditionalPutLogStore()
+    vt = VersionedTable(
+        spark,
+        str(tmp_path / "t"),
+        log_store=store,
+        checkpoint_interval=3,
+        stats_columns=["id"],
+    )
+    for i in range(7):
+        vt.write(
+            _df(spark, 10 * i, 10 * i + 2).coalesce(1),
+            mode="append" if i else "overwrite",
+        )
+    assert vt.log.checkpoints() == [3, 6]
+    assert _rows(vt.read(version=4)) == {
+        (i, str(i)) for b in range(4) for i in range(10 * b, 10 * b + 2)
+    }
+    vt.vacuum(keep_last=2, file_retention_seconds=0.0)
+    assert vt.read().count() == 14
+    names = store.list()
+    assert V._checkpoint_name(3) not in names
+    assert V._checkpoint_part_name(3, 0) not in names

@@ -620,7 +620,7 @@ def test_versioned_stream_vacuumed_start_fails_loudly(spark, tmp_path):
             spark.createDataFrame([(i, "x")], "id long, v string"),
             mode="append" if i else "overwrite",
         )
-    vt.vacuum(keep_last=1)  # versions 1-3 leave retention
+    vt.vacuum(keep_last=1, file_retention_seconds=0.0)  # versions 1-3 leave retention
     reader = _versioned_reader(table, vt.read().schema)
     with pytest.raises(RuntimeError, match="no longer in the log"):
         reader.partitions({"version": 2}, {"version": 4})

@@ -58,7 +58,7 @@ def test_unpublished_files_are_invisible_and_vacuumable(spark, vt):
         spark.createDataFrame([(666, "junk")], "id long, v string")
     )
     assert _rows(vt.read()) == {(1, "a")}  # never visible
-    deleted = vt.vacuum(keep_last=1)
+    deleted = vt.vacuum(keep_last=1, file_retention_seconds=0.0)
     assert deleted >= len(orphans)
     assert all(not os.path.exists(f) for f in orphans)
     assert _rows(vt.read()) == {(1, "a")}  # retained snapshot intact
@@ -67,7 +67,7 @@ def test_unpublished_files_are_invisible_and_vacuumable(spark, vt):
 def test_vacuum_retention(spark, vt):
     vt.write(spark.createDataFrame([(1, "a")], "id long, v string"))
     vt.upsert(spark.createDataFrame([(1, "A")], "id long, v string"), ["id"])
-    vt.vacuum(keep_last=1)
+    vt.vacuum(keep_last=1, file_retention_seconds=0.0)
     assert vt.versions() == [2]
     assert _rows(vt.read()) == {(1, "A")}
     with pytest.raises(FileNotFoundError):
@@ -93,7 +93,7 @@ def test_torn_manifest_never_published(spark, vt, monkeypatch):
     monkeypatch.setattr(os, "link", real_link)
     assert vt.versions() == [1]
     assert _rows(vt.read()) == {(1, "a")}
-    vt.vacuum(keep_last=1)  # cleans the crashed write's landed files
+    vt.vacuum(keep_last=1, file_retention_seconds=0.0)  # cleans the crashed write's landed files
     assert _rows(vt.read()) == {(1, "a")}
 
 
@@ -811,7 +811,7 @@ def test_check_constraints_enforced_transactionally(spark, tmp_path):
         )
     assert vt.current_version() == head  # nothing published
     assert {r.id for r in vt.read().collect()} == {1, 2, 3}
-    assert vt.vacuum(keep_last=len(vt.versions())) > 0  # orphans collected
+    assert vt.vacuum(keep_last=len(vt.versions()), file_retention_seconds=0.0) > 0  # orphans collected
 
     # NULL passes; constraint survives an overwrite and gates upsert too
     vt.write(
@@ -965,7 +965,7 @@ def test_vacuum_sweeps_orphaned_dv_sidecars(spark, tmp_path):
     live_sidecars = set(
         vt._read_manifest(vt.current_version())["dv"].values()
     )
-    assert vt.vacuum(keep_last=1) > 0
+    assert vt.vacuum(keep_last=1, file_retention_seconds=0.0) > 0
     dv_root = str(tmp_path / "t" / "_dv")
     remaining_dirs = {
         d
@@ -1160,11 +1160,11 @@ def test_vacuum_time_based_retention(spark, tmp_path):
             mode="append" if i else "overwrite",
         )
     # all four commits are seconds old: a 1h window keeps everything
-    vt.vacuum(keep_last=1, retention_hours=1.0)
+    vt.vacuum(keep_last=1, retention_hours=1.0, file_retention_seconds=0.0)
     assert vt.versions() == [1, 2, 3, 4]
     assert vt.read(1).count() == 10  # oldest snapshot still readable
     # a zero-hour window keeps only keep_last
-    vt.vacuum(keep_last=2, retention_hours=0.0)
+    vt.vacuum(keep_last=2, retention_hours=0.0, file_retention_seconds=0.0)
     assert vt.versions() == [3, 4]
     assert vt.read(3).count() == 30
 
@@ -1241,7 +1241,7 @@ def test_delete_where_crash_before_publish_leaves_table_intact(
         1 for _, _, fs in _os.walk(dv_root) for f in fs if f.endswith(".parquet")
     )
     assert orphan_parts > 0  # the crash left a landed sidecar behind
-    vt.vacuum(keep_last=1)
+    vt.vacuum(keep_last=1, file_retention_seconds=0.0)
     assert not any(
         f.endswith(".parquet") for _, _, fs in _os.walk(dv_root) for f in fs
     )
@@ -1432,7 +1432,7 @@ def test_clone_is_shallow_and_divergent(spark, tmp_path):
     assert vt.read().filter("id < 5").agg(F.sum("p")).first()[0] == 5.0
     assert c.read().filter("id < 5").agg(F.sum("p")).first()[0] == 10.0
     # clone vacuum walks only its own landing dirs: source data intact
-    c.vacuum(keep_last=1)
+    c.vacuum(keep_last=1, file_retention_seconds=0.0)
     assert vt.read().count() == 90
     assert vt.read(version=src_head).count() == 90
     # cloning at an old version works; cloning onto a table refuses

@@ -31,6 +31,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from modular_etl_data_platform_spark.operators.versioned import (  # noqa: E402
     CommitLog,
+    _checkpoint_name,
+    _checkpoint_part_name,
     _commit_name,
 )
 
@@ -68,6 +70,38 @@ def main() -> None:
         t0 = time.perf_counter()
         state = cold.resolve(head)
         t_resolve = time.perf_counter() - t0
+        # the round-9 parquet checkpoint, measured in isolation at full
+        # depth: write cost, on-disk bytes (meta vs columnar parts), and
+        # a paths-only projection — the read shape a consumer that needs
+        # no stats pays (parquet column pruning; the single-JSON design
+        # forced a full parse)
+        t0 = time.perf_counter()
+        log.write_checkpoint(state)
+        t_ckpt_write = time.perf_counter() - t0
+        meta = json.loads(log.store.read(_checkpoint_name(head)))
+        nparts = meta.get("parts", 0)
+        part_bytes = sum(
+            len(log.store.read_bytes(_checkpoint_part_name(head, i)))
+            for i in range(nparts)
+        )
+        import io
+
+        import pyarrow.parquet as pq
+
+        t0 = time.perf_counter()
+        npaths = sum(
+            len(
+                pq.read_table(
+                    io.BytesIO(
+                        log.store.read_bytes(_checkpoint_part_name(head, i))
+                    ),
+                    columns=["path"],
+                )
+            )
+            for i in range(nparts)
+        )
+        t_paths_only = time.perf_counter() - t0
+        assert npaths == len(state["files"])
         print(
             json.dumps(
                 {
@@ -83,6 +117,13 @@ def main() -> None:
                     "cold_head_resolution_ms": round(t_head * 1e3, 3),
                     "cold_snapshot_resolve_ms": round(t_resolve * 1e3, 3),
                     "checkpoints": len(cold.checkpoints()),
+                    "checkpoint_write_ms": round(t_ckpt_write * 1e3, 3),
+                    "checkpoint_meta_bytes": len(json.dumps(meta)),
+                    "checkpoint_parts": nparts,
+                    "checkpoint_part_bytes": part_bytes,
+                    "checkpoint_paths_only_read_ms": round(
+                        t_paths_only * 1e3, 3
+                    ),
                 }
             )
         )
