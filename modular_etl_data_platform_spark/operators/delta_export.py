@@ -12,17 +12,33 @@ Format per the PUBLIC Delta transaction-protocol spec
 commit file ``00000000000000000000.json`` holds newline-delimited
 actions —
 
-- ``protocol``: minReaderVersion 1 / minWriterVersion 2 (the baseline
-  feature set; nothing this export writes needs more),
+- ``protocol``: minReaderVersion 1 / minWriterVersion 2 for plain
+  snapshots; snapshots carrying DELETION VECTORS or COLUMN MAPPING
+  export at reader 3 / writer 7 with the corresponding
+  ``readerFeatures``/``writerFeatures`` (the table-features form the
+  protocol spec requires for those features),
 - ``metaData``: table id, parquet format, the Spark ``schemaString``
   (the engine's commit log already stores schemas in exactly this
   form), empty ``partitionColumns`` (snapshot files are not
-  hive-partitioned),
+  hive-partitioned). Column-mapped snapshots add
+  ``delta.columnMapping.mode=name`` + ``maxColumnId`` to the
+  configuration and stamp every schema field with
+  ``delta.columnMapping.id`` / ``physicalName`` metadata — the files
+  already carry physical parquet names, which is precisely what
+  mapping mode ``name`` instructs a Delta reader to resolve,
 - one ``add`` per data file: URL-encoded RELATIVE path,
   ``partitionValues`` {}, size, modificationTime, ``dataChange`` true,
-  and a ``stats`` JSON string with ``numRecords`` plus min/maxValues
-  for the numeric stats columns the commit log recorded (the same
-  data-skipping statistics Delta itself would collect).
+  a ``stats`` JSON string with ``numRecords`` (PHYSICAL rows) plus
+  min/maxValues for the numeric stats columns the commit log recorded
+  (keys are physical column names, the protocol's rule under column
+  mapping), and — for vector-deleted files — a ``deletionVector``
+  descriptor (``tightBounds`` false, per the spec),
+- deletion vectors re-encode from the engine's (file_path, row_index)
+  sidecar parquet into Delta's ON-DISK DV format: a ``u``-storage
+  ``deletion_vector_<uuid>.bin`` per file (format version byte 1, then
+  big-endian size + portable-serialized RoaringBitmapArray + CRC32),
+  where the bitmap array is the spec's 64-bit splitting of row indexes
+  into standard-format (RoaringFormatSpec) 32-bit roaring bitmaps.
 
 Data files are HARD-LINKED into the destination (falling back to copy
 across devices): zero bytes move for a same-filesystem export, and the
@@ -34,16 +50,154 @@ version).
 
 from __future__ import annotations
 
+import base64
 import json
 import os
 import shutil
+import struct
 import time
 import urllib.parse
 import uuid
+import zlib
 
 from modular_etl_data_platform_spark.operators.versioned import (
     VersionedTable,
+    _strip_scheme_py,
 )
+
+#: delta-io RoaringBitmapArray "portable" serialization magic
+_RBM_ARRAY_MAGIC = 1681511377
+#: RoaringFormatSpec cookie for a bitmap without run containers
+_SERIAL_COOKIE_NO_RUNCONTAINER = 12346
+#: array-container cardinality ceiling (above it: bitmap container)
+_ARRAY_CONTAINER_MAX = 4096
+
+
+def _serialize_roaring32(values: list[int]) -> bytes:
+    """ONE 32-bit roaring bitmap in the standard interchange format
+    (RoaringFormatSpec, no-run form): cookie + container count,
+    (key, cardinality-1) descriptors, per-container byte offsets, then
+    container data — sorted-uint16 arrays up to 4096 values, 8 KiB
+    bitsets beyond. This is the format every roaring implementation
+    (and therefore every Delta DV reader) parses."""
+    containers: dict[int, list[int]] = {}
+    for v in sorted(set(values)):
+        containers.setdefault(v >> 16, []).append(v & 0xFFFF)
+    keys = sorted(containers)
+    out = bytearray()
+    out += struct.pack("<ii", _SERIAL_COOKIE_NO_RUNCONTAINER, len(keys))
+    for k in keys:
+        out += struct.pack("<HH", k, len(containers[k]) - 1)
+    off = 8 + 8 * len(keys)  # cookie+count, descriptors, offsets
+    offsets = []
+    for k in keys:
+        offsets.append(off)
+        card = len(containers[k])
+        off += card * 2 if card <= _ARRAY_CONTAINER_MAX else 8192
+    for o in offsets:
+        out += struct.pack("<I", o)
+    for k in keys:
+        vals = containers[k]
+        if len(vals) <= _ARRAY_CONTAINER_MAX:
+            out += struct.pack(f"<{len(vals)}H", *vals)
+        else:
+            bits = bytearray(8192)
+            for v in vals:
+                bits[v >> 3] |= 1 << (v & 7)
+            out += bits
+    return bytes(out)
+
+
+def _serialize_dv_bitmap(row_indexes: list[int]) -> bytes:
+    """Delta's RoaringBitmapArray portable serialization (all fields
+    little-endian): magic, number of 32-bit bitmaps, then each bitmap
+    in the standard format — bitmap ``i`` holds the low 32 bits of
+    every row index whose high 32 bits equal ``i`` (the spec's 64-bit
+    splitting; empty intermediate bitmaps serialize as zero-container
+    bitmaps so indexing stays positional)."""
+    by_high: dict[int, list[int]] = {}
+    for ix in row_indexes:
+        by_high.setdefault(ix >> 32, []).append(ix & 0xFFFFFFFF)
+    n = (max(by_high) + 1) if by_high else 0
+    out = bytearray()
+    out += struct.pack("<iq", _RBM_ARRAY_MAGIC, n)
+    for i in range(n):
+        out += _serialize_roaring32(by_high.get(i, []))
+    return bytes(out)
+
+
+def _write_dv_file(dest: str, row_indexes: list[int]) -> dict:
+    """Write ONE ``u``-storage deletion-vector file under ``dest`` and
+    return its ``deletionVector`` descriptor. On-disk framing per the
+    protocol's DV file storage format: 1-byte format version, then at
+    ``offset`` a big-endian int32 data size, the serialized bitmap, and
+    a big-endian CRC32 of the data. ``pathOrInlineDv`` is the RFC
+    1924 base85 of the 16 UUID bytes (no random prefix), from which a
+    reader derives ``deletion_vector_<uuid>.bin``."""
+    data = _serialize_dv_bitmap(row_indexes)
+    dv_uuid = uuid.uuid4()
+    name = f"deletion_vector_{dv_uuid}.bin"
+    with open(os.path.join(dest, name), "wb") as f:
+        f.write(b"\x01")
+        f.write(struct.pack(">i", len(data)))
+        f.write(data)
+        f.write(struct.pack(">I", zlib.crc32(data)))
+    return {
+        "storageType": "u",
+        "pathOrInlineDv": base64.b85encode(dv_uuid.bytes).decode("ascii"),
+        "offset": 1,
+        "sizeInBytes": len(data),
+        "cardinality": len(row_indexes),
+    }
+
+
+def _dv_rows_by_file(sidecars: set[str]) -> dict[str, list[int]]:
+    """Load the engine's DV sidecar parquet(s) — (file_path, row_index)
+    pairs, scheme-stripped paths — grouped per data file. Sidecars are
+    row-level indexes but bounded by the snapshot's deleted-row count;
+    an export is a one-shot materialization tool, so a local pyarrow
+    read (not a Spark job) keeps it dependency-light."""
+    import pyarrow.parquet as pq
+
+    out: dict[str, list[int]] = {}
+    for sc in sorted(sidecars):
+        tbl = pq.read_table(sc, columns=["file_path", "row_index"])
+        for path, ix in zip(
+            tbl.column("file_path").to_pylist(),
+            tbl.column("row_index").to_pylist(),
+        ):
+            out.setdefault(path, []).append(ix)
+    return out
+
+
+def _mapped_schema_string(schema_json: str, mapping: dict[str, str]) -> tuple[str, int]:
+    """Annotate a Spark StructType JSON with Delta column-mapping
+    metadata: every field gets a unique ``delta.columnMapping.id`` and
+    its ``physicalName`` (the engine's mapping for top-level fields —
+    those are the only ones the engine renames — identity for nested
+    fields). Returns (schemaString, maxColumnId)."""
+    schema = json.loads(schema_json)
+    next_id = [0]
+
+    def annotate(field: dict, physical: str) -> dict:
+        next_id[0] += 1
+        meta = dict(field.get("metadata") or {})
+        meta["delta.columnMapping.id"] = next_id[0]
+        meta["delta.columnMapping.physicalName"] = physical
+        out = {**field, "metadata": meta}
+        t = out.get("type")
+        if isinstance(t, dict) and t.get("type") == "struct":
+            out["type"] = {
+                **t,
+                "fields": [annotate(f, f["name"]) for f in t["fields"]],
+            }
+        return out
+
+    schema["fields"] = [
+        annotate(f, mapping.get(f["name"], f["name"]))
+        for f in schema["fields"]
+    ]
+    return json.dumps(schema), next_id[0]
 
 
 def export_delta_snapshot(
@@ -56,43 +210,54 @@ def export_delta_snapshot(
     if v is None:
         raise FileNotFoundError(f"no versions in {table.path}")
     state = table.log.resolve(v)
-    if state.get("dv"):
-        # hard-linked files would RESURRECT vector-deleted rows, and
-        # Delta protocol 1/2 (this export's target) cannot express
-        # deletion vectors — materialize first, then export
-        raise ValueError(
-            f"snapshot v{v} of {table.path} carries deletion vectors; "
-            "run compact()/compact_where() to materialize them before "
-            "exporting (protocol-1/2 Delta cannot express DVs)"
-        )
-    if state.get("column_mapping"):
-        # the files carry PHYSICAL column names; a protocol-1/2 Delta
-        # log (no columnMapping metadata) would read them as missing
-        # columns — rewrite to identity naming first
-        raise ValueError(
-            f"snapshot v{v} of {table.path} uses column mapping "
-            "(renamed/dropped columns); this export targets protocol-1/2 "
-            "Delta, which cannot express it — export a pre-mapping "
-            "version, or copy out via read().write.parquet(...)"
-        )
+    dv_map = state.get("dv", {})
+    mapping = state.get("column_mapping")
     if os.path.isdir(dest) and os.listdir(dest):
         raise FileExistsError(f"export destination {dest} is not empty")
     log_dir = os.path.join(dest, "_delta_log")
     os.makedirs(log_dir, exist_ok=True)
 
+    # protocol: table features only where the snapshot needs them —
+    # maximal reader compatibility for plain snapshots
+    features = []
+    if dv_map:
+        features.append("deletionVectors")
+    if mapping is not None:
+        features.append("columnMapping")
+    if features:
+        protocol = {
+            "minReaderVersion": 3,
+            "minWriterVersion": 7,
+            "readerFeatures": features,
+            "writerFeatures": features,
+        }
+    else:
+        protocol = {"minReaderVersion": 1, "minWriterVersion": 2}
+
+    schema_string = state["schema"]
+    configuration: dict[str, str] = {}
+    if mapping is not None:
+        schema_string, max_id = _mapped_schema_string(schema_string, mapping)
+        configuration = {
+            "delta.columnMapping.mode": "name",
+            "delta.columnMapping.maxColumnId": str(max_id),
+        }
     actions: list[dict] = [
-        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {"protocol": protocol},
         {
             "metaData": {
                 "id": str(uuid.uuid4()),
                 "format": {"provider": "parquet", "options": {}},
-                "schemaString": state["schema"],
+                "schemaString": schema_string,
                 "partitionColumns": [],
-                "configuration": {},
+                "configuration": configuration,
                 "createdTime": int(time.time() * 1000),
             }
         },
     ]
+    dv_rows = (
+        _dv_rows_by_file(set(dv_map.values())) if dv_map else {}
+    )
     stats = state.get("stats", {})
     for i, src in enumerate(sorted(state["files"])):
         rel = f"part-{i:05d}-{uuid.uuid4().hex}.parquet"
@@ -105,10 +270,12 @@ def export_delta_snapshot(
         file_stats: dict = {}
         mins, maxs = {}, {}
         for col, rec in entry.items():
-            # numeric [lo, hi] ranges map 1:1 onto Delta's min/maxValues;
-            # the ts/date ISO encodings and the empty-file marker stay
-            # engine-internal (Delta readers treat absent stats as
-            # unprunable — conservative, never wrong)
+            # numeric [lo, hi] ranges map 1:1 onto Delta's min/maxValues
+            # (keys are PHYSICAL names — the protocol's rule, and what
+            # the engine's footer stats already record); the ts/date ISO
+            # encodings and the empty-file marker stay engine-internal
+            # (Delta readers treat absent stats as unprunable —
+            # conservative, never wrong)
             if isinstance(rec, list):
                 mins[col], maxs[col] = rec[0], rec[1]
         if mins:
@@ -119,18 +286,21 @@ def export_delta_snapshot(
             "numRecords": pq.ParquetFile(out).metadata.num_rows,
             **file_stats,
         }
-        actions.append(
-            {
-                "add": {
-                    "path": urllib.parse.quote(rel),
-                    "partitionValues": {},
-                    "size": os.path.getsize(out),
-                    "modificationTime": int(os.path.getmtime(out) * 1000),
-                    "dataChange": True,
-                    "stats": json.dumps(file_stats),
-                }
-            }
-        )
+        add: dict = {
+            "path": urllib.parse.quote(rel),
+            "partitionValues": {},
+            "size": os.path.getsize(out),
+            "modificationTime": int(os.path.getmtime(out) * 1000),
+            "dataChange": True,
+        }
+        if src in dv_map:
+            deleted = dv_rows.get(_strip_scheme_py(src), [])
+            if deleted:
+                add["deletionVector"] = _write_dv_file(dest, sorted(deleted))
+                # bounds may be loose once rows are vector-deleted
+                file_stats["tightBounds"] = False
+        add["stats"] = json.dumps(file_stats)
+        actions.append({"add": add})
     commit = os.path.join(log_dir, f"{0:020d}.json")
     with open(commit, "w") as f:
         f.write("\n".join(json.dumps(a) for a in actions) + "\n")

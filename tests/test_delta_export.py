@@ -117,41 +117,182 @@ def test_delta_spark_reads_the_export(spark, exported):
     assert df.count() == 150
 
 
-def test_export_refuses_dv_snapshots(spark, tmp_path):
-    """Hard-linking a DV'd snapshot would resurrect vector-deleted rows
-    (protocol-1/2 Delta can't express deletion vectors) — the export
-    must refuse and point at materialization, and succeed again once a
-    compaction has purged the vectors."""
-    import pytest as _pytest
+# -- round-9: DV + column-mapping export (public Delta table features) ---------
+import struct
+import zlib
 
-    from modular_etl_data_platform_spark.operators.delta_export import (
-        export_delta_snapshot,
-    )
-    from modular_etl_data_platform_spark.operators.versioned import VersionedTable
 
-    vt = VersionedTable(spark, str(tmp_path / "t"))
-    vt.write(spark.range(30).selectExpr("id").coalesce(1))
-    vt.delete_where("id >= 20")
-    with _pytest.raises(ValueError, match="deletion vectors"):
-        export_delta_snapshot(vt, str(tmp_path / "exp"))
-    v = vt.compact(target_files=1)  # materializes the vector
-    dest = export_delta_snapshot(vt, str(tmp_path / "exp2"), version=v)
-    import json as _json
-    import os as _os
+def _decode_rbm_array(data: bytes) -> set[int]:
+    """Independent parser for the exported RoaringBitmapArray portable
+    serialization — round-trips the writer against the spec's layout
+    (magic, bitmap count, standard-format 32-bit roaring bitmaps)."""
+    magic, n = struct.unpack_from("<iq", data, 0)
+    assert magic == 1681511377
+    pos = 12
+    out: set[int] = set()
+    for hi in range(n):
+        cookie, ncont = struct.unpack_from("<ii", data, pos)
+        assert cookie == 12346  # SERIAL_COOKIE_NO_RUNCONTAINER
+        base = pos
+        pos += 8
+        desc = []
+        for _ in range(ncont):
+            key, cardm1 = struct.unpack_from("<HH", data, pos)
+            pos += 4
+            desc.append((key, cardm1 + 1))
+        offsets = []
+        for _ in range(ncont):
+            (o,) = struct.unpack_from("<I", data, pos)
+            pos += 4
+            offsets.append(o)
+        end = pos
+        for (key, card), o in zip(desc, offsets):
+            p = base + o
+            if card <= 4096:
+                for v in struct.unpack_from(f"<{card}H", data, p):
+                    out.add((hi << 32) | (key << 16) | v)
+                end = max(end, p + card * 2)
+            else:
+                bits = data[p : p + 8192]
+                for bi, b in enumerate(bits):
+                    for j in range(8):
+                        if b & (1 << j):
+                            out.add((hi << 32) | (key << 16) | (bi * 8 + j))
+                end = max(end, p + 8192)
+        pos = end
+    return out
 
-    log = sorted(_os.listdir(_os.path.join(dest, "_delta_log")))
-    adds = [
-        _json.loads(line)
-        for line in open(_os.path.join(dest, "_delta_log", log[0]))
-        if '"add"' in line
-    ]
-    assert len(adds) >= 1
-    # the exported snapshot holds exactly the post-delete rows
+
+def test_dv_snapshot_exports_with_deletion_vectors(spark, tmp_path):
+    """A vector-deleted snapshot exports WITHOUT materialization: the
+    add action carries a protocol-conformant ``deletionVector``
+    descriptor (u-storage, framed bin file, CRC32), the bitmap decodes
+    to exactly the engine's deleted row positions, and the protocol
+    action declares the deletionVectors table feature."""
+    import base64 as _b64
+    import uuid as _uuid
+
     import pyarrow.parquet as pq
 
-    n = sum(
-        pq.ParquetFile(_os.path.join(dest, f)).metadata.num_rows
-        for f in _os.listdir(dest)
-        if f.endswith(".parquet")
+    from modular_etl_data_platform_spark.operators.versioned import (
+        _strip_scheme_py,
     )
-    assert n == 20
+
+    vt = VersionedTable(spark, str(tmp_path / "t"))
+    vt.write(spark.range(30).selectExpr("id", "id * 2 as v").coalesce(1))
+    vt.delete_where("id >= 20")
+    dest = export_delta_snapshot(vt, str(tmp_path / "exp"))
+
+    acts = _actions(dest)
+    proto = acts[0]["protocol"]
+    assert proto["minReaderVersion"] == 3 and proto["minWriterVersion"] == 7
+    assert "deletionVectors" in proto["readerFeatures"]
+    adds = [a["add"] for a in acts if "add" in a]
+    assert len(adds) == 1
+    dv = adds[0]["deletionVector"]
+    assert dv["storageType"] == "u" and dv["cardinality"] == 10
+    stats = json.loads(adds[0]["stats"])
+    assert stats["numRecords"] == 30  # PHYSICAL rows
+    assert stats["tightBounds"] is False
+
+    # derive the file name from pathOrInlineDv exactly as a reader would
+    dv_uuid = _uuid.UUID(bytes=_b64.b85decode(dv["pathOrInlineDv"]))
+    bin_path = os.path.join(dest, f"deletion_vector_{dv_uuid}.bin")
+    raw = open(bin_path, "rb").read()
+    assert raw[0] == 1  # format version
+    (size,) = struct.unpack_from(">i", raw, dv["offset"])
+    assert size == dv["sizeInBytes"]
+    data = raw[dv["offset"] + 4 : dv["offset"] + 4 + size]
+    (crc,) = struct.unpack_from(">I", raw, dv["offset"] + 4 + size)
+    assert crc == zlib.crc32(data)
+
+    # the bitmap equals the engine's own sidecar positions for the file
+    state = vt.log.resolve(vt.current_version())
+    src = state["files"][0]
+    sc = state["dv"][src]
+    tbl = pq.read_table(sc, columns=["file_path", "row_index"])
+    want = {
+        ix
+        for fp, ix in zip(
+            tbl.column("file_path").to_pylist(),
+            tbl.column("row_index").to_pylist(),
+        )
+        if fp == _strip_scheme_py(src)
+    }
+    assert _decode_rbm_array(data) == want
+    # physical rows minus the vector = the live snapshot
+    assert stats["numRecords"] - dv["cardinality"] == vt.read().count()
+
+
+def test_dv_bitmap_serialization_covers_container_shapes(tmp_path):
+    """The roaring writer round-trips every container shape: sparse
+    array containers, a >4096-cardinality bitmap container, multiple
+    16-bit keys, and a >2^32 row index (second 32-bit bitmap with empty
+    intermediates)."""
+    from modular_etl_data_platform_spark.operators.delta_export import (
+        _serialize_dv_bitmap,
+    )
+
+    cases = [
+        [0, 1, 2],
+        [5, 70000, 70001],                      # two 16-bit keys
+        list(range(5000)),                       # bitmap container
+        [3, (1 << 32) + 7, (2 << 32) + 1],       # 64-bit split + gaps
+        [],
+    ]
+    for vals in cases:
+        got = _decode_rbm_array(_serialize_dv_bitmap(sorted(vals)))
+        assert got == set(vals), vals[:5]
+
+
+def test_renamed_column_snapshot_exports_with_column_mapping(spark, tmp_path):
+    """A column-mapped snapshot exports under mapping mode ``name``:
+    every schema field carries columnMapping id + physicalName metadata
+    matching the parquet files' PHYSICAL column names, configuration
+    declares the mode, and the protocol declares the feature."""
+    import pyarrow.parquet as pq
+
+    vt = VersionedTable(spark, str(tmp_path / "t"))
+    vt.write(spark.range(10).selectExpr("id", "cast(id as string) as v"))
+    vt.rename_column("v", "label")
+    dest = export_delta_snapshot(vt, str(tmp_path / "exp"))
+
+    acts = _actions(dest)
+    proto = acts[0]["protocol"]
+    assert "columnMapping" in proto["readerFeatures"]
+    md = acts[1]["metaData"]
+    assert md["configuration"]["delta.columnMapping.mode"] == "name"
+    fields = {
+        f["name"]: f["metadata"]
+        for f in json.loads(md["schemaString"])["fields"]
+    }
+    ids = [m["delta.columnMapping.id"] for m in fields.values()]
+    assert sorted(ids) == list(range(1, len(fields) + 1))  # unique ids
+    assert int(md["configuration"]["delta.columnMapping.maxColumnId"]) == max(ids)
+    # physical names resolve against the actual parquet columns
+    adds = [a["add"] for a in acts if "add" in a]
+    phys_cols = set()
+    for a in adds:
+        pf = pq.ParquetFile(
+            os.path.join(dest, a["path"])
+        )
+        phys_cols.update(pf.schema_arrow.names)
+    for name, meta in fields.items():
+        assert meta["delta.columnMapping.physicalName"] in phys_cols, name
+    # the renamed logical column maps to a NON-identity physical name
+    assert fields["label"]["delta.columnMapping.physicalName"] != "label"
+
+
+def test_delta_spark_reads_dv_and_mapped_exports(spark, tmp_path):
+    """Real-reader proof for the table-features exports — runs wherever
+    delta-spark exists (pip is DNS-blocked in this sandbox; the skip is
+    the documented absence)."""
+    pytest.importorskip("delta")
+    vt = VersionedTable(spark, str(tmp_path / "t"))
+    vt.write(spark.range(30).selectExpr("id", "id * 2 as v").coalesce(1))
+    vt.delete_where("id >= 20")
+    vt.rename_column("v", "label")
+    dest = export_delta_snapshot(vt, str(tmp_path / "exp"))
+    df = spark.read.format("delta").load(dest)
+    assert df.count() == 20
+    assert set(df.columns) == {"id", "label"}
