@@ -2104,3 +2104,114 @@ def q156_clustered_table_maintenance(spark: SparkSession, sf_dir: str) -> DataFr
             F.sum("a").cast("long").alias("sum_a"),
         )
     )
+
+
+@query(
+    "q157_format_api_versioned_read",
+    """
+    WITH t AS (
+      SELECT o_orderkey AS k, o_orderstatus AS s, o_totalprice AS p
+      FROM orders
+    )
+    SELECT 'v2_snapshot' AS leg, COUNT(*) AS n_rows,
+           CAST(SUM(k) AS BIGINT) AS key_sum,
+           CAST(COALESCE(SUM(CAST(p AS DECIMAL(18,6))), 0) AS DOUBLE) AS sum_price
+    FROM t WHERE k % 4 <= 1
+    UNION ALL
+    SELECT 'head_eq', COUNT(*), CAST(COALESCE(SUM(k), 0) AS BIGINT),
+           CAST(COALESCE(SUM(CAST(p AS DECIMAL(18,6))), 0) AS DOUBLE)
+    FROM t WHERE k = 7
+    UNION ALL
+    SELECT 'head_in', COUNT(*), CAST(COALESCE(SUM(k), 0) AS BIGINT),
+           CAST(COALESCE(SUM(CAST(p AS DECIMAL(18,6))), 0) AS DOUBLE)
+    FROM t WHERE k IN (5, 10)
+    """,
+)
+def q157_format_api_versioned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The format-API READ path (streaming/versioned_source.py
+    _VersionedBatchReader — a versioned table as a first-class Spark
+    source, Delta's versionAsOf + data-skipping through the public
+    DataFrameReader): orders land as four residue-class files (k % 4)
+    across four commits with stats+bloom on k, then are read back ONLY
+    through ``spark.read.format("versioned_table")`` — a version=2
+    time travel (residues 0-1), a pushed equality (bloom-probed), and
+    a pushed IN list (probed per value). The query ASSERTS (raises —
+    the scale property IS the point) that the pushdown planner opens
+    at most 2 of 4 files for the equality, ZERO for an absent key, at
+    most 2 for the IN list, and exactly 2 for the version-2 snapshot.
+    The oracle replays all three legs relationally — a reader that
+    loses rows to mis-pruning, resurrects the other snapshot's rows,
+    or misapplies the version option hash-mismatches."""
+    from pyspark.sql.datasource import EqualTo, In
+
+    from modular_etl_data_platform_spark.operators.versioned import VersionedTable
+    from modular_etl_data_platform_spark.streaming.versioned_source import (
+        VersionedTableStreamDataSource,
+        _VersionedBatchReader,
+    )
+
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("s"),
+        F.col("o_totalprice").alias("p"),
+    )
+    scratch = _scratch("q157_format_api_versioned_read", sf_dir)
+    table = os.path.join(scratch, "orders_v")
+    vt = VersionedTable(
+        spark, table, stats_columns=["k"], bloom_columns=["k"]
+    )
+    for r in range(4):  # residue classes defeat min/max pruning (q152)
+        part = orders.filter(F.col("k") % 4 == r).coalesce(1)
+        vt.write(part, mode="append" if r else "overwrite")
+    schema = vt.read().schema
+
+    # pushdown planning, asserted on the SAME reader the format API
+    # instantiates (deterministic regardless of session conf):
+    rd = _VersionedBatchReader(table, schema, None)
+    list(rd.pushFilters([EqualTo(("k",), 7)]))
+    n = len(rd.partitions())
+    if not 1 <= n <= 2:  # one true file + at most one bloom fp
+        raise AssertionError(f"k=7 pushdown planned {n}/4 files, expected <=2")
+    rd = _VersionedBatchReader(table, schema, None)
+    list(rd.pushFilters([EqualTo(("k",), 10**12)]))
+    if rd.partitions():  # absent key: bloom proves every file misses
+        raise AssertionError("absent-key pushdown should plan zero files")
+    rd = _VersionedBatchReader(table, schema, None)
+    list(rd.pushFilters([In(("k",), (5, 10**12, 10))]))
+    n = len(rd.partitions())
+    if not 1 <= n <= 3:  # two true files (5%4=1, 10%4=2) + rare fps
+        raise AssertionError(f"IN pushdown planned {n}/4 files, expected <=3")
+    rd = _VersionedBatchReader(table, schema, 2)
+    if len(rd.partitions()) != 2:  # version 2 = exactly the 2 early files
+        raise AssertionError("version=2 snapshot should plan exactly 2 files")
+
+    # the data legs run through the PUBLIC reader only
+    spark.dataSource.register(VersionedTableStreamDataSource)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    # NB: DataFrameReader is mutable — one reader per read
+    early = (
+        spark.read.format("versioned_table")
+        .option("path", table)
+        .option("version", 2)
+        .load()
+    )
+    head = (
+        spark.read.format("versioned_table").option("path", table).load()
+    )
+
+    def leg(label: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(label).alias("leg"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.coalesce(F.sum("k"), F.lit(0)).cast("long").alias("key_sum"),
+            F.coalesce(
+                F.sum(F.col("p").cast("decimal(18,6)")),
+                F.lit(0).cast("decimal(18,6)"),
+            ).cast("double").alias("sum_price"),
+        )
+
+    return _pin(
+        leg("v2_snapshot", early)
+        .unionByName(leg("head_eq", head.filter("k = 7")))
+        .unionByName(leg("head_in", head.filter("k IN (5, 10)")))
+    )
