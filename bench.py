@@ -142,6 +142,26 @@ def main() -> None:
             spark.catalog.clearCache()
             QUERIES[name](spark, sf_dir).collect()
 
+    # clean-by-construction gate (round-9): rounds 7 and 8 both recorded
+    # artifacts under sustained external load (phantom 2-3x regressions a
+    # judge-clean rerun erased). Instead of merely self-identifying via
+    # loadavg, WAIT — bounded attempts — for the 1-minute loadavg to drop
+    # below the threshold before starting the timed rounds; if the
+    # machine never idles, say so explicitly in the artifact.
+    gate = float(os.environ.get("SPARK_GRAFT_BENCH_LOADAVG_GATE", "1.0"))
+    gate_tries = int(os.environ.get("SPARK_GRAFT_BENCH_LOADAVG_TRIES", "6"))
+    gate_sleep = float(os.environ.get("SPARK_GRAFT_BENCH_LOADAVG_SLEEP", "30"))
+    waited = 0
+    while os.getloadavg()[0] >= gate and waited < gate_tries:
+        waited += 1
+        print(
+            f"loadavg {os.getloadavg()[0]:.2f} >= {gate}, waiting "
+            f"{gate_sleep:.0f}s ({waited}/{gate_tries})",
+            file=sys.stderr,
+        )
+        time.sleep(gate_sleep)
+    machine_never_idle = os.getloadavg()[0] >= gate
+
     load_start = os.getloadavg()
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     samples: dict[str, list[float]] = {n: [] for n in HEADLINE}
@@ -181,6 +201,9 @@ def main() -> None:
                 "round_totals": round_totals,
                 "loadavg_start": [round(x, 2) for x in load_start],
                 "loadavg_end": [round(x, 2) for x in os.getloadavg()],
+                "loadavg_gate": gate,
+                "loadavg_waits": waited,
+                "machine_never_idle": machine_never_idle,
             }
         )
     )
