@@ -904,3 +904,88 @@ def semdedup(
             F.coalesce("is_dup", F.lit(False)).alias("is_dup"),
         )
     )
+
+
+def prototype_prune(
+    emb: DataFrame,
+    frac: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str | None = None,
+    k: int = 8,
+    iters: int = 3,
+    dim: int = 64,
+) -> DataFrame:
+    """SSL-prototype pruning (Sorscher et al. 2022, "Beyond neural
+    scaling laws", public paper — the difficulty-based pruning stage D4
+    (Tirumala et al. 2023) runs after SemDeDup): cluster the corpus,
+    score every item by cosine to its CLUSTER CENTROID
+    (prototypicality), and prune the most prototypical ``frac`` of each
+    cell — on large corpora the paper's result is that keeping the HARD
+    examples (far from the prototype) beats random pruning, so the
+    pruned rows are the easy near-prototype redundancy. Returns
+    (id, cell, is_pruned); deterministic and engine-portable — exact
+    decimal-sum centroids (:func:`centroids_exact`), bit-pinned fold
+    order for the cosine, rank ties broken on id.
+
+    ``cell_col`` plugs in an existing assignment (pluggable quantizer,
+    same convention as :func:`semdedup`; a pre-labeled column also lets
+    a relational oracle replay the exact semantics); ``None`` learns
+    cells with :func:`kmeans_cells` (deterministic Lloyd's).
+
+    Scale shape: ONE (cell, dim)-key aggregation for the centroids
+    (map-side partial combine; output k x dim rows, always
+    broadcastable), one broadcast join to score — the corpus is
+    touched exactly twice and nothing wider than (id, cell, score)
+    shuffles. The per-cell rank is a window partitioned by cell: cells
+    are quantizer-bounded (k grows with n in the paper's regime), so no
+    single window partition outgrows an executor — the same balance
+    assumption SemDeDup's pair stage already relies on."""
+    base = (
+        emb.select(
+            F.col(id_col), F.col(vec_col), F.col(cell_col).alias("cell")
+        )
+        if cell_col is not None
+        else emb.select(F.col(id_col), F.col(vec_col)).join(
+            kmeans_cells(emb, k, iters, id_col, vec_col, dim), id_col
+        )
+    )
+    cents = centroids_exact(base, "cell", vec_col, dim)
+    # norms once per row as scalar columns (interpreted lambdas have no
+    # CSE — the q76 postmortem); zero-norm vectors score -inf: they are
+    # never "prototypical", so they survive pruning (conservative) and
+    # ANSI division never throws
+    scored = (
+        base.withColumn("__n", norm(vec_col))
+        .join(
+            F.broadcast(cents.withColumn("__cn", norm("centroid"))), "cell"
+        )
+        .select(
+            id_col,
+            "cell",
+            F.when(
+                (F.col("__n") != 0) & (F.col("__cn") != 0),
+                dot(vec_col, "centroid") / (F.col("__n") * F.col("__cn")),
+            )
+            .otherwise(F.lit(float("-inf")))
+            .alias("proto_sim"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("cell")
+    ranked = scored.select(
+        id_col,
+        "cell",
+        F.row_number()
+        .over(w.orderBy(F.col("proto_sim").desc(), F.col(id_col).asc()))
+        .alias("__rn"),
+        F.count(F.lit(1)).over(w).alias("__cn"),
+    )
+    return ranked.select(
+        id_col,
+        "cell",
+        (F.col("__rn") <= F.floor(F.col("__cn") * F.lit(frac))).alias(
+            "is_pruned"
+        ),
+    )

@@ -1861,3 +1861,55 @@ def q148_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("doc_id").cast("long").alias("id_sum"),
         )
     )
+
+
+@query(
+    "q158_prototype_pruning",
+    f"""
+    WITH cent AS (
+      SELECT label AS cell, list(s ORDER BY d) AS centroid FROM (
+        SELECT label, d, CAST(SUM(CAST(embedding[d] AS DECIMAL(27,8))) AS DOUBLE) AS s
+        FROM embeddings, range(1, 65) t(d)
+        GROUP BY label, d
+      ) GROUP BY label
+    ),
+    scored AS (
+      SELECT e.vec_id, e.label AS cell,
+             {_dd_cos('e.embedding', 'centroid')} AS proto
+      FROM embeddings e JOIN cent ON e.label = cent.cell
+    ),
+    ranked AS (
+      SELECT vec_id, cell,
+             ROW_NUMBER() OVER (PARTITION BY cell ORDER BY proto DESC, vec_id ASC) AS rn,
+             COUNT(*) OVER (PARTITION BY cell) AS n
+      FROM scored
+    )
+    SELECT cell, COUNT(*) AS n_items,
+           CAST(SUM(CASE WHEN rn <= FLOOR(n * 0.3) THEN 1 ELSE 0 END) AS BIGINT) AS n_pruned,
+           CAST(COALESCE(SUM(CASE WHEN rn <= FLOOR(n * 0.3) THEN vec_id END), 0) AS BIGINT) AS pruned_id_sum
+    FROM ranked GROUP BY cell
+    """,
+)
+def q158_prototype_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SSL-prototype pruning (corpus/similarity.py::prototype_prune —
+    Sorscher et al. 2022; D4's difficulty stage): score every embedding
+    by cosine to its cell's exact decimal-sum centroid and prune the
+    most prototypical 30% per cell (keep the hard examples). Pre-labeled
+    cells play the quantizer so the oracle replays the EXACT semantics
+    (same convention as q147's SemDeDup); per-cell item counts, prune
+    counts and the pruned-id checksum are hash-pinned — a drifting
+    centroid, a flipped keep-direction, a fold-order-dependent cosine
+    or an unstable rank all change the hash."""
+    marked = csim.prototype_prune(
+        _t(spark, sf_dir, "embeddings"), frac=0.3, cell_col="label"
+    )
+    return (
+        marked.groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.col("is_pruned").cast("long")).alias("n_pruned"),
+            F.coalesce(
+                F.sum(F.when(F.col("is_pruned"), F.col("vec_id"))), F.lit(0)
+            ).cast("long").alias("pruned_id_sum"),
+        )
+    )

@@ -613,3 +613,62 @@ def test_semdedup_learned_cells_and_hub_cap(spark, emb):
     )
     assert capped.filter("is_dup").count() == 0
     assert capped.count() == emb.count()  # capped cells keep all items
+
+
+def test_prototype_prune_drops_nearest_to_centroid_per_cell(spark, emb):
+    """SSL-prototype pruning: per cell, exactly floor(frac * n) items
+    are pruned, the pruned ones are the HIGHEST-cosine-to-centroid
+    (most prototypical), and a zero-norm vector is never pruned."""
+    import pyspark.sql.functions as F
+
+    with_zero = emb.unionByName(
+        spark.createDataFrame(
+            [(300, [0.0] * 8, 0)],
+            "vec_id LONG, embedding ARRAY<FLOAT>, label INT",
+        )
+    )
+    marked = csim.prototype_prune(
+        with_zero, frac=0.3, cell_col="label", dim=8
+    )
+    rows = marked.collect()
+    by_cell: dict[int, list] = {}
+    for r in rows:
+        by_cell.setdefault(r.cell, []).append(r)
+    assert set(by_cell) == {0, 1, 2}
+    for cell, items in by_cell.items():
+        assert sum(r.is_pruned for r in items) == int(len(items) * 0.3)
+    zero = next(r for r in rows if r.vec_id == 300)
+    assert zero.is_pruned is False  # -inf prototypicality survives
+    # the pruned set is exactly the top-scoring prefix: recompute scores
+    cents = csim.centroids_exact(
+        with_zero.withColumnRenamed("label", "cell"), "cell", "embedding", 8
+    )
+    scored = (
+        with_zero.join(
+            F.broadcast(cents), with_zero.label == cents.cell
+        )
+        .select(
+            "vec_id",
+            "label",
+            csim.cosine("embedding", "centroid").alias("s"),
+        )
+        .collect()
+    )
+    score = {r.vec_id: (r.s if r.s is not None else float("-inf")) for r in scored}
+    for cell, items in by_cell.items():
+        ordered = sorted(
+            items, key=lambda r: (-score[r.vec_id], r.vec_id)
+        )
+        cut = int(len(items) * 0.3)
+        assert all(r.is_pruned for r in ordered[:cut])
+        assert not any(r.is_pruned for r in ordered[cut:])
+
+
+def test_prototype_prune_learned_cells(spark, emb):
+    """The kmeans quantizer path: the planted near-duplicate pair (0,
+    100) is the densest neighborhood, so at a small prune fraction at
+    least one of the two prototypical twins goes — and totals hold."""
+    marked = csim.prototype_prune(emb, frac=0.25, k=3, iters=3, dim=8)
+    rows = marked.collect()
+    assert len(rows) == emb.count()
+    assert 0 < sum(r.is_pruned for r in rows) < len(rows)
