@@ -989,3 +989,170 @@ def prototype_prune(
             "is_pruned"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — compressed ANN codes + asymmetric distance
+# ---------------------------------------------------------------------------
+
+
+def pq_codebook_sampled(
+    emb: DataFrame,
+    m: int = 8,
+    codes: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """A SAMPLED product-quantization codebook: per subspace, the codes
+    are the subvectors of the ``codes`` lowest-id corpus vectors —
+    deterministic, engine-portable, and fully relational (so an oracle
+    can replay PQ end-to-end; the same pluggable-quantizer convention
+    as semdedup/prototype_prune). Production trains
+    :func:`pq_codebook_kmeans` instead; both return the same shape:
+    (sub, code_id, cvec)."""
+    d = dim // m
+    sample = emb.orderBy(F.col(id_col).asc()).limit(codes)
+    return sample.select(
+        F.col(id_col).alias("code_id"),
+        F.explode(F.array(*[F.lit(s) for s in range(m)])).alias("sub"),
+        F.col(vec_col).alias("__v"),
+    ).select(
+        "sub", "code_id", F.expr(f"slice(__v, sub * {d} + 1, {d})").alias("cvec")
+    )
+
+
+def pq_codebook_kmeans(
+    emb: DataFrame,
+    m: int = 8,
+    codes: int = 16,
+    iters: int = 3,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The trained codebook (Jegou et al. 2011, "Product quantization
+    for nearest neighbor search", public paper): per subspace, run
+    deterministic Lloyd's over the subvectors and take the exact
+    decimal-sum centroids as codes. The loop is over ``m`` subspaces
+    (a handful), not data — each iteration inside is the usual
+    broadcast-assign + one-shuffle recompute; at 100 TB the codebook
+    trains on a sample and the full corpus is encoded once (same
+    regime as :func:`kmeans_cells`)."""
+    from functools import reduce
+
+    d = dim // m
+    parts = []
+    for s in range(m):
+        sub = emb.select(
+            F.col(id_col), F.slice(vec_col, s * d + 1, d).alias("embedding")
+        )
+        asg = kmeans_cells(sub, k=codes, iters=iters, dim=d)
+        cents = centroids_exact(
+            sub.join(asg, id_col), "cell", "embedding", d
+        )
+        parts.append(
+            cents.select(
+                F.lit(s).alias("sub"),
+                F.col("cell").cast("long").alias("code_id"),
+                F.col("centroid").alias("cvec"),
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b), parts)
+
+
+def pq_encode(
+    emb: DataFrame,
+    codebook: DataFrame,
+    m: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ encoding: per vector per subspace, the L2-nearest code
+    (exact index-order fold; ties by code_id) — the corpus compresses
+    to ``m`` small ints per vector, a 32x+ index-size reduction at
+    dim=64 float vs m=8 byte codes. Returns (id, sub, code).
+
+    Scale shape: the corpus joins a BROADCAST m x codes codebook (tiny
+    by construction) and the only shuffle is the (id, sub)-key argmin —
+    map-side combinable, output m rows per vector. Raw vectors never
+    shuffle; they are sliced in place."""
+    d = dim // m
+    sub_rows = emb.select(
+        F.col(id_col),
+        F.explode(F.array(*[F.lit(s) for s in range(m)])).alias("sub"),
+        F.col(vec_col).alias("__v"),
+    ).select(
+        id_col, "sub", F.expr(f"slice(__v, sub * {d} + 1, {d})").alias("svec")
+    )
+    l2 = F.aggregate(
+        F.zip_with(
+            "svec",
+            "cvec",
+            lambda a, b: (a.cast("double") - b.cast("double"))
+            * (a.cast("double") - b.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = sub_rows.join(F.broadcast(codebook), "sub").select(
+        id_col, "sub", "code_id", l2.alias("__d")
+    )
+    return (
+        scored.groupBy(id_col, "sub")
+        .agg(F.min(F.struct("__d", "code_id")).alias("__b"))
+        .select(id_col, "sub", F.col("__b.code_id").alias("code"))
+    )
+
+
+def pq_topk(
+    emb: DataFrame,
+    query_id: int,
+    k: int = 10,
+    m: int = 8,
+    codes: int = 16,
+    dim: int = 64,
+    codebook: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k by ASYMMETRIC distance computation (ADC,
+    Jegou et al. 2011): the query precomputes an m x codes inner-
+    product table against the codebook, and every corpus vector scores
+    as the sum of m table lookups over its CODES — the raw vectors are
+    never touched after encoding, which is the entire point at 100 TB
+    (the scan reads m small ints per row, not dim floats; pair it with
+    the IVF cell routing of :func:`ivf_probe_indexed` for IVF-PQ).
+    Deterministic: the per-vector sum folds its m terms in subspace
+    order (the q148 sorted-fold trick, so float addition order is
+    engine-pinned), ranks tie on id. Returns (id, adc)."""
+    cb = (
+        codebook
+        if codebook is not None
+        else pq_codebook_sampled(emb, m, codes, dim, id_col, vec_col)
+    )
+    enc = pq_encode(emb, cb, m, dim, id_col, vec_col).withColumnRenamed(
+        "code", "code_id"
+    )
+    d = dim // m
+    qsubs = (
+        emb.filter(F.col(id_col) == query_id)
+        .select(
+            F.explode(F.array(*[F.lit(s) for s in range(m)])).alias("sub"),
+            F.col(vec_col).alias("__q"),
+        )
+        .select("sub", F.expr(f"slice(__q, sub * {d} + 1, {d})").alias("qvec"))
+    )
+    table = cb.join(F.broadcast(qsubs), "sub").select(
+        "sub", "code_id", dot("qvec", "cvec").alias("__t")
+    )
+    scored = enc.join(F.broadcast(table), ["sub", "code_id"])
+    per_vec = scored.groupBy(id_col).agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("sub", "__t"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["__t"],
+        ).alias("adc")
+    )
+    return per_vec.orderBy(F.col("adc").desc(), F.col(id_col).asc()).limit(k)

@@ -1913,3 +1913,62 @@ def q158_prototype_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("pruned_id_sum"),
         )
     )
+
+
+def _pq_oracle(m: int = 8, d: int = 8, codes: int = 16, k: int = 10) -> str:
+    l2 = (
+        f"list_reduce(list_transform(range(1, {d + 1}), "
+        f"i -> (CAST(svec[i] AS DOUBLE) - CAST(cvec[i] AS DOUBLE)) "
+        f"* (CAST(svec[i] AS DOUBLE) - CAST(cvec[i] AS DOUBLE))), (x,y) -> x+y)"
+    )
+    return f"""
+    WITH cb AS (
+      SELECT s.s AS sub, e.vec_id AS code_id,
+             e.embedding[s.s*{d}+1 : s.s*{d}+{d}] AS cvec
+      FROM embeddings e, range(0, {m}) s(s)
+      WHERE e.vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {codes})
+    ),
+    sv AS (
+      SELECT e.vec_id, s.s AS sub, e.embedding[s.s*{d}+1 : s.s*{d}+{d}] AS svec
+      FROM embeddings e, range(0, {m}) s(s)
+    ),
+    enc AS (
+      SELECT vec_id, sub, code_id FROM (
+        SELECT sv.vec_id, sv.sub, cb.code_id,
+               ROW_NUMBER() OVER (PARTITION BY sv.vec_id, sv.sub
+                 ORDER BY {l2} ASC, cb.code_id ASC) AS rn
+        FROM sv JOIN cb USING (sub)
+      ) WHERE rn = 1
+    ),
+    q AS (
+      SELECT s.s AS sub, embedding[s.s*{d}+1 : s.s*{d}+{d}] AS qvec
+      FROM embeddings, range(0, {m}) s(s) WHERE vec_id = 0
+    ),
+    tbl AS (
+      SELECT cb.sub, cb.code_id, {_dd_dot('qvec', 'cvec')} AS t
+      FROM cb JOIN q USING (sub)
+    ),
+    score AS (
+      SELECT enc.vec_id,
+             list_reduce(list(t ORDER BY enc.sub), (a,b) -> a+b) AS adc
+      FROM enc JOIN tbl ON enc.sub = tbl.sub AND enc.code_id = tbl.code_id
+      GROUP BY enc.vec_id
+    )
+    SELECT vec_id, adc FROM score ORDER BY adc DESC, vec_id ASC LIMIT {k}
+    """
+
+
+@query("q159_pq_adc_topk", _pq_oracle())
+def q159_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization + asymmetric distance (corpus/similarity.py
+    ::pq_encode/pq_topk — Jegou et al. 2011): the corpus compresses to
+    m=8 codes per vector against a deterministic sampled codebook (the
+    16 lowest-id vectors; production plugs pq_codebook_kmeans in), and
+    the query's top-10 is scored purely from an 8x16 inner-product
+    table — raw vectors untouched after encoding, the 32x-smaller-index
+    scale path that pairs with the IVF routing of q62. The full PQ
+    pipeline (slicing, L2 argmin encode with code-id ties, table
+    build, sorted-fold ADC sum, rank) is replayed relationally, so the
+    approximate RANKING ITSELF is hash-pinned cross-engine — any
+    encode/table/fold drift changes the hash."""
+    return csim.pq_topk(_t(spark, sf_dir, "embeddings"), query_id=0, k=10)

@@ -672,3 +672,55 @@ def test_prototype_prune_learned_cells(spark, emb):
     rows = marked.collect()
     assert len(rows) == emb.count()
     assert 0 < sum(r.is_pruned for r in rows) < len(rows)
+
+
+def test_pq_encode_compresses_and_adc_ranks_near_duplicates(spark, emb):
+    """PQ over the 8-dim fixture (m=2 subspaces of 4): every vector gets
+    one code per subspace, the codebook vectors encode to THEMSELVES
+    (L2 = 0), and ADC top-k puts the planted near-duplicate of vec 0 in
+    the top ranks — the compressed scoring preserves the neighborhood
+    the raw cosine finds."""
+    cb = csim.pq_codebook_sampled(emb, m=2, codes=8, dim=8)
+    assert cb.count() == 16  # 2 subspaces x 8 codes
+    enc = csim.pq_encode(emb, cb, m=2, dim=8)
+    assert enc.count() == emb.count() * 2
+    own = {
+        (r.vec_id, r.sub): r.code
+        for r in enc.filter("vec_id < 8").collect()
+    }
+    for (vid, _sub), code in own.items():
+        assert code == vid  # a sampled code is its own nearest code
+    top = csim.pq_topk(emb, query_id=0, k=5, m=2, codes=8, dim=8).collect()
+    ids = [r.vec_id for r in top]
+    assert 0 in ids and 100 in ids  # query + its near-identical twin
+    adcs = [r.adc for r in top]
+    assert adcs == sorted(adcs, reverse=True)
+
+
+def test_pq_kmeans_codebook_trains_and_scores(spark, emb):
+    """The trained-codebook path (Lloyd's per subspace): same shape as
+    the sampled codebook, encodes the whole corpus, and ADC with it
+    still surfaces the planted near-duplicate pair together."""
+    cb = csim.pq_codebook_kmeans(emb, m=2, codes=4, iters=2, dim=8)
+    rows = cb.collect()
+    assert {r.sub for r in rows} == {0, 1}
+    assert all(len(r.cvec) == 4 for r in rows)
+    # the near-identical pair is indistinguishable at this coarseness:
+    # identical codes per subspace, hence identical ADC (the twin ranks
+    # directly behind the lower ids sharing its codes — correct PQ
+    # semantics, ties are an id-ordered artifact of quantization)
+    enc = csim.pq_encode(emb, cb, m=2, dim=8)
+    codes_of = {
+        (r.vec_id, r.sub): r.code
+        for r in enc.filter("vec_id IN (0, 100)").collect()
+    }
+    assert codes_of[(0, 0)] == codes_of[(100, 0)]
+    assert codes_of[(0, 1)] == codes_of[(100, 1)]
+    top = csim.pq_topk(
+        emb, query_id=0, k=5, m=2, dim=8, codebook=cb
+    ).collect()
+    assert top[0].vec_id == 0  # ties break on id; the query leads
+    adc = {r.vec_id: r.adc for r in csim.pq_topk(
+        emb, query_id=0, k=emb.count(), m=2, dim=8, codebook=cb
+    ).collect()}
+    assert adc[100] == adc[0]  # same codes -> identical ADC score
