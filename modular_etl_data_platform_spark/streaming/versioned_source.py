@@ -49,6 +49,12 @@ Options:
   versions one micro-batch may drain (Delta's ``maxFilesPerTrigger``
   analogue, in version units): after downtime, the backlog is consumed
   in bounded batches instead of one unbounded catch-up batch.
+- ``max_bytes_per_batch`` (default unbounded) — Delta's
+  ``maxBytesPerTrigger`` analogue: caps each micro-batch by the
+  CUMULATIVE added-file bytes of its admitted versions (file sizes
+  ride every commit record, so enforcement is metadata-only). Soft
+  cap: at least one version always admits. Composes with
+  ``max_versions_per_batch`` (the tighter cap wins).
 
 The WRITE side (``writeStream.format("versioned_table").option("path",
 ...)``, :class:`_VersionedStreamArrowWriter`) publishes one table
@@ -122,11 +128,19 @@ class _VersionedStreamReader(DataSourceStreamReader):
         max_versions_per_batch: int | None = None,
         ignore_deletes: bool = False,
         ignore_changes: bool = False,
+        max_bytes_per_batch: int | None = None,
     ):
         self.table = table
         self.pinned = schema
         self.start_version = starting_version
         self.max_versions = max_versions_per_batch
+        #: Delta's maxBytesPerTrigger analogue: cap a micro-batch's
+        #: offset advance by the CUMULATIVE added-file bytes of the
+        #: admitted versions (sizes ride every commit record — zero
+        #: data-plane I/O to enforce). Soft cap, Delta's rule: at least
+        #: one version always admits, so a single over-cap commit still
+        #: drains instead of wedging the stream.
+        self.max_bytes = max_bytes_per_batch
         self.ignore_deletes = ignore_deletes
         #: Delta's ignoreChanges (subsumes ignore_deletes): accept batch
         #: ranges containing UPDATE commits (upsert/delete rewrites),
@@ -156,6 +170,28 @@ class _VersionedStreamReader(DataSourceStreamReader):
         head = self.log.current_version() or 0
         if self.max_versions is not None and self._floor_known:
             head = min(head, self._floor + self.max_versions)
+        if (
+            self.max_bytes is not None
+            and self._floor_known
+            and head > self._floor
+        ):
+            # walk the candidate range's commit RECORDS (small JSON
+            # each) summing added bytes; stop BEFORE the version that
+            # crosses the cap — but always admit the first one
+            chosen, total = self._floor, 0
+            for v in range(self._floor + 1, head + 1):
+                try:
+                    rec = json.loads(self.log.store.read(_commit_name(v)))
+                except FileNotFoundError:
+                    break  # vacuumed under us: partitions() will raise loudly
+                vbytes = sum(rec.get("sizes", {}).values())
+                if chosen > self._floor and total + vbytes > self.max_bytes:
+                    break
+                total += vbytes
+                chosen = v
+                if total >= self.max_bytes:
+                    break
+            head = chosen
         head = max(head, self._floor)  # offsets must be monotone
         self._floor = head
         return {"version": head}
@@ -585,6 +621,7 @@ class VersionedTableStreamDataSource(DataSource):
                 start = log.version_at_timestamp(int(dt.timestamp() * 1000))
             except ValueError:
                 start = 0  # predates the oldest commit: stream everything
+        max_b = self.options.get("max_bytes_per_batch")
         return _VersionedStreamReader(
             self._table(),
             schema,
@@ -596,6 +633,7 @@ class VersionedTableStreamDataSource(DataSource):
             ignore_changes=str(
                 self.options.get("ignore_changes", "false")
             ).lower() == "true",
+            max_bytes_per_batch=int(max_b) if max_b is not None else None,
         )
 
     def streamWriter(self, schema: StructType, overwrite: bool):

@@ -1284,3 +1284,58 @@ def test_versioned_stream_starting_timestamp(spark, tmp_path):
 
     with _pytest.raises(Exception, match="mutually exclusive"):
         drain("c", starting_timestamp=iso, starting_version="1")
+
+
+def test_versioned_stream_byte_rate_limit_drains_by_size(spark, tmp_path):
+    """max_bytes_per_batch (maxBytesPerTrigger analogue): each batch
+    admits versions until the NEXT one would cross the byte cap — but
+    always at least one — and the union of all batches equals an
+    unbounded drain. Enforcement reads commit records only (sizes ride
+    the log): no data file is opened to plan the cap."""
+    from modular_etl_data_platform_spark.operators.versioned import VersionedTable
+    from modular_etl_data_platform_spark.streaming.versioned_source import (
+        _VersionedStreamReader,
+    )
+
+    table = str(tmp_path / "vt")
+    vt = VersionedTable(spark, table)
+    for i in range(6):
+        vt.write(
+            spark.createDataFrame([(i, "x" * 50)], "id long, v string").coalesce(1),
+            mode="append" if i else "overwrite",
+        )
+    state = vt._read_manifest(6)
+    sizes = [state["sizes"][f] for f in sorted(state["files"])]
+    per_version = sizes[0]  # one similar-size file per version
+    cap = int(per_version * 2.5)  # fits 2 versions, never 3
+
+    reader = _VersionedStreamReader(
+        table, vt.read().schema, 0, max_bytes_per_batch=cap
+    )
+    start = reader.initialOffset()
+    ends, seen = [], []
+    for _ in range(10):
+        end = reader.latestOffset()
+        if end["version"] <= start["version"]:
+            break
+        parts = reader.partitions(start, end)
+        seen.extend(p.path for p in parts)
+        ends.append(end["version"])
+        start = end
+    assert ends == [2, 4, 6]  # 2 versions per batch under the cap
+    assert sorted(seen) == sorted(state["files"])  # exactly-once drain
+
+    # a single over-cap commit still admits (soft cap, never wedges)
+    reader2 = _VersionedStreamReader(
+        table, vt.read().schema, 0, max_bytes_per_batch=1
+    )
+    reader2.initialOffset()
+    assert reader2.latestOffset() == {"version": 1}
+
+    # composes with the version cap: the tighter bound wins
+    reader3 = _VersionedStreamReader(
+        table, vt.read().schema, 0,
+        max_versions_per_batch=1, max_bytes_per_batch=cap,
+    )
+    reader3.initialOffset()
+    assert reader3.latestOffset() == {"version": 1}
