@@ -155,7 +155,8 @@ def test_mapped_tables_stream_read_translate_and_writers_refuse(
     """The streaming source reads mapped files under their physical
     names and emits logical columns; the format-API writers refuse
     mapped tables loudly (they land logical-named files, which would
-    corrupt the physical contract); delta_export refuses too."""
+    corrupt the physical contract); delta_export carries the mapping
+    out as Delta's columnMapping feature (round 9)."""
     import pyarrow as pa
 
     from modular_etl_data_platform_spark.operators.delta_export import (
@@ -191,8 +192,17 @@ def test_mapped_tables_stream_read_translate_and_writers_refuse(
             .option("path", table)
             .save()
         )
-    with pytest.raises(ValueError, match="column mapping"):
-        export_delta_snapshot(vt, str(tmp_path / "delta"))
+    # the export preserves the physical contract instead of refusing:
+    # mapping mode=name with the physical parquet names in the schema
+    import json as _json
+    import os as _os
+
+    dest = export_delta_snapshot(vt, str(tmp_path / "delta"))
+    log0 = _os.path.join(dest, "_delta_log", f"{0:020d}.json")
+    acts = [_json.loads(line) for line in open(log0) if line.strip()]
+    md = next(a["metaData"] for a in acts if "metaData" in a)
+    assert md["configuration"]["delta.columnMapping.mode"] == "name"
+    assert "columnMapping" in acts[0]["protocol"]["readerFeatures"]
 
 
 def test_rename_validations(spark, tmp_path):
