@@ -1349,6 +1349,16 @@ def collect_file_blooms(
     return {f: _blooms_for_file(f, bloom_columns) for f in files}
 
 
+#: landed-batch size below which commit metadata (footer stats + bloom
+#: column reads) is collected driver-side: the driver's data-plane
+#: exposure is BOUNDED by this constant — never O(batch) — while small
+#: commits skip a Spark job whose fixed round-trip (~0.5-1s measured:
+#: Arrow socket + Python-worker scheduling) would dominate them. Above
+#: it, the executor job's overhead is amortized by the bytes it saves
+#: the driver from reading.
+_DISTRIBUTED_METADATA_MIN_BYTES = 256 * 1024 * 1024
+
+
 def collect_file_metadata(
     spark: SparkSession | None,
     files: list[str],
@@ -1356,22 +1366,29 @@ def collect_file_metadata(
     bloom_columns: list[str],
 ) -> tuple[dict[str, dict], dict[str, dict]]:
     """Commit-time metadata for a landed batch — ``(stats, blooms)``
-    keyed by file — computed EXECUTOR-SIDE as one Spark job when a
-    session is available (Delta computes add-file stats and bloom
-    indexes inside the write job): each task opens its files' footers
-    (stats) and column-pruned key columns (blooms) locally and ships
-    back only the O(files) result rows, so the driver never touches
-    data-plane bytes — at 1,000 landed files x 1 GB the driver
-    receives kilobytes of bounds and capped bitmaps, not the key
-    columns. Sessionless callers (format-API commits inside a Python
-    worker) and tiny bloom-free batches (<= 8 files, footer-only —
-    metadata reads too small to be worth a job) fall back to the local
-    collectors."""
+    keyed by file — computed EXECUTOR-SIDE as one Spark job for any
+    batch past ``_DISTRIBUTED_METADATA_MIN_BYTES`` (Delta computes
+    add-file stats and bloom indexes inside the write job): each task
+    opens its files' footers (stats) and column-pruned key columns
+    (blooms) locally and ships back only the O(files) result rows, so
+    at 1,000 landed files x 1 GB the driver receives kilobytes of
+    bounds and capped bitmaps, not the key columns. BELOW the
+    threshold — and for sessionless callers (format-API commits inside
+    a Python worker) — the local collectors run instead: the driver's
+    data-plane exposure is bounded by the constant either way, and a
+    small commit never pays a Spark job's fixed round-trip for
+    metadata it can read in milliseconds."""
     if not files:
         return {}, {}
     stat_cols = list(stats_columns)
     bloom_cols = list(bloom_columns)
-    if spark is None or (not bloom_cols and len(files) <= 8):
+    total_bytes = 0
+    for f in files:
+        try:
+            total_bytes += os.path.getsize(f)
+        except OSError:
+            continue
+    if spark is None or total_bytes < _DISTRIBUTED_METADATA_MIN_BYTES:
         stats = collect_file_stats(files, stat_cols)
         blooms = (
             collect_file_blooms(files, bloom_cols) if bloom_cols else {}
