@@ -104,6 +104,14 @@ HEADLINE = [
     # clustered-table maintenance: the declared-layout compact + the
     # multi-column pruned read over the maintained table
     "q156_clustered_table_maintenance",
+    # round-9: the format-API read path (pushdown planning + bloom
+    # probing through the public spark.read reader), SSL-prototype
+    # pruning over embeddings, and PQ/ADC approximate top-k — wall-time
+    # regressions in the Python-data-source planner or the
+    # centroid/codebook passes show up here round-over-round
+    "q157_format_api_versioned_read",
+    "q158_prototype_pruning",
+    "q159_pq_adc_topk",
 ]
 
 
