@@ -112,6 +112,7 @@ HEADLINE = [
     "q157_format_api_versioned_read",
     "q158_prototype_pruning",
     "q159_pq_adc_topk",
+    "q160_ivf_pq_topk",
 ]
 
 

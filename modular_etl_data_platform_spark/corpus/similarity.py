@@ -1116,14 +1116,17 @@ def pq_topk(
     codebook: DataFrame | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k by ASYMMETRIC distance computation (ADC,
     Jegou et al. 2011): the query precomputes an m x codes inner-
     product table against the codebook, and every corpus vector scores
     as the sum of m table lookups over its CODES — the raw vectors are
     never touched after encoding, which is the entire point at 100 TB
-    (the scan reads m small ints per row, not dim floats; pair it with
-    the IVF cell routing of :func:`ivf_probe_indexed` for IVF-PQ).
+    (the scan reads m small ints per row, not dim floats;
+    :func:`ivf_pq_topk` is that pairing). ``candidates`` restricts the
+    SCORED pool (IVF routing) while the query vector and default
+    codebook still come from the full corpus.
     Deterministic: the per-vector sum folds its m terms in subspace
     order (the q148 sorted-fold trick, so float addition order is
     engine-pinned), ranks tie on id. Returns (id, adc)."""
@@ -1132,7 +1135,8 @@ def pq_topk(
         if codebook is not None
         else pq_codebook_sampled(emb, m, codes, dim, id_col, vec_col)
     )
-    enc = pq_encode(emb, cb, m, dim, id_col, vec_col).withColumnRenamed(
+    pool = candidates if candidates is not None else emb
+    enc = pq_encode(pool, cb, m, dim, id_col, vec_col).withColumnRenamed(
         "code", "code_id"
     )
     d = dim // m
@@ -1156,3 +1160,53 @@ def pq_topk(
         ).alias("adc")
     )
     return per_vec.orderBy(F.col("adc").desc(), F.col(id_col).asc()).limit(k)
+
+
+def ivf_pq_topk(
+    emb: DataFrame,
+    query_id: int,
+    k: int = 10,
+    probes: int = 1,
+    m: int = 8,
+    codes: int = 16,
+    dim: int = 64,
+    cell_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codebook: DataFrame | None = None,
+) -> DataFrame:
+    """IVF-PQ (Jegou et al. 2011, the production pairing): route the
+    query to its ``probes`` nearest coarse cells via the exact
+    decimal-sum centroids (:func:`ivf_topk`'s routing), then ADC-score
+    ONLY those cells' PQ codes (:func:`pq_topk`). At 100 TB this is
+    the full ANN scale path in one expression: the coarse filter
+    prunes the scan to 1/cells of the corpus (partition-level with
+    :func:`build_ivf_index`'s layout), and the fine scorer reads m
+    small ints per surviving row instead of dim floats — neither raw
+    vectors nor whole cells ever shuffle. Returns (id, adc)."""
+    cents = centroids_exact(emb, cell_col, vec_col, dim)
+    q = emb.filter(F.col(id_col) == query_id).select(
+        F.col(vec_col).alias("__q")
+    )
+    best_cells = (
+        cents.crossJoin(F.broadcast(q))
+        .select("cell", cosine("centroid", "__q").alias("cell_sim"))
+        .orderBy(F.col("cell_sim").desc(), F.col("cell").asc())
+        .limit(probes)
+    )
+    routed = emb.join(
+        F.broadcast(best_cells.select(F.col("cell").alias(cell_col))),
+        cell_col,
+    )
+    return pq_topk(
+        emb,
+        query_id,
+        k=k,
+        m=m,
+        codes=codes,
+        dim=dim,
+        codebook=codebook,
+        id_col=id_col,
+        vec_col=vec_col,
+        candidates=routed,
+    )

@@ -1972,3 +1972,76 @@ def q159_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     approximate RANKING ITSELF is hash-pinned cross-engine — any
     encode/table/fold drift changes the hash."""
     return csim.pq_topk(_t(spark, sf_dir, "embeddings"), query_id=0, k=10)
+
+
+def _ivf_pq_oracle(m: int = 8, d: int = 8, codes: int = 16, k: int = 10, dim: int = 64) -> str:
+    l2 = (
+        f"list_reduce(list_transform(range(1, {d + 1}), "
+        f"i -> (CAST(svec[i] AS DOUBLE) - CAST(cvec[i] AS DOUBLE)) "
+        f"* (CAST(svec[i] AS DOUBLE) - CAST(cvec[i] AS DOUBLE))), (x,y) -> x+y)"
+    )
+    return f"""
+    WITH qfull AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    cent AS (
+      SELECT label AS cell, list(s ORDER BY dd) AS centroid FROM (
+        SELECT label, dd, CAST(SUM(CAST(embedding[dd] AS DECIMAL(27,8))) AS DOUBLE) AS s
+        FROM embeddings, range(1, {dim + 1}) t(dd)
+        GROUP BY label, dd
+      ) GROUP BY label
+    ),
+    best AS (
+      SELECT cell FROM cent, qfull
+      ORDER BY {_dd_cos('centroid', 'qe')} DESC, cell ASC
+      LIMIT 1
+    ),
+    cb AS (
+      SELECT s.s AS sub, e.vec_id AS code_id,
+             e.embedding[s.s*{d}+1 : s.s*{d}+{d}] AS cvec
+      FROM embeddings e, range(0, {m}) s(s)
+      WHERE e.vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {codes})
+    ),
+    sv AS (
+      SELECT e.vec_id, s.s AS sub, e.embedding[s.s*{d}+1 : s.s*{d}+{d}] AS svec
+      FROM embeddings e JOIN best ON e.label = best.cell, range(0, {m}) s(s)
+    ),
+    enc AS (
+      SELECT vec_id, sub, code_id FROM (
+        SELECT sv.vec_id, sv.sub, cb.code_id,
+               ROW_NUMBER() OVER (PARTITION BY sv.vec_id, sv.sub
+                 ORDER BY {l2} ASC, cb.code_id ASC) AS rn
+        FROM sv JOIN cb USING (sub)
+      ) WHERE rn = 1
+    ),
+    q AS (
+      SELECT s.s AS sub, embedding[s.s*{d}+1 : s.s*{d}+{d}] AS qvec
+      FROM embeddings, range(0, {m}) s(s) WHERE vec_id = 0
+    ),
+    tbl AS (
+      SELECT cb.sub, cb.code_id, {_dd_dot('qvec', 'cvec')} AS t
+      FROM cb JOIN q USING (sub)
+    ),
+    score AS (
+      SELECT enc.vec_id,
+             list_reduce(list(t ORDER BY enc.sub), (a,b) -> a+b) AS adc
+      FROM enc JOIN tbl ON enc.sub = tbl.sub AND enc.code_id = tbl.code_id
+      GROUP BY enc.vec_id
+    )
+    SELECT vec_id, adc FROM score ORDER BY adc DESC, vec_id ASC LIMIT {k}
+    """
+
+
+@query("q160_ivf_pq_topk", _ivf_pq_oracle())
+def q160_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ end-to-end (corpus/similarity.py::ivf_pq_topk — Jegou et
+    al. 2011's production pairing): coarse-route the query to its
+    nearest cell by exact decimal-sum centroid cosine, then ADC-score
+    only that cell's PQ codes from the 8x16 inner-product table — the
+    100 TB ANN shape where the scan prunes to 1/cells of the corpus
+    AND reads m small ints per surviving row. The whole composition
+    (routing, encode, table, sorted-fold ADC, rank) is replayed
+    relationally, so the routed approximate ranking is hash-pinned —
+    a wrong cell, a cross-cell leak, or any scoring drift changes the
+    hash."""
+    return csim.ivf_pq_topk(
+        _t(spark, sf_dir, "embeddings"), query_id=0, k=10, probes=1
+    )

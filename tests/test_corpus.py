@@ -724,3 +724,21 @@ def test_pq_kmeans_codebook_trains_and_scores(spark, emb):
         emb, query_id=0, k=emb.count(), m=2, dim=8, codebook=cb
     ).collect()}
     assert adc[100] == adc[0]  # same codes -> identical ADC score
+
+
+def test_ivf_pq_routes_then_scores_within_cell_only(spark, emb):
+    """IVF-PQ: every scored candidate comes from the query's routed
+    cell, and the twin pair (0, 100) — same cell, near-identical —
+    both survive the coarse filter and rank together."""
+    out = csim.ivf_pq_topk(
+        emb, query_id=0, k=50, probes=1, m=2, codes=8, dim=8
+    ).collect()
+    ids = {r.vec_id for r in out}
+    cells = {r[1] for r in emb.select("vec_id", "label").collect() if r[0] in ids}
+    assert cells == {0}  # query 0's label cell only
+    assert 0 in ids and 100 in ids
+    # probes=3 widens the pool to every cell in the fixture
+    wide = csim.ivf_pq_topk(
+        emb, query_id=0, k=100, probes=3, m=2, codes=8, dim=8
+    ).collect()
+    assert len(wide) == emb.count()
