@@ -289,3 +289,183 @@ def adaptive_length_filter_oracle_sql(
     ) b USING ({group_col})
     WHERE t.{length_col} >= b.__lo AND t.{length_col} <= b.__hi
     """
+
+
+# ---------------------------------------------------------------------------
+# Gopher repetition rules (Rae et al. 2021, appendix A1.1 — the other
+# half of the quality suite: n-gram repetition signals, the family
+# Dolma/RefinedWeb/FineWeb all apply)
+# ---------------------------------------------------------------------------
+
+#: n values for the TOP-n-gram char-fraction signals and their ceilings
+#: (Gopher's published thresholds)
+TOP_NGRAM_LIMITS = {2: 0.20, 3: 0.18, 4: 0.16}
+#: n values for the DUPLICATED-n-gram char-fraction signals + ceilings
+DUP_NGRAM_LIMITS = {5: 0.15, 10: 0.10}
+
+
+def _strict_grams_sql(text_col: str, n: int) -> str:
+    """Word n-grams, STRICT (docs shorter than n yield none — repetition
+    signals must not invent partial grams the way the dedup shinglers
+    deliberately do)."""
+    w = _w(text_col)
+    return (
+        f"CASE WHEN size({w}) >= {n} THEN "
+        f"transform(sequence(0, size({w}) - {n}), "
+        f"i -> concat_ws(' ', slice({w}, i + 1, {n}))) "
+        f"ELSE CAST(array() AS ARRAY<STRING>) END"
+    )
+
+
+def repetition_signals(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document repetition signals + rule booleans: the fraction of
+    characters covered by the MOST FREQUENT {2,3,4}-gram and by ALL
+    duplicated {5,10}-grams (count x gram chars / doc chars, capped at
+    1 — the standard overlap-ignoring estimate the public filtering
+    pipelines use), each gated by Gopher's published ceiling.
+
+    Scale shape: every n's grams ride ONE explode (an array of
+    (n, gram) structs concatenated JVM-side), so the corpus is read
+    once and the only shuffle is the (doc, n, gram) count — map-side
+    combinable, key cardinality bounded by corpus tokens. The top-gram
+    argmax folds into the same aggregation (min over a (-count, gram)
+    struct: deterministic count-desc/gram-asc tie-break, no second
+    shuffle, no window)."""
+    ns = sorted({*TOP_NGRAM_LIMITS, *DUP_NGRAM_LIMITS})
+    gram_arrays = ", ".join(
+        f"transform({_strict_grams_sql(text_col, n)}, "
+        f"g -> struct({n} AS n, g AS gram))"
+        for n in ns
+    )
+    exploded = df.select(
+        F.col(id_col),
+        F.length(text_col).alias("__chars"),
+        F.explode(F.expr(f"concat({gram_arrays})")).alias("__p"),
+    ).select(id_col, "__chars", F.col("__p.n").alias("__n"), F.col("__p.gram").alias("__g"))
+    counts = exploded.groupBy(id_col, "__chars", "__n", "__g").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    per_n = counts.groupBy(id_col, "__chars", "__n").agg(
+        F.min(
+            F.struct((-F.col("__c")).alias("nc"), F.col("__g").alias("g"))
+        ).alias("__top"),
+        F.sum(
+            F.when(F.col("__c") > 1, F.col("__c") * F.length("__g")).otherwise(
+                F.lit(0)
+            )
+        ).alias("__dupchars"),
+    )
+
+    def frac(chars_expr):
+        return F.round(
+            F.least(
+                F.lit(1.0),
+                chars_expr.cast("double")
+                / F.nullif(F.col("__chars"), F.lit(0)).cast("double"),
+            ),
+            9,
+        )
+
+    top_chars = (-F.col("__top.nc")) * F.length("__top.g")
+    sig_cols = []
+    for n in TOP_NGRAM_LIMITS:
+        sig_cols.append(
+            F.max(F.when(F.col("__n") == n, frac(top_chars))).alias(
+                f"top_{n}gram_frac"
+            )
+        )
+    for n in DUP_NGRAM_LIMITS:
+        sig_cols.append(
+            F.max(F.when(F.col("__n") == n, frac(F.col("__dupchars")))).alias(
+                f"dup_{n}gram_frac"
+            )
+        )
+    per_doc = per_n.groupBy(id_col).agg(*sig_cols)
+    out = df.select(id_col).join(per_doc, id_col, "left")
+    rules = {}
+    for n, lim in TOP_NGRAM_LIMITS.items():
+        out = out.withColumn(
+            f"top_{n}gram_frac", F.coalesce(f"top_{n}gram_frac", F.lit(0.0))
+        )
+        rules[f"rule_top_{n}gram"] = F.col(f"top_{n}gram_frac") <= lim
+    for n, lim in DUP_NGRAM_LIMITS.items():
+        out = out.withColumn(
+            f"dup_{n}gram_frac", F.coalesce(f"dup_{n}gram_frac", F.lit(0.0))
+        )
+        rules[f"rule_dup_{n}gram"] = F.col(f"dup_{n}gram_frac") <= lim
+    out = out.withColumns(rules)
+    passes = None
+    for name in rules:
+        passes = F.col(name) if passes is None else (passes & F.col(name))
+    return out.withColumn("passes", passes)
+
+
+def repetition_signals_oracle_sql(
+    table: str = "documents", text_col: str = "text"
+) -> str:
+    """DuckDB twin of :func:`repetition_signals` — same strict grams,
+    same count-desc/gram-asc argmax, same cap/round."""
+    w = _dd_w(text_col)
+    ns = sorted({*TOP_NGRAM_LIMITS, *DUP_NGRAM_LIMITS})
+    values = ", ".join(f"({n})" for n in ns)
+    top_cols = ",\n           ".join(
+        f"COALESCE(MAX(CASE WHEN n = {n} THEN topfrac END), 0.0) AS top_{n}gram_frac"
+        for n in TOP_NGRAM_LIMITS
+    )
+    dup_cols = ",\n           ".join(
+        f"COALESCE(MAX(CASE WHEN n = {n} THEN dupfrac END), 0.0) AS dup_{n}gram_frac"
+        for n in DUP_NGRAM_LIMITS
+    )
+    top_rules = ",\n           ".join(
+        f"(top_{n}gram_frac <= {lim}) AS rule_top_{n}gram"
+        for n, lim in TOP_NGRAM_LIMITS.items()
+    )
+    dup_rules = ",\n           ".join(
+        f"(dup_{n}gram_frac <= {lim}) AS rule_dup_{n}gram"
+        for n, lim in DUP_NGRAM_LIMITS.items()
+    )
+    all_rules = " AND ".join(
+        [f"rule_top_{n}gram" for n in TOP_NGRAM_LIMITS]
+        + [f"rule_dup_{n}gram" for n in DUP_NGRAM_LIMITS]
+    )
+    return f"""
+    WITH grams AS (
+      SELECT doc_id, length({text_col}) AS chars, t.n,
+             unnest(CASE WHEN len({w}) >= t.n THEN
+               list_transform(range(0, len({w}) - t.n + 1),
+                              i -> array_to_string({w}[i+1:i+t.n], ' '))
+             ELSE [] END) AS gram
+      FROM {table}, (VALUES {values}) t(n)
+    ),
+    cnts AS (
+      SELECT doc_id, chars, n, gram, COUNT(*) AS c
+      FROM grams GROUP BY 1, 2, 3, 4
+    ),
+    per_n AS (
+      SELECT doc_id, chars, n,
+             round(LEAST(1.0, CAST(MAX(CASE WHEN rn = 1 THEN c * length(gram) END) AS DOUBLE)
+                   / NULLIF(chars, 0)), 9) AS topfrac,
+             round(LEAST(1.0, CAST(SUM(CASE WHEN c > 1 THEN c * length(gram) ELSE 0 END) AS DOUBLE)
+                   / NULLIF(chars, 0)), 9) AS dupfrac
+      FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id, n
+                                     ORDER BY c DESC, gram ASC) AS rn
+        FROM cnts
+      ) GROUP BY 1, 2, 3
+    ),
+    per_doc AS (
+      SELECT d.doc_id,
+           {top_cols},
+           {dup_cols}
+      FROM {table} d LEFT JOIN per_n p ON d.doc_id = p.doc_id
+      GROUP BY d.doc_id
+    )
+    SELECT *, ({all_rules}) AS passes FROM (
+      SELECT *,
+           {top_rules},
+           {dup_rules}
+      FROM per_doc
+    )
+    """

@@ -2045,3 +2045,18 @@ def q160_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return csim.ivf_pq_topk(
         _t(spark, sf_dir, "embeddings"), query_id=0, k=10, probes=1
     )
+
+
+@query("q161_repetition_rules", crules.repetition_signals_oracle_sql())
+def q161_repetition_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition rules (corpus/rules.py::repetition_signals —
+    Rae et al. 2021 appendix A1.1, the n-gram half of the quality
+    suite Dolma/RefinedWeb/FineWeb apply): per document, the char
+    fraction covered by the most frequent {2,3,4}-gram and by all
+    duplicated {5,10}-grams, each gated at Gopher's published ceiling.
+    One explode carries every n (array of (n, gram) structs), the only
+    shuffle is the map-side-combinable (doc, n, gram) count, and the
+    top-gram argmax folds into the same aggregation (min over a
+    (-count, gram) struct — no window, deterministic ties). Every
+    signal and boolean is hash-pinned against the relational twin."""
+    return crules.repetition_signals(_t(spark, sf_dir, "documents"))

@@ -742,3 +742,33 @@ def test_ivf_pq_routes_then_scores_within_cell_only(spark, emb):
         emb, query_id=0, k=100, probes=3, m=2, codes=8, dim=8
     ).collect()
     assert len(wide) == emb.count()
+
+
+def test_repetition_signals_flag_looping_docs(spark):
+    """Gopher repetition rules: a 2-gram loop trips the top-2gram
+    ceiling, a repeated 5-gram phrase trips the dup-5gram ceiling, a
+    non-repetitive doc passes everything, and a doc shorter than every
+    n yields all-zero signals (strict grams — no partials)."""
+    from modular_etl_data_platform_spark.corpus import rules as crules
+
+    loop2 = " ".join(["la la"] * 20)                      # one dominant 2-gram
+    phrase = "the quick brown fox jumps"
+    dup5 = " ".join([phrase] * 4 + ["completely unrelated tail words here"])
+    # long enough that one 2-gram's chars are a small fraction (the
+    # formula correctly flags SHORT docs as top-heavy — any single
+    # 2-gram of a 10-word doc covers >20% of its characters)
+    clean = " ".join(f"word{i:02d}" for i in range(60))
+    docs = spark.createDataFrame(
+        [(0, loop2), (1, dup5), (2, clean), (3, "solo")],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in crules.repetition_signals(docs).collect()}
+    assert out[0].top_2gram_frac > 0.20 and out[0].rule_top_2gram is False
+    assert out[0].passes is False
+    assert out[1].dup_5gram_frac > 0.15 and out[1].rule_dup_5gram is False
+    assert out[2].passes is True
+    assert out[2].dup_5gram_frac == 0.0  # nothing duplicated
+    assert out[3].top_2gram_frac == 0.0  # shorter than every n
+    assert out[3].passes is True
+    # the fraction definition: count x gram chars / doc chars, capped
+    assert 0.0 <= out[0].top_2gram_frac <= 1.0
