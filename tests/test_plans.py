@@ -220,6 +220,12 @@ CARTESIAN_OK = {
     # exact-search side of the recall evaluation: the small query SAMPLE
     # broadcasts into one scored corpus pass (offline eval, sample-sized)
     "q124_ann_recall",
+    # PQ/ADC: the 1-row query vector broadcasts into the subspace slicer
+    # and the m x codes table build (both tiny by construction); IVF-PQ
+    # adds the same 1-row broadcast for the centroid routing — identical
+    # shape to q24/q25/q103's allowlisted routing joins
+    "q159_pq_adc_topk",
+    "q160_ivf_pq_topk",
 }
 
 
