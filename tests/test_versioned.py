@@ -530,14 +530,18 @@ _OPS = st.lists(
 )
 
 
-@given(ops=_OPS, checkpoint_interval=st.sampled_from([1, 2, 100]))
+@given(
+    ops=_OPS,
+    checkpoint_interval=st.sampled_from([1, 2, 100]),
+    store_kind=st.sampled_from(["fs", "cput", "cput_ambiguous"]),
+)
 @settings(
-    max_examples=6,
+    max_examples=8,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 def test_versioned_random_op_sequences_match_model(
-    spark, tmp_path_factory, ops, checkpoint_interval
+    spark, tmp_path_factory, ops, checkpoint_interval, store_kind
 ):
     """Replay any write/append/upsert/compact/restore/vector-delete
     sequence against a plain python dict model: every head snapshot AND
@@ -548,12 +552,21 @@ def test_versioned_random_op_sequences_match_model(
     checkpoint-base resolution paths are both exercised by every
     generated sequence — a fold that drops/doubles a file under any op
     interleaving shows up as a model mismatch."""
-    from modular_etl_data_platform_spark.operators.versioned import VersionedTable
+    from modular_etl_data_platform_spark.operators.versioned import (
+        ConditionalPutLogStore,
+        VersionedTable,
+    )
 
+    # the same sequences replay against the OBJECT-STORE commit path
+    # (conditional PUT), optionally with an ambiguous durable-write
+    # failure injected before every op — the disambiguating retry must
+    # be invisible to the whole DML surface (no skipped/doubled commit)
+    store = ConditionalPutLogStore() if store_kind.startswith("cput") else None
     vt = VersionedTable(
         spark,
         str(tmp_path_factory.mktemp("vtp") / "t"),
         checkpoint_interval=checkpoint_interval,
+        log_store=store,
     )
 
     def frame(keys, tag):
@@ -565,6 +578,8 @@ def test_versioned_random_op_sequences_match_model(
     snapshots: list[dict[int, str]] = []
     for i, (op, keys) in enumerate(ops):
         tag = f"o{i}_"
+        if store_kind == "cput_ambiguous":
+            store.inject("ambiguous")  # next claim lands, then reports 5xx
         if op == "overwrite":
             vt.write(frame(keys, tag))
             model = {k: f"{tag}{k}" for k in keys}
