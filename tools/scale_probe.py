@@ -51,6 +51,13 @@ DEFAULT_QUERIES = [
     "q129_zorder_write_prune",
     "q130_deterministic_shuffle",
     "q131_outside_incident_windows",
+    # round-9 additions: prototype pruning (centroid agg + window),
+    # PQ encode+ADC, the IVF-PQ composition, and the repetition rules
+    # (the (doc, n, gram) count is the only shuffle)
+    "q158_prototype_pruning",
+    "q159_pq_adc_topk",
+    "q160_ivf_pq_topk",
+    "q161_repetition_rules",
 ]
 
 BASE = "/root/testdata/sf0.1"
