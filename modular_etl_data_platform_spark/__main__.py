@@ -124,7 +124,7 @@ def main(argv: list[str] | None = None) -> int:
     vt.add_argument(
         "action",
         choices=[
-            "history", "read", "restore", "compact", "compact-where",
+            "history", "detail", "read", "restore", "compact", "compact-where",
             "delete-where", "update-where", "vacuum", "export-delta",
             "convert", "clone", "rename-column", "drop-column",
             "merge", "add-constraint", "drop-constraint",
@@ -402,6 +402,10 @@ def main(argv: list[str] | None = None) -> int:
                     indent=2,
                 )
             )
+        elif args.action == "detail":
+            d = table.detail(version=args.version)
+            d.pop("schema", None)  # table-level summary; schema via read
+            print(json.dumps(d, indent=2))
         elif args.action == "read":
             ts = None
             if args.as_of_timestamp:

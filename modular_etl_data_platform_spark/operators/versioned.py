@@ -3565,6 +3565,48 @@ class VersionedTable:
     def history(self) -> list[dict]:
         return [self.log.resolve(v) for v in self.versions()]
 
+    def detail(self, version: int | None = None) -> dict:
+        """Delta's ``DESCRIBE DETAIL``: a one-row table-level summary of
+        the snapshot — file/row/byte totals, schema, properties,
+        protocol floors. Everything comes from the RESOLVED LOG STATE
+        (sizes and row counts ride every commit record), so the cost is
+        one snapshot resolution: zero file footers open, at any table
+        size."""
+        v = self.current_version() if version is None else version
+        if v is None:
+            raise FileNotFoundError(f"no versions in {self.path}")
+        st = self.log.resolve(v)
+        sizes = st.get("sizes", {})
+        rows = [
+            s.get(_ROWS_MARK)
+            for s in st.get("stats", {}).values()
+            if isinstance(s, dict)
+        ]
+        return {
+            "location": self.path,
+            "version": v,
+            "created_or_committed_at": st.get("ts"),
+            "num_files": len(st["files"]),
+            "size_in_bytes": sum(
+                sizes.get(f, 0) for f in st["files"]
+            ),
+            # PHYSICAL rows (vector-deleted rows not netted — the same
+            # convention as the commit metrics); None when any file
+            # predates row-count recording
+            "num_rows": (
+                sum(rows) if len(rows) == len(st["files"]) else None
+            ),
+            "num_deletion_vectors": len(st.get("dv", {})),
+            "schema": st["schema"],
+            "constraints": st.get("constraints", {}),
+            "generated": st.get("generated", {}),
+            "cluster_by": st.get("cluster_by", []),
+            "column_mapping_mode": (
+                "name" if st.get("column_mapping") is not None else "none"
+            ),
+            "protocol": st.get("protocol", {"min_reader": 1, "min_writer": 1}),
+        }
+
     def _bloom_prune(
         self, manifest: dict, files: list[str], col_phys: str, value
     ) -> list[str]:

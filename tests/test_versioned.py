@@ -1560,3 +1560,45 @@ def test_table_changes_accepts_timestamp_bounds(spark, tmp_path):
     assert vt.table_changes(
         naive, datetime.utcnow(), primary_keys=["id"]
     ).count() == 2
+
+
+def test_describe_detail_summarizes_from_log_state_only(spark, tmp_path):
+    """DESCRIBE DETAIL (detail()): file/row/byte totals, properties and
+    protocol come from the RESOLVED LOG STATE — sizes and row counts
+    ride every commit record, so the summary opens zero parquet
+    footers at any table size."""
+    import os as _os
+
+    from modular_etl_data_platform_spark.operators.versioned import VersionedTable
+
+    def frame(lo, hi):
+        return spark.range(lo, hi).selectExpr("id", "cast(id as string) as v")
+
+    vt = VersionedTable(spark, str(tmp_path / "t"), stats_columns=["id"])
+    vt.write(frame(0, 10).coalesce(2))
+    vt.write(frame(10, 15).coalesce(1), mode="append")
+    vt.add_constraint("id_nonneg", "id >= 0")
+    vt.delete_where("id = 3")
+
+    import pyarrow.parquet as pq
+
+    opened = []
+    orig = pq.ParquetFile
+    try:
+        pq.ParquetFile = lambda *a, **k: opened.append(a) or orig(*a, **k)
+        d = vt.detail()
+    finally:
+        pq.ParquetFile = orig
+    assert opened == []  # log state only, no footer reads
+    assert d["version"] == 4 and d["num_files"] == 3
+    assert d["num_rows"] == 15  # PHYSICAL rows (DV not netted)
+    assert d["num_deletion_vectors"] == 1
+    assert d["size_in_bytes"] == sum(
+        _os.path.getsize(f) for f in vt._read_manifest(4)["files"]
+    )
+    assert d["constraints"] == {"id_nonneg": "id >= 0"}
+    assert d["protocol"]["min_reader"] == 2  # the DV commit bumped it
+    assert d["column_mapping_mode"] == "none"
+    # time travel: the pre-delete snapshot has no vectors
+    d1 = vt.detail(version=2)
+    assert d1["num_deletion_vectors"] == 0 and d1["num_files"] == 3
