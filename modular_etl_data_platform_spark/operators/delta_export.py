@@ -179,19 +179,37 @@ def _mapped_schema_string(schema_json: str, mapping: dict[str, str]) -> tuple[st
     schema = json.loads(schema_json)
     next_id = [0]
 
+    def annotate_type(t):
+        """Recurse into nested structs wherever they appear (struct
+        fields, array elements, map keys/values) — the protocol
+        requires EVERY nested field to carry an id/physicalName."""
+        if not isinstance(t, dict):
+            return t
+        if t.get("type") == "struct":
+            return {
+                **t,
+                "fields": [annotate(f, f["name"]) for f in t["fields"]],
+            }
+        if t.get("type") == "array":
+            return {**t, "elementType": annotate_type(t["elementType"])}
+        if t.get("type") == "map":
+            return {
+                **t,
+                "keyType": annotate_type(t["keyType"]),
+                "valueType": annotate_type(t["valueType"]),
+            }
+        return t
+
     def annotate(field: dict, physical: str) -> dict:
         next_id[0] += 1
         meta = dict(field.get("metadata") or {})
         meta["delta.columnMapping.id"] = next_id[0]
         meta["delta.columnMapping.physicalName"] = physical
-        out = {**field, "metadata": meta}
-        t = out.get("type")
-        if isinstance(t, dict) and t.get("type") == "struct":
-            out["type"] = {
-                **t,
-                "fields": [annotate(f, f["name"]) for f in t["fields"]],
-            }
-        return out
+        return {
+            **field,
+            "metadata": meta,
+            "type": annotate_type(field.get("type")),
+        }
 
     schema["fields"] = [
         annotate(f, mapping.get(f["name"], f["name"]))

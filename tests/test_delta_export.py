@@ -296,3 +296,43 @@ def test_delta_spark_reads_dv_and_mapped_exports(spark, tmp_path):
     df = spark.read.format("delta").load(dest)
     assert df.count() == 20
     assert set(df.columns) == {"id", "label"}
+
+
+def test_mapping_export_annotates_nested_fields(spark, tmp_path):
+    """Column-mapping ids/physicalNames must reach NESTED fields too —
+    struct members and structs inside arrays (protocol: every nested
+    field carries them)."""
+    vt = VersionedTable(spark, str(tmp_path / "t"))
+    vt.write(
+        spark.range(3).selectExpr(
+            "id",
+            "named_struct('a', id, 'b', cast(id as string)) AS s",
+            "array(named_struct('x', id)) AS arr",
+        )
+    )
+    vt.rename_column("s", "payload")
+    dest = export_delta_snapshot(vt, str(tmp_path / "exp"))
+    md = next(a["metaData"] for a in _actions(dest) if "metaData" in a)
+    schema = json.loads(md["schemaString"])
+
+    ids = []
+
+    def walk_type(t):
+        if isinstance(t, dict):
+            if t.get("type") == "struct":
+                for f in t["fields"]:
+                    walk_field(f)
+            elif t.get("type") == "array":
+                walk_type(t["elementType"])
+
+    def walk_field(f):
+        m = f.get("metadata") or {}
+        assert "delta.columnMapping.id" in m, f["name"]
+        assert "delta.columnMapping.physicalName" in m, f["name"]
+        ids.append(m["delta.columnMapping.id"])
+        walk_type(f.get("type"))
+
+    for f in schema["fields"]:
+        walk_field(f)
+    assert sorted(ids) == list(range(1, len(ids) + 1))  # unique, dense
+    assert int(md["configuration"]["delta.columnMapping.maxColumnId"]) == max(ids)
