@@ -281,3 +281,71 @@ def lm_perplexity_scores(
         ).alias("mean_logp"),
         F.count(F.lit(1)).cast("long").alias("n_trigrams"),
     )
+
+
+def lexical_signals(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document lexical-diversity diagnostics: token/type counts,
+    type-token ratio, and the word-distribution Shannon entropy —
+    the standard corpus-quality signals (low entropy / low TTR =
+    template or looping text; the distributional complement to the
+    Gopher repetition rules, which look at n-gram mass).
+
+    Two shuffles, both map-side combinable: the (doc, word) count and
+    the per-doc fold — nothing wider than (id, word, count) moves.
+    Cross-engine determinism: each word's (p·ln p) term rounds to 9
+    decimals and sums as decimal(28,12) (order-free), the q59/q47
+    recipe, so the hashed entropy is bit-stable on any engine."""
+    ex = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("__w"))
+    cnt = ex.groupBy(id_col, "__w").agg(F.count(F.lit(1)).alias("__c"))
+    tot = cnt.groupBy(id_col).agg(
+        F.sum("__c").alias("__n"), F.count(F.lit(1)).alias("__types")
+    )
+    p = F.col("__c").cast("double") / F.col("__n")
+    term = F.round(p * F.log(p), 9)
+    return (
+        cnt.join(tot, id_col)
+        .select(id_col, "__n", "__types", term.alias("__t"))
+        .groupBy(id_col, "__n", "__types")
+        .agg(
+            (-F.sum(F.col("__t").cast("decimal(28,12)")))
+            .cast("double")
+            .alias("__e")
+        )
+        .select(
+            F.col(id_col),
+            F.col("__n").cast("long").alias("n_tokens"),
+            F.col("__types").cast("long").alias("n_types"),
+            F.round(
+                F.col("__types").cast("double") / F.col("__n"), 9
+            ).alias("ttr"),
+            F.round("__e", 9).alias("entropy"),
+        )
+    )
+
+
+def lexical_signals_oracle_sql(
+    table: str = "documents", text_col: str = "text"
+) -> str:
+    """DuckDB twin of :func:`lexical_signals` — same per-term rounding,
+    same decimal summation."""
+    return f"""
+    WITH wds AS (
+      SELECT doc_id, unnest(string_split({text_col}, ' ')) AS w FROM {table}
+    ),
+    cnt AS (SELECT doc_id, w, COUNT(*) AS c FROM wds GROUP BY 1, 2),
+    tot AS (SELECT doc_id, SUM(c) AS n, COUNT(*) AS types FROM cnt GROUP BY 1),
+    terms AS (
+      SELECT cnt.doc_id,
+             round((CAST(c AS DOUBLE)/n) * ln(CAST(c AS DOUBLE)/n), 9) AS t
+      FROM cnt JOIN tot USING (doc_id)
+    )
+    SELECT t2.doc_id,
+           CAST(n AS BIGINT) AS n_tokens,
+           CAST(types AS BIGINT) AS n_types,
+           round(CAST(types AS DOUBLE)/n, 9) AS ttr,
+           round(CAST(-SUM(CAST(t AS DECIMAL(28,12))) AS DOUBLE), 9) AS entropy
+    FROM terms t2 JOIN tot USING (doc_id)
+    GROUP BY t2.doc_id, n, types
+    """

@@ -2060,3 +2060,15 @@ def q161_repetition_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     (-count, gram) struct — no window, deterministic ties). Every
     signal and boolean is hash-pinned against the relational twin."""
     return crules.repetition_signals(_t(spark, sf_dir, "documents"))
+
+
+@query("q162_lexical_diversity", ctext.lexical_signals_oracle_sql())
+def q162_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical-diversity diagnostics (corpus/text.py::lexical_signals):
+    per-document type-token ratio and word-distribution Shannon
+    entropy — the distributional complement to q161's n-gram
+    repetition rules (template/looping text scores low on both). Two
+    map-side-combinable shuffles; each p·ln p term rounds to 9dp and
+    sums as decimal (the q59/q47 order-free recipe), so the entropy
+    itself is hash-pinned cross-engine."""
+    return ctext.lexical_signals(_t(spark, sf_dir, "documents"))

@@ -772,3 +772,28 @@ def test_repetition_signals_flag_looping_docs(spark):
     assert out[3].passes is True
     # the fraction definition: count x gram chars / doc chars, capped
     assert 0.0 <= out[0].top_2gram_frac <= 1.0
+
+
+def test_lexical_signals_entropy_and_ttr(spark):
+    """Entropy/TTR semantics: a uniform-unique doc hits max entropy
+    (ln n) and TTR 1; a single repeated word scores 0 on both counts
+    (entropy 0, TTR -> 0); a one-word doc is entropy 0, TTR 1."""
+    import math
+
+    from modular_etl_data_platform_spark.corpus import text as ctext
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c d"),          # 4 unique words
+            (1, "x x x x x x x x"),  # one word repeated
+            (2, "solo"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in ctext.lexical_signals(docs).collect()}
+    assert out[0].n_tokens == 4 and out[0].n_types == 4
+    assert out[0].ttr == 1.0
+    assert abs(out[0].entropy - math.log(4)) < 1e-6
+    assert out[1].n_types == 1 and out[1].entropy == 0.0
+    assert out[1].ttr == 0.125
+    assert out[2].n_tokens == 1 and out[2].entropy == 0.0 and out[2].ttr == 1.0
