@@ -113,6 +113,10 @@ HEADLINE = [
     "q158_prototype_pruning",
     "q159_pq_adc_topk",
     "q160_ivf_pq_topk",
+    # round-9 late additions: the n-gram repetition rules (one explode
+    # + one count shuffle over every n) and the entropy/TTR diagnostics
+    "q161_repetition_rules",
+    "q162_lexical_diversity",
 ]
 
 
