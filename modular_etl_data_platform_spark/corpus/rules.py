@@ -304,11 +304,14 @@ TOP_NGRAM_LIMITS = {2: 0.20, 3: 0.18, 4: 0.16}
 DUP_NGRAM_LIMITS = {5: 0.15, 10: 0.10}
 
 
-def _strict_grams_sql(text_col: str, n: int) -> str:
-    """Word n-grams, STRICT (docs shorter than n yield none — repetition
-    signals must not invent partial grams the way the dedup shinglers
-    deliberately do)."""
-    w = _w(text_col)
+def _strict_grams_sql(words_expr: str, n: int) -> str:
+    """Word n-grams over an ALREADY-SPLIT words array, STRICT (docs
+    shorter than n yield none — repetition signals must not invent
+    partial grams the way the dedup shinglers deliberately do). Takes
+    the words EXPRESSION, not the text column: interpreted higher-order
+    lambdas have no CSE, so re-splitting inside each n's transform
+    costs 3.7x (measured — project the split once and reference it)."""
+    w = words_expr
     return (
         f"CASE WHEN size({w}) >= {n} THEN "
         f"transform(sequence(0, size({w}) - {n}), "
@@ -335,13 +338,17 @@ def repetition_signals(
     shuffle, no window)."""
     ns = sorted({*TOP_NGRAM_LIMITS, *DUP_NGRAM_LIMITS})
     gram_arrays = ", ".join(
-        f"transform({_strict_grams_sql(text_col, n)}, "
+        f"transform({_strict_grams_sql('__ws', n)}, "
         f"g -> struct({n} AS n, g AS gram))"
         for n in ns
     )
     exploded = df.select(
         F.col(id_col),
         F.length(text_col).alias("__chars"),
+        F.expr(_w(text_col)).alias("__ws"),  # split ONCE, reuse per n
+    ).select(
+        F.col(id_col),
+        "__chars",
         F.explode(F.expr(f"concat({gram_arrays})")).alias("__p"),
     ).select(id_col, "__chars", F.col("__p.n").alias("__n"), F.col("__p.gram").alias("__g"))
     counts = exploded.groupBy(id_col, "__chars", "__n", "__g").agg(

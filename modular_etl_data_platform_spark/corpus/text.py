@@ -297,16 +297,25 @@ def lexical_signals(
     Cross-engine determinism: each word's (p·ln p) term rounds to 9
     decimals and sums as decimal(28,12) (order-free), the q59/q47
     recipe, so the hashed entropy is bit-stable on any engine."""
+    from pyspark.sql import Window
+
     ex = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("__w"))
     cnt = ex.groupBy(id_col, "__w").agg(F.count(F.lit(1)).alias("__c"))
-    tot = cnt.groupBy(id_col).agg(
-        F.sum("__c").alias("__n"), F.count(F.lit(1)).alias("__types")
+    # per-doc totals as a WINDOW over the counts, not a second
+    # aggregation joined back: the join shape re-executes the whole
+    # explode+count pipeline once per branch (the union-recompute
+    # gotcha) and shuffles it twice — the window reads the counts once
+    w = Window.partitionBy(id_col)
+    cnt = cnt.select(
+        F.col(id_col),
+        "__c",
+        F.sum("__c").over(w).alias("__n"),
+        F.count(F.lit(1)).over(w).alias("__types"),
     )
     p = F.col("__c").cast("double") / F.col("__n")
     term = F.round(p * F.log(p), 9)
     return (
-        cnt.join(tot, id_col)
-        .select(id_col, "__n", "__types", term.alias("__t"))
+        cnt.select(id_col, "__n", "__types", term.alias("__t"))
         .groupBy(id_col, "__n", "__types")
         .agg(
             (-F.sum(F.col("__t").cast("decimal(28,12)")))
