@@ -964,7 +964,22 @@ class CommitLog:
         files that is tens of MB a reader can't project; parquet parts
         are size-bounded, compressed columnar, and a consumer that only
         needs paths reads one column. Parts land BEFORE the meta record
-        so a visible checkpoint always has its parts."""
+        so a visible checkpoint always has its parts.
+
+        COMPATIBILITY: a pre-round-9 engine (single-JSON checkpoints
+        only) cannot open a table once a v2 checkpoint exists — it
+        reads the meta record as a full state and fails on the missing
+        ``files`` key. A protocol floor bump can't express this
+        cleanly here because checkpoints are DERIVED artifacts:
+        stamping a higher ``min_reader`` into the checkpoint (but not
+        the commit records) would make ``resolve()`` path-dependent —
+        the same version would report different floors depending on
+        whether resolution went through the checkpoint or the delta
+        walk. Delta's own answer (the ``v2Checkpoint`` reader FEATURE,
+        recorded by a protocol-action commit) is the right long-term
+        shape if mixed-version engines ever share a table; in this
+        repo every engine build reads v2, so the constraint is
+        recorded here and in docs/ rather than enforced."""
         import io
 
         import pyarrow as pa
@@ -3578,9 +3593,9 @@ class VersionedTable:
         st = self.log.resolve(v)
         sizes = st.get("sizes", {})
         rows = [
-            s.get(_ROWS_MARK)
+            s[_ROWS_MARK]
             for s in st.get("stats", {}).values()
-            if isinstance(s, dict)
+            if isinstance(s, dict) and _ROWS_MARK in s
         ]
         return {
             "location": self.path,

@@ -2187,31 +2187,45 @@ def q157_format_api_versioned_read(spark: SparkSession, sf_dir: str) -> DataFram
 
     # the data legs run through the PUBLIC reader only
     spark.dataSource.register(VersionedTableStreamDataSource)
-    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
-    # NB: DataFrameReader is mutable — one reader per read
-    early = (
-        spark.read.format("versioned_table")
-        .option("path", table)
-        .option("version", 2)
-        .load()
-    )
-    head = (
-        spark.read.format("versioned_table").option("path", table).load()
-    )
-
-    def leg(label: str, df: DataFrame) -> DataFrame:
-        return df.agg(
-            F.lit(label).alias("leg"),
-            F.count(F.lit(1)).alias("n_rows"),
-            F.coalesce(F.sum("k"), F.lit(0)).cast("long").alias("key_sum"),
-            F.coalesce(
-                F.sum(F.col("p").cast("decimal(18,6)")),
-                F.lit(0).cast("decimal(18,6)"),
-            ).cast("double").alias("sum_price"),
+    # session conf is SHARED state — other bench queries run on this
+    # session after us, so the pushdown toggle is saved and restored
+    # (safe because _pin materializes eagerly before the finally runs)
+    _PD_KEY = "spark.sql.python.filterPushdown.enabled"
+    try:
+        prior_pd = spark.conf.get(_PD_KEY)
+    except Exception:
+        prior_pd = None
+    spark.conf.set(_PD_KEY, "true")
+    try:
+        # NB: DataFrameReader is mutable — one reader per read
+        early = (
+            spark.read.format("versioned_table")
+            .option("path", table)
+            .option("version", 2)
+            .load()
+        )
+        head = (
+            spark.read.format("versioned_table").option("path", table).load()
         )
 
-    return _pin(
-        leg("v2_snapshot", early)
-        .unionByName(leg("head_eq", head.filter("k = 7")))
-        .unionByName(leg("head_in", head.filter("k IN (5, 10)")))
-    )
+        def leg(label: str, df: DataFrame) -> DataFrame:
+            return df.agg(
+                F.lit(label).alias("leg"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.coalesce(F.sum("k"), F.lit(0)).cast("long").alias("key_sum"),
+                F.coalesce(
+                    F.sum(F.col("p").cast("decimal(18,6)")),
+                    F.lit(0).cast("decimal(18,6)"),
+                ).cast("double").alias("sum_price"),
+            )
+
+        return _pin(
+            leg("v2_snapshot", early)
+            .unionByName(leg("head_eq", head.filter("k = 7")))
+            .unionByName(leg("head_in", head.filter("k IN (5, 10)")))
+        )
+    finally:
+        if prior_pd is None:
+            spark.conf.unset(_PD_KEY)
+        else:
+            spark.conf.set(_PD_KEY, prior_pd)

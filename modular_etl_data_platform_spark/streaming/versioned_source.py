@@ -183,6 +183,15 @@ class _VersionedStreamReader(DataSourceStreamReader):
                 try:
                     rec = json.loads(self.log.store.read(_commit_name(v)))
                 except FileNotFoundError:
+                    if chosen == self._floor:
+                        # the FIRST candidate is already gone (vacuumed
+                        # under a live stream). Capping here would pin
+                        # the offset at the floor forever — partitions()
+                        # is never invoked on an empty range, so the
+                        # stream would wedge SILENTLY. Propose the
+                        # uncapped head instead so partitions() sees the
+                        # missing range and raises loudly.
+                        chosen = head
                     break  # vacuumed under us: partitions() will raise loudly
                 vbytes = sum(rec.get("sizes", {}).values())
                 if chosen > self._floor and total + vbytes > self.max_bytes:

@@ -1339,3 +1339,24 @@ def test_versioned_stream_byte_rate_limit_drains_by_size(spark, tmp_path):
     )
     reader3.initialOffset()
     assert reader3.latestOffset() == {"version": 1}
+
+    # a vacuumed FIRST candidate must not wedge the stream silently:
+    # the capped walk falls through to the uncapped head so
+    # partitions() raises loudly (same behavior as the uncapped path)
+    from modular_etl_data_platform_spark.operators.versioned import (
+        _commit_name,
+    )
+
+    reader4 = _VersionedStreamReader(
+        table, vt.read().schema, 0, max_bytes_per_batch=cap
+    )
+    s4 = reader4.initialOffset()
+    e4 = reader4.latestOffset()
+    reader4.partitions(s4, e4)  # floor now 2, versions 1-2 consumed
+    vt.log.store.delete(_commit_name(3))  # vacuum under the live stream
+    e5 = reader4.latestOffset()
+    assert e5["version"] == 6  # uncapped head, NOT wedged at the floor
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="no longer in the log|not in the log"):
+        reader4.partitions(e4, e5)

@@ -1602,3 +1602,32 @@ def test_describe_detail_summarizes_from_log_state_only(spark, tmp_path):
     # time travel: the pre-delete snapshot has no vectors
     d1 = vt.detail(version=2)
     assert d1["num_deletion_vectors"] == 0 and d1["num_files"] == 3
+
+
+def test_describe_detail_degrades_num_rows_on_partial_stats(spark, tmp_path):
+    """A stats entry that is a dict but lacks the row-count marker (a
+    pre-row-count commit, a foreign/CONVERTed file) must degrade
+    ``num_rows`` to None as documented — not raise TypeError from
+    summing a None."""
+    import json as _json
+
+    from modular_etl_data_platform_spark.operators.versioned import (
+        _ROWS_MARK,
+        VersionedTable,
+        _commit_name,
+    )
+
+    vt = VersionedTable(spark, str(tmp_path / "t"), stats_columns=["id"])
+    vt.write(spark.range(0, 10).coalesce(1))
+    # simulate a legacy/foreign commit: strip the row-count marker from
+    # one file's stats entry in the commit record itself
+    rec = _json.loads(vt.log.store.read(_commit_name(1)))
+    f0 = rec["add"][0]
+    assert _ROWS_MARK in rec["stats"][f0]
+    del rec["stats"][f0][_ROWS_MARK]
+    vt.log.store.delete(_commit_name(1))
+    vt.log.store.put(_commit_name(1), _json.dumps(rec))
+    vt.log._cache.clear()
+    d = vt.detail()
+    assert d["num_rows"] is None  # documented fallback, not TypeError
+    assert d["num_files"] == 1
