@@ -151,22 +151,31 @@ def _write_dv_file(dest: str, row_indexes: list[int]) -> dict:
     }
 
 
-def _dv_rows_by_file(sidecars: set[str]) -> dict[str, list[int]]:
+def _dv_rows_by_sidecar(sidecars: set[str]) -> dict[str, dict[str, list[int]]]:
     """Load the engine's DV sidecar parquet(s) — (file_path, row_index)
-    pairs, scheme-stripped paths — grouped per data file. Sidecars are
-    row-level indexes but bounded by the snapshot's deleted-row count;
-    an export is a one-shot materialization tool, so a local pyarrow
-    read (not a Spark job) keeps it dependency-light."""
+    pairs, scheme-stripped paths — grouped per SIDECAR, then per data
+    file. A file's current vector lives ONLY in the sidecar its own DV
+    pointer names (sidecars are cumulative per file); an older sidecar
+    kept live by another file's pointer can carry a STALE row set for
+    this file, so flattening all sidecars per file double-counts —
+    caught by the foreign-reader property fleet as a cardinality/bitmap
+    mismatch (seed 79: two delete_where commits, one file still on the
+    older sidecar). Sidecars are row-level indexes but bounded by the
+    snapshot's deleted-row count; an export is a one-shot
+    materialization tool, so a local pyarrow read (not a Spark job)
+    keeps it dependency-light."""
     import pyarrow.parquet as pq
 
-    out: dict[str, list[int]] = {}
+    out: dict[str, dict[str, list[int]]] = {}
     for sc in sorted(sidecars):
+        per: dict[str, list[int]] = {}
         tbl = pq.read_table(sc, columns=["file_path", "row_index"])
         for path, ix in zip(
             tbl.column("file_path").to_pylist(),
             tbl.column("row_index").to_pylist(),
         ):
-            out.setdefault(path, []).append(ix)
+            per.setdefault(path, []).append(ix)
+        out[sc] = per
     return out
 
 
@@ -274,7 +283,7 @@ def export_delta_snapshot(
         },
     ]
     dv_rows = (
-        _dv_rows_by_file(set(dv_map.values())) if dv_map else {}
+        _dv_rows_by_sidecar(set(dv_map.values())) if dv_map else {}
     )
     stats = state.get("stats", {})
     for i, src in enumerate(sorted(state["files"])):
@@ -312,9 +321,15 @@ def export_delta_snapshot(
             "dataChange": True,
         }
         if src in dv_map:
-            deleted = dv_rows.get(_strip_scheme_py(src), [])
+            deleted = sorted(
+                set(
+                    dv_rows.get(dv_map[src], {}).get(
+                        _strip_scheme_py(src), []
+                    )
+                )
+            )
             if deleted:
-                add["deletionVector"] = _write_dv_file(dest, sorted(deleted))
+                add["deletionVector"] = _write_dv_file(dest, deleted)
                 # bounds may be loose once rows are vector-deleted
                 file_stats["tightBounds"] = False
         add["stats"] = json.dumps(file_stats)
