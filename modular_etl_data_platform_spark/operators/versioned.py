@@ -153,6 +153,20 @@ _DV_BROADCAST_CAP_BYTES = 256 * 1024 * 1024
 _HINT_NAME = "_last_checkpoint"
 #: resolved snapshot states cached per CommitLog instance
 _STATE_CACHE_MAX = 8
+#: PROCESS-WIDE resolved-snapshot cache shared across CommitLog
+#: instances. Every new VersionedTable handle constructs a fresh
+#: CommitLog, so without this a long-lived process (bench loop, query
+#: service) pays the full checkpoint-read + delta fold — measured
+#: ~0.6 s at 10^5 files, ~6 s extrapolated at 10^6 — on EVERY open of
+#: a table it already resolved. Entries are keyed by (filesystem log
+#: root, version) and stamped with the version's commit-record
+#: (size, mtime_ns): a table deleted and recreated at the same path
+#: gets a different stamp and can never serve a stale state. States
+#: are immutable once resolved (the per-instance cache already shares
+#: them), so sharing across instances is safe. Filesystem stores only:
+#: in-memory/test stores have no cross-instance identity.
+_PROCESS_STATE_CACHE: dict[tuple[str, int], tuple[tuple[int, int], dict]] = {}
+_PROCESS_STATE_CACHE_MAX = 16
 
 
 def _commit_name(version: int) -> str:
@@ -608,6 +622,12 @@ class CommitLog:
         age or file count."""
         if version in self._cache:
             return self._cache[version]
+        pkey, stamp = self._process_cache_key(version)
+        if pkey is not None:
+            hit = _PROCESS_STATE_CACHE.get(pkey)
+            if hit is not None and hit[0] == stamp:
+                self._cache_put(version, hit[1])
+                return hit[1]
         deltas: list[dict] = []
         base: dict | None = None
         u = version
@@ -707,7 +727,31 @@ class CommitLog:
                 "vector-deleted rows)"
             )
         self._cache_put(version, state)
+        if pkey is not None and stamp is not None:
+            _PROCESS_STATE_CACHE[pkey] = (stamp, state)
+            while len(_PROCESS_STATE_CACHE) > _PROCESS_STATE_CACHE_MAX:
+                _PROCESS_STATE_CACHE.pop(next(iter(_PROCESS_STATE_CACHE)))
         return state
+
+    def _process_cache_key(
+        self, version: int
+    ) -> tuple[tuple[str, int] | None, tuple[int, int] | None]:
+        """(key, stamp) for the process-wide snapshot cache, or
+        (None, None) when this store/version can't participate: non-
+        filesystem stores (no cross-instance identity) and versions
+        whose commit record is gone (vacuumed; resolvable only through
+        a checkpoint, which has no recreate-detection stamp). The stamp
+        is one ``os.stat`` of the commit record — commit records are
+        immutable once claimed, so (size, mtime_ns) changes only if
+        the table was deleted and recreated at the same path."""
+        root = getattr(self.store, "root", None)
+        if not isinstance(root, str):
+            return None, None
+        try:
+            st = os.stat(os.path.join(root, _commit_name(version)))
+        except OSError:
+            return None, None
+        return (root, version), (st.st_size, st.st_mtime_ns)
 
     # -- publish -------------------------------------------------------------
     def publish(

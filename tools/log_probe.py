@@ -13,8 +13,19 @@ adding 2 files with stats, and measures
   checkpoint + pointer path, which must be bounded by
   checkpoint_interval, not by N.
 
-Usage: python tools/log_probe.py [N]   (default 1000; prints one JSON
-line so the numbers can be pasted into SCALE.md verbatim).
+Usage: python tools/log_probe.py [N] [FILES_PER_COMMIT]
+(defaults 1000 / 2; prints one JSON line so the numbers can be pasted
+into SCALE.md verbatim). FILES_PER_COMMIT lets the probe reach the
+10^5-10^6-FILE design point without 10^5+ sequential commits — the
+cold-open fold cost is driven by file count, not commit count, so 500
+commits x 2000 files measures the same fold a long-lived table pays.
+
+Also measured at full depth (round 10): WARM-REOPEN resolution — a
+second fresh CommitLog instance resolving the same head, the shape a
+process pays when every new table handle re-folds (this is what the
+process-level snapshot cache exists to make O(1)) — and the REBASE
+fold (one more delta folded onto a warm state), which must stay
+O(changed) regardless of table size.
 """
 
 from __future__ import annotations
@@ -39,6 +50,7 @@ from modular_etl_data_platform_spark.operators.versioned import (  # noqa: E402
 
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 1000
+    fpc = int(sys.argv[2]) if len(sys.argv) > 2 else 2
     root = tempfile.mkdtemp(prefix="log_probe_")
     try:
         log = CommitLog(path=root)
@@ -46,7 +58,10 @@ def main() -> None:
         publish_times: list[float] = []
         rec_sizes: list[int] = []
         for i in range(1, n + 1):
-            new = [f"{root}/files/batch{i:06d}/part-{j}.parquet" for j in range(2)]
+            new = [
+                f"{root}/files/batch{i:06d}/part-{j}.parquet"
+                for j in range(fpc)
+            ]
             files.extend(new)
             stats = {f: {"k": [i, i]} for f in new}
             t0 = time.perf_counter()
@@ -70,6 +85,26 @@ def main() -> None:
         t0 = time.perf_counter()
         state = cold.resolve(head)
         t_resolve = time.perf_counter() - t0
+        # warm reopen: ANOTHER fresh instance in the same process — the
+        # every-new-table-handle shape; with the process-level snapshot
+        # cache this is a stat + dict hit, not a refold
+        warm = CommitLog(path=root)
+        t0 = time.perf_counter()
+        warm.resolve(head)
+        t_warm_reopen = time.perf_counter() - t0
+        # rebase fold: one more small delta onto the warm state — must
+        # be O(changed) at any depth
+        extra = [f"{root}/files/extra/part-{j}.parquet" for j in range(2)]
+        log.publish(
+            files + extra,
+            '{"type":"struct","fields":[]}',
+            {"mode": "append"},
+            head,
+            {f: {"k": [0, 0]} for f in extra},
+        )
+        t0 = time.perf_counter()
+        warm.resolve(head + 1)
+        t_rebase = time.perf_counter() - t0
         # the round-9 parquet checkpoint, measured in isolation at full
         # depth: write cost, on-disk bytes (meta vs columnar parts), and
         # a paths-only projection — the read shape a consumer that needs
@@ -116,6 +151,8 @@ def main() -> None:
                     "record_bytes_last": rec_sizes[-1],
                     "cold_head_resolution_ms": round(t_head * 1e3, 3),
                     "cold_snapshot_resolve_ms": round(t_resolve * 1e3, 3),
+                    "warm_reopen_resolve_ms": round(t_warm_reopen * 1e3, 3),
+                    "rebase_fold_ms": round(t_rebase * 1e3, 3),
                     "checkpoints": len(cold.checkpoints()),
                     "checkpoint_write_ms": round(t_ckpt_write * 1e3, 3),
                     "checkpoint_meta_bytes": len(json.dumps(meta)),
