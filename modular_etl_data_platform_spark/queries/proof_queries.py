@@ -1026,3 +1026,146 @@ def q142_versioned_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(F.col("c_acctbal"), "sum_bal"),
         )
     )
+
+
+@query(
+    "q163_stream_change_feed",
+    """
+    WITH base AS (
+      SELECT o_orderkey AS k, o_orderstatus AS s, o_totalprice AS p FROM orders
+    ),
+    batch AS (
+      SELECT x AS k, 'X' AS s, CAST(x AS DOUBLE) / 10 AS p
+      FROM range(1000, 3000) t(x)
+    ),
+    ch3 AS (  -- v3 MERGE: only batch keys can change
+      SELECT n.k,
+             CASE WHEN o.k IS NULL THEN 'insert'
+                  WHEN o.s IS NOT DISTINCT FROM n.s
+                   AND o.p IS NOT DISTINCT FROM n.p THEN NULL
+                  ELSE 'update_postimage' END AS ct,
+             n.p AS p
+      FROM batch n LEFT JOIN base o ON o.k = n.k
+    ),
+    s3 AS (  -- post-merge state
+      SELECT k, s, p FROM batch
+      UNION ALL
+      SELECT k, s, p FROM base WHERE k NOT IN (SELECT k FROM batch)
+    ),
+    s4 AS (SELECT * FROM s3 WHERE k % 10 <> 7),
+    changes AS (
+      SELECT 1 AS _commit_version, 'insert' AS _change_type, k, p
+      FROM base WHERE k % 2 = 0
+      UNION ALL
+      SELECT 2, 'insert', k, p FROM base WHERE k % 2 = 1
+      UNION ALL
+      SELECT 3, ct, k, p FROM ch3 WHERE ct IS NOT NULL
+      UNION ALL
+      SELECT 4, 'delete', k, p FROM s3 WHERE k % 10 = 7
+      UNION ALL
+      SELECT 6, 'update_postimage', k, p + 1 FROM s4 WHERE k % 100 = 11
+    )
+    SELECT _commit_version, _change_type,
+           COUNT(*) AS n_rows,
+           CAST(SUM(k) AS BIGINT) AS key_sum,
+           CAST(SUM(CAST(p AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+    FROM changes GROUP BY _commit_version, _change_type
+    """,
+)
+def q163_stream_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING row-level change feed — Delta's ``readChangeFeed``
+    analogue (streaming/versioned_source.py::
+    _VersionedChangeFeedStreamReader): a six-version DML history —
+    two appends, a MERGE (updates + inserts), a deletion-vector DELETE,
+    a compaction, a DV-backed UPDATE — is drained through
+    ``read_changes=true`` (rate-limited to 2 versions per micro-batch)
+    into a parquet sink, and the per-(version, change_type) counts /
+    key sums / decimal-exact value sums must match the oracle's
+    relational replay of every version transition. The in-query
+    assertions pin the streaming-specific contracts the oracle can't
+    see: the compaction version emits ZERO rows (dataChange=false), and
+    the version cap bounds every offset advance (asserted by walking
+    the reader's own offset protocol — under availableNow Spark fixes
+    the target offset BEFORE initialOffset and the Python DataSource
+    API has no ReadLimit pass-through, so the trigger path can't
+    observe the cap; the offset walk is the same code the
+    processing-time trigger runs). Classification parity with batch
+    ``table_changes`` (q137) comes free: both derive the feed from the
+    same per-version file diffs."""
+    from modular_etl_data_platform_spark.operators.versioned import VersionedTable
+    from modular_etl_data_platform_spark.streaming.versioned_source import (
+        VersionedTableStreamDataSource,
+    )
+
+    spark.dataSource.register(VersionedTableStreamDataSource)
+    scratch = _scratch("q163_stream_change_feed", sf_dir)
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("s"),
+        F.col("o_totalprice").alias("p"),
+    )
+    table = os.path.join(scratch, "orders_v")
+    vt = VersionedTable(spark, table, stats_columns=["k"])
+    vt.write(orders.filter(F.col("k") % 2 == 0).coalesce(1))  # v1
+    vt.write(
+        orders.filter(F.col("k") % 2 == 1).coalesce(1), mode="append"
+    )  # v2
+    batch = spark.range(1000, 3000).select(
+        F.col("id").alias("k"),
+        F.lit("X").alias("s"),
+        (F.col("id").cast("double") / 10).alias("p"),
+    )
+    vt.upsert(batch, ["k"])  # v3: updates + inserts
+    vt.delete_where("k % 10 = 7")  # v4: DV deletes
+    v_compact = vt.compact(target_files=2)  # v5: dataChange=false
+    vt.update_where(
+        {"p": "p + 1"}, "k % 100 = 11", use_deletion_vectors=True
+    )  # v6: DV-backed UPDATE
+    stream = (
+        spark.readStream.format("versioned_table")
+        .option("path", table)
+        .option("read_changes", "true")
+        .option("primary_keys", "k")
+        .option("max_versions_per_batch", "2")
+        .load()
+    )
+    out = os.path.join(scratch, "out")
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", os.path.join(scratch, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # rate-limit contract, asserted on the reader's own offset protocol
+    from modular_etl_data_platform_spark.streaming.versioned_source import (
+        _VersionedChangeFeedStreamReader,
+    )
+
+    rd = _VersionedChangeFeedStreamReader(
+        table, stream.schema, 0, ["k"], max_versions_per_batch=2
+    )
+    off = rd.initialOffset()
+    spans = []
+    while True:
+        end = rd.latestOffset()
+        if end["version"] <= off["version"]:
+            break
+        spans.append(end["version"] - off["version"])
+        rd.partitions(off, end)
+        off = end
+    if spans != [2, 2, 2]:  # 6 versions, never more than 2 per advance
+        raise AssertionError(f"version cap violated: offset spans {spans}")
+    feed = spark.read.parquet(out)
+    if feed.filter(F.col("_commit_version") == v_compact).count() != 0:
+        raise AssertionError(
+            "compaction (dataChange=false) emitted change rows"
+        )
+    return _pin(
+        feed.groupBy("_commit_version", "_change_type").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("k").cast("long").alias("key_sum"),
+            dsum(F.col("p"), "sum_price"),
+        )
+    )

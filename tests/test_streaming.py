@@ -1360,3 +1360,194 @@ def test_versioned_stream_byte_rate_limit_drains_by_size(spark, tmp_path):
 
     with _pytest.raises(Exception, match="no longer in the log|not in the log"):
         reader4.partitions(e4, e5)
+
+
+# ---------------------------------------------------------------------------
+# streaming row-level change feed (readChangeFeed analogue)
+# ---------------------------------------------------------------------------
+
+
+def _cdf_history(spark, table):
+    """v1/v2 appends, v3 MERGE (5 updates + 5 inserts), v4 DV delete
+    (4 rows), v5 compaction (zero changes) — one of each commit class."""
+    from modular_etl_data_platform_spark.operators.versioned import VersionedTable
+
+    vt = VersionedTable(spark, table, stats_columns=["k"])
+    vt.write(
+        spark.range(0, 20).selectExpr("id as k", "cast(id as string) as v").coalesce(1)
+    )
+    vt.write(
+        spark.range(20, 30).selectExpr("id as k", "cast(id as string) as v").coalesce(1),
+        mode="append",
+    )
+    vt.upsert(
+        spark.range(25, 35).selectExpr("id as k", "concat('u', id) as v").coalesce(1),
+        ["k"],
+    )
+    vt.delete_where("k % 10 = 3")
+    vt.compact(target_files=1)
+    return vt
+
+
+def test_change_feed_stream_classifies_per_version(spark, tmp_path):
+    """The read_changes stream emits table_changes-classified rows per
+    drained version: appends as insert, MERGE as update_postimage +
+    insert with unchanged neighbors suppressed, DV deletes as delete
+    carrying the OLD row values, compactions as ZERO changes."""
+    table = str(tmp_path / "vt")
+    _cdf_history(spark, table)
+    from modular_etl_data_platform_spark.streaming.versioned_source import (
+        VersionedTableStreamDataSource,
+    )
+
+    spark.dataSource.register(VersionedTableStreamDataSource)
+    df = (
+        spark.readStream.format("versioned_table")
+        .option("path", table)
+        .option("read_changes", "true")
+        .option("primary_keys", "k")
+        .load()
+    )
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = (
+        df.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.read.parquet(out).collect()
+    by = {}
+    for r in rows:
+        by.setdefault((r["_commit_version"], r["_change_type"]), []).append(r)
+    counts = {key: len(v) for key, v in by.items()}
+    assert counts == {
+        (1, "insert"): 20,
+        (2, "insert"): 10,
+        (3, "insert"): 5,
+        (3, "update_postimage"): 5,
+        (4, "delete"): 4,
+    }  # v5 (compaction) emits nothing
+    # update postimages carry the NEW values; deletes the OLD values
+    assert {r["v"] for r in by[(3, "update_postimage")]} == {
+        f"u{k}" for k in range(25, 30)
+    }
+    assert {r["k"] for r in by[(4, "delete")]} == {3, 13, 23, 33}
+    assert {r["v"] for r in by[(4, "delete")]} == {"3", "13", "u33", "23"}
+    # _commit_timestamp matches the log's commit times
+    from modular_etl_data_platform_spark.operators.versioned import VersionedTable
+
+    vt = VersionedTable(spark, table)
+    hist = {h["version"]: h["ts"] for h in vt.history()}
+    for (ver, _), rs in by.items():
+        for r in rs:
+            assert int(r["_commit_timestamp"].timestamp() * 1000) == hist[ver]
+
+
+def test_change_feed_rate_limits_and_resume(spark, tmp_path):
+    """max_versions_per_batch bounds each micro-batch's drained
+    versions; a restarted stream resumes from the checkpoint without
+    re-emitting; rewrite-style UPDATE commits classify without
+    ignore_changes (the feed expresses updates)."""
+    from modular_etl_data_platform_spark.operators.versioned import VersionedTable
+    from modular_etl_data_platform_spark.streaming.versioned_source import (
+        VersionedTableStreamDataSource,
+    )
+
+    table = str(tmp_path / "vt")
+    vt = _cdf_history(spark, table)
+    # v6: copy-on-write UPDATE (rewrites files; unchanged rows suppressed)
+    vt.update_where({"v": "concat(v, '!')"}, "k >= 30", use_deletion_vectors=False)
+    spark.dataSource.register(VersionedTableStreamDataSource)
+
+    def reader():
+        return (
+            spark.readStream.format("versioned_table")
+            .option("path", table)
+            .option("read_changes", "true")
+            .option("primary_keys", "k")
+            .option("max_versions_per_batch", "2")
+            .load()
+        )
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = (
+        reader()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    first = spark.read.parquet(out).count()
+    # v6 updated keys 30,31,32,34 (33 was deleted) -> 4 postimages
+    assert first == 20 + 10 + 10 + 4 + 0 + 4
+    # restart with new commits: only the NEW versions emit
+    vt.write(
+        spark.range(100, 105).selectExpr("id as k", "cast(id as string) as v").coalesce(1),
+        mode="append",
+    )
+    q = (
+        reader()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == first + 5
+    assert sorted(
+        r["k"] for r in rows if r["_commit_version"] == 7
+    ) == [100, 101, 102, 103, 104]
+    # offset math honored the version cap: no batch spans > 2 versions
+    from modular_etl_data_platform_spark.streaming.versioned_source import (
+        _VersionedChangeFeedStreamReader,
+    )
+
+    cdf_schema = (
+        spark.readStream.format("versioned_table")
+        .option("path", table)
+        .option("read_changes", "true")
+        .option("primary_keys", "k")
+        .load()
+        .schema
+    )
+    r = _VersionedChangeFeedStreamReader(
+        table, cdf_schema, 0, ["k"], max_versions_per_batch=2
+    )
+    start = r.initialOffset()
+    spans = []
+    for _ in range(10):
+        end = r.latestOffset()
+        if end["version"] <= start["version"]:
+            break
+        spans.append(end["version"] - start["version"])
+        r.partitions(start, end)
+        start = end
+    assert spans == [2, 2, 2, 1]  # 7 versions drained 2 at a time
+
+
+def test_change_feed_requires_primary_keys(spark, tmp_path):
+    from modular_etl_data_platform_spark.streaming.versioned_source import (
+        VersionedTableStreamDataSource,
+    )
+
+    table = str(tmp_path / "vt")
+    _cdf_history(spark, table)
+    spark.dataSource.register(VersionedTableStreamDataSource)
+    with pytest.raises(Exception, match="primary_keys"):
+        (
+            spark.readStream.format("versioned_table")
+            .option("path", table)
+            .option("read_changes", "true")
+            .load()
+            .writeStream.format("noop")
+            .option("checkpointLocation", str(tmp_path / "c"))
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination(60)
+        )
