@@ -1174,6 +1174,7 @@ def ivf_pq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     codebook: DataFrame | None = None,
+    rerank: int | None = None,
 ) -> DataFrame:
     """IVF-PQ (Jegou et al. 2011, the production pairing): route the
     query to its ``probes`` nearest coarse cells via the exact
@@ -1183,7 +1184,18 @@ def ivf_pq_topk(
     prunes the scan to 1/cells of the corpus (partition-level with
     :func:`build_ivf_index`'s layout), and the fine scorer reads m
     small ints per surviving row instead of dim floats — neither raw
-    vectors nor whole cells ever shuffle. Returns (id, adc)."""
+    vectors nor whole cells ever shuffle. Returns (id, adc).
+
+    ``rerank=α`` adds the paper's §V re-ranking stage: the ADC pass
+    shortlists ``k·α`` candidates, their TRUE vectors join back by id
+    (against the already-routed cells, so the fetch is
+    shortlist-bounded, never a corpus scan), and the final top-k ranks
+    by exact cosine — ADC's quantization error buys the scan speed,
+    the exact re-rank buys the recall back at the cost of reading
+    ``k·α`` full vectors. Any shortlist member in the exact global
+    top-k necessarily survives re-ranking (at most k-1 vectors
+    anywhere score above it), so re-ranked recall@k is ≥ ADC recall@k
+    by construction. Returns (id, adc, exact_sim) when re-ranking."""
     cents = centroids_exact(emb, cell_col, vec_col, dim)
     q = emb.filter(F.col(id_col) == query_id).select(
         F.col(vec_col).alias("__q")
@@ -1198,10 +1210,10 @@ def ivf_pq_topk(
         F.broadcast(best_cells.select(F.col("cell").alias(cell_col))),
         cell_col,
     )
-    return pq_topk(
+    adc = pq_topk(
         emb,
         query_id,
-        k=k,
+        k=k if rerank is None else k * rerank,
         m=m,
         codes=codes,
         dim=dim,
@@ -1209,4 +1221,17 @@ def ivf_pq_topk(
         id_col=id_col,
         vec_col=vec_col,
         candidates=routed,
+    )
+    if rerank is None:
+        return adc
+    # exact re-rank: true vectors fetched for the k·α shortlist ONLY,
+    # from the routed cells (the shortlist is a subset by construction)
+    fetched = routed.join(F.broadcast(adc), id_col).select(
+        id_col, "adc", F.col(vec_col).alias("__rv")
+    )
+    return (
+        fetched.crossJoin(F.broadcast(q))
+        .select(id_col, "adc", cosine("__rv", "__q").alias("exact_sim"))
+        .orderBy(F.col("exact_sim").desc(), F.col(id_col).asc())
+        .limit(k)
     )

@@ -2072,3 +2072,104 @@ def q162_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     sums as decimal (the q59/q47 order-free recipe), so the entropy
     itself is hash-pinned cross-engine."""
     return ctext.lexical_signals(_t(spark, sf_dir, "documents"))
+
+
+def _ivf_pq_rerank_oracle(
+    m: int = 8, d: int = 8, codes: int = 16, k: int = 10,
+    alpha: int = 4, dim: int = 64,
+) -> str:
+    l2 = (
+        f"list_reduce(list_transform(range(1, {d + 1}), "
+        f"i -> (CAST(svec[i] AS DOUBLE) - CAST(cvec[i] AS DOUBLE)) "
+        f"* (CAST(svec[i] AS DOUBLE) - CAST(cvec[i] AS DOUBLE))), (x,y) -> x+y)"
+    )
+    return f"""
+    WITH qfull AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    cent AS (
+      SELECT label AS cell, list(s ORDER BY dd) AS centroid FROM (
+        SELECT label, dd, CAST(SUM(CAST(embedding[dd] AS DECIMAL(27,8))) AS DOUBLE) AS s
+        FROM embeddings, range(1, {dim + 1}) t(dd)
+        GROUP BY label, dd
+      ) GROUP BY label
+    ),
+    best AS (
+      SELECT cell FROM cent, qfull
+      ORDER BY {_dd_cos('centroid', 'qe')} DESC, cell ASC
+      LIMIT 1
+    ),
+    cb AS (
+      SELECT s.s AS sub, e.vec_id AS code_id,
+             e.embedding[s.s*{d}+1 : s.s*{d}+{d}] AS cvec
+      FROM embeddings e, range(0, {m}) s(s)
+      WHERE e.vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {codes})
+    ),
+    sv AS (
+      SELECT e.vec_id, s.s AS sub, e.embedding[s.s*{d}+1 : s.s*{d}+{d}] AS svec
+      FROM embeddings e JOIN best ON e.label = best.cell, range(0, {m}) s(s)
+    ),
+    enc AS (
+      SELECT vec_id, sub, code_id FROM (
+        SELECT sv.vec_id, sv.sub, cb.code_id,
+               ROW_NUMBER() OVER (PARTITION BY sv.vec_id, sv.sub
+                 ORDER BY {l2} ASC, cb.code_id ASC) AS rn
+        FROM sv JOIN cb USING (sub)
+      ) WHERE rn = 1
+    ),
+    q AS (
+      SELECT s.s AS sub, embedding[s.s*{d}+1 : s.s*{d}+{d}] AS qvec
+      FROM embeddings, range(0, {m}) s(s) WHERE vec_id = 0
+    ),
+    tbl AS (
+      SELECT cb.sub, cb.code_id, {_dd_dot('qvec', 'cvec')} AS t
+      FROM cb JOIN q USING (sub)
+    ),
+    score AS (
+      SELECT enc.vec_id,
+             list_reduce(list(t ORDER BY enc.sub), (a,b) -> a+b) AS adc
+      FROM enc JOIN tbl ON enc.sub = tbl.sub AND enc.code_id = tbl.code_id
+      GROUP BY enc.vec_id
+    ),
+    shortlist AS (
+      SELECT vec_id, adc FROM score ORDER BY adc DESC, vec_id ASC LIMIT {k * alpha}
+    ),
+    rr AS (
+      SELECT s.vec_id, s.adc, {_dd_cos('e.embedding', 'qe')} AS exact_sim
+      FROM shortlist s JOIN embeddings e USING (vec_id), qfull
+    )
+    SELECT vec_id, adc, exact_sim
+    FROM rr ORDER BY exact_sim DESC, vec_id ASC LIMIT {k}
+    """
+
+
+@query("q164_ivf_pq_rerank", _ivf_pq_rerank_oracle())
+def q164_ivf_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ with the exact RE-RANK stage (corpus/similarity.py::
+    ivf_pq_topk(rerank=4) — Jegou et al. 2011 SSV): the ADC pass
+    shortlists k*4 candidates from the routed cell's codes, their true
+    vectors join back by id (shortlist-bounded fetch, never a corpus
+    scan), and the final top-10 ranks by exact cosine. The in-query
+    assertion pins the published property that motivates the stage:
+    re-ranked recall@10 vs the exact brute-force baseline (q124's
+    metric) is >= plain-ADC recall@10 — guaranteed by construction,
+    since any shortlist member in the exact global top-k survives an
+    exact re-rank. The whole composition (routing, encode, ADC
+    shortlist, exact-cosine re-rank) is replayed relationally, so the
+    final ranking AND both scores per neighbor are hash-pinned."""
+    emb = _t(spark, sf_dir, "embeddings")
+    rr = csim.ivf_pq_topk(emb, query_id=0, k=10, probes=1, rerank=4)
+    rr = rr.localCheckpoint(eager=True)  # bounded (k rows); reused below
+    exact_ids = {
+        r["vec_id"] for r in csim.cosine_topk(emb, 0, k=10).collect()
+    }
+    adc_ids = {
+        r["vec_id"]
+        for r in csim.ivf_pq_topk(emb, query_id=0, k=10, probes=1).collect()
+    }
+    rr_ids = {r["vec_id"] for r in rr.select("vec_id").collect()}
+    recall_adc = len(adc_ids & exact_ids)
+    recall_rr = len(rr_ids & exact_ids)
+    if recall_rr < recall_adc:
+        raise AssertionError(
+            f"re-rank lost recall: {recall_rr}/10 < ADC {recall_adc}/10"
+        )
+    return rr

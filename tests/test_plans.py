@@ -226,6 +226,9 @@ CARTESIAN_OK = {
     # shape to q24/q25/q103's allowlisted routing joins
     "q159_pq_adc_topk",
     "q160_ivf_pq_topk",
+    # same 1-row query-vector broadcasts as q160, plus the exact
+    # re-rank's k·α-row shortlist broadcast (shortlist-sized fetch)
+    "q164_ivf_pq_rerank",
 }
 
 

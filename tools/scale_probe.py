@@ -58,6 +58,11 @@ DEFAULT_QUERIES = [
     "q159_pq_adc_topk",
     "q160_ivf_pq_topk",
     "q161_repetition_rules",
+    # round-10: the exact re-rank adds a k·α-row shortlist-bounded
+    # vector fetch on top of q160 — the doubling ratio must stay in
+    # q160's class (the shortlist is constant-size, so the re-rank
+    # join contributes O(1) regardless of corpus size)
+    "q164_ivf_pq_rerank",
 ]
 
 BASE = "/root/testdata/sf0.1"
