@@ -117,6 +117,14 @@ HEADLINE = [
     # + one count shuffle over every n) and the entropy/TTR diagnostics
     "q161_repetition_rules",
     "q162_lexical_diversity",
+    # round-10: the streaming row-level change feed (real writeStream
+    # drain of a six-version DML history), IVF-PQ with the exact
+    # re-rank stage, and the FUSED quality suite — whose time should
+    # undercut the q67+q161+q162 sum it replaces (one read, one
+    # explode, two exchanges)
+    "q163_stream_change_feed",
+    "q164_ivf_pq_rerank",
+    "q165_quality_suite",
 ]
 
 

@@ -476,3 +476,312 @@ def repetition_signals_oracle_sql(
       FROM per_doc
     )
     """
+
+
+# ---------------------------------------------------------------------------
+# Fused quality suite: word rules + repetition rules + lexical diversity
+# in ONE corpus pass (one split, one explode, two exchanges)
+# ---------------------------------------------------------------------------
+
+
+def quality_suite(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """EVERY text-quality signal this module and ``text.py`` compute —
+    the Gopher word rules (:func:`gopher_rules`), the n-gram repetition
+    rules (:func:`repetition_signals`) and the lexical-diversity
+    diagnostics (``text.lexical_signals``) — in ONE pass over the
+    corpus. A real 100 TB curation run computes all signals per read;
+    running the three operators separately reads, splits and explodes
+    the corpus three times.
+
+    The fusion key: WORDS ARE 1-GRAMS. One split feeds one explode of
+    (n, gram) structs for n in {1} ∪ TOP ∪ DUP; one (doc, n, gram)
+    count is the only data-sized shuffle; one per-doc aggregation folds
+    every signal out of the counts —
+
+    - word rules from the n=1 rows (word-multiset functions: counts,
+      mean length, symbol/alpha/stopword fractions all weight by c);
+    - repetition top-gram argmax as min over a (-count, gram) struct
+      (q161's no-window trick) and dup-gram mass as a conditional sum;
+    - lexical entropy via the identity H = ln n − (Σ c·ln c)/n, so no
+      per-doc total is needed BEFORE the aggregation (the per-term
+      rounding convention carries over: each c·ln c rounds to 9 dp and
+      sums as decimal, then one double division — bit-stable
+      cross-engine like q162, algebraically equal to the definitional
+      −Σ p·ln p).
+
+    Exactly TWO exchanges at any corpus size (plan-asserted in
+    tests/test_plans.py): the gram count and the per-doc fold. Every
+    doc has ≥1 word (split never yields an empty array), so the n=1
+    rows guarantee per-doc coverage with no join back."""
+    sw = STOPWORDS["en"]
+    quoted = ", ".join(f"'{w}'" for w in sw)
+    sym_preds = " OR ".join(f"contains(__g, '{s}')" for s in _SYMBOLS)
+    ns = sorted({*TOP_NGRAM_LIMITS, *DUP_NGRAM_LIMITS})
+    gram_arrays = ", ".join(
+        ["transform(__ws, g -> struct(1 AS n, g AS gram))"]
+        + [
+            f"transform({_strict_grams_sql('__ws', n)}, "
+            f"g -> struct({n} AS n, g AS gram))"
+            for n in ns
+        ]
+    )
+    exploded = (
+        df.select(
+            F.col(id_col),
+            F.length(text_col).alias("__chars"),
+            F.expr(_w(text_col)).alias("__ws"),  # split ONCE
+        )
+        .select(
+            F.col(id_col),
+            "__chars",
+            F.explode(F.expr(f"concat({gram_arrays})")).alias("__p"),
+        )
+        .select(
+            id_col,
+            "__chars",
+            F.col("__p.n").alias("__n"),
+            F.col("__p.gram").alias("__g"),
+        )
+    )
+    counts = exploded.groupBy(id_col, "__chars", "__n", "__g").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    # The per-doc fold is necessarily a SortAggregate (the top-gram
+    # argmax min carries a string, the entropy sum a wide decimal —
+    # neither buffers in the mutable hash-agg row), and SortAggregate
+    # evaluates its inputs OUTSIDE whole-stage codegen. So every
+    # per-row term — the stopword IN list, the symbol/alpha
+    # predicates, the c·ln c entropy term, the argmax sort key — is
+    # precomputed here in a codegen'd PROJECTION over the count rows,
+    # leaving the fold with bare sum/min over ready columns (measured:
+    # the fused pass dropped under the three separate operators' sum
+    # only after this split; with the terms inline in the aggregate it
+    # cost 1.6x the parts).
+    is_word = F.col("__n") == 1
+    terms = counts.select(
+        F.col(id_col),
+        "__chars",
+        F.when(is_word, F.col("__c")).alias("__wc"),
+        F.when(is_word, F.col("__c") * F.length("__g")).alias("__twlen"),
+        F.when(is_word & F.expr(f"({sym_preds})"), F.col("__c")).alias("__tsym"),
+        F.when(is_word & F.col("__g").rlike("[a-zA-Z]"), F.col("__c")).alias(
+            "__talpha"
+        ),
+        F.when(is_word & F.expr(f"__g IN ({quoted})"), F.col("__c")).alias(
+            "__tstop"
+        ),
+        F.when(
+            is_word,
+            F.round(
+                F.col("__c").cast("double") * F.log(F.col("__c").cast("double")),
+                9,
+            ).cast("decimal(28,12)"),
+        ).alias("__tent"),
+        *[
+            # top-gram argmax as min over a SORTABLE STRING: zero-padded
+            # inverted count, then the gram — count desc / gram asc,
+            # exactly q161's tie-break
+            F.when(
+                F.col("__n") == n,
+                F.concat(
+                    F.lpad(
+                        (F.lit(1_000_000_000) - F.col("__c")).cast("string"),
+                        10,
+                        "0",
+                    ),
+                    F.lit(":"),
+                    F.col("__g"),
+                ),
+            ).alias(f"__tkey{n}")
+            for n in TOP_NGRAM_LIMITS
+        ],
+        *[
+            F.when(
+                (F.col("__n") == n) & (F.col("__c") > 1),
+                F.col("__c") * F.length("__g"),
+            ).alias(f"__tdup{n}")
+            for n in DUP_NGRAM_LIMITS
+        ],
+    )
+    per_doc = terms.groupBy(id_col, "__chars").agg(
+        F.sum("__wc").cast("long").alias("n_words"),
+        F.sum("__twlen").alias("__wlen"),
+        F.coalesce(F.sum("__tsym"), F.lit(0)).alias("__sym"),
+        F.coalesce(F.sum("__talpha"), F.lit(0)).alias("__alpha"),
+        F.coalesce(F.sum("__tstop"), F.lit(0)).cast("long").alias(
+            "stopword_hits"
+        ),
+        F.count("__wc").cast("long").alias("n_types"),
+        F.sum("__tent").alias("__entS"),
+        *[F.min(f"__tkey{n}").alias(f"__top{n}") for n in TOP_NGRAM_LIMITS],
+        *[
+            F.coalesce(F.sum(f"__tdup{n}"), F.lit(0)).alias(f"__dup{n}")
+            for n in DUP_NGRAM_LIMITS
+        ],
+    )
+
+    def frac9(num):
+        return F.round(
+            F.least(
+                F.lit(1.0),
+                num.cast("double")
+                / F.nullif(F.col("__chars"), F.lit(0)).cast("double"),
+            ),
+            9,
+        )
+
+    cols = [
+        F.col(id_col),
+        F.col("n_words"),
+        F.round(
+            F.col("__wlen").cast("double") / F.col("n_words"), 9
+        ).alias("mean_word_len"),
+        F.round(F.col("__sym").cast("double") / F.col("n_words"), 9).alias(
+            "symbol_ratio"
+        ),
+        F.round(F.col("__alpha").cast("double") / F.col("n_words"), 9).alias(
+            "alpha_ratio"
+        ),
+        F.col("stopword_hits"),
+        F.col("n_types"),
+        F.round(F.col("n_types").cast("double") / F.col("n_words"), 9).alias(
+            "ttr"
+        ),
+        F.round(
+            F.log(F.col("n_words").cast("double"))
+            - F.coalesce(F.col("__entS").cast("double"), F.lit(0.0))
+            / F.col("n_words"),
+            9,
+        ).alias("entropy"),
+    ]
+    for n in TOP_NGRAM_LIMITS:
+        top_c = F.lit(1_000_000_000) - F.substring(f"__top{n}", 1, 10).cast(
+            "long"
+        )
+        top_len = F.length(f"__top{n}") - 11
+        cols.append(
+            F.coalesce(
+                frac9(top_c * top_len), F.lit(0.0)
+            ).alias(f"top_{n}gram_frac")
+        )
+    for n in DUP_NGRAM_LIMITS:
+        cols.append(frac9(F.col(f"__dup{n}")).alias(f"dup_{n}gram_frac"))
+    out = per_doc.select(*cols)
+    rules = {
+        "rule_word_count": (F.col("n_words") >= MIN_WORDS)
+        & (F.col("n_words") <= MAX_WORDS),
+        "rule_mean_word_len": (F.col("mean_word_len") >= MIN_MEAN_WORD_LEN)
+        & (F.col("mean_word_len") <= MAX_MEAN_WORD_LEN),
+        "rule_symbol_ratio": F.col("symbol_ratio") <= MAX_SYMBOL_RATIO,
+        "rule_alpha_ratio": F.col("alpha_ratio") >= MIN_ALPHA_RATIO,
+        "rule_stopwords": F.col("stopword_hits") >= MIN_STOPWORD_HITS,
+    }
+    for n, lim in TOP_NGRAM_LIMITS.items():
+        rules[f"rule_top_{n}gram"] = F.col(f"top_{n}gram_frac") <= lim
+    for n, lim in DUP_NGRAM_LIMITS.items():
+        rules[f"rule_dup_{n}gram"] = F.col(f"dup_{n}gram_frac") <= lim
+    out = out.withColumns(rules)
+    passes = None
+    for name in rules:
+        passes = F.col(name) if passes is None else (passes & F.col(name))
+    return out.withColumn("passes", passes)
+
+
+def quality_suite_oracle_sql(
+    table: str = "documents", text_col: str = "text"
+) -> str:
+    """DuckDB twin of :func:`quality_suite` — the same single
+    (doc, n, gram) count feeding every signal, the same argmax
+    tie-break, rounding and entropy identity."""
+    w = _dd_w(text_col)
+    sym_preds = " OR ".join(f"contains(gram, '{s}')" for s in _SYMBOLS)
+    quoted = ", ".join(f"'{x}'" for x in STOPWORDS["en"])
+    ns = sorted({*TOP_NGRAM_LIMITS, *DUP_NGRAM_LIMITS})
+    values = ", ".join(f"({n})" for n in [1] + ns)
+    top_cols = ",\n           ".join(
+        f"round(LEAST(1.0, CAST(COALESCE(MAX(CASE WHEN n = {n} AND rn = 1 "
+        f"THEN c * length(gram) END), 0) AS DOUBLE) / NULLIF(chars, 0)), 9) "
+        f"AS top_{n}gram_frac"
+        for n in TOP_NGRAM_LIMITS
+    )
+    dup_cols = ",\n           ".join(
+        f"round(LEAST(1.0, CAST(COALESCE(SUM(CASE WHEN n = {n} AND c > 1 "
+        f"THEN c * length(gram) END), 0) AS DOUBLE) / NULLIF(chars, 0)), 9) "
+        f"AS dup_{n}gram_frac"
+        for n in DUP_NGRAM_LIMITS
+    )
+    top_rules = ",\n           ".join(
+        f"(top_{n}gram_frac <= {lim}) AS rule_top_{n}gram"
+        for n, lim in TOP_NGRAM_LIMITS.items()
+    )
+    dup_rules = ",\n           ".join(
+        f"(dup_{n}gram_frac <= {lim}) AS rule_dup_{n}gram"
+        for n, lim in DUP_NGRAM_LIMITS.items()
+    )
+    all_rules = " AND ".join(
+        [
+            "rule_word_count",
+            "rule_mean_word_len",
+            "rule_symbol_ratio",
+            "rule_alpha_ratio",
+            "rule_stopwords",
+        ]
+        + [f"rule_top_{n}gram" for n in TOP_NGRAM_LIMITS]
+        + [f"rule_dup_{n}gram" for n in DUP_NGRAM_LIMITS]
+    )
+    return f"""
+    WITH grams AS (
+      SELECT doc_id, length({text_col}) AS chars, t.n,
+             unnest(CASE WHEN t.n = 1 THEN {w}
+               WHEN len({w}) >= t.n THEN
+                 list_transform(range(0, len({w}) - t.n + 1),
+                                i -> array_to_string({w}[i+1:i+t.n], ' '))
+               ELSE [] END) AS gram
+      FROM {table}, (VALUES {values}) t(n)
+    ),
+    cnts AS (
+      SELECT doc_id, chars, n, gram, COUNT(*) AS c
+      FROM grams GROUP BY 1, 2, 3, 4
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id, n
+                                   ORDER BY c DESC, gram ASC) AS rn
+      FROM cnts
+    ),
+    per_doc AS (
+      SELECT doc_id,
+           CAST(SUM(CASE WHEN n = 1 THEN c END) AS BIGINT) AS n_words,
+           round(CAST(SUM(CASE WHEN n = 1 THEN c * length(gram) END) AS DOUBLE)
+                 / SUM(CASE WHEN n = 1 THEN c END), 9) AS mean_word_len,
+           round(CAST(COALESCE(SUM(CASE WHEN n = 1 AND ({sym_preds}) THEN c END), 0) AS DOUBLE)
+                 / SUM(CASE WHEN n = 1 THEN c END), 9) AS symbol_ratio,
+           round(CAST(COALESCE(SUM(CASE WHEN n = 1 AND regexp_matches(gram, '[a-zA-Z]') THEN c END), 0) AS DOUBLE)
+                 / SUM(CASE WHEN n = 1 THEN c END), 9) AS alpha_ratio,
+           CAST(COALESCE(SUM(CASE WHEN n = 1 AND gram IN ({quoted}) THEN c END), 0) AS BIGINT)
+             AS stopword_hits,
+           CAST(SUM(CASE WHEN n = 1 THEN 1 END) AS BIGINT) AS n_types,
+           round(CAST(SUM(CASE WHEN n = 1 THEN 1 END) AS DOUBLE)
+                 / SUM(CASE WHEN n = 1 THEN c END), 9) AS ttr,
+           round(ln(SUM(CASE WHEN n = 1 THEN c END))
+                 - CAST(COALESCE(SUM(CASE WHEN n = 1
+                     THEN CAST(round(c * ln(c), 9) AS DECIMAL(28,12)) END), 0) AS DOUBLE)
+                   / SUM(CASE WHEN n = 1 THEN c END), 9) AS entropy,
+           {top_cols},
+           {dup_cols}
+      FROM ranked GROUP BY doc_id, chars
+    )
+    SELECT *, ({all_rules}) AS passes FROM (
+      SELECT *,
+           (n_words >= {MIN_WORDS} AND n_words <= {MAX_WORDS}) AS rule_word_count,
+           (mean_word_len >= {MIN_MEAN_WORD_LEN} AND mean_word_len <= {MAX_MEAN_WORD_LEN})
+             AS rule_mean_word_len,
+           (symbol_ratio <= {MAX_SYMBOL_RATIO}) AS rule_symbol_ratio,
+           (alpha_ratio >= {MIN_ALPHA_RATIO}) AS rule_alpha_ratio,
+           (stopword_hits >= {MIN_STOPWORD_HITS}) AS rule_stopwords,
+           {top_rules},
+           {dup_rules}
+      FROM per_doc
+    )
+    """

@@ -2173,3 +2173,19 @@ def q164_ivf_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"re-rank lost recall: {recall_rr}/10 < ADC {recall_adc}/10"
         )
     return rr
+
+
+@query("q165_quality_suite", crules.quality_suite_oracle_sql())
+def q165_quality_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FUSED text-quality suite (corpus/rules.py::quality_suite):
+    q67's Gopher word rules + q161's repetition rules + q162's lexical
+    diversity, all computed in ONE corpus pass — one split, one explode
+    of (n, gram) structs with words as the n=1 family, exactly two
+    exchanges (the (doc, n, gram) count and the per-doc fold;
+    plan-asserted in tests/test_plans.py). A 100 TB curation run
+    computes all signals per read, not per operator. Entropy uses the
+    identity H = ln n − (Σ c·ln c)/n so the per-doc token total never
+    has to exist before the single aggregation; every signal, boolean
+    and the conjunction is hash-pinned against the relational twin of
+    the same fused plan."""
+    return crules.quality_suite(_t(spark, sf_dir, "documents"))

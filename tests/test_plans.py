@@ -189,6 +189,19 @@ def test_minhash_signature_hash_computed_before_barrier(spark, plan):
     assert p.count("md5") == 1, "md5 shingle pass must appear exactly once"
 
 
+def test_quality_suite_two_exchanges_one_scan(plan):
+    """The fused quality suite (q165) must be ONE corpus pass: a single
+    parquet scan of documents and exactly two exchanges — the
+    (doc, n, gram) count and the per-doc fold. A third exchange or a
+    second scan means the fusion regressed to the per-operator shape
+    (three reads, three explodes) it exists to replace."""
+    p = plan("q165_quality_suite")
+    n_exchange = len(re.findall(r"\(\d+\) Exchange", p))
+    assert n_exchange == 2, p
+    n_scans = len(re.findall(r"\(\d+\) Scan parquet", p))
+    assert n_scans == 1, p
+
+
 def test_moving_stats_single_shuffle_shared_sort(plan):
     # lag/lead/frames/row_number all share one user_id shuffle + sort
     p = plan("q54_user_moving_stats")

@@ -82,3 +82,46 @@ def test_adaptive_length_filter_per_group_bounds(spark):
     assert en and zh
     assert min(en) >= 40 and max(en) <= 950
     assert min(zh) >= 5004 and max(zh) <= 5095
+
+
+def test_quality_suite_matches_component_operators(spark, sf_dir):
+    """The fused suite must agree signal-for-signal with the three
+    operators it replaces: gopher_rules, repetition_signals, and
+    lexical_signals (entropy via the algebraic identity, equal to the
+    definitional form within the 9-dp rounding convention)."""
+    from modular_etl_data_platform_spark.corpus import rules as crules
+    from modular_etl_data_platform_spark.corpus import text as ctext
+    from modular_etl_data_platform_spark.queries.catalog import _t
+
+    docs = _t(spark, sf_dir, "documents")
+    fused = {r["doc_id"]: r for r in crules.quality_suite(docs).collect()}
+    words = {r["doc_id"]: r for r in crules.gopher_rules(docs).collect()}
+    reps = {r["doc_id"]: r for r in crules.repetition_signals(docs).collect()}
+    lex = {r["doc_id"]: r for r in ctext.lexical_signals(docs).collect()}
+    assert set(fused) == set(words) == set(reps) == set(lex)
+    word_cols = [
+        "n_words", "mean_word_len", "symbol_ratio", "alpha_ratio",
+        "stopword_hits", "rule_word_count", "rule_mean_word_len",
+        "rule_symbol_ratio", "rule_alpha_ratio", "rule_stopwords",
+    ]
+    rep_cols = [
+        "top_2gram_frac", "top_3gram_frac", "top_4gram_frac",
+        "dup_5gram_frac", "dup_10gram_frac", "rule_top_2gram",
+        "rule_top_3gram", "rule_top_4gram", "rule_dup_5gram",
+        "rule_dup_10gram",
+    ]
+    for d, f in fused.items():
+        for c in word_cols:
+            assert f[c] == words[d][c], (d, c, f[c], words[d][c])
+        for c in rep_cols:
+            assert f[c] == reps[d][c], (d, c, f[c], reps[d][c])
+        assert f["n_words"] == lex[d]["n_tokens"]
+        assert f["n_types"] == lex[d]["n_types"]
+        assert f["ttr"] == lex[d]["ttr"]
+        # two rounding paths to the same entropy: definitional -sum p ln p
+        # (per-term rounded) vs ln n - (sum c ln c)/n (per-term rounded)
+        assert abs(f["entropy"] - lex[d]["entropy"]) < 1e-6, (
+            d, f["entropy"], lex[d]["entropy"],
+        )
+        # the suite's conjunction covers exactly the 10 component rules
+        assert f["passes"] == (words[d]["passes"] and reps[d]["passes"])

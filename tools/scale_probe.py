@@ -63,6 +63,10 @@ DEFAULT_QUERIES = [
     # q160's class (the shortlist is constant-size, so the re-rank
     # join contributes O(1) regardless of corpus size)
     "q164_ivf_pq_rerank",
+    # round-10: the fused quality suite — one explode over all six
+    # gram families; the (doc, n, gram) count is the only data-sized
+    # shuffle, so the doubling ratio must stay in q161's class
+    "q165_quality_suite",
 ]
 
 BASE = "/root/testdata/sf0.1"
