@@ -227,12 +227,84 @@ def _mapped_schema_string(schema_json: str, mapping: dict[str, str]) -> tuple[st
     return json.dumps(schema), next_id[0]
 
 
+def _protocol_action(dv_map, mapping) -> dict:
+    """Table features only where the snapshot needs them — maximal
+    reader compatibility for plain snapshots."""
+    features = []
+    if dv_map:
+        features.append("deletionVectors")
+    if mapping is not None:
+        features.append("columnMapping")
+    if features:
+        return {
+            "minReaderVersion": 3,
+            "minWriterVersion": 7,
+            "readerFeatures": features,
+            "writerFeatures": features,
+        }
+    return {"minReaderVersion": 1, "minWriterVersion": 2}
+
+
+def _link_and_add(
+    dest: str,
+    src: str,
+    rel: str,
+    stats_entry: dict | None,
+    deleted_rows: list[int] | None,
+    data_change: bool = True,
+) -> dict:
+    """Hard-link (or copy) ``src`` to ``dest/rel`` if not already
+    there, and build its ``add`` action: URL-encoded relative path,
+    size, numRecords + min/max stats, and a ``deletionVector``
+    descriptor when ``deleted_rows`` is non-empty."""
+    import pyarrow.parquet as pq
+
+    out = os.path.join(dest, rel)
+    if not os.path.exists(out):
+        try:
+            os.link(src, out)  # zero-copy on the same filesystem
+        except OSError:
+            shutil.copy2(src, out)
+    file_stats: dict = {}
+    mins, maxs = {}, {}
+    for col, rec in (stats_entry or {}).items():
+        # numeric [lo, hi] ranges map 1:1 onto Delta's min/maxValues
+        # (keys are PHYSICAL names — the protocol's rule, and what
+        # the engine's footer stats already record); the ts/date ISO
+        # encodings and the empty-file marker stay engine-internal
+        # (Delta readers treat absent stats as unprunable —
+        # conservative, never wrong)
+        if isinstance(rec, list):
+            mins[col], maxs[col] = rec[0], rec[1]
+    if mins:
+        file_stats["minValues"], file_stats["maxValues"] = mins, maxs
+    file_stats = {
+        "numRecords": pq.ParquetFile(out).metadata.num_rows,
+        **file_stats,
+    }
+    add: dict = {
+        "path": urllib.parse.quote(rel),
+        "partitionValues": {},
+        "size": os.path.getsize(out),
+        "modificationTime": int(os.path.getmtime(out) * 1000),
+        "dataChange": data_change,
+    }
+    if deleted_rows:
+        add["deletionVector"] = _write_dv_file(dest, sorted(set(deleted_rows)))
+        # bounds may be loose once rows are vector-deleted
+        file_stats["tightBounds"] = False
+    add["stats"] = json.dumps(file_stats)
+    return add
+
+
 def export_delta_snapshot(
     table: VersionedTable, dest: str, version: int | None = None
 ) -> str:
     """Materialize ``table``'s snapshot at ``version`` (default head)
     under ``dest`` as a Delta table; returns ``dest``. Fails if ``dest``
-    already holds files — an export never silently overwrites."""
+    already holds files — an export never silently overwrites. For a
+    LIVE mirror that follows later source versions, see
+    :func:`export_delta_incremental`."""
     v = table.current_version() if version is None else version
     if v is None:
         raise FileNotFoundError(f"no versions in {table.path}")
@@ -244,23 +316,7 @@ def export_delta_snapshot(
     log_dir = os.path.join(dest, "_delta_log")
     os.makedirs(log_dir, exist_ok=True)
 
-    # protocol: table features only where the snapshot needs them —
-    # maximal reader compatibility for plain snapshots
-    features = []
-    if dv_map:
-        features.append("deletionVectors")
-    if mapping is not None:
-        features.append("columnMapping")
-    if features:
-        protocol = {
-            "minReaderVersion": 3,
-            "minWriterVersion": 7,
-            "readerFeatures": features,
-            "writerFeatures": features,
-        }
-    else:
-        protocol = {"minReaderVersion": 1, "minWriterVersion": 2}
-
+    protocol = _protocol_action(dv_map, mapping)
     schema_string = state["schema"]
     configuration: dict[str, str] = {}
     if mapping is not None:
@@ -288,53 +344,312 @@ def export_delta_snapshot(
     stats = state.get("stats", {})
     for i, src in enumerate(sorted(state["files"])):
         rel = f"part-{i:05d}-{uuid.uuid4().hex}.parquet"
-        out = os.path.join(dest, rel)
-        try:
-            os.link(src, out)  # zero-copy on the same filesystem
-        except OSError:
-            shutil.copy2(src, out)
-        entry = stats.get(src) or {}
-        file_stats: dict = {}
-        mins, maxs = {}, {}
-        for col, rec in entry.items():
-            # numeric [lo, hi] ranges map 1:1 onto Delta's min/maxValues
-            # (keys are PHYSICAL names — the protocol's rule, and what
-            # the engine's footer stats already record); the ts/date ISO
-            # encodings and the empty-file marker stay engine-internal
-            # (Delta readers treat absent stats as unprunable —
-            # conservative, never wrong)
-            if isinstance(rec, list):
-                mins[col], maxs[col] = rec[0], rec[1]
-        if mins:
-            file_stats["minValues"], file_stats["maxValues"] = mins, maxs
-        import pyarrow.parquet as pq
-
-        file_stats = {
-            "numRecords": pq.ParquetFile(out).metadata.num_rows,
-            **file_stats,
-        }
-        add: dict = {
-            "path": urllib.parse.quote(rel),
-            "partitionValues": {},
-            "size": os.path.getsize(out),
-            "modificationTime": int(os.path.getmtime(out) * 1000),
-            "dataChange": True,
-        }
-        if src in dv_map:
-            deleted = sorted(
-                set(
-                    dv_rows.get(dv_map[src], {}).get(
-                        _strip_scheme_py(src), []
-                    )
-                )
-            )
-            if deleted:
-                add["deletionVector"] = _write_dv_file(dest, deleted)
-                # bounds may be loose once rows are vector-deleted
-                file_stats["tightBounds"] = False
-        add["stats"] = json.dumps(file_stats)
-        actions.append({"add": add})
+        deleted = (
+            dv_rows.get(dv_map[src], {}).get(_strip_scheme_py(src), [])
+            if src in dv_map
+            else None
+        )
+        actions.append(
+            {"add": _link_and_add(dest, src, rel, stats.get(src), deleted)}
+        )
     commit = os.path.join(log_dir, f"{0:020d}.json")
     with open(commit, "w") as f:
         f.write("\n".join(json.dumps(a) for a in actions) + "\n")
     return dest
+
+
+
+
+# ---------------------------------------------------------------------------
+# incremental export: a LIVE Delta mirror that follows source versions
+# ---------------------------------------------------------------------------
+
+_MIRROR_STATE = "_vt_mirror_state.json"
+#: dataChange=false source commit modes (Delta's OPTIMIZE convention)
+_NO_CHANGE_MODES = {"compact", "compact_where", "auto_compact"}
+
+
+def _mapped_schema_string_stable(
+    schema_json: str, mapping: dict[str, str], ids: dict[str, int]
+) -> tuple[str, int]:
+    """Like :func:`_mapped_schema_string` but with PERSISTENT ids: a
+    (path-qualified) physical name keeps its ``delta.columnMapping.id``
+    across metaData re-emissions — the protocol's column-identity rule
+    (an id IS the column; reassigning one would alias old data to a
+    new column). ``ids`` mutates; the mirror state persists it."""
+    schema = json.loads(schema_json)
+
+    def assign(key: str) -> int:
+        if key not in ids:
+            ids[key] = (max(ids.values()) + 1) if ids else 1
+        return ids[key]
+
+    def annotate_type(t, prefix):
+        if not isinstance(t, dict):
+            return t
+        if t.get("type") == "struct":
+            return {
+                **t,
+                "fields": [annotate(f, f["name"], prefix) for f in t["fields"]],
+            }
+        if t.get("type") == "array":
+            return {
+                **t,
+                "elementType": annotate_type(t["elementType"], prefix + ".element"),
+            }
+        if t.get("type") == "map":
+            return {
+                **t,
+                "keyType": annotate_type(t["keyType"], prefix + ".key"),
+                "valueType": annotate_type(t["valueType"], prefix + ".value"),
+            }
+        return t
+
+    def annotate(field: dict, physical: str, prefix: str) -> dict:
+        key = f"{prefix}.{physical}" if prefix else physical
+        meta = dict(field.get("metadata") or {})
+        meta["delta.columnMapping.id"] = assign(key)
+        meta["delta.columnMapping.physicalName"] = physical
+        return {
+            **field,
+            "metadata": meta,
+            "type": annotate_type(field.get("type"), key),
+        }
+
+    schema["fields"] = [
+        annotate(f, mapping.get(f["name"], f["name"]), "")
+        for f in schema["fields"]
+    ]
+    return json.dumps(schema), (max(ids.values()) if ids else 0)
+
+
+def _emit_mirror_commit(
+    dest: str,
+    log_dir: str,
+    mirror: dict,
+    prev: dict,
+    cur: dict,
+    source_version: int,
+) -> None:
+    """ONE Delta commit mirroring the ``prev`` → ``cur`` source
+    transition: protocol upgrade when features appear, metaData when
+    schema/mapping changed, remove/add/re-add actions for the file
+    diff, a free-form ``commitInfo`` recording the source version.
+    Mutates ``mirror`` (delta_version, files map, protocol/schema
+    memos)."""
+    data_change = cur.get("mode", "") not in _NO_CHANGE_MODES
+    prev_dv, cur_dv = prev.get("dv", {}), cur.get("dv", {})
+    prev_set, cur_set = set(prev["files"]), set(cur["files"])
+    files: dict = mirror["files"]
+    delta_v = mirror["delta_version"] + 1
+    actions: list[dict] = []
+
+    proto = _protocol_action(cur_dv, cur.get("column_mapping"))
+    if proto != mirror.get("protocol"):
+        old = mirror.get("protocol") or {}
+        merged = {
+            "minReaderVersion": max(
+                proto["minReaderVersion"], old.get("minReaderVersion", 1)
+            ),
+            "minWriterVersion": max(
+                proto["minWriterVersion"], old.get("minWriterVersion", 1)
+            ),
+        }
+        feats = sorted(
+            set(proto.get("readerFeatures", []))
+            | set(old.get("readerFeatures", []))
+        )
+        if feats:
+            merged["readerFeatures"] = feats
+            merged["writerFeatures"] = feats
+        if merged != old:  # floors are monotone: emit only upgrades
+            actions.append({"protocol": merged})
+            mirror["protocol"] = merged
+
+    if (
+        cur["schema"] != mirror.get("schema")
+        or cur.get("column_mapping") != mirror.get("mapping", "__unset__")
+    ):
+        schema_string = cur["schema"]
+        configuration: dict[str, str] = {}
+        if cur.get("column_mapping") is not None:
+            schema_string, max_id = _mapped_schema_string_stable(
+                schema_string,
+                cur["column_mapping"],
+                mirror.setdefault("column_ids", {}),
+            )
+            configuration = {
+                "delta.columnMapping.mode": "name",
+                "delta.columnMapping.maxColumnId": str(max_id),
+            }
+        actions.append(
+            {
+                "metaData": {
+                    "id": mirror.setdefault("table_id", str(uuid.uuid4())),
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": schema_string,
+                    "partitionColumns": [],
+                    "configuration": configuration,
+                    "createdTime": int(time.time() * 1000),
+                }
+            }
+        )
+        mirror["schema"] = cur["schema"]
+        mirror["mapping"] = cur.get("column_mapping")
+
+    removed = [f for f in prev["files"] if f not in cur_set]
+    added = [f for f in cur["files"] if f not in prev_set]
+    dv_changed = [
+        f
+        for f in cur["files"]
+        if f in prev_set and prev_dv.get(f) != cur_dv.get(f)
+    ]
+    ts = int(cur.get("ts") or time.time() * 1000)
+    for src in sorted(removed):
+        rel = files.pop(src, None)
+        if rel is None:
+            raise RuntimeError(f"mirror state lost track of {src} — re-snapshot")
+        actions.append(
+            {
+                "remove": {
+                    "path": urllib.parse.quote(rel),
+                    "deletionTimestamp": ts,
+                    "dataChange": data_change,
+                }
+            }
+        )
+    touched = {cur_dv[f] for f in added + dv_changed if f in cur_dv}
+    dv_rows = _dv_rows_by_sidecar(touched) if touched else {}
+    stats = cur.get("stats", {})
+
+    def deleted_rows(src):
+        if src not in cur_dv:
+            return None
+        return dv_rows.get(cur_dv[src], {}).get(_strip_scheme_py(src), [])
+
+    for i, src in enumerate(sorted(added)):
+        rel = f"part-{delta_v:05d}-{i:05d}-{uuid.uuid4().hex}.parquet"
+        files[src] = rel
+        actions.append(
+            {
+                "add": _link_and_add(
+                    dest, src, rel, stats.get(src), deleted_rows(src), data_change
+                )
+            }
+        )
+    for src in sorted(dv_changed):
+        # Delta expresses a vector update as a re-add of the SAME path
+        # carrying the new descriptor (or none, when a restore cleared it)
+        actions.append(
+            {
+                "add": _link_and_add(
+                    dest,
+                    src,
+                    files[src],
+                    stats.get(src),
+                    deleted_rows(src),
+                    data_change,
+                )
+            }
+        )
+    actions.append(
+        {
+            "commitInfo": {
+                "operation": "VT-MIRROR",
+                "sourceVersion": source_version,
+                "sourceMode": cur.get("mode", ""),
+                "timestamp": ts,
+            }
+        }
+    )
+    with open(os.path.join(log_dir, f"{delta_v:020d}.json"), "w") as f:
+        f.write("\n".join(json.dumps(a) for a in actions) + "\n")
+    mirror["delta_version"] = delta_v
+
+
+def export_delta_incremental(
+    table: VersionedTable, dest: str, to_version: int | None = None
+) -> int:
+    """Mirror ``table`` into a Delta table at ``dest`` INCREMENTALLY:
+    the first call snapshots the current head as Delta commit 0; every
+    later call emits ONE ``_delta_log`` commit per NEW source version —
+    add actions for added files, remove actions for removed ones, and
+    re-adds (same relative path, new ``deletionVector`` descriptor) for
+    carried files whose vector changed, which is exactly how Delta
+    itself expresses a DV update. Compaction commits emit their
+    adds/removes with ``dataChange: false`` (Delta's OPTIMIZE
+    convention), so a streaming reader of the MIRROR skips them the
+    same way a reader of the source does. Schema / column-mapping
+    changes re-emit ``metaData`` with STABLE column-mapping ids (a
+    physical name keeps its id across commits — the state records the
+    assignment). Returns the mirrored source version.
+
+    Cost is O(changed files) per call — new data files hard-link,
+    re-adds reuse already-exported bytes — where re-running
+    :func:`export_delta_snapshot` for a new version is O(table).
+
+    Bookkeeping lives in ``_vt_mirror_state.json`` at the mirror root:
+    mirrored source version, Delta log head, the source-path →
+    exported-relative-path map (a carried file must keep its exported
+    name or earlier commits break), the protocol/schema memos and the
+    column-id assignment. Delta readers never see it — the log directs
+    readers to the referenced files; unreferenced extras are ignored.
+
+    Not a general Delta writer: single-writer tool semantics (the
+    mirror owns ``dest``; no OCC against other writers), and the
+    source versions being drained must still be retained — a vacuumed
+    gap raises (resolve fails loudly) rather than silently skipping
+    history."""
+    head = table.current_version()
+    if head is None:
+        raise FileNotFoundError(f"no versions in {table.path}")
+    v1 = head if to_version is None else to_version
+    state_path = os.path.join(dest, _MIRROR_STATE)
+    log_dir = os.path.join(dest, "_delta_log")
+
+    if not os.path.exists(state_path):
+        if os.path.isdir(dest) and os.listdir(dest):
+            raise FileExistsError(
+                f"{dest} is not empty and has no mirror state — refusing "
+                "to adopt a foreign table"
+            )
+        os.makedirs(log_dir, exist_ok=True)
+        mirror = {
+            "source_path": table.path,
+            "source_version": v1,
+            "delta_version": -1,
+            "files": {},
+            "column_ids": {},
+        }
+        # the initial snapshot is the empty→head transition through the
+        # SAME emitter as every later commit (stable ids from commit 0)
+        _emit_mirror_commit(
+            dest,
+            log_dir,
+            mirror,
+            {"files": [], "dv": {}},
+            table.log.resolve(v1),
+            v1,
+        )
+        with open(state_path, "w") as f:
+            json.dump(mirror, f)
+        return v1
+
+    with open(state_path) as f:
+        mirror = json.load(f)
+    if os.path.realpath(mirror["source_path"]) != table.path:
+        raise ValueError(
+            f"{dest} mirrors {mirror['source_path']}, not {table.path}"
+        )
+    v0 = mirror["source_version"]
+    if v1 <= v0:
+        return v0
+    prev = table.log.resolve(v0)
+    for v in range(v0 + 1, v1 + 1):
+        cur = table.log.resolve(v)
+        _emit_mirror_commit(dest, log_dir, mirror, prev, cur, v)
+        prev = cur
+    mirror["source_version"] = v1
+    with open(state_path, "w") as f:
+        json.dump(mirror, f)
+    return v1

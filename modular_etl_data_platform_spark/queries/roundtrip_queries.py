@@ -2229,3 +2229,102 @@ def q157_format_api_versioned_read(spark: SparkSession, sf_dir: str) -> DataFram
             spark.conf.unset(_PD_KEY)
         else:
             spark.conf.set(_PD_KEY, prior_pd)
+
+
+@query(
+    "q166_delta_mirror",
+    """
+    WITH base AS (
+      SELECT o_orderkey AS k, o_orderstatus AS s, o_totalprice AS p FROM orders
+    ),
+    batch AS (
+      SELECT x AS k, 'X' AS s, CAST(x AS DOUBLE) / 10 AS p
+      FROM range(1000, 3000) t(x)
+    ),
+    merged AS (
+      SELECT k, s, p FROM batch
+      UNION ALL
+      SELECT k, s, p FROM base WHERE k NOT IN (SELECT k FROM batch)
+    ),
+    final AS (SELECT * FROM merged WHERE k % 10 <> 7)
+    SELECT s,
+           COUNT(*) AS n_rows,
+           CAST(SUM(k) AS BIGINT) AS key_sum,
+           CAST(SUM(CAST(p AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+    FROM final GROUP BY s
+    """,
+)
+def q166_delta_mirror(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL Delta mirror, verified through the code-disjoint
+    FOREIGN reader (operators/delta_export.py::export_delta_incremental
+    + tools/delta_foreign_reader.py): a versioned orders table goes
+    through two appends, then is mirrored (Delta commit 0 = snapshot),
+    then a MERGE and a deletion-vector DELETE land and a second sync
+    emits ONE Delta commit per new source version — add/remove actions
+    and a same-path DV re-add, O(changed files), not a re-export. The
+    final mirror state is read back by the independent public-protocol
+    parser (log replay, DV roaring decode) and aggregated; the oracle
+    replays the same end state relationally, so the WHOLE chain —
+    engine DML → incremental protocol emission → foreign byte-level
+    read — is hash-pinned. In-query assertions: exactly one Delta
+    commit per sync'd source version, and the DV delete surfaced as a
+    deletion vector (not a rewrite) in the mirror."""
+    import importlib.util
+
+    from modular_etl_data_platform_spark.operators.delta_export import (
+        export_delta_incremental,
+    )
+    from modular_etl_data_platform_spark.operators.versioned import VersionedTable
+
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    spec = importlib.util.spec_from_file_location(
+        "delta_foreign_reader",
+        os.path.join(repo_root, "tools", "delta_foreign_reader.py"),
+    )
+    fr = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(fr)
+
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("s"),
+        F.col("o_totalprice").alias("p"),
+    )
+    scratch = _scratch("q166_delta_mirror", sf_dir)
+    table = os.path.join(scratch, "orders_v")
+    dest = os.path.join(scratch, "mirror")
+    vt = VersionedTable(spark, table, stats_columns=["k"])
+    vt.write(orders.filter(F.col("k") % 2 == 0).coalesce(1))  # v1
+    vt.write(orders.filter(F.col("k") % 2 == 1).coalesce(1), mode="append")  # v2
+    if export_delta_incremental(vt, dest) != 2:  # snapshot = commit 0
+        raise AssertionError("first sync should mirror source v2")
+    batch = spark.range(1000, 3000).select(
+        F.col("id").alias("k"),
+        F.lit("X").alias("s"),
+        (F.col("id").cast("double") / 10).alias("p"),
+    )
+    vt.upsert(batch, ["k"])  # v3
+    vt.delete_where("k % 10 = 7")  # v4: deletion vector
+    if export_delta_incremental(vt, dest) != 4:
+        raise AssertionError("second sync should mirror source v4")
+    log_dir = os.path.join(dest, "_delta_log")
+    commits = sorted(
+        n for n in os.listdir(log_dir) if n.endswith(".json") and n[0].isdigit()
+    )
+    if len(commits) != 3:  # snapshot + one per new source version
+        raise AssertionError(
+            f"expected 3 mirror commits (snapshot + v3 + v4), got {commits}"
+        )
+    info = fr.snapshot_info(dest)
+    if info["num_deletion_vectors"] < 1:
+        raise AssertionError("the DV delete must mirror as a deletion vector")
+    tbl = fr.read_delta_table(dest)
+    mirrored = spark.createDataFrame(tbl.to_pandas())
+    return _pin(
+        mirrored.groupBy("s").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("k").cast("long").alias("key_sum"),
+            dsum(F.col("p"), "sum_price"),
+        )
+    )

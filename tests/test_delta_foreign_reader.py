@@ -254,3 +254,176 @@ def test_foreign_reader_refuses_unknown_features(tmp_path):
         f.write("\n".join(json.dumps(a) for a in actions) + "\n")
     with pytest.raises(fr.DeltaReadError, match="v2Checkpoint"):
         fr.read_delta_table(str(tmp_path / "t"))
+
+
+# ---------------------------------------------------------------------------
+# incremental mirror: per-version Delta commits, foreign-read at each step
+# ---------------------------------------------------------------------------
+
+from modular_etl_data_platform_spark.operators.delta_export import (  # noqa: E402
+    export_delta_incremental,
+)
+
+
+def _run_mirror_sequence(spark, tmp, seed: int) -> dict:
+    """Random DML sequence; after EVERY source version the mirror
+    syncs incrementally and the foreign reader must reproduce
+    vt.read() exactly — the multi-commit replay path (remove actions,
+    same-path DV re-adds, metaData re-emission, protocol upgrades)
+    that the one-shot snapshot fleet never exercises."""
+    rng = random.Random(10_000 + seed)
+    m = _Model(rng)
+    vt = VersionedTable(
+        spark, os.path.join(tmp, f"mt{seed}"), stats_columns=["id"]
+    )
+    dest = os.path.join(tmp, f"mirror{seed}")
+
+    def sync_check(step):
+        export_delta_incremental(vt, dest)
+        got = (
+            fr.read_delta_table(dest)
+            .to_pandas()
+            .sort_values("id")
+            .reset_index(drop=True)
+        )
+        want = vt.read().toPandas().sort_values("id").reset_index(drop=True)
+        assert list(got.columns) == list(want.columns), (
+            f"seed {seed} step {step}: {list(got.columns)} != {list(want.columns)}"
+        )
+        pd.testing.assert_frame_equal(
+            got, want[got.columns], check_dtype=False,
+            obj=f"seed {seed} step {step}",
+        )
+
+    ops = {
+        "delete": lambda salt: vt.delete_where(
+            f"id % {rng.randint(2, 5)} = {rng.randrange(2)}"
+        ),
+        "dv_update": lambda salt: vt.update_where(
+            {m.cols[0][0]: f"concat({m.cols[0][0]}, '_{salt}')"},
+            f"id % 3 = {rng.randrange(3)}",
+            use_deletion_vectors=True,
+        ),
+        "rename": lambda salt: (
+            vt.rename_column(m.cols[0][0], f"c{m.next_col}"),
+            m.cols.__setitem__(0, (f"c{m.next_col}", m.cols[0][1])),
+            setattr(m, "next_col", m.next_col + 1),
+        ),
+        "compact": lambda salt: vt.compact(target_files=1),
+        "restore": lambda salt: vt.restore(
+            rng.randint(1, vt.current_version())
+        ),
+    }
+    names = (
+        ["append"] * 4
+        + ["upsert"] * 2
+        + ["delete"] * 2
+        + ["dv_update", "rename", "compact", "restore"]
+    )
+    # fix the append helper: ids must advance
+    def do(name, salt):
+        if name == "append":
+            n = rng.randint(2, 8)
+            ids = range(m.next_id, m.next_id + n)
+            m.next_id += n
+            vt.write(m.frame(spark, ids, salt), mode="append" if m.versions else "overwrite")
+        elif name == "upsert":
+            existing = rng.sample(range(m.next_id), min(3, m.next_id))
+            fresh = list(range(m.next_id, m.next_id + 2))
+            m.next_id += 2
+            vt.upsert(m.frame(spark, existing + fresh, salt), ["id"])
+        else:
+            ops[name](salt)
+        m.versions += 1
+
+    do("append", 0)
+    sync_check(0)
+    dv_steps = 0
+    for step in range(1, rng.randint(4, 6)):
+        name = rng.choice(names)
+        if name == "restore" and vt.current_version() < 2:
+            name = "append"
+        do(name, step)
+        if name in ("delete", "dv_update"):
+            dv_steps += 1
+        sync_check(step)
+    return {"dv_steps": dv_steps, "renamed": m.next_col > 0}
+
+
+def test_incremental_mirror_foreign_reads_at_every_version(spark, tmp_path):
+    facts = [
+        _run_mirror_sequence(spark, str(tmp_path), seed) for seed in range(12)
+    ]
+    assert sum(1 for f in facts if f["dv_steps"]) >= 4
+
+
+def test_incremental_mirror_refuses_foreign_dest_and_wrong_source(
+    spark, tmp_path
+):
+    vt = VersionedTable(spark, str(tmp_path / "a"), stats_columns=["id"])
+    vt.write(spark.range(5).selectExpr("id", "'x' as v").coalesce(1))
+    foreign = tmp_path / "foreign"
+    foreign.mkdir()
+    (foreign / "junk").write_text("x")
+    with pytest.raises(FileExistsError, match="refusing to adopt"):
+        export_delta_incremental(vt, str(foreign))
+    dest = str(tmp_path / "m")
+    export_delta_incremental(vt, dest)
+    other = VersionedTable(spark, str(tmp_path / "b"), stats_columns=["id"])
+    other.write(spark.range(3).selectExpr("id", "'y' as v").coalesce(1))
+    with pytest.raises(ValueError, match="mirrors"):
+        export_delta_incremental(other, dest)
+
+
+def test_incremental_mirror_compaction_emits_datachange_false(spark, tmp_path):
+    """Compaction mirrors with dataChange=false adds/removes (Delta's
+    OPTIMIZE convention) and column-mapping ids stay STABLE across
+    metaData re-emissions (the protocol's column-identity rule)."""
+    import json
+
+    vt = VersionedTable(spark, str(tmp_path / "t"), stats_columns=["id"])
+    vt.write(spark.range(10).selectExpr("id", "cast(id as string) as v").coalesce(2))
+    dest = str(tmp_path / "m")
+    export_delta_incremental(vt, dest)
+    vt.rename_column("v", "w")
+    export_delta_incremental(vt, dest)
+    vt.compact(target_files=1)
+    vt.rename_column("w", "z")
+    export_delta_incremental(vt, dest)
+
+    log = os.path.join(dest, "_delta_log")
+    metas, id_maps = [], []
+    compaction_adds = []
+    for name in sorted(os.listdir(log)):
+        with open(os.path.join(log, name)) as f:
+            acts = [json.loads(line) for line in f if line.strip()]
+        info = next((a["commitInfo"] for a in acts if "commitInfo" in a), {})
+        for a in acts:
+            if "metaData" in a:
+                schema = json.loads(a["metaData"]["schemaString"])
+                fields = schema["fields"]
+                if any(
+                    "delta.columnMapping.id" in (f.get("metadata") or {})
+                    for f in fields
+                ):
+                    id_maps.append(
+                        {
+                            f["metadata"]["delta.columnMapping.physicalName"]:
+                            f["metadata"]["delta.columnMapping.id"]
+                            for f in fields
+                        }
+                    )
+            if "add" in a and info.get("sourceMode", "").startswith("compact"):
+                compaction_adds.append(a["add"])
+    assert compaction_adds and all(
+        a["dataChange"] is False for a in compaction_adds
+    )
+    # mapped metaData re-emissions (rename v->w, then w->z after
+    # compact, plus any textual schema-string change re-emit): every
+    # physical name keeps its id across ALL of them
+    assert len(id_maps) >= 2
+    assert all(im == id_maps[0] for im in id_maps)
+    # end state still foreign-readable with the final logical names
+    tbl = fr.read_delta_table(dest)
+    assert tbl.column_names == ["id", "z"]
+    assert tbl.num_rows == 10
