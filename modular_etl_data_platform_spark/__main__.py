@@ -126,6 +126,7 @@ def main(argv: list[str] | None = None) -> int:
         choices=[
             "history", "detail", "read", "restore", "compact", "compact-where",
             "delete-where", "update-where", "vacuum", "export-delta",
+            "mirror-delta",
             "convert", "clone", "rename-column", "drop-column",
             "merge", "add-constraint", "drop-constraint",
         ],
@@ -556,6 +557,19 @@ def main(argv: list[str] | None = None) -> int:
 
             out = export_delta_snapshot(table, args.dest, version=args.version)
             print(json.dumps({"exported": out, "version": args.version}))
+        elif args.action == "mirror-delta":
+            # incremental: first call snapshots, later calls emit one
+            # Delta commit per new source version (O(changed files))
+            if not args.dest:
+                ap.error("mirror-delta requires --dest")
+            from modular_etl_data_platform_spark.operators.delta_export import (
+                export_delta_incremental,
+            )
+
+            v = export_delta_incremental(
+                table, args.dest, to_version=args.version
+            )
+            print(json.dumps({"mirrored": args.dest, "source_version": v}))
         return 0
 
     return 2

@@ -280,3 +280,39 @@ def test_cli_vt_merge_and_constraints(spark, capsys, tmp_path):
     }
     assert main(["vt", path, "drop-constraint", "--name", "qty_pos"]) == 0
     assert json.loads(capsys.readouterr().out)["constraints"] == {}
+
+
+def test_cli_vt_mirror_delta(spark, capsys, tmp_path):
+    """vt mirror-delta: incremental Delta mirror from the CLI — first
+    call snapshots, the second emits one Delta commit per new source
+    version; the mirror stays foreign-readable."""
+    import json
+    import os
+    import sys
+
+    from modular_etl_data_platform_spark.operators.versioned import VersionedTable
+
+    path, dest = str(tmp_path / "t"), str(tmp_path / "m")
+    vt = VersionedTable(spark, path, stats_columns=["id"])
+    vt.write(spark.range(20).selectExpr("id", "cast(id as string) as v").coalesce(1))
+
+    assert main(["vt", path, "mirror-delta", "--dest", dest]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out == {"mirrored": dest, "source_version": 1}
+
+    vt.write(
+        spark.range(20, 30).selectExpr("id", "cast(id as string) as v").coalesce(1),
+        mode="append",
+    )
+    vt.delete_where("id % 9 = 4")
+    assert main(["vt", path, "mirror-delta", "--dest", dest]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["source_version"] == 3
+    log = os.path.join(dest, "_delta_log")
+    assert len([n for n in os.listdir(log) if n.endswith(".json")]) == 3
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    import delta_foreign_reader as fr
+
+    tbl = fr.read_delta_table(dest)
+    assert tbl.num_rows == vt.read().count()
