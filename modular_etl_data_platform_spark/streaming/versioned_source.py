@@ -258,7 +258,19 @@ class _VersionedStreamReader(DataSourceStreamReader):
         emit: list[str] = []
         emitted: set[str] = set()
         for v in range(v0 + 1, v1 + 1):
-            rec = json.loads(self.log.store.read(_commit_name(v)))
+            try:
+                rec = json.loads(self.log.store.read(_commit_name(v)))
+            except FileNotFoundError:
+                # a mid-range record vacuumed under the live stream —
+                # and the endpoint resolves may both have been served
+                # from snapshot caches, so THIS walk is where the gap
+                # surfaces; same loud contract as the endpoint case
+                raise RuntimeError(
+                    f"streaming range version {v} of {self.table} is no "
+                    "longer in the log (vacuumed?) — cannot emit "
+                    "exactly-once; restart the stream from a retained "
+                    "version or a fresh checkpoint"
+                )
             mode = rec.get("mode", "")
             if mode in no_change_modes:
                 continue  # dataChange=false: adds never emit
