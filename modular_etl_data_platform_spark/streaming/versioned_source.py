@@ -405,6 +405,22 @@ class _CFInsertPartition(InputPartition):
         self.ts_ms = ts_ms
 
 
+class _CFDvDeletePartition(InputPartition):
+    """One carried file of a PURE vector-delete commit: the change
+    slice is exactly the rows at the positions newly present in the
+    new vector (new − old), carrying their OLD values as ``delete``
+    rows. One read of the file, no join, per-file parallelism — the
+    fast path for the most common update-class commit."""
+
+    def __init__(self, path, fields, old_dv, new_dv, version, ts_ms):
+        self.path = path
+        self.fields = fields
+        self.old_dv = old_dv  # sidecar path or None
+        self.new_dv = new_dv
+        self.version = version
+        self.ts_ms = ts_ms
+
+
 class _CFDiffPartition(InputPartition):
     """One UPDATE-class commit (rewrite / DV delete / restore): the old
     and new sides of the version's file diff, row-matched executor-side
@@ -580,6 +596,19 @@ class _VersionedChangeFeedStreamReader(_VersionedStreamReader):
                     _CFInsertPartition(f, fields, cur_dv.get(f), v, ts_ms)
                     for f in new_only
                 )
+            elif not old_only and not new_only and mode == "delete_where":
+                # PURE vector-delete commit: the change slice per file
+                # is the newly-vectored positions — one read, no join,
+                # per-file parallel (the common delete). Gated on the
+                # MODE: a dv-only restore can CLEAR vectors (rows
+                # resurrect as inserts), which only the generic diff
+                # classifies; delete_where vectors only ever grow.
+                parts.extend(
+                    _CFDvDeletePartition(
+                        f, fields, prev_dv.get(f), cur_dv.get(f), v, ts_ms
+                    )
+                    for f in dv_changed
+                )
             else:
                 parts.append(
                     _CFDiffPartition(
@@ -607,6 +636,36 @@ class _VersionedChangeFeedStreamReader(_VersionedStreamReader):
                     partition.version,
                     partition.ts_ms,
                 ).to_batches()
+            return
+        if isinstance(partition, _CFDvDeletePartition):
+            import pyarrow.parquet as pq
+
+            from modular_etl_data_platform_spark.operators.versioned import (
+                _strip_scheme_py,
+            )
+
+            norm = _strip_scheme_py(partition.path)
+
+            def positions(sidecar):
+                if sidecar is None:
+                    return set()
+                t = pq.read_table(
+                    sidecar, filters=[("file_path", "=", norm)]
+                )
+                return set(t.column("row_index").to_pylist())
+
+            newly = sorted(
+                positions(partition.new_dv) - positions(partition.old_dv)
+            )
+            tbl = pa.Table.from_batches(
+                list(
+                    _read_parquet_aligned(partition.path, partition.fields)
+                )
+            )
+            rows = tbl.take(pa.array(newly, pa.int64()))
+            yield from _with_cdf_columns(
+                rows, "delete", partition.version, partition.ts_ms
+            ).to_batches()
             return
         # diff partition: table_changes(v-1, v) in one Arrow join
         p = partition
