@@ -648,8 +648,206 @@ def export_delta_incremental(
     for v in range(v0 + 1, v1 + 1):
         cur = table.log.resolve(v)
         _emit_mirror_commit(dest, log_dir, mirror, prev, cur, v)
+        # every N mirror commits, land the public CLASSIC checkpoint +
+        # _last_checkpoint — Delta's cadence; readers then need only
+        # the checkpoint plus the JSON suffix, and older JSONs become
+        # truncatable (mirror_log_cleanup)
+        if mirror["delta_version"] % _MIRROR_CHECKPOINT_INTERVAL == 0:
+            _write_classic_checkpoint(log_dir, mirror["delta_version"])
         prev = cur
     mirror["source_version"] = v1
     with open(state_path, "w") as f:
         json.dump(mirror, f)
     return v1
+
+
+def mirror_log_cleanup(dest: str) -> int:
+    """Delete the mirror's JSON commits at or below its newest classic
+    checkpoint (Delta's metadata cleanup): readers reconstruct that
+    state from the checkpoint, so the covered JSONs are redundant.
+    Returns how many commit files were removed. Time travel to
+    pre-checkpoint versions is gone after cleanup — same trade as
+    Delta's ``delta.logRetentionDuration`` expiry."""
+    log_dir = os.path.join(dest, "_delta_log")
+    lc = os.path.join(log_dir, "_last_checkpoint")
+    if not os.path.exists(lc):
+        return 0
+    with open(lc) as f:
+        cp_v = json.load(f)["version"]
+    removed = 0
+    for name in os.listdir(log_dir):
+        if name.endswith(".json") and name[:-5].isdigit():
+            if int(name[:-5]) <= cp_v:
+                os.remove(os.path.join(log_dir, name))
+                removed += 1
+    return removed
+
+
+# ---------------------------------------------------------------------------
+# mirror checkpoints: the public CLASSIC checkpoint (one parquet, one
+# row per action) + _last_checkpoint pointer, every N mirror commits
+# ---------------------------------------------------------------------------
+
+#: mirror commits between classic checkpoints (Delta's own default)
+_MIRROR_CHECKPOINT_INTERVAL = 10
+
+
+def _replay_own_log(log_dir: str) -> tuple[dict, dict, dict[str, dict]]:
+    """WRITER-side replay of the mirror's own emitted ``_delta_log`` —
+    (protocol, metaData, adds by path) — so checkpoint content derives
+    from what was actually written, independent of the foreign reader
+    (which must stay code-disjoint to keep its evidentiary value).
+    Starts from the newest checkpoint if one exists (the pre-truncation
+    JSONs may already be gone)."""
+    protocol: dict = {}
+    metadata: dict = {}
+    adds: dict[str, dict] = {}
+    start = 0
+    lc = os.path.join(log_dir, "_last_checkpoint")
+    if os.path.exists(lc):
+        with open(lc) as f:
+            cp_v = json.load(f)["version"]
+        p, m, adds = _read_classic_checkpoint(
+            os.path.join(log_dir, f"{cp_v:020d}.checkpoint.parquet")
+        )
+        protocol, metadata = p, m
+        start = cp_v + 1
+    names = sorted(
+        n
+        for n in os.listdir(log_dir)
+        if n.endswith(".json") and n[:-5].isdigit() and int(n[:-5]) >= start
+    )
+    for name in names:
+        with open(os.path.join(log_dir, name)) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                act = json.loads(line)
+                if "protocol" in act:
+                    protocol = act["protocol"]
+                elif "metaData" in act:
+                    metadata = act["metaData"]
+                elif "add" in act:
+                    adds[act["add"]["path"]] = act["add"]
+                elif "remove" in act:
+                    adds.pop(act["remove"]["path"], None)
+    return protocol, metadata, adds
+
+
+def _read_classic_checkpoint(path: str) -> tuple[dict, dict, dict[str, dict]]:
+    """Writer-side parse of a classic checkpoint parquet (for the
+    replay above)."""
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(path)
+    cols = {c: tbl.column(c).to_pylist() for c in tbl.column_names}
+    protocol: dict = {}
+    metadata: dict = {}
+    adds: dict[str, dict] = {}
+    n = tbl.num_rows
+    for i in range(n):
+        if cols.get("protocol", [None] * n)[i] is not None:
+            protocol = {
+                k: v for k, v in cols["protocol"][i].items() if v is not None
+            }
+        if cols.get("metaData", [None] * n)[i] is not None:
+            md = dict(cols["metaData"][i])
+            if md.get("configuration") is not None:
+                md["configuration"] = dict(md["configuration"])
+            metadata = {k: v for k, v in md.items() if v is not None}
+        if cols.get("add", [None] * n)[i] is not None:
+            add = {
+                k: v for k, v in cols["add"][i].items() if v is not None
+            }
+            if "partitionValues" in add:
+                add["partitionValues"] = dict(add["partitionValues"])
+            if add.get("deletionVector") is not None:
+                add["deletionVector"] = dict(add["deletionVector"])
+            adds[add["path"]] = add
+    return protocol, metadata, adds
+
+
+def _write_classic_checkpoint(log_dir: str, version: int) -> str:
+    """Write the PUBLIC classic checkpoint for ``version``: ONE parquet
+    file, one row per live action, nullable struct columns
+    ``protocol`` / ``metaData`` / ``add`` (remove tombstones are
+    omitted — they exist for vacuum-retention bookkeeping, which the
+    single-writer mirror doesn't need), plus the ``_last_checkpoint``
+    pointer. After this lands, the JSON commits at or below ``version``
+    are REDUNDANT for readers — Delta's metadata-cleanup contract — so
+    a mirror's log can be truncated without breaking its consumers."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    protocol, metadata, adds = _replay_own_log(log_dir)
+
+    dv_t = pa.struct(
+        [
+            ("storageType", pa.string()),
+            ("pathOrInlineDv", pa.string()),
+            ("offset", pa.int32()),
+            ("sizeInBytes", pa.int32()),
+            ("cardinality", pa.int64()),
+        ]
+    )
+    add_t = pa.struct(
+        [
+            ("path", pa.string()),
+            ("partitionValues", pa.map_(pa.string(), pa.string())),
+            ("size", pa.int64()),
+            ("modificationTime", pa.int64()),
+            ("dataChange", pa.bool_()),
+            ("stats", pa.string()),
+            ("deletionVector", dv_t),
+        ]
+    )
+    meta_t = pa.struct(
+        [
+            ("id", pa.string()),
+            ("name", pa.string()),
+            ("description", pa.string()),
+            ("format", pa.struct([("provider", pa.string())])),
+            ("schemaString", pa.string()),
+            ("partitionColumns", pa.list_(pa.string())),
+            ("configuration", pa.map_(pa.string(), pa.string())),
+            ("createdTime", pa.int64()),
+        ]
+    )
+    proto_t = pa.struct(
+        [
+            ("minReaderVersion", pa.int32()),
+            ("minWriterVersion", pa.int32()),
+            ("readerFeatures", pa.list_(pa.string())),
+            ("writerFeatures", pa.list_(pa.string())),
+        ]
+    )
+    rows_proto: list = [protocol]
+    rows_meta: list = [None]
+    rows_add: list = [None]
+    md = dict(metadata)
+    md["format"] = {"provider": md.get("format", {}).get("provider", "parquet")}
+    md["partitionColumns"] = md.get("partitionColumns", [])
+    md["configuration"] = list(md.get("configuration", {}).items())
+    rows_proto.append(None)
+    rows_meta.append(md)
+    rows_add.append(None)
+    for path in sorted(adds):
+        a = dict(adds[path])
+        a["partitionValues"] = list(a.get("partitionValues", {}).items())
+        a.setdefault("deletionVector", None)
+        rows_proto.append(None)
+        rows_meta.append(None)
+        rows_add.append(a)
+    tbl = pa.table(
+        {
+            "protocol": pa.array(rows_proto, proto_t),
+            "metaData": pa.array(rows_meta, meta_t),
+            "add": pa.array(rows_add, add_t),
+        }
+    )
+    out = os.path.join(log_dir, f"{version:020d}.checkpoint.parquet")
+    pq.write_table(tbl, out)
+    with open(os.path.join(log_dir, "_last_checkpoint"), "w") as f:
+        json.dump({"version": version, "size": tbl.num_rows}, f)
+    return out

@@ -427,3 +427,83 @@ def test_incremental_mirror_compaction_emits_datachange_false(spark, tmp_path):
     tbl = fr.read_delta_table(dest)
     assert tbl.column_names == ["id", "z"]
     assert tbl.num_rows == 10
+
+
+# ---------------------------------------------------------------------------
+# classic checkpoints + log truncation
+# ---------------------------------------------------------------------------
+
+
+def test_mirror_checkpoint_enables_log_truncation(spark, tmp_path):
+    """Every 10 mirror commits the writer lands the PUBLIC classic
+    checkpoint (one parquet, one row per action) + _last_checkpoint;
+    the foreign reader reconstructs state from checkpoint + JSON suffix
+    and keeps working after the covered JSONs are DELETED (Delta's
+    metadata-cleanup contract) — including DV descriptors and a
+    column-mapped schema riding the checkpoint, and syncs continuing
+    after cleanup."""
+    from modular_etl_data_platform_spark.operators.delta_export import (
+        mirror_log_cleanup,
+    )
+
+    vt = VersionedTable(spark, str(tmp_path / "t"), stats_columns=["id"])
+    vt.write(
+        spark.range(0, 20).selectExpr("id", "cast(id as string) as v").coalesce(1)
+    )
+    dest = str(tmp_path / "m")
+    export_delta_incremental(vt, dest)
+    vt.rename_column("v", "w")  # column mapping crosses the checkpoint
+    for i in range(11):
+        if i % 4 == 3:
+            vt.delete_where(f"id % 11 = {i % 11}")
+        else:
+            vt.write(
+                spark.range(20 + i * 5, 25 + i * 5)
+                .selectExpr("id", "cast(id as string) as w")
+                .coalesce(1),
+                mode="append",
+            )
+    export_delta_incremental(vt, dest)
+    log = os.path.join(dest, "_delta_log")
+    assert os.path.exists(
+        os.path.join(log, f"{10:020d}.checkpoint.parquet")
+    ) and os.path.exists(os.path.join(log, "_last_checkpoint"))
+
+    def check(tag):
+        got = (
+            fr.read_delta_table(dest)
+            .to_pandas()
+            .sort_values("id")
+            .reset_index(drop=True)
+        )
+        want = vt.read().toPandas().sort_values("id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            got, want[got.columns], check_dtype=False, obj=tag
+        )
+
+    check("checkpoint + suffix")
+    info = fr.snapshot_info(dest)
+    assert info["column_mapping_mode"] == "name"
+    assert info["num_deletion_vectors"] >= 1  # DV descriptors survived
+    removed = mirror_log_cleanup(dest)
+    assert removed == 11  # commits 0..10 covered by the checkpoint
+    check("after truncation")
+    # mirroring continues over the truncated log
+    vt.write(
+        spark.range(500, 505).selectExpr("id", "cast(id as string) as w").coalesce(1),
+        mode="append",
+    )
+    export_delta_incremental(vt, dest)
+    check("post-cleanup sync")
+
+
+def test_foreign_reader_refuses_multipart_checkpoint(tmp_path):
+    import json
+
+    log = tmp_path / "t" / "_delta_log"
+    log.mkdir(parents=True)
+    (log / "_last_checkpoint").write_text(
+        json.dumps({"version": 10, "size": 5, "parts": 3})
+    )
+    with pytest.raises(fr.DeltaReadError, match="multi-part"):
+        fr.read_delta_table(str(tmp_path / "t"))

@@ -73,32 +73,107 @@ class DeltaReadError(RuntimeError):
 # log replay
 # ---------------------------------------------------------------------------
 
-def _commit_versions(log_dir: str) -> list[int]:
+def _commit_versions(log_dir: str, after: int | None) -> list[int]:
+    """JSON commit versions to replay. Without a checkpoint the chain
+    must be contiguous from 0; with one (``after`` = checkpoint
+    version) only the contiguous suffix strictly above it is required —
+    earlier commits may have been cleaned up, per the protocol's
+    metadata-cleanup rule."""
     out = []
     for name in os.listdir(log_dir):
         stem, ext = os.path.splitext(name)
         if ext == ".json" and len(stem) == 20 and stem.isdigit():
-            out.append(int(stem))
-    if not out:
-        raise DeltaReadError(f"no commit files in {log_dir}")
+            v = int(stem)
+            if after is None or v > after:
+                out.append(v)
     out.sort()
-    # the protocol requires a contiguous version chain from 0
-    if out[0] != 0 or out != list(range(out[0], out[-1] + 1)):
-        raise DeltaReadError(f"non-contiguous commit versions {out}")
+    if after is None:
+        if not out:
+            raise DeltaReadError(f"no commit files in {log_dir}")
+        if out[0] != 0 or out != list(range(0, out[-1] + 1)):
+            raise DeltaReadError(f"non-contiguous commit versions {out}")
+    elif out and out != list(range(after + 1, out[-1] + 1)):
+        raise DeltaReadError(
+            f"non-contiguous commits {out} after checkpoint {after}"
+        )
     return out
 
 
+def _load_checkpoint(log_dir: str) -> tuple[int, dict, dict, dict] | None:
+    """Read ``_last_checkpoint`` and the classic (single-file)
+    checkpoint parquet it names: (version, protocol, metadata, adds).
+    One row per action; struct columns ``protocol`` / ``metaData`` /
+    ``add`` / optionally ``remove`` and ``txn`` (the spec's classic
+    form). Multi-part checkpoints are refused loudly (out of scope)."""
+    lc = os.path.join(log_dir, "_last_checkpoint")
+    if not os.path.exists(lc):
+        return None
+    with open(lc) as f:
+        meta = json.load(f)
+    if meta.get("parts") not in (None, 1):
+        raise DeltaReadError(
+            f"multi-part checkpoint ({meta['parts']} parts) not supported"
+        )
+    v = int(meta["version"])
+    path = os.path.join(log_dir, f"{v:020d}.checkpoint.parquet")
+    if not os.path.exists(path):
+        raise DeltaReadError(f"_last_checkpoint names missing {path}")
+    tbl = pq.read_table(path)
+    names = set(tbl.column_names)
+    cols = {c: tbl.column(c).to_pylist() for c in tbl.column_names}
+    protocol: dict | None = None
+    metadata: dict | None = None
+    adds: dict[str, dict] = {}
+    for i in range(tbl.num_rows):
+        if "protocol" in names and cols["protocol"][i] is not None:
+            protocol = {
+                k: v2
+                for k, v2 in cols["protocol"][i].items()
+                if v2 is not None
+            }
+        if "metaData" in names and cols["metaData"][i] is not None:
+            md = {
+                k: v2
+                for k, v2 in cols["metaData"][i].items()
+                if v2 is not None
+            }
+            if "configuration" in md:
+                md["configuration"] = dict(md["configuration"])
+            metadata = md
+        if "add" in names and cols["add"][i] is not None:
+            add = {
+                k: v2 for k, v2 in cols["add"][i].items() if v2 is not None
+            }
+            if "partitionValues" in add:
+                add["partitionValues"] = dict(add["partitionValues"])
+            adds[urllib.parse.unquote(add["path"])] = add
+        if "remove" in names and cols.get("remove", [None])[i] is not None:
+            # remove tombstones in a checkpoint are retention
+            # bookkeeping; the file is NOT live
+            rm = cols["remove"][i]
+            adds.pop(urllib.parse.unquote(rm["path"]), None)
+    if protocol is None or metadata is None:
+        raise DeltaReadError("checkpoint lacks protocol/metaData row")
+    return v, protocol, metadata, adds
+
+
 def replay_log(table_path: str) -> dict:
-    """Replay every commit's actions into the latest snapshot state:
-    ``{"protocol", "metadata", "adds": {path: add_action}}`` with paths
-    URL-decoded and relative to the table root."""
+    """Replay the log into the latest snapshot state — the newest
+    classic checkpoint (when ``_last_checkpoint`` exists) plus the JSON
+    commits above it, or every JSON commit from 0: ``{"protocol",
+    "metadata", "adds": {path: add_action}}`` with paths URL-decoded
+    and relative to the table root."""
     log_dir = os.path.join(table_path, "_delta_log")
     if not os.path.isdir(log_dir):
         raise DeltaReadError(f"{table_path} has no _delta_log")
     protocol: dict | None = None
     metadata: dict | None = None
     adds: dict[str, dict] = {}
-    for v in _commit_versions(log_dir):
+    cp_version: int | None = None
+    cp = _load_checkpoint(log_dir)
+    if cp is not None:
+        cp_version, protocol, metadata, adds = cp
+    for v in _commit_versions(log_dir, cp_version):
         with open(os.path.join(log_dir, f"{v:020d}.json")) as f:
             for line in f:
                 line = line.strip()
