@@ -851,3 +851,65 @@ def _write_classic_checkpoint(log_dir: str, version: int) -> str:
     with open(os.path.join(log_dir, "_last_checkpoint"), "w") as f:
         json.dump({"version": version, "size": tbl.num_rows}, f)
     return out
+
+
+def mirror_vacuum(dest: str, dry_run: bool = False) -> list[str]:
+    """Delete the mirror's data and deletion-vector files no SURVIVING
+    log entry references (Delta's VACUUM, single-writer form): a file
+    removed by a mirrored source version stays on disk so retained
+    commits can still time-travel to it — once the covering JSONs are
+    cleaned up (:func:`mirror_log_cleanup`) nothing can reference it
+    and it is reclaimable. The referenced set is every ``add`` in the
+    newest checkpoint AND in every surviving JSON commit (any retained
+    version must stay readable), plus their DV files. Returns the
+    deleted (or, with ``dry_run``, deletable) paths."""
+    log_dir = os.path.join(dest, "_delta_log")
+    referenced: set[str] = set()
+    dv_referenced: set[str] = set()
+
+    def note_add(add: dict) -> None:
+        referenced.add(urllib.parse.unquote(add["path"]))
+        dv = add.get("deletionVector")
+        if dv and dv.get("storageType") == "u":
+            import base64
+            import uuid as _uuid
+
+            enc = dv["pathOrInlineDv"]
+            u = _uuid.UUID(bytes=base64.b85decode(enc[-20:]))
+            dv_referenced.add(f"deletion_vector_{u}.bin")
+
+    lc = os.path.join(log_dir, "_last_checkpoint")
+    if os.path.exists(lc):
+        with open(lc) as f:
+            cp_v = json.load(f)["version"]
+        _p, _m, adds = _read_classic_checkpoint(
+            os.path.join(log_dir, f"{cp_v:020d}.checkpoint.parquet")
+        )
+        for add in adds.values():
+            note_add(add)
+    for name in os.listdir(log_dir):
+        if name.endswith(".json") and name[:-5].isdigit():
+            with open(os.path.join(log_dir, name)) as f:
+                for line in f:
+                    line = line.strip()
+                    if line:
+                        act = json.loads(line)
+                        if "add" in act:
+                            note_add(act["add"])
+    doomed: list[str] = []
+    for name in sorted(os.listdir(dest)):
+        full = os.path.join(dest, name)
+        if not os.path.isfile(full):
+            continue
+        if name.endswith(".parquet") and name not in referenced:
+            doomed.append(full)
+        elif (
+            name.startswith("deletion_vector_")
+            and name.endswith(".bin")
+            and name not in dv_referenced
+        ):
+            doomed.append(full)
+    if not dry_run:
+        for p in doomed:
+            os.remove(p)
+    return doomed

@@ -507,3 +507,55 @@ def test_foreign_reader_refuses_multipart_checkpoint(tmp_path):
     )
     with pytest.raises(fr.DeltaReadError, match="multi-part"):
         fr.read_delta_table(str(tmp_path / "t"))
+
+
+def test_mirror_vacuum_reclaims_unreferenced_files(spark, tmp_path):
+    """mirror_vacuum deletes data/DV files no surviving log entry
+    references: before log cleanup, files removed by mirrored commits
+    are still referenced by RETAINED JSON commits (time travel) and
+    survive; after mirror_log_cleanup truncates the covered JSONs,
+    vacuum reclaims them — and the foreign read is unchanged."""
+    from modular_etl_data_platform_spark.operators.delta_export import (
+        mirror_log_cleanup,
+        mirror_vacuum,
+    )
+
+    vt = VersionedTable(spark, str(tmp_path / "t"), stats_columns=["id"])
+    vt.write(
+        spark.range(0, 30).selectExpr("id", "cast(id as string) as v").coalesce(1)
+    )
+    dest = str(tmp_path / "m")
+    export_delta_incremental(vt, dest)
+    # churn: upserts rewrite files, deletes add DV sidecars — enough
+    # commits to cross the checkpoint cadence
+    for i in range(11):
+        if i % 3 == 2:
+            vt.delete_where(f"id % 13 = {i}")
+        else:
+            vt.upsert(
+                spark.range(i * 3, i * 3 + 6)
+                .selectExpr("id", f"concat('u{i}_', id) as v")
+                .coalesce(1),
+                ["id"],
+            )
+    export_delta_incremental(vt, dest)
+
+    def rows():
+        return (
+            fr.read_delta_table(dest)
+            .to_pandas()
+            .sort_values("id")
+            .reset_index(drop=True)
+        )
+
+    before = rows()
+    # everything on disk is still referenced by some retained version
+    assert mirror_vacuum(dest, dry_run=True) == []
+    assert mirror_log_cleanup(dest) == 11
+    doomed = mirror_vacuum(dest, dry_run=True)
+    assert doomed  # checkpoint-covered history left unreferenced files
+    assert mirror_vacuum(dest) == doomed
+    after = rows()
+    pd.testing.assert_frame_equal(before, after)
+    want = vt.read().toPandas().sort_values("id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(after, want[after.columns], check_dtype=False)
