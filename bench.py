@@ -125,6 +125,12 @@ HEADLINE = [
     "q163_stream_change_feed",
     "q164_ivf_pq_rerank",
     "q165_quality_suite",
+    # round-10 session 3: the NB quality classifier (featurize-once +
+    # 4096-row broadcast model — the scoring join and per-doc decimal
+    # fold are what's timed) and the UniMax allocation (the per-language
+    # token count is the only corpus-sized work)
+    "q167_quality_classifier",
+    "q168_unimax_mixture",
 ]
 
 

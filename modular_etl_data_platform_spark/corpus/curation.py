@@ -624,3 +624,207 @@ def dsir_select(
         .limit(n_select)
     )
     return df.join(top, id_col)
+
+
+# ---------------------------------------------------------------------------
+# quality classifier (curated-vs-crawl Naive Bayes) and UniMax mixing
+# ---------------------------------------------------------------------------
+
+
+def nb_quality_scores(
+    df: DataFrame,
+    positive_filter: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 4096,
+) -> DataFrame:
+    """Curated-vs-crawl quality classifier: multinomial Naive Bayes over
+    hashed unigram features — the GPT-3 data-curation filter (Brown et
+    al. 2020, Appendix A: a classifier trained with curated corpora as
+    the positive class and raw CommonCrawl as the negative class scores
+    every crawl document) and CCNet's model-based quality stage (Wenzek
+    et al. 2020), with the linear classifier made closed-form (count-
+    based NB with Laplace smoothing) so training is a single aggregation
+    and the whole operator is oracle-replayable — no iterative solver.
+
+    ``positive_filter`` is a SQL predicate selecting the curated
+    (positive) documents, e.g. ``source IN ('src0','src1')``. Each
+    document's score is
+
+        ln(n_pos_docs) - ln(n_neg_docs)
+        + sum_w count_w * [ln(c_pos_w + 1) - ln(N_pos + B)
+                           - ln(c_neg_w + 1) + ln(N_neg + B)]
+
+    i.e. the NB log-odds of "curated" with add-one smoothing over ``B``
+    hash buckets; ``pred`` is the sign. Feature hashing (md5-prefix →
+    bucket, the portable recipe shared with the MinHash/DSIR oracles)
+    caps the model at ``buckets`` rows NO MATTER the corpus size — at
+    100 TB the model still broadcasts, which is the published fastText-
+    classifier deployment shape (score = one broadcast join + one
+    map-side-combinable per-doc sum; the corpus shuffles only
+    (id, bucket, count) rows, never text).
+
+    Scale shape: the corpus is featurized ONCE — explode + two-key
+    groupBy cached (LRU-evictable, the dsir_logweights convention);
+    training totals fold driver-side from ONE 1-row aggregate (the
+    watermark-probe budget); the ``buckets``-row LLR table broadcasts.
+    Cross-engine determinism: every LLR and the prior round to 9
+    decimals before use, per-token terms round to 9 and sum as
+    decimal(28,12) (order-free, the q162 recipe), so scores are
+    bit-stable vs the DuckDB twin.
+
+    Returns (id, is_curated, score, pred).
+    """
+    feats = df.select(
+        F.col(id_col),
+        F.expr(positive_filter).alias("__pos"),
+        F.explode(F.split(F.col(text_col), " ")).alias("__w"),
+    ).select(
+        id_col,
+        "__pos",
+        (
+            F.conv(F.substring(F.md5(F.col("__w")), 1, 15), 16, 10).cast(
+                "long"
+            )
+            % buckets
+        ).alias("__b"),
+    )
+    cnts = feats.groupBy(id_col, "__pos", "__b").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    # one featurization pass across the two consumers (totals + scoring);
+    # cache(), not localCheckpoint, so blocks stay LRU-evictable
+    cnts = cnts.cache()
+    tot = cnts.agg(
+        F.sum(F.when(F.col("__pos"), F.col("__c")).otherwise(0)).alias("pt"),
+        F.sum(F.when(~F.col("__pos"), F.col("__c")).otherwise(0)).alias("nt"),
+        F.count_distinct(F.when(F.col("__pos"), F.col(id_col))).alias("pd"),
+        F.count_distinct(F.when(~F.col("__pos"), F.col(id_col))).alias("nd"),
+    ).collect()[0]
+    n_pos, n_neg = int(tot["pt"]), int(tot["nt"])
+    prior = F.round(
+        F.log(F.lit(float(tot["pd"]))) - F.log(F.lit(float(tot["nd"]))), 9
+    )
+    model = cnts.groupBy("__b").agg(
+        F.sum(F.when(F.col("__pos"), F.col("__c")).otherwise(0)).alias("pc"),
+        F.sum(F.when(~F.col("__pos"), F.col("__c")).otherwise(0)).alias("nc"),
+    )
+    llr = model.select(
+        "__b",
+        F.round(
+            (F.log(F.col("pc") + 1) - F.log(F.lit(float(n_pos + buckets))))
+            - (F.log(F.col("nc") + 1) - F.log(F.lit(float(n_neg + buckets)))),
+            9,
+        ).alias("__lr"),
+    )
+    return (
+        cnts.join(F.broadcast(llr), "__b")
+        .groupBy(id_col, "__pos")
+        .agg(
+            F.sum(
+                F.round(F.col("__c") * F.col("__lr"), 9).cast(
+                    "decimal(28,12)"
+                )
+            ).alias("__s")
+        )
+        .select(
+            F.col(id_col),
+            F.col("__pos").alias("is_curated"),
+            F.round(F.col("__s").cast("double") + prior, 9).alias("score"),
+            (F.col("__s").cast("double") + prior > 0).alias("pred"),
+        )
+    )
+
+
+def unimax_allocation(
+    df: DataFrame,
+    epoch_cap: int = 2,
+    budget_num: int = 3,
+    budget_den: int = 2,
+    lang_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """UniMax language-sampling allocation (Chung et al. 2023: budget-
+    constrained uniform allocation with a per-language epoch cap —
+    closed-form water-filling instead of temperature heuristics; the
+    complement to :func:`mixture_weights`' sqrt-temperature scheme).
+
+    Token budget ``B = (T * budget_num) // budget_den`` (integer, T =
+    total corpus tokens) is spread as evenly as possible across
+    languages without any language exceeding ``epoch_cap`` epochs of its
+    own data: walking languages by ascending size, a language whose cap
+    is below its fair share of the remaining budget is CAPPED at
+    ``epoch_cap * size`` (low-resource languages get up-sampled to the
+    cap); every language after the first uncapped one splits the
+    remaining budget evenly (head languages get down-sampled). The
+    paper's sequential water-filling is replaced by its closed form over
+    prefix sums — rank languages ascending, a rank is capped iff
+
+        N * s_i * (L - i + 1) <= B - N * P_{i-1}
+
+    (monotone in i, enforced with a running-min so float/tie noise can
+    never produce a capped rank after an uncapped one) — so the whole
+    allocation is two window passes over L rows, no loop.
+
+    Scale shape: the only corpus-sized work is the per-language token
+    count (size(split) projection + map-side-combined groupBy —
+    nothing wider than (lang, long) shuffles); the water-filling windows
+    run over L rows (languages, not documents), so the single-partition
+    unbounded window is by construction tiny. All arithmetic up to the
+    final division is integer-exact; the division rounds to 9 decimals
+    (the catalog's cross-engine float recipe).
+
+    Returns (lang, n_tokens, capped, alloc_tokens, epochs).
+    """
+    n = F.size(F.split(F.col(text_col), " ")).cast("long")
+    sizes = (
+        df.select(F.col(lang_col).alias("lang"), n.alias("__n"))
+        .groupBy("lang")
+        .agg(F.sum("__n").alias("n_tokens"))
+    )
+    asc = Window.orderBy("n_tokens", "lang")
+    run = asc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    everything = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    N = F.lit(int(epoch_cap)).cast("long")
+    r = sizes.select(
+        "lang",
+        "n_tokens",
+        F.row_number().over(asc).alias("__i"),
+        F.sum("n_tokens").over(run).alias("__p"),
+        F.count(F.lit(1)).over(everything).alias("__l"),
+        F.sum("n_tokens").over(everything).alias("__t"),
+    ).withColumn(
+        "__budget",
+        F.expr(f"CAST(__t * {int(budget_num)} DIV {int(budget_den)} AS BIGINT)"),
+    )
+    cond = (
+        N * F.col("n_tokens") * (F.col("__l") - F.col("__i") + 1)
+        <= F.col("__budget") - N * (F.col("__p") - F.col("n_tokens"))
+    )
+    r = r.withColumn(
+        "capped", F.min(cond.cast("int")).over(run) == 1
+    ).withColumn(
+        "__k",
+        F.sum(F.col("capped").cast("long")).over(everything),
+    ).withColumn(
+        "__pk",
+        F.sum(
+            F.when(F.col("capped"), F.col("n_tokens")).otherwise(0)
+        ).over(everything),
+    )
+    alloc_raw = F.when(
+        F.col("capped"), (N * F.col("n_tokens")).cast("double")
+    ).otherwise(
+        (F.col("__budget") - N * F.col("__pk")).cast("double")
+        / F.greatest(F.col("__l") - F.col("__k"), F.lit(1))
+    )
+    alloc = F.round(alloc_raw, 9)
+    return r.select(
+        "lang",
+        "n_tokens",
+        "capped",
+        alloc.alias("alloc_tokens"),
+        F.round(alloc / F.col("n_tokens"), 9).alias("epochs"),
+    )

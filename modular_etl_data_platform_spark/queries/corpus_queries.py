@@ -2189,3 +2189,139 @@ def q165_quality_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the conjunction is hash-pinned against the relational twin of
     the same fused plan."""
     return crules.quality_suite(_t(spark, sf_dir, "documents"))
+
+
+_NB_POS = (
+    "source IN ('src0', 'src1', 'src2', 'src3', 'src4', "
+    "'src5', 'src6', 'src7', 'src8', 'src9')"
+)
+_NB_B = 4096
+
+
+def _nb_oracle() -> str:
+    return f"""
+    WITH feats AS (
+      SELECT doc_id, {_NB_POS} AS pos,
+             ('0x' || substr(md5(w), 1, 15))::BIGINT % {_NB_B} AS b
+      FROM (SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
+            FROM documents)
+    ),
+    cnts AS (SELECT doc_id, pos, b, COUNT(*) AS c FROM feats GROUP BY 1, 2, 3),
+    tot AS (
+      SELECT SUM(CASE WHEN pos THEN c ELSE 0 END) AS pt,
+             SUM(CASE WHEN NOT pos THEN c ELSE 0 END) AS nt
+      FROM cnts
+    ),
+    dtot AS (
+      SELECT SUM(CASE WHEN {_NB_POS} THEN 1 ELSE 0 END) AS pd,
+             SUM(CASE WHEN NOT ({_NB_POS}) THEN 1 ELSE 0 END) AS nd
+      FROM documents
+    ),
+    model AS (
+      SELECT b, SUM(CASE WHEN pos THEN c ELSE 0 END) AS pc,
+                SUM(CASE WHEN NOT pos THEN c ELSE 0 END) AS nc
+      FROM cnts GROUP BY b
+    ),
+    llr AS (
+      SELECT b, round((ln(pc + 1) - ln(CAST(pt + {_NB_B} AS DOUBLE)))
+                    - (ln(nc + 1) - ln(CAST(nt + {_NB_B} AS DOUBLE))), 9) AS lr
+      FROM model, tot
+    ),
+    scored AS (
+      SELECT cnts.doc_id, cnts.pos,
+             SUM(CAST(round(c * lr, 9) AS DECIMAL(28,12))) AS s
+      FROM cnts JOIN llr USING (b) GROUP BY 1, 2
+    )
+    SELECT doc_id, pos AS is_curated,
+           round(CAST(s AS DOUBLE)
+                 + round(ln(CAST(pd AS DOUBLE)) - ln(CAST(nd AS DOUBLE)), 9),
+                 9) AS score,
+           (CAST(s AS DOUBLE)
+            + round(ln(CAST(pd AS DOUBLE)) - ln(CAST(nd AS DOUBLE)), 9)) > 0
+             AS pred
+    FROM scored, dtot
+    """
+
+
+@query("q167_quality_classifier", _nb_oracle())
+def q167_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curated-vs-crawl quality classifier
+    (corpus/curation.py::nb_quality_scores — the GPT-3 data-curation
+    filter, Brown et al. 2020 Appendix A, and CCNet's model-based
+    quality stage, Wenzek et al. 2020, as a closed-form hashed-unigram
+    Naive Bayes): the first ten sources play the curated positive
+    class (balanced split, so the prior is ~0 and the sign boundary is
+    genuinely exercised — predictions split 73%/54% by class at sf0.01),
+    every document gets the NB log-odds of "curated" and a sign
+    prediction. Per-document scores are hash-pinned raw (the q162
+    determinism recipe: round-9 LLRs/terms, decimal-summed) — any
+    smoothing slip, hash drift, or fold-order difference changes every
+    score. The model is a 4096-row broadcast no matter the corpus size;
+    the corpus shuffles only (id, bucket, count)."""
+    from modular_etl_data_platform_spark.corpus import curation as ccur
+
+    return ccur.nb_quality_scores(
+        _t(spark, sf_dir, "documents"), _NB_POS, buckets=_NB_B
+    )
+
+
+def _unimax_oracle(n_cap: int = 2, num: int = 3, den: int = 2) -> str:
+    cond = (
+        f"{n_cap} * n_tokens * (L - i + 1) <= "
+        f"CAST(T * {num} // {den} AS BIGINT) - {n_cap} * (P - n_tokens)"
+    )
+    return f"""
+    WITH sizes AS (
+      SELECT lang, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY lang
+    ),
+    r AS (
+      SELECT lang, n_tokens,
+             ROW_NUMBER() OVER (ORDER BY n_tokens, lang) AS i,
+             SUM(n_tokens) OVER (ORDER BY n_tokens, lang
+                                 ROWS UNBOUNDED PRECEDING) AS P,
+             COUNT(*) OVER () AS L,
+             SUM(n_tokens) OVER () AS T
+      FROM sizes
+    ),
+    c AS (
+      SELECT *,
+             MIN(CASE WHEN {cond} THEN 1 ELSE 0 END)
+               OVER (ORDER BY n_tokens, lang ROWS UNBOUNDED PRECEDING) = 1
+               AS capped
+      FROM r
+    ),
+    f AS (
+      SELECT *,
+             SUM(CASE WHEN capped THEN 1 ELSE 0 END) OVER () AS k,
+             SUM(CASE WHEN capped THEN n_tokens ELSE 0 END) OVER () AS Pk
+      FROM c
+    )
+    SELECT lang, n_tokens, capped,
+           round(CASE WHEN capped THEN CAST({n_cap} * n_tokens AS DOUBLE)
+                 ELSE CAST(CAST(T * {num} // {den} AS BIGINT)
+                           - {n_cap} * Pk AS DOUBLE)
+                      / GREATEST(L - k, 1) END, 9) AS alloc_tokens,
+           round(round(CASE WHEN capped THEN CAST({n_cap} * n_tokens AS DOUBLE)
+                 ELSE CAST(CAST(T * {num} // {den} AS BIGINT)
+                           - {n_cap} * Pk AS DOUBLE)
+                      / GREATEST(L - k, 1) END, 9) / n_tokens, 9) AS epochs
+    FROM f
+    """
+
+
+@query("q168_unimax_mixture", _unimax_oracle())
+def q168_unimax_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax language-sampling allocation
+    (corpus/curation.py::unimax_allocation — Chung et al. 2023):
+    budget-constrained uniform allocation with a 2-epoch per-language
+    cap, budget = 1.5x total corpus tokens, the paper's water-filling
+    in closed form over window prefix sums (no loop). Low-resource
+    languages must land capped at exactly 2.0 epochs and the head
+    language(s) split the integer remainder — capped flags, integer cap
+    allocations and the rounded fair-share division are all hash-pinned.
+    The only corpus-sized work is the per-language token count; the
+    water-filling windows run over L language rows by construction."""
+    from modular_etl_data_platform_spark.corpus import curation as ccur
+
+    return ccur.unimax_allocation(_t(spark, sf_dir, "documents"))

@@ -218,3 +218,71 @@ def test_dsir_enriches_target_domain(spark):
     # deterministic: same data -> same weights
     w2 = {r.doc_id: r.logw for r in dsir_logweights(docs, "lang = 'en'").collect()}
     assert w == w2
+
+
+def test_nb_classifier_separates_planted_vocab(spark):
+    # positive docs use a disjoint planted vocabulary -> the NB log-odds
+    # must separate the classes with certainty, and a held-back mixed doc
+    # must land between the pure classes
+    pos = [(i, "good clean prose text", "cur") for i in range(4)]
+    neg = [(10 + i, "junk spam noise garbage", "crawl") for i in range(4)]
+    mid = [(20, "good clean spam garbage", "crawl")]
+    df = spark.createDataFrame(pos + neg + mid, ["doc_id", "text", "src"])
+    out = {
+        r.doc_id: r
+        for r in ccur.nb_quality_scores(
+            df, "src = 'cur'", buckets=64
+        ).collect()
+    }
+    assert len(out) == 9
+    assert all(out[i].pred and out[i].score > 0 for i in range(4))
+    assert all(not out[10 + i].pred and out[10 + i].score < 0 for i in range(4))
+    lo = max(out[10 + i].score for i in range(4))
+    hi = min(out[i].score for i in range(4))
+    assert lo < out[20].score < hi  # mixed doc scores between the classes
+    assert out[0].is_curated and not out[10].is_curated
+
+
+def test_nb_classifier_deterministic_across_runs(spark):
+    rows = [
+        (i, f"w{i % 7} w{(i * 3) % 11} w{(i * 5) % 13}", f"s{i % 4}")
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "src"])
+    a = ccur.nb_quality_scores(df, "src IN ('s0', 's1')", buckets=128)
+    b = ccur.nb_quality_scores(df, "src IN ('s0', 's1')", buckets=128)
+    sa = {r.doc_id: r.score for r in a.collect()}
+    sb = {r.doc_id: r.score for r in b.collect()}
+    assert sa == sb  # bit-stable: round-9 terms, decimal sums
+
+
+def test_unimax_caps_low_resource_and_waterfills_head(spark):
+    # sizes 100/200/700, cap 2 epochs, budget = 1.5x total = 1500:
+    # rank1 (100): 2*100*3=600 <= 1500           -> capped at 200
+    # rank2 (200): 2*200*2=800 <= 1500-200=1300  -> capped at 400
+    # rank3 (700): 2*700*1=1400 > 1300-400=900   -> uncapped, gets 900
+    rows = (
+        [(i, " ".join(["w"] * 100), "lo") for i in range(1)]
+        + [(10 + i, " ".join(["w"] * 100), "mid") for i in range(2)]
+        + [(20 + i, " ".join(["w"] * 100), "hi") for i in range(7)]
+    )
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    out = {r.lang: r for r in ccur.unimax_allocation(df).collect()}
+    assert out["lo"].capped and out["lo"].alloc_tokens == 200.0
+    assert out["lo"].epochs == 2.0
+    assert out["mid"].capped and out["mid"].alloc_tokens == 400.0
+    assert not out["hi"].capped and out["hi"].alloc_tokens == 900.0
+    assert abs(out["hi"].epochs - round(900 / 700, 9)) < 1e-12
+    # allocations exhaust the budget exactly
+    assert sum(r.alloc_tokens for r in out.values()) == 1500.0
+
+
+def test_unimax_all_capped_budget_surplus(spark):
+    # budget exceeds every cap -> all languages capped, no division blows
+    rows = [(i, " ".join(["w"] * 10), f"l{i}") for i in range(3)]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    out = ccur.unimax_allocation(
+        df, epoch_cap=1, budget_num=10, budget_den=1
+    ).collect()
+    assert all(r.capped for r in out)
+    assert all(r.epochs == 1.0 for r in out)

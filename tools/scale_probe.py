@@ -67,6 +67,11 @@ DEFAULT_QUERIES = [
     # gram families; the (doc, n, gram) count is the only data-sized
     # shuffle, so the doubling ratio must stay in q161's class
     "q165_quality_suite",
+    # round-10 session 3: the NB classifier featurizes once and
+    # broadcasts a fixed 4096-row model — both training aggregation and
+    # scoring fold are linear in corpus tokens, so the doubling ratio
+    # must stay ~2 (the model/broadcast is constant-size by design)
+    "q167_quality_classifier",
 ]
 
 BASE = "/root/testdata/sf0.1"
