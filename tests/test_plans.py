@@ -202,6 +202,31 @@ def test_quality_suite_two_exchanges_one_scan(plan):
     assert n_scans == 1, p
 
 
+def test_nb_classifier_model_broadcasts_and_featurizes_once(plan):
+    """q167's scoring join must BROADCAST the 4096-row LLR model (the
+    corpus side never shuffles for it — the fastText deployment shape),
+    and the cached featurization must be the plan's only corpus pass: a
+    SortMergeJoin on the bucket key means the model stopped
+    broadcasting; more than the cache-definition's single parquet scan,
+    or fewer than two InMemoryTableScan consumers (model branch +
+    scoring branch), means the cache stopped sharing the explode."""
+    p = plan("q167_quality_classifier")
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p
+    assert len(re.findall(r"InMemoryTableScan", p)) >= 2, p
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1, p
+
+
+def test_unimax_single_corpus_aggregate(plan):
+    """q168's only corpus-sized work is the per-language token count:
+    one parquet scan, and the first exchange out of it carries the
+    (lang, long) partial aggregate — the water-filling windows run on L
+    language rows behind a single-partition exchange by construction."""
+    p = plan("q168_unimax_mixture")
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1, p
+    assert "partial_sum" in p, p
+
+
 def test_moving_stats_single_shuffle_shared_sort(plan):
     # lag/lead/frames/row_number all share one user_id shuffle + sort
     p = plan("q54_user_moving_stats")
