@@ -11,11 +11,17 @@ standard curation sequence:
    granularity misses;
 1. **annotate** — token/quality/language stats (pure projection);
 2. **filter** — drop low-quality and repetition-heavy documents;
+2b. **model filter** (optional) — CCNet/GPT-3-style classifier stage:
+   score every survivor with the closed-form NB curated-vs-crawl
+   classifier (``curation.nb_quality_scores``) and drop documents
+   below the score floor — the published ordering (cheap heuristic
+   rules first, the model over the survivors);
 3. **dedup** — exact dedup, then MinHash-LSH near-dup clusters; keep one
    representative (the min doc_id) per cluster;
 4. **decontaminate** — drop documents sharing word n-grams with the
    benchmark/eval set;
-5. **mix** — per-(source, lang) sqrt-temperature sampling weights;
+5. **mix** — per-(source, lang) sqrt-temperature sampling weights, or
+   UniMax budget-capped per-language allocations (``mixture_scheme``);
 6. **pack** — lay the surviving docs into fixed-token training bins and
    write shards partitioned by bin range.
 
@@ -63,6 +69,17 @@ class CurationConfig:
     #: grams above this occurrence count lose their canonical copy too
     #: (boilerplate flood guard; see ngram_dedup.remove_repeated_ngrams)
     ngram_dedup_max_occurrences: int | None = 10_000
+    #: SQL predicate naming the curated (positive) seed for the NB
+    #: model-filter stage (e.g. "source IN ('wiki', 'books')");
+    #: None = stage off
+    classifier_positive: str | None = None
+    #: drop documents whose NB log-odds falls below this floor
+    classifier_min_score: float = 0.0
+    classifier_buckets: int = 4096
+    #: "temperature" (sqrt-temperature weights over mixture_groups) or
+    #: "unimax" (budget-capped per-language token allocations)
+    mixture_scheme: str = "temperature"
+    unimax_epoch_cap: int = 2
 
 
 def curate_corpus(
@@ -130,6 +147,24 @@ def curate_corpus(
     )
     counts["after_quality"] = kept.count()
 
+    # 2b. model-based quality filter (CCNet/GPT-3 ordering: the cheap
+    # heuristic rules above prune first, the classifier scores only the
+    # survivors; the 4096-row model broadcasts at any corpus size)
+    if cfg.classifier_positive:
+        scores = curation.nb_quality_scores(
+            kept,
+            cfg.classifier_positive,
+            buckets=cfg.classifier_buckets,
+        )
+        kept = kept.join(
+            scores.filter(
+                F.col("score") >= cfg.classifier_min_score
+            ).select("doc_id"),
+            "doc_id",
+            "left_semi",
+        )
+        counts["after_classifier"] = kept.count()
+
     # 3a. exact dedup: keep the canonical (min-id) copy of each fingerprint
     canon = (
         kept.groupBy("fingerprint")
@@ -158,8 +193,20 @@ def curate_corpus(
     kept = kept.join(contam.select("doc_id"), "doc_id", "left_anti").cache()
     counts["after_decontamination"] = kept.count()
 
-    # 5. mixture weights over the survivors
-    weights = curation.mixture_weights(kept, cfg.mixture_groups)
+    # 5. mixture over the survivors: sampling weights (temperature) or
+    # budget-capped token allocations (unimax) — "weights" is
+    # scheme-shaped: (groups..., weight) vs (lang, ..., alloc_tokens)
+    if cfg.mixture_scheme == "unimax":
+        weights = curation.unimax_allocation(
+            kept, epoch_cap=cfg.unimax_epoch_cap
+        )
+    elif cfg.mixture_scheme == "temperature":
+        weights = curation.mixture_weights(kept, cfg.mixture_groups)
+    else:
+        raise ValueError(
+            f"unknown mixture_scheme {cfg.mixture_scheme!r} "
+            "(expected 'temperature' or 'unimax')"
+        )
 
     # 6. packing plan + shards (per-shard windows when pack_shards set —
     # the default for corpora that don't fit one task's sort)

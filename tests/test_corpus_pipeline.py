@@ -127,3 +127,49 @@ def test_ngram_dedup_stage_cuts_repeated_spans(spark, tmp_path):
     assert shared in texts[1]  # canonical copy (min doc_id) survives
     assert shared not in texts[2]  # later copy cut
     assert texts[3] == rows[2][1]  # untouched
+
+
+def test_classifier_stage_and_unimax_scheme(spark):
+    """Stage 2b (NB model filter) drops below-floor docs between
+    after_quality and after_exact_dedup; mixture_scheme='unimax'
+    reshapes the weights output to per-language allocations."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    benchmark = docs.filter("doc_id % 97 = 0").select("doc_id", "text")
+    train = docs.filter("doc_id % 97 <> 0")
+    cfg = CurationConfig(
+        min_quality=0.05,
+        lsh_threshold=0.5,
+        classifier_positive=(
+            "source IN ('src0','src1','src2','src3','src4',"
+            "'src5','src6','src7','src8','src9')"
+        ),
+        classifier_min_score=-0.5,
+        mixture_scheme="unimax",
+    )
+    res = curate_corpus(spark, train, benchmark, config=cfg)
+    c = res["counts"]
+    assert "after_classifier" in c
+    assert c["after_classifier"] <= c["after_quality"]
+    assert c["after_classifier"] > 0  # the floor must not wipe the corpus
+    w = res["weights"]
+    assert set(w.columns) == {
+        "lang", "n_tokens", "capped", "alloc_tokens", "epochs",
+    }
+    rows = w.collect()
+    assert all(r.epochs <= cfg.unimax_epoch_cap + 1e-9 for r in rows)
+    # survivors' languages only
+    langs = {
+        r.lang for r in res["kept"].select("lang").distinct().collect()
+    }
+    assert {r.lang for r in rows} == langs
+
+
+def test_unknown_mixture_scheme_rejected(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    with pytest.raises(ValueError, match="mixture_scheme"):
+        curate_corpus(
+            spark,
+            docs,
+            docs.limit(1).select("doc_id", "text"),
+            config=CurationConfig(mixture_scheme="zipf"),
+        )
