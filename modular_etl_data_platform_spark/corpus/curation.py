@@ -702,6 +702,13 @@ def nb_quality_scores(
         F.count_distinct(F.when(~F.col("__pos"), F.col(id_col))).alias("nd"),
     ).collect()[0]
     n_pos, n_neg = int(tot["pt"]), int(tot["nt"])
+    if not tot["pd"] or not tot["nd"]:
+        # Spark's log() returns NULL for non-positive input, so an empty
+        # class would silently null every score instead of failing
+        raise ValueError(
+            "nb_quality_scores needs at least one document in EACH "
+            f"class (positive={int(tot['pd'])}, negative={int(tot['nd'])})"
+        )
     prior = F.round(
         F.log(F.lit(float(tot["pd"]))) - F.log(F.lit(float(tot["nd"]))), 9
     )
@@ -776,6 +783,11 @@ def unimax_allocation(
 
     Returns (lang, n_tokens, capped, alloc_tokens, epochs).
     """
+    if epoch_cap < 1 or budget_num < 1 or budget_den < 1:
+        raise ValueError(
+            "epoch_cap, budget_num and budget_den must be positive "
+            f"integers (got {epoch_cap}, {budget_num}, {budget_den})"
+        )
     n = F.size(F.split(F.col(text_col), " ")).cast("long")
     sizes = (
         df.select(F.col(lang_col).alias("lang"), n.alias("__n"))

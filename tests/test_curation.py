@@ -286,3 +286,18 @@ def test_unimax_all_capped_budget_surplus(spark):
     ).collect()
     assert all(r.capped for r in out)
     assert all(r.epochs == 1.0 for r in out)
+
+
+def test_nb_classifier_rejects_empty_class(spark):
+    df = spark.createDataFrame(
+        [(0, "a b c", "cur"), (1, "d e f", "cur")],
+        ["doc_id", "text", "src"],
+    )
+    with pytest.raises(ValueError, match="EACH"):
+        ccur.nb_quality_scores(df, "src = 'cur'", buckets=16)
+
+
+def test_unimax_rejects_nonpositive_params(spark):
+    df = spark.createDataFrame([(0, "a", "en")], ["doc_id", "text", "lang"])
+    with pytest.raises(ValueError, match="positive"):
+        ccur.unimax_allocation(df, epoch_cap=0)
