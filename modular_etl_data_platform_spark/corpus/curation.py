@@ -840,3 +840,158 @@ def unimax_allocation(
         alloc.alias("alloc_tokens"),
         F.round(alloc / F.col("n_tokens"), 9).alias("epochs"),
     )
+
+
+def _nb_bucket(col: str, buckets: int):
+    """Portable hashed-unigram bucket (md5 prefix → int, the MinHash/
+    DSIR oracle recipe) — shared by the one-pass classifier and the
+    train/apply split."""
+    return (
+        F.conv(F.substring(F.md5(F.col(col)), 1, 15), 16, 10).cast("long")
+        % buckets
+    )
+
+
+#: model rows carrying the scalar parts of a trained NB model: the class
+#: prior (ln pos_docs − ln neg_docs) and the default LLR applied to
+#: buckets never seen in training (the fully-smoothed ratio). Hash
+#: buckets are always ≥ 0, so the sentinels can never collide.
+NB_PRIOR_BUCKET = -1
+NB_DEFAULT_BUCKET = -2
+
+
+def nb_train(
+    df: DataFrame,
+    positive_filter: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 4096,
+) -> DataFrame:
+    """Train the :func:`nb_quality_scores` model ONCE and return it as a
+    persistable ``(b long, lr double)`` DataFrame — ``buckets`` LLR rows
+    plus two sentinel rows (:data:`NB_PRIOR_BUCKET` carries the class
+    prior, :data:`NB_DEFAULT_BUCKET` the fully-smoothed LLR for buckets
+    the training corpus never produced, which :func:`nb_apply` gives to
+    unseen features). Write it with ``model.write.parquet(...)`` and
+    score tomorrow's intake batches without touching today's corpus —
+    the incremental path the dedup/IVF/gram-index families already
+    have; the artifact is ≤ ``buckets``+2 rows no matter the corpus.
+
+    Same determinism recipe as the one-pass form (round-9 LLRs), so
+    train-then-apply on the SAME corpus reproduces
+    :func:`nb_quality_scores` bit-for-bit (pinned in tests)."""
+    feats = df.select(
+        F.expr(positive_filter).alias("__pos"),
+        F.col(id_col).alias("__id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("__w"),
+    ).select("__pos", "__id", _nb_bucket("__w", buckets).alias("__b"))
+    cnts = feats.groupBy("__pos", "__b").agg(
+        F.count(F.lit(1)).alias("__c"),
+        F.count_distinct("__id").alias("__d"),
+    )
+    cnts = cnts.cache()
+    tot = cnts.agg(
+        F.sum(F.when(F.col("__pos"), F.col("__c")).otherwise(0)).alias("pt"),
+        F.sum(F.when(~F.col("__pos"), F.col("__c")).otherwise(0)).alias("nt"),
+    ).collect()[0]
+    docs = (
+        df.select(F.expr(positive_filter).alias("__pos"))
+        .groupBy("__pos")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    dcnt = {bool(r["__pos"]): int(r["n"]) for r in docs.collect()}
+    if not dcnt.get(True) or not dcnt.get(False):
+        raise ValueError(
+            "nb_train needs at least one document in EACH class "
+            f"(positive={dcnt.get(True, 0)}, negative={dcnt.get(False, 0)})"
+        )
+    n_pos, n_neg = int(tot["pt"]), int(tot["nt"])
+    import math
+
+    prior = round(
+        math.log(float(dcnt[True])) - math.log(float(dcnt[False])), 9
+    )
+    default_lr = round(
+        -math.log(float(n_pos + buckets)) + math.log(float(n_neg + buckets)),
+        9,
+    )
+    model = (
+        cnts.groupBy("__b")
+        .agg(
+            F.sum(F.when(F.col("__pos"), F.col("__c")).otherwise(0)).alias(
+                "pc"
+            ),
+            F.sum(F.when(~F.col("__pos"), F.col("__c")).otherwise(0)).alias(
+                "nc"
+            ),
+        )
+        .select(
+            F.col("__b").alias("b"),
+            F.round(
+                (
+                    F.log(F.col("pc") + 1)
+                    - F.log(F.lit(float(n_pos + buckets)))
+                )
+                - (
+                    F.log(F.col("nc") + 1)
+                    - F.log(F.lit(float(n_neg + buckets)))
+                ),
+                9,
+            ).alias("lr"),
+        )
+    )
+    sentinels = df.sparkSession.createDataFrame(
+        [(NB_PRIOR_BUCKET, prior), (NB_DEFAULT_BUCKET, default_lr)],
+        "b long, lr double",
+    )
+    return model.unionByName(sentinels)
+
+
+def nb_apply(
+    df: DataFrame,
+    model: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 4096,
+) -> DataFrame:
+    """Score documents against a :func:`nb_train` model (today's intake
+    batch against yesterday's model — no retraining): one explode, one
+    broadcast join against the ≤ ``buckets``+2-row model, one per-doc
+    decimal fold. Buckets the model never saw score the
+    :data:`NB_DEFAULT_BUCKET` fully-smoothed LLR. ``buckets`` must
+    match the value the model was trained with.
+
+    Returns (id, score, pred) — no ``is_curated``: the label predicate
+    is a training-time concept and an intake batch has no label."""
+    prior_rows = {
+        int(r["b"]): float(r["lr"])
+        for r in model.filter(F.col("b") < 0).collect()
+    }
+    if NB_PRIOR_BUCKET not in prior_rows or NB_DEFAULT_BUCKET not in prior_rows:
+        raise ValueError(
+            "model is missing its sentinel rows — was it produced by "
+            "nb_train()?"
+        )
+    prior = F.lit(prior_rows[NB_PRIOR_BUCKET])
+    default_lr = F.lit(prior_rows[NB_DEFAULT_BUCKET])
+    feats = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), " ")).alias("__w"),
+    ).select(id_col, _nb_bucket("__w", buckets).alias("b"))
+    cnts = feats.groupBy(id_col, "b").agg(F.count(F.lit(1)).alias("__c"))
+    return (
+        cnts.join(F.broadcast(model.filter(F.col("b") >= 0)), "b", "left")
+        .select(
+            F.col(id_col),
+            F.round(
+                F.col("__c") * F.coalesce(F.col("lr"), default_lr), 9
+            ).alias("__t"),
+        )
+        .groupBy(id_col)
+        .agg(F.sum(F.col("__t").cast("decimal(28,12)")).alias("__s"))
+        .select(
+            F.col(id_col),
+            F.round(F.col("__s").cast("double") + prior, 9).alias("score"),
+            (F.col("__s").cast("double") + prior > 0).alias("pred"),
+        )
+    )
