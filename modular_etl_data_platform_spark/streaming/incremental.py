@@ -627,6 +627,9 @@ def stream_curate_documents(
     checkpoint: str,
     min_quality: float = 0.05,
     schema: str = "doc_id long, text string",
+    nb_model_path: str | None = None,
+    nb_min_score: float = 0.0,
+    nb_buckets: int = 4096,
 ):
     """Streaming corpus intake: continuously ingest document files, score
     and filter them, and append only documents whose content fingerprint
@@ -634,6 +637,14 @@ def stream_curate_documents(
     against the already-curated table (the streaming twin of
     pipeline/corpus.py's batch flow; near-dup runs as a periodic batch
     job over the curated table).
+
+    ``nb_model_path`` points at a persisted :func:`corpus.curation.
+    nb_train` model: each batch is then ALSO scored with
+    :func:`corpus.curation.nb_apply` against yesterday's model and
+    documents below ``nb_min_score`` drop — the streaming face of the
+    pipeline's model-filter stage (train offline on the curated corpus,
+    filter the intake online; the ≤buckets+2-row model loads once at
+    stream definition and broadcasts into every micro-batch).
 
     Each micro-batch shuffles only itself; the seen-fingerprint set is a
     single-column scan of the target (at scale: partition the target by a
@@ -647,10 +658,29 @@ def stream_curate_documents(
 
     stream = spark.readStream.schema(schema).json(source_dir)
 
+    nb_model = None
+    if nb_model_path is not None:
+        from modular_etl_data_platform_spark.corpus import curation as ccur
+
+        # load + sentinel-validate ONCE at stream definition; a missing
+        # or malformed model should fail the start(), not batch 17
+        nb_model = spark.read.parquet(nb_model_path)
+        ccur.nb_apply(spark.createDataFrame([], schema), nb_model,
+                      buckets=nb_buckets)
+
     def process(batch: _DF, batch_id: int) -> None:
         scored = ctext.with_text_stats(batch).filter(
             F.col("quality_score") >= min_quality
         )
+        if nb_model is not None:
+            from modular_etl_data_platform_spark.corpus import curation as ccur
+
+            keep = ccur.nb_apply(
+                batch, nb_model, buckets=nb_buckets
+            ).filter(F.col("score") >= nb_min_score)
+            scored = scored.join(
+                keep.select("doc_id"), "doc_id", "left_semi"
+            )
         # within-batch exact dedup: keep the min doc_id per fingerprint
         w_cols = ["fingerprint"]
         scored = scored.dropDuplicates(w_cols)

@@ -357,6 +357,51 @@ def test_stream_curate_documents_dedups_across_batches(spark, tmp_path):
     assert "quality_score" in curated.columns and "fingerprint" in curated.columns
 
 
+def test_stream_curate_documents_model_filter(spark, tmp_path):
+    """The nb_model_path option filters the intake against a PERSISTED
+    offline model: planted-vocab junk drops, curated-vocab docs land,
+    and a sentinel-free artifact fails at stream DEFINITION."""
+    import pytest as _pytest
+
+    from modular_etl_data_platform_spark.corpus import curation as ccur
+    from modular_etl_data_platform_spark.streaming.incremental import (
+        stream_curate_documents,
+    )
+
+    train = spark.createDataFrame(
+        [(0, "excellent prose words flowing nicely onward", "cur"),
+         (1, "garbage noise junk filler padding rubbish", "crawl")],
+        ["doc_id", "text", "src"],
+    )
+    model_path = str(tmp_path / "nb_model")
+    ccur.nb_train(train, "src = 'cur'", buckets=256).write.parquet(model_path)
+
+    src = tmp_path / "docs_in"
+    src.mkdir()
+    out = str(tmp_path / "curated")
+    ckpt = str(tmp_path / "ckpt")
+    rows = [
+        {"doc_id": 10, "text": "excellent prose words flowing nicely onward"},
+        {"doc_id": 11, "text": "garbage noise junk filler padding rubbish"},
+    ]
+    (src / "b1.json").write_text("\n".join(json.dumps(r) for r in rows))
+    q = stream_curate_documents(
+        spark, str(src), out, ckpt,
+        min_quality=0.0, nb_model_path=model_path, nb_buckets=256,
+    )
+    q.awaitTermination(120)
+    assert [r.doc_id for r in spark.read.parquet(out).collect()] == [10]
+
+    bad = spark.createDataFrame([(0, 0.5)], "b long, lr double")
+    bad_path = str(tmp_path / "bad_model")
+    bad.write.parquet(bad_path)
+    with _pytest.raises(ValueError, match="sentinel"):
+        stream_curate_documents(
+            spark, str(src), out, str(tmp_path / "ckpt2"),
+            nb_model_path=bad_path, nb_buckets=256,
+        )
+
+
 def test_running_totals_transform_with_state(spark, tmp_path):
     """transformWithStateInPandas (Spark 4 typed-state API): cumulative
     per-user totals survive across micro-batches; the second batch's
