@@ -423,6 +423,18 @@ def _mapped_schema_string_stable(
     return json.dumps(schema), (max(ids.values()) if ids else 0)
 
 
+def _atomic_json_dump(obj, path: str) -> None:
+    """Write JSON via tmp + rename: a crash mid-write must never leave a
+    TORN bookkeeping file (a torn ``_vt_mirror_state.json`` would brick
+    the mirror's resume; a torn ``_last_checkpoint`` would brick every
+    reader) — the log commits themselves are already safe to re-emit
+    (deterministic transitions, existence-guarded links)."""
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(obj, f)
+    os.replace(tmp, path)
+
+
 def _emit_mirror_commit(
     dest: str,
     log_dir: str,
@@ -631,8 +643,7 @@ def export_delta_incremental(
             table.log.resolve(v1),
             v1,
         )
-        with open(state_path, "w") as f:
-            json.dump(mirror, f)
+        _atomic_json_dump(mirror, state_path)
         return v1
 
     with open(state_path) as f:
@@ -656,8 +667,7 @@ def export_delta_incremental(
             _write_classic_checkpoint(log_dir, mirror["delta_version"])
         prev = cur
     mirror["source_version"] = v1
-    with open(state_path, "w") as f:
-        json.dump(mirror, f)
+    _atomic_json_dump(mirror, state_path)
     return v1
 
 
@@ -848,8 +858,10 @@ def _write_classic_checkpoint(log_dir: str, version: int) -> str:
     )
     out = os.path.join(log_dir, f"{version:020d}.checkpoint.parquet")
     pq.write_table(tbl, out)
-    with open(os.path.join(log_dir, "_last_checkpoint"), "w") as f:
-        json.dump({"version": version, "size": tbl.num_rows}, f)
+    _atomic_json_dump(
+        {"version": version, "size": tbl.num_rows},
+        os.path.join(log_dir, "_last_checkpoint"),
+    )
     return out
 
 

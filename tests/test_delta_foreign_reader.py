@@ -559,3 +559,63 @@ def test_mirror_vacuum_reclaims_unreferenced_files(spark, tmp_path):
     pd.testing.assert_frame_equal(before, after)
     want = vt.read().toPandas().sort_values("id").reset_index(drop=True)
     pd.testing.assert_frame_equal(after, want[after.columns], check_dtype=False)
+
+
+def test_incremental_mirror_resumes_after_torn_run(spark, tmp_path):
+    """Crash between 'log commits landed' and 'state file saved': the
+    resume re-emits the SAME source transitions over the stale state —
+    deterministic diffs, existence-guarded links, overwritten JSONs —
+    and the foreign reader still reproduces vt.read(); the superseded
+    links from the torn run become unreferenced and mirror_vacuum
+    reclaims them without breaking the table. (State/_last_checkpoint
+    writes themselves are tmp+rename, so a torn JSON can't exist.)"""
+    from pyspark.sql import functions as F
+
+    from modular_etl_data_platform_spark.operators.delta_export import (
+        _MIRROR_STATE,
+        mirror_vacuum,
+    )
+
+    vt = VersionedTable(
+        spark, str(tmp_path / "t"), stats_columns=["id"]
+    )
+    df = spark.range(0, 200).withColumn("v", F.col("id") * 2)
+    vt.write(df.coalesce(2))
+    dest = str(tmp_path / "mirror")
+    export_delta_incremental(vt, dest)
+
+    state_path = os.path.join(dest, _MIRROR_STATE)
+    with open(state_path) as f:
+        stale = f.read()
+
+    vt.upsert(
+        spark.range(150, 260).withColumn("v", F.col("id") * 3), ["id"]
+    )
+    vt.delete_where("id % 7 = 3")
+    export_delta_incremental(vt, dest)
+
+    # the "crash": commits 1..2 are on disk but the state write never
+    # happened — roll the bookkeeping back to the post-snapshot state
+    with open(state_path, "w") as f:
+        f.write(stale)
+
+    assert export_delta_incremental(vt, dest) == vt.current_version()
+    got = (
+        fr.read_delta_table(dest)
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    want = vt.read().toPandas().sort_values("id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want[got.columns], check_dtype=False)
+
+    # the torn run's superseded links are unreferenced -> reclaimable;
+    # the table must read identically after vacuum
+    mirror_vacuum(dest)
+    got2 = (
+        fr.read_delta_table(dest)
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got2, want[got2.columns], check_dtype=False)
