@@ -673,9 +673,10 @@ def export_delta_incremental(
 
 def mirror_log_cleanup(dest: str) -> int:
     """Delete the mirror's JSON commits at or below its newest classic
-    checkpoint (Delta's metadata cleanup): readers reconstruct that
-    state from the checkpoint, so the covered JSONs are redundant.
-    Returns how many commit files were removed. Time travel to
+    checkpoint AND every superseded checkpoint parquet (Delta's
+    metadata cleanup): readers reconstruct that state from the newest
+    checkpoint, so both are redundant. Returns how many log files were
+    removed. Time travel to
     pre-checkpoint versions is gone after cleanup — same trade as
     Delta's ``delta.logRetentionDuration`` expiry."""
     log_dir = os.path.join(dest, "_delta_log")
@@ -688,6 +689,15 @@ def mirror_log_cleanup(dest: str) -> int:
     for name in os.listdir(log_dir):
         if name.endswith(".json") and name[:-5].isdigit():
             if int(name[:-5]) <= cp_v:
+                os.remove(os.path.join(log_dir, name))
+                removed += 1
+        elif name.endswith(".checkpoint.parquet"):
+            # superseded checkpoints are as redundant as covered JSONs —
+            # each is O(table files) rows, so a long-lived mirror that
+            # checkpoints every N commits would otherwise grow without
+            # bound in exactly the artifact cleanup exists to bound
+            stem = name[: -len(".checkpoint.parquet")]
+            if stem.isdigit() and int(stem) < cp_v:
                 os.remove(os.path.join(log_dir, name))
                 removed += 1
     return removed

@@ -495,6 +495,25 @@ def test_mirror_checkpoint_enables_log_truncation(spark, tmp_path):
     )
     export_delta_incremental(vt, dest)
     check("post-cleanup sync")
+    # cross the NEXT checkpoint boundary: cleanup must also reclaim the
+    # superseded checkpoint parquet (each is O(table files) rows — a
+    # long-lived mirror would otherwise grow without bound in exactly
+    # the artifact cleanup exists to bound), keeping only the newest
+    for i in range(7):
+        vt.write(
+            spark.range(600 + i * 5, 605 + i * 5)
+            .selectExpr("id", "cast(id as string) as w")
+            .coalesce(1),
+            mode="append",
+        )
+    export_delta_incremental(vt, dest)
+    assert os.path.exists(os.path.join(log, f"{20:020d}.checkpoint.parquet"))
+    mirror_log_cleanup(dest)
+    assert not os.path.exists(
+        os.path.join(log, f"{10:020d}.checkpoint.parquet")
+    )
+    assert os.path.exists(os.path.join(log, f"{20:020d}.checkpoint.parquet"))
+    check("after second cleanup")
 
 
 def test_foreign_reader_refuses_multipart_checkpoint(tmp_path):
