@@ -677,7 +677,11 @@ def nb_quality_scores(
     """
     feats = df.select(
         F.col(id_col),
-        F.expr(positive_filter).alias("__pos"),
+        # 3VL: a NULL predicate row must land squarely in the negative
+        # class (when(~NULL) selects NEITHER branch, so without the
+        # coalesce such rows would vanish from token totals while
+        # still counting as negative documents)
+        F.coalesce(F.expr(positive_filter), F.lit(False)).alias("__pos"),
         F.explode(F.split(F.col(text_col), " ")).alias("__w"),
     ).select(
         id_col,
@@ -881,7 +885,11 @@ def nb_train(
     train-then-apply on the SAME corpus reproduces
     :func:`nb_quality_scores` bit-for-bit (pinned in tests)."""
     feats = df.select(
-        F.expr(positive_filter).alias("__pos"),
+        # 3VL: a NULL predicate row must land squarely in the negative
+        # class (when(~NULL) selects NEITHER branch, so without the
+        # coalesce such rows would vanish from token totals while
+        # still counting as negative documents)
+        F.coalesce(F.expr(positive_filter), F.lit(False)).alias("__pos"),
         F.col(id_col).alias("__id"),
         F.explode(F.split(F.col(text_col), " ")).alias("__w"),
     ).select("__pos", "__id", _nb_bucket("__w", buckets).alias("__b"))
@@ -895,7 +903,11 @@ def nb_train(
         F.sum(F.when(~F.col("__pos"), F.col("__c")).otherwise(0)).alias("nt"),
     ).collect()[0]
     docs = (
-        df.select(F.expr(positive_filter).alias("__pos"))
+        df.select(# 3VL: a NULL predicate row must land squarely in the negative
+        # class (when(~NULL) selects NEITHER branch, so without the
+        # coalesce such rows would vanish from token totals while
+        # still counting as negative documents)
+        F.coalesce(F.expr(positive_filter), F.lit(False)).alias("__pos"))
         .groupBy("__pos")
         .agg(F.count(F.lit(1)).alias("n"))
     )

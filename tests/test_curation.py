@@ -366,3 +366,18 @@ def test_nb_apply_rejects_sentinel_free_model(spark):
     docs = spark.createDataFrame([(0, "a")], ["doc_id", "text"])
     with pytest.raises(ValueError, match="sentinel"):
         ccur.nb_apply(docs, fake)
+
+
+def test_nb_classifier_null_predicate_rows_are_negative(spark):
+    # src NULL -> predicate NULL -> the row must count as a NEGATIVE
+    # document AND its tokens as negative-class tokens (not vanish)
+    df = spark.createDataFrame(
+        [(0, "good words", "cur"), (1, "bad words", None),
+         (2, "bad words", "crawl")],
+        ["doc_id", "text", "src"],
+    )
+    out = {r.doc_id: r for r in
+           ccur.nb_quality_scores(df, "src = 'cur'", buckets=32).collect()}
+    assert not out[1].is_curated
+    # identical text + identical class treatment -> identical score
+    assert out[1].score == out[2].score
