@@ -1169,3 +1169,117 @@ def q163_stream_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(F.col("p"), "sum_price"),
         )
     )
+
+
+@query(
+    "q169_sharded_change_feed",
+    """
+    WITH base AS (
+      SELECT o_orderkey AS k, o_orderstatus AS s, o_totalprice AS p FROM orders
+    ),
+    changes AS (
+      SELECT 1 AS _commit_version, 'insert' AS _change_type, k, p FROM base
+      UNION ALL
+      SELECT 2, 'update_postimage', k, p + 100 FROM base WHERE k % 3 = 0
+      UNION ALL
+      SELECT 2, 'insert', -(k + 1), p FROM base WHERE k % 7 = 0
+    )
+    SELECT _commit_version, _change_type,
+           COUNT(*) AS n_rows,
+           CAST(SUM(k) AS BIGINT) AS key_sum,
+           CAST(SUM(CAST(p AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+    FROM changes GROUP BY _commit_version, _change_type
+    """,
+)
+def q169_sharded_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHARDED update-class change-feed classification — the scale
+    answer to a giant MERGE (streaming/versioned_source.py::
+    _CFDiffPartition): a MERGE whose changed bytes exceed
+    ``diff_partition_bytes`` classifies across ceil(changed / target)
+    PK-hash-range partitions instead of one Arrow task, each shard
+    reading the commit's files filtered to its hash range BEFORE the
+    join (bounded memory; equal keys co-shard, so the union of shards
+    is exactly the unsharded classification). The stream here runs the
+    REAL sharded path — ``diff_partition_bytes`` is sized to the source
+    table so the MERGE version fans out at every scale factor — and the
+    in-query assertions pin what the oracle can't see: the MERGE
+    version planned >1 diff partition (asserted on the reader's own
+    partitions() protocol, the same code the trigger runs), the shard
+    ids tile range(nshards), and no key classified twice. The
+    per-(version, change_type) counts / key sums / decimal-exact value
+    sums must match the oracle's relational replay of the history."""
+    from modular_etl_data_platform_spark.operators.versioned import VersionedTable
+    from modular_etl_data_platform_spark.streaming.versioned_source import (
+        VersionedTableStreamDataSource,
+        _CFDiffPartition,
+        _VersionedChangeFeedStreamReader,
+    )
+
+    spark.dataSource.register(VersionedTableStreamDataSource)
+    scratch = _scratch("q169_sharded_change_feed", sf_dir)
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("s"),
+        F.col("o_totalprice").alias("p"),
+    )
+    table = os.path.join(scratch, "orders_v")
+    vt = VersionedTable(spark, table)
+    vt.write(orders.coalesce(1))  # v1
+    batch = (
+        orders.filter(F.col("k") % 3 == 0).withColumn(
+            "p", F.col("p") + F.lit(100)
+        )
+    ).unionByName(
+        orders.filter(F.col("k") % 7 == 0).select(
+            (-(F.col("k") + 1)).alias("k"), F.col("s"), F.col("p")
+        )
+    )
+    vt.upsert(batch.coalesce(1), ["k"])  # v2: giant MERGE, rewrite-style
+    # target ~ a quarter of the source bytes: the MERGE's changed bytes
+    # (old file + rewritten files) exceed it at ANY scale factor, so the
+    # fan-out engages without ever exploding the shard count
+    target = max(16 * 1024, os.path.getsize(os.path.join(sf_dir, "orders.parquet")) // 4)
+    stream = (
+        spark.readStream.format("versioned_table")
+        .option("path", table)
+        .option("read_changes", "true")
+        .option("primary_keys", "k")
+        .option("diff_partition_bytes", str(target))
+        .load()
+    )
+    out = os.path.join(scratch, "out")
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", os.path.join(scratch, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    # the fan-out contract, asserted on the reader's own partition plan
+    rd = _VersionedChangeFeedStreamReader(
+        table, stream.schema, 0, ["k"], diff_partition_bytes=target
+    )
+    diff_parts = [
+        p
+        for p in rd.partitions({"version": 1}, {"version": 2})
+        if isinstance(p, _CFDiffPartition)
+    ]
+    if len(diff_parts) < 2:
+        raise AssertionError(
+            f"MERGE version classified in {len(diff_parts)} partition(s); "
+            "expected the PK-hash fan-out to engage"
+        )
+    if {p.shard for p in diff_parts} != set(range(diff_parts[0].nshards)):
+        raise AssertionError("shard ids do not tile range(nshards)")
+    feed = spark.read.parquet(out)
+    v2 = feed.filter(F.col("_commit_version") == 2)
+    if v2.count() != v2.select("k").distinct().count():
+        raise AssertionError("a key classified in more than one shard")
+    return _pin(
+        feed.groupBy("_commit_version", "_change_type").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("k").cast("long").alias("key_sum"),
+            dsum(F.col("p"), "sum_price"),
+        )
+    )

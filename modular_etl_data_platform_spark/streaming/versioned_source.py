@@ -422,21 +422,32 @@ class _CFDvDeletePartition(InputPartition):
 
 
 class _CFDiffPartition(InputPartition):
-    """One UPDATE-class commit (rewrite / DV delete / restore): the old
-    and new sides of the version's file diff, row-matched executor-side
-    on the primary keys — exactly ``table_changes(v-1, v)`` computed in
-    one Arrow join. Scale note: per-version, so the join is bounded by
-    that COMMIT's changed files (never the table); a pathological giant
-    MERGE lands in one partition, which is the documented trade for
-    row-level classification without recorded CDC files."""
+    """One SHARD of an UPDATE-class commit's diff (rewrite / DV delete /
+    restore): the old and new sides of the version's file diff,
+    row-matched executor-side on the primary keys — exactly
+    ``table_changes(v-1, v)`` computed as an Arrow join. When the
+    commit's changed bytes exceed ``diff_partition_bytes`` the version
+    fans out into ``nshards`` partitions by PK-hash range: every shard
+    reads the same changed files but filters rows to
+    ``hash(pk) % nshards == shard`` BEFORE the join, so a giant MERGE
+    (10% of a 100 TB table) classifies across many bounded-memory tasks
+    instead of OOMing one — the extra reads (each shard scans the
+    commit's files once) are the documented price of bounded memory
+    without recorded CDC files. Rows with equal PKs always hash to the
+    same shard, so per-shard classification equals the global one."""
 
-    def __init__(self, old_files, new_files, fields, pks, version, ts_ms):
+    def __init__(
+        self, old_files, new_files, fields, pks, version, ts_ms,
+        shard=0, nshards=1,
+    ):
         self.old_files = old_files  # [(path, dv_path|None), ...]
         self.new_files = new_files
         self.fields = fields
         self.pks = pks
         self.version = version
         self.ts_ms = ts_ms
+        self.shard = shard
+        self.nshards = nshards
 
 
 def _with_cdf_columns(tbl, change, version, ts_ms):
@@ -459,15 +470,38 @@ def _with_cdf_columns(tbl, change, version, ts_ms):
     )
 
 
-def _read_files_concat(file_list, fields):
+def _pk_shard_filter(tbl, pks, shard, nshards):
+    """Keep only the rows whose PK-hash lands in this shard. The hash is
+    ``pandas.util.hash_pandas_object`` over the PK columns — vectorized,
+    process-independent (fixed default hash key), and a function of the
+    VALUES only, so the old and new images of a row always co-shard."""
+    if nshards <= 1 or tbl.num_rows == 0:
+        return tbl
+    import pandas as pd
+    import pyarrow as pa
+
+    h = pd.util.hash_pandas_object(
+        tbl.select(pks).to_pandas(), index=False
+    ).to_numpy()
+    return tbl.filter(pa.array((h % nshards) == shard))
+
+
+def _read_files_concat(file_list, fields, pks=None, shard=0, nshards=1):
     """[(path, dv_path)] -> ONE aligned Arrow table (logical names,
-    pinned types, vectors applied)."""
+    pinned types, vectors applied). With ``nshards > 1`` each file is
+    filtered to the PK-hash shard RIGHT after it is read, so a sharded
+    task's peak memory is one file plus its own 1/nshards slice."""
     import pyarrow as pa
 
     tables = [
-        pa.Table.from_batches(
-            list(_read_parquet_aligned(p, fields, dv)),
-            schema=None,
+        _pk_shard_filter(
+            pa.Table.from_batches(
+                list(_read_parquet_aligned(p, fields, dv)),
+                schema=None,
+            ),
+            pks,
+            shard,
+            nshards,
         )
         for p, dv in file_list
     ]
@@ -513,7 +547,13 @@ class _VersionedChangeFeedStreamReader(_VersionedStreamReader):
     / ``max_bytes_per_batch`` rate-limit the feed identically to the
     file-level source, and Spark's checkpoint resumes it exactly-once.
     Resolution folds one delta per drained version off the instance's
-    cached predecessor — O(changed), never O(table), at any depth."""
+    cached predecessor — O(changed), never O(table), at any depth.
+
+    ``diff_partition_bytes`` (default 128 MiB) bounds an update-class
+    commit's per-task diff: a version whose changed bytes exceed it
+    classifies across ``ceil(changed / target)`` PK-hash-range shards
+    (see :class:`_CFDiffPartition`) — the knob that keeps a giant MERGE
+    from landing its whole diff in one Arrow task."""
 
     def __init__(
         self,
@@ -523,6 +563,7 @@ class _VersionedChangeFeedStreamReader(_VersionedStreamReader):
         primary_keys: list[str],
         max_versions_per_batch: int | None = None,
         max_bytes_per_batch: int | None = None,
+        diff_partition_bytes: int = 128 * 1024 * 1024,
     ):
         data_schema = StructType(
             [f for f in cdf_schema.fields if f.name not in _CDF_COLS]
@@ -549,6 +590,7 @@ class _VersionedChangeFeedStreamReader(_VersionedStreamReader):
             max_bytes_per_batch=max_bytes_per_batch,
         )
         self.pks = list(primary_keys)
+        self.diff_partition_bytes = max(1, int(diff_partition_bytes))
 
     def partitions(self, start: dict, end: dict) -> list[InputPartition]:
         v0, v1 = int(start["version"]), int(end["version"])
@@ -610,15 +652,40 @@ class _VersionedChangeFeedStreamReader(_VersionedStreamReader):
                     for f in dv_changed
                 )
             else:
-                parts.append(
+                old_side = [(f, prev_dv.get(f)) for f in old_only + dv_changed]
+                new_side = [(f, cur_dv.get(f)) for f in new_only + dv_changed]
+                # fan the diff out by PK-hash range when the commit's
+                # changed bytes exceed the per-task target; file sizes
+                # ride the log (add.size), so sizing is metadata-only
+                prev_sz, cur_sz = prev.get("sizes", {}), cur.get("sizes", {})
+
+                def _sz(f, logged):
+                    s = logged.get(f)
+                    if s is None:
+                        try:
+                            s = os.path.getsize(f)
+                        except OSError:
+                            s = 0
+                    return s
+
+                changed = sum(_sz(f, prev_sz) for f, _ in old_side) + sum(
+                    _sz(f, cur_sz) for f, _ in new_side
+                )
+                nshards = max(
+                    1, -(-changed // self.diff_partition_bytes)
+                )
+                parts.extend(
                     _CFDiffPartition(
-                        [(f, prev_dv.get(f)) for f in old_only + dv_changed],
-                        [(f, cur_dv.get(f)) for f in new_only + dv_changed],
+                        old_side,
+                        new_side,
                         fields,
                         self.pks,
                         v,
                         ts_ms,
+                        shard=s,
+                        nshards=nshards,
                     )
+                    for s in range(nshards)
                 )
         return parts
 
@@ -667,10 +734,14 @@ class _VersionedChangeFeedStreamReader(_VersionedStreamReader):
                 rows, "delete", partition.version, partition.ts_ms
             ).to_batches()
             return
-        # diff partition: table_changes(v-1, v) in one Arrow join
+        # diff partition: table_changes(v-1, v) in one Arrow join —
+        # restricted to this task's PK-hash shard when the version
+        # fanned out (both sides filter per file, so equal keys meet)
         p = partition
-        old = _read_files_concat(p.old_files, p.fields)
-        new = _read_files_concat(p.new_files, p.fields)
+        shard = getattr(p, "shard", 0)
+        nshards = getattr(p, "nshards", 1)
+        old = _read_files_concat(p.old_files, p.fields, p.pks, shard, nshards)
+        new = _read_files_concat(p.new_files, p.fields, p.pks, shard, nshards)
         val_cols = [n for n in old.column_names if n not in p.pks]
         o = old.rename_columns(
             [c if c in p.pks else f"__ov_{c}" for c in old.column_names]
@@ -1016,6 +1087,11 @@ class VersionedTableStreamDataSource(DataSource):
                 [k.strip() for k in pks.split(",") if k.strip()],
                 int(max_v) if max_v is not None else None,
                 int(max_b) if max_b is not None else None,
+                diff_partition_bytes=int(
+                    self.options.get(
+                        "diff_partition_bytes", 128 * 1024 * 1024
+                    )
+                ),
             )
         return _VersionedStreamReader(
             self._table(),

@@ -1596,3 +1596,88 @@ def test_change_feed_requires_primary_keys(spark, tmp_path):
             .start()
             .awaitTermination(60)
         )
+
+
+def test_change_feed_diff_fans_out_by_pk_hash(spark, tmp_path):
+    """An update-class commit whose changed bytes exceed
+    ``diff_partition_bytes`` classifies across multiple PK-hash-range
+    shards; the union of the shards' rows equals the unsharded
+    classification exactly (same keys, same change types, no
+    duplicates), and several shards are non-empty — the bounded-memory
+    answer to a giant MERGE landing in one Arrow task."""
+    import pyarrow as pa
+
+    from modular_etl_data_platform_spark.operators.versioned import VersionedTable
+    from modular_etl_data_platform_spark.streaming.versioned_source import (
+        VersionedTableStreamDataSource,
+        _CFDiffPartition,
+        _VersionedChangeFeedStreamReader,
+    )
+
+    spark.dataSource.register(VersionedTableStreamDataSource)
+    table = str(tmp_path / "vt")
+    vt = VersionedTable(spark, table)
+    vt.write(
+        spark.range(0, 5000)
+        .selectExpr("id as k", "concat('v', id) as v")
+        .coalesce(1)
+    )  # v1
+    vt.upsert(
+        spark.range(2500, 7500)
+        .selectExpr("id as k", "concat('u', id) as v")
+        .coalesce(1),
+        ["k"],
+    )  # v2: rewrite-style MERGE (updates 2500 rows, inserts 2500)
+
+    cdf_schema = (
+        spark.readStream.format("versioned_table")
+        .option("path", table)
+        .option("read_changes", "true")
+        .option("primary_keys", "k")
+        .load()
+        .schema
+    )
+    def drain(reader, v0, v1):
+        parts = reader.partitions({"version": v0}, {"version": v1})
+        tables = []
+        for p in parts:
+            batches = list(reader.read(p))
+            if batches:
+                tables.append(pa.Table.from_batches(batches))
+        return parts, (pa.concat_tables(tables) if tables else None)
+
+    sharded = _VersionedChangeFeedStreamReader(
+        table, cdf_schema, 0, ["k"], diff_partition_bytes=16 * 1024
+    )
+    single = _VersionedChangeFeedStreamReader(
+        table, cdf_schema, 0, ["k"], diff_partition_bytes=1 << 40
+    )
+    parts_s, out_s = drain(sharded, 1, 2)
+    parts_1, out_1 = drain(single, 1, 2)
+    diff_s = [p for p in parts_s if isinstance(p, _CFDiffPartition)]
+    diff_1 = [p for p in parts_1 if isinstance(p, _CFDiffPartition)]
+    assert len(diff_1) == 1 and diff_1[0].nshards == 1
+    assert len(diff_s) >= 2
+    assert {p.shard for p in diff_s} == set(range(diff_s[0].nshards))
+    assert all(p.nshards == len(diff_s) for p in diff_s)
+
+    def norm(t):
+        return sorted(
+            zip(
+                t.column("k").to_pylist(),
+                t.column("v").to_pylist(),
+                t.column("_change_type").to_pylist(),
+                t.column("_commit_version").to_pylist(),
+            )
+        )
+
+    rows_s, rows_1 = norm(out_s), norm(out_1)
+    assert rows_s == rows_1  # identical classification, no dupes/losses
+    assert len(rows_s) == 5000  # 2500 update_postimage + 2500 insert
+    # the hash spreads: more than one shard actually carries rows
+    nonempty = 0
+    for p in diff_s:
+        batches = list(sharded.read(p))
+        if batches and sum(b.num_rows for b in batches):
+            nonempty += 1
+    assert nonempty >= 2
