@@ -90,6 +90,8 @@ fails loudly instead of resurrecting deleted rows.
 from __future__ import annotations
 
 import abc
+import bisect
+import collections
 import heapq
 import base64
 import hashlib
@@ -167,6 +169,128 @@ _STATE_CACHE_MAX = 8
 #: in-memory/test stores have no cross-instance identity.
 _PROCESS_STATE_CACHE: dict[tuple[str, int], tuple[tuple[int, int], dict]] = {}
 _PROCESS_STATE_CACHE_MAX = 16
+#: layered-state flatten guard: a fold whose base already stacks this
+#: many copy-on-write layers materializes to plain dicts instead of
+#: deriving another layer (checkpoint commits flatten every
+#: ``checkpoint_interval`` anyway, so this only engages on tables with
+#: checkpointing disabled or extreme intervals)
+_MAX_STATE_LAYERS = 64
+
+
+class _LazyFiles:
+    """Persistent (copy-on-write) sorted file inventory: a frozen plain
+    BASE list shared structurally across snapshots plus a tuple of
+    sorted ADD layers. Deriving a child for an append-only commit is
+    O(layer sizes), never O(table) — the per-commit rebase fold that
+    used to copy the whole inventory (240 ms at 10^6 files) becomes a
+    tuple extension. The merged sorted list materializes lazily (once,
+    cached) the first time a consumer bulk-reads; until then membership
+    tests bisect base + layers. Quacks like the sorted ``list`` the
+    resolved-state contract promises: iteration, len, indexing,
+    equality against lists, pickling (as a plain list)."""
+
+    __slots__ = ("_base", "_layers", "_mat")
+
+    def __init__(self, base, layers=()):
+        self._base = base
+        self._layers = layers
+        self._mat = None
+
+    def derive(self, added) -> "_LazyFiles":
+        """Child inventory with ``added`` (sorted, disjoint) stacked as
+        one more layer. O(existing layers) pointer copies + O(added)."""
+        if not added:
+            return self
+        return _LazyFiles(self._base, self._layers + (tuple(added),))
+
+    @property
+    def layer_depth(self) -> int:
+        return len(self._layers)
+
+    def _materialize(self):
+        if self._mat is None:
+            if not self._layers:
+                self._mat = (
+                    self._base
+                    if isinstance(self._base, list)
+                    else list(self._base)
+                )
+            else:
+                self._mat = list(heapq.merge(self._base, *self._layers))
+        return self._mat
+
+    def __len__(self):
+        return len(self._base) + sum(len(a) for a in self._layers)
+
+    def __iter__(self):
+        return iter(self._materialize())
+
+    def __getitem__(self, i):
+        return self._materialize()[i]
+
+    def __contains__(self, x):
+        if self._mat is not None:
+            i = bisect.bisect_left(self._mat, x)
+            return i < len(self._mat) and self._mat[i] == x
+        for seq in (self._base, *self._layers):
+            i = bisect.bisect_left(seq, x)
+            if i < len(seq) and seq[i] == x:
+                return True
+        return False
+
+    def __eq__(self, other):
+        if isinstance(other, _LazyFiles):
+            return self._materialize() == other._materialize()
+        if isinstance(other, (list, tuple)):
+            return self._materialize() == list(other)
+        return NotImplemented
+
+    def __ne__(self, other):
+        eq = self.__eq__(other)
+        return NotImplemented if eq is NotImplemented else not eq
+
+    def __add__(self, other):  # list-concat compatibility
+        if isinstance(other, _LazyFiles):
+            other = other._materialize()
+        if isinstance(other, (list, tuple)):
+            return self._materialize() + list(other)
+        return NotImplemented
+
+    def __radd__(self, other):
+        if isinstance(other, (list, tuple)):
+            return list(other) + self._materialize()
+        return NotImplemented
+
+    __hash__ = None
+
+    def __repr__(self):
+        return f"_LazyFiles({len(self)} files, {len(self._layers)} layers)"
+
+    def __reduce__(self):  # pickles as the plain list consumers expect
+        return (list, (self._materialize(),))
+
+
+def _chain_push(base, layer):
+    """One copy-on-write overlay on a state map: O(layer), shares the
+    base structurally. ``collections.ChainMap`` gives first-layer-wins
+    get/items/len semantics, which IS the fold's update semantics."""
+    if not layer:
+        return base
+    if isinstance(base, collections.ChainMap):
+        return collections.ChainMap(dict(layer), *base.maps)
+    return collections.ChainMap(dict(layer), base)
+
+
+def _state_layer_depth(state: dict) -> int:
+    depth = 0
+    files = state.get("files")
+    if isinstance(files, _LazyFiles):
+        depth = files.layer_depth
+    for k in ("stats", "sizes", "dv"):
+        m = state.get(k)
+        if isinstance(m, collections.ChainMap):
+            depth = max(depth, len(m.maps) - 1)
+    return depth
 
 
 def _commit_name(version: int) -> str:
@@ -613,6 +737,127 @@ class CommitLog:
         state.setdefault("dv", {})
         return state
 
+    def _fold_delta(self, state: dict, rec: dict) -> dict:
+        """One commit record folded onto a resolved state — the SINGLE
+        fold both ``resolve`` (delta replay) and ``publish`` (the
+        committer deriving the state it just created) run, so the two
+        can never disagree.
+
+        Append-shaped commits (no removals, no DV clears) take the
+        PERSISTENT fast path: the file inventory derives a copy-on-write
+        layer (:class:`_LazyFiles`) and stats/sizes/dv push ChainMap
+        overlays — O(changed) work regardless of table size, which is
+        what keeps a high-frequency streaming sink's commit cost flat at
+        10^6+ files (the per-commit full-dict copy measured 240 ms at
+        10^6; a layer push is microseconds). Layers flatten back to
+        plain dicts at every checkpoint commit and at the
+        ``_MAX_STATE_LAYERS`` guard, so lookup depth stays bounded.
+
+        Removal-bearing commits (rewrites, deletes, restores) pay the
+        materialized filter exactly as before — they already rewrote
+        data files, so the data plane dwarfs the fold — and return a
+        PLAIN state, which doubles as a flatten point."""
+        removed = rec.get("remove", [])
+        added = rec.get("add", [])
+        rec_dv = rec.get("dv", {})
+        # protocol floors are monotone: a feature once required stays
+        # required (max per field), matching Delta's protocol action
+        proto = dict(state.get("protocol", {}))
+        for pk, pv in rec.get("protocol", {}).items():
+            proto[pk] = max(proto.get(pk, 1), pv)
+        carry = {
+            k: v
+            for k, v in rec.items()
+            if k not in ("add", "remove", "stats", "sizes", "dv", "protocol")
+        }
+        fast = (
+            not removed
+            and not any(p is None for p in rec_dv.values())
+            and _state_layer_depth(state) < _MAX_STATE_LAYERS
+        )
+        if fast:
+            base_files = state["files"]
+            lazy = (
+                base_files
+                if isinstance(base_files, _LazyFiles)
+                else _LazyFiles(base_files)
+            )
+            # adds are disjoint from the base by construction (publish
+            # set-diffs; legacy/hand-written records may not be) — the
+            # bisect filter is O(add · log table), never O(table)
+            new_adds = [f for f in added if f not in lazy]
+            new_state = {
+                **carry,
+                "files": lazy.derive(new_adds),
+                "stats": _chain_push(state.get("stats", {}), rec.get("stats", {})),
+                "sizes": _chain_push(state.get("sizes", {}), rec.get("sizes", {})),
+                "dv": _chain_push(state.get("dv", {}), rec_dv),
+                **({"protocol": proto} if proto else {}),
+            }
+            new_state.setdefault("constraints", {})
+            return new_state
+        files = set(state["files"])
+        files.difference_update(removed)
+        files.update(added)
+        if removed:
+            stats = {
+                f: s for f, s in state.get("stats", {}).items() if f in files
+            }
+            sizes = {
+                f: s for f, s in state.get("sizes", {}).items() if f in files
+            }
+        else:
+            stats = dict(state.get("stats", {}))
+            sizes = dict(state.get("sizes", {}))
+        stats.update(rec.get("stats", {}))
+        sizes.update(rec.get("sizes", {}))
+        # deletion vectors fold like stats: a rewritten/removed file
+        # drops its DV (the rewrite materialized it); the record's
+        # dv map points touched files at their NEW sidecar; a null
+        # value CLEARS the entry (restore resetting to a pre-delete
+        # snapshot)
+        dv = (
+            {f: p for f, p in state.get("dv", {}).items() if f in files}
+            if removed
+            else dict(state.get("dv", {}))
+        )
+        for f, p in rec_dv.items():
+            if f not in files:
+                continue
+            if p is None:
+                dv.pop(f, None)
+            else:
+                dv[f] = p
+        new_state = {
+            **carry,
+            "files": sorted(files),
+            "stats": stats,
+            "sizes": sizes,
+            "dv": dv,
+            **({"protocol": proto} if proto else {}),
+        }
+        new_state.setdefault("constraints", {})
+        return new_state
+
+    @staticmethod
+    def _materialize_state(state: dict) -> dict:
+        """Plain-dict/list form of a possibly layered state (flatten
+        point: checkpoints and any consumer that needs the O(table)
+        materialization anyway)."""
+        layered = isinstance(state.get("files"), _LazyFiles) or any(
+            isinstance(state.get(k), collections.ChainMap)
+            for k in ("stats", "sizes", "dv")
+        )
+        if not layered:
+            return state
+        out = dict(state)
+        if isinstance(out.get("files"), _LazyFiles):
+            out["files"] = list(out["files"])
+        for k in ("stats", "sizes", "dv"):
+            if isinstance(out.get(k), collections.ChainMap):
+                out[k] = dict(out[k])
+        return out
+
     def resolve(self, version: int) -> dict:
         """The full state at ``version``: walk BACK from the target to
         the nearest base (a checkpoint sidecar, a cached state, or a
@@ -656,68 +901,7 @@ class CommitLog:
                 break
         state = base
         for rec in reversed(deltas):
-            removed = rec.get("remove", [])
-            added = rec.get("add", [])
-            files = set(state["files"])
-            files.difference_update(removed)
-            files.update(added)
-            # append fast path (no removals): plain copies, no per-key
-            # membership filter — same O(table) CPU cut as publish()
-            if removed:
-                stats = {
-                    f: s
-                    for f, s in state.get("stats", {}).items()
-                    if f in files
-                }
-                sizes = {
-                    f: s
-                    for f, s in state.get("sizes", {}).items()
-                    if f in files
-                }
-            else:
-                stats = dict(state.get("stats", {}))
-                sizes = dict(state.get("sizes", {}))
-            stats.update(rec.get("stats", {}))
-            sizes.update(rec.get("sizes", {}))
-            # deletion vectors fold like stats: a rewritten/removed file
-            # drops its DV (the rewrite materialized it); the record's
-            # dv map points touched files at their NEW sidecar; a null
-            # value CLEARS the entry (restore resetting to a pre-delete
-            # snapshot)
-            dv = (
-                {f: p for f, p in state.get("dv", {}).items() if f in files}
-                if removed
-                else dict(state.get("dv", {}))
-            )
-            for f, p in rec.get("dv", {}).items():
-                if f not in files:
-                    continue
-                if p is None:
-                    dv.pop(f, None)
-                else:
-                    dv[f] = p
-            # protocol floors are monotone: a feature once required stays
-            # required (max per field), matching Delta's protocol action
-            proto = dict(state.get("protocol", {}))
-            for pk, pv in rec.get("protocol", {}).items():
-                proto[pk] = max(proto.get(pk, 1), pv)
-            state = {
-                **{
-                    k: v
-                    for k, v in rec.items()
-                    if k not in ("add", "remove", "stats", "sizes", "dv", "protocol")
-                },
-                "files": (
-                    sorted(files)
-                    if removed
-                    else list(heapq.merge(state["files"], added))
-                ),
-                "stats": stats,
-                "sizes": sizes,
-                "dv": dv,
-                **({"protocol": proto} if proto else {}),
-            }
-            state.setdefault("constraints", {})
+            state = self._fold_delta(state, rec)
         mr = state.get("protocol", {}).get("min_reader", 1)
         if mr > _SUPPORTED_READER:
             raise RuntimeError(
@@ -756,12 +940,13 @@ class CommitLog:
     # -- publish -------------------------------------------------------------
     def publish(
         self,
-        files: list[str],
+        files: list[str] | None,
         schema_json: str,
         meta: dict | None,
         expected_base: int,
         fresh_stats: dict[str, dict],
         dv_updates: dict[str, str] | None = None,
+        add: list[str] | None = None,
     ) -> int:
         """Claim version ``expected_base + 1`` with an atomic
         put-if-absent of the DELTA record (Delta's optimistic commit).
@@ -770,6 +955,15 @@ class CommitLog:
         thereby drop — an interleaved writer's version: the claim fails
         with :class:`ConcurrentWriteError` instead and the caller
         rebases. Record bytes are O(files changed), never O(table).
+
+        ``add`` is the DELTA form for append-shaped commits: the caller
+        states the new files directly (``files`` is then ignored and
+        may be None, removals and ``dv_updates`` must be absent), which
+        skips the O(table) full-list set diff entirely — with the
+        layered state fold, an append commit against a 10^7-file table
+        costs O(batch), the contract a high-frequency streaming sink
+        needs. ``add`` must be disjoint from the base version's files
+        (true by construction for freshly landed paths).
 
         CHECK constraints are table properties: they ride every record
         (small dict) and survive every write mode unless the caller's
@@ -841,19 +1035,23 @@ class CommitLog:
         # txn={app: N} can ask "did my N land?" at any later head, even
         # after unrelated commits interleaved
         txn = {**prior.get("txn", {}), **meta.pop("txn", {})}
-        files_set, prior_set = set(files), set(prior["files"])
-        add = sorted(files_set - prior_set)
-        remove = sorted(prior_set - files_set)
-        dv_updates = {
-            f: p for f, p in (dv_updates or {}).items() if f in files_set
-        }
-        dv = {f: p for f, p in prior.get("dv", {}).items() if f in files_set}
-        for f, p in dv_updates.items():
-            if p is None:  # explicit clear (restore to a pre-delete state)
-                dv.pop(f, None)
-            else:
-                dv[f] = p
-        proto = dict(prior.get("protocol", {}))
+        if add is not None:
+            # delta form: append-only by contract — no diff to compute
+            if dv_updates:
+                raise ValueError(
+                    "delta publish (add=...) cannot carry dv_updates; "
+                    "use the full-list form for DV-touching commits"
+                )
+            add = sorted(add)
+            remove: list[str] = []
+            dv_updates = {}
+        else:
+            files_set, prior_set = set(files), set(prior["files"])
+            add = sorted(files_set - prior_set)
+            remove = sorted(prior_set - files_set)
+            dv_updates = {
+                f: p for f, p in (dv_updates or {}).items() if f in files_set
+            }
         rec_proto: dict[str, int] = {}
         if any(p is not None for p in dv_updates.values()):
             # deletion vectors require a reader that applies them: bump
@@ -865,8 +1063,6 @@ class CommitLog:
                 "min_reader": max(rec_proto.get("min_reader", 1), 3),
                 "min_writer": max(rec_proto.get("min_writer", 1), 3),
             }
-        for pk, pv in rec_proto.items():
-            proto[pk] = max(proto.get(pk, 1), pv)
         sizes: dict[str, int] = {}
         for f in add:
             # file size rides the log (Delta's add.size): consumers like
@@ -916,56 +1112,21 @@ class CommitLog:
             **meta,
         }
         self.store.put_if_absent(_commit_name(version), json.dumps(rec))
-        # the committer already knows the new full state — cache it so
-        # the next operation (and the checkpoint below) resolve for free.
-        # Append fast path: with no removals every prior key survives,
-        # so a plain dict copy replaces the per-key membership filter —
-        # the state fold is the commit path's only O(table) CPU, and at
-        # 10^6 files the filtered comprehension is ~5x the copy.
-        if remove:
-            stats = {
-                f: s
-                for f, s in prior.get("stats", {}).items()
-                if f in files_set
-            }
-            state_sizes = {
-                f: s
-                for f, s in prior.get("sizes", {}).items()
-                if f in files_set
-            }
-        else:
-            stats = dict(prior.get("stats", {}))
-            state_sizes = dict(prior.get("sizes", {}))
-        stats.update(rec["stats"])
-        state_sizes.update(sizes)
-        state = {
-            "version": version,
-            "ts": rec["ts"],
-            # append fast path: prior files are sorted (state invariant)
-            # and `add` is sorted — an O(n) merge beats the O(n log n)
-            # re-sort that profiled as the largest per-commit CPU item
-            "files": (
-                sorted(files_set)
-                if remove
-                else list(heapq.merge(prior["files"], add))
-            ),
-            "stats": stats,
-            "sizes": state_sizes,
-            "metrics": metrics,
-            "schema": schema_json,
-            "constraints": constraints,
-            **({"generated": generated} if generated else {}),
-            **({"cluster_by": cluster_by} if cluster_by else {}),
-            **({"column_mapping": mapping} if mapping is not None else {}),
-            **({"retired_physical": retired} if retired else {}),
-            "dv": dv,
-            **({"protocol": proto} if proto else {}),
-            **({"txn": txn} if txn else {}),
-            **meta,
-        }
-        self._cache_put(version, state)
+        # the committer already knows the new full state — fold its own
+        # record onto the prior state with the SAME _fold_delta resolve
+        # replays (one fold, two callers: the two can never disagree)
+        # and cache it so the next operation resolves for free.
+        # Append-shaped commits take the O(changed) persistent path —
+        # the state fold used to be the commit path's only O(table)
+        # CPU (full-dict copy, 240 ms at 10^6 files); checkpoint
+        # commits flatten the layers back to plain dicts.
+        state = self._fold_delta(prior, rec)
         if self.checkpoint_interval and version % self.checkpoint_interval == 0:
+            state = self._materialize_state(state)  # flatten point
+            self._cache_put(version, state)
             self.write_checkpoint(state)
+        else:
+            self._cache_put(version, state)
         return version
 
     def version_at_timestamp(self, ts_ms: int) -> int:
@@ -1029,6 +1190,7 @@ class CommitLog:
         import pyarrow as pa
         import pyarrow.parquet as pq
 
+        state = self._materialize_state(state)  # flatten layered input
         files = state.get("files", [])
         stats = state.get("stats", {})
         sizes = state.get("sizes", {})
@@ -1632,17 +1794,24 @@ class VersionedTable:
 
     def _publish(
         self,
-        files: list[str],
+        files: list[str] | None,
         schema_json: str,
         meta: dict | None = None,
         expected_base: int | None = None,
         dv_updates: dict[str, str] | None = None,
+        add: list[str] | None = None,
     ) -> int:
         """Publish ``files`` as the snapshot at ``expected_base + 1``.
         Footer stats are computed ONLY for files the base state doesn't
         already carry (newly landed ones): an append to a table with
         10^5 historical files opens zero of their footers — stats ride
-        the log (checkpoint + deltas), commits never re-scan history."""
+        the log (checkpoint + deltas), commits never re-scan history.
+
+        ``add`` is the O(batch) delta form for appends (see
+        ``CommitLog.publish``): the freshly landed files are stated
+        directly, so neither the prior file SET nor the full target
+        list is ever built — the commit path stays O(changed) at any
+        table size."""
         base = (
             expected_base
             if expected_base is not None
@@ -1662,7 +1831,8 @@ class VersionedTable:
         mapping = (meta or {}).get("column_mapping")
         if base:
             prior = self.log.resolve(base)
-            prior_files = set(prior["files"])
+            if add is None:  # delta form never needs the prior file SET
+                prior_files = set(prior["files"])
             if mapping is None:
                 mapping = prior.get("column_mapping")
         # footer stats are keyed by PHYSICAL column name (that is what
@@ -1675,7 +1845,11 @@ class VersionedTable:
             if mapping
             else self.stats_columns
         )
-        fresh_files = [f for f in files if f not in prior_files]
+        fresh_files = (
+            list(add)
+            if add is not None
+            else [f for f in files if f not in prior_files]
+        )
         # bloom sidecar for the landed batch: ONE file per commit keyed
         # (file, physical column); the commit record carries only the
         # pointer, so log bytes stay O(batch) regardless of bitmap size.
@@ -1703,7 +1877,8 @@ class VersionedTable:
             for f in blooms:
                 fresh.setdefault(f, {})[_BLOOM_MARK] = sidecar
         return self.log.publish(
-            files, schema_json, meta, base, fresh, dv_updates=dv_updates
+            files, schema_json, meta, base, fresh,
+            dv_updates=dv_updates, add=add,
         )
 
     # -- generated columns -----------------------------------------------------
@@ -2256,11 +2431,10 @@ class VersionedTable:
         landed = self._land_files(df, enforce_not_null=(mode == "append"))
         for _ in range(_MAX_COMMIT_RETRIES):
             base = self.current_version() or 0
-            files = list(landed)
             schema_json = df.schema.json()
             prior = self.log.resolve(base) if base else None
-            if mode == "append" and prior is not None:
-                files = list(prior["files"]) + files
+            is_append = mode == "append" and prior is not None
+            if is_append:
                 schema_json = self._append_schema(
                     df.schema, prior["schema"], evolve_schema
                 )
@@ -2277,11 +2451,6 @@ class VersionedTable:
                     df, enforce_not_null=(mode == "append")
                 )
                 used_mapping = cur_map
-                files = (
-                    list(prior["files"]) + list(landed)
-                    if mode == "append" and prior is not None
-                    else list(landed)
-                )
             cur_cons = (prior or {}).get("constraints", {})
             if cur_cons != checked_cons:
                 self._validate_landed(
@@ -2297,8 +2466,16 @@ class VersionedTable:
                     return base  # landed files become vacuumable orphans
                 meta["txn"] = {txn_app_id: txn_version}
             try:
+                if is_append:
+                    # delta form: the commit states only the landed
+                    # files — O(batch) at any table size (neither the
+                    # prior file list nor its set is ever built)
+                    return self._publish(
+                        None, schema_json, meta,
+                        expected_base=base, add=list(landed),
+                    )
                 return self._publish(
-                    files, schema_json, meta,
+                    list(landed), schema_json, meta,
                     expected_base=base,
                 )
             except ConcurrentWriteError:

@@ -105,6 +105,20 @@ def main() -> None:
         t0 = time.perf_counter()
         warm.resolve(head + 1)
         t_rebase = time.perf_counter() - t0
+        # delta-form publish (add=...) at full depth — the streaming
+        # sink's commit shape: no full-list set diff, layered state
+        # fold; must be O(batch) at any table size (round 11)
+        extra2 = [f"{root}/files/extra2/part-{j}.parquet" for j in range(2)]
+        t0 = time.perf_counter()
+        log.publish(
+            None,
+            '{"type":"struct","fields":[]}',
+            {"mode": "append"},
+            head + 1,
+            {f: {"k": [0, 0]} for f in extra2},
+            add=extra2,
+        )
+        t_delta_publish = time.perf_counter() - t0
         # the round-9 parquet checkpoint, measured in isolation at full
         # depth: write cost, on-disk bytes (meta vs columnar parts), and
         # a paths-only projection — the read shape a consumer that needs
@@ -153,6 +167,7 @@ def main() -> None:
                     "cold_snapshot_resolve_ms": round(t_resolve * 1e3, 3),
                     "warm_reopen_resolve_ms": round(t_warm_reopen * 1e3, 3),
                     "rebase_fold_ms": round(t_rebase * 1e3, 3),
+                    "delta_publish_ms": round(t_delta_publish * 1e3, 3),
                     "checkpoints": len(cold.checkpoints()),
                     "checkpoint_write_ms": round(t_ckpt_write * 1e3, 3),
                     "checkpoint_meta_bytes": len(json.dumps(meta)),
