@@ -486,18 +486,35 @@ def _pk_shard_filter(tbl, pks, shard, nshards):
     return tbl.filter(pa.array((h % nshards) == shard))
 
 
+def _fields_arrow_schema(fields):
+    import pyarrow as pa
+    from pyspark.sql.pandas.types import to_arrow_type
+    from pyspark.sql.types import _parse_datatype_json_string
+
+    return pa.schema(
+        [
+            (name, to_arrow_type(_parse_datatype_json_string(tj)))
+            for name, tj, *_ in fields
+        ]
+    )
+
+
 def _read_files_concat(file_list, fields, pks=None, shard=0, nshards=1):
     """[(path, dv_path)] -> ONE aligned Arrow table (logical names,
     pinned types, vectors applied). With ``nshards > 1`` each file is
     filtered to the PK-hash shard RIGHT after it is read, so a sharded
-    task's peak memory is one file plus its own 1/nshards slice."""
+    task's peak memory is one file plus its own 1/nshards slice. The
+    schema is pinned explicitly — a file whose rows are ALL
+    vector-deleted yields zero batches, which must still concat as an
+    empty TYPED table, not fail schema inference."""
     import pyarrow as pa
 
+    schema = _fields_arrow_schema(fields)
     tables = [
         _pk_shard_filter(
             pa.Table.from_batches(
                 list(_read_parquet_aligned(p, fields, dv)),
-                schema=None,
+                schema=schema,
             ),
             pks,
             shard,
@@ -507,16 +524,7 @@ def _read_files_concat(file_list, fields, pks=None, shard=0, nshards=1):
     ]
     tables = [t for t in tables if t.num_rows]
     if not tables:
-        import pyarrow as pa
-        from pyspark.sql.pandas.types import to_arrow_type
-        from pyspark.sql.types import _parse_datatype_json_string
-
-        return pa.schema(
-            [
-                (name, to_arrow_type(_parse_datatype_json_string(tj)))
-                for name, tj, *_ in fields
-            ]
-        ).empty_table()
+        return schema.empty_table()
     return pa.concat_tables(tables)
 
 
@@ -727,7 +735,8 @@ class _VersionedChangeFeedStreamReader(_VersionedStreamReader):
             tbl = pa.Table.from_batches(
                 list(
                     _read_parquet_aligned(partition.path, partition.fields)
-                )
+                ),
+                schema=_fields_arrow_schema(partition.fields),
             )
             rows = tbl.take(pa.array(newly, pa.int64()))
             yield from _with_cdf_columns(
@@ -743,12 +752,15 @@ class _VersionedChangeFeedStreamReader(_VersionedStreamReader):
         old = _read_files_concat(p.old_files, p.fields, p.pks, shard, nshards)
         new = _read_files_concat(p.new_files, p.fields, p.pks, shard, nshards)
         val_cols = [n for n in old.column_names if n not in p.pks]
+        # markers are explicitly bool-typed: an EMPTY side (a shard with
+        # no rows on one side, or a delete-everything rewrite) would
+        # otherwise infer Arrow type null, which the join refuses
         o = old.rename_columns(
             [c if c in p.pks else f"__ov_{c}" for c in old.column_names]
-        ).append_column("__o", pa.array([True] * old.num_rows))
+        ).append_column("__o", pa.array([True] * old.num_rows, pa.bool_()))
         n_ = new.rename_columns(
             [c if c in p.pks else f"__nv_{c}" for c in new.column_names]
-        ).append_column("__n", pa.array([True] * new.num_rows))
+        ).append_column("__n", pa.array([True] * new.num_rows, pa.bool_()))
         j = o.join(n_, keys=p.pks, join_type="full outer")
         o_present = pc.is_valid(j.column("__o"))
         n_present = pc.is_valid(j.column("__n"))
@@ -757,7 +769,7 @@ class _VersionedChangeFeedStreamReader(_VersionedStreamReader):
             both_null = pc.and_(pc.is_null(a), pc.is_null(b))
             return pc.or_(both_null, pc.coalesce(pc.equal(a, b), pa.scalar(False)))
 
-        same = pa.array([True] * j.num_rows)
+        same = pa.array([True] * j.num_rows, pa.bool_())
         for c in val_cols:
             same = pc.and_(
                 same, null_safe_eq(j.column(f"__ov_{c}"), j.column(f"__nv_{c}"))
@@ -1274,10 +1286,8 @@ class _VersionedBatchArrowWriter(_ArrowFileLander, DataSourceArrowWriter):
                     "generation expressions executor-side — write "
                     "through VersionedTable instead"
                 )
-            if self.overwrite or prior is None:
-                all_files = list(files)
-            else:
-                all_files = list(prior["files"]) + files
+            append = not (self.overwrite or prior is None)
+            if append:
                 schema_json = VersionedTable._append_schema(
                     self.pinned, prior["schema"], self.merge_schema
                 )
@@ -1294,9 +1304,15 @@ class _VersionedBatchArrowWriter(_ArrowFileLander, DataSourceArrowWriter):
                 self._check_constraints(files, cur_cons)
                 checked_cons = cur_cons
             try:
-                log.publish(
-                    all_files, schema_json, {"mode": mode}, base, fresh
-                )
+                if append:  # delta form: O(batch) at any table size
+                    log.publish(
+                        None, schema_json, {"mode": mode}, base, fresh,
+                        add=files,
+                    )
+                else:
+                    log.publish(
+                        list(files), schema_json, {"mode": mode}, base, fresh
+                    )
                 return
             except ConcurrentWriteError:
                 continue
@@ -1420,10 +1436,8 @@ class _VersionedStreamArrowWriter(_ArrowFileLander, DataSourceStreamArrowWriter)
                     "generation expressions executor-side — write "
                     "through VersionedTable instead"
                 )
-            if self.overwrite or prior is None:
-                all_files = list(files)
-            else:  # append: racing batch writers rebase exactly like write()
-                all_files = list(prior["files"]) + files
+            append = not (self.overwrite or prior is None)
+            if append:
                 # writer-side schema enforcement, same rule as batch
                 # appends: a drifting stream must FAIL the batch, never
                 # silently drop table columns from carried files
@@ -1436,18 +1450,24 @@ class _VersionedStreamArrowWriter(_ArrowFileLander, DataSourceStreamArrowWriter)
             if cur_cons != checked_cons:
                 self._check_constraints(files, cur_cons)
                 checked_cons = cur_cons
+            stream_meta = {
+                "mode": "stream_write",
+                "stream_batch_id": batchId,
+                "txn": {self.txn_app_id: batchId},
+            }
             try:
-                log.publish(
-                    all_files,
-                    schema_json,
-                    {
-                        "mode": "stream_write",
-                        "stream_batch_id": batchId,
-                        "txn": {self.txn_app_id: batchId},
-                    },
-                    base,
-                    fresh,
-                )
+                if append:
+                    # delta form: the micro-batch commit is O(batch) at
+                    # any table size — the contract that keeps a
+                    # long-lived high-frequency sink's commit cost flat
+                    log.publish(
+                        None, schema_json, stream_meta, base, fresh,
+                        add=files,
+                    )
+                else:
+                    log.publish(
+                        list(files), schema_json, stream_meta, base, fresh
+                    )
                 if self.auto_compact_small_files is not None:
                     self._auto_compact()
                 return
