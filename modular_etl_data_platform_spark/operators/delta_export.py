@@ -227,21 +227,32 @@ def _mapped_schema_string(schema_json: str, mapping: dict[str, str]) -> tuple[st
     return json.dumps(schema), next_id[0]
 
 
-def _protocol_action(dv_map, mapping) -> dict:
+def _protocol_action(dv_map, mapping, cdf: bool = False) -> dict:
     """Table features only where the snapshot needs them — maximal
-    reader compatibility for plain snapshots."""
+    reader compatibility for plain snapshots. ``changeDataFeed`` is a
+    WRITER feature (the public protocol: CDF reading is client-side
+    derivation, so readers need no gate): legacy minWriterVersion 4
+    when no table features are active, a writerFeatures entry when the
+    commit already rides the features protocol."""
     features = []
     if dv_map:
         features.append("deletionVectors")
     if mapping is not None:
         features.append("columnMapping")
     if features:
-        return {
+        out = {
             "minReaderVersion": 3,
             "minWriterVersion": 7,
-            "readerFeatures": features,
-            "writerFeatures": features,
+            "readerFeatures": list(features),
+            "writerFeatures": list(features),
         }
+        if cdf:
+            out["writerFeatures"] = sorted(
+                set(out["writerFeatures"]) | {"changeDataFeed"}
+            )
+        return out
+    if cdf:
+        return {"minReaderVersion": 1, "minWriterVersion": 4}
     return {"minReaderVersion": 1, "minWriterVersion": 2}
 
 
@@ -442,13 +453,22 @@ def _emit_mirror_commit(
     prev: dict,
     cur: dict,
     source_version: int,
+    cdc_table=None,
 ) -> None:
     """ONE Delta commit mirroring the ``prev`` → ``cur`` source
     transition: protocol upgrade when features appear, metaData when
     schema/mapping changed, remove/add/re-add actions for the file
     diff, a free-form ``commitInfo`` recording the source version.
     Mutates ``mirror`` (delta_version, files map, protocol/schema
-    memos)."""
+    memos).
+
+    ``cdc_table`` (an Arrow table of PHYSICAL-named data columns plus
+    ``_change_type``, possibly empty) records this transition's
+    row-level changes as a real Delta ``_change_data`` parquet + a
+    ``cdc`` action — the public CDF write shape. Per the protocol,
+    a commit carrying ANY cdc action is read exclusively from its cdc
+    files, so an empty slice (a rewrite whose every row survived
+    unchanged) still writes one to keep the commit classified."""
     data_change = cur.get("mode", "") not in _NO_CHANGE_MODES
     prev_dv, cur_dv = prev.get("dv", {}), cur.get("dv", {})
     prev_set, cur_set = set(prev["files"]), set(cur["files"])
@@ -456,7 +476,8 @@ def _emit_mirror_commit(
     delta_v = mirror["delta_version"] + 1
     actions: list[dict] = []
 
-    proto = _protocol_action(cur_dv, cur.get("column_mapping"))
+    cdf = bool(mirror.get("primary_keys"))
+    proto = _protocol_action(cur_dv, cur.get("column_mapping"), cdf=cdf)
     if proto != mirror.get("protocol"):
         old = mirror.get("protocol") or {}
         merged = {
@@ -471,9 +492,13 @@ def _emit_mirror_commit(
             set(proto.get("readerFeatures", []))
             | set(old.get("readerFeatures", []))
         )
-        if feats:
+        wfeats = sorted(
+            set(proto.get("writerFeatures", []))
+            | set(old.get("writerFeatures", []))
+        )
+        if feats or wfeats:
             merged["readerFeatures"] = feats
-            merged["writerFeatures"] = feats
+            merged["writerFeatures"] = wfeats
         if merged != old:  # floors are monotone: emit only upgrades
             actions.append({"protocol": merged})
             mirror["protocol"] = merged
@@ -494,6 +519,10 @@ def _emit_mirror_commit(
                 "delta.columnMapping.mode": "name",
                 "delta.columnMapping.maxColumnId": str(max_id),
             }
+        if cdf:
+            # the public CDF table property: downstream Delta readers
+            # discover that this table records row-level changes
+            configuration["delta.enableChangeDataFeed"] = "true"
         actions.append(
             {
                 "metaData": {
@@ -564,6 +593,23 @@ def _emit_mirror_commit(
                 )
             }
         )
+    if cdc_table is not None:
+        import pyarrow.parquet as pq
+
+        cdc_dir = os.path.join(dest, "_change_data")
+        os.makedirs(cdc_dir, exist_ok=True)
+        rel = f"_change_data/cdc-{delta_v:05d}-{uuid.uuid4().hex}.parquet"
+        pq.write_table(cdc_table, os.path.join(dest, rel))
+        actions.append(
+            {
+                "cdc": {
+                    "path": urllib.parse.quote(rel),
+                    "partitionValues": {},
+                    "size": os.path.getsize(os.path.join(dest, rel)),
+                    "dataChange": False,
+                }
+            }
+        )
     actions.append(
         {
             "commitInfo": {
@@ -579,8 +625,85 @@ def _emit_mirror_commit(
     mirror["delta_version"] = delta_v
 
 
+def _mirror_cdc_table(table: VersionedTable, v: int, pks: list[str]):
+    """The row-level change slice of source version ``v`` as an Arrow
+    table of PHYSICAL-named data columns + ``_change_type`` — or None
+    when the commit needs no recorded CDC: dataChange=false commits
+    emit nothing, and insert-only commits are derivable from their add
+    actions (Delta's own design: blind appends write no change data;
+    the CDF reader synthesizes the inserts).
+
+    Classification reuses the SAME engine code the streaming change
+    feed runs (_VersionedChangeFeedStreamReader.partitions/read), so
+    the mirror's recorded CDC, the engine's table_changes and the
+    stream can never disagree."""
+    import pyarrow as pa
+
+    from modular_etl_data_platform_spark.streaming.versioned_source import (
+        _CFInsertPartition,
+        _VersionedChangeFeedStreamReader,
+    )
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    cur = table.log.resolve(v)
+    if cur.get("mode", "") in _NO_CHANGE_MODES:
+        return None
+    schema = StructType.fromJson(json.loads(cur["schema"]))
+    cdf_schema = StructType(
+        list(schema.fields)
+        + [
+            StructField("_change_type", StringType()),
+            StructField("_commit_version", LongType()),
+            StructField("_commit_timestamp", TimestampType()),
+        ]
+    )
+    reader = _VersionedChangeFeedStreamReader(table.path, cdf_schema, 0, pks)
+    parts = reader.partitions({"version": v - 1}, {"version": v})
+    if all(isinstance(p, _CFInsertPartition) for p in parts):
+        return None  # insert-only: readers derive from the add actions
+    batches = [b for p in parts for b in reader.read(p)]
+    data_fields = [
+        (f.name, f.dataType.json()) for f in schema.fields
+    ] + [("_change_type", '"string"')]
+    arrow_schema = pa.schema(
+        [
+            (name, _cdc_arrow_type(tj))
+            for name, tj in data_fields
+        ]
+    )
+    if batches:
+        tbl = pa.Table.from_batches(batches)
+        tbl = tbl.drop_columns(["_commit_version", "_commit_timestamp"])
+    else:
+        tbl = arrow_schema.empty_table()
+    # cdc files follow the DATA files' naming: physical columns under
+    # column mapping, _change_type stored literally (the spec's rule)
+    mapping = cur.get("column_mapping") or {}
+    if mapping:
+        tbl = tbl.rename_columns(
+            [mapping.get(c, c) for c in tbl.column_names]
+        )
+    return tbl
+
+
+def _cdc_arrow_type(type_json: str):
+    from pyspark.sql.pandas.types import to_arrow_type
+    from pyspark.sql.types import _parse_datatype_json_string
+
+    return to_arrow_type(_parse_datatype_json_string(type_json))
+
+
 def export_delta_incremental(
-    table: VersionedTable, dest: str, to_version: int | None = None
+    table: VersionedTable,
+    dest: str,
+    to_version: int | None = None,
+    primary_keys: list[str] | None = None,
 ) -> int:
     """Mirror ``table`` into a Delta table at ``dest`` INCREMENTALLY:
     the first call snapshots the current head as Delta commit 0; every
@@ -611,7 +734,19 @@ def export_delta_incremental(
     mirror owns ``dest``; no OCC against other writers), and the
     source versions being drained must still be retained — a vacuumed
     gap raises (resolve fails loudly) rather than silently skipping
-    history."""
+    history.
+
+    ``primary_keys`` (set at mirror CREATION, carried in the state)
+    turns on the real Delta CHANGE DATA FEED: the metaData declares
+    ``delta.enableChangeDataFeed``, the protocol records the
+    changeDataFeed writer requirement, and every update-class source
+    version writes its row-level change slice — classified by the SAME
+    engine code as the streaming feed — as a ``_change_data`` parquet
+    + ``cdc`` action, so a downstream Delta consumer's
+    ``readChangeFeed`` sees exactly what the engine's
+    ``table_changes`` reports (insert-only commits write no cdc;
+    readers derive their inserts from the add actions, Delta's own
+    blind-append rule)."""
     head = table.current_version()
     if head is None:
         raise FileNotFoundError(f"no versions in {table.path}")
@@ -632,6 +767,11 @@ def export_delta_incremental(
             "delta_version": -1,
             "files": {},
             "column_ids": {},
+            **(
+                {"primary_keys": list(primary_keys)}
+                if primary_keys
+                else {}
+            ),
         }
         # the initial snapshot is the empty→head transition through the
         # SAME emitter as every later commit (stable ids from commit 0)
@@ -652,13 +792,20 @@ def export_delta_incremental(
         raise ValueError(
             f"{dest} mirrors {mirror['source_path']}, not {table.path}"
         )
+    pks = mirror.get("primary_keys")
+    if primary_keys is not None and list(primary_keys) != (pks or []):
+        raise ValueError(
+            f"{dest} was created with primary_keys={pks}; the change "
+            "feed contract is fixed at mirror creation"
+        )
     v0 = mirror["source_version"]
     if v1 <= v0:
         return v0
     prev = table.log.resolve(v0)
     for v in range(v0 + 1, v1 + 1):
         cur = table.log.resolve(v)
-        _emit_mirror_commit(dest, log_dir, mirror, prev, cur, v)
+        cdc = _mirror_cdc_table(table, v, pks) if pks else None
+        _emit_mirror_commit(dest, log_dir, mirror, prev, cur, v, cdc)
         # every N mirror commits, land the public CLASSIC checkpoint +
         # _last_checkpoint — Delta's cadence; readers then need only
         # the checkpoint plus the JSON suffix, and older JSONs become
@@ -909,6 +1056,7 @@ def mirror_vacuum(dest: str, dry_run: bool = False) -> list[str]:
         )
         for add in adds.values():
             note_add(add)
+    cdc_referenced: set[str] = set()
     for name in os.listdir(log_dir):
         if name.endswith(".json") and name[:-5].isdigit():
             with open(os.path.join(log_dir, name)) as f:
@@ -918,6 +1066,14 @@ def mirror_vacuum(dest: str, dry_run: bool = False) -> list[str]:
                         act = json.loads(line)
                         if "add" in act:
                             note_add(act["add"])
+                        elif "cdc" in act:
+                            # change-data files are referenced only by
+                            # their commit's cdc action (the protocol
+                            # never checkpoints cdc), so they live
+                            # exactly as long as their JSON survives
+                            cdc_referenced.add(
+                                urllib.parse.unquote(act["cdc"]["path"])
+                            )
     doomed: list[str] = []
     for name in sorted(os.listdir(dest)):
         full = os.path.join(dest, name)
@@ -931,6 +1087,16 @@ def mirror_vacuum(dest: str, dry_run: bool = False) -> list[str]:
             and name not in dv_referenced
         ):
             doomed.append(full)
+    cdc_dir = os.path.join(dest, "_change_data")
+    if os.path.isdir(cdc_dir):
+        for name in sorted(os.listdir(cdc_dir)):
+            rel = f"_change_data/{name}"
+            full = os.path.join(dest, rel)
+            if os.path.isfile(full) and rel not in cdc_referenced:
+                # the covering JSON was cleaned up: nothing can read
+                # this change slice any more (Delta's CDF retention
+                # follows log retention)
+                doomed.append(full)
     if not dry_run:
         for p in doomed:
             os.remove(p)

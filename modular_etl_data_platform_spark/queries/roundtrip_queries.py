@@ -2319,12 +2319,206 @@ def q166_delta_mirror(spark: SparkSession, sf_dir: str) -> DataFrame:
     info = fr.snapshot_info(dest)
     if info["num_deletion_vectors"] < 1:
         raise AssertionError("the DV delete must mirror as a deletion vector")
-    tbl = fr.read_delta_table(dest)
-    mirrored = spark.createDataFrame(tbl.to_pandas())
-    return _pin(
-        mirrored.groupBy("s").agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.sum("k").cast("long").alias("key_sum"),
-            dsum(F.col("p"), "sum_price"),
+    # fold the mirror PER FILE arrow-side (decimal-exact sums, one file
+    # resident at a time) — the bounded-memory reconciliation shape;
+    # only the per-group partials ever cross into Spark
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    partials = []
+    for _rel, tbl in fr.iter_delta_file_tables(dest):
+        dec = tbl.set_column(
+            tbl.column_names.index("p"),
+            "p",
+            pc.cast(tbl.column("p"), pa.decimal128(18, 6)),
+        )
+        partials.append(
+            dec.group_by(["s"]).aggregate(
+                [("k", "sum"), ("k", "count"), ("p", "sum")]
+            )
+        )
+    grouped = (
+        pa.concat_tables(partials)
+        .group_by(["s"])
+        .aggregate([("k_sum", "sum"), ("k_count", "sum"), ("p_sum", "sum")])
+    )
+    out = spark.createDataFrame(
+        [
+            (
+                r["s"],
+                int(r["k_count_sum"]),
+                int(r["k_sum_sum"]),
+                float(r["p_sum_sum"]),
+            )
+            for r in grouped.to_pylist()
+        ],
+        "s string, n_rows long, key_sum long, sum_price double",
+    )
+    return _pin(out)
+
+
+@query(
+    "q170_mirror_change_feed",
+    """
+    WITH base AS (
+      SELECT o_orderkey AS k, o_orderstatus AS s, o_totalprice AS p FROM orders
+    ),
+    s2 AS (  -- state after the v2 MERGE
+      SELECT k, CASE WHEN k % 4 = 0 THEN p + 50 ELSE p END AS p FROM base
+      UNION ALL
+      SELECT -(k + 1), p FROM base WHERE k % 9 = 0
+    ),
+    changes AS (
+      SELECT 0 AS _commit_version, 'insert' AS _change_type, k, p FROM base
+      UNION ALL
+      SELECT 1, 'update_postimage', k, p + 50 FROM base WHERE k % 4 = 0
+      UNION ALL
+      SELECT 1, 'insert', -(k + 1), p FROM base WHERE k % 9 = 0
+      UNION ALL
+      SELECT 2, 'delete', k, p FROM s2 WHERE k % 10 = 2
+    )
+    SELECT _commit_version, _change_type,
+           COUNT(*) AS n_rows,
+           CAST(SUM(k) AS BIGINT) AS key_sum,
+           CAST(SUM(CAST(p AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+    FROM changes GROUP BY _commit_version, _change_type
+    """,
+)
+def q170_mirror_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mirror's REAL Delta change data feed, verified through the
+    code-disjoint foreign reader (operators/delta_export.py::
+    export_delta_incremental(primary_keys=...) + tools/
+    delta_foreign_reader.py::iter_change_feed): a versioned orders
+    table goes through a MERGE (updates + inserts), a pure DV DELETE
+    and a compaction; the mirror — created with ``primary_keys`` so
+    CDF is on — writes ``_change_data`` parquet + ``cdc`` actions for
+    the update-class versions (classified by the SAME engine code as
+    the streaming feed), declares ``delta.enableChangeDataFeed``, and
+    the independent public-protocol parser replays the feed: recorded
+    cdc for update-class commits, derived inserts for blind appends,
+    zero rows for the compaction. Aggregation folds PER SLICE arrow-
+    side (decimal-exact sums, one file resident at a time — the
+    bounded-memory reconciliation shape), and the oracle replays the
+    whole history relationally, so engine DML → CDC emission → foreign
+    byte-level CDF read is hash-pinned end to end. In-query
+    assertions: cdc actions exactly on the update-class mirror
+    commits, foreign per-version (rows, key-sum) groups equal to the
+    engine's own ``table_changes``, and the compaction emits zero."""
+    import importlib.util
+    import json as _json
+
+    from modular_etl_data_platform_spark.operators.delta_export import (
+        export_delta_incremental,
+    )
+    from modular_etl_data_platform_spark.operators.versioned import VersionedTable
+
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    spec = importlib.util.spec_from_file_location(
+        "delta_foreign_reader",
+        os.path.join(repo_root, "tools", "delta_foreign_reader.py"),
+    )
+    fr = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(fr)
+
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("s"),
+        F.col("o_totalprice").alias("p"),
+    )
+    scratch = _scratch("q170_mirror_change_feed", sf_dir)
+    table = os.path.join(scratch, "orders_v")
+    dest = os.path.join(scratch, "mirror")
+    vt = VersionedTable(spark, table, stats_columns=["k"])
+    vt.write(orders.coalesce(1))  # v1
+    export_delta_incremental(vt, dest, primary_keys=["k"])  # delta 0
+    batch = (
+        orders.filter(F.col("k") % 4 == 0).withColumn(
+            "p", F.col("p") + F.lit(50)
+        )
+    ).unionByName(
+        orders.filter(F.col("k") % 9 == 0).select(
+            (-(F.col("k") + 1)).alias("k"), F.col("s"), F.col("p")
         )
     )
+    vt.upsert(batch.coalesce(1), ["k"])  # v2: MERGE
+    vt.delete_where("k % 10 = 2")  # v3: pure DV delete
+    vt.compact(target_files=1)  # v4: dataChange=false
+    export_delta_incremental(vt, dest)
+
+    log_dir = os.path.join(dest, "_delta_log")
+    has_cdc = {}
+    for dv in range(4):
+        with open(os.path.join(log_dir, f"{dv:020d}.json")) as f:
+            has_cdc[dv] = any(
+                "cdc" in _json.loads(ln) for ln in f if ln.strip()
+            )
+    if has_cdc != {0: False, 1: True, 2: True, 3: False}:
+        raise AssertionError(
+            f"cdc actions on the wrong mirror commits: {has_cdc}"
+        )
+
+    # fold the feed per slice (arrow, decimal-exact) — bounded memory
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    partials = []
+    for slice_tbl in fr.iter_change_feed(dest):
+        dec = slice_tbl.set_column(
+            slice_tbl.column_names.index("p"),
+            "p",
+            pc.cast(slice_tbl.column("p"), pa.decimal128(18, 6)),
+        )
+        partials.append(
+            dec.group_by(["_commit_version", "_change_type"]).aggregate(
+                [("k", "sum"), ("k", "count"), ("p", "sum")]
+            )
+        )
+    grouped = (
+        pa.concat_tables(partials)
+        .group_by(["_commit_version", "_change_type"])
+        .aggregate([("k_sum", "sum"), ("k_count", "sum"), ("p_sum", "sum")])
+    )
+    rows = grouped.to_pylist()
+    by_feed = {
+        (r["_commit_version"], r["_change_type"]): (
+            r["k_count_sum"],
+            r["k_sum_sum"],
+        )
+        for r in rows
+    }
+    if any(v == 3 for v, _ in by_feed):
+        raise AssertionError("compaction (delta 3) emitted change rows")
+    # foreign classification == the engine's own table_changes
+    for src_v in (2, 3):
+        eng = {
+            (src_v - 1, r["_change_type"]): (r["n"], r["ks"])
+            for r in vt.table_changes(src_v - 1, src_v, ["k"])
+            .groupBy("_change_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("k").cast("long").alias("ks"),
+            )
+            .collect()
+        }
+        for key, val in eng.items():
+            if by_feed.get(key) != val:
+                raise AssertionError(
+                    f"foreign CDF {key}: {by_feed.get(key)} != engine {val}"
+                )
+    out = spark.createDataFrame(
+        [
+            (
+                int(r["_commit_version"]),
+                r["_change_type"],
+                int(r["k_count_sum"]),
+                int(r["k_sum_sum"]),
+                float(r["p_sum_sum"]),
+            )
+            for r in rows
+        ],
+        "_commit_version int, _change_type string, n_rows long, "
+        "key_sum long, sum_price double",
+    )
+    return _pin(out)

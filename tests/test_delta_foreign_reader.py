@@ -638,3 +638,143 @@ def test_incremental_mirror_resumes_after_torn_run(spark, tmp_path):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got2, want[got2.columns], check_dtype=False)
+
+
+def test_mirror_change_data_feed_roundtrip(spark, tmp_path):
+    """A mirror created with ``primary_keys`` records REAL Delta CDF:
+    update-class source versions (MERGE, DV delete, DV update) write
+    ``_change_data`` parquet + ``cdc`` actions, insert-only versions
+    stay derivable from their add actions (no cdc file — Delta's
+    blind-append rule), compactions emit nothing, the metaData declares
+    ``delta.enableChangeDataFeed``, and the code-disjoint foreign
+    reader's ``read_change_feed`` reproduces exactly the engine's
+    ``table_changes`` classification for every version."""
+    import json as _json
+
+    vt = VersionedTable(spark, str(tmp_path / "t"), stats_columns=["id"])
+    dest = str(tmp_path / "m")
+    vt.write(
+        spark.range(0, 30)
+        .selectExpr("id", "cast(id as string) as v")
+        .coalesce(1)
+    )  # v1
+    export_delta_incremental(vt, dest, primary_keys=["id"])  # delta 0
+    vt.write(
+        spark.range(30, 40)
+        .selectExpr("id", "cast(id as string) as v")
+        .coalesce(1),
+        mode="append",
+    )  # v2: insert-only
+    vt.upsert(
+        spark.range(35, 45)
+        .selectExpr("id", "concat('u', id) as v")
+        .coalesce(1),
+        ["id"],
+    )  # v3: MERGE (rewrite)
+    vt.delete_where("id % 5 = 0")  # v4: pure DV delete
+    vt.compact(target_files=1)  # v5: dataChange=false
+    vt.update_where(
+        {"v": "concat(v, '!')"}, "id % 7 = 1", use_deletion_vectors=True
+    )  # v6: DV-backed UPDATE
+    export_delta_incremental(vt, dest)
+
+    # the mirror's CDF table property + writer requirement are declared
+    state = fr.replay_log(dest)
+    assert (
+        state["metadata"]["configuration"].get("delta.enableChangeDataFeed")
+        == "true"
+    )
+    proto = state["protocol"]
+    assert proto.get("minWriterVersion", 0) >= 4 or "changeDataFeed" in set(
+        proto.get("writerFeatures", [])
+    )
+
+    # cdc actions exactly where update-class source versions landed:
+    # delta 2 (v3 MERGE), 3 (v4 DV delete), 5 (v6 DV update); none for
+    # the snapshot (0), the append (1) or the compaction (4)
+    log_dir = os.path.join(dest, "_delta_log")
+    has_cdc = {}
+    for dv in range(6):
+        with open(os.path.join(log_dir, f"{dv:020d}.json")) as f:
+            has_cdc[dv] = any(
+                "cdc" in _json.loads(ln) for ln in f if ln.strip()
+            )
+    assert has_cdc == {0: False, 1: False, 2: True, 3: True, 4: False, 5: True}
+
+    def norm_pd(df):
+        return sorted(
+            zip(df["id"].tolist(), df["v"].tolist(), df["_change_type"].tolist())
+        )
+
+    feed = fr.read_change_feed(dest).to_pandas()
+    # delta commit 0 (the snapshot) = v1's rows as inserts
+    want0 = vt.read(version=1).toPandas()
+    got0 = feed[feed["_commit_version"] == 0]
+    assert sorted(got0["id"].tolist()) == sorted(want0["id"].tolist())
+    assert set(got0["_change_type"]) == {"insert"}
+    # every later delta commit == engine table_changes for its source
+    # version (delta_v = source_v - 1); compaction (delta 4) emits zero
+    for src_v in range(2, 7):
+        got = feed[feed["_commit_version"] == src_v - 1]
+        if src_v == 5:
+            assert len(got) == 0
+            continue
+        want = vt.table_changes(src_v - 1, src_v, ["id"]).toPandas()
+        assert norm_pd(got) == norm_pd(want), f"source version {src_v}"
+
+    # a resumed mirror must not silently change the CDF contract
+    with pytest.raises(ValueError, match="primary_keys"):
+        export_delta_incremental(vt, dest, primary_keys=["v"])
+
+
+def test_mirror_cdc_files_survive_cleanup_until_log_expiry(spark, tmp_path):
+    """mirror_log_cleanup + mirror_vacuum handle ``_change_data``: a
+    cdc file is retained while its JSON commit survives and reclaimed
+    once metadata cleanup truncates past it (CDF retention follows log
+    retention, Delta's rule)."""
+    from modular_etl_data_platform_spark.operators.delta_export import (
+        _write_classic_checkpoint,
+        mirror_log_cleanup,
+        mirror_vacuum,
+    )
+
+    vt = VersionedTable(spark, str(tmp_path / "t"), stats_columns=["id"])
+    dest = str(tmp_path / "m")
+    vt.write(
+        spark.range(0, 20)
+        .selectExpr("id", "cast(id as string) as v")
+        .coalesce(1)
+    )
+    export_delta_incremental(vt, dest, primary_keys=["id"])
+    vt.upsert(
+        spark.range(10, 25)
+        .selectExpr("id", "concat('u', id) as v")
+        .coalesce(1),
+        ["id"],
+    )  # update-class -> cdc at delta 1
+    vt.write(
+        spark.range(25, 30)
+        .selectExpr("id", "cast(id as string) as v")
+        .coalesce(1),
+        mode="append",
+    )
+    export_delta_incremental(vt, dest)
+    cdc_dir = os.path.join(dest, "_change_data")
+    cdc_files = os.listdir(cdc_dir)
+    assert len(cdc_files) == 1
+    # while the covering JSON lives, vacuum must keep the cdc file
+    assert mirror_vacuum(dest, dry_run=True) == []
+    # checkpoint at the head, truncate the log below it
+    _write_classic_checkpoint(os.path.join(dest, "_delta_log"), 2)
+    removed = mirror_log_cleanup(dest)
+    assert removed >= 1
+    # the cdc JSON is gone -> the slice is unreadable -> reclaimable
+    # (alongside the rewritten-away data file the truncation orphaned)
+    doomed = mirror_vacuum(dest, dry_run=True)
+    assert set(cdc_files) <= {os.path.basename(p) for p in doomed}
+    mirror_vacuum(dest)
+    assert os.listdir(cdc_dir) == []
+    # the mirrored TABLE still reads fine after reclamation
+    got = fr.read_delta_table(dest).to_pandas().sort_values("id")
+    want = vt.read().toPandas().sort_values("id")
+    assert got["id"].tolist() == want["id"].tolist()

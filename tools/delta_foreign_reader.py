@@ -404,14 +404,15 @@ def read_deletion_vector(table_path: str, descriptor: dict) -> set[int]:
 # snapshot assembly
 # ---------------------------------------------------------------------------
 
-def read_delta_table(table_path: str) -> pa.Table:
-    """The live rowset of the Delta table at ``table_path`` as ONE
-    arrow table under LOGICAL column names: log replayed, protocol
-    gated, column mapping resolved, deletion vectors applied, missing
-    (later-added) columns null-filled."""
+def iter_delta_file_tables(table_path: str):
+    """Yield ``(relative_path, aligned_table)`` per LIVE file — the
+    bounded-memory form of :func:`read_delta_table` (one file resident
+    at a time): log replayed, protocol gated, column mapping resolved,
+    deletion vectors applied, missing (later-added) columns
+    null-filled. Reconciliation jobs should consume THIS and fold
+    per-file aggregates instead of materializing the whole table."""
     state = replay_log(table_path)
     cols = _columns(state["metadata"])
-    chunks: list[pa.Table] = []
     for rel in sorted(state["adds"]):
         add = state["adds"][rel]
         if add.get("partitionValues"):
@@ -435,22 +436,202 @@ def read_delta_table(table_path: str) -> pa.Table:
                 )
             keep = [i for i in range(tbl.num_rows) if i not in deleted]
             tbl = tbl.take(pa.array(keep, pa.int64()))
-        arrays, fields = [], []
-        names = set(tbl.column_names)
-        for c in cols:
-            if c["physical"] in names:
-                arr = tbl.column(c["physical"])
-                arrays.append(arr)
-                fields.append(pa.field(c["name"], arr.type))
-            else:  # column added after this file was written: null-fill
-                t = _arrow_type(c["type"])
-                arrays.append(pa.nulls(tbl.num_rows, type=t))
-                fields.append(pa.field(c["name"], t))
-        chunks.append(pa.Table.from_arrays(arrays, schema=pa.schema(fields)))
+        yield rel, _align_logical(tbl, cols)
+
+
+def read_delta_table(table_path: str) -> pa.Table:
+    """The live rowset of the Delta table at ``table_path`` as ONE
+    arrow table under LOGICAL column names (see
+    :func:`iter_delta_file_tables` for the bounded-memory form)."""
+    chunks = [t for _, t in iter_delta_file_tables(table_path)]
     if not chunks:
         # an empty table still has the declared logical schema
+        state = replay_log(table_path)
+        cols = _columns(state["metadata"])
         fields = [
             pa.field(c["name"], _arrow_type(c["type"])) for c in cols
+        ]
+        return pa.schema(fields).empty_table()
+    return pa.concat_tables(chunks, promote_options="permissive")
+
+
+# ---------------------------------------------------------------------------
+# change data feed (the public CDF read protocol)
+# ---------------------------------------------------------------------------
+
+def _align_logical(tbl: pa.Table, cols: list[dict], extra: list[str] = ()):
+    """Project a physical-named file table onto logical column names,
+    null-filling columns the file predates; ``extra`` columns (e.g.
+    ``_change_type``) pass through under their own names."""
+    arrays, fields = [], []
+    names = set(tbl.column_names)
+    for c in cols:
+        if c["physical"] in names:
+            arr = tbl.column(c["physical"])
+            arrays.append(arr)
+            fields.append(pa.field(c["name"], arr.type))
+        else:
+            t = _arrow_type(c["type"])
+            arrays.append(pa.nulls(tbl.num_rows, type=t))
+            fields.append(pa.field(c["name"], t))
+    for name in extra:
+        if name not in names:
+            raise DeltaReadError(f"change-data file lacks column {name}")
+        arr = tbl.column(name)
+        arrays.append(arr)
+        fields.append(pa.field(name, arr.type))
+    return pa.Table.from_arrays(arrays, schema=pa.schema(fields))
+
+
+def _stamp_cdf(tbl: pa.Table, version: int, ts_ms: int) -> pa.Table:
+    n = tbl.num_rows
+    return tbl.append_column(
+        "_commit_version", pa.array([version] * n, pa.int64())
+    ).append_column(
+        "_commit_timestamp",
+        pa.array([ts_ms * 1000] * n, pa.timestamp("us", tz="UTC")),
+    )
+
+
+def iter_change_feed(
+    table_path: str,
+    starting_version: int = 0,
+    ending_version: int | None = None,
+):
+    """Yield row-level change slices (one arrow table per change-data
+    or added file) between two commit versions per the PUBLIC
+    change-data-feed protocol: a commit carrying ``cdc`` actions is
+    read EXCLUSIVELY from its ``_change_data`` files (recorded change
+    data, ``_change_type`` stored in-file); a commit without cdc whose
+    dataChange adds are its only data actions derives each added
+    file's live rows as ``insert`` (the blind-append rule — deletion
+    vectors applied first); dataChange=false commits (OPTIMIZE) emit
+    nothing; a dataChange remove WITHOUT recorded cdc is refused
+    loudly — the reader cannot row-classify a rewrite by itself.
+    Slices carry logical columns + ``_change_type`` /
+    ``_commit_version`` / ``_commit_timestamp`` (stamped from
+    ``commitInfo``). One file resident at a time — the bounded-memory
+    form; :func:`read_change_feed` concatenates."""
+    log_dir = os.path.join(table_path, "_delta_log")
+    if not os.path.isdir(log_dir):
+        raise DeltaReadError(f"{table_path} has no _delta_log")
+    avail = []
+    for name in os.listdir(log_dir):
+        stem, ext = os.path.splitext(name)
+        if ext == ".json" and len(stem) == 20 and stem.isdigit():
+            avail.append(int(stem))
+    if not avail:
+        raise DeltaReadError(f"no commit files in {log_dir}")
+    avail.sort()
+    end = avail[-1] if ending_version is None else ending_version
+    missing = [
+        v for v in range(starting_version, end + 1) if v not in set(avail)
+    ]
+    if missing:
+        raise DeltaReadError(
+            f"change-feed versions {missing} are not in the log "
+            "(cleaned up?) — CDF retention follows log retention"
+        )
+    # metadata (schema + column mapping) active at each commit: seed
+    # from the newest checkpoint BELOW the replay window when earlier
+    # JSONs were cleaned up, then track metaData actions forward
+    metadata: dict | None = None
+    replay_from = avail[0]
+    if avail[0] > 0:
+        cp = _load_checkpoint(log_dir)
+        if cp is None or cp[0] < avail[0] - 1:
+            raise DeltaReadError(
+                f"log starts at {avail[0]} without a covering "
+                "checkpoint — cannot establish schema for the change feed"
+            )
+        metadata = cp[2]
+    for v in range(replay_from, end + 1):
+        adds, removes, cdcs = [], [], []
+        ts_ms: int | None = None
+        path = os.path.join(log_dir, f"{v:020d}.json")
+        with open(path) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                action = json.loads(line)
+                if "metaData" in action:
+                    metadata = action["metaData"]
+                elif "add" in action:
+                    adds.append(action["add"])
+                elif "remove" in action:
+                    removes.append(action["remove"])
+                elif "cdc" in action:
+                    cdcs.append(action["cdc"])
+                elif "commitInfo" in action:
+                    t = action["commitInfo"].get("timestamp")
+                    if t is not None:
+                        ts_ms = int(t)
+        if v < starting_version:
+            continue  # replayed only to track metadata
+        if metadata is None:
+            raise DeltaReadError(f"no metaData known at version {v}")
+        if ts_ms is None:
+            ts_ms = int(os.path.getmtime(path) * 1000)
+        cols = _columns(metadata)
+        if cdcs:
+            # recorded change data wins; add/remove actions of the same
+            # commit are IGNORED for CDF purposes (the protocol's rule)
+            for cdc in cdcs:
+                rel = urllib.parse.unquote(cdc["path"])
+                tbl = pq.read_table(os.path.join(table_path, rel))
+                yield _stamp_cdf(
+                    _align_logical(tbl, cols, extra=["_change_type"]),
+                    v,
+                    ts_ms,
+                )
+            continue
+        data_adds = [a for a in adds if a.get("dataChange")]
+        data_removes = [r for r in removes if r.get("dataChange", True)]
+        if not data_adds and not data_removes:
+            continue  # OPTIMIZE / metadata-only commit: zero changes
+        if data_removes:
+            raise DeltaReadError(
+                f"version {v} removes files with dataChange=true and "
+                "records no cdc — the reader cannot row-classify a "
+                "rewrite (table not CDF-enabled for this commit?)"
+            )
+        for add in data_adds:
+            rel = urllib.parse.unquote(add["path"])
+            tbl = pq.read_table(os.path.join(table_path, rel))
+            if "deletionVector" in add:
+                deleted = read_deletion_vector(
+                    table_path, add["deletionVector"]
+                )
+                keep = [i for i in range(tbl.num_rows) if i not in deleted]
+                tbl = tbl.take(pa.array(keep, pa.int64()))
+            aligned = _align_logical(tbl, cols).append_column(
+                "_change_type",
+                pa.array(["insert"] * tbl.num_rows, pa.string()),
+            )
+            yield _stamp_cdf(aligned, v, ts_ms)
+
+
+def read_change_feed(
+    table_path: str,
+    starting_version: int = 0,
+    ending_version: int | None = None,
+) -> pa.Table:
+    """The change feed as ONE arrow table — see
+    :func:`iter_change_feed` for semantics and the bounded-memory
+    form."""
+    chunks = list(
+        iter_change_feed(table_path, starting_version, ending_version)
+    )
+    if not chunks:
+        state = replay_log(table_path)
+        fields = [
+            pa.field(c["name"], _arrow_type(c["type"]))
+            for c in _columns(state["metadata"])
+        ] + [
+            pa.field("_change_type", pa.string()),
+            pa.field("_commit_version", pa.int64()),
+            pa.field("_commit_timestamp", pa.timestamp("us", tz="UTC")),
         ]
         return pa.schema(fields).empty_table()
     return pa.concat_tables(chunks, promote_options="permissive")
