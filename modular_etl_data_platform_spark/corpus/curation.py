@@ -884,14 +884,31 @@ def nb_train(
     Same determinism recipe as the one-pass form (round-9 LLRs), so
     train-then-apply on the SAME corpus reproduces
     :func:`nb_quality_scores` bit-for-bit (pinned in tests)."""
-    feats = df.select(
+    from pyspark.sql import Observation
+
+    # per-class DOC counts ride the featurization pass as an
+    # Observation on the pre-explode frame (one row per document) —
+    # the model trains from literally ONE corpus scan. They are NOT
+    # derivable from the bucket aggregate: per-bucket distinct-doc
+    # counts overcount across buckets (a doc hits many buckets).
+    obs = Observation("nb_train_docs")
+    base = df.select(
         # 3VL: a NULL predicate row must land squarely in the negative
         # class (when(~NULL) selects NEITHER branch, so without the
         # coalesce such rows would vanish from token totals while
         # still counting as negative documents)
         F.coalesce(F.expr(positive_filter), F.lit(False)).alias("__pos"),
         F.col(id_col).alias("__id"),
-        F.explode(F.split(F.col(text_col), " ")).alias("__w"),
+        F.col(text_col).alias("__t"),
+    ).observe(
+        obs,
+        F.sum(F.when(F.col("__pos"), 1).otherwise(0)).alias("pos_docs"),
+        F.sum(F.when(~F.col("__pos"), 1).otherwise(0)).alias("neg_docs"),
+    )
+    feats = base.select(
+        "__pos",
+        "__id",
+        F.explode(F.split(F.col("__t"), " ")).alias("__w"),
     ).select("__pos", "__id", _nb_bucket("__w", buckets).alias("__b"))
     cnts = feats.groupBy("__pos", "__b").agg(
         F.count(F.lit(1)).alias("__c"),
@@ -902,16 +919,13 @@ def nb_train(
         F.sum(F.when(F.col("__pos"), F.col("__c")).otherwise(0)).alias("pt"),
         F.sum(F.when(~F.col("__pos"), F.col("__c")).otherwise(0)).alias("nt"),
     ).collect()[0]
-    docs = (
-        df.select(# 3VL: a NULL predicate row must land squarely in the negative
-        # class (when(~NULL) selects NEITHER branch, so without the
-        # coalesce such rows would vanish from token totals while
-        # still counting as negative documents)
-        F.coalesce(F.expr(positive_filter), F.lit(False)).alias("__pos"))
-        .groupBy("__pos")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-    dcnt = {bool(r["__pos"]): int(r["n"]) for r in docs.collect()}
+    # the collect above consumed the observed plan, so the metrics are
+    # in hand; SUM over zero rows is NULL (ANSI), never "no violation"
+    metrics = obs.get
+    dcnt = {
+        True: int(metrics["pos_docs"] or 0),
+        False: int(metrics["neg_docs"] or 0),
+    }
     if not dcnt.get(True) or not dcnt.get(False):
         raise ValueError(
             "nb_train needs at least one document in EACH class "

@@ -2325,3 +2325,266 @@ def q168_unimax_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     from modular_etl_data_platform_spark.corpus import curation as ccur
 
     return ccur.unimax_allocation(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# One-pass curation flagship: the whole round-10 operator family chained
+# over a single cached corpus read
+# ---------------------------------------------------------------------------
+
+_Q171_SHARDS = 4
+
+
+def _q171_oracle() -> str:
+    qs = crules.quality_suite_oracle_sql()
+    sh3 = cdedup.shingles_duckdb("text", 3)
+    n_cap, num, den = 2, 3, 2
+    cond = (
+        f"{n_cap} * n_tokens * (L - i + 1) <= "
+        f"CAST(T * {num} // {den} AS BIGINT) - {n_cap} * (P - n_tokens)"
+    )
+    return f"""
+    WITH RECURSIVE qs AS ({qs}),
+    kept1 AS (
+      SELECT d.* FROM documents d JOIN qs ON qs.doc_id = d.doc_id
+      WHERE qs.passes
+    ),
+    feats AS (
+      SELECT doc_id, {_NB_POS} AS pos,
+             ('0x' || substr(md5(w), 1, 15))::BIGINT % {_NB_B} AS b
+      FROM (SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
+            FROM kept1)
+    ),
+    cnts AS (SELECT doc_id, pos, b, COUNT(*) AS c FROM feats GROUP BY 1, 2, 3),
+    tot AS (
+      SELECT SUM(CASE WHEN pos THEN c ELSE 0 END) AS pt,
+             SUM(CASE WHEN NOT pos THEN c ELSE 0 END) AS nt
+      FROM cnts
+    ),
+    dtot AS (
+      SELECT SUM(CASE WHEN {_NB_POS} THEN 1 ELSE 0 END) AS pd,
+             SUM(CASE WHEN NOT ({_NB_POS}) THEN 1 ELSE 0 END) AS nd
+      FROM kept1
+    ),
+    model AS (
+      SELECT b, SUM(CASE WHEN pos THEN c ELSE 0 END) AS pc,
+                SUM(CASE WHEN NOT pos THEN c ELSE 0 END) AS nc
+      FROM cnts GROUP BY b
+    ),
+    llr AS (
+      SELECT b, round((ln(pc + 1) - ln(CAST(pt + {_NB_B} AS DOUBLE)))
+                    - (ln(nc + 1) - ln(CAST(nt + {_NB_B} AS DOUBLE))), 9) AS lr
+      FROM model, tot
+    ),
+    scored AS (
+      SELECT cnts.doc_id,
+             SUM(CAST(round(c * lr, 9) AS DECIMAL(28,12))) AS s
+      FROM cnts JOIN llr USING (b) GROUP BY 1
+    ),
+    nb AS (
+      SELECT doc_id,
+             round(CAST(s AS DOUBLE)
+                   + round(ln(CAST(pd AS DOUBLE)) - ln(CAST(nd AS DOUBLE)), 9),
+                   9) AS score,
+             (CAST(s AS DOUBLE)
+              + round(ln(CAST(pd AS DOUBLE)) - ln(CAST(nd AS DOUBLE)), 9)) > 0
+               AS pred
+      FROM scored, dtot
+    ),
+    kept2 AS (
+      SELECT k.*, nb.score FROM kept1 k JOIN nb USING (doc_id) WHERE nb.pred
+    ),
+    shb AS (
+      SELECT doc_id, sh, list_min(sh) AS bk
+      FROM (SELECT doc_id, list_distinct({sh3}) AS sh FROM kept2)
+    ),
+    edges AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM shb a JOIN shb b ON a.bk = b.bk AND a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.2
+    ),
+    bidir AS (
+      SELECT id_a AS src, id_b AS dst FROM edges
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM edges
+    ),
+    reach(doc_id, r) AS (
+      SELECT doc_id, doc_id FROM kept2
+      UNION
+      SELECT b.src, reach.r FROM bidir b JOIN reach ON b.dst = reach.doc_id
+    ),
+    clusters AS (SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc_id),
+    reps AS (
+      SELECT k.* FROM clusters c JOIN kept2 k USING (doc_id)
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                                 ORDER BY k.score DESC, k.doc_id ASC) = 1
+    ),
+    sizes AS (
+      SELECT lang, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      FROM reps GROUP BY lang
+    ),
+    r AS (
+      SELECT lang, n_tokens,
+             ROW_NUMBER() OVER (ORDER BY n_tokens, lang) AS i,
+             SUM(n_tokens) OVER (ORDER BY n_tokens, lang
+                                 ROWS UNBOUNDED PRECEDING) AS P,
+             COUNT(*) OVER () AS L,
+             SUM(n_tokens) OVER () AS T
+      FROM sizes
+    ),
+    c AS (
+      SELECT *,
+             MIN(CASE WHEN {cond} THEN 1 ELSE 0 END)
+               OVER (ORDER BY n_tokens, lang ROWS UNBOUNDED PRECEDING) = 1
+               AS capped
+      FROM r
+    ),
+    f AS (
+      SELECT *,
+             SUM(CASE WHEN capped THEN 1 ELSE 0 END) OVER () AS k,
+             SUM(CASE WHEN capped THEN n_tokens ELSE 0 END) OVER () AS Pk
+      FROM c
+    ),
+    uni AS (
+      SELECT lang, n_tokens, capped,
+             round(CASE WHEN capped THEN CAST({n_cap} * n_tokens AS DOUBLE)
+                   ELSE CAST(CAST(T * {num} // {den} AS BIGINT)
+                             - {n_cap} * Pk AS DOUBLE)
+                        / GREATEST(L - k, 1) END, 9) AS alloc_tokens,
+             round(round(CASE WHEN capped THEN CAST({n_cap} * n_tokens AS DOUBLE)
+                   ELSE CAST(CAST(T * {num} // {den} AS BIGINT)
+                             - {n_cap} * Pk AS DOUBLE)
+                        / GREATEST(L - k, 1) END, 9) / n_tokens, 9) AS epochs
+      FROM f
+    ),
+    pt AS (
+      SELECT doc_id, lang,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             doc_id % {_Q171_SHARDS} AS shard
+      FROM reps
+    ),
+    pb AS (
+      SELECT lang,
+             CAST(floor(COALESCE(SUM(n_tokens) OVER w, 0) / 512.0)
+                  * {_Q171_SHARDS} + shard AS BIGINT) AS bin_id
+      FROM pt
+      WINDOW w AS (PARTITION BY lang, shard ORDER BY n_tokens DESC, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    bins AS (SELECT lang, COUNT(DISTINCT bin_id) AS n_bins FROM pb GROUP BY lang),
+    cnt2 AS (SELECT lang, COUNT(*) AS n_kept FROM kept2 GROUP BY lang),
+    repsn AS (SELECT lang, COUNT(*) AS n_reps FROM reps GROUP BY lang)
+    SELECT uni.lang, cnt2.n_kept, repsn.n_reps, uni.n_tokens, uni.capped,
+           uni.alloc_tokens, uni.epochs, bins.n_bins
+    FROM uni
+    JOIN cnt2 USING (lang)
+    JOIN repsn USING (lang)
+    JOIN bins USING (lang)
+    """
+
+
+@query("q171_curation_pipeline", _q171_oracle())
+def q171_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB curation shape END TO END over ONE corpus read: fused
+    quality suite (q165) -> NB quality-classifier filter (q167) ->
+    near-dup clusters + best-scoring representatives (q49/q104) ->
+    UniMax language allocation (q168) -> per-language token-budget
+    packing (q51's FFD windows partitioned by language) — every stage
+    consuming the SAME cached base projection, so the parquet scan
+    happens once no matter how many operators compose (asserted
+    in-query on the executed plans: downstream stages read
+    InMemoryTableScan, and the base plan holds the only file scan).
+    The oracle replays the entire chain relationally — quality
+    conjunction, NB LLRs, recursive-CTE components, closed-form
+    water-filling, packing windows — so a drift ANYWHERE in the
+    composition (a filter pushed wrongly through the classifier, a
+    representative chosen by a different tie-break, an allocation fed
+    pre-dedup counts) changes the hash. In-query assertions pin the
+    non-degeneracy the oracle can't see: the quality gate and the
+    classifier each actually drop documents while keeping both label
+    classes in play."""
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select("doc_id", "text", "lang", "source").cache()
+    quality = crules.quality_suite(base)
+    kept1 = base.join(quality.filter("passes").select("doc_id"), "doc_id")
+    nb = ccur.nb_quality_scores(kept1, _NB_POS, buckets=_NB_B)
+    kept2 = kept1.join(
+        nb.filter("pred").select("doc_id", "score"), "doc_id"
+    ).cache()
+    total = base.count()
+    n1 = kept1.count()
+    n2 = kept2.count()
+    if not (0 < n1 < total):
+        raise AssertionError(f"quality gate degenerate: {n1}/{total}")
+    if not (0 < n2 < n1):
+        raise AssertionError(f"classifier filter degenerate: {n2}/{n1}")
+    if "InMemoryTableScan" not in kept2._jdf.queryExecution().executedPlan().toString():
+        raise AssertionError("pipeline stages are not reading the cached base")
+    # near-dup representatives among the kept docs (q36's block + verify)
+    sh = (
+        kept2.select(
+            "doc_id",
+            F.array_distinct(F.expr(cdedup.shingles_sql("text", 3))).alias("sh"),
+        )
+        .withColumn("bk", F.array_min("sh"))
+        .cache()
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    union = F.size(F.col("a.sh")) + F.size(F.col("b.sh")) - inter
+    edges = (
+        a.join(
+            b,
+            (F.col("a.bk") == F.col("b.bk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter((inter.cast("double") / union) >= 0.2)
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+    )
+    clusters = cdedup.connected_components(kept2.select("doc_id"), edges)
+    wtop = Window.partitionBy("cluster_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    reps = (
+        clusters.join(kept2, "doc_id")
+        .withColumn("__rn", F.row_number().over(wtop))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+        .cache()
+    )
+    uni = ccur.unimax_allocation(reps)
+    pt = reps.select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+        F.pmod(F.col("doc_id"), F.lit(_Q171_SHARDS)).cast("long").alias("__shard"),
+    )
+    wp = Window.partitionBy("lang", "__shard").orderBy(
+        F.col("n_tokens").desc(), F.col("doc_id")
+    )
+    cum_before = F.coalesce(
+        F.sum("n_tokens").over(wp.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0),
+    )
+    bins = (
+        pt.withColumn(
+            "bin_id",
+            (F.floor(cum_before / 512) * _Q171_SHARDS + F.col("__shard")).cast(
+                "long"
+            ),
+        )
+        .groupBy("lang")
+        .agg(F.count_distinct("bin_id").alias("n_bins"))
+    )
+    cnt2 = kept2.groupBy("lang").agg(F.count(F.lit(1)).alias("n_kept"))
+    repsn = reps.groupBy("lang").agg(F.count(F.lit(1)).alias("n_reps"))
+    return (
+        uni.join(cnt2, "lang")
+        .join(repsn, "lang")
+        .join(bins, "lang")
+        .select(
+            "lang", "n_kept", "n_reps", "n_tokens", "capped",
+            "alloc_tokens", "epochs", "n_bins",
+        )
+    )
