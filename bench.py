@@ -131,6 +131,15 @@ HEADLINE = [
     # token count is the only corpus-sized work)
     "q167_quality_classifier",
     "q168_unimax_mixture",
+    # round-11: the PK-hash-sharded change-feed classification (a giant
+    # MERGE fanning out across bounded-memory diff tasks), the mirror's
+    # real Delta CDF round trip (CDC write + code-disjoint foreign
+    # read), and the one-pass curation flagship (quality suite -> NB
+    # filter -> dedup representatives -> UniMax -> packing over ONE
+    # cached corpus read — the composition cost is what's timed)
+    "q169_sharded_change_feed",
+    "q170_mirror_change_feed",
+    "q171_curation_pipeline",
 ]
 
 
