@@ -105,6 +105,7 @@ class _FilePartition(InputPartition):
         path: str,
         fields: list[tuple[str, str]],
         dv_path: str | None = None,
+        rg_shard: tuple[int, int] | None = None,
     ):
         self.path = path
         #: (logical name, Spark type JSON, physical name) triples — the
@@ -117,6 +118,13 @@ class _FilePartition(InputPartition):
         #: deletion-vector sidecar for this file (None = no deletes);
         #: the executor filters the vector-deleted row positions out
         self.dv_path = dv_path
+        #: (shard, nshards) when a LARGE file splits across tasks by
+        #: row-group range (Spark's maxPartitionBytes analogue for the
+        #: Python data source): planned from the file size the LOG
+        #: already records (zero footer reads at planning time); the
+        #: executor maps its shard onto a row-group slice and offsets
+        #: deletion-vector positions by the preceding groups' rows
+        self.rg_shard = rg_shard
 
 
 class _VersionedStreamReader(DataSourceStreamReader):
@@ -341,19 +349,39 @@ def _read_parquet_aligned(
     path: str,
     fields: list[tuple[str, str]],
     dv_path: str | None = None,
+    rg_shard: tuple[int, int] | None = None,
 ) -> Iterator:
     """Executor-side: one parquet file -> Arrow batches aligned to the
     pinned (name, Spark-type-JSON) field list — shared by the streaming
     and batch read paths. ``dv_path`` applies the file's deletion
     vector: the sidecar's row positions for this file are masked out
     before the batches are emitted (merge-on-read, same contract as
-    ``VersionedTable._apply_dv``)."""
+    ``VersionedTable._apply_dv``).
+
+    ``rg_shard=(i, k)`` reads only shard ``i`` of the file's row
+    groups (contiguous slice; empty when the file has fewer groups
+    than shards) — the executor half of large-file splitting. DV row
+    positions are FILE-global, so the shard's slice is masked against
+    positions offset by the preceding groups' row counts."""
     import pyarrow as pa
     import pyarrow.parquet as pq
     from pyspark.sql.pandas.types import to_arrow_type
     from pyspark.sql.types import _parse_datatype_json_string
 
-    tbl = pq.read_table(path)
+    row_offset = 0
+    if rg_shard is not None and rg_shard[1] > 1:
+        i, k = rg_shard
+        pf = pq.ParquetFile(path)
+        nrg = pf.metadata.num_row_groups
+        lo, hi = (i * nrg) // k, ((i + 1) * nrg) // k
+        if lo >= hi:
+            return  # fewer row groups than shards: this shard is empty
+        row_offset = sum(
+            pf.metadata.row_group(g).num_rows for g in range(lo)
+        )
+        tbl = pf.read_row_groups(list(range(lo, hi)))
+    else:
+        tbl = pq.read_table(path)
     if dv_path is not None:
         import numpy as np
 
@@ -365,7 +393,11 @@ def _read_parquet_aligned(
         dv_tbl = pq.read_table(
             dv_path, filters=[("file_path", "=", norm)]
         )
-        pos = dv_tbl.column("row_index").to_pylist()
+        pos = [
+            p - row_offset
+            for p in dv_tbl.column("row_index").to_pylist()
+            if row_offset <= p < row_offset + tbl.num_rows
+        ]
         if pos:
             mask = np.ones(tbl.num_rows, dtype=bool)
             mask[np.asarray(pos, dtype=np.int64)] = False
@@ -856,13 +888,25 @@ class _VersionedBatchReaderBase(DataSourceReader):
     one input partition per snapshot file, Arrow-aligned to the
     snapshot's recorded schema."""
 
-    def __init__(self, table: str, schema: StructType, version: int | None):
+    def __init__(
+        self,
+        table: str,
+        schema: StructType,
+        version: int | None,
+        split_bytes: int = 128 * 1024 * 1024,
+    ):
         self.log = CommitLog(path=table)
         v = self.log.current_version() if version is None else version
         if v is None:
             raise ValueError(f"no published versions under {table}")
         self.version = v
         self.pinned = schema
+        #: Spark's maxPartitionBytes analogue: a file larger than this
+        #: splits across ceil(size / split_bytes) row-group-range tasks
+        #: (sized from the LOG's recorded file sizes — no footer reads
+        #: at planning time), so one huge compacted file can't
+        #: serialize a whole scan into a single task
+        self.split_bytes = max(1, int(split_bytes))
         self._ranges: list[tuple] = []
         self._in_lists: list[tuple] = []
 
@@ -921,11 +965,31 @@ class _VersionedBatchReaderBase(DataSourceReader):
             (f.name, f.dataType.json(), cmap.get(f.name, f.name))
             for f in self.pinned.fields
         ]
-        return [_FilePartition(f, fields, dv.get(f)) for f in files]
+        sizes = state.get("sizes", {})
+        parts: list[_FilePartition] = []
+        for f in files:
+            size = sizes.get(f)
+            if size is None:
+                try:
+                    size = os.path.getsize(f)
+                except OSError:
+                    size = 0
+            k = max(1, -(-size // self.split_bytes))
+            if k == 1:
+                parts.append(_FilePartition(f, fields, dv.get(f)))
+            else:
+                parts.extend(
+                    _FilePartition(f, fields, dv.get(f), rg_shard=(i, k))
+                    for i in range(k)
+                )
+        return parts
 
     def read(self, partition: _FilePartition) -> Iterator:
         yield from _read_parquet_aligned(
-            partition.path, partition.fields, partition.dv_path
+            partition.path,
+            partition.fields,
+            partition.dv_path,
+            getattr(partition, "rg_shard", None),
         )
 
 
@@ -1040,7 +1104,14 @@ class VersionedTableStreamDataSource(DataSource):
             ).lower() == "true"
         )
         cls = _VersionedBatchReader if pushdown else _VersionedBatchReaderBase
-        return cls(self._table(), schema, self._requested_version(log))
+        return cls(
+            self._table(),
+            schema,
+            self._requested_version(log),
+            split_bytes=int(
+                self.options.get("split_file_bytes", 128 * 1024 * 1024)
+            ),
+        )
 
     def writer(self, schema: StructType, overwrite: bool):
         """Batch writes through the standard writer API:

@@ -1681,3 +1681,80 @@ def test_change_feed_diff_fans_out_by_pk_hash(spark, tmp_path):
         if batches and sum(b.num_rows for b in batches):
             nonempty += 1
     assert nonempty >= 2
+
+
+def test_format_api_splits_large_files_by_row_group(spark, tmp_path):
+    """A file bigger than ``split_file_bytes`` splits across row-group
+    range partitions (planned from the LOG's recorded size, executed as
+    a contiguous row-group slice), deletion vectors still apply with
+    file-global positions, and over-sharding (more shards than row
+    groups) yields empty shards — never duplicates or crashes."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from modular_etl_data_platform_spark.operators.versioned import (
+        CommitLog,
+        VersionedTable,
+        _DATA_DIR,
+    )
+    from modular_etl_data_platform_spark.streaming.versioned_source import (
+        VersionedTableStreamDataSource,
+        _VersionedBatchReaderBase,
+    )
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    import os
+
+    table = str(tmp_path / "vt")
+    os.makedirs(os.path.join(table, _DATA_DIR))
+    fpath = os.path.join(table, _DATA_DIR, "part-0.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "id": pa.array(range(1000), pa.int64()),
+                "v": pa.array([f"v{i}" for i in range(1000)], pa.string()),
+            }
+        ),
+        fpath,
+        row_group_size=100,  # 10 row groups
+    )
+    schema = StructType(
+        [StructField("id", LongType()), StructField("v", StringType())]
+    )
+    CommitLog(path=table).publish(
+        [fpath], schema.json(), {"mode": "overwrite"}, 0, {}
+    )
+    vt = VersionedTable(spark, table)
+    vt.delete_where("id % 10 = 3")  # DV, positions are file-global
+
+    rd = _VersionedBatchReaderBase(table, schema, None, split_bytes=2048)
+    parts = rd.partitions()
+    assert len(parts) > 1  # the file split
+    assert {p.rg_shard for p in parts} == {
+        (i, parts[0].rg_shard[1]) for i in range(parts[0].rg_shard[1])
+    }
+    rows = []
+    for p in parts:
+        for batch in rd.read(p):
+            rows.extend(batch.to_pylist())
+    ids = sorted(r["id"] for r in rows)
+    assert ids == [i for i in range(1000) if i % 10 != 3]  # 900, no dups
+    # over-sharding: more shards than row groups -> empty shards, same rows
+    rd1 = _VersionedBatchReaderBase(table, schema, None, split_bytes=1)
+    parts1 = rd1.partitions()
+    assert len(parts1) > 10
+    n = 0
+    for p in parts1:
+        for batch in rd1.read(p):
+            n += batch.num_rows
+    assert n == 900
+    # end-to-end through the format API with the option set
+    spark.dataSource.register(VersionedTableStreamDataSource)
+    df = (
+        spark.read.format("versioned_table")
+        .option("path", table)
+        .option("split_file_bytes", "2048")
+        .load()
+    )
+    assert df.count() == 900
+    assert df.filter("id % 10 = 3").count() == 0

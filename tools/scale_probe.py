@@ -72,6 +72,12 @@ DEFAULT_QUERIES = [
     # scoring fold are linear in corpus tokens, so the doubling ratio
     # must stay ~2 (the model/broadcast is constant-size by design)
     "q167_quality_classifier",
+    # round-11: the composed one-pass curation flagship — every stage
+    # is linear over the surviving docs (quality explode, NB fold,
+    # blocked near-dup pairs, language-row windows, packing windows),
+    # so the doubling ratio must stay ~2 with the fixed per-stage job
+    # overhead amortizing AWAY as the corpus grows (sub-2 expected)
+    "q171_curation_pipeline",
 ]
 
 BASE = "/root/testdata/sf0.1"
