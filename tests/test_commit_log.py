@@ -726,3 +726,48 @@ def test_conditional_put_store_carries_checkpoints_and_time_travel(
     names = store.list()
     assert V._checkpoint_name(3) not in names
     assert V._checkpoint_part_name(3, 0) not in names
+
+
+def test_delta_publish_equals_full_list_publish(tmp_path):
+    """The delta form (``add=[...]``) must publish byte-identical
+    records and resolve to the same state as the full-list form — and
+    its layered fast-path state must materialize equal to a state
+    replayed from disk by a fresh instance."""
+    schema = '{"type":"struct","fields":[]}'
+    roots = [str(tmp_path / "full"), str(tmp_path / "delta")]
+    logs = [CommitLog(path=r) for r in roots]
+    files: list[str] = []
+    for i in range(1, 8):
+        new = [f"/data/b{i:03d}/part-{j}.parquet" for j in range(2)]
+        stats = {f: {"k": [i, i]} for f in new}
+        files = files + new
+        logs[0].publish(files, schema, {"mode": "append"}, i - 1, stats)
+        logs[1].publish(
+            None, schema, {"mode": "append"}, i - 1, stats, add=new
+        )
+    for i in range(1, 8):
+        a = json.loads(logs[0].store.read(V._commit_name(i)))
+        b = json.loads(logs[1].store.read(V._commit_name(i)))
+        a.pop("ts"), b.pop("ts")
+        a["sizes"], b["sizes"] = {}, {}  # synthetic paths have no size
+        assert a == b, f"record {i} differs between forms"
+    s_full = logs[0].resolve(7)
+    s_delta = logs[1].resolve(7)
+    assert list(s_full["files"]) == list(s_delta["files"]) == sorted(files)
+    assert dict(s_full["stats"]) == dict(s_delta["stats"])
+    # a fresh instance replaying from disk agrees with the layered fold
+    # (evict the process-wide snapshot cache so this is a REAL replay)
+    for key in [k for k in V._PROCESS_STATE_CACHE if k[0].startswith(roots[1])]:
+        V._PROCESS_STATE_CACHE.pop(key)
+    fresh = CommitLog(path=roots[1])
+    fresh._cache.clear()
+    s_replayed = fresh.resolve(7)
+    assert list(s_replayed["files"]) == list(s_delta["files"])
+    assert dict(s_replayed["stats"]) == dict(s_delta["stats"])
+    assert dict(s_replayed.get("dv", {})) == dict(s_delta.get("dv", {}))
+    # the delta form refuses dv_updates (append-only contract)
+    with pytest.raises(ValueError, match="dv_updates"):
+        logs[1].publish(
+            None, schema, {"mode": "append"}, 7,
+            {}, dv_updates={"/x": "/dv"}, add=["/x"],
+        )
