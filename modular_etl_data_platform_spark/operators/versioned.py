@@ -3799,7 +3799,13 @@ class VersionedTable:
         )
 
     def history(self) -> list[dict]:
-        return [self.log.resolve(v) for v in self.versions()]
+        # materialized: history is a diagnostic whose consumers expect
+        # plain JSON-able dicts (the CLI dumps them verbatim), not the
+        # commit path's copy-on-write layered states
+        return [
+            CommitLog._materialize_state(self.log.resolve(v))
+            for v in self.versions()
+        ]
 
     def detail(self, version: int | None = None) -> dict:
         """Delta's ``DESCRIBE DETAIL``: a one-row table-level summary of
