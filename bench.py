@@ -140,6 +140,9 @@ HEADLINE = [
     "q169_sharded_change_feed",
     "q170_mirror_change_feed",
     "q171_curation_pipeline",
+    # the row-group-split format read (one big DV-carrying file across
+    # many bounded tasks — the planner + per-shard DV offset cost)
+    "q172_split_file_read",
 ]
 
 

@@ -1283,3 +1283,84 @@ def q169_sharded_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(F.col("p"), "sum_price"),
         )
     )
+
+
+@query(
+    "q172_split_file_read",
+    """
+    SELECT o_orderstatus AS s,
+           COUNT(*) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+    FROM orders
+    WHERE o_orderkey % 10 <> 4
+    GROUP BY o_orderstatus
+    """,
+)
+def q172_split_file_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-file ROW-GROUP SPLITTING through the format-API reader
+    (streaming/versioned_source.py::_FilePartition(rg_shard=...)):
+    the whole orders table lands as ONE versioned file, a DV delete
+    carves rows out of it, and the read runs with ``split_file_bytes``
+    sized so the single file must plan across multiple row-group-range
+    partitions — Spark's maxPartitionBytes discipline for the Python
+    data source, planned from the LOG's recorded file size (zero
+    footer reads at planning time). In-query assertions pin what the
+    oracle can't see: the file actually split (>1 planned partition,
+    asserted on the reader's own partitions() protocol), every
+    partition names the same file, and the shard ids tile
+    range(nshards). The aggregate — computed THROUGH the sharded read,
+    deletion-vector positions offset per shard — must match the
+    oracle's relational replay, so a duplicated or dropped row group,
+    or a mis-offset DV mask, changes the hash."""
+    from modular_etl_data_platform_spark.operators.versioned import VersionedTable
+    from modular_etl_data_platform_spark.streaming.versioned_source import (
+        VersionedTableStreamDataSource,
+        _VersionedBatchReaderBase,
+    )
+
+    spark.dataSource.register(VersionedTableStreamDataSource)
+    scratch = _scratch("q172_split_file_read", sf_dir)
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    table = os.path.join(scratch, "orders_v")
+    vt = VersionedTable(spark, table)
+    vt.write(orders.coalesce(1))  # ONE file holds the whole table
+    vt.delete_where("o_orderkey % 10 = 4")  # DV: file-global positions
+    # target an 8-way split of the single file at ANY scale factor
+    m = vt._read_manifest(vt.current_version())
+    fsize = sum(m.get("sizes", {}).get(f, 0) for f in m["files"])
+    target = max(1024, fsize // 8)
+    rd = _VersionedBatchReaderBase(
+        table,
+        _t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        ).schema,
+        None,
+        split_bytes=target,
+    )
+    parts = rd.partitions()
+    if len(parts) < 2:
+        raise AssertionError(
+            f"single {fsize}-byte file planned {len(parts)} partition(s) "
+            f"at split_bytes={target}; expected a row-group split"
+        )
+    if len({p.path for p in parts}) != 1:
+        raise AssertionError("split partitions should all name the one file")
+    shards = sorted(p.rg_shard for p in parts)
+    if shards != [(i, len(parts)) for i in range(len(parts))]:
+        raise AssertionError(f"shard ids do not tile: {shards}")
+    df = (
+        spark.read.format("versioned_table")
+        .option("path", table)
+        .option("split_file_bytes", str(target))
+        .load()
+    )
+    return _pin(
+        df.groupBy(F.col("o_orderstatus").alias("s")).agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("o_orderkey").cast("long").alias("key_sum"),
+            dsum(F.col("o_totalprice"), "sum_price"),
+        )
+    )
