@@ -137,11 +137,18 @@ class _VersionedStreamReader(DataSourceStreamReader):
         ignore_deletes: bool = False,
         ignore_changes: bool = False,
         max_bytes_per_batch: int | None = None,
+        split_file_bytes: int = 128 * 1024 * 1024,
     ):
         self.table = table
         self.pinned = schema
         self.start_version = starting_version
         self.max_versions = max_versions_per_batch
+        #: large-file row-group splitting, same contract as the batch
+        #: reader: an emitted file bigger than this fans across
+        #: ceil(size/target) row-group-range tasks (sizes ride the
+        #: commit records — metadata-only planning), so one giant
+        #: coalesced append can't serialize a micro-batch into one task
+        self.split_bytes = max(1, int(split_file_bytes))
         #: Delta's maxBytesPerTrigger analogue: cap a micro-batch's
         #: offset advance by the CUMULATIVE added-file bytes of the
         #: admitted versions (sizes ride every commit record — zero
@@ -265,6 +272,7 @@ class _VersionedStreamReader(DataSourceStreamReader):
         no_change_modes = {"compact", "compact_where", "auto_compact"}
         emit: list[str] = []
         emitted: set[str] = set()
+        emit_sizes: dict[str, int] = {}
         for v in range(v0 + 1, v1 + 1):
             try:
                 rec = json.loads(self.log.store.read(_commit_name(v)))
@@ -311,10 +319,13 @@ class _VersionedStreamReader(DataSourceStreamReader):
                     "to skip them (Delta's ignoreDeletes) or restart "
                     "from a snapshot"
                 )
+            rec_sizes = rec.get("sizes", {})
             for f in rec.get("add", []):
                 if f not in emitted and f not in old:
                     emitted.add(f)
                     emit.append(f)
+                    if f in rec_sizes:
+                        emit_sizes[f] = rec_sizes[f]
         cmap = cur.get("column_mapping") or {}
         fields = [
             (f.name, f.dataType.json(), cmap.get(f.name, f.name))
@@ -323,22 +334,34 @@ class _VersionedStreamReader(DataSourceStreamReader):
         # emitted files that SURVIVE to the range end apply the
         # range-end vector (rows handed downstream are the rows live at
         # the offset); files compacted/rewritten away mid-range emit as
-        # committed (their content is still on disk until vacuum)
-        return [
-            _FilePartition(
-                f, fields, cur_dv.get(f) if f in cur_files else None
-            )
-            for f in emit
-        ]
+        # committed (their content is still on disk until vacuum).
+        # Files above the split target fan across row-group shards —
+        # sizes ride the emitting records, so planning is metadata-only.
+        parts: list[_FilePartition] = []
+        for f in emit:
+            dvp = cur_dv.get(f) if f in cur_files else None
+            k = max(1, -(-emit_sizes.get(f, 0) // self.split_bytes))
+            if k == 1:
+                parts.append(_FilePartition(f, fields, dvp))
+            else:
+                parts.extend(
+                    _FilePartition(f, fields, dvp, rg_shard=(i, k))
+                    for i in range(k)
+                )
+        return parts
 
     def read(self, partition: _FilePartition) -> Iterator:
-        """Executor-side: one added parquet file -> Arrow batches,
-        aligned to the pinned schema (evolved-away columns null-fill
-        with the FIELD'S Arrow type, matching the manifest-schema read
-        contract batch-side — a plain null-typed array would fail the
-        Arrow-to-Spark conversion on schema-evolved tables)."""
+        """Executor-side: one added parquet file (or one row-group
+        shard of it) -> Arrow batches, aligned to the pinned schema
+        (evolved-away columns null-fill with the FIELD'S Arrow type,
+        matching the manifest-schema read contract batch-side — a
+        plain null-typed array would fail the Arrow-to-Spark
+        conversion on schema-evolved tables)."""
         yield from _read_parquet_aligned(
-            partition.path, partition.fields, partition.dv_path
+            partition.path,
+            partition.fields,
+            partition.dv_path,
+            getattr(partition, "rg_shard", None),
         )
 
     def commit(self, end: dict) -> None:  # offsets live in the checkpoint
@@ -426,15 +449,19 @@ _NO_CHANGE_MODES = {"compact", "compact_where", "auto_compact"}
 
 
 class _CFInsertPartition(InputPartition):
-    """One appended file of an insert-only commit: every live row is an
-    ``insert``. The high-volume streaming case parallelizes per file."""
+    """One appended file of an insert-only commit (or one row-group
+    shard of a large one): every live row is an ``insert``. The
+    high-volume streaming case parallelizes per file, and files above
+    the split target fan out further by row-group range — insert
+    classification is per-row independent, so slicing is exact."""
 
-    def __init__(self, path, fields, dv_path, version, ts_ms):
+    def __init__(self, path, fields, dv_path, version, ts_ms, rg_shard=None):
         self.path = path
         self.fields = fields
         self.dv_path = dv_path
         self.version = version
         self.ts_ms = ts_ms
+        self.rg_shard = rg_shard
 
 
 class _CFDvDeletePartition(InputPartition):
@@ -673,11 +700,26 @@ class _VersionedChangeFeedStreamReader(_VersionedStreamReader):
             if not old_only and not dv_changed:
                 # insert-only commit: per-file parallel inserts (the
                 # file's own vector at THIS version applies — e.g. a
-                # clone's initial snapshot carries source vectors)
-                parts.extend(
-                    _CFInsertPartition(f, fields, cur_dv.get(f), v, ts_ms)
-                    for f in new_only
-                )
+                # clone's initial snapshot carries source vectors);
+                # large files additionally split by row-group range
+                cur_sizes = cur.get("sizes", {})
+                for f in new_only:
+                    k = max(
+                        1,
+                        -(-cur_sizes.get(f, 0) // self.diff_partition_bytes),
+                    )
+                    if k == 1:
+                        parts.append(
+                            _CFInsertPartition(f, fields, cur_dv.get(f), v, ts_ms)
+                        )
+                    else:
+                        parts.extend(
+                            _CFInsertPartition(
+                                f, fields, cur_dv.get(f), v, ts_ms,
+                                rg_shard=(i, k),
+                            )
+                            for i in range(k)
+                        )
             elif not old_only and not new_only and mode == "delete_where":
                 # PURE vector-delete commit: the change slice per file
                 # is the newly-vectored positions — one read, no join,
@@ -735,7 +777,10 @@ class _VersionedChangeFeedStreamReader(_VersionedStreamReader):
 
         if isinstance(partition, _CFInsertPartition):
             for batch in _read_parquet_aligned(
-                partition.path, partition.fields, partition.dv_path
+                partition.path,
+                partition.fields,
+                partition.dv_path,
+                partition.rg_shard,
             ):
                 yield from _with_cdf_columns(
                     pa.Table.from_batches([batch]),
@@ -1188,6 +1233,9 @@ class VersionedTableStreamDataSource(DataSource):
                 self.options.get("ignore_changes", "false")
             ).lower() == "true",
             max_bytes_per_batch=int(max_b) if max_b is not None else None,
+            split_file_bytes=int(
+                self.options.get("split_file_bytes", 128 * 1024 * 1024)
+            ),
         )
 
     def streamWriter(self, schema: StructType, overwrite: bool):

@@ -1758,3 +1758,83 @@ def test_format_api_splits_large_files_by_row_group(spark, tmp_path):
     )
     assert df.count() == 900
     assert df.filter("id % 10 = 3").count() == 0
+
+
+def test_stream_source_splits_large_added_files(spark, tmp_path):
+    """The file-level streaming source and the change feed's
+    insert-only path both fan a LARGE added file across row-group
+    shards (planned from the commit record's sizes), and the union of
+    shards equals the whole file — inserts are per-row independent, so
+    slicing is exact."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from modular_etl_data_platform_spark.operators.versioned import (
+        CommitLog,
+        _DATA_DIR,
+    )
+    from modular_etl_data_platform_spark.streaming.versioned_source import (
+        _VersionedChangeFeedStreamReader,
+        _VersionedStreamReader,
+    )
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    table = str(tmp_path / "vt")
+    os.makedirs(os.path.join(table, _DATA_DIR))
+    fpath = os.path.join(table, _DATA_DIR, "part-0.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "id": pa.array(range(2000), pa.int64()),
+                "v": pa.array([f"v{i}" for i in range(2000)], pa.string()),
+            }
+        ),
+        fpath,
+        row_group_size=250,  # 8 row groups
+    )
+    schema = StructType(
+        [StructField("id", LongType()), StructField("v", StringType())]
+    )
+    log = CommitLog(path=table)
+    log.publish(
+        [fpath], schema.json(), {"mode": "overwrite"}, 0,
+        {fpath: {"id": [0, 1999]}},
+    )
+
+    rd = _VersionedStreamReader(table, schema, 0, split_file_bytes=4096)
+    parts = rd.partitions({"version": 0}, {"version": 1})
+    assert len(parts) > 1
+    assert len({p.path for p in parts}) == 1
+    rows = []
+    for p in parts:
+        for batch in rd.read(p):
+            rows.extend(batch.to_pylist())
+    assert sorted(r["id"] for r in rows) == list(range(2000))
+
+    cdf_schema = StructType(
+        list(schema.fields)
+        + [
+            StructField("_change_type", StringType()),
+            StructField("_commit_version", LongType()),
+            StructField("_commit_timestamp", TimestampType()),
+        ]
+    )
+    cf = _VersionedChangeFeedStreamReader(
+        table, cdf_schema, 0, ["id"], diff_partition_bytes=4096
+    )
+    cparts = cf.partitions({"version": 0}, {"version": 1})
+    assert len(cparts) > 1
+    crows = []
+    for p in cparts:
+        for batch in cf.read(p):
+            crows.extend(batch.to_pylist())
+    assert sorted(r["id"] for r in crows) == list(range(2000))
+    assert {r["_change_type"] for r in crows} == {"insert"}
