@@ -1838,3 +1838,82 @@ def test_stream_source_splits_large_added_files(spark, tmp_path):
             crows.extend(batch.to_pylist())
     assert sorted(r["id"] for r in crows) == list(range(2000))
     assert {r["_change_type"] for r in crows} == {"insert"}
+
+
+def test_row_group_split_property_union_equals_whole(tmp_path):
+    """Property (Spark-free): for random row-group layouts, random
+    deletion vectors and random split targets, the union of a file's
+    row-group shards equals the whole-file read exactly — no dropped,
+    duplicated or mis-masked row, at any (groups, shards) ratio
+    including shards > groups and a fully-deleted file."""
+    import os
+    import random
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from modular_etl_data_platform_spark.streaming.versioned_source import (
+        _read_parquet_aligned,
+    )
+
+    fields = [("id", '"long"', "id"), ("v", '"string"', "v")]
+    for seed in range(40):
+        rng = random.Random(seed)
+        n = rng.randint(1, 500)
+        rg = rng.choice([1, 7, 50, 100, n])
+        fdir = tmp_path / f"s{seed}"
+        fdir.mkdir()
+        fpath = str(fdir / "f.parquet")
+        pq.write_table(
+            pa.table(
+                {
+                    "id": pa.array(range(n), pa.int64()),
+                    "v": pa.array([f"v{i}" for i in range(n)], pa.string()),
+                }
+            ),
+            fpath,
+            row_group_size=rg,
+        )
+        # random DV: none, sparse, or everything
+        mode = rng.random()
+        if mode < 0.2:
+            deleted = set()
+            dv_path = None
+        else:
+            deleted = (
+                set(range(n))
+                if mode > 0.9
+                else {i for i in range(n) if rng.random() < 0.3}
+            )
+            dv_path = str(fdir / "dv.parquet")
+            from modular_etl_data_platform_spark.operators.versioned import (
+                _strip_scheme_py,
+            )
+
+            pq.write_table(
+                pa.table(
+                    {
+                        "file_path": pa.array(
+                            [_strip_scheme_py(fpath)] * len(deleted),
+                            pa.string(),
+                        ),
+                        "row_index": pa.array(sorted(deleted), pa.int64()),
+                    }
+                ),
+                dv_path,
+            )
+        k = rng.choice([1, 2, 3, 8, 40])
+        whole = [
+            r["id"]
+            for b in _read_parquet_aligned(fpath, fields, dv_path)
+            for r in b.to_pylist()
+        ]
+        sharded = [
+            r["id"]
+            for i in range(k)
+            for b in _read_parquet_aligned(fpath, fields, dv_path, (i, k))
+            for r in b.to_pylist()
+        ]
+        assert sorted(sharded) == sorted(whole) == [
+            i for i in range(n) if i not in deleted
+        ], f"seed {seed}: n={n} rg={rg} k={k} |dv|={len(deleted)}"
