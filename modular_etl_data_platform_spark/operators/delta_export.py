@@ -62,6 +62,7 @@ import zlib
 
 from modular_etl_data_platform_spark.operators.versioned import (
     VersionedTable,
+    _commit_name,
     _strip_scheme_py,
 )
 
@@ -655,6 +656,60 @@ def _mirror_cdc_table(table: VersionedTable, v: int, pks: list[str]):
     if cur.get("mode", "") in _NO_CHANGE_MODES:
         return None
     schema = StructType.fromJson(json.loads(cur["schema"]))
+    data_fields = [
+        (f.name, f.dataType.json()) for f in schema.fields
+    ] + [("_change_type", '"string"')]
+    arrow_schema = pa.schema(
+        [
+            (name, _cdc_arrow_type(tj))
+            for name, tj in data_fields
+        ]
+    )
+    try:
+        rec = json.loads(table.log.store.read(_commit_name(v)))
+    except FileNotFoundError:
+        rec = {}
+    if rec.get("cdc") is not None:
+        # the source commit RECORDED its change slice at write time
+        # (enable_change_data_feed): forward those files' rows verbatim
+        # — zero re-classification, zero reads of the version's data
+        # files. The recorded files already carry physical column names
+        # under any active mapping, exactly what the mirror writes.
+        from modular_etl_data_platform_spark.streaming.versioned_source import (
+            _read_parquet_aligned,
+        )
+
+        cmap = cur.get("column_mapping") or {}
+        fields = [
+            (f.name, f.dataType.json(), cmap.get(f.name, f.name))
+            for f in schema.fields
+        ]
+        parts_rows = []
+        for e in rec["cdc"]:
+            batches = list(_read_parquet_aligned(e["path"], fields))
+            t = pa.Table.from_batches(
+                batches,
+                schema=pa.schema(
+                    [(n, _cdc_arrow_type(tj)) for n, tj, _ in fields]
+                ),
+            )
+            parts_rows.append(
+                t.append_column(
+                    "_change_type",
+                    pa.array([e["type"]] * t.num_rows, pa.string()),
+                )
+            )
+        tbl = (
+            pa.concat_tables(parts_rows)
+            if parts_rows
+            else arrow_schema.empty_table()
+        )
+        mapping = cur.get("column_mapping") or {}
+        if mapping:
+            tbl = tbl.rename_columns(
+                [mapping.get(c, c) for c in tbl.column_names]
+            )
+        return tbl
     cdf_schema = StructType(
         list(schema.fields)
         + [
@@ -668,15 +723,6 @@ def _mirror_cdc_table(table: VersionedTable, v: int, pks: list[str]):
     if all(isinstance(p, _CFInsertPartition) for p in parts):
         return None  # insert-only: readers derive from the add actions
     batches = [b for p in parts for b in reader.read(p)]
-    data_fields = [
-        (f.name, f.dataType.json()) for f in schema.fields
-    ] + [("_change_type", '"string"')]
-    arrow_schema = pa.schema(
-        [
-            (name, _cdc_arrow_type(tj))
-            for name, tj in data_fields
-        ]
-    )
     if batches:
         tbl = pa.Table.from_batches(batches)
         tbl = tbl.drop_columns(["_commit_version", "_commit_timestamp"])

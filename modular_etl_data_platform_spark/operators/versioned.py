@@ -175,6 +175,16 @@ _PROCESS_STATE_CACHE_MAX = 16
 #: ``checkpoint_interval`` anyway, so this only engages on tables with
 #: checkpointing disabled or extreme intervals)
 _MAX_STATE_LAYERS = 64
+#: recorded change-data files (write-time CDC, Delta's _change_data/)
+#: live here; each commit's entries ride its record under the "cdc" key
+_CDC_DIR = "_change_data"
+#: partition value tagging the DATA rows of a combined data+CDC landing
+#: write (rows under this value become ordinary data files; every other
+#: value is a recorded change type)
+_CDC_DATA_MARK = "__data__"
+#: commit modes that by contract change no rows (dataChange=false):
+#: change-feed readers — batch and streaming — emit nothing for them
+_NO_CHANGE_MODES = {"compact", "compact_where", "auto_compact"}
 
 
 class _LazyFiles:
@@ -768,7 +778,10 @@ class CommitLog:
         carry = {
             k: v
             for k, v in rec.items()
-            if k not in ("add", "remove", "stats", "sizes", "dv", "protocol")
+            # "cdc" is PER-COMMIT metadata (the recorded change-data
+            # files of that one commit), never snapshot state — readers
+            # take it from the raw commit record, so the fold drops it
+            if k not in ("add", "remove", "stats", "sizes", "dv", "protocol", "cdc")
         }
         fast = (
             not removed
@@ -995,6 +1008,12 @@ class CommitLog:
         cluster_by = meta.pop("cluster_by", None)
         if cluster_by is None:
             cluster_by = prior.get("cluster_by", [])
+        # change-data-feed property (Delta's delta.enableChangeDataFeed):
+        # carried through every record like constraints; explicit {}
+        # deliberately clears it (disable / restore across the boundary)
+        cdf = meta.pop("cdf", None)
+        if cdf is None:
+            cdf = prior.get("cdf") or {}
         # column mapping (Delta's columnMapping feature): logical name ->
         # physical (parquet) name, carried through every commit like
         # constraints; ``retired_physical`` tombstones physical names a
@@ -1104,6 +1123,7 @@ class CommitLog:
             "constraints": constraints,
             **({"generated": generated} if generated else {}),
             **({"cluster_by": cluster_by} if cluster_by else {}),
+            **({"cdf": cdf} if cdf else {}),
             **({"column_mapping": mapping} if mapping is not None else {}),
             **({"retired_physical": retired} if retired else {}),
             **({"dv": dv_updates} if dv_updates else {}),
@@ -2170,6 +2190,97 @@ class VersionedTable:
             expected_base=v,
         )
 
+    # -- change data feed (write-time CDC) -------------------------------------
+    def cdf_property(self) -> dict:
+        """The table's change-data-feed property (the
+        ``delta.enableChangeDataFeed`` analogue): ``{"primary_keys":
+        [...]}`` when enabled, ``{}`` otherwise. Carried through every
+        commit record like CHECK constraints."""
+        v = self.current_version()
+        if v is None:
+            return {}
+        return dict(self.log.resolve(v).get("cdf") or {})
+
+    def enable_change_data_feed(self, primary_keys: list[str]) -> int:
+        """Opt the table into WRITE-TIME CDC (Delta's
+        ``delta.enableChangeDataFeed`` table property): from this commit
+        on, update-class DML (``merge``, ``upsert``, ``update_where``,
+        ``delete_where``, ``restore``) persists its row-level change
+        slice as recorded ``_change_data/`` parquet files riding the
+        commit record's ``cdc`` key, and both the streaming change feed
+        and batch ``table_changes``/``read_change_feed`` serve those
+        files directly — per-cdc-file parallelism, ZERO re-reads of the
+        rewritten data files. Commits without recorded CDC (pre-enable
+        history, blind appends, ``overwrite_where``/``delete_range``)
+        keep the derived-from-file-diff fallback.
+
+        ``primary_keys`` pins the row-identity columns recorded
+        classification is defined over — the same columns change-feed
+        READERS pass — so recorded and derived classification agree on
+        any history whose rows are uniquely keyed by them. Like Delta's
+        CDC this assumes stable row identity: recorded CDC expresses a
+        DML that rewrites a primary-key VALUE as delete(old)+insert(new),
+        which is exactly how the derived diff classifies it."""
+        if not primary_keys:
+            raise ValueError("enable_change_data_feed needs primary keys")
+        v = self.current_version()
+        if v is None:
+            raise FileNotFoundError(f"no versions in {self.path}")
+        m = self.log.resolve(v)
+        from pyspark.sql import types as T
+
+        names = [
+            f.name
+            for f in T.StructType.fromJson(json.loads(m["schema"])).fields
+        ]
+        missing = sorted(set(primary_keys) - set(names))
+        if missing:
+            raise ValueError(
+                f"primary_keys {missing} not in table schema {names}"
+            )
+        return self._publish(
+            m["files"],
+            m["schema"],
+            {"mode": "set_cdf", "cdf": {"primary_keys": list(primary_keys)}},
+            expected_base=v,
+        )
+
+    def disable_change_data_feed(self) -> int:
+        """Clear the CDC property: later update-class commits stop
+        recording ``_change_data`` (readers fall back to the derived
+        diff); already-recorded versions keep serving their files."""
+        v = self.current_version()
+        if v is None:
+            raise FileNotFoundError(f"no versions in {self.path}")
+        m = self.log.resolve(v)
+        return self._publish(
+            m["files"],
+            m["schema"],
+            {"mode": "unset_cdf", "cdf": {}},
+            expected_base=v,
+        )
+
+    def _cdc_keys(self, manifest: dict) -> list[str] | None:
+        """The primary keys recorded CDC classifies over for a commit
+        deriving from ``manifest`` — or None when this commit must NOT
+        record (property unset, or a key column no longer in the
+        schema after a drop/rename, where pairing would be undefined
+        and the derived fallback stays correct)."""
+        pks = (manifest.get("cdf") or {}).get("primary_keys") or []
+        if not pks:
+            return None
+        from pyspark.sql import types as T
+
+        names = {
+            f.name
+            for f in T.StructType.fromJson(
+                json.loads(manifest["schema"])
+            ).fields
+        }
+        if any(k not in names for k in pks):
+            return None
+        return list(pks)
+
     # -- write paths ----------------------------------------------------------
     def _land_files(
         self, df: DataFrame, enforce_not_null: bool = True
@@ -2268,6 +2379,190 @@ class VersionedTable:
                     landed, logical_schema_json, lost, mapping=mapping
                 )
         return landed
+
+    def _land_files_with_cdc(
+        self, combined: DataFrame
+    ) -> tuple[list[str], list[dict]]:
+        """Land a COMBINED data + change-data batch in ONE write job.
+        ``combined`` carries the table's columns plus ``_change_type``:
+        rows tagged ``_CDC_DATA_MARK`` become ordinary data files; every
+        other tag (insert / delete / update_postimage) becomes a
+        recorded-CDC file under ``_change_data/``. This is Delta's own
+        CDF write shape — the DML's one output job physically partitions
+        main rows from change rows — so recording CDC never adds a
+        second pass over the rewrite's join.
+
+        The write partitions by ``_change_type`` (each task splits its
+        rows by tag as it writes; no shuffle), then the driver RENAMES
+        the files out of the partition directories: data files up into
+        the landing dir (exactly where ``_land_files`` would put them),
+        change files into a fresh ``_change_data/<uuid>/`` keyed by
+        their tag. Renames are same-directory-tree ``os.rename`` —
+        O(files) driver syscalls, zero data bytes moved; a crash
+        mid-relocation orphans files that vacuum sweeps like any landed-
+        but-never-published batch. CHECK / generated / NOT NULL
+        enforcement rides the write as an Observation exactly like
+        ``_land_files`` but evaluated over DATA rows only (change rows
+        mirror them: postimages duplicate data rows, deletes carry
+        historical values that predate the current constraints).
+
+        Returns ``(data_files, cdc_entries)`` where each entry is
+        ``{"path", "type", "size"}`` — the commit record's ``cdc`` list
+        (sizes let readers row-group-split large change files with zero
+        footer reads, like data files)."""
+        from urllib.parse import unquote
+
+        v = self.current_version()
+        head = self.log.resolve(v) if v is not None else {}
+        cons = head.get("constraints", {})
+        gen = head.get("generated", {})
+        checks = dict(cons)
+        for c, e in gen.items():
+            if c in combined.columns:
+                checks[f"generated column {c}"] = f"`{c}` <=> ({e})"
+        if v is not None:
+            from pyspark.sql import types as T
+
+            tbl_schema = T.StructType.fromJson(json.loads(head["schema"]))
+            for f in tbl_schema.fields:
+                if not f.nullable and f.name in combined.columns:
+                    checks[f"NOT NULL {f.name}"] = f"`{f.name}` IS NOT NULL"
+        is_data = F.col("_change_type") == F.lit(_CDC_DATA_MARK)
+        obs = None
+        if checks:
+            from pyspark.sql import Observation
+
+            obs = Observation()
+            aggs = [
+                F.sum(
+                    F.when(
+                        is_data, (~F.coalesce(F.expr(e), F.lit(True)))
+                    )
+                    .otherwise(F.lit(False))
+                    .cast("long")
+                ).alias(n)
+                for n, e in checks.items()
+            ]
+            combined = combined.observe(obs, *aggs)
+        data_schema_json = combined.drop("_change_type").schema.json()
+        mapping = head.get("column_mapping")
+        if mapping:
+            mapping = _extend_mapping(
+                mapping,
+                head.get("retired_physical", []),
+                [c for c in combined.columns if c != "_change_type"],
+            )
+            combined = combined.select(
+                *[
+                    F.col(c).alias(mapping[c]) if c != "_change_type" else F.col(c)
+                    for c in combined.columns
+                ]
+            )
+        sub = os.path.join(self.path, _DATA_DIR, uuid.uuid4().hex)
+        combined.write.partitionBy("_change_type").parquet(sub)
+        data_files: list[str] = []
+        entries: list[dict] = []
+        cdc_sub = None
+        for d in sorted(os.listdir(sub)):
+            if not d.startswith("_change_type="):
+                continue
+            tag = unquote(d.split("=", 1)[1])
+            src_dir = os.path.join(sub, d)
+            for fn in sorted(os.listdir(src_dir)):
+                if not fn.endswith(".parquet"):
+                    continue
+                src = os.path.join(src_dir, fn)
+                if tag == _CDC_DATA_MARK:
+                    dst = os.path.join(sub, fn)
+                    os.rename(src, dst)
+                    data_files.append(dst)
+                else:
+                    if cdc_sub is None:
+                        cdc_sub = os.path.join(
+                            self.path, _CDC_DIR, uuid.uuid4().hex
+                        )
+                        os.makedirs(cdc_sub, exist_ok=True)
+                    # tag prefix: the SAME part-file name recurs across
+                    # partition dirs of one task, so the tag keys them
+                    dst = os.path.join(cdc_sub, f"{tag}-{fn}")
+                    os.rename(src, dst)
+                    entries.append(
+                        {
+                            "path": dst,
+                            "type": tag,
+                            "size": os.path.getsize(dst),
+                        }
+                    )
+            shutil.rmtree(src_dir, ignore_errors=True)
+        if obs is not None:
+            got = obs.get
+            violated = {n: c for n, c in got.items() if c}
+            if violated:
+                raise ConstraintViolationError(
+                    f"CHECK constraint(s) violated in {self.path}: "
+                    + ", ".join(
+                        f"{n} ({checks[n]}): {c} row(s)"
+                        for n, c in violated.items()
+                    )
+                )
+            lost = {n: checks[n] for n, c in got.items() if c is None}
+            if lost:
+                self._validate_landed(
+                    data_files, data_schema_json, lost, mapping=mapping
+                )
+        return data_files, entries
+
+    def _land_cdc_frame(
+        self,
+        df: DataFrame,
+        mapping: dict[str, str] | None = None,
+        retired: list[str] | None = None,
+    ) -> list[dict]:
+        """Land an already-classified change frame (the table's columns
+        plus ``_change_type``) as recorded-CDC files under
+        ``_change_data/`` and return the commit record's ``cdc``
+        entries. For DMLs whose DATA landing is separate (DV deletes
+        land only a sidecar; upsert lands the merged frame; restore
+        lands nothing) — the combined data+CDC write is
+        ``_land_files_with_cdc``. No constraint checks: change rows are
+        images of rows the DML's own landing already validated, or
+        historical values that predate the current constraints."""
+        from urllib.parse import unquote
+
+        if mapping:
+            mapping = _extend_mapping(
+                mapping,
+                retired or [],
+                [c for c in df.columns if c != "_change_type"],
+            )
+            df = df.select(
+                *[
+                    F.col(c).alias(mapping[c])
+                    if c != "_change_type"
+                    else F.col(c)
+                    for c in df.columns
+                ]
+            )
+        sub = os.path.join(self.path, _CDC_DIR, uuid.uuid4().hex)
+        df.write.partitionBy("_change_type").parquet(sub)
+        entries: list[dict] = []
+        for d in sorted(os.listdir(sub)):
+            if not d.startswith("_change_type="):
+                continue
+            tag = unquote(d.split("=", 1)[1])
+            src_dir = os.path.join(sub, d)
+            for fn in sorted(os.listdir(src_dir)):
+                if not fn.endswith(".parquet"):
+                    continue
+                dst = os.path.join(sub, f"{tag}-{fn}")
+                os.rename(os.path.join(src_dir, fn), dst)
+                entries.append(
+                    {"path": dst, "type": tag, "size": os.path.getsize(dst)}
+                )
+            shutil.rmtree(src_dir, ignore_errors=True)
+        if not entries:
+            shutil.rmtree(sub, ignore_errors=True)
+        return entries
 
     def _validate_landed(
         self,
@@ -2493,6 +2788,98 @@ class VersionedTable:
             return False
         return self.log.resolve(head).get("txn", {}).get(app_id, -1) >= version
 
+    def _upsert_cdc(
+        self,
+        current: DataFrame,
+        batch: DataFrame,
+        primary_keys: list[str],
+        evolve_schema: bool,
+        cdc_keys: list[str],
+        manifest: dict,
+    ) -> list[dict] | None:
+        """Recorded-CDC entries for one whole-row-replace MERGE attempt
+        (both upsert strategies): classify the batch against the
+        touched files' current rows with the derived-diff semantics —
+        unmatched batch rows insert, matched rows with any changed
+        value update (whole-row null-safe compare suppresses identical
+        replacements), and a batch that rewrites a CDC primary-key
+        value splits into delete(old)+insert(new). Rows only in the
+        target carry untouched and emit nothing. Returns None — record
+        nothing, derived fallback — when the batch has duplicate merge
+        keys (both rows land by upsert's contract, so per-key
+        classification is undefined; same one-scalar probe as
+        ``merge``'s MULTIPLE_MATCHES check)."""
+        dup = (
+            batch.groupBy(*primary_keys)
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .agg(F.max("__n").alias("mx"))
+            .first()
+        )
+        if dup["mx"] is not None and dup["mx"] > 1:
+            return None
+        t_al, b_al = current, batch
+        if evolve_schema:
+            for c in [c for c in b_al.columns if c not in t_al.columns]:
+                t_al = t_al.withColumn(
+                    c, F.lit(None).cast(b_al.schema[c].dataType)
+                )
+            for c in [c for c in t_al.columns if c not in b_al.columns]:
+                b_al = b_al.withColumn(
+                    c, F.lit(None).cast(t_al.schema[c].dataType)
+                )
+        b_al = b_al.select(*t_al.columns)
+        cols_m = list(t_al.columns)
+        olds = t_al.select(
+            F.lit(True).alias("__vt_t"),
+            *[F.col(f"`{c}`").alias(f"__vt_old_{c}") for c in cols_m],
+        )
+        j = b_al.join(
+            olds,
+            [
+                F.col(f"`{k}`") == F.col(f"`__vt_old_{k}`")
+                for k in primary_keys
+            ],
+            "left",
+        )
+
+        def _same(over):
+            e = F.lit(True)
+            for c in over:
+                e = e & F.col(f"`{c}`").eqNullSafe(F.col(f"`__vt_old_{c}`"))
+            return e
+
+        matched = F.col("__vt_t").isNotNull()
+        pk_same = _same(cdc_keys)
+        row_same = _same(cols_m)
+        ct_old = F.when(matched & ~pk_same, F.lit("delete"))
+        ct_new = (
+            F.when(~matched, F.lit("insert"))
+            .when(matched & ~pk_same, F.lit("insert"))
+            .when(matched & pk_same & ~row_same, F.lit("update_postimage"))
+        )
+        old_s = F.when(
+            ct_old.isNotNull(),
+            F.struct(
+                *[F.col(f"`__vt_old_{c}`").alias(c) for c in cols_m],
+                ct_old.alias("_change_type"),
+            ),
+        )
+        new_s = F.when(
+            ct_new.isNotNull(),
+            F.struct(
+                *[F.col(f"`{c}`").alias(c) for c in cols_m],
+                ct_new.alias("_change_type"),
+            ),
+        )
+        changes = j.select(
+            F.explode(F.array_compact(F.array(old_s, new_s))).alias("__vt_r")
+        ).select("__vt_r.*")
+        return self._land_cdc_frame(
+            changes,
+            mapping=manifest.get("column_mapping"),
+            retired=manifest.get("retired_physical"),
+        )
+
     def upsert(
         self,
         batch: DataFrame,
@@ -2611,10 +2998,19 @@ class VersionedTable:
             )
             merged = merge_dataframes(current, batch, primary_keys, evolve_schema)
             try:
+                cdc_keys = self._cdc_keys(manifest)
+                cdc_meta = {}
+                if cdc_keys:
+                    entries = self._upsert_cdc(
+                        current, batch, primary_keys, evolve_schema,
+                        cdc_keys, manifest,
+                    )
+                    if entries is not None:
+                        cdc_meta = {"cdc": entries}
                 return self._publish(
                     untouched + self._land_files(merged),
                     merged.schema.json(),
-                    {"mode": "upsert", **txn_meta},
+                    {"mode": "upsert", **txn_meta, **cdc_meta},
                     expected_base=base,
                 )
             except ConcurrentWriteError:
@@ -2653,6 +3049,31 @@ class VersionedTable:
             evolve_schema,
         )
         landed = self._land_files(aligned)
+        cdc_keys = self._cdc_keys(manifest)
+        cdc_meta = {}
+        if cdc_keys:
+            # recording needs the matched rows' OLD IMAGES (to suppress
+            # identical replacements and carry delete prevalues), so the
+            # CDC pass reads the touched files' full rows merge-on-read —
+            # the one cost CDF adds to the otherwise key-columns-only DV
+            # strategy (Delta's DV MERGE pays the same to write its
+            # change files). Fallback to the derived diff on None
+            # (duplicate-keyed batch).
+            entries = self._upsert_cdc(
+                self._read_files(
+                    touched,
+                    manifest["schema"],
+                    manifest.get("dv"),
+                    manifest.get("column_mapping"),
+                ),
+                batch,
+                primary_keys,
+                evolve_schema,
+                cdc_keys,
+                manifest,
+            )
+            if entries is not None:
+                cdc_meta = {"cdc": entries}
         dv_updates: dict[str, str] = {}
         if touched:
             schema = T.StructType.fromJson(json.loads(manifest["schema"]))
@@ -2677,7 +3098,7 @@ class VersionedTable:
         return self._publish(
             manifest["files"] + landed,
             aligned.schema.json(),
-            {"mode": "upsert", "strategy": "dv", **(txn_meta or {})},
+            {"mode": "upsert", "strategy": "dv", **(txn_meta or {}), **cdc_meta},
             expected_base=base,
             dv_updates=dv_updates,
         )
@@ -2945,16 +3366,150 @@ class VersionedTable:
                     ~F.col("__vt_o").isin(o_del) if o_del else F.lit(True)
                 )
             )
+            cdc_keys = (
+                self._cdc_keys(manifest) if (matched or nms) else None
+            )
             if not matched and not nms:
                 # insert-only MERGE (Delta's insert-only optimization):
                 # no target row can change, so EVERY existing file
                 # carries forward and only the surviving source rows
                 # land — the touched-file scan above served purely to
-                # classify matched keys out of the insert set
+                # classify matched keys out of the insert set. No CDC
+                # is recorded even when the property is on (Delta's
+                # blind-append rule: readers derive the inserts from
+                # the add actions, which is already per-file parallel
+                # with zero amplification).
                 result = joined.filter(is_src & (F.col("__vt_i") >= 0)).select(
                     *[resolved(c) for c in cols]
                 )
                 carried = manifest["files"]
+            elif cdc_keys:
+                # write-time CDC (the enable_change_data_feed contract):
+                # the SAME clause-resolving projection that computes the
+                # rewrite also classifies each row's change slice, and
+                # one combined landing write physically partitions data
+                # rows from change rows — recording costs zero extra
+                # passes over the join. Classification mirrors the
+                # derived diff exactly: a fired update whose values all
+                # match the old row is SUPPRESSED (the rewritten-but-
+                # unchanged neighbor rule), and one that rewrites a
+                # primary-key value splits into delete(old)+insert(new),
+                # which is how a PK-join diff necessarily sees it.
+                staged = joined.select(
+                    *[resolved(c) for c in cols],
+                    *[
+                        F.col(f"t.`{c}`").alias(f"__vt_old_{c}")
+                        for c in cols
+                    ],
+                    keep.alias("__vt_keep"),
+                    is_m.alias("__vt_ism"),
+                    is_src.alias("__vt_issrc"),
+                    F.col("__vt_m").alias("__vt_mi"),
+                    F.col("__vt_o").alias("__vt_oi"),
+                    F.col("__vt_i").alias("__vt_ii"),
+                )
+                if gen_cols:
+                    staged = staged.select(
+                        *[
+                            (
+                                F.expr(gen_cols[c]).cast(fields[c]).alias(c)
+                                if c in gen_cols
+                                else F.col(f"`{c}`")
+                            )
+                            for c in cols
+                        ],
+                        *[
+                            F.col(f"`{x}`")
+                            for x in staged.columns
+                            if x.startswith("__vt_")
+                        ],
+                    )
+
+                def _same(over):
+                    e = F.lit(True)
+                    for c in over:
+                        e = e & F.col(f"`{c}`").eqNullSafe(
+                            F.col(f"`__vt_old_{c}`")
+                        )
+                    return e
+
+                def _hits(col_, idx):
+                    return col_.isin(idx) if idx else F.lit(False)
+
+                pk_same = _same(cdc_keys)
+                row_same = _same(cols)
+                is_o = ~F.col("__vt_ism") & ~F.col("__vt_issrc")
+                fired_del = (
+                    F.col("__vt_ism") & _hits(F.col("__vt_mi"), m_del)
+                ) | (is_o & _hits(F.col("__vt_oi"), o_del))
+                fired_upd = (
+                    F.col("__vt_ism")
+                    & (F.col("__vt_mi") >= 0)
+                    & ~_hits(F.col("__vt_mi"), m_del)
+                ) | (
+                    is_o
+                    & (F.col("__vt_oi") >= 0)
+                    & ~_hits(F.col("__vt_oi"), o_del)
+                )
+                ct_old = F.when(
+                    fired_del | (fired_upd & ~pk_same), F.lit("delete")
+                )
+                ct_new = (
+                    F.when(
+                        F.col("__vt_issrc") & (F.col("__vt_ii") >= 0),
+                        F.lit("insert"),
+                    )
+                    .when(fired_upd & ~pk_same, F.lit("insert"))
+                    .when(
+                        fired_upd & pk_same & ~row_same,
+                        F.lit("update_postimage"),
+                    )
+                )
+                data_s = F.when(
+                    F.col("__vt_keep"),
+                    F.struct(
+                        *[F.col(f"`{c}`").alias(c) for c in cols],
+                        F.lit(_CDC_DATA_MARK).alias("_change_type"),
+                    ),
+                )
+                old_s = F.when(
+                    ct_old.isNotNull(),
+                    F.struct(
+                        *[
+                            F.col(f"`__vt_old_{c}`").alias(c)
+                            for c in cols
+                        ],
+                        ct_old.alias("_change_type"),
+                    ),
+                )
+                new_s = F.when(
+                    ct_new.isNotNull(),
+                    F.struct(
+                        *[F.col(f"`{c}`").alias(c) for c in cols],
+                        ct_new.alias("_change_type"),
+                    ),
+                )
+                combined = staged.select(
+                    F.explode(
+                        F.array_compact(F.array(data_s, old_s, new_s))
+                    ).alias("__vt_r")
+                ).select("__vt_r.*")
+                try:
+                    landed, cdc_entries = self._land_files_with_cdc(
+                        combined
+                    )
+                    return self._publish(
+                        untouched + landed,
+                        manifest["schema"],
+                        {
+                            "mode": "merge",
+                            "on": list(on),
+                            "cdc": cdc_entries,
+                        },
+                        expected_base=v,
+                    )
+                except ConcurrentWriteError:
+                    continue  # re-derive against the new head
             else:
                 result = joined.filter(keep).select(*[resolved(c) for c in cols])
                 carried = untouched
@@ -3250,12 +3805,26 @@ class VersionedTable:
         if primary_keys is None or not primary_keys:
             raise ValueError("table_changes requires primary_keys")
         from_version = self._resolve_version_bound(from_version)
-        m_old = self.log.resolve(from_version)
         v = (
             self.current_version()
             if to_version is None
             else self._resolve_version_bound(to_version)
         )
+        if v == from_version + 1:
+            # single-commit range: when that commit RECORDED its change
+            # slice (write-time CDC), serve the recorded files directly —
+            # no join, no re-read of any data file. Multi-version ranges
+            # keep the endpoint diff (this method's contract nets out
+            # intermediate churn, which per-commit slices don't).
+            try:
+                rec = json.loads(self.log.store.read(_commit_name(v)))
+            except FileNotFoundError:
+                rec = {}
+            if rec.get("cdc") is not None:
+                return self._read_recorded_cdc(
+                    rec["cdc"], self.log.resolve(v)
+                )
+        m_old = self.log.resolve(from_version)
         m_new = self.log.resolve(v)
         dv_old, dv_new = m_old.get("dv", {}), m_new.get("dv", {})
         old_set, new_set = set(m_old["files"]), set(m_new["files"])
@@ -3325,6 +3894,134 @@ class VersionedTable:
             .filter(F.col("_change_type").isNotNull())
             .select(*out_cols, "_change_type")
         )
+
+    def _read_recorded_cdc(
+        self, entries: list[dict], manifest: dict
+    ) -> DataFrame:
+        """One commit's RECORDED change slice (its ``cdc`` entries) as a
+        DataFrame of the commit schema's columns + ``_change_type`` —
+        one pinned-schema scan per change type, no join, zero reads of
+        the version's data files."""
+        from pyspark.sql import types as T
+
+        by_type: dict[str, list[str]] = {}
+        for e in entries:
+            by_type.setdefault(e["type"], []).append(e["path"])
+        out = None
+        for t in sorted(by_type):
+            df = self._read_files(
+                by_type[t],
+                manifest["schema"],
+                None,
+                manifest.get("column_mapping"),
+            ).withColumn("_change_type", F.lit(t))
+            out = df if out is None else out.unionByName(df)
+        if out is None:  # recorded-and-empty: the DML changed nothing
+            schema = T.StructType.fromJson(json.loads(manifest["schema"]))
+            out = self.spark.createDataFrame([], schema).withColumn(
+                "_change_type", F.lit(None).cast("string")
+            )
+        return out
+
+    def read_change_feed(
+        self,
+        from_version: int | datetime | str,
+        to_version: int | datetime | str | None = None,
+        primary_keys: list[str] | None = None,
+    ) -> DataFrame:
+        """PER-COMMIT change feed (Delta's batch ``readChangeFeed``):
+        one row-level slice per version in ``(from, to]``, each stamped
+        with ``_change_type`` / ``_commit_version`` /
+        ``_commit_timestamp`` — unlike :meth:`table_changes`, which
+        diffs the endpoint snapshots (a row inserted then deleted
+        INSIDE the range appears here, twice, and nets out there).
+
+        Per-version sourcing, cheapest available first:
+
+        - dataChange=false commits (compactions) emit nothing;
+        - versions with RECORDED CDC (write-time, see
+          :meth:`enable_change_data_feed`) serve their ``_change_data``
+          files directly — no join, zero re-reads of data files;
+        - insert-only commits derive from their add actions (Delta's
+          blind-append rule — recording them would double the bytes);
+        - remaining update-class commits fall back to the derived
+          per-version diff, which requires ``primary_keys`` (same
+          contract as ``table_changes``).
+
+        Ranges crossing a schema change union by name with null-fill
+        (strictly more permissive than Delta, which refuses such
+        ranges)."""
+        from_version = self._resolve_version_bound(from_version)
+        v1 = (
+            self.current_version()
+            if to_version is None
+            else self._resolve_version_bound(to_version)
+        )
+        out = None
+        for v in range(from_version + 1, v1 + 1):
+            rec = json.loads(self.log.store.read(_commit_name(v)))
+            if rec.get("mode", "") in _NO_CHANGE_MODES:
+                continue
+            cur = self.log.resolve(v)
+            if rec.get("cdc") is not None:
+                df = self._read_recorded_cdc(rec["cdc"], cur)
+            else:
+                prev = (
+                    self.log.resolve(v - 1)
+                    if v > 1
+                    else {"files": [], "dv": {}}
+                )
+                old_set, new_set = set(prev["files"]), set(cur["files"])
+                old_only = [f for f in prev["files"] if f not in new_set]
+                dv_changed = [
+                    f
+                    for f in cur["files"]
+                    if f in old_set
+                    and prev.get("dv", {}).get(f) != cur.get("dv", {}).get(f)
+                ]
+                if not old_only and not dv_changed:
+                    new_only = [f for f in cur["files"] if f not in old_set]
+                    df = self._read_files(
+                        new_only,
+                        cur["schema"],
+                        cur.get("dv"),
+                        cur.get("column_mapping"),
+                    ).withColumn("_change_type", F.lit("insert"))
+                else:
+                    if not primary_keys:
+                        raise ValueError(
+                            f"version {v} has no recorded CDC and is not "
+                            "insert-only — deriving its slice requires "
+                            "primary_keys (see table_changes)"
+                        )
+                    df = self.table_changes(v - 1, v, primary_keys)
+            df = df.withColumn(
+                "_commit_version", F.lit(v).cast("long")
+            ).withColumn(
+                "_commit_timestamp",
+                F.timestamp_millis(F.lit(int(rec.get("ts") or 0))),
+            )
+            out = df if out is None else out.unionByName(
+                df, allowMissingColumns=True
+            )
+        if out is None:  # empty range: head schema + the CDF columns
+            head = self.log.resolve(v1) if v1 else None
+            if head is None:
+                raise FileNotFoundError(f"no versions in {self.path}")
+            from pyspark.sql import types as T
+
+            out = (
+                self.spark.createDataFrame(
+                    [], T.StructType.fromJson(json.loads(head["schema"]))
+                )
+                .withColumn("_change_type", F.lit(None).cast("string"))
+                .withColumn("_commit_version", F.lit(None).cast("long"))
+                .withColumn(
+                    "_commit_timestamp",
+                    F.lit(None).cast("timestamp"),
+                )
+            )
+        return out
 
     def delete_range(self, column: str, lo, hi) -> int:
         """DELETE with data skipping (Delta's ``DELETE WHERE`` on a
@@ -3490,15 +4187,21 @@ class VersionedTable:
             from pyspark.sql import types as T
 
             schema = T.StructType.fromJson(json.loads(manifest["schema"]))
-            matches = (
-                self._scan_with_identity(
-                    files, schema, None, manifest.get("column_mapping")
-                )
-                .filter(F.expr(condition))
-                .select(
-                    F.col("__vt_file").alias("file_path"),
-                    F.col("__vt_pos").alias("row_index"),
-                )
+            cdc_keys = self._cdc_keys(manifest)
+            # with CDC recording on, the scan applies the PRIOR vectors
+            # so only NEWLY-deleted rows classify (re-matching an
+            # already-deleted position is a harmless sidecar-union no-op,
+            # but a double-emitted 'delete' change row would be a lie);
+            # without recording, skipping that anti-join is cheaper
+            matched = self._scan_with_identity(
+                files,
+                schema,
+                manifest.get("dv", {}) if cdc_keys else None,
+                manifest.get("column_mapping"),
+            ).filter(F.expr(condition))
+            matches = matched.select(
+                F.col("__vt_file").alias("file_path"),
+                F.col("__vt_pos").alias("row_index"),
             )
             # ONE scan: land the match positions as a sidecar directly,
             # then learn the touched files from the (tiny) sidecar's
@@ -3508,11 +4211,25 @@ class VersionedTable:
             )
             if sidecar is None:
                 return v
+            meta = {"mode": "delete_where", "predicate": condition}
+            if cdc_keys:
+                # write-time CDC: the deleted rows' OLD images, recorded
+                # once — the feed is then served with zero re-reads of
+                # the carried data file (the derived _CFDvDeletePartition
+                # fallback re-reads it per consumer)
+                cols = [f.name for f in schema.fields]
+                meta["cdc"] = self._land_cdc_frame(
+                    matched.select(*cols).withColumn(
+                        "_change_type", F.lit("delete")
+                    ),
+                    mapping=manifest.get("column_mapping"),
+                    retired=manifest.get("retired_physical"),
+                )
             try:
                 return self._publish(
                     manifest["files"],
                     manifest["schema"],
-                    {"mode": "delete_where", "predicate": condition},
+                    meta,
                     expected_base=v,
                     dv_updates={f: sidecar for f in touched},
                 )
@@ -3638,24 +4355,113 @@ class VersionedTable:
             if not touched:
                 return v
             cols = [f.name for f in schema.fields]
+            cdc_keys = self._cdc_keys(manifest)
+
+            def _staged_cdc(frame, new_exprs, hit_col):
+                """New image + old image + hit flag, generated columns
+                recomputed over the new image — the input to the
+                combined data+CDC landing (see ``_cdc_structs``)."""
+                staged = frame.select(
+                    *[e.alias(n) for n, e in zip(cols, new_exprs)],
+                    *[F.col(f"`{n}`").alias(f"__vt_old_{n}") for n in cols],
+                    hit_col.alias("__vt_hit"),
+                )
+                if recompute:
+                    staged = staged.select(
+                        *[
+                            (
+                                F.expr(gen[n]).cast(fields[n]).alias(n)
+                                if n in recompute
+                                else F.col(f"`{n}`")
+                            )
+                            for n in cols
+                        ],
+                        *[
+                            F.col(f"`{x}`")
+                            for x in staged.columns
+                            if x.startswith("__vt_")
+                        ],
+                    )
+                return staged
+
+            def _cdc_structs(staged):
+                """Combined rows: every input row is a data row; HIT
+                rows additionally classify with the derived-diff
+                semantics — unchanged images suppress, a rewritten
+                primary-key value splits into delete(old)+insert(new)."""
+                def _same(over):
+                    e = F.lit(True)
+                    for n in over:
+                        e = e & F.col(f"`{n}`").eqNullSafe(
+                            F.col(f"`__vt_old_{n}`")
+                        )
+                    return e
+
+                pk_same = _same(cdc_keys)
+                row_same = _same(cols)
+                hit = F.col("__vt_hit")
+                ct_old = F.when(hit & ~pk_same, F.lit("delete"))
+                ct_new = F.when(hit & ~pk_same, F.lit("insert")).when(
+                    hit & pk_same & ~row_same, F.lit("update_postimage")
+                )
+                data_s = F.struct(
+                    *[F.col(f"`{n}`").alias(n) for n in cols],
+                    F.lit(_CDC_DATA_MARK).alias("_change_type"),
+                )
+                old_s = F.when(
+                    ct_old.isNotNull(),
+                    F.struct(
+                        *[F.col(f"`__vt_old_{n}`").alias(n) for n in cols],
+                        ct_old.alias("_change_type"),
+                    ),
+                )
+                new_s = F.when(
+                    ct_new.isNotNull(),
+                    F.struct(
+                        *[F.col(f"`{n}`").alias(n) for n in cols],
+                        ct_new.alias("_change_type"),
+                    ),
+                )
+                return staged.select(
+                    F.explode(
+                        F.array_compact(F.array(data_s, old_s, new_s))
+                    ).alias("__vt_r")
+                ).select("__vt_r.*")
+
             try:
                 if use_deletion_vectors:
                     matched = self._scan_with_identity(
                         touched, schema, dv_map, col_map
                     ).filter(cond)
-                    images = _regen(
-                        matched.select(
-                            *[
-                                (
-                                    F.expr(assignments[n]).cast(fields[n])
-                                    if n in assignments
-                                    else F.col(n)
-                                ).alias(n)
-                                for n in cols
-                            ]
+                    image_exprs = [
+                        (
+                            F.expr(assignments[n]).cast(fields[n])
+                            if n in assignments
+                            else F.col(f"`{n}`")
                         )
-                    )
-                    landed = self._land_files(images)
+                        for n in cols
+                    ]
+                    cdc_meta = {}
+                    if cdc_keys:
+                        # every matched row is a hit: the combined write
+                        # lands the new images (data) AND the change
+                        # slice in one job
+                        landed, entries = self._land_files_with_cdc(
+                            _cdc_structs(
+                                _staged_cdc(matched, image_exprs, F.lit(True))
+                            )
+                        )
+                        cdc_meta = {"cdc": entries}
+                    else:
+                        images = _regen(
+                            matched.select(
+                                *[
+                                    e.alias(n)
+                                    for n, e in zip(cols, image_exprs)
+                                ]
+                            )
+                        )
+                        landed = self._land_files(images)
                     positions = matched.select(
                         F.col("__vt_file").alias("file_path"),
                         F.col("__vt_pos").alias("row_index"),
@@ -3670,6 +4476,7 @@ class VersionedTable:
                             "mode": "update_where",
                             "predicate": condition,
                             "strategy": "dv",
+                            **cdc_meta,
                         },
                         expected_base=v,
                         dv_updates=(
@@ -3682,19 +4489,34 @@ class VersionedTable:
                 cur = self._read_files(
                     touched, manifest["schema"], dv_map, col_map
                 )
+                rewrite_exprs = [
+                    (
+                        F.when(
+                            cond,
+                            F.expr(assignments[n]).cast(fields[n]),
+                        ).otherwise(F.col(f"`{n}`"))
+                        if n in assignments
+                        else F.col(f"`{n}`")
+                    )
+                    for n in cols
+                ]
+                if cdc_keys:
+                    landed, entries = self._land_files_with_cdc(
+                        _cdc_structs(_staged_cdc(cur, rewrite_exprs, cond))
+                    )
+                    return self._publish(
+                        untouched + landed,
+                        manifest["schema"],
+                        {
+                            "mode": "update_where",
+                            "predicate": condition,
+                            "cdc": entries,
+                        },
+                        expected_base=v,
+                    )
                 rewritten = _regen(
                     cur.select(
-                        *[
-                            (
-                                F.when(
-                                    cond,
-                                    F.expr(assignments[n]).cast(fields[n]),
-                                ).otherwise(F.col(n))
-                                if n in assignments
-                                else F.col(n)
-                            ).alias(n)
-                            for n in cols
-                        ]
+                        *[e.alias(n) for n, e in zip(cols, rewrite_exprs)]
                     )
                 )
                 return self._publish(
@@ -4281,7 +5103,34 @@ class VersionedTable:
                 "constraints": m.get("constraints", {}),
                 "generated": m.get("generated", {}),
                 "cluster_by": m.get("cluster_by", []),
+                "cdf": m.get("cdf") or {},
             }
+            # the RESTORE commit itself records its change slice under
+            # the property active on the table being written (the head):
+            # the head→target row diff, computed ONCE by the same
+            # distributed join table_changes runs — feed consumers then
+            # replay an undo with zero re-reads of either snapshot's
+            # files. Needs the CDC keys in BOTH schemas (pairing is
+            # undefined across a restore that predates a key column);
+            # otherwise the derived fallback stays correct.
+            if base:
+                cdc_keys = self._cdc_keys(head_state)
+                from pyspark.sql import types as _T
+
+                tgt_names = {
+                    f.name
+                    for f in _T.StructType.fromJson(
+                        json.loads(m["schema"])
+                    ).fields
+                }
+                if cdc_keys and all(k in tgt_names for k in cdc_keys):
+                    meta["cdc"] = self._land_cdc_frame(
+                        self.table_changes(
+                            base, version, primary_keys=cdc_keys
+                        ),
+                        mapping=m.get("column_mapping"),
+                        retired=m.get("retired_physical"),
+                    )
             # crossing a column-mapping boundary: the restored snapshot
             # must come back under ITS OWN mapping/tombstones (the head's
             # would re-derive wrong physicals for restored columns); an
@@ -4430,6 +5279,7 @@ class VersionedTable:
         referenced: set[str] = set()
         referenced_dv: set[str] = set()
         referenced_bloom: set[str] = set()
+        referenced_cdc: set[str] = set()
         states: dict[int, dict] = {}
         for v in keep:
             states[v] = self.log.resolve(v)
@@ -4439,8 +5289,20 @@ class VersionedTable:
                 ptr = (entry or {}).get(_BLOOM_MARK)
                 if ptr:
                     referenced_bloom.add(ptr)
+            # recorded-CDC files are referenced by the raw commit RECORD
+            # (per-commit metadata, never snapshot state): a version
+            # whose record survives keeps its change files replayable;
+            # log truncation below frees them on the next vacuum
+            try:
+                rec = json.loads(self.log.store.read(_commit_name(v)))
+            except FileNotFoundError:
+                continue
+            referenced_cdc.update(
+                e["path"] for e in rec.get("cdc") or []
+            )
         dv_root = os.path.join(self.path, _DV_DIR)
         bloom_root = os.path.join(self.path, _BLOOM_DIR)
+        cdc_root = os.path.join(self.path, _CDC_DIR)
         # the age gate: an unreferenced-but-YOUNG file may belong to a
         # live writer between _land_files and publish — the imminent
         # commit will reference it, so deleting it would corrupt that
@@ -4487,6 +5349,22 @@ class VersionedTable:
                         and _stale(fp)
                     ):
                         would_delete += 1
+            if os.path.isdir(cdc_root):
+                for sub in os.listdir(cdc_root):
+                    subdir = os.path.join(cdc_root, sub)
+                    if not os.path.isdir(subdir):
+                        continue
+                    # walk: crashed landings can leave files nested in
+                    # _change_type= partition dirs below the uuid dir
+                    for d, _, fs in os.walk(subdir):
+                        for f in fs:
+                            fp = os.path.join(d, f)
+                            if (
+                                f.endswith(".parquet")
+                                and fp not in referenced_cdc
+                                and _stale(fp)
+                            ):
+                                would_delete += 1
             return would_delete
         if keep:
             oldest = keep[0]
@@ -4505,11 +5383,15 @@ class VersionedTable:
                 ):
                     os.remove(fp)
                     deleted += 1
-            if not any(p.endswith(".parquet") for p in os.listdir(subdir)):
+            if not any(
+                p.endswith(".parquet") for p in os.listdir(subdir)
+            ) and _stale(subdir):
                 # no data left (only _SUCCESS-style markers, themselves
-                # never referenced): the landing dir can go. A live
-                # writer's dir still holds its young parquet, so the
-                # age gate above keeps it out of this branch.
+                # never referenced — or a crashed combined landing's
+                # _change_type= partition dirs): the landing dir can go.
+                # The dir-mtime age gate keeps a LIVE writer's dir (its
+                # parquet may be seconds from renaming up out of the
+                # partition dirs, or still in _temporary) alive.
                 shutil.rmtree(subdir)
         # deletion-vector sidecars no retained version points at
         # (superseded by a later delete's union sidecar, materialized by
@@ -4547,6 +5429,30 @@ class VersionedTable:
                 ):
                     os.remove(fp)
                     deleted += 1
+        # recorded-CDC files whose commit record is no longer retained
+        # (log truncated past their version, or orphaned by a crashed /
+        # lost-race landing — including files still nested in a crashed
+        # write's _change_type= partition dirs, hence the walk)
+        if os.path.isdir(cdc_root):
+            for sub in os.listdir(cdc_root):
+                subdir = os.path.join(cdc_root, sub)
+                if not os.path.isdir(subdir):
+                    continue
+                remaining = 0
+                for d, _, fs in os.walk(subdir):
+                    for f in fs:
+                        fp = os.path.join(d, f)
+                        if (
+                            f.endswith(".parquet")
+                            and fp not in referenced_cdc
+                            and _stale(fp)
+                        ):
+                            os.remove(fp)
+                            deleted += 1
+                        elif f.endswith(".parquet"):
+                            remaining += 1
+                if not remaining and _stale(subdir):
+                    shutil.rmtree(subdir, ignore_errors=True)
         keep_set = set(keep)
         for v in vs:
             if v not in keep_set:

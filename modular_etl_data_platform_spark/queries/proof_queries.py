@@ -1364,3 +1364,160 @@ def q172_split_file_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(F.col("o_totalprice"), "sum_price"),
         )
     )
+
+
+@query(
+    "q173_recorded_cdc",
+    """
+    WITH base AS (
+      SELECT o_orderkey AS k, o_orderstatus AS s, o_totalprice AS p FROM orders
+    ),
+    changes AS (
+      SELECT 1 AS _commit_version, 'insert' AS _change_type, k, p FROM base
+      UNION ALL
+      SELECT 3, 'delete', k, p FROM base WHERE k % 30 = 6
+      UNION ALL
+      SELECT 3, 'update_postimage', k, p + 100 FROM base
+      WHERE k % 3 = 0 AND k % 30 <> 6
+      UNION ALL
+      SELECT 3, 'insert', -(k + 1), p FROM base WHERE k % 7 = 0
+    )
+    SELECT _commit_version, _change_type,
+           COUNT(*) AS n_rows,
+           CAST(SUM(k) AS BIGINT) AS key_sum,
+           CAST(SUM(CAST(p AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+    FROM changes GROUP BY _commit_version, _change_type
+    """,
+)
+def q173_recorded_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WRITE-TIME CDC (operators/versioned.py::enable_change_data_feed
+    — the delta.enableChangeDataFeed analogue, the round-11 verdict's
+    top item): a giant MERGE against a CDC-enabled table persists its
+    row-level slice as recorded ``_change_data`` files riding the
+    commit record, and the change-feed STREAM serves the MERGE version
+    from those files alone. The derived diff's total I/O on a giant
+    MERGE is changed²/target (each of ceil(changed/target) PK-hash
+    shards re-reads every changed file); the recorded path reads the
+    slice once, per-cdc-file parallel, with large files row-group-split
+    — the 100 TB shape. The MERGE exercises every clause class:
+    conditional DELETE (k%30=6), unconditional update (k%3=0 rows get
+    p+100), a SUPPRESSION cohort (k%5=2 rows re-asserted with identical
+    values must emit NOTHING — extra update rows would break the
+    oracle hash), and negative-key inserts (k%7=0; orders keys start
+    at 0, so -(k+1) can never collide). In-query assertions pin what
+    the oracle can't see: the commit actually RECORDED (cdc entries in
+    the log), every planned partition for the MERGE version is a
+    recorded partition pointing under ``_change_data/`` and NEVER at a
+    data file (the zero-re-read contract), the plan fans out past the
+    per-task byte target (row-group splitting of recorded files), and
+    the metadata-only enable commit (v2) emits zero feed rows. The
+    per-(version, change_type) counts / key sums / decimal-exact value
+    sums come from a REAL availableNow stream drain and must match the
+    oracle's relational replay."""
+    import json as _json
+
+    from modular_etl_data_platform_spark.operators.versioned import (
+        _CDC_DIR,
+        VersionedTable,
+        _commit_name,
+    )
+    from modular_etl_data_platform_spark.streaming.versioned_source import (
+        VersionedTableStreamDataSource,
+        _CFRecordedPartition,
+        _VersionedChangeFeedStreamReader,
+    )
+
+    spark.dataSource.register(VersionedTableStreamDataSource)
+    scratch = _scratch("q173_recorded_cdc", sf_dir)
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("s"),
+        F.col("o_totalprice").alias("p"),
+    )
+    table = os.path.join(scratch, "orders_v")
+    vt = VersionedTable(spark, table, stats_columns=["k"])
+    vt.write(orders.coalesce(2))  # v1: two files
+    vt.enable_change_data_feed(["k"])  # v2: metadata-only
+    upd = orders.filter(F.col("k") % 3 == 0).withColumn(
+        "p", F.col("p") + F.lit(100)
+    )
+    same = orders.filter(
+        (F.col("k") % 5 == 2) & (F.col("k") % 3 != 0)
+    )  # re-asserted identical rows: must SUPPRESS
+    ins = orders.filter(F.col("k") % 7 == 0).select(
+        (-(F.col("k") + 1)).alias("k"), F.col("s"), F.col("p")
+    )
+    v = vt.merge(
+        upd.unionByName(same).unionByName(ins),
+        ["k"],
+        matched=[
+            ("delete", None, "t.k % 30 = 6"),
+            ("update", None, None),
+        ],
+        not_matched=[("insert", None, None)],
+    )
+    rec = _json.loads(vt.log.store.read(_commit_name(v)))
+    entries = rec.get("cdc")
+    if not entries:
+        raise AssertionError("MERGE did not record its change slice")
+    if {e["type"] for e in entries} != {
+        "insert",
+        "delete",
+        "update_postimage",
+    }:
+        raise AssertionError(
+            f"recorded types wrong: { {e['type'] for e in entries} }"
+        )
+    # per-task byte target sized to the largest recorded file so the
+    # plan must row-group-split it at ANY scale factor
+    target = max(1024, max(e["size"] for e in entries) // 2 + 1)
+    stream = (
+        spark.readStream.format("versioned_table")
+        .option("path", table)
+        .option("read_changes", "true")
+        .option("primary_keys", "k")
+        .option("diff_partition_bytes", str(target))
+        .load()
+    )
+    out = os.path.join(scratch, "out")
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", os.path.join(scratch, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    # the zero-re-read contract, asserted on the reader's own plan
+    rd = _VersionedChangeFeedStreamReader(
+        table, stream.schema, 0, ["k"], diff_partition_bytes=target
+    )
+    parts = rd.partitions({"version": v - 1}, {"version": v})
+    if not parts or not all(
+        isinstance(p, _CFRecordedPartition) for p in parts
+    ):
+        raise AssertionError(
+            f"MERGE version planned non-recorded partitions: "
+            f"{ {type(p).__name__ for p in parts} }"
+        )
+    data_files = set(vt.log.resolve(v)["files"]) | set(
+        vt.log.resolve(v - 1)["files"]
+    )
+    for p in parts:
+        if os.sep + _CDC_DIR + os.sep not in p.path or p.path in data_files:
+            raise AssertionError(f"recorded partition re-reads data: {p.path}")
+    if len(parts) <= len(entries):
+        raise AssertionError(
+            f"{len(entries)} recorded files planned only {len(parts)} "
+            f"partitions at target={target}; row-group split did not engage"
+        )
+    if rd.partitions({"version": 1}, {"version": 2}):
+        raise AssertionError("metadata-only enable commit emitted changes")
+    feed = spark.read.parquet(out)
+    return _pin(
+        feed.groupBy("_commit_version", "_change_type").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("k").cast("long").alias("key_sum"),
+            dsum(F.col("p"), "sum_price"),
+        )
+    )

@@ -94,6 +94,7 @@ from pyspark.sql.types import StructType
 
 from modular_etl_data_platform_spark.operators.versioned import (
     _DATA_DIR,
+    _NO_CHANGE_MODES,
     CommitLog,
     _commit_name,
 )
@@ -444,8 +445,8 @@ def _read_parquet_aligned(
 
 #: CDF metadata columns (Delta's readChangeFeed column set)
 _CDF_COLS = ("_change_type", "_commit_version", "_commit_timestamp")
-#: dataChange=false commit modes (shared with the file-level reader)
-_NO_CHANGE_MODES = {"compact", "compact_where", "auto_compact"}
+#: dataChange=false commit modes: the one definition lives with the
+#: writers (operators/versioned.py) and is imported at the top
 
 
 class _CFInsertPartition(InputPartition):
@@ -459,6 +460,27 @@ class _CFInsertPartition(InputPartition):
         self.path = path
         self.fields = fields
         self.dv_path = dv_path
+        self.version = version
+        self.ts_ms = ts_ms
+        self.rg_shard = rg_shard
+
+
+class _CFRecordedPartition(InputPartition):
+    """One RECORDED change-data file (write-time CDC — the commit's
+    ``cdc`` entries, written by the DML itself under ``_change_data/``):
+    every row already IS a classified change of one type, so the read
+    is a plain aligned parquet scan plus a constant ``_change_type``
+    column — no join, no re-read of any data file, per-cdc-file
+    parallelism, and files above the split target fan out further by
+    row-group range (classification is per-row independent). This is
+    the scale path for giant MERGEs: the derived diff's
+    changed²/target read amplification disappears because the feed
+    was persisted once, at write time."""
+
+    def __init__(self, path, ctype, fields, version, ts_ms, rg_shard=None):
+        self.path = path
+        self.ctype = ctype
+        self.fields = fields
         self.version = version
         self.ts_ms = ts_ms
         self.rg_shard = rg_shard
@@ -697,6 +719,36 @@ class _VersionedChangeFeedStreamReader(_VersionedStreamReader):
                 (f.name, f.dataType.json(), cmap.get(f.name, f.name))
                 for f in self.pinned.fields
             ]
+            rec_cdc = rec.get("cdc")
+            if rec_cdc is not None:
+                # RECORDED CDC (write-time, the enable_change_data_feed
+                # contract): the commit persisted its row-level slice,
+                # so serve those files directly — per-cdc-file parallel,
+                # large files split by row-group range, ZERO re-reads of
+                # the version's data files. An explicit empty list means
+                # the DML verifiably changed nothing. Derived
+                # classification below stays the fallback for commits
+                # recorded before the property was enabled.
+                for e in rec_cdc:
+                    k = max(
+                        1,
+                        -(-int(e.get("size", 0)) // self.diff_partition_bytes),
+                    )
+                    if k == 1:
+                        parts.append(
+                            _CFRecordedPartition(
+                                e["path"], e["type"], fields, v, ts_ms
+                            )
+                        )
+                    else:
+                        parts.extend(
+                            _CFRecordedPartition(
+                                e["path"], e["type"], fields, v, ts_ms,
+                                rg_shard=(i, k),
+                            )
+                            for i in range(k)
+                        )
+                continue
             if not old_only and not dv_changed:
                 # insert-only commit: per-file parallel inserts (the
                 # file's own vector at THIS version applies — e.g. a
@@ -775,6 +827,20 @@ class _VersionedChangeFeedStreamReader(_VersionedStreamReader):
         import pyarrow as pa
         import pyarrow.compute as pc
 
+        if isinstance(partition, _CFRecordedPartition):
+            for batch in _read_parquet_aligned(
+                partition.path,
+                partition.fields,
+                None,
+                partition.rg_shard,
+            ):
+                yield from _with_cdf_columns(
+                    pa.Table.from_batches([batch]),
+                    partition.ctype,
+                    partition.version,
+                    partition.ts_ms,
+                ).to_batches()
+            return
         if isinstance(partition, _CFInsertPartition):
             for batch in _read_parquet_aligned(
                 partition.path,

@@ -97,9 +97,18 @@ def _norm(rows, cols):
     return sorted(out)
 
 
-def _run_sequence(spark, tmp, seed: int) -> dict:
+def _run_sequence(spark, tmp, seed: int, cdf: bool = False) -> dict:
+    """One random DML history; with ``cdf=True`` the table opts into
+    WRITE-TIME CDC after its first append, so update-class versions
+    serve RECORDED ``_change_data`` files — the drain then proves
+    recorded classification equals the derived one (the expected side
+    is computed through a store view that HIDES the cdc keys, forcing
+    the file-diff path). A restore that lands on the pre-enable
+    version clears the property mid-history (the RESTORE-restores-
+    metadata rule), so later commits legitimately fall back to
+    derived — both sourcings are asserted equal regardless."""
     rng = random.Random(seed)
-    table = f"{tmp}/t{seed}"
+    table = f"{tmp}/t{seed}{'c' if cdf else ''}"
     vt = VersionedTable(spark, table, stats_columns=["id"])
     next_id = [0]
 
@@ -162,6 +171,8 @@ def _run_sequence(spark, tmp, seed: int) -> dict:
     ]
     pool = [f for f, w in ops for _ in range(w)]
     append(0)
+    if cdf:
+        vt.enable_change_data_feed(["id"])
     for step in range(rng.randint(3, 6)):
         rng.choice(pool)(step + 1)
 
@@ -189,6 +200,22 @@ def _run_sequence(spark, tmp, seed: int) -> dict:
 
     from pyspark.sql import functions as F
 
+    # the EXPECTED side must come from the DERIVED classifier even on a
+    # cdf table (recorded vs recorded would prove nothing): a twin
+    # handle whose store view hides every commit's cdc key
+    vt_expected = vt
+    recorded_versions: set[int] = set()
+    if cdf:
+        vt_expected = VersionedTable(spark, table, stats_columns=["id"])
+        _orig_read = vt_expected.log.store.read
+
+        def _hide_cdc(name):
+            d = _json.loads(_orig_read(name))
+            d.pop("cdc", None)
+            return _json.dumps(d)
+
+        vt_expected.log.store.read = _hide_cdc
+
     modes: dict[int, str] = {}
     ts: dict[int, int] = {}
     frames = []
@@ -196,6 +223,8 @@ def _run_sequence(spark, tmp, seed: int) -> dict:
         rec = _json.loads(log.store.read(_commit_name(v)))
         modes[v] = rec.get("mode", "")
         ts[v] = int(rec.get("ts") or 0)
+        if rec.get("cdc") is not None:
+            recorded_versions.add(v)
         if modes[v] in _NO_CHANGE_MODES:
             continue
         if v == 1:
@@ -203,7 +232,7 @@ def _run_sequence(spark, tmp, seed: int) -> dict:
                 "_change_type", F.lit("insert")
             )
         else:
-            fr = vt.table_changes(v - 1, v, ["id"])
+            fr = vt_expected.table_changes(v - 1, v, ["id"])
         frames.append(
             fr.withColumn("_commit_version", F.lit(v).cast("long"))
         )
@@ -228,10 +257,27 @@ def _run_sequence(spark, tmp, seed: int) -> dict:
         assert got_ms == ts[r["_commit_version"]], (
             f"seed {seed}: v{r['_commit_version']} timestamp mismatch"
         )
+    if cdf:
+        # every recorded version must have been SERVED from recorded
+        # partitions (the zero-re-read contract), never the diff join
+        from modular_etl_data_platform_spark.streaming.versioned_source import (
+            _CFRecordedPartition,
+        )
+
+        probe = _VersionedChangeFeedStreamReader(
+            table, schema, 0, ["id"],
+            diff_partition_bytes=2048 if sharded else 1 << 40,
+        )
+        for v in sorted(recorded_versions):
+            parts = probe.partitions({"version": v - 1}, {"version": v})
+            assert parts == [] or all(
+                isinstance(p, _CFRecordedPartition) for p in parts
+            ), f"seed {seed}: recorded v{v} planned a derived partition"
     return {
         "modes": set(modes.values()),
         "sharded": sharded,
         "n_changes": len(got),
+        "n_recorded": len(recorded_versions),
     }
 
 
@@ -247,6 +293,39 @@ def test_stream_feed_equals_batch_table_changes(spark, tmp_path, chunk):
         chunk * _SEEDS_PER_CHUNK, (chunk + 1) * _SEEDS_PER_CHUNK
     ):
         _coverage.append(_run_sequence(spark, str(tmp_path), seed))
+
+
+_CDF_CHUNKS = 2
+_CDF_SEEDS_PER_CHUNK = 15  # 30 histories with write-time CDC enabled
+
+_cdf_coverage: list[dict] = []
+
+
+@pytest.mark.parametrize("chunk", range(_CDF_CHUNKS))
+def test_recorded_cdc_equals_derived_on_random_histories(
+    spark, tmp_path, chunk
+):
+    """The write-time-CDC half of the fleet: identical op space, table
+    opted into recorded CDC — the drain (served from _change_data
+    files wherever a commit recorded) must still equal the derived
+    per-version classification, on arbitrary histories including
+    restores that clear the property mid-stream."""
+    for seed in range(
+        chunk * _CDF_SEEDS_PER_CHUNK, (chunk + 1) * _CDF_SEEDS_PER_CHUNK
+    ):
+        _cdf_coverage.append(
+            _run_sequence(spark, str(tmp_path), seed, cdf=True)
+        )
+
+
+def test_recorded_cdc_fleet_actually_recorded():
+    assert len(_cdf_coverage) == _CDF_CHUNKS * _CDF_SEEDS_PER_CHUNK
+    seen = set().union(*(c["modes"] for c in _cdf_coverage))
+    for mode in ("upsert", "delete_where", "update_where", "restore"):
+        assert mode in seen, f"cdf fleet never generated a {mode} commit"
+    # the equivalence is vacuous unless a real share of versions was
+    # actually SERVED from recorded files
+    assert sum(c["n_recorded"] for c in _cdf_coverage) >= 50
 
 
 def test_stream_feed_fleet_covered_the_hard_paths():

@@ -119,6 +119,56 @@ def main() -> None:
             add=extra2,
         )
         t_delta_publish = time.perf_counter() - t0
+        # adversarial tiny-append LOOKUP DEPTH (round 12): with
+        # checkpointing effectively disabled, the copy-on-write state
+        # stacks layers until the _MAX_STATE_LAYERS=64 flatten guard.
+        # Measure a worst-case membership probe (a BASE file, so the
+        # bisect misses every overlay before hitting the bottom layer)
+        # and a sizes lookup through the ChainMap, at max depth vs after
+        # flattening — the regression tripwire for the guard itself.
+        from modular_etl_data_platform_spark.operators.versioned import (
+            _state_layer_depth,
+        )
+
+        deep_root = tempfile.mkdtemp(prefix="log_probe_deep_")
+        try:
+            deep = CommitLog(path=deep_root, checkpoint_interval=10**9)
+            deep.publish(
+                files, '{"type":"struct","fields":[]}', {"mode": "append"},
+                0, {},
+            )
+            for i in range(70):  # > _MAX_STATE_LAYERS: guard must engage
+                add = [f"{deep_root}/files/tiny{i}/part-0.parquet"]
+                deep.publish(
+                    None, '{"type":"struct","fields":[]}',
+                    {"mode": "append"}, i + 1, {}, add=add,
+                )
+            # deepest state the guard permits: the commit just before
+            # the 64-layer flatten point (depth grows 1 per tiny append)
+            depths = {
+                v: _state_layer_depth(deep.resolve(v))
+                for v in range(2, deep.current_version() + 1)
+            }
+            worst_v = max(depths, key=depths.get)
+            worst_depth = depths[worst_v]
+            deep_state = deep.resolve(worst_v)
+            depth_after_guard = depths[deep.current_version()]
+            assert depth_after_guard < worst_depth, "flatten guard inert"
+            probe_file = files[0]  # bottom layer: worst bisect path
+            reps = 20_000
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                _ = probe_file in deep_state["files"]
+                _ = deep_state["sizes"].get(probe_file)
+            t_deep_lookup = (time.perf_counter() - t0) / reps
+            flat = CommitLog._materialize_state(deep_state)
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                _ = probe_file in flat["files"]
+                _ = flat["sizes"].get(probe_file)
+            t_flat_lookup = (time.perf_counter() - t0) / reps
+        finally:
+            shutil.rmtree(deep_root, ignore_errors=True)
         # the round-9 parquet checkpoint, measured in isolation at full
         # depth: write cost, on-disk bytes (meta vs columnar parts), and
         # a paths-only projection — the read shape a consumer that needs
@@ -168,6 +218,10 @@ def main() -> None:
                     "warm_reopen_resolve_ms": round(t_warm_reopen * 1e3, 3),
                     "rebase_fold_ms": round(t_rebase * 1e3, 3),
                     "delta_publish_ms": round(t_delta_publish * 1e3, 3),
+                    "layered_worst_depth": worst_depth,
+                    "layered_depth_after_guard": depth_after_guard,
+                    "lookup_us_at_worst_depth": round(t_deep_lookup * 1e6, 2),
+                    "lookup_us_flat": round(t_flat_lookup * 1e6, 2),
                     "checkpoints": len(cold.checkpoints()),
                     "checkpoint_write_ms": round(t_ckpt_write * 1e3, 3),
                     "checkpoint_meta_bytes": len(json.dumps(meta)),

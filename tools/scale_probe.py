@@ -137,7 +137,130 @@ def build_scaled(spark, n: int, out_dir: str) -> None:
     scaled_ord.write.mode("overwrite").parquet(os.path.join(out_dir, "orders.parquet"))
 
 
+def cdf_probe() -> None:
+    """The change-feed I/O model, measured: vary a MERGE's diff size at
+    FIXED ``diff_partition_bytes`` and report, per diff size,
+
+    - the DERIVED path's planned shard count and its total-read model
+      ``nshards x changed_bytes`` (every shard re-reads every changed
+      file and keeps its 1/nshards hash slice) — the round-11 verdict's
+      changed²/target curve, visible as model bytes growing with the
+      SQUARE of the diff;
+    - the RECORDED path's (write-time CDC) total-read: the cdc files'
+      bytes, read once — linear in the diff by construction;
+    - wall time for draining each path through the reader's own
+      partitions()/read() protocol (same code a trigger runs).
+
+    Usage: python tools/scale_probe.py cdf [target_bytes]
+    (default target 256 KiB so the fan-out engages at sf0.1 sizes).
+    """
+    import json as _json
+
+    import pyarrow  # noqa: F401  (executor-side read path)
+
+    from modular_etl_data_platform_spark.operators.versioned import (
+        VersionedTable,
+        _commit_name,
+    )
+    from modular_etl_data_platform_spark.queries.catalog import QUERIES  # noqa: F401
+    from modular_etl_data_platform_spark.session import get_spark
+    from modular_etl_data_platform_spark.streaming.versioned_source import (
+        _VersionedChangeFeedStreamReader,
+    )
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    target = int(sys.argv[2]) if len(sys.argv) > 2 else 1 << 18
+    spark = get_spark("cdf-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    orders = spark.read.parquet(os.path.join(BASE, "orders.parquet")).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("s"),
+        F.col("o_totalprice").alias("p"),
+    )
+    # RANGE-clustered diffs (k below a moving cutoff): the base lands as
+    # 16 key-ordered files, so the MERGE's stats prune rewrites only the
+    # intersecting prefix — changed bytes then actually GROW with the
+    # diff, which is what makes the two curves distinguishable
+    kmin, kmax = orders.agg(F.min("k"), F.max("k")).first()
+
+    def drain(reader, v):
+        t0 = time.time()
+        parts = reader.partitions({"version": v - 1}, {"version": v})
+        rows = 0
+        for p in parts:
+            for b in reader.read(p):
+                rows += b.num_rows
+        return len(parts), rows, time.time() - t0
+
+    print(
+        f"# diff_partition_bytes={target}; derived model bytes = "
+        "nshards x changed (each shard re-reads all changed files)"
+    )
+    for pct in (5, 10, 20, 40, 80):
+        for recorded in (False, True):
+            scratch = os.path.join(
+                tempfile.gettempdir(),
+                f"cdfprobe_{pct}_{'rec' if recorded else 'der'}",
+            )
+            if os.path.exists(scratch):
+                shutil.rmtree(scratch)
+            vt = VersionedTable(spark, scratch, stats_columns=["k"])
+            vt.write(orders.repartitionByRange(16, "k").sortWithinPartitions("k"))
+            if recorded:
+                vt.enable_change_data_feed(["k"])
+            cutoff = kmin + (kmax - kmin) * pct // 100
+            src = orders.filter(F.col("k") <= cutoff).withColumn(
+                "p", F.col("p") + F.lit(1)
+            )
+            v = vt.merge(src, ["k"])
+            rec = _json.loads(vt.log.store.read(_commit_name(v)))
+            prev_m, cur_m = vt.log.resolve(v - 1), vt.log.resolve(v)
+            old_set, new_set = set(prev_m["files"]), set(cur_m["files"])
+            changed = sum(
+                sz
+                for f, sz in {**prev_m["sizes"], **cur_m["sizes"]}.items()
+                if (f in old_set) != (f in new_set)
+            )
+            schema = StructType(
+                list(vt.read().schema.fields)
+                + [
+                    StructField("_change_type", StringType()),
+                    StructField("_commit_version", LongType()),
+                    StructField("_commit_timestamp", TimestampType()),
+                ]
+            )
+            rd = _VersionedChangeFeedStreamReader(
+                scratch, schema, 0, ["k"], diff_partition_bytes=target
+            )
+            nparts, rows, secs = drain(rd, v)
+            if recorded:
+                total_read = sum(e["size"] for e in rec.get("cdc", []))
+                model = f"recorded: read {total_read:>12,} B once"
+            else:
+                nshards = max(1, -(-changed // target))
+                total_read = nshards * changed
+                model = (
+                    f"derived:  read {total_read:>12,} B "
+                    f"({nshards} shards x {changed:,} changed)"
+                )
+            print(
+                f"diff {pct:>2}%  {model}  parts={nparts:<4} "
+                f"rows={rows:<8} drain {secs:6.2f}s"
+            )
+    spark.stop()
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "cdf":
+        cdf_probe()
+        return
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 4
     only = sys.argv[2:] or DEFAULT_QUERIES
 
