@@ -143,6 +143,14 @@ HEADLINE = [
     # the row-group-split format read (one big DV-carrying file across
     # many bounded tasks — the planner + per-shard DV offset cost)
     "q172_split_file_read",
+    # round 12: write-time CDC (a giant MERGE's feed served from
+    # recorded _change_data files — the DML's combined data+CDC landing
+    # plus a zero-re-read stream drain is what's timed) and the
+    # STREAMING curation flagship (the q171 composition as five real
+    # foreachBatch drains: NB broadcast filter, cross-batch dedup,
+    # per-batch UniMax + packing, txn-idempotent versions)
+    "q173_recorded_cdc",
+    "q174_streaming_curation",
 ]
 
 

@@ -117,7 +117,7 @@ def main(argv: list[str] | None = None) -> int:
         "vt",
         help=(
             "versioned-table ops: history/read/restore/compact/"
-            "delete-where/vacuum/export-delta"
+            "delete-where/vacuum/export-delta/enable-cdf/change-feed"
         ),
     )
     vt.add_argument("path", help="versioned table root")
@@ -129,7 +129,22 @@ def main(argv: list[str] | None = None) -> int:
             "mirror-delta",
             "convert", "clone", "rename-column", "drop-column",
             "merge", "add-constraint", "drop-constraint",
+            "enable-cdf", "disable-cdf", "change-feed",
         ],
+    )
+    vt.add_argument(
+        "--primary-keys",
+        default=None,
+        help=(
+            "for enable-cdf (required) / change-feed (derive fallback): "
+            "comma-sep row-identity columns"
+        ),
+    )
+    vt.add_argument(
+        "--since-version",
+        type=int,
+        default=None,
+        help="for change-feed: emit per-commit changes AFTER this version",
     )
     vt.add_argument(
         "--stats-columns",
@@ -511,6 +526,33 @@ def main(argv: list[str] | None = None) -> int:
                 raise SystemExit("add-constraint requires --name and --expr")
             v = table.add_constraint(args.name, args.expr)
             print(json.dumps({"new_version": v, "constraints": table.constraints()}))
+        elif args.action == "enable-cdf":
+            if not args.primary_keys:
+                raise SystemExit("enable-cdf requires --primary-keys")
+            v = table.enable_change_data_feed(
+                [c.strip() for c in args.primary_keys.split(",") if c.strip()]
+            )
+            print(json.dumps({"new_version": v, "cdf": table.cdf_property()}))
+        elif args.action == "disable-cdf":
+            v = table.disable_change_data_feed()
+            print(json.dumps({"new_version": v, "cdf": table.cdf_property()}))
+        elif args.action == "change-feed":
+            if args.since_version is None:
+                raise SystemExit("change-feed requires --since-version")
+            pks = (
+                [c.strip() for c in args.primary_keys.split(",") if c.strip()]
+                if args.primary_keys
+                else None
+            )
+            rows = (
+                table.read_change_feed(
+                    args.since_version, args.version, primary_keys=pks
+                )
+                .limit(args.limit)
+                .collect()
+            )
+            for r in rows:
+                print(json.dumps(r.asDict(), default=str))
         elif args.action == "drop-constraint":
             if not args.name:
                 raise SystemExit("drop-constraint requires --name")

@@ -2205,14 +2205,17 @@ class VersionedTable:
         """Opt the table into WRITE-TIME CDC (Delta's
         ``delta.enableChangeDataFeed`` table property): from this commit
         on, update-class DML (``merge``, ``upsert``, ``update_where``,
-        ``delete_where``, ``restore``) persists its row-level change
-        slice as recorded ``_change_data/`` parquet files riding the
-        commit record's ``cdc`` key, and both the streaming change feed
-        and batch ``table_changes``/``read_change_feed`` serve those
-        files directly — per-cdc-file parallelism, ZERO re-reads of the
+        ``delete_where``, ``overwrite_where``, ``delete_range``,
+        ``restore``) persists its row-level change slice as recorded
+        ``_change_data/`` parquet files riding the commit record's
+        ``cdc`` key, and both the streaming change feed and batch
+        ``table_changes``/``read_change_feed`` serve those files
+        directly — per-cdc-file parallelism, ZERO re-reads of the
         rewritten data files. Commits without recorded CDC (pre-enable
-        history, blind appends, ``overwrite_where``/``delete_range``)
-        keep the derived-from-file-diff fallback.
+        history, blind appends, full ``write(mode="overwrite")`` —
+        whose slice is the whole old+new table, exactly what the
+        derived diff already computes in one pass) keep the
+        derived-from-file-diff fallback.
 
         ``primary_keys`` pins the row-identity columns recorded
         classification is defined over — the same columns change-feed
@@ -2796,19 +2799,22 @@ class VersionedTable:
         evolve_schema: bool,
         cdc_keys: list[str],
         manifest: dict,
+        delete_unmatched_old: bool = False,
     ) -> list[dict] | None:
-        """Recorded-CDC entries for one whole-row-replace MERGE attempt
-        (both upsert strategies): classify the batch against the
-        touched files' current rows with the derived-diff semantics —
-        unmatched batch rows insert, matched rows with any changed
-        value update (whole-row null-safe compare suppresses identical
-        replacements), and a batch that rewrites a CDC primary-key
-        value splits into delete(old)+insert(new). Rows only in the
-        target carry untouched and emit nothing. Returns None — record
-        nothing, derived fallback — when the batch has duplicate merge
-        keys (both rows land by upsert's contract, so per-key
-        classification is undefined; same one-scalar probe as
-        ``merge``'s MULTIPLE_MATCHES check)."""
+        """Recorded-CDC entries for one whole-row-replace attempt
+        (both upsert strategies, and — with ``delete_unmatched_old`` —
+        ``overwrite_where``): classify the batch against the current
+        rows with the derived-diff semantics — unmatched batch rows
+        insert, matched rows with any changed value update (whole-row
+        null-safe compare suppresses identical replacements), a batch
+        that rewrites a CDC primary-key value splits into
+        delete(old)+insert(new). Current rows the batch does not match
+        CARRY (upsert) or DELETE (replaceWhere replaces the whole
+        region). Returns None — record nothing, derived fallback —
+        when the batch has duplicate merge keys (both rows land by
+        upsert's contract, so per-key classification is undefined;
+        same one-scalar probe as ``merge``'s MULTIPLE_MATCHES
+        check)."""
         dup = (
             batch.groupBy(*primary_keys)
             .agg(F.count(F.lit(1)).alias("__n"))
@@ -2827,8 +2833,8 @@ class VersionedTable:
                 b_al = b_al.withColumn(
                     c, F.lit(None).cast(t_al.schema[c].dataType)
                 )
-        b_al = b_al.select(*t_al.columns)
-        cols_m = list(t_al.columns)
+        b_al = b_al.select(*t_al.columns).withColumn("__vt_s", F.lit(True))
+        cols_m = [c for c in t_al.columns]
         olds = t_al.select(
             F.lit(True).alias("__vt_t"),
             *[F.col(f"`{c}`").alias(f"__vt_old_{c}") for c in cols_m],
@@ -2839,7 +2845,7 @@ class VersionedTable:
                 F.col(f"`{k}`") == F.col(f"`__vt_old_{k}`")
                 for k in primary_keys
             ],
-            "left",
+            "full_outer" if delete_unmatched_old else "left",
         )
 
         def _same(over):
@@ -2848,12 +2854,18 @@ class VersionedTable:
                 e = e & F.col(f"`{c}`").eqNullSafe(F.col(f"`__vt_old_{c}`"))
             return e
 
-        matched = F.col("__vt_t").isNotNull()
+        t_present = F.col("__vt_t").isNotNull()
+        s_present = F.col("__vt_s").isNotNull()
+        matched = t_present & s_present
         pk_same = _same(cdc_keys)
         row_same = _same(cols_m)
         ct_old = F.when(matched & ~pk_same, F.lit("delete"))
+        if delete_unmatched_old:
+            ct_old = F.when(
+                t_present & ~s_present, F.lit("delete")
+            ).otherwise(ct_old)
         ct_new = (
-            F.when(~matched, F.lit("insert"))
+            F.when(s_present & ~t_present, F.lit("insert"))
             .when(matched & ~pk_same, F.lit("insert"))
             .when(matched & pk_same & ~row_same, F.lit("update_postimage"))
         )
@@ -4053,19 +4065,38 @@ class VersionedTable:
             # keep = NOT(lo <= col <= hi), with NULLs KEPT: a null never
             # matches the range predicate, so it is never deleted (the SQL
             # DELETE WHERE three-valued-logic reading)
-            kept = self._read_files(
-                touched,
-                manifest["schema"],
-                manifest.get("dv"),
-                manifest.get("column_mapping"),
-            ).filter(
+            keep_pred = (
                 F.col(column).isNull()
                 | (F.col(column) < F.lit(lo))
                 | (F.col(column) > F.lit(hi))
             )
+            rows = self._read_files(
+                touched,
+                manifest["schema"],
+                manifest.get("dv"),
+                manifest.get("column_mapping"),
+            )
             try:
+                if self._cdc_keys(manifest):
+                    # write-time CDC rides the SAME rewrite job: kept
+                    # rows land as data, range-matching rows land as
+                    # recorded 'delete' images — zero extra passes
+                    landed, entries = self._land_files_with_cdc(
+                        rows.withColumn(
+                            "_change_type",
+                            F.when(
+                                keep_pred, F.lit(_CDC_DATA_MARK)
+                            ).otherwise(F.lit("delete")),
+                        )
+                    )
+                    return self._publish(
+                        untouched + landed,
+                        manifest["schema"],
+                        {"mode": "delete", "column": column, "cdc": entries},
+                        expected_base=v,
+                    )
                 return self._publish(
-                    untouched + self._land_files(kept),
+                    untouched + self._land_files(rows.filter(keep_pred)),
                     manifest["schema"],
                     {"mode": "delete", "column": column},
                     expected_base=v,
@@ -4607,10 +4638,36 @@ class VersionedTable:
             ).filter(~cond)
             out = kept.unionByName(df.select(*cols))
             try:
+                cdc_keys = self._cdc_keys(manifest)
+                cdc_meta = {}
+                if cdc_keys:
+                    # write-time CDC for replaceWhere: classify the
+                    # batch against the REGION's live rows (kept rows
+                    # carry unchanged and never classify); region rows
+                    # the batch doesn't re-assert are deletes — the
+                    # whole region is replaced
+                    region = self._read_files(
+                        touched, manifest["schema"], dv_map, col_map
+                    ).filter(cond)
+                    entries = self._upsert_cdc(
+                        region,
+                        df.select(*cols),
+                        cdc_keys,
+                        False,
+                        cdc_keys,
+                        manifest,
+                        delete_unmatched_old=True,
+                    )
+                    if entries is not None:
+                        cdc_meta = {"cdc": entries}
                 return self._publish(
                     untouched + self._land_files(out),
                     manifest["schema"],
-                    {"mode": "replace_where", "predicate": condition},
+                    {
+                        "mode": "replace_where",
+                        "predicate": condition,
+                        **cdc_meta,
+                    },
                     expected_base=v,
                 )
             except ConcurrentWriteError:

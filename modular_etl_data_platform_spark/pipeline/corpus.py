@@ -233,3 +233,134 @@ def curate_corpus(
         "shards": shards,
         "counts": counts,
     }
+
+
+def stream_curate_versioned(
+    spark: SparkSession,
+    intake_path: str,
+    curated_path: str,
+    model: DataFrame,
+    checkpoint: str,
+    nb_buckets: int = 4096,
+    bin_tokens: int = 512,
+    app_id: str = "stream_curate",
+):
+    """The curation pipeline run CONTINUOUSLY — the streaming twin of
+    the q171 batch composition, the production shape for crawl intake:
+
+    versioned intake feed → NB model filter → cross-batch exact dedup
+    → per-batch UniMax allocation → per-language FFD packing → ONE
+    curated-table version per micro-batch, txn-idempotent.
+
+    - **Intake** is a versioned table (the crawl landing zone, written
+      by any producer through the commit protocol); the stream is its
+      file-level change feed, so each micro-batch reads exactly the
+      newly-committed files — O(new data) at any table size. Under a
+      processing-time trigger ``max_versions_per_batch=1`` gives
+      one-version-per-batch pacing; under availableNow (this entry
+      point) the same shape comes from draining once per intake commit
+      (the Python DataSource API has no ReadLimit pass-through — see
+      q163's offset-walk note).
+    - **Model filter**: ``nb_apply`` against a :func:`corpus.curation.
+      nb_train` model trained OFFLINE (yesterday's curated corpus) —
+      the ≤buckets+2-row model broadcasts into every batch; scoring is
+      one explode + one broadcast join, batch-bounded.
+    - **Cross-batch dedup**: within-batch keep-min-doc_id per text
+      fingerprint, then an anti-join against the CURATED table's
+      fingerprints — the already-accepted state is the dedup index
+      (at 100 TB: partition/bucket the curated table by a fingerprint
+      prefix so the anti-join prunes files; the batch side is small).
+    - **UniMax + packing**: the batch's OWN language allocation
+      (closed-form water-filling over L language rows) rides every
+      curated row as (capped, alloc_tokens, epochs), and documents
+      pack into ``bin_tokens`` FFD bins per language (window over the
+      batch partition — batch-bounded, never corpus-wide).
+    - **Exactly-once**: each micro-batch publishes ONE curated version
+      through ``VersionedTable.write(append, txn_app_id, txn_version=
+      batch_id)`` — a retried batch (crash between commit and
+      checkpoint, or a replay against a rebuilt checkpoint) is a
+      no-op, Delta's foreachBatch-idempotence contract.
+
+    Returns the started StreamingQuery (availableNow)."""
+    from pyspark.sql import Window
+
+    from modular_etl_data_platform_spark.corpus import curation as ccur
+    from modular_etl_data_platform_spark.operators.versioned import (
+        VersionedTable,
+    )
+    from modular_etl_data_platform_spark.streaming.versioned_source import (
+        VersionedTableStreamDataSource,
+    )
+
+    spark.dataSource.register(VersionedTableStreamDataSource)
+    # sentinel-validate the model at stream DEFINITION (a malformed
+    # model must fail the start(), not batch 17)
+    ccur.nb_apply(
+        spark.createDataFrame([], "doc_id long, text string"),
+        model,
+        buckets=nb_buckets,
+    )
+    stream = (
+        spark.readStream.format("versioned_table")
+        .option("path", intake_path)
+        .load()
+    )
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        curated = VersionedTable(spark, curated_path)
+        scores = ccur.nb_apply(batch, model, buckets=nb_buckets)
+        surv = batch.join(
+            scores.filter("pred").select("doc_id", "score"), "doc_id"
+        ).withColumn("fingerprint", F.md5(F.col("text")))
+        # within-batch exact dedup: deterministic keep-min-doc_id (a
+        # dropDuplicates here would be engine-order-dependent)
+        wfp = Window.partitionBy("fingerprint").orderBy("doc_id")
+        uniq = (
+            surv.withColumn("__rn", F.row_number().over(wfp))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        if curated.current_version() is not None:
+            seen = curated.read().select("fingerprint").dropDuplicates()
+            uniq = uniq.join(F.broadcast(seen), "fingerprint", "left_anti")
+        uniq = uniq.withColumn(
+            "n_tokens", F.size(F.split(F.col("text"), " ")).cast("long")
+        )
+        uni = ccur.unimax_allocation(uniq)
+        wp = Window.partitionBy("lang").orderBy(
+            F.col("n_tokens").desc(), F.col("doc_id")
+        )
+        cum_before = F.coalesce(
+            F.sum("n_tokens").over(
+                wp.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        )
+        out = (
+            uniq.withColumn(
+                "bin_id", F.floor(cum_before / bin_tokens).cast("long")
+            )
+            .join(
+                uni.select("lang", "capped", "alloc_tokens", "epochs"),
+                "lang",
+            )
+            .withColumn("batch", F.lit(batch_id).cast("long"))
+            .select(
+                "batch", "doc_id", "lang", "source", "fingerprint",
+                "n_tokens", "bin_id", "score", "capped", "alloc_tokens",
+                "epochs",
+            )
+        )
+        curated.write(
+            out,
+            mode="append" if curated.current_version() else "overwrite",
+            txn_app_id=app_id,
+            txn_version=batch_id,
+        )
+
+    return (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -2588,3 +2588,287 @@ def q171_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             "alloc_tokens", "epochs", "n_bins",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming curation flagship: the q171 composition running CONTINUOUSLY
+# (versioned intake feed -> NB model filter -> cross-batch dedup ->
+# per-batch UniMax + packing -> one curated version per micro-batch)
+# ---------------------------------------------------------------------------
+
+_Q174_OFF = 10_000_000
+_Q174_BIN = 512
+
+
+def _q174_oracle() -> str:
+    cond = (
+        "2 * n_tokens * (L - i + 1) <= "
+        "CAST(T * 3 // 2 AS BIGINT) - 2 * (P - n_tokens)"
+    )
+    return f"""
+    WITH feats AS (
+      SELECT doc_id, {_NB_POS} AS pos,
+             ('0x' || substr(md5(w), 1, 15))::BIGINT % {_NB_B} AS b
+      FROM (SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
+            FROM documents)
+    ),
+    cnts AS (SELECT doc_id, pos, b, COUNT(*) AS c FROM feats GROUP BY 1, 2, 3),
+    tot AS (
+      SELECT SUM(CASE WHEN pos THEN c ELSE 0 END) AS pt,
+             SUM(CASE WHEN NOT pos THEN c ELSE 0 END) AS nt
+      FROM cnts
+    ),
+    dtot AS (
+      SELECT SUM(CASE WHEN {_NB_POS} THEN 1 ELSE 0 END) AS pd,
+             SUM(CASE WHEN NOT ({_NB_POS}) THEN 1 ELSE 0 END) AS nd
+      FROM documents
+    ),
+    model AS (
+      SELECT b, SUM(CASE WHEN pos THEN c ELSE 0 END) AS pc,
+                SUM(CASE WHEN NOT pos THEN c ELSE 0 END) AS nc
+      FROM cnts GROUP BY b
+    ),
+    llr AS (
+      SELECT b, round((ln(pc + 1) - ln(CAST(pt + {_NB_B} AS DOUBLE)))
+                    - (ln(nc + 1) - ln(CAST(nt + {_NB_B} AS DOUBLE))), 9) AS lr
+      FROM model, tot
+    ),
+    scored AS (
+      SELECT cnts.doc_id,
+             SUM(CAST(round(c * lr, 9) AS DECIMAL(28,12))) AS s
+      FROM cnts JOIN llr USING (b) GROUP BY 1
+    ),
+    nb AS (
+      SELECT doc_id,
+             (CAST(s AS DOUBLE)
+              + round(ln(CAST(pd AS DOUBLE)) - ln(CAST(nd AS DOUBLE)), 9)) > 0
+               AS pred
+      FROM scored, dtot
+    ),
+    intake AS (
+      SELECT doc_id, text, lang, 0 AS batch FROM documents WHERE doc_id % 3 = 0
+      UNION ALL
+      SELECT doc_id, text, lang, 1 FROM documents WHERE doc_id % 3 = 1
+      UNION ALL
+      SELECT doc_id + {_Q174_OFF}, text, lang, 1 FROM documents
+      WHERE doc_id % 3 = 0 AND doc_id % 5 = 0
+      UNION ALL
+      SELECT doc_id, text, lang, 2 FROM documents WHERE doc_id % 3 = 2
+      UNION ALL
+      SELECT doc_id + 2 * {_Q174_OFF}, text, lang, 2 FROM documents
+      WHERE doc_id % 3 = 1 AND doc_id % 5 = 0
+    ),
+    surv AS (
+      SELECT i.* FROM intake i
+      JOIN nb ON nb.doc_id = i.doc_id % {_Q174_OFF}
+      WHERE nb.pred
+    ),
+    uniq AS (
+      SELECT * FROM surv
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY md5(text)
+                                 ORDER BY batch, doc_id) = 1
+    ),
+    pt AS (
+      SELECT batch, lang, doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM uniq
+    ),
+    pb AS (
+      SELECT batch, lang,
+             CAST(floor(COALESCE(SUM(n_tokens) OVER w, 0) / {_Q174_BIN}.0)
+                  AS BIGINT) AS bin
+      FROM pt
+      WINDOW w AS (PARTITION BY batch, lang ORDER BY n_tokens DESC, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    bins AS (
+      SELECT batch, lang, COUNT(DISTINCT bin) AS n_bins FROM pb GROUP BY 1, 2
+    ),
+    sizes AS (
+      SELECT batch, lang, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+      FROM pt GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT batch, lang, n_tokens,
+             ROW_NUMBER() OVER (PARTITION BY batch ORDER BY n_tokens, lang) AS i,
+             SUM(n_tokens) OVER (PARTITION BY batch ORDER BY n_tokens, lang
+                                 ROWS UNBOUNDED PRECEDING) AS P,
+             COUNT(*) OVER (PARTITION BY batch) AS L,
+             SUM(n_tokens) OVER (PARTITION BY batch) AS T
+      FROM sizes
+    ),
+    c AS (
+      SELECT *,
+             MIN(CASE WHEN {cond} THEN 1 ELSE 0 END)
+               OVER (PARTITION BY batch ORDER BY n_tokens, lang
+                     ROWS UNBOUNDED PRECEDING) = 1 AS capped
+      FROM r
+    ),
+    f AS (
+      SELECT *,
+             SUM(CASE WHEN capped THEN 1 ELSE 0 END)
+               OVER (PARTITION BY batch) AS k,
+             SUM(CASE WHEN capped THEN n_tokens ELSE 0 END)
+               OVER (PARTITION BY batch) AS Pk
+      FROM c
+    ),
+    uni AS (
+      SELECT batch, lang, n_tokens, capped,
+             round(CASE WHEN capped THEN CAST(2 * n_tokens AS DOUBLE)
+                   ELSE CAST(CAST(T * 3 // 2 AS BIGINT) - 2 * Pk AS DOUBLE)
+                        / GREATEST(L - k, 1) END, 9) AS alloc_tokens
+      FROM f
+    ),
+    uqc AS (SELECT batch, lang, COUNT(*) AS n_unique FROM uniq GROUP BY 1, 2)
+    SELECT uni.batch, uni.lang, uqc.n_unique, uni.n_tokens AS sum_tokens,
+           uni.capped, uni.alloc_tokens,
+           round(uni.alloc_tokens / uni.n_tokens, 9) AS epochs, bins.n_bins
+    FROM uni
+    JOIN uqc USING (batch, lang)
+    JOIN bins USING (batch, lang)
+    """
+
+
+@query("q174_streaming_curation", _q174_oracle())
+def q174_streaming_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation pipeline running CONTINUOUSLY — the streaming twin
+    of the q171 batch flagship (pipeline/corpus.py::
+    stream_curate_versioned), the production shape for crawl intake:
+    a VERSIONED intake table receives three commits (the third with
+    injected cross-batch duplicate texts under fresh doc_ids), and each
+    commit drains through one REAL foreachBatch micro-batch that (1)
+    scores the batch against an OFFLINE-trained NB model (train once,
+    broadcast into every batch — Brown 2020 App. A's curated-vs-crawl
+    split), (2) exact-dedups within the batch (deterministic
+    keep-min-doc_id) and against the already-CURATED state (the
+    accepted corpus is the dedup index), (3) computes the batch's OWN
+    UniMax language allocation, (4) packs survivors into per-language
+    512-token FFD bins, and (5) publishes exactly ONE curated-table
+    version with a recorded (app, batch_id) transaction. The oracle
+    replays the WHOLE composition relationally — NB LLRs over the full
+    corpus, batch membership, the global first-occurrence dedup rank,
+    per-batch water-filling, packing windows — so a drift anywhere in
+    the streaming composition (a batch scored against a retrained
+    model, a duplicate leaking across batches, an allocation computed
+    over the wrong cohort) changes the hash. In-query assertions pin
+    the streaming contracts the oracle can't see: each drain advances
+    the curated table by EXACTLY one version, a drain with no new
+    intake publishes NOTHING (restart-resume on the checkpoint), a
+    REPLAY against a rebuilt checkpoint is a txn-level no-op (Delta's
+    foreachBatch idempotence), the txn map records the last batch id,
+    and the curated table holds no duplicate fingerprint while being
+    strictly smaller than the model-passing intake (the cross-batch
+    dedup actually dropped the injected duplicates)."""
+    import os
+    import shutil
+
+    from modular_etl_data_platform_spark.operators.versioned import (
+        VersionedTable,
+    )
+    from modular_etl_data_platform_spark.pipeline.corpus import (
+        stream_curate_versioned,
+    )
+    from modular_etl_data_platform_spark.queries.roundtrip_queries import (
+        _pin,
+        _scratch,
+    )
+
+    scratch = _scratch("q174_streaming_curation", sf_dir)
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    model = ccur.nb_train(docs, _NB_POS, buckets=_NB_B)
+    intake_path = os.path.join(scratch, "intake_v")
+    curated_path = os.path.join(scratch, "curated_v")
+    ckpt = os.path.join(scratch, "ckpt")
+    intake = VersionedTable(spark, intake_path)
+    app = "q174_stream"
+
+    def drain():
+        q = stream_curate_versioned(
+            spark, intake_path, curated_path, model, ckpt,
+            nb_buckets=_NB_B, bin_tokens=_Q174_BIN, app_id=app,
+        )
+        q.awaitTermination(300)
+
+    def dup_slice(mod, off):
+        return (
+            docs.filter(
+                (F.col("doc_id") % 3 == mod) & (F.col("doc_id") % 5 == 0)
+            )
+            .withColumn("doc_id", F.col("doc_id") + F.lit(off))
+        )
+
+    curated = VersionedTable(spark, curated_path)
+    batches = [
+        docs.filter(F.col("doc_id") % 3 == 0),
+        docs.filter(F.col("doc_id") % 3 == 1).unionByName(
+            dup_slice(0, _Q174_OFF)
+        ),
+        docs.filter(F.col("doc_id") % 3 == 2).unionByName(
+            dup_slice(1, 2 * _Q174_OFF)
+        ),
+    ]
+    for i, b in enumerate(batches):
+        intake.write(b, mode="append" if i else "overwrite")
+        before = curated.current_version() or 0
+        drain()  # one intake version -> exactly one micro-batch
+        after = curated.current_version()
+        if after != before + 1:
+            raise AssertionError(
+                f"drain {i}: curated advanced {before}->{after}, expected +1"
+            )
+        if i == 0:
+            # replay idempotence: a REBUILT checkpoint replays batch 0
+            # (same intake content) against the recorded (app, 0)
+            # transaction — the publish must be a txn-level no-op
+            # (Delta's foreachBatch idempotence contract)
+            replay_ckpt = os.path.join(scratch, "ckpt_replay")
+            shutil.rmtree(replay_ckpt, ignore_errors=True)
+            q = stream_curate_versioned(
+                spark, intake_path, curated_path, model, replay_ckpt,
+                nb_buckets=_NB_B, bin_tokens=_Q174_BIN, app_id=app,
+            )
+            q.awaitTermination(300)
+            if curated.current_version() != after:
+                raise AssertionError(
+                    "replayed batch 0 re-landed despite its recorded "
+                    "transaction"
+                )
+    # restart-resume: a drain with NO new intake publishes nothing
+    head = curated.current_version()
+    drain()
+    if curated.current_version() != head:
+        raise AssertionError("idle drain republished a batch")
+    # txn map records the last landed batch id
+    txn = curated.log.resolve(head).get("txn", {})
+    if txn.get(app) != 2:
+        raise AssertionError(f"txn map wrong: {txn}")
+    cur = curated.read()
+    n_rows = cur.count()
+    if cur.select("fingerprint").distinct().count() != n_rows:
+        raise AssertionError("curated table holds duplicate fingerprints")
+    n_model = (
+        intake.read()
+        .join(
+            ccur.nb_apply(intake.read(), model, buckets=_NB_B)
+            .filter("pred")
+            .select("doc_id"),
+            "doc_id",
+        )
+        .count()
+    )
+    if not n_rows < n_model:
+        raise AssertionError(
+            f"cross-batch dedup dropped nothing ({n_rows} vs {n_model})"
+        )
+    return _pin(
+        cur.groupBy("batch", "lang").agg(
+            F.count(F.lit(1)).alias("n_unique"),
+            F.sum("n_tokens").cast("long").alias("sum_tokens"),
+            F.max("capped").alias("capped"),
+            F.max("alloc_tokens").alias("alloc_tokens"),
+            F.max("epochs").alias("epochs"),
+            F.count_distinct("bin_id").alias("n_bins"),
+        )
+    )

@@ -161,6 +161,22 @@ def _run_sequence(spark, tmp, seed: int, cdf: bool = False) -> dict:
         if head and head > 1:
             vt.restore(rng.randint(1, head - 1))
 
+    def replace(salt):
+        # replaceWhere: re-assert a residue class with new values (the
+        # batch must satisfy the predicate — pick matching ids only)
+        mod = rng.randint(2, 5)
+        r = rng.randrange(mod)
+        sel = [i for i in range(next_id[0]) if i % mod == r][:4]
+        if not sel:
+            return
+        vt.overwrite_where(frame(sel, salt), f"id % {mod} = {r}")
+
+    def drange(salt):
+        if next_id[0] < 2:
+            return
+        lo = rng.randrange(next_id[0])
+        vt.delete_range("id", lo, lo + rng.randint(0, 4))
+
     ops = [
         (append, 4),
         (upsert, 3),
@@ -168,6 +184,8 @@ def _run_sequence(spark, tmp, seed: int, cdf: bool = False) -> dict:
         (update, 3),
         (compact, 2),
         (restore, 2),
+        (replace, 2),
+        (drange, 2),
     ]
     pool = [f for f, w in ops for _ in range(w)]
     append(0)
@@ -335,7 +353,10 @@ def test_stream_feed_fleet_covered_the_hard_paths():
     diff variants, or the equivalence proves nothing."""
     assert len(_coverage) == _CHUNKS * _SEEDS_PER_CHUNK
     seen = set().union(*(c["modes"] for c in _coverage))
-    for mode in ("upsert", "delete_where", "update_where", "compact", "restore"):
+    for mode in (
+        "upsert", "delete_where", "update_where", "compact", "restore",
+        "replace_where", "delete",
+    ):
         assert mode in seen, f"fleet never generated a {mode} commit"
     assert sum(1 for c in _coverage if c["sharded"]) >= 40
     assert sum(c["n_changes"] for c in _coverage) > 1000

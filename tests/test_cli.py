@@ -316,3 +316,44 @@ def test_cli_vt_mirror_delta(spark, capsys, tmp_path):
 
     tbl = fr.read_delta_table(dest)
     assert tbl.num_rows == vt.read().count()
+
+
+def test_cli_vt_cdf_enable_and_change_feed(spark, capsys, tmp_path):
+    """vt enable-cdf / change-feed / disable-cdf: write-time CDC from
+    the CLI — the property lands as a metadata commit, a subsequent
+    DELETE records its slice, and change-feed prints the per-commit
+    rows (served from the recorded files)."""
+    import json
+
+    from modular_etl_data_platform_spark.operators.versioned import (
+        VersionedTable,
+        _commit_name,
+    )
+
+    path = str(tmp_path / "t")
+    vt = VersionedTable(spark, path, stats_columns=["id"])
+    vt.write(spark.range(30).selectExpr("id", "id % 3 as grp").coalesce(1))
+
+    assert main(["vt", path, "enable-cdf", "--primary-keys", "id"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out == {"new_version": 2, "cdf": {"primary_keys": ["id"]}}
+
+    assert main(["vt", path, "delete-where", "--where", "grp = 1"]) == 0
+    capsys.readouterr()
+    rec = json.loads(vt.log.store.read(_commit_name(3)))
+    assert rec.get("cdc"), "CLI delete did not record its slice"
+
+    assert main([
+        "vt", path, "change-feed", "--since-version", "2", "--limit", "50",
+    ]) == 0
+    rows = [
+        json.loads(ln)
+        for ln in capsys.readouterr().out.strip().splitlines()
+    ]
+    assert {r["_change_type"] for r in rows} == {"delete"}
+    assert sorted(r["id"] for r in rows) == [i for i in range(30) if i % 3 == 1]
+    assert all(r["_commit_version"] == 3 for r in rows)
+
+    assert main(["vt", path, "disable-cdf"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["cdf"] == {}

@@ -265,6 +265,43 @@ def test_duplicate_key_batch_falls_back_to_derived(spark, tmp_path):
     assert "cdc" not in _rec(vt, v)  # per-key classification undefined
 
 
+def test_overwrite_where_records_region_replacement(spark, tmp_path):
+    vt = _mk(spark, tmp_path, "ow")
+    # replace the k%4==1 region: some rows re-asserted identically
+    # (suppressed), some changed (update), some region rows not
+    # re-asserted (delete), one brand-new key (insert)
+    batch = (
+        vt.read()
+        .filter("k % 4 = 1 AND k < 40")
+        .withColumn(
+            "p",
+            F.when(F.col("k") < 20, F.col("p") + 9).otherwise(F.col("p")),
+        )
+        .unionByName(
+            spark.createDataFrame(
+                [(1001, "N", 0.5)], "k long, s string, p double"
+            )
+        )
+    )
+    v = vt.overwrite_where(batch, "k % 4 = 1")
+    rows = _assert_recorded_equals_derived(vt, v)
+    kinds = {r["_change_type"] for r in rows}
+    assert kinds == {"insert", "delete", "update_postimage"}
+    # suppressed re-assertions never emit
+    assert not any(
+        r["_change_type"] == "update_postimage" and r["k"] >= 20
+        for r in rows
+    )
+
+
+def test_delete_range_records_dropped_rows(spark, tmp_path):
+    vt = _mk(spark, tmp_path, "dr")
+    v = vt.delete_range("k", 10, 25)
+    rows = _assert_recorded_equals_derived(vt, v)
+    assert {r["_change_type"] for r in rows} == {"delete"}
+    assert sorted(r["k"] for r in rows) == list(range(10, 26))
+
+
 def test_restore_records_the_undo_slice(spark, tmp_path):
     vt = _mk(spark, tmp_path, "rs")
     vt.update_where({"p": "p * 3"}, "k % 2 = 0")
@@ -375,6 +412,66 @@ def test_mirror_forwards_recorded_cdc(spark, tmp_path, monkeypatch):
         for r in recorded
     )
     assert got == want
+
+
+def test_merge_cdc_recomputes_generated_columns(spark, tmp_path):
+    """The combined data+CDC merge path recomputes GENERATED columns on
+    the new image exactly like the plain path: postimages and inserts
+    carry the recomputed value, delete preimages keep the historical
+    one, and recorded == derived."""
+    df = spark.range(0, 30).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 3).cast("string").alias("s"),
+        (F.col("id") * 1.5).alias("p"),
+        (F.col("id") * 3.0).alias("p2"),
+    )
+    vt = VersionedTable(
+        spark,
+        os.path.join(str(tmp_path), "gen"),
+        stats_columns=["k"],
+        generated_columns={"p2": "p * 2"},
+    )
+    vt.write(df.coalesce(1))
+    vt.enable_change_data_feed(["k"])
+    src = spark.range(10, 40).select(
+        F.col("id").alias("k"),
+        F.lit("X").alias("s"),
+        (F.col("id") * 5.0).alias("p"),
+    )
+    v = vt.merge(
+        src,
+        ["k"],
+        matched=[("update", {"p": "s.p", "s": "s.s"}, None)],
+        not_matched=[("insert", {"k": "s.k", "s": "s.s", "p": "s.p"}, None)],
+    )
+    rows = _assert_recorded_equals_derived(vt, v)
+    for r in rows:
+        if r["_change_type"] in ("insert", "update_postimage"):
+            assert r["p2"] == r["p"] * 2  # recomputed on the new image
+        else:
+            assert r["p2"] == r["p"] * 2  # preimages satisfied it too
+
+
+def test_recorded_cdc_under_column_mapping(spark, tmp_path):
+    """Recorded cdc files carry PHYSICAL column names like data files:
+    after a metadata-only RENAME, update-class DML still records, the
+    stream still serves logical names, and recorded == derived."""
+    vt = _mk(spark, tmp_path, "cm")
+    vt.rename_column("s", "status")
+    v = vt.update_where({"p": "p + 1"}, "k % 3 = 0")
+    rec = _rec(vt, v)
+    assert rec.get("cdc")
+    rd = _VersionedChangeFeedStreamReader(vt.path, _cdf_schema(vt), 0, ["k"])
+    parts = rd.partitions({"version": v - 1}, {"version": v})
+    rows = []
+    for p in parts:
+        assert isinstance(p, _CFRecordedPartition)
+        for b in rd.read(p):
+            rows.extend(pa.Table.from_batches([b]).to_pylist())
+    assert rows and all("status" in r for r in rows)
+    want = _derived_rows(vt, v)
+    key = lambda r: (r["_change_type"], r["k"], r["status"], round(r["p"], 6))  # noqa: E731
+    assert sorted(map(key, rows)) == sorted(map(key, want))
 
 
 def test_disable_stops_recording(spark, tmp_path):
