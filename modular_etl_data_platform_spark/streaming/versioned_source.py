@@ -1104,6 +1104,74 @@ class _VersionedBatchReaderBase(DataSourceReader):
         )
 
 
+class _VersionedChangeFeedBatchReader(DataSourceReader):
+    """``spark.read.format("versioned_table").option("read_changes",
+    "true")`` — BATCH readChangeFeed through the standard reader API
+    (Delta's ``startingVersion``/``endingVersion`` batch CDF): emits
+    one row-level slice per version in ``(starting_version,
+    ending_version]`` with ``_change_type`` / ``_commit_version`` /
+    ``_commit_timestamp``, planned and read by the SAME classifier the
+    streaming source runs (recorded ``_change_data`` files first,
+    per-added-file inserts for blind appends, PK-hash-sharded diffs as
+    the fallback) — so the batch and streaming feeds can never
+    disagree. ``primary_keys`` is required only when some version in
+    range actually needs the derived fallback (same contract as
+    ``VersionedTable.read_change_feed``)."""
+
+    def __init__(
+        self,
+        table: str,
+        cdf_schema: StructType,
+        since_version: int,
+        end_version: int | None,
+        primary_keys: list[str],
+        diff_partition_bytes: int,
+    ):
+        # primary keys may be legitimately absent when every version in
+        # range is recorded or insert-only; the inner reader requires
+        # SOME key list, so default to the first table column — it is
+        # only consulted on the derived-diff path, which we refuse
+        # below when no keys were given
+        data_cols = [
+            f.name for f in cdf_schema.fields if f.name not in _CDF_COLS
+        ]
+        self._explicit_pks = bool(primary_keys)
+        self.inner = _VersionedChangeFeedStreamReader(
+            table,
+            cdf_schema,
+            since_version,
+            primary_keys or data_cols[:1],
+            diff_partition_bytes=diff_partition_bytes,
+        )
+        self.v0 = since_version
+        head = self.inner.log.current_version() or 0
+        self.v1 = head if end_version is None else end_version
+
+    def partitions(self) -> list[InputPartition]:
+        parts = self.inner.partitions(
+            {"version": self.v0}, {"version": self.v1}
+        )
+        if not self._explicit_pks and any(
+            isinstance(p, _CFDiffPartition) for p in parts
+        ):
+            bad = sorted(
+                {
+                    p.version
+                    for p in parts
+                    if isinstance(p, _CFDiffPartition)
+                }
+            )
+            raise ValueError(
+                f"version(s) {bad} have no recorded CDC and are not "
+                "insert-only — deriving their slices requires "
+                ".option('primary_keys', 'k1,k2')"
+            )
+        return parts
+
+    def read(self, partition) -> Iterator:
+        return self.inner.read(partition)
+
+
 class _VersionedBatchReader(_VersionedBatchReaderBase):
     """The pushdown-capable variant: ``pushFilters`` turns Spark's
     pushed predicates into FILE skipping against the log's recorded
@@ -1203,10 +1271,26 @@ class VersionedTableStreamDataSource(DataSource):
             )
         return schema
 
-    def reader(self, schema: StructType) -> _VersionedBatchReaderBase:
+    def reader(self, schema: StructType) -> DataSourceReader:
         from pyspark.sql import SparkSession
 
         log = CommitLog(path=self._table())
+        if self._read_changes():
+            # batch CDF: Delta's startingVersion/endingVersion read
+            pks = self.options.get("primary_keys", "")
+            end = self.options.get("ending_version")
+            return _VersionedChangeFeedBatchReader(
+                self._table(),
+                schema,
+                int(self.options.get("starting_version", 0)),
+                int(end) if end is not None else None,
+                [k.strip() for k in pks.split(",") if k.strip()],
+                int(
+                    self.options.get(
+                        "diff_partition_bytes", 128 * 1024 * 1024
+                    )
+                ),
+            )
         sess = SparkSession.getActiveSession()
         pushdown = (
             sess is not None

@@ -497,3 +497,88 @@ def test_constraints_enforced_on_combined_landing(spark, tmp_path):
     # and the DELETE slice's change rows (old images) never trip a
     # constraint added after the fact
     vt.update_where({"p": "p + 1"}, "k < 5")
+
+
+def test_batch_format_api_change_feed(spark, tmp_path):
+    """Batch readChangeFeed through the standard reader API
+    (`spark.read.format("versioned_table").option("read_changes",...)`):
+    per-commit slices equal to VersionedTable.read_change_feed, served
+    from recorded files and insert derivation without primary keys;
+    a derived-fallback range without keys fails loudly at planning."""
+    from pyspark.sql.utils import AnalysisException  # noqa: F401
+    from modular_etl_data_platform_spark.streaming.versioned_source import (
+        VersionedTableStreamDataSource,
+    )
+
+    spark.dataSource.register(VersionedTableStreamDataSource)
+    vt = _mk(spark, tmp_path, "bf")
+    v3 = vt.update_where({"p": "p + 1"}, "k < 10")
+    v4 = vt.write(
+        spark.range(100, 105).select(
+            F.col("id").alias("k"),
+            F.lit("A").alias("s"),
+            F.lit(0.0).alias("p"),
+        ),
+        mode="append",
+    )
+    got = (
+        spark.read.format("versioned_table")
+        .option("path", vt.path)
+        .option("read_changes", "true")
+        .option("starting_version", "2")
+        .load()
+    )
+    rows = [r.asDict() for r in got.collect()]  # no primary_keys needed:
+    # v3 recorded, v4 derives from its add actions
+    want = [
+        r.asDict()
+        for r in vt.read_change_feed(2).collect()
+    ]
+    key = lambda r: (  # noqa: E731
+        r["_commit_version"], r["_change_type"], r["k"], r["s"],
+        None if r["p"] is None else round(r["p"], 6),
+    )
+    assert sorted(map(key, rows)) == sorted(map(key, want))
+    assert {r["_commit_version"] for r in rows} == {v3, v4}
+    # ending_version bounds the range
+    only3 = (
+        spark.read.format("versioned_table")
+        .option("path", vt.path)
+        .option("read_changes", "true")
+        .option("starting_version", "2")
+        .option("ending_version", str(v3))
+        .load()
+        .collect()
+    )
+    assert {r["_commit_version"] for r in only3} == {v3}
+    # a CDC-less update-class version needs keys: loud planning error
+    vt2 = VersionedTable(
+        spark, os.path.join(str(tmp_path), "bf2"), stats_columns=["k"]
+    )
+    vt2.write(
+        spark.range(10).select(
+            F.col("id").alias("k"), F.lit("x").alias("s"),
+            F.lit(1.0).alias("p"),
+        )
+    )
+    vt2.update_where({"p": "p + 1"}, "k < 5")
+    nokeys = (
+        spark.read.format("versioned_table")
+        .option("path", vt2.path)
+        .option("read_changes", "true")
+        .option("starting_version", "1")
+        .load()
+    )
+    with pytest.raises(Exception, match="primary_keys"):
+        nokeys.collect()
+    # with keys the derived fallback serves it
+    withkeys = (
+        spark.read.format("versioned_table")
+        .option("path", vt2.path)
+        .option("read_changes", "true")
+        .option("starting_version", "1")
+        .option("primary_keys", "k")
+        .load()
+        .collect()
+    )
+    assert {r["_change_type"] for r in withkeys} == {"update_postimage"}
