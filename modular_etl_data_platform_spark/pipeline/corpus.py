@@ -322,7 +322,16 @@ def stream_curate_versioned(
         )
         if curated.current_version() is not None:
             seen = curated.read().select("fingerprint").dropDuplicates()
-            uniq = uniq.join(F.broadcast(seen), "fingerprint", "left_anti")
+            # broadcast the accepted-fingerprint set only while the
+            # curated table is small (sizes ride the log — metadata-only
+            # check); past the cap the anti-join shuffles instead of
+            # OOMing the driver. At 100 TB the right layout is bucketing
+            # the curated table by fingerprint prefix so this join
+            # prunes files; the batch side is always micro-batch-sized.
+            st = curated.log.resolve(curated.current_version())
+            if sum(st.get("sizes", {}).values()) <= 256 * 1024 * 1024:
+                seen = F.broadcast(seen)
+            uniq = uniq.join(seen, "fingerprint", "left_anti")
         uniq = uniq.withColumn(
             "n_tokens", F.size(F.split(F.col("text"), " ")).cast("long")
         )
