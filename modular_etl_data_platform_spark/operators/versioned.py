@@ -4722,6 +4722,7 @@ class VersionedTable:
             "constraints": st.get("constraints", {}),
             "generated": st.get("generated", {}),
             "cluster_by": st.get("cluster_by", []),
+            "change_data_feed": st.get("cdf") or {},
             "column_mapping_mode": (
                 "name" if st.get("column_mapping") is not None else "none"
             ),
