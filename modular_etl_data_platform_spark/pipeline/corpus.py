@@ -244,13 +244,17 @@ def stream_curate_versioned(
     nb_buckets: int = 4096,
     bin_tokens: int = 512,
     app_id: str = "stream_curate",
+    dedup_state: str = "index",
+    fp_index_path: str | None = None,
+    fp_index_buckets: int = 1024,
 ):
     """The curation pipeline run CONTINUOUSLY — the streaming twin of
     the q171 batch composition, the production shape for crawl intake:
 
     versioned intake feed → NB model filter → cross-batch exact dedup
-    → per-batch UniMax allocation → per-language FFD packing → ONE
-    curated-table version per micro-batch, txn-idempotent.
+    → per-batch UniMax allocation → per-language sorted contiguous
+    binning → ONE curated-table version per micro-batch,
+    txn-idempotent.
 
     - **Intake** is a versioned table (the crawl landing zone, written
       by any producer through the commit protocol); the stream is its
@@ -265,26 +269,47 @@ def stream_curate_versioned(
       nb_train` model trained OFFLINE (yesterday's curated corpus) —
       the ≤buckets+2-row model broadcasts into every batch; scoring is
       one explode + one broadcast join, batch-bounded.
-    - **Cross-batch dedup**: within-batch keep-min-doc_id per text
-      fingerprint, then an anti-join against the CURATED table's
-      fingerprints — the already-accepted state is the dedup index
-      (at 100 TB: partition/bucket the curated table by a fingerprint
-      prefix so the anti-join prunes files; the batch side is small).
+    - **Cross-batch dedup** (``dedup_state="index"``, the default):
+      within-batch keep-min-doc_id per text fingerprint, then an
+      anti-join against a PERSISTED, bucket-clustered accepted-
+      fingerprint index (:class:`corpus.state_index.
+      BucketedStateIndex`) maintained by this same foreachBatch under
+      its own (app, batch) transaction. The probe opens only the index
+      files whose recorded bucket range intersects the batch's buckets
+      — per-batch probe I/O is batch-proportional at ANY accepted-
+      corpus size, never a corpus scan. ``dedup_state="scan"`` keeps
+      the legacy full-scan anti-join against the curated table's
+      fingerprints (exact same semantics, O(corpus) I/O per batch —
+      retained for the index-equals-scan property tests).
     - **UniMax + packing**: the batch's OWN language allocation
       (closed-form water-filling over L language rows) rides every
       curated row as (capped, alloc_tokens, epochs), and documents
-      pack into ``bin_tokens`` FFD bins per language (window over the
-      batch partition — batch-bounded, never corpus-wide).
+      pack into ``bin_tokens`` bins per language by sorted contiguous
+      binning — longest-first order cut every ``bin_tokens`` tokens
+      (``curation.packing_plan``'s contiguous-fill approximation of
+      first-fit-decreasing; a window over the batch partition —
+      batch-bounded, never corpus-wide).
     - **Exactly-once**: each micro-batch publishes ONE curated version
       through ``VersionedTable.write(append, txn_app_id, txn_version=
       batch_id)`` — a retried batch (crash between commit and
       checkpoint, or a replay against a rebuilt checkpoint) is a
-      no-op, Delta's foreachBatch-idempotence contract.
+      no-op, Delta's foreachBatch-idempotence contract. The index
+      append lands AFTER the curated commit under txn app
+      ``{app_id}#fpidx``: a crash in the window between them leaves
+      the index one batch behind the curated table, and the replayed
+      batch (the stream checkpoint was never advanced) re-runs the
+      probe against that same pre-batch index state, no-ops the
+      curated write, and lands the missing index append — the index
+      therefore always equals the curated fingerprint set at every
+      probe.
 
     Returns the started StreamingQuery (availableNow)."""
     from pyspark.sql import Window
 
     from modular_etl_data_platform_spark.corpus import curation as ccur
+    from modular_etl_data_platform_spark.corpus.state_index import (
+        BucketedStateIndex,
+    )
     from modular_etl_data_platform_spark.operators.versioned import (
         VersionedTable,
     )
@@ -292,6 +317,10 @@ def stream_curate_versioned(
         VersionedTableStreamDataSource,
     )
 
+    if dedup_state not in ("index", "scan"):
+        raise ValueError(
+            f"dedup_state must be 'index' or 'scan', got {dedup_state!r}"
+        )
     spark.dataSource.register(VersionedTableStreamDataSource)
     # sentinel-validate the model at stream DEFINITION (a malformed
     # model must fail the start(), not batch 17)
@@ -306,8 +335,16 @@ def stream_curate_versioned(
         .load()
     )
 
+    fpidx_path = fp_index_path or (curated_path.rstrip("/") + "_fpidx")
+
     def process(batch: DataFrame, batch_id: int) -> None:
         curated = VersionedTable(spark, curated_path)
+        fpidx = BucketedStateIndex(
+            spark,
+            fpidx_path,
+            key_cols=["fingerprint"],
+            n_buckets=fp_index_buckets,
+        )
         scores = ccur.nb_apply(batch, model, buckets=nb_buckets)
         surv = batch.join(
             scores.filter("pred").select("doc_id", "score"), "doc_id"
@@ -320,14 +357,20 @@ def stream_curate_versioned(
             .filter(F.col("__rn") == 1)
             .drop("__rn")
         )
-        if curated.current_version() is not None:
+        if dedup_state == "index":
+            # cross-batch dedup against the persisted fingerprint
+            # index: the probe opens only the batch's bucket-
+            # intersecting index files — batch-proportional I/O at any
+            # accepted-corpus size (the 100 TB design point; the scan
+            # branch below is the O(corpus)-per-batch shape it
+            # replaces)
+            uniq = fpidx.anti_join(uniq)
+        elif curated.current_version() is not None:
             seen = curated.read().select("fingerprint").dropDuplicates()
             # broadcast the accepted-fingerprint set only while the
             # curated table is small (sizes ride the log — metadata-only
             # check); past the cap the anti-join shuffles instead of
-            # OOMing the driver. At 100 TB the right layout is bucketing
-            # the curated table by fingerprint prefix so this join
-            # prunes files; the batch side is always micro-batch-sized.
+            # OOMing the driver
             st = curated.log.resolve(curated.current_version())
             if sum(st.get("sizes", {}).values()) <= 256 * 1024 * 1024:
                 seen = F.broadcast(seen)
@@ -360,12 +403,31 @@ def stream_curate_versioned(
                 "epochs",
             )
         )
-        curated.write(
-            out,
-            mode="append" if curated.current_version() else "overwrite",
-            txn_app_id=app_id,
-            txn_version=batch_id,
-        )
+        if dedup_state == "index":
+            # two consumers below (curated commit + index append):
+            # cache so the NB-score/dedup/allocation pipeline runs once
+            # per batch, not per write job
+            out = out.cache()
+        try:
+            curated.write(
+                out,
+                mode="append" if curated.current_version() else "overwrite",
+                txn_app_id=app_id,
+                txn_version=batch_id,
+            )
+            if dedup_state == "index":
+                # maintain the accepted-fingerprint index AFTER the
+                # curated commit (crash-window analysis in the entry
+                # docstring); its own (app#fpidx, batch) txn makes
+                # replays no-ops
+                fpidx.append(
+                    out.select("fingerprint"),
+                    txn_app_id=f"{app_id}#fpidx",
+                    txn_version=batch_id,
+                )
+        finally:
+            if dedup_state == "index":
+                out.unpersist()
 
     return (
         stream.writeStream.foreachBatch(process)

@@ -2490,7 +2490,8 @@ def q171_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality suite (q165) -> NB quality-classifier filter (q167) ->
     near-dup clusters + best-scoring representatives (q49/q104) ->
     UniMax language allocation (q168) -> per-language token-budget
-    packing (q51's FFD windows partitioned by language) — every stage
+    packing (q51's sorted contiguous-binning windows partitioned by
+    language) — every stage
     consuming the SAME cached base projection, so the parquet scan
     happens once no matter how many operators compose (asserted
     in-query on the executed plans: downstream stages read
@@ -2743,7 +2744,8 @@ def q174_streaming_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep-min-doc_id) and against the already-CURATED state (the
     accepted corpus is the dedup index), (3) computes the batch's OWN
     UniMax language allocation, (4) packs survivors into per-language
-    512-token FFD bins, and (5) publishes exactly ONE curated-table
+    512-token bins by sorted contiguous binning (packing_plan's
+    contiguous-fill approximation of FFD), and (5) publishes ONE curated
     version with a recorded (app, batch_id) transaction. The oracle
     replays the WHOLE composition relationally — NB LLRs over the full
     corpus, batch membership, the global first-occurrence dedup rank,
