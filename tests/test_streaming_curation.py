@@ -1,7 +1,7 @@
 """Streaming curation composition (pipeline/corpus.py::
 stream_curate_versioned — the q171 batch flagship running continuously):
 versioned intake feed → NB model filter → cross-batch exact dedup →
-per-batch UniMax + FFD packing → one curated version per micro-batch
+per-batch UniMax + sorted contiguous binning → one curated version per micro-batch
 with a recorded (app, batch_id) transaction.
 
 q174 oracle-pins the full composition against DuckDB; this file pins
@@ -145,7 +145,7 @@ def test_per_batch_unimax_and_packing(spark, setup):
         cur.select("batch", "lang").distinct().collect()
     )  # constant within (batch, lang)
     # packing: no bin exceeds the 24-token budget except singleton bins
-    # (FFD puts an oversized doc alone in its bin)
+    # (contiguous binning leaves an oversized doc alone in its bin)
     bins = (
         cur.groupBy("batch", "lang", "bin_id")
         .agg(
@@ -155,3 +155,130 @@ def test_per_batch_unimax_and_packing(spark, setup):
     )
     for r in bins:
         assert r["t"] <= 24 or r["n"] == 1
+
+
+def _rand_docs(spark, rng, n_start, n):
+    rows = []
+    vocab_good = ["alpha", "beta", "gamma", "delta"]
+    vocab_bad = ["zzz", "spam", "junk", "noise"]
+    for i in range(n_start, n_start + n):
+        good = rng.random() < 0.6
+        base = vocab_good if good else vocab_bad
+        words = [rng.choice(base) for _ in range(rng.randrange(6, 18))]
+        rows.append(
+            (i, " ".join(words), rng.choice(["en", "fr", "de"]),
+             "src0" if good else "crawl")
+        )
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+
+
+def test_index_mode_equals_scan_mode_on_random_histories(spark, tmp_path):
+    """The bucketed-index dedup and the legacy full-scan dedup accept
+    IDENTICAL rows over random multi-batch histories with organic
+    cross-batch duplicate texts (short random texts collide across
+    batches by construction) — the probe's file pruning is invisible to
+    semantics, batch by batch, end to end through the real stream."""
+    import random
+
+    rng = random.Random(175)
+    all_docs = _rand_docs(spark, rng, 0, 90)
+    model = ccur.nb_train(all_docs, "source = 'src0'", buckets=_B)
+    paths = {
+        m: {
+            "intake": os.path.join(str(tmp_path), m, "intake"),
+            "curated": os.path.join(str(tmp_path), m, "curated"),
+            "ckpt": os.path.join(str(tmp_path), m, "ckpt"),
+        }
+        for m in ("index", "scan")
+    }
+    cuts = [0, 30, 55, 62, 90]  # uneven batches, incl. a small one
+    for b in range(len(cuts) - 1):
+        batch = all_docs.filter(
+            (F.col("doc_id") >= cuts[b]) & (F.col("doc_id") < cuts[b + 1])
+        )
+        for m in ("index", "scan"):
+            VersionedTable(spark, paths[m]["intake"]).write(
+                batch, mode="append" if b else "overwrite"
+            )
+            q = stream_curate_versioned(
+                spark,
+                paths[m]["intake"],
+                paths[m]["curated"],
+                model,
+                paths[m]["ckpt"],
+                nb_buckets=_B,
+                bin_tokens=24,
+                app_id="tp",
+                dedup_state=m,
+                fp_index_buckets=16,
+            )
+            q.awaitTermination(120)
+        a = VersionedTable(spark, paths["index"]["curated"]).read()
+        b_ = VersionedTable(spark, paths["scan"]["curated"]).read()
+        cols = sorted(a.columns)
+        rows_a = sorted(map(tuple, a.select(*cols).collect()))
+        rows_b = sorted(map(tuple, b_.select(*cols).collect()))
+        assert rows_a == rows_b, f"batch {b}: index-mode != scan-mode"
+    assert rows_a  # the history actually accepted something
+
+
+def test_index_crash_window_recovery(spark, tmp_path, monkeypatch):
+    """Crash INSIDE the documented window — after the curated commit,
+    before the index append: the replayed batch must no-op the curated
+    write, land the missing index append, and the next batch's dedup
+    must still drop cross-batch duplicates (the index caught back up to
+    the curated state)."""
+    from modular_etl_data_platform_spark.corpus import state_index
+
+    docs = _docs(spark)
+    model = ccur.nb_train(docs, "source = 'src0'", buckets=_B)
+    intake = VersionedTable(spark, os.path.join(str(tmp_path), "intake"))
+    curated_path = os.path.join(str(tmp_path), "curated")
+    curated = VersionedTable(spark, curated_path)
+    ckpt = os.path.join(str(tmp_path), "ckpt")
+
+    def drain():
+        q = stream_curate_versioned(
+            spark, intake.path, curated_path, model, ckpt,
+            nb_buckets=_B, bin_tokens=24, app_id="tc",
+        )
+        q.awaitTermination(120)
+
+    real_append = state_index.BucketedStateIndex.append
+    boom = {"armed": True}
+
+    def flaky_append(self, df, txn_app_id=None, txn_version=None):
+        if boom["armed"]:
+            boom["armed"] = False
+            raise RuntimeError("injected crash between commit and index append")
+        return real_append(
+            self, df, txn_app_id=txn_app_id, txn_version=txn_version
+        )
+
+    monkeypatch.setattr(state_index.BucketedStateIndex, "append", flaky_append)
+    intake.write(docs.filter("doc_id < 20"))
+    # batch 0's foreachBatch dies AFTER the curated commit; the failed
+    # stream surfaces the injected error through awaitTermination
+    with pytest.raises(Exception, match="injected crash"):
+        drain()
+    assert curated.current_version() == 1  # commit landed before the crash
+    fpidx = state_index.BucketedStateIndex(
+        spark, curated_path + "_fpidx", key_cols=["fingerprint"]
+    )
+    assert not fpidx.exists()  # the index append never happened
+    drain()  # replay: curated no-op, index catches up
+    assert curated.current_version() == 1
+    assert fpidx.exists()
+    assert (
+        fpidx.table.read().count()
+        == curated.read().select("fingerprint").distinct().count()
+    )
+    # and cross-batch dedup still holds for the NEXT batch
+    resub = docs.filter("doc_id < 20 AND doc_id % 4 = 0").withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1000)
+    )
+    intake.write(resub, mode="append")
+    drain()
+    assert curated.read().filter("doc_id >= 1000").count() == 0
