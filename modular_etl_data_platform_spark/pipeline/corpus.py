@@ -247,6 +247,13 @@ def stream_curate_versioned(
     dedup_state: str = "index",
     fp_index_path: str | None = None,
     fp_index_buckets: int = 1024,
+    near_dedup: bool = False,
+    near_threshold: float = 0.5,
+    shingle_n: int = 3,
+    sig_index_path: str | None = None,
+    sig_index_buckets: int = 1024,
+    benchmark: DataFrame | None = None,
+    decont_n: int = 5,
 ):
     """The curation pipeline run CONTINUOUSLY — the streaming twin of
     the q171 batch composition, the production shape for crawl intake:
@@ -281,6 +288,25 @@ def stream_curate_versioned(
       the legacy full-scan anti-join against the curated table's
       fingerprints (exact same semantics, O(corpus) I/O per batch —
       retained for the index-equals-scan property tests).
+    - **Cross-batch NEAR-dup** (``near_dedup=True``): the q171 batch
+      flagship's blocking scheme run continuously — each batch doc's
+      distinct ``shingle_n``-shingle hash set with its min-shingle
+      block key ``bk``. Within the batch, a doc is dropped when any
+      LOWER-id batch doc in its block verifies at Jaccard ≥
+      ``near_threshold`` (greedy keep-lowest — deterministic and
+      relationally replayable without recursion). Across batches, the
+      ACCEPTED corpus's signatures live in a second
+      :class:`BucketedStateIndex` keyed on ``bk`` with the accepted
+      doc's shingle set as payload — the batch probes only its block
+      keys' bucket-intersecting files, verifies candidates by exact
+      Jaccard on the stored sets (never re-reading accepted text), and
+      drops verified matches. Batch-proportional I/O, the q60
+      incremental-near-dup shape with persisted, file-pruned state.
+    - **Decontamination** (``benchmark`` given): the batch drops every
+      doc sharing a word ``decont_n``-gram hash with the benchmark
+      set (``curation.decontaminate`` — the probe's gram set is
+      deduplicated and broadcast; the batch side is one explode +
+      broadcast join, batch-bounded).
     - **UniMax + packing**: the batch's OWN language allocation
       (closed-form water-filling over L language rows) rides every
       curated row as (capped, alloc_tokens, epochs), and documents
@@ -336,6 +362,7 @@ def stream_curate_versioned(
     )
 
     fpidx_path = fp_index_path or (curated_path.rstrip("/") + "_fpidx")
+    sigidx_path = sig_index_path or (curated_path.rstrip("/") + "_sigidx")
 
     def process(batch: DataFrame, batch_id: int) -> None:
         curated = VersionedTable(spark, curated_path)
@@ -344,6 +371,13 @@ def stream_curate_versioned(
             fpidx_path,
             key_cols=["fingerprint"],
             n_buckets=fp_index_buckets,
+        )
+        sigidx = BucketedStateIndex(
+            spark,
+            sigidx_path,
+            key_cols=["bk"],
+            n_buckets=sig_index_buckets,
+            payload_cols=["acc_id", "acc_sh"],
         )
         scores = ccur.nb_apply(batch, model, buckets=nb_buckets)
         surv = batch.join(
@@ -375,6 +409,65 @@ def stream_curate_versioned(
             if sum(st.get("sizes", {}).values()) <= 256 * 1024 * 1024:
                 seen = F.broadcast(seen)
             uniq = uniq.join(seen, "fingerprint", "left_anti")
+        sigs = None
+        if near_dedup:
+            # shingle sets + min-shingle block key (the q171 blocking
+            # scheme) for every exact-dedup survivor
+            sigs = uniq.select(
+                "doc_id",
+                F.array_distinct(
+                    F.expr(dedup.shingles_sql("text", shingle_n))
+                ).alias("sh"),
+            ).withColumn("bk", F.array_min("sh"))
+
+            def _jac(a_sh, b_sh):
+                inter = F.size(F.array_intersect(a_sh, b_sh))
+                return inter.cast("double") / (
+                    F.size(a_sh) + F.size(b_sh) - inter
+                )
+
+            # within-batch greedy keep-lowest: a doc drops when ANY
+            # lower-id batch doc in its block verifies at >= threshold
+            # (flat EXISTS — no cluster recursion, deterministic, and
+            # relationally replayable; block join is batch x batch)
+            low = sigs.select(
+                F.col("doc_id").alias("p_id"),
+                F.col("bk").alias("p_bk"),
+                F.col("sh").alias("p_sh"),
+            )
+            near_within = (
+                sigs.join(
+                    low,
+                    (F.col("bk") == F.col("p_bk"))
+                    & (F.col("p_id") < F.col("doc_id")),
+                )
+                .filter(_jac(F.col("sh"), F.col("p_sh")) >= near_threshold)
+                .select("doc_id")
+                .distinct()
+            )
+            uniq = uniq.join(near_within, "doc_id", "left_anti")
+            sigs = sigs.join(near_within, "doc_id", "left_anti")
+            if sigidx.exists():
+                # cross-batch: probe the accepted-signature index by
+                # block key (file-pruned to the batch's bk buckets) and
+                # verify candidates by exact Jaccard on the STORED
+                # shingle sets — the accepted corpus's text is never
+                # re-read
+                cand = sigidx.matches(sigs.select("doc_id", "bk", "sh"))
+                near_acc = (
+                    cand.filter(
+                        _jac(F.col("sh"), F.col("acc_sh")) >= near_threshold
+                    )
+                    .select("doc_id")
+                    .distinct()
+                )
+                uniq = uniq.join(near_acc, "doc_id", "left_anti")
+                sigs = sigs.join(near_acc, "doc_id", "left_anti")
+        if benchmark is not None:
+            contam = ccur.decontaminate(
+                uniq, benchmark, n=decont_n
+            ).filter("is_contaminated")
+            uniq = uniq.join(contam.select("doc_id"), "doc_id", "left_anti")
         uniq = uniq.withColumn(
             "n_tokens", F.size(F.split(F.col("text"), " ")).cast("long")
         )
@@ -403,10 +496,11 @@ def stream_curate_versioned(
                 "epochs",
             )
         )
-        if dedup_state == "index":
-            # two consumers below (curated commit + index append):
-            # cache so the NB-score/dedup/allocation pipeline runs once
-            # per batch, not per write job
+        multi_use = dedup_state == "index" or near_dedup
+        if multi_use:
+            # multiple consumers below (curated commit + index
+            # appends): cache so the NB-score/dedup/allocation pipeline
+            # runs once per batch, not per write job
             out = out.cache()
         try:
             curated.write(
@@ -425,8 +519,23 @@ def stream_curate_versioned(
                     txn_app_id=f"{app_id}#fpidx",
                     txn_version=batch_id,
                 )
+            if near_dedup:
+                # accepted docs' signatures join the block-key index
+                # (post-decontam survivors only — a contaminated doc is
+                # not accepted state; its future duplicates fail the
+                # same broadcast decontamination instead)
+                sigidx.append(
+                    sigs.join(out.select("doc_id"), "doc_id", "left_semi")
+                    .select(
+                        F.col("bk"),
+                        F.col("doc_id").alias("acc_id"),
+                        F.col("sh").alias("acc_sh"),
+                    ),
+                    txn_app_id=f"{app_id}#sigidx",
+                    txn_version=batch_id,
+                )
         finally:
-            if dedup_state == "index":
+            if multi_use:
                 out.unpersist()
 
     return (

@@ -282,3 +282,75 @@ def test_index_crash_window_recovery(spark, tmp_path, monkeypatch):
     intake.write(resub, mode="append")
     drain()
     assert curated.read().filter("doc_id >= 1000").count() == 0
+
+
+def _near_setup(spark, tmp_path, benchmark=None):
+    docs = _docs(spark)
+    model = ccur.nb_train(docs, "source = 'src0'", buckets=_B)
+    intake = VersionedTable(spark, os.path.join(str(tmp_path), "intake"))
+    curated_path = os.path.join(str(tmp_path), "curated")
+    ckpt = os.path.join(str(tmp_path), "ckpt")
+
+    def drain():
+        q = stream_curate_versioned(
+            spark, intake.path, curated_path, model, ckpt,
+            nb_buckets=_B, bin_tokens=24, app_id="tn",
+            near_dedup=True, near_threshold=0.5, benchmark=benchmark,
+        )
+        q.awaitTermination(120)
+
+    return docs, intake, VersionedTable(spark, curated_path), drain
+
+
+def test_stream_near_dedup_cross_batch(spark, tmp_path):
+    """A later batch's lightly-perturbed copies of accepted texts (one
+    appended token — Jaccard ~0.9 on 3-shingles) are dropped by the
+    signature-index probe; genuinely new texts still land."""
+    docs, intake, curated, drain = _near_setup(spark, tmp_path)
+    intake.write(docs.filter("doc_id < 20"))
+    drain()
+    accepted_v1 = {r.doc_id for r in curated.read().select("doc_id").collect()}
+    assert accepted_v1  # the NB filter kept the positive class
+    # perturbed twins of ACCEPTED docs under fresh ids + one new doc
+    twins = (
+        docs.filter(F.col("doc_id").isin([i for i in accepted_v1]))
+        .withColumn("doc_id", F.col("doc_id") + F.lit(2000))
+        .withColumn("text", F.concat(F.col("text"), F.lit(" perturb")))
+    )
+    fresh = spark.createDataFrame(
+        [(3000, "omega psi chi phi upsilon tau sigma rho", "en", "src0")],
+        "doc_id long, text string, lang string, source string",
+    )
+    intake.write(twins.unionByName(fresh), mode="append")
+    drain()
+    cur = curated.read()
+    landed_twins = cur.filter(
+        (F.col("doc_id") >= 2000) & (F.col("doc_id") < 3000)
+    ).count()
+    assert landed_twins == 0, "a perturbed near-dup of accepted state landed"
+    assert cur.filter("doc_id = 3000").count() == 1  # new text still lands
+
+
+def test_stream_near_dedup_within_batch_keeps_lowest(spark, tmp_path):
+    docs, intake, curated, drain = _near_setup(spark, tmp_path)
+    base = docs.filter("doc_id = 0")
+    near_twin = base.withColumn("doc_id", F.lit(5000).cast("long")).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" zz"))
+    )
+    intake.write(base.unionByName(near_twin))
+    drain()
+    got = sorted(r.doc_id for r in curated.read().select("doc_id").collect())
+    assert got == [0]  # greedy keep-lowest dropped the higher-id twin
+
+
+def test_stream_decontamination(spark, tmp_path):
+    docs = _docs(spark)
+    # benchmark = the full text of one positive-class doc: every doc
+    # sharing a 5-gram with it (itself and its near-copies) must drop
+    bench = docs.filter("doc_id = 2").select("text")
+    _, intake, curated, drain = _near_setup(spark, tmp_path, benchmark=bench)
+    intake.write(docs.filter("doc_id < 20"))
+    drain()
+    cur = curated.read()
+    assert cur.filter("doc_id = 2").count() == 0, "contaminated doc landed"
+    assert cur.count() > 0  # the stage didn't nuke the whole batch
