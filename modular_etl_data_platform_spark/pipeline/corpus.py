@@ -410,7 +410,14 @@ def stream_curate_versioned(
                 seen = F.broadcast(seen)
             uniq = uniq.join(seen, "fingerprint", "left_anti")
         sigs = None
+        persisted = []
         if near_dedup:
+            # the shingle self-join below evaluates its input twice
+            # inside one job (Spark has no common-subexpression reuse
+            # across join sides), and uniq feeds several more
+            # consumers — pin the exact-dedup survivors once
+            uniq = uniq.cache()
+            persisted.append(uniq)
             # shingle sets + min-shingle block key (the q171 blocking
             # scheme) for every exact-dedup survivor
             sigs = uniq.select(
@@ -463,6 +470,10 @@ def stream_curate_versioned(
                 )
                 uniq = uniq.join(near_acc, "doc_id", "left_anti")
                 sigs = sigs.join(near_acc, "doc_id", "left_anti")
+            # the signature-index append re-reads sigs after the
+            # curated commit — pin the surviving signatures
+            sigs = sigs.cache()
+            persisted.append(sigs)
         if benchmark is not None:
             contam = ccur.decontaminate(
                 uniq, benchmark, n=decont_n
@@ -502,6 +513,7 @@ def stream_curate_versioned(
             # appends): cache so the NB-score/dedup/allocation pipeline
             # runs once per batch, not per write job
             out = out.cache()
+            persisted.append(out)
         try:
             curated.write(
                 out,
@@ -535,8 +547,8 @@ def stream_curate_versioned(
                     txn_version=batch_id,
                 )
         finally:
-            if multi_use:
-                out.unpersist()
+            for frame in persisted:
+                frame.unpersist()
 
     return (
         stream.writeStream.foreachBatch(process)

@@ -3077,3 +3077,394 @@ def q175_streaming_fp_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct("bin_id").alias("n_bins"),
         )
     )
+
+
+_Q176_THR = 0.5
+
+
+def _q176_oracle() -> str:
+    """Relational replay of the FULL streaming composition of q176 —
+    intake-text NB scoring (left-join + fully-smoothed default LLR,
+    exactly nb_apply's contract), per-batch exact dedup (within-batch
+    min-id + not-in-accepted), within-batch greedy near-dup
+    (keep-lowest over min-shingle blocks at Jaccard >= 0.5), cross-batch
+    near-dup against the ACCUMULATED accepted signatures, benchmark
+    5-gram decontamination, then the per-batch UniMax + contiguous
+    binning tail. The three batches chain as acc_0 -> acc_1 -> acc_2
+    (acceptance is sequential state — each batch dedups against exactly
+    what earlier batches accepted, the streaming semantics)."""
+    sh3 = cdedup.shingles_duckdb("text", 3)
+    gram = ccur.ngram_hashes_duckdb("text", 5)
+
+    def jac(a: str, b: str) -> str:
+        return (
+            f"CAST(len(list_intersect({a}, {b})) AS DOUBLE) / "
+            f"(len({a}) + len({b}) - len(list_intersect({a}, {b})))"
+        )
+
+    cond = (
+        "2 * n_tokens * (L - i + 1) <= "
+        "CAST(T * 3 // 2 AS BIGINT) - 2 * (P - n_tokens)"
+    )
+    chain = []
+    for b in range(3):
+        prev = f"acc_{b - 1}" if b else "acc_m1"
+        chain.append(
+            f"""
+    cand_{b} AS (
+      SELECT i.doc_id, i.text, i.lang, i.batch
+      FROM intake i JOIN inb ON inb.doc_id = i.doc_id
+      WHERE i.batch = {b} AND inb.pred
+    ),
+    exact_{b} AS (
+      SELECT * FROM cand_{b}
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+    ),
+    exacc_{b} AS (
+      SELECT e.* FROM exact_{b} e
+      WHERE md5(e.text) NOT IN (SELECT md5(text) FROM {prev})
+    ),
+    shg_{b} AS (
+      SELECT doc_id, text, lang, batch, sh, list_min(sh) AS bk
+      FROM (SELECT *, list_distinct({sh3}) AS sh FROM exacc_{b})
+    ),
+    nwdrop_{b} AS (
+      SELECT DISTINCT s.doc_id
+      FROM shg_{b} s JOIN shg_{b} p
+        ON p.bk = s.bk AND p.doc_id < s.doc_id
+      WHERE {jac('p.sh', 's.sh')} >= {_Q176_THR}
+    ),
+    nw_{b} AS (
+      SELECT s.* FROM shg_{b} s
+      WHERE s.doc_id NOT IN (SELECT doc_id FROM nwdrop_{b})
+    ),
+    nadrop_{b} AS (
+      SELECT DISTINCT s.doc_id
+      FROM nw_{b} s JOIN {prev} a ON a.bk = s.bk
+      WHERE {jac('a.sh', 's.sh')} >= {_Q176_THR}
+    ),
+    na_{b} AS (
+      SELECT s.* FROM nw_{b} s
+      WHERE s.doc_id NOT IN (SELECT doc_id FROM nadrop_{b})
+    ),
+    tgr_{b} AS (SELECT doc_id, unnest({gram}) AS gh FROM na_{b}),
+    cont_{b} AS (SELECT DISTINCT t.doc_id FROM tgr_{b} t JOIN bgr USING (gh)),
+    dc_{b} AS (
+      SELECT s.* FROM na_{b} s
+      WHERE s.doc_id NOT IN (SELECT doc_id FROM cont_{b})
+    ),
+    acc_{b} AS (
+      SELECT * FROM {prev}
+      UNION ALL
+      SELECT batch, doc_id, text, lang, sh, bk FROM dc_{b}
+    )"""
+        )
+    chain_sql = ",".join(chain)
+    sql = f"""
+    WITH feats AS (
+      SELECT doc_id, {_NB_POS} AS pos,
+             ('0x' || substr(md5(w), 1, 15))::BIGINT % {_NB_B} AS b
+      FROM (SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
+            FROM documents)
+    ),
+    cnts AS (SELECT doc_id, pos, b, COUNT(*) AS c FROM feats GROUP BY 1, 2, 3),
+    tot AS (
+      SELECT SUM(CASE WHEN pos THEN c ELSE 0 END) AS pt,
+             SUM(CASE WHEN NOT pos THEN c ELSE 0 END) AS nt
+      FROM cnts
+    ),
+    dtot AS (
+      SELECT SUM(CASE WHEN {_NB_POS} THEN 1 ELSE 0 END) AS pd,
+             SUM(CASE WHEN NOT ({_NB_POS}) THEN 1 ELSE 0 END) AS nd
+      FROM documents
+    ),
+    model AS (
+      SELECT b, SUM(CASE WHEN pos THEN c ELSE 0 END) AS pc,
+                SUM(CASE WHEN NOT pos THEN c ELSE 0 END) AS nc
+      FROM cnts GROUP BY b
+    ),
+    llr AS (
+      SELECT b, round((ln(pc + 1) - ln(CAST(pt + {_NB_B} AS DOUBLE)))
+                    - (ln(nc + 1) - ln(CAST(nt + {_NB_B} AS DOUBLE))), 9) AS lr
+      FROM model, tot
+    ),
+    dflt AS (
+      SELECT round(-ln(CAST(pt + {_NB_B} AS DOUBLE))
+                   + ln(CAST(nt + {_NB_B} AS DOUBLE)), 9) AS dlr
+      FROM tot
+    ),
+    intake AS (
+      SELECT doc_id, text, lang, 0 AS batch FROM documents WHERE doc_id % 3 = 0
+      UNION ALL
+      SELECT doc_id, text, lang, 1 FROM documents WHERE doc_id % 3 = 1
+      UNION ALL
+      SELECT doc_id + {_Q174_OFF}, text, lang, 1 FROM documents
+      WHERE doc_id % 3 = 0 AND doc_id % 5 = 0
+      UNION ALL
+      SELECT doc_id + 2 * {_Q174_OFF}, text || ' xq', lang, 1 FROM documents
+      WHERE doc_id % 3 = 0 AND doc_id % 7 = 1
+      UNION ALL
+      SELECT doc_id, text, lang, 2 FROM documents WHERE doc_id % 3 = 2
+      UNION ALL
+      SELECT doc_id + 3 * {_Q174_OFF}, text || ' xq', lang, 2 FROM documents
+      WHERE doc_id % 3 = 1 AND doc_id % 7 = 2
+    ),
+    iw AS (
+      SELECT doc_id, ('0x' || substr(md5(w), 1, 15))::BIGINT % {_NB_B} AS b
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM intake)
+    ),
+    icnts AS (SELECT doc_id, b, COUNT(*) AS c FROM iw GROUP BY 1, 2),
+    iscored AS (
+      SELECT icnts.doc_id,
+             SUM(CAST(round(c * COALESCE(llr.lr, dflt.dlr), 9)
+                      AS DECIMAL(28,12))) AS s
+      FROM icnts LEFT JOIN llr USING (b), dflt
+      GROUP BY 1
+    ),
+    inb AS (
+      SELECT doc_id,
+             (CAST(s AS DOUBLE)
+              + round(ln(CAST(pd AS DOUBLE)) - ln(CAST(nd AS DOUBLE)), 9)) > 0
+               AS pred
+      FROM iscored, dtot
+    ),
+    bgr AS (
+      SELECT DISTINCT unnest({gram}) AS gh FROM documents
+      WHERE doc_id % 17 = 3
+    ),
+    acc_m1 AS (
+      SELECT CAST(NULL AS BIGINT) AS batch, CAST(NULL AS BIGINT) AS doc_id,
+             CAST(NULL AS VARCHAR) AS text, CAST(NULL AS VARCHAR) AS lang,
+             CAST([] AS VARCHAR[]) AS sh, CAST(NULL AS VARCHAR) AS bk
+      WHERE 1 = 0
+    ),{chain_sql},
+    pt2 AS (
+      SELECT batch, lang, doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM acc_2
+    ),
+    pb AS (
+      SELECT batch, lang,
+             CAST(floor(COALESCE(SUM(n_tokens) OVER w, 0) / {_Q174_BIN}.0)
+                  AS BIGINT) AS bin
+      FROM pt2
+      WINDOW w AS (PARTITION BY batch, lang ORDER BY n_tokens DESC, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    bins AS (
+      SELECT batch, lang, COUNT(DISTINCT bin) AS n_bins FROM pb GROUP BY 1, 2
+    ),
+    sizes AS (
+      SELECT batch, lang, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+      FROM pt2 GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT batch, lang, n_tokens,
+             ROW_NUMBER() OVER (PARTITION BY batch ORDER BY n_tokens, lang) AS i,
+             SUM(n_tokens) OVER (PARTITION BY batch ORDER BY n_tokens, lang
+                                 ROWS UNBOUNDED PRECEDING) AS P,
+             COUNT(*) OVER (PARTITION BY batch) AS L,
+             SUM(n_tokens) OVER (PARTITION BY batch) AS T
+      FROM sizes
+    ),
+    c AS (
+      SELECT *,
+             MIN(CASE WHEN {cond} THEN 1 ELSE 0 END)
+               OVER (PARTITION BY batch ORDER BY n_tokens, lang
+                     ROWS UNBOUNDED PRECEDING) = 1 AS capped
+      FROM r
+    ),
+    f AS (
+      SELECT *,
+             SUM(CASE WHEN capped THEN 1 ELSE 0 END)
+               OVER (PARTITION BY batch) AS k,
+             SUM(CASE WHEN capped THEN n_tokens ELSE 0 END)
+               OVER (PARTITION BY batch) AS Pk
+      FROM c
+    ),
+    uni AS (
+      SELECT batch, lang, n_tokens, capped,
+             round(CASE WHEN capped THEN CAST(2 * n_tokens AS DOUBLE)
+                   ELSE CAST(CAST(T * 3 // 2 AS BIGINT) - 2 * Pk AS DOUBLE)
+                        / GREATEST(L - k, 1) END, 9) AS alloc_tokens
+      FROM f
+    ),
+    uqc AS (SELECT batch, lang, COUNT(*) AS n_unique FROM acc_2 GROUP BY 1, 2)
+    SELECT uni.batch, uni.lang, uqc.n_unique, uni.n_tokens AS sum_tokens,
+           uni.capped, uni.alloc_tokens,
+           round(uni.alloc_tokens / uni.n_tokens, 9) AS epochs, bins.n_bins
+    FROM uni
+    JOIN uqc USING (batch, lang)
+    JOIN bins USING (batch, lang)
+    """
+    # DuckDB (<=1.x) inlines plain CTEs per reference; the chained
+    # acc_0 -> acc_1 -> acc_2 accumulators are each referenced three
+    # times downstream, so inlining re-evaluates the whole NB + dedup
+    # head exponentially (minutes on 50 docs, and one parquet open per
+    # inlined scan trips EMFILE). MATERIALIZED pins each CTE to one
+    # evaluation — the semantics are unchanged. The WINDOW clause's
+    # "w AS (" must not match (it is not a CTE).
+    import re
+
+    return re.sub(r"(?<!WINDOW )(\b\w+ AS) \(", r"\1 MATERIALIZED (", sql)
+
+
+@query("q176_streaming_curation_full", _q176_oracle())
+def q176_streaming_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming curation twin at FULL q171 stage parity: versioned
+    intake feed -> NB model filter (offline-trained, broadcast) ->
+    cross-batch EXACT dedup via the bucketed fingerprint index (q175's
+    machinery) -> within-batch greedy near-dup + CROSS-BATCH near-dup
+    against a persisted, file-pruned SIGNATURE index (min-shingle block
+    key -> accepted shingle sets as payload; candidates verify by exact
+    Jaccard on the STORED sets, never re-reading accepted text) ->
+    benchmark 5-gram decontamination (broadcast probe set) -> per-batch
+    UniMax -> per-language contiguous binning -> ONE txn-idempotent
+    curated version per micro-batch, with BOTH state indexes maintained
+    under their own (app#idx, batch) transactions in the same
+    foreachBatch. Three commits drain through the real stream; batch 1
+    injects exact duplicates (+OFF) and batch 1/2 inject one-token-
+    perturbed NEAR duplicates (+2OFF/+3OFF, Jaccard ~0.9 on 3-shingles)
+    of earlier batches' docs under fresh ids. The oracle replays the
+    ENTIRE sequential composition (intake-text NB scoring incl. the
+    default-LLR path for unseen buckets, chained per-batch acceptance
+    acc_0 -> acc_1 -> acc_2, greedy block dedup, stored-signature
+    verification, gram decontamination, water-filling, packing) — a
+    drift anywhere (a batch deduped against the wrong accepted cohort,
+    a signature stored post-hoc instead of at acceptance, contamination
+    checked pre-dedup) changes the hash. In-query assertions: one
+    version per drain, txn map, fingerprint-index == curated
+    fingerprints, signature-index ids == curated ids, no exact dup
+    landed, near-dups strictly reduced, and no benchmark-contaminated
+    original landed."""
+    import os
+
+    from modular_etl_data_platform_spark.corpus.state_index import (
+        BucketedStateIndex,
+    )
+    from modular_etl_data_platform_spark.operators.versioned import (
+        VersionedTable,
+    )
+    from modular_etl_data_platform_spark.pipeline.corpus import (
+        stream_curate_versioned,
+    )
+    from modular_etl_data_platform_spark.queries.roundtrip_queries import (
+        _pin,
+        _scratch,
+    )
+
+    scratch = _scratch("q176_streaming_curation_full", sf_dir)
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    model = ccur.nb_train(docs, _NB_POS, buckets=_NB_B)
+    benchmark = docs.filter(F.col("doc_id") % 17 == 3).select("text")
+    intake_path = os.path.join(scratch, "intake_v")
+    curated_path = os.path.join(scratch, "curated_v")
+    ckpt = os.path.join(scratch, "ckpt")
+    intake = VersionedTable(spark, intake_path)
+    curated = VersionedTable(spark, curated_path)
+    app = "q176_stream"
+
+    def drain():
+        q = stream_curate_versioned(
+            spark, intake_path, curated_path, model, ckpt,
+            nb_buckets=_NB_B, bin_tokens=_Q174_BIN, app_id=app,
+            near_dedup=True, near_threshold=_Q176_THR,
+            benchmark=benchmark,
+        )
+        q.awaitTermination(300)
+
+    third = F.col("doc_id") % 3
+
+    def shifted(pred, off, perturb=False):
+        d = docs.filter(pred).withColumn(
+            "doc_id", F.col("doc_id") + F.lit(off)
+        )
+        if perturb:
+            d = d.withColumn("text", F.concat(F.col("text"), F.lit(" xq")))
+        return d
+
+    batches = [
+        docs.filter(third == 0),
+        docs.filter(third == 1)
+        .unionByName(
+            shifted((third == 0) & (F.col("doc_id") % 5 == 0), _Q174_OFF)
+        )
+        .unionByName(
+            shifted(
+                (third == 0) & (F.col("doc_id") % 7 == 1),
+                2 * _Q174_OFF,
+                perturb=True,
+            )
+        ),
+        docs.filter(third == 2).unionByName(
+            shifted(
+                (third == 1) & (F.col("doc_id") % 7 == 2),
+                3 * _Q174_OFF,
+                perturb=True,
+            )
+        ),
+    ]
+    for i, b in enumerate(batches):
+        intake.write(b, mode="append" if i else "overwrite")
+        before = curated.current_version() or 0
+        drain()
+        if curated.current_version() != before + 1:
+            raise AssertionError(f"drain {i}: expected exactly one new version")
+    txn = curated.log.resolve(curated.current_version()).get("txn", {})
+    if txn.get(app) != 2:
+        raise AssertionError(f"txn map wrong: {txn}")
+    cur = curated.read()
+    # state-index integrity: both indexes mirror the accepted state
+    fpidx = BucketedStateIndex(
+        spark, curated_path.rstrip("/") + "_fpidx", key_cols=["fingerprint"]
+    )
+    sigidx = BucketedStateIndex(
+        spark,
+        curated_path.rstrip("/") + "_sigidx",
+        key_cols=["bk"],
+        payload_cols=["acc_id", "acc_sh"],
+    )
+    n_cur = cur.count()
+    if fpidx.table.read().count() != n_cur:
+        raise AssertionError("fingerprint index diverged from curated state")
+    if (
+        sigidx.table.read()
+        .select(F.col("acc_id").alias("doc_id"))
+        .join(cur.select("doc_id"), "doc_id", "left_anti")
+        .count()
+        != 0
+        or sigidx.table.read().count() != n_cur
+    ):
+        raise AssertionError("signature index diverged from curated state")
+    # exact-injected dups never land; near-injected dups strictly reduce
+    if cur.filter(
+        (F.col("doc_id") >= _Q174_OFF) & (F.col("doc_id") < 2 * _Q174_OFF)
+    ).count():
+        raise AssertionError("an injected exact duplicate landed")
+    n_near_in = intake.read().filter(F.col("doc_id") >= 2 * _Q174_OFF).count()
+    n_near_out = cur.filter(F.col("doc_id") >= 2 * _Q174_OFF).count()
+    if n_near_in == 0:
+        raise AssertionError("no near-duplicates were injected — vacuous test")
+    if n_near_out >= n_near_in:
+        raise AssertionError(
+            f"near-dup stage dropped nothing ({n_near_out}/{n_near_in} landed)"
+        )
+    # decontamination: no benchmark-overlapping ORIGINAL doc lands
+    if cur.filter(
+        (F.col("doc_id") < _Q174_OFF) & (F.col("doc_id") % 17 == 3)
+    ).count():
+        raise AssertionError("a benchmark-contaminated doc landed")
+    if cur.filter((F.col("batch") == 2) & (F.col("doc_id") < _Q174_OFF)).count() == 0:
+        raise AssertionError("batch 2 accepted nothing — vacuous composition")
+    return _pin(
+        cur.groupBy("batch", "lang").agg(
+            F.count(F.lit(1)).alias("n_unique"),
+            F.sum("n_tokens").cast("long").alias("sum_tokens"),
+            F.max("capped").alias("capped"),
+            F.max("alloc_tokens").alias("alloc_tokens"),
+            F.max("epochs").alias("epochs"),
+            F.count_distinct("bin_id").alias("n_bins"),
+        )
+    )
