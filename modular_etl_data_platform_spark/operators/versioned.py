@@ -303,6 +303,27 @@ def _state_layer_depth(state: dict) -> int:
     return depth
 
 
+def _sweep_job_markers(landing_dir: str) -> None:
+    """Unlink Spark job-commit markers (``_SUCCESS``, ``.*.crc``) left
+    in a landing directory after its part files were renamed into
+    place. The markers are never referenced by any commit record, so
+    without this each DML leaks one marker pair per landing dir —
+    measured by ``tools/scale_probe.py cdcfiles`` (a many-small-DML
+    history accumulated one unreclaimable non-parquet file per commit
+    before vacuum learned to drop marker-only dirs)."""
+    try:
+        names = os.listdir(landing_dir)
+    except OSError:
+        return
+    for nm in names:
+        fp = os.path.join(landing_dir, nm)
+        if not nm.endswith(".parquet") and os.path.isfile(fp):
+            try:
+                os.remove(fp)
+            except OSError:
+                pass  # racing cleanup: nothing to do
+
+
 def _commit_name(version: int) -> str:
     return f"v{version:08d}.json"
 
@@ -2497,6 +2518,9 @@ class VersionedTable:
                         }
                     )
             shutil.rmtree(src_dir, ignore_errors=True)
+        _sweep_job_markers(sub)
+        if cdc_sub is not None:
+            _sweep_job_markers(cdc_sub)
         if obs is not None:
             got = obs.get
             violated = {n: c for n, c in got.items() if c}
@@ -2563,6 +2587,7 @@ class VersionedTable:
                     {"path": dst, "type": tag, "size": os.path.getsize(dst)}
                 )
             shutil.rmtree(src_dir, ignore_errors=True)
+        _sweep_job_markers(sub)
         if not entries:
             shutil.rmtree(sub, ignore_errors=True)
         return entries
@@ -5432,6 +5457,12 @@ class VersionedTable:
         data_root = os.path.join(self.path, _DATA_DIR)
         for sub in os.listdir(data_root):
             subdir = os.path.join(data_root, sub)
+            # staleness of the DIR is judged before this pass's own
+            # os.remove calls: deleting a file bumps the parent dir's
+            # mtime, which would otherwise keep a marker-only dir
+            # "young" forever (one leaked dir per vacuumed landing —
+            # caught by the cdcfiles scale probe)
+            dir_was_stale = _stale(subdir)
             for f in list(os.listdir(subdir)):
                 fp = os.path.join(subdir, f)
                 if (
@@ -5443,7 +5474,7 @@ class VersionedTable:
                     deleted += 1
             if not any(
                 p.endswith(".parquet") for p in os.listdir(subdir)
-            ) and _stale(subdir):
+            ) and dir_was_stale:
                 # no data left (only _SUCCESS-style markers, themselves
                 # never referenced — or a crashed combined landing's
                 # _change_type= partition dirs): the landing dir can go.
@@ -5496,6 +5527,9 @@ class VersionedTable:
                 subdir = os.path.join(cdc_root, sub)
                 if not os.path.isdir(subdir):
                     continue
+                # snapshot BEFORE this pass's removals bump the mtime
+                # (see the data_root sweep's note)
+                dir_was_stale = _stale(subdir)
                 remaining = 0
                 for d, _, fs in os.walk(subdir):
                     for f in fs:
@@ -5509,7 +5543,7 @@ class VersionedTable:
                             deleted += 1
                         elif f.endswith(".parquet"):
                             remaining += 1
-                if not remaining and _stale(subdir):
+                if not remaining and dir_was_stale:
                     shutil.rmtree(subdir, ignore_errors=True)
         keep_set = set(keep)
         for v in vs:

@@ -257,9 +257,149 @@ def cdf_probe() -> None:
     spark.stop()
 
 
+def cdc_files_probe() -> None:
+    """Recorded-CDC file-count hygiene under a MANY-SMALL-DML workload
+    (the round-12 verdict's advisory #3, measured): one CDC-enabled
+    table takes N tiny update-class commits (alternating small upserts
+    and predicate updates, each touching a handful of rows) and the
+    probe reports, every 10 commits,
+
+    - `_change_data` files + bytes of RETAINED history (from the commit
+      records — what a feed replay can be asked to read),
+    - the same from a disk walk (orphans would diverge),
+    - average cdc file size (the tiny-file signature),
+    - wall time to drain the FULL recorded feed through the reader's
+      partitions()/read() protocol (does a long small-DML history slow
+      the feed linearly in commits, as the model says, or worse?).
+
+    Then a checkpoint + vacuum(0) truncates history and the probe
+    reports what survives — retention is the only reclaim path for cdc
+    files, so the before/after numbers bound the steady-state cost.
+
+    Usage: python tools/scale_probe.py cdcfiles [n_commits]
+    """
+    import json as _json
+
+    import pyarrow  # noqa: F401
+
+    from modular_etl_data_platform_spark.operators.versioned import (
+        VersionedTable,
+        _commit_name,
+    )
+    from modular_etl_data_platform_spark.session import get_spark
+    from modular_etl_data_platform_spark.streaming.versioned_source import (
+        _VersionedChangeFeedStreamReader,
+    )
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    n_commits = int(sys.argv[2]) if len(sys.argv) > 2 else 60
+    spark = get_spark("cdc-files-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    scratch = os.path.join(tempfile.gettempdir(), "cdcfiles_probe")
+    if os.path.exists(scratch):
+        shutil.rmtree(scratch)
+    orders = spark.read.parquet(os.path.join(BASE, "orders.parquet")).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").alias("p"),
+    )
+    vt = VersionedTable(spark, scratch, stats_columns=["k"])
+    vt.write(orders.repartitionByRange(8, "k").sortWithinPartitions("k"))
+    vt.enable_change_data_feed(["k"])
+    base_v = vt.current_version()
+    kmin = orders.agg(F.min("k")).first()[0]
+
+    def recorded_cdc(lo: int, hi: int):
+        files = bytes_ = 0
+        for v in range(lo, hi + 1):
+            for e in _json.loads(vt.log.store.read(_commit_name(v))).get(
+                "cdc", []
+            ):
+                files += 1
+                bytes_ += e["size"]
+        return files, bytes_
+
+    def disk_cdc():
+        files = bytes_ = 0
+        root = os.path.join(scratch, "_change_data")
+        for dirpath, _dirs, names in os.walk(root):
+            for nm in names:
+                files += 1
+                bytes_ += os.path.getsize(os.path.join(dirpath, nm))
+        return files, bytes_
+
+    def drain_secs():
+        schema = StructType(
+            list(vt.read().schema.fields)
+            + [
+                StructField("_change_type", StringType()),
+                StructField("_commit_version", LongType()),
+                StructField("_commit_timestamp", TimestampType()),
+            ]
+        )
+        rd = _VersionedChangeFeedStreamReader(scratch, schema, 0, ["k"])
+        t0 = time.time()
+        parts = rd.partitions(
+            {"version": base_v}, {"version": vt.current_version()}
+        )
+        rows = 0
+        for p in parts:
+            for b in rd.read(p):
+                rows += b.num_rows
+        return len(parts), rows, time.time() - t0
+
+    print(
+        "# many-small-DML cdc hygiene: 8-row upserts / 1-key updates on "
+        f"a CDC-enabled table (base {base_v} versions)"
+    )
+    for i in range(n_commits):
+        if i % 2 == 0:
+            batch = spark.createDataFrame(
+                [(int(kmin + 4 * i + j), float(i)) for j in range(8)],
+                "k long, p double",
+            )
+            vt.upsert(batch, primary_keys=["k"])
+        else:
+            vt.update_where(
+                {"p": "p + 1"},
+                f"k = {int(kmin + 4 * i)}",
+                prune=("k", int(kmin + 4 * i), int(kmin + 4 * i)),
+            )
+        if (i + 1) % 10 == 0:
+            rf, rb = recorded_cdc(base_v + 1, vt.current_version())
+            df_, db = disk_cdc()
+            nparts, rows, secs = drain_secs()
+            avg = rb // max(rf, 1)
+            print(
+                f"commits {i + 1:>3}  recorded cdc {rf:>4} files "
+                f"{rb:>10,} B (avg {avg:>6,} B)  disk {df_:>4}/{db:>10,} B  "
+                f"full-feed drain parts={nparts:<4} rows={rows:<7} "
+                f"{secs:5.2f}s"
+            )
+    # retention is the reclaim path: truncate history, vacuum, re-count
+    vt.log.write_checkpoint(vt.log.resolve(vt.current_version()))
+    vt.vacuum(keep_last=1, file_retention_seconds=0.0)
+    rf, rb = recorded_cdc(vt.current_version(), vt.current_version())
+    df_, db = disk_cdc()
+    print(
+        f"after vacuum(retain=1): recorded-at-head cdc {rf} files; "
+        f"disk {df_} files / {db:,} B"
+    )
+    spark.stop()
+
+
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "cdf":
         cdf_probe()
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "cdcfiles":
+        cdc_files_probe()
         return
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 4
     only = sys.argv[2:] or DEFAULT_QUERIES
