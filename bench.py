@@ -151,6 +151,16 @@ HEADLINE = [
     # per-batch UniMax + packing, txn-idempotent versions)
     "q173_recorded_cdc",
     "q174_streaming_curation",
+    # round 13: the dedup-state scale fix and the full-parity streaming
+    # twin — q175 times the bucketed-fingerprint-index path (probe must
+    # stay batch-proportional: three drains + a file-pruned probe whose
+    # opened-file count is asserted in-query), q176 the complete
+    # composition (near-dup signature index with stored-shingle
+    # verification, broadcast decontamination) over three drains; both
+    # stream-machinery-bound, so wall time here tracks the foreachBatch
+    # + commit protocol cost, not data volume
+    "q175_streaming_fp_index",
+    "q176_streaming_curation_full",
 ]
 
 

@@ -254,6 +254,8 @@ def stream_curate_versioned(
     sig_index_buckets: int = 1024,
     benchmark: DataFrame | None = None,
     decont_n: int = 5,
+    index_compact_every: int | None = None,
+    index_compact_target: int = 8,
 ):
     """The curation pipeline run CONTINUOUSLY — the streaming twin of
     the q171 batch composition, the production shape for crawl intake:
@@ -546,6 +548,16 @@ def stream_curate_versioned(
                     txn_app_id=f"{app_id}#sigidx",
                     txn_version=batch_id,
                 )
+            if (
+                index_compact_every
+                and (batch_id + 1) % index_compact_every == 0
+            ):
+                # bound the probe's epoch fan-out (docstring: Index
+                # compaction) — re-cluster the state indexes on bucket
+                if dedup_state == "index" and fpidx.exists():
+                    fpidx.compact(target_files=index_compact_target)
+                if near_dedup and sigidx.exists():
+                    sigidx.compact(target_files=index_compact_target)
         finally:
             for frame in persisted:
                 frame.unpersist()

@@ -354,3 +354,53 @@ def test_stream_decontamination(spark, tmp_path):
     cur = curated.read()
     assert cur.filter("doc_id = 2").count() == 0, "contaminated doc landed"
     assert cur.count() > 0  # the stage didn't nuke the whole batch
+
+
+def test_index_compaction_bounds_files(spark, tmp_path):
+    """With ``index_compact_every``, a long drain history keeps the
+    fingerprint index's file count bounded (re-clustered on bucket
+    every N batches) while dedup semantics are untouched — without it
+    the probe's opened-file bound grows with stream age."""
+    docs = _docs(spark)
+    model = ccur.nb_train(docs, "source = 'src0'", buckets=_B)
+    intake = VersionedTable(spark, os.path.join(str(tmp_path), "intake"))
+    curated_path = os.path.join(str(tmp_path), "curated")
+    curated = VersionedTable(spark, curated_path)
+    ckpt = os.path.join(str(tmp_path), "ckpt")
+
+    def drain():
+        q = stream_curate_versioned(
+            spark, intake.path, curated_path, model, ckpt,
+            nb_buckets=_B, bin_tokens=24, app_id="tcpt",
+            fp_index_buckets=16,
+            index_compact_every=2, index_compact_target=2,
+        )
+        q.awaitTermination(120)
+
+    from modular_etl_data_platform_spark.corpus import state_index
+
+    for b in range(6):  # 6 batches; compaction fires after 2, 4, 6
+        lo, hi = b * 6, b * 6 + 6
+        batch = docs.filter(f"doc_id >= {lo} AND doc_id < {hi}")
+        if b == 4:
+            # re-submit batch 0's texts under new ids — must still dedup
+            batch = batch.unionByName(
+                docs.filter("doc_id < 6").withColumn(
+                    "doc_id", F.col("doc_id") + F.lit(9000)
+                )
+            )
+        intake.write(batch, mode="append" if b else "overwrite")
+        drain()
+
+    fpidx = state_index.BucketedStateIndex(
+        spark, curated_path + "_fpidx", key_cols=["fingerprint"], n_buckets=16
+    )
+    head = fpidx.table.log.resolve(fpidx.table.current_version())
+    # compacted at batch 6 -> exactly the target file count at head
+    assert len(head["files"]) <= 2, head["files"]
+    # semantics: resubmitted dups never landed, index mirrors curated
+    assert curated.read().filter("doc_id >= 9000").count() == 0
+    assert (
+        fpidx.table.read().select("fingerprint").distinct().count()
+        == curated.read().count()
+    )
