@@ -420,14 +420,27 @@ def stream_curate_versioned(
             # consumers — pin the exact-dedup survivors once
             uniq = uniq.cache()
             persisted.append(uniq)
-            # shingle sets + min-shingle block key (the q171 blocking
-            # scheme) for every exact-dedup survivor
+            # HASHED shingle sets (60-bit ints, dedup.shingle_hashes_sql):
+            # the persisted signature index stores these as its payload
+            # — 8-byte ints instead of raw shingle strings; Jaccard on
+            # the hash sets equals Jaccard on the shingles (same
+            # md5-prefix hash on both engines, collisions ~2^-60).
+            # Blocking is DOUBLE-MIN: each doc's TWO smallest shingle
+            # hashes are its block keys, so a one-token edit can never
+            # escape the block (a new minimum displaces, not replaces —
+            # the old minimum stays among the top-2; single-min blocking
+            # measurably missed one-token perturbations once the min
+            # moved). Cost: <=2 key rows per doc in joins and index.
             sigs = uniq.select(
                 "doc_id",
                 F.array_distinct(
-                    F.expr(dedup.shingles_sql("text", shingle_n))
+                    F.expr(dedup.shingle_hashes_sql("text", shingle_n))
                 ).alias("sh"),
-            ).withColumn("bk", F.array_min("sh"))
+            )
+            keys = sigs.select(
+                "doc_id",
+                F.explode(F.slice(F.array_sort("sh"), 1, 2)).alias("bk"),
+            )
 
             def _jac(a_sh, b_sh):
                 inter = F.size(F.array_intersect(a_sh, b_sh))
@@ -436,33 +449,41 @@ def stream_curate_versioned(
                 )
 
             # within-batch greedy keep-lowest: a doc drops when ANY
-            # lower-id batch doc in its block verifies at >= threshold
-            # (flat EXISTS — no cluster recursion, deterministic, and
-            # relationally replayable; block join is batch x batch)
-            low = sigs.select(
-                F.col("doc_id").alias("p_id"),
-                F.col("bk").alias("p_bk"),
-                F.col("sh").alias("p_sh"),
+            # lower-id batch doc sharing a block key verifies at >=
+            # threshold (flat pair set — no cluster recursion,
+            # deterministic, and relationally replayable)
+            kp = keys.select(
+                F.col("doc_id").alias("p_id"), F.col("bk").alias("p_bk")
             )
-            near_within = (
-                sigs.join(
-                    low,
+            pair_ids = (
+                keys.join(
+                    kp,
                     (F.col("bk") == F.col("p_bk"))
                     & (F.col("p_id") < F.col("doc_id")),
                 )
+                .select("doc_id", "p_id")
+                .distinct()
+            )
+            p_sh = sigs.select(
+                F.col("doc_id").alias("p_id"), F.col("sh").alias("p_sh")
+            )
+            near_within = (
+                pair_ids.join(sigs, "doc_id")
+                .join(p_sh, "p_id")
                 .filter(_jac(F.col("sh"), F.col("p_sh")) >= near_threshold)
                 .select("doc_id")
                 .distinct()
             )
             uniq = uniq.join(near_within, "doc_id", "left_anti")
             sigs = sigs.join(near_within, "doc_id", "left_anti")
+            keys = keys.join(near_within, "doc_id", "left_anti")
             if sigidx.exists():
                 # cross-batch: probe the accepted-signature index by
                 # block key (file-pruned to the batch's bk buckets) and
                 # verify candidates by exact Jaccard on the STORED
                 # shingle sets — the accepted corpus's text is never
                 # re-read
-                cand = sigidx.matches(sigs.select("doc_id", "bk", "sh"))
+                cand = sigidx.matches(keys.join(sigs, "doc_id"))
                 near_acc = (
                     cand.filter(
                         _jac(F.col("sh"), F.col("acc_sh")) >= near_threshold
@@ -472,10 +493,13 @@ def stream_curate_versioned(
                 )
                 uniq = uniq.join(near_acc, "doc_id", "left_anti")
                 sigs = sigs.join(near_acc, "doc_id", "left_anti")
-            # the signature-index append re-reads sigs after the
+                keys = keys.join(near_acc, "doc_id", "left_anti")
+            # the signature-index append re-reads sigs/keys after the
             # curated commit — pin the surviving signatures
             sigs = sigs.cache()
             persisted.append(sigs)
+            keys = keys.cache()
+            persisted.append(keys)
         if benchmark is not None:
             contam = ccur.decontaminate(
                 uniq, benchmark, n=decont_n
@@ -539,7 +563,8 @@ def stream_curate_versioned(
                 # not accepted state; its future duplicates fail the
                 # same broadcast decontamination instead)
                 sigidx.append(
-                    sigs.join(out.select("doc_id"), "doc_id", "left_semi")
+                    keys.join(sigs, "doc_id")
+                    .join(out.select("doc_id"), "doc_id", "left_semi")
                     .select(
                         F.col("bk"),
                         F.col("doc_id").alias("acc_id"),

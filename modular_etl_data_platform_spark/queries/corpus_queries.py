@@ -3093,7 +3093,7 @@ def _q176_oracle() -> str:
     binning tail. The three batches chain as acc_0 -> acc_1 -> acc_2
     (acceptance is sequential state — each batch dedups against exactly
     what earlier batches accepted, the streaming semantics)."""
-    sh3 = cdedup.shingles_duckdb("text", 3)
+    sh3 = cdedup.shingle_hashes_duckdb("text", 3)
     gram = ccur.ngram_hashes_duckdb("text", 5)
 
     def jac(a: str, b: str) -> str:
@@ -3109,6 +3109,7 @@ def _q176_oracle() -> str:
     chain = []
     for b in range(3):
         prev = f"acc_{b - 1}" if b else "acc_m1"
+        prevk = f"acck_{b - 1}" if b else "acck_m1"
         chain.append(
             f"""
     cand_{b} AS (
@@ -3125,13 +3126,18 @@ def _q176_oracle() -> str:
       WHERE md5(e.text) NOT IN (SELECT md5(text) FROM {prev})
     ),
     shg_{b} AS (
-      SELECT doc_id, text, lang, batch, sh, list_min(sh) AS bk
+      SELECT doc_id, text, lang, batch, sh
       FROM (SELECT *, list_distinct({sh3}) AS sh FROM exacc_{b})
     ),
+    kb_{b} AS (
+      SELECT doc_id, unnest(list_sort(sh)[1:2]) AS bk FROM shg_{b}
+    ),
     nwdrop_{b} AS (
-      SELECT DISTINCT s.doc_id
-      FROM shg_{b} s JOIN shg_{b} p
-        ON p.bk = s.bk AND p.doc_id < s.doc_id
+      SELECT DISTINCT ka.doc_id
+      FROM kb_{b} ka JOIN kb_{b} kp
+        ON kp.bk = ka.bk AND kp.doc_id < ka.doc_id
+      JOIN shg_{b} s ON s.doc_id = ka.doc_id
+      JOIN shg_{b} p ON p.doc_id = kp.doc_id
       WHERE {jac('p.sh', 's.sh')} >= {_Q176_THR}
     ),
     nw_{b} AS (
@@ -3139,8 +3145,11 @@ def _q176_oracle() -> str:
       WHERE s.doc_id NOT IN (SELECT doc_id FROM nwdrop_{b})
     ),
     nadrop_{b} AS (
-      SELECT DISTINCT s.doc_id
-      FROM nw_{b} s JOIN {prev} a ON a.bk = s.bk
+      SELECT DISTINCT ka.doc_id
+      FROM kb_{b} ka
+      JOIN nw_{b} s ON s.doc_id = ka.doc_id
+      JOIN {prevk} ak ON ak.bk = ka.bk
+      JOIN {prev} a ON a.doc_id = ak.doc_id
       WHERE {jac('a.sh', 's.sh')} >= {_Q176_THR}
     ),
     na_{b} AS (
@@ -3156,7 +3165,13 @@ def _q176_oracle() -> str:
     acc_{b} AS (
       SELECT * FROM {prev}
       UNION ALL
-      SELECT batch, doc_id, text, lang, sh, bk FROM dc_{b}
+      SELECT batch, doc_id, text, lang, sh FROM dc_{b}
+    ),
+    acck_{b} AS (
+      SELECT * FROM {prevk}
+      UNION ALL
+      SELECT k.doc_id, k.bk FROM kb_{b} k
+      JOIN dc_{b} d ON d.doc_id = k.doc_id
     )"""
         )
     chain_sql = ",".join(chain)
@@ -3235,7 +3250,11 @@ def _q176_oracle() -> str:
     acc_m1 AS (
       SELECT CAST(NULL AS BIGINT) AS batch, CAST(NULL AS BIGINT) AS doc_id,
              CAST(NULL AS VARCHAR) AS text, CAST(NULL AS VARCHAR) AS lang,
-             CAST([] AS VARCHAR[]) AS sh, CAST(NULL AS VARCHAR) AS bk
+             CAST([] AS BIGINT[]) AS sh
+      WHERE 1 = 0
+    ),
+    acck_m1 AS (
+      SELECT CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS BIGINT) AS bk
       WHERE 1 = 0
     ),{chain_sql},
     pt2 AS (
@@ -3315,9 +3334,11 @@ def q176_streaming_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     intake feed -> NB model filter (offline-trained, broadcast) ->
     cross-batch EXACT dedup via the bucketed fingerprint index (q175's
     machinery) -> within-batch greedy near-dup + CROSS-BATCH near-dup
-    against a persisted, file-pruned SIGNATURE index (min-shingle block
-    key -> accepted shingle sets as payload; candidates verify by exact
-    Jaccard on the STORED sets, never re-reading accepted text) ->
+    against a persisted, file-pruned SIGNATURE index (DOUBLE-MIN
+    blocking: each doc's two smallest hashed shingles are its block
+    keys, so a one-token edit always shares a key with its original;
+    accepted shingle-hash sets ride as payload and candidates verify by
+    exact Jaccard on the STORED sets, never re-reading accepted text) ->
     benchmark 5-gram decontamination (broadcast probe set) -> per-batch
     UniMax -> per-language contiguous binning -> ONE txn-idempotent
     curated version per micro-batch, with BOTH state indexes maintained
@@ -3429,13 +3450,13 @@ def q176_streaming_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_cur = cur.count()
     if fpidx.table.read().count() != n_cur:
         raise AssertionError("fingerprint index diverged from curated state")
+    sig_rows = sigidx.table.read()
     if (
-        sigidx.table.read()
-        .select(F.col("acc_id").alias("doc_id"))
+        sig_rows.select(F.col("acc_id").alias("doc_id"))
         .join(cur.select("doc_id"), "doc_id", "left_anti")
         .count()
         != 0
-        or sigidx.table.read().count() != n_cur
+        or sig_rows.select("acc_id").distinct().count() != n_cur
     ):
         raise AssertionError("signature index diverged from curated state")
     # exact-injected dups never land; near-injected dups strictly reduce
