@@ -161,6 +161,10 @@ HEADLINE = [
     # + commit protocol cost, not data volume
     "q175_streaming_fp_index",
     "q176_streaming_curation_full",
+    # the batch twin of the index family: q60's continuous-crawl dedup
+    # with the band-key store persisted + file-pruned (3 epoch appends
+    # + the probe; wall time tracks the commit/probe machinery)
+    "q177_indexed_incremental_dedup",
 ]
 
 

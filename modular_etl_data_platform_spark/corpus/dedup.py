@@ -188,6 +188,35 @@ def minhash_signatures(
     return hashed.select(*cols)
 
 
+
+def banded_signatures(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    k: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """Explode a k-hash MinHash signature table into its LSH band rows
+    ``(id, band_id, band_key)`` — the join/probe representation shared
+    by :func:`incremental_near_dup` and the persisted band-key index
+    (``corpus.state_index.BucketedStateIndex`` keyed on
+    ``["band_id", "band_key"]``, the continuous-crawl dedup state)."""
+    rows = k // bands
+    arr = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.concat_ws(
+                    "|", *[F.col(f"mh{b * rows + r}") for r in range(rows)]
+                ).alias("band_key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return sigs.select(F.col(id_col), F.explode(arr).alias("band")).select(
+        id_col, "band.band_id", "band.band_key"
+    )
+
+
 def _cap_buckets(exploded: DataFrame, max_bucket_size: int | None) -> DataFrame:
     """Drop LSH band buckets with more than ``max_bucket_size`` members —
     the 100 TB guard: a single boilerplate bucket of B documents yields
@@ -856,23 +885,9 @@ def incremental_near_dup(
     see :func:`_cap_buckets`).
     """
     new_sigs = minhash_signatures(new_docs, id_col, text_col, k, shingle, parallelism)
-    rows = k // bands
 
     def banded(sigs: DataFrame) -> DataFrame:
-        arr = F.array(
-            *[
-                F.struct(
-                    F.lit(b).alias("band_id"),
-                    F.concat_ws(
-                        "|", *[F.col(f"mh{b * rows + r}") for r in range(rows)]
-                    ).alias("band_key"),
-                )
-                for b in range(bands)
-            ]
-        )
-        return sigs.select(F.col(id_col), F.explode(arr).alias("band")).select(
-            id_col, "band.band_id", "band.band_key"
-        )
+        return banded_signatures(sigs, id_col=id_col, k=k, bands=bands)
 
     cands = (
         banded(new_sigs)

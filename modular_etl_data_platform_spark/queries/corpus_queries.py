@@ -3489,3 +3489,140 @@ def q176_streaming_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct("bin_id").alias("n_bins"),
         )
     )
+
+
+@query(
+    "q177_indexed_incremental_dedup",
+    _incremental_dedup_oracle(threshold=LSH_THRESHOLD, max_bucket=LSH_MAX_BUCKET),
+)
+def q177_indexed_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q60's continuous-crawl dedup with the signature store made a
+    PERSISTED, FILE-PRUNED index: the existing corpus's LSH band rows
+    (band_id, band_key -> doc_id) live in a BucketedStateIndex built
+    across three ingest epochs (three bucket-clustered appends on the
+    versioned log), and the NEW batch's band probe opens ONLY the index
+    files whose recorded bucket range intersects the batch's band-key
+    buckets — the q60 scenario's "signatures in a persisted table"
+    made concrete with log-level file skipping, so the per-batch probe
+    I/O is batch-proportional at any corpus size. Semantics are
+    IDENTICAL to q60 (same bands, same existing-side hot-bucket cap,
+    same Jaccard verification over re-shingled candidates) and the
+    oracle is q60's verbatim; the in-query assertions pin what the
+    oracle can't see: a one-band-row probe opens at most one file per
+    ingest epoch and strictly fewer than half the index's files
+    (against the scan's actual inputFiles()), and the full probe's
+    per-key existing counts applied as the cap match q60's
+    QUALIFY-window semantics because every file that could hold a
+    probed key is in the pruned scan (same key -> same bucket -> every
+    bucket-intersecting file kept)."""
+    import os
+
+    from modular_etl_data_platform_spark.corpus.state_index import (
+        BucketedStateIndex,
+    )
+    from modular_etl_data_platform_spark.queries.roundtrip_queries import (
+        _pin,
+        _scratch,
+    )
+
+    scratch = _scratch("q177_indexed_incremental_dedup", sf_dir)
+    docs = _t(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    new = docs.filter(F.col("doc_id") % 7 == 0)
+    existing = docs.filter(F.col("doc_id") % 7 != 0)
+    idx = BucketedStateIndex(
+        spark,
+        os.path.join(scratch, "band_idx"),
+        key_cols=["band_id", "band_key"],
+        n_buckets=1024,
+        payload_cols=["acc_id"],
+    )
+    # three ingest epochs: the persisted band-key store grows append-only
+    for epoch in range(3):
+        sl = existing.filter(F.col("doc_id") % 3 == epoch)
+        idx.append(
+            cdedup.banded_signatures(
+                cdedup.minhash_signatures(sl, parallelism=par)
+            ).select(
+                "band_id", "band_key", F.col("doc_id").alias("acc_id")
+            )
+        )
+    bn = cdedup.banded_signatures(
+        cdedup.minhash_signatures(new, parallelism=par)
+    ).cache()
+    try:
+        # --- probe contract (q139/q152 opened-file style) ------------
+        one = bn.orderBy("doc_id", "band_id").limit(1)
+        p = idx.probe(one)
+        if len(p.buckets) != 1:
+            raise AssertionError(f"one-row probe hit {len(p.buckets)} buckets")
+        epochs = idx.table.current_version()
+        if len(p.files) > epochs:
+            raise AssertionError(
+                f"one-bucket probe opened {len(p.files)} files over "
+                f"{epochs} ingest epochs — not bucket-clustered"
+            )
+        if 2 * len(p.files) >= p.total_files:
+            raise AssertionError(
+                f"probe opened {len(p.files)}/{p.total_files} files — "
+                "no real file skipping"
+            )
+        opened = {
+            os.path.realpath(f.replace("file:", ""))
+            for f in p.scan.inputFiles()
+        }
+        planned = {os.path.realpath(f) for f in p.files}
+        if opened != planned:
+            raise AssertionError(
+                f"probe scan opened {sorted(opened)}, planned {sorted(planned)}"
+            )
+        # --- the dedup itself, q60 semantics over the pruned probe ---
+        full = idx.probe(bn)
+        # existing-side hot-bucket cap: per-key counts over the pruned
+        # scan are the TRUE bucket sizes (every file that may hold a
+        # probed key is kept), so this equals q60's window-side cap
+        oversized = (
+            full.scan.groupBy("band_id", "band_key")
+            .agg(F.count(F.lit(1)).alias("__bsz"))
+            .filter(F.col("__bsz") > LSH_MAX_BUCKET)
+            .select("band_id", "band_key")
+        )
+        cands = (
+            idx.matches(bn)
+            .join(F.broadcast(oversized), ["band_id", "band_key"], "left_anti")
+            .select(
+                F.col("doc_id").alias("id_a"), F.col("acc_id").alias("id_b")
+            )
+            .dropDuplicates()
+            .cache()
+        )
+        sh_new = new.join(
+            F.broadcast(cands.select(F.col("id_a").alias("doc_id")).distinct()),
+            "doc_id",
+            "left_semi",
+        ).select(
+            F.col("doc_id").alias("id_a"),
+            F.array_distinct(F.expr(cdedup.shingles_sql("text", 3))).alias("sh_a"),
+        )
+        sh_old = existing.join(
+            F.broadcast(cands.select(F.col("id_b").alias("doc_id")).distinct()),
+            "doc_id",
+            "left_semi",
+        ).select(
+            F.col("doc_id").alias("id_b"),
+            F.array_distinct(F.expr(cdedup.shingles_sql("text", 3))).alias("sh_b"),
+        )
+        inter = F.size(F.array_intersect("sh_a", "sh_b"))
+        return _pin(
+            cands.join(sh_new, "id_a")
+            .join(sh_old, "id_b")
+            .withColumn(
+                "jaccard",
+                inter.cast("double")
+                / (F.size("sh_a") + F.size("sh_b") - inter),
+            )
+            .filter(F.col("jaccard") >= LSH_THRESHOLD)
+            .select("id_a", "id_b", "jaccard")
+        )
+    finally:
+        bn.unpersist()
