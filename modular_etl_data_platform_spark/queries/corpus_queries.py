@@ -2791,7 +2791,12 @@ def q174_streaming_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id", "text", "lang", "source"
     )
+    # train ONCE and pin the (<= buckets+2 row) model as a local
+    # relation: every drain below re-enters stream_curate_versioned,
+    # which collects the model at stream definition — unmaterialized,
+    # that re-runs nb_train's aggregation tail per drain
     model = ccur.nb_train(docs, _NB_POS, buckets=_NB_B)
+    model = spark.createDataFrame(model.collect(), model.schema)
     intake_path = os.path.join(scratch, "intake_v")
     curated_path = os.path.join(scratch, "curated_v")
     ckpt = os.path.join(scratch, "ckpt")
@@ -2952,7 +2957,12 @@ def q175_streaming_fp_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id", "text", "lang", "source"
     )
+    # train ONCE and pin the (<= buckets+2 row) model as a local
+    # relation: every drain below re-enters stream_curate_versioned,
+    # which collects the model at stream definition — unmaterialized,
+    # that re-runs nb_train's aggregation tail per drain
     model = ccur.nb_train(docs, _NB_POS, buckets=_NB_B)
+    model = spark.createDataFrame(model.collect(), model.schema)
     intake_path = os.path.join(scratch, "intake_v")
     curated_path = os.path.join(scratch, "curated_v")
     ckpt = os.path.join(scratch, "ckpt")
@@ -3378,7 +3388,12 @@ def q176_streaming_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id", "text", "lang", "source"
     )
+    # train ONCE and pin the (<= buckets+2 row) model as a local
+    # relation: every drain below re-enters stream_curate_versioned,
+    # which collects the model at stream definition — unmaterialized,
+    # that re-runs nb_train's aggregation tail per drain
     model = ccur.nb_train(docs, _NB_POS, buckets=_NB_B)
+    model = spark.createDataFrame(model.collect(), model.schema)
     benchmark = docs.filter(F.col("doc_id") % 17 == 3).select("text")
     intake_path = os.path.join(scratch, "intake_v")
     curated_path = os.path.join(scratch, "curated_v")
