@@ -2508,7 +2508,15 @@ def q171_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     base = docs.select("doc_id", "text", "lang", "source").cache()
     quality = crules.quality_suite(base)
-    kept1 = base.join(quality.filter("passes").select("doc_id"), "doc_id")
+    # pin the quality survivors: kept1 feeds THREE consumers (the NB
+    # featurization scan, the kept2 cache fill, the n1 count) and the
+    # quality suite upstream of it costs a full corpus fold per
+    # evaluation — uncached, the suite ran once per consumer (guide §5:
+    # cache a frame reused by several actions; measured 29.8s -> see
+    # OPTIMIZATION_r13.md)
+    kept1 = base.join(
+        quality.filter("passes").select("doc_id"), "doc_id"
+    ).cache()
     nb = ccur.nb_quality_scores(kept1, _NB_POS, buckets=_NB_B)
     kept2 = kept1.join(
         nb.filter("pred").select("doc_id", "score"), "doc_id"
