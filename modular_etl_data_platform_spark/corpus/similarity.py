@@ -107,12 +107,17 @@ def cosine_topk(
     """Exact top-k neighbors of one corpus vector (brute-force baseline).
 
     The query row is broadcast; ties break on ``id_col`` so results are
-    total-ordered and engine-portable.
-    """
-    q = emb.filter(F.col(id_col) == query_id).select(F.col(vec_col).alias("__q"))
+    total-ordered and engine-portable. The query's norm rides the
+    broadcast row (the knn_join convention: the fold runs once, not
+    once per corpus row — same deterministic fold, bit-identical
+    scores)."""
+    q = emb.filter(F.col(id_col) == query_id).select(
+        F.col(vec_col).alias("__q"), norm(vec_col).alias("__qn")
+    )
+    den = norm(vec_col) * F.col("__qn")
     scored = emb.crossJoin(F.broadcast(q)).select(
         F.col(id_col),
-        cosine(vec_col, "__q").alias("cos_sim"),
+        F.when(den != 0, dot(vec_col, "__q") / den).alias("cos_sim"),
     )
     return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col).asc()).limit(k)
 
@@ -153,9 +158,13 @@ def ivf_topk(
     probes: int = 1,
 ) -> DataFrame:
     """IVF-style ANN: route the query to its nearest coarse cell(s), then
-    exact top-k within those cells only. Returns (vec_id, cell, cos_sim)."""
+    exact top-k within those cells only. Returns (vec_id, cell, cos_sim).
+    The query norm rides the broadcast row (knn_join convention — same
+    fold once instead of per scored row, bit-identical scores)."""
     cents = centroids_exact(emb, cell_col, vec_col, dim)
-    q = emb.filter(F.col(id_col) == query_id).select(F.col(vec_col).alias("__q"))
+    q = emb.filter(F.col(id_col) == query_id).select(
+        F.col(vec_col).alias("__q"), norm(vec_col).alias("__qn")
+    )
     best_cells = (
         cents.crossJoin(F.broadcast(q))
         .select("cell", cosine("centroid", "__q").alias("cell_sim"))
@@ -165,10 +174,11 @@ def ivf_topk(
     pruned = emb.join(
         F.broadcast(best_cells.select(F.col("cell").alias(cell_col))), cell_col
     )
+    den = norm(vec_col) * F.col("__qn")
     scored = pruned.crossJoin(F.broadcast(q)).select(
         F.col(id_col),
         F.col(cell_col).alias("cell"),
-        cosine(vec_col, "__q").alias("cos_sim"),
+        F.when(den != 0, dot(vec_col, "__q") / den).alias("cos_sim"),
     )
     return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col).asc()).limit(k)
 
@@ -200,7 +210,13 @@ def kmeans_cells(
     quantizer on a SAMPLE (one .limit/.sample pass) and assign the full
     corpus once with the final centroids — same code path.
     """
-    vecs = emb.select(F.col(id_col), F.col(vec_col)).localCheckpoint(eager=False)
+    # vector norms ride the checkpointed projection (knn_join
+    # convention): the fold runs once per vector per training, not once
+    # per (vector, centroid) candidate per iteration — same
+    # deterministic fold, bit-identical assignments
+    vecs = emb.select(
+        F.col(id_col), F.col(vec_col), norm(vec_col).alias("__n")
+    ).localCheckpoint(eager=False)
     cents = (
         vecs.orderBy(F.col(id_col).asc())
         .limit(k)
@@ -210,11 +226,14 @@ def kmeans_cells(
     )
     assign = None
     for _ in range(iters):
-        scored = vecs.crossJoin(F.broadcast(cents)).select(
+        # centroid norms materialize in the k-row broadcast relation
+        cn = cents.withColumn("__cn", norm("centroid"))
+        den = F.col("__n") * F.col("__cn")
+        scored = vecs.crossJoin(F.broadcast(cn)).select(
             F.col(id_col),
             F.col(vec_col),
             F.col("cell"),
-            cosine(vec_col, "centroid").alias("__sim"),
+            F.when(den != 0, dot(vec_col, "centroid") / den).alias("__sim"),
         )
         w = Window.partitionBy(id_col).orderBy(
             F.col("__sim").desc(), F.col("cell").asc()
@@ -305,10 +324,16 @@ def ivf_probe_indexed(
         .collect()
     ]
     pruned = idx.filter(F.col("cell").isin(best))
-    scored = pruned.select(
+    # the query-literal norm folds once per row if inlined; hoist it
+    # into a 1-row broadcast (knn_join convention, bit-identical)
+    qdf = spark.range(1).select(
+        qlit.alias("__q"), norm(qlit).alias("__qn")
+    )
+    den = norm(vec_col) * F.col("__qn")
+    scored = pruned.crossJoin(F.broadcast(qdf)).select(
         F.col(id_col),
         F.col("cell"),
-        cosine(vec_col, qlit).alias("cos_sim"),
+        F.when(den != 0, dot(vec_col, "__q") / den).alias("cos_sim"),
     )
     return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col).asc()).limit(k)
 
@@ -332,13 +357,20 @@ def ivf_append(
     so probes stay consistent with the routing the index was built with.
     Batch cost scales with the batch, never the index."""
     cents = spark.read.parquet(os.path.join(index_path, "_centroids"))
-    scored = new_emb.select(F.col(id_col), F.col(vec_col)).crossJoin(
-        F.broadcast(cents)
+    # per-side norms (knn_join convention): one fold per new vector and
+    # per centroid instead of per (vector, centroid) candidate —
+    # bit-identical assignment scores
+    cn = cents.withColumn("__cn", norm("centroid"))
+    den = F.col("__n") * F.col("__cn")
+    scored = new_emb.select(
+        F.col(id_col), F.col(vec_col), norm(vec_col).alias("__n")
+    ).crossJoin(
+        F.broadcast(cn)
     ).select(
         F.col(id_col),
         F.col(vec_col),
         F.col("cell"),
-        cosine(vec_col, "centroid").alias("__sim"),
+        F.when(den != 0, dot(vec_col, "centroid") / den).alias("__sim"),
     )
     w = Window.partitionBy(id_col).orderBy(F.col("__sim").desc(), F.col("cell").asc())
     assigned = (
@@ -381,8 +413,13 @@ def ivf_probe_batch(
     Returns (query_id, <id_col>, cos_sim, rank), rank 1..≤k per query.
     """
     cents = spark.read.parquet(os.path.join(index_path, "_centroids"))
+    # query norms ride the broadcast query batch (knn_join convention):
+    # one fold per query instead of one per (index row, query) score —
+    # bit-identical scores
     q = queries.select(
-        F.col(query_id_col), F.col(vec_col).alias("__qv")
+        F.col(query_id_col),
+        F.col(vec_col).alias("__qv"),
+        norm(vec_col).alias("__qn"),
     )
     wr = Window.partitionBy(query_id_col).orderBy(
         F.col("__csim").desc(), F.col("cell").asc()
@@ -392,18 +429,22 @@ def ivf_probe_batch(
         .withColumn("__csim", cosine("__qv", "centroid"))
         .withColumn("__rn", F.row_number().over(wr))
         .filter(F.col("__rn") <= probes)
-        .select(query_id_col, "__qv", "cell")
+        .select(query_id_col, "__qv", "__qn", "cell")
     )
-    idx = spark.read.parquet(index_path)
+    # index-side norm attached BELOW the join (one fold per index row,
+    # not per (row, query) score — a row matching several queries would
+    # otherwise re-fold per match)
+    idx = spark.read.parquet(index_path).withColumn("__n", norm(vec_col))
     wk = Window.partitionBy(query_id_col).orderBy(
         F.col("cos_sim").desc(), F.col(id_col).asc()
     )
+    den = F.col("__n") * F.col("__qn")
     return (
         idx.join(F.broadcast(routed), "cell")
         .select(
             F.col(query_id_col),
             F.col(id_col),
-            cosine(vec_col, "__qv").alias("cos_sim"),
+            F.when(den != 0, dot(vec_col, "__qv") / den).alias("cos_sim"),
         )
         .withColumn("rank", F.row_number().over(wk).cast("int"))
         .filter(F.col("rank") <= k)
@@ -434,16 +475,28 @@ def ann_recall_at_k(
     for the exact side — recall measurement is an OFFLINE evaluation
     pass over a query SAMPLE, not a serving-path operation; size the
     sample, not the corpus."""
-    q = queries.select(F.col(query_id_col), F.col(vec_col).alias("__qv"))
+    # per-side norms (knn_join convention): every corpus vector scores
+    # against EVERY query in the sample, so folding norms per pair paid
+    # |queries|x the per-row cost — attach them once per side below the
+    # cross join; same deterministic fold, bit-identical scores
+    q = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("__qv"),
+        norm(vec_col).alias("__qn"),
+    )
+    embn = emb.select(
+        F.col(id_col), F.col(vec_col), norm(vec_col).alias("__n")
+    )
     wk = Window.partitionBy(query_id_col).orderBy(
         F.col("__cs").desc(), F.col(id_col).asc()
     )
+    den = F.col("__n") * F.col("__qn")
     exact = (
-        emb.crossJoin(F.broadcast(q))
+        embn.crossJoin(F.broadcast(q))
         .select(
             F.col(query_id_col),
             F.col(id_col),
-            cosine(vec_col, "__qv").alias("__cs"),
+            F.when(den != 0, dot(vec_col, "__qv") / den).alias("__cs"),
         )
         .withColumn("__rn", F.row_number().over(wk))
         .filter(F.col("__rn") <= k)
@@ -1175,7 +1228,8 @@ def ivf_pq_topk(
     vec_col: str = "embedding",
     codebook: DataFrame | None = None,
     rerank: int | None = None,
-) -> DataFrame:
+    with_shortlist: bool = False,
+) -> DataFrame | tuple[DataFrame, DataFrame]:
     """IVF-PQ (Jegou et al. 2011, the production pairing): route the
     query to its ``probes`` nearest coarse cells via the exact
     decimal-sum centroids (:func:`ivf_topk`'s routing), then ADC-score
@@ -1195,7 +1249,17 @@ def ivf_pq_topk(
     ``k·α`` full vectors. Any shortlist member in the exact global
     top-k necessarily survives re-ranking (at most k-1 vectors
     anywhere score above it), so re-ranked recall@k is ≥ ADC recall@k
-    by construction. Returns (id, adc, exact_sim) when re-ranking."""
+    by construction. Returns (id, adc, exact_sim) when re-ranking.
+
+    ``with_shortlist=True`` (re-rank mode only) additionally returns
+    the pinned ``k·α`` ADC shortlist as a second frame — its first
+    ``k`` rows by (adc desc, id asc) ARE the plain-ADC top-k (same
+    routing, same codebook, same deterministic ordering), so a caller
+    comparing re-ranked vs plain-ADC rankings reads both from ONE
+    routing + encode + ADC pass instead of re-deriving centroids,
+    codebook and encodings from scratch (guide §1.2: don't compute
+    things twice; pinned via localCheckpoint — k·α rows, the _pin
+    convention — so the two consumers share one evaluation)."""
     cents = centroids_exact(emb, cell_col, vec_col, dim)
     q = emb.filter(F.col(id_col) == query_id).select(
         F.col(vec_col).alias("__q")
@@ -1223,15 +1287,23 @@ def ivf_pq_topk(
         candidates=routed,
     )
     if rerank is None:
+        if with_shortlist:
+            raise ValueError("with_shortlist requires rerank")
         return adc
+    if with_shortlist:
+        # pin the k·α-row shortlist so the re-rank fetch and the
+        # caller's plain-ADC read share ONE evaluation of the
+        # routing + encode + ADC pipeline
+        adc = adc.localCheckpoint(eager=True)
     # exact re-rank: true vectors fetched for the k·α shortlist ONLY,
     # from the routed cells (the shortlist is a subset by construction)
     fetched = routed.join(F.broadcast(adc), id_col).select(
         id_col, "adc", F.col(vec_col).alias("__rv")
     )
-    return (
+    reranked = (
         fetched.crossJoin(F.broadcast(q))
         .select(id_col, "adc", cosine("__rv", "__q").alias("exact_sim"))
         .orderBy(F.col("exact_sim").desc(), F.col(id_col).asc())
         .limit(k)
     )
+    return (reranked, adc) if with_shortlist else reranked

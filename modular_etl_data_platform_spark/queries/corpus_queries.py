@@ -2156,14 +2156,23 @@ def q164_ivf_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     shortlist, exact-cosine re-rank) is replayed relationally, so the
     final ranking AND both scores per neighbor are hash-pinned."""
     emb = _t(spark, sf_dir, "embeddings")
-    rr = csim.ivf_pq_topk(emb, query_id=0, k=10, probes=1, rerank=4)
+    rr, shortlist = csim.ivf_pq_topk(
+        emb, query_id=0, k=10, probes=1, rerank=4, with_shortlist=True
+    )
     rr = rr.localCheckpoint(eager=True)  # bounded (k rows); reused below
     exact_ids = {
         r["vec_id"] for r in csim.cosine_topk(emb, 0, k=10).collect()
     }
+    # plain-ADC top-10 = the first 10 shortlist rows by (adc desc, id):
+    # same routing, codebook and deterministic ordering as a separate
+    # ivf_pq_topk(k=10) call (pinned by test_similarity's equivalence
+    # test), read from the ALREADY-PINNED shortlist instead of
+    # re-deriving centroids + codebook + encodings (opt r13)
     adc_ids = {
         r["vec_id"]
-        for r in csim.ivf_pq_topk(emb, query_id=0, k=10, probes=1).collect()
+        for r in shortlist.orderBy(
+            F.col("adc").desc(), F.col("vec_id").asc()
+        ).limit(10).collect()
     }
     rr_ids = {r["vec_id"] for r in rr.select("vec_id").collect()}
     recall_adc = len(adc_ids & exact_ids)

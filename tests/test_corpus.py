@@ -744,6 +744,41 @@ def test_ivf_pq_routes_then_scores_within_cell_only(spark, emb):
     assert len(wide) == emb.count()
 
 
+def test_ivf_pq_with_shortlist_matches_separate_calls(spark, emb):
+    """The with_shortlist fast path (one routing + encode + ADC pass
+    feeding both rankings) is value-identical to the two separate
+    calls it replaces: the shortlist's first k rows by (adc desc, id)
+    ARE plain ivf_pq_topk(k)'s rows, and the re-ranked frame matches
+    the plain rerank call row-for-row."""
+    rr, sl = csim.ivf_pq_topk(
+        emb, query_id=0, k=5, probes=1, m=2, codes=8, dim=8,
+        rerank=3, with_shortlist=True,
+    )
+    plain_adc = csim.ivf_pq_topk(
+        emb, query_id=0, k=5, probes=1, m=2, codes=8, dim=8
+    ).collect()
+    sl_top = (
+        sl.orderBy(F.col("adc").desc(), F.col("vec_id").asc())
+        .limit(5)
+        .collect()
+    )
+    assert [(r.vec_id, r.adc) for r in sl_top] == [
+        (r.vec_id, r.adc) for r in plain_adc
+    ]
+    plain_rr = csim.ivf_pq_topk(
+        emb, query_id=0, k=5, probes=1, m=2, codes=8, dim=8, rerank=3
+    ).collect()
+    assert [(r.vec_id, r.adc, r.exact_sim) for r in rr.collect()] == [
+        (r.vec_id, r.adc, r.exact_sim) for r in plain_rr
+    ]
+    # shortlist size is k*rerank (enough candidates reach the re-rank)
+    assert sl.count() == 15
+    with pytest.raises(ValueError, match="with_shortlist"):
+        csim.ivf_pq_topk(
+            emb, query_id=0, k=5, m=2, codes=8, dim=8, with_shortlist=True
+        )
+
+
 def test_repetition_signals_flag_looping_docs(spark):
     """Gopher repetition rules: a 2-gram loop trips the top-2gram
     ceiling, a repeated 5-gram phrase trips the dup-5gram ceiling, a
