@@ -267,6 +267,11 @@ CARTESIAN_OK = {
     # same 1-row query-vector broadcasts as q160, plus the exact
     # re-rank's k·α-row shortlist broadcast (shortlist-sized fetch)
     "q164_ivf_pq_rerank",
+    # r13 optimization: the indexed-probe query literal (and its norm)
+    # now ride a 1-row broadcast instead of re-folding the norm per
+    # scanned row — same 1-row-broadcast shape as q24/q159
+    "q62_ann_ivf_indexed",
+    "q102_ivf_incremental_append",
 }
 
 
