@@ -64,6 +64,7 @@ def decontaminate(
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 5,
+    probe_grams: DataFrame | None = None,
 ) -> DataFrame:
     """Flag training documents sharing any word ``n``-gram with a benchmark
     (eval) set — the decontamination pass run before training.
@@ -72,12 +73,19 @@ def decontaminate(
     n-grams and an ``is_contaminated`` flag. The probe n-gram set is
     deduplicated and **broadcast** (benchmarks are tiny relative to the
     corpus); the corpus side is one explode + broadcast hash join + count
-    — the corpus itself is never shuffled.
+    — the corpus itself is never shuffled. A caller that decontaminates
+    many batches against the SAME benchmark can precompute (and cache)
+    the deduplicated gram set once and pass it as ``probe_grams`` — the
+    per-batch plan is then a cache read instead of re-exploding the
+    benchmark every batch (the streaming pipeline does this).
     """
-    probe_grams = (
-        probe.select(F.explode(F.expr(ngram_hashes_sql(text_col, n))).alias("gh"))
-        .dropDuplicates()
-    )
+    if probe_grams is None:
+        probe_grams = (
+            probe.select(
+                F.explode(F.expr(ngram_hashes_sql(text_col, n))).alias("gh")
+            )
+            .dropDuplicates()
+        )
     train_grams = train.select(
         F.col(id_col), F.explode(F.expr(ngram_hashes_sql(text_col, n))).alias("gh")
     )
@@ -973,22 +981,13 @@ def nb_train(
     return model.unionByName(sentinels)
 
 
-def nb_apply(
-    df: DataFrame,
-    model: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    buckets: int = 4096,
-) -> DataFrame:
-    """Score documents against a :func:`nb_train` model (today's intake
-    batch against yesterday's model — no retraining): one explode, one
-    broadcast join against the ≤ ``buckets``+2-row model, one per-doc
-    decimal fold. Buckets the model never saw score the
-    :data:`NB_DEFAULT_BUCKET` fully-smoothed LLR. ``buckets`` must
-    match the value the model was trained with.
-
-    Returns (id, score, pred) — no ``is_curated``: the label predicate
-    is a training-time concept and an intake batch has no label."""
+def nb_sentinels(model: DataFrame) -> dict[int, float]:
+    """Collect and validate a :func:`nb_train` model's sentinel rows
+    (class prior + default LLR) — one tiny driver action over the
+    ≤ buckets+2-row model. :func:`nb_apply` calls this internally;
+    per-batch callers (the streaming curation pipeline) hoist it to
+    stream definition so the collect runs once per stream instead of
+    once per micro-batch (guide §4.5: heavyweight init once)."""
     prior_rows = {
         int(r["b"]): float(r["lr"])
         for r in model.filter(F.col("b") < 0).collect()
@@ -998,6 +997,29 @@ def nb_apply(
             "model is missing its sentinel rows — was it produced by "
             "nb_train()?"
         )
+    return prior_rows
+
+
+def nb_apply(
+    df: DataFrame,
+    model: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 4096,
+    sentinels: dict[int, float] | None = None,
+) -> DataFrame:
+    """Score documents against a :func:`nb_train` model (today's intake
+    batch against yesterday's model — no retraining): one explode, one
+    broadcast join against the ≤ ``buckets``+2-row model, one per-doc
+    decimal fold. Buckets the model never saw score the
+    :data:`NB_DEFAULT_BUCKET` fully-smoothed LLR. ``buckets`` must
+    match the value the model was trained with. ``sentinels`` (from
+    :func:`nb_sentinels`) skips the per-call sentinel collect when the
+    caller already holds the validated prior rows.
+
+    Returns (id, score, pred) — no ``is_curated``: the label predicate
+    is a training-time concept and an intake batch has no label."""
+    prior_rows = sentinels if sentinels is not None else nb_sentinels(model)
     prior = F.lit(prior_rows[NB_PRIOR_BUCKET])
     default_lr = F.lit(prior_rows[NB_DEFAULT_BUCKET])
     feats = df.select(

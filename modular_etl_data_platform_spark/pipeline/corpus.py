@@ -256,6 +256,7 @@ def stream_curate_versioned(
     decont_n: int = 5,
     index_compact_every: int | None = None,
     index_compact_target: int = 8,
+    curated_files_per_commit: int | None = None,
 ):
     """The curation pipeline run CONTINUOUSLY — the streaming twin of
     the q171 batch composition, the production shape for crawl intake:
@@ -359,12 +360,32 @@ def stream_curate_versioned(
     # (guide §4.5: heavyweight init once, amortized over every batch).
     model = spark.createDataFrame(model.collect(), model.schema)
     # sentinel-validate the model at stream DEFINITION (a malformed
-    # model must fail the start(), not batch 17)
+    # model must fail the start(), not batch 17); the collected
+    # sentinels are reused by every micro-batch's nb_apply so the
+    # per-batch sentinel collect disappears (guide §4.5: heavyweight
+    # init once per stream, not once per batch)
+    nb_s = ccur.nb_sentinels(model)
     ccur.nb_apply(
         spark.createDataFrame([], "doc_id long, text string"),
         model,
         buckets=nb_buckets,
+        sentinels=nb_s,
     )
+    # the benchmark's deduplicated gram set is batch-invariant: build
+    # it once at stream definition and cache it, so each batch's
+    # decontamination reads the cached probe set instead of
+    # re-exploding the benchmark per consumer (guide §5)
+    probe_grams = None
+    if benchmark is not None:
+        probe_grams = (
+            benchmark.select(
+                F.explode(
+                    F.expr(ccur.ngram_hashes_sql("text", decont_n))
+                ).alias("gh")
+            )
+            .dropDuplicates()
+            .cache()
+        )
     stream = (
         spark.readStream.format("versioned_table")
         .option("path", intake_path)
@@ -389,7 +410,9 @@ def stream_curate_versioned(
             n_buckets=sig_index_buckets,
             payload_cols=["acc_id", "acc_sh"],
         )
-        scores = ccur.nb_apply(batch, model, buckets=nb_buckets)
+        scores = ccur.nb_apply(
+            batch, model, buckets=nb_buckets, sentinels=nb_s
+        )
         surv = batch.join(
             scores.filter("pred").select("doc_id", "score"), "doc_id"
         ).withColumn("fingerprint", F.md5(F.col("text")))
@@ -416,7 +439,11 @@ def stream_curate_versioned(
             # intersecting index files — batch-proportional I/O at any
             # accepted-corpus size (the 100 TB design point; the scan
             # branch below is the O(corpus)-per-batch shape it
-            # replaces)
+            # replaces). Pin the survivors: the index-probe anti-join
+            # (pruned file reads + join) otherwise re-executes inside
+            # every downstream consumer's action — the near-dup legs,
+            # the allocation aggregate and the out fill all sit above
+            # it (batch-sized by construction)
             uniq = fpidx.anti_join(uniq)
         elif curated.current_version() is not None:
             seen = curated.read().select("fingerprint").dropDuplicates()
@@ -527,12 +554,26 @@ def stream_curate_versioned(
             persisted.append(keys)
         if benchmark is not None:
             contam = ccur.decontaminate(
-                uniq, benchmark, n=decont_n
+                uniq, benchmark, n=decont_n, probe_grams=probe_grams
             ).filter("is_contaminated")
             uniq = uniq.join(contam.select("doc_id"), "doc_id", "left_anti")
+        # pin the FINAL survivors: the UniMax aggregate and the packed
+        # output below each evaluate this frame (Spark has no common-
+        # subexpression reuse across the join's two sides), so without
+        # the cache the whole per-batch chain — NB scoring, dedup
+        # anti-joins, near-dup legs, decontamination explode — runs
+        # once per consumer instead of once per batch. The count() is a
+        # deliberate EAGER fill: both consumers sit inside ONE write
+        # job, and two concurrent scans of an UNFILLED cached relation
+        # serialize on the block-store's per-partition load locks
+        # (measured: wall up ~50%, executor CPU down — tasks blocked,
+        # not computing); filling first costs one cheap job and makes
+        # every later read a lock-free cache hit
         uniq = uniq.withColumn(
             "n_tokens", F.size(F.split(F.col("text"), " ")).cast("long")
-        )
+        ).cache()
+        persisted.append(uniq)
+        uniq.count()
         uni = ccur.unimax_allocation(uniq)
         wp = Window.partitionBy("lang").orderBy(
             F.col("n_tokens").desc(), F.col("doc_id")
@@ -565,9 +606,20 @@ def stream_curate_versioned(
             # runs once per batch, not per write job
             out = out.cache()
             persisted.append(out)
+        # size the commit's file count to the MICRO-BATCH, not the
+        # cluster: a batch-sized frame landed at shuffle-partition
+        # fan-out writes one near-empty file per task (guide §6: small
+        # files hurt twice — every later curated read re-opens them).
+        # The coalesce reads the already-cached `out`, so it narrows
+        # only the write job, never the batch pipeline's parallelism;
+        # None (or scan mode, where `out` is uncached) keeps the
+        # engine's native fan-out.
+        land = out
+        if multi_use and curated_files_per_commit:
+            land = out.coalesce(curated_files_per_commit)
         try:
             curated.write(
-                out,
+                land,
                 mode="append" if curated.current_version() else "overwrite",
                 txn_app_id=app_id,
                 txn_version=batch_id,

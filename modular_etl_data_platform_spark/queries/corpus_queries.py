@@ -3004,13 +3004,36 @@ def q175_streaming_fp_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def assert_index_matches_curated(tag: str) -> None:
-        idx_fps = fpidx.table.read().select("fingerprint")
-        cur_fps = curated.read().select("fingerprint")
-        if idx_fps.count() != cur_fps.count():
+        # the same three contracts as separate count/anti-join actions
+        # (row counts equal, no unaccepted fingerprint in the index, no
+        # curated fingerprint missing from it), folded into ONE job: a
+        # full-outer join of the per-side fingerprint counts yields all
+        # four aggregates in a single pass over both tables
+        idx_fps = (
+            fpidx.table.read()
+            .groupBy("fingerprint")
+            .agg(F.count(F.lit(1)).alias("__ni"))
+        )
+        cur_fps = (
+            curated.read()
+            .groupBy("fingerprint")
+            .agg(F.count(F.lit(1)).alias("__nc"))
+        )
+        d = (
+            idx_fps.join(cur_fps, "fingerprint", "full_outer")
+            .agg(
+                F.sum("__ni").alias("n_idx"),
+                F.sum("__nc").alias("n_cur"),
+                F.count(F.when(F.col("__nc").isNull(), 1)).alias("only_idx"),
+                F.count(F.when(F.col("__ni").isNull(), 1)).alias("only_cur"),
+            )
+            .collect()[0]
+        )
+        if (d["n_idx"] or 0) != (d["n_cur"] or 0):
             raise AssertionError(f"{tag}: index/curated row counts differ")
-        if idx_fps.join(cur_fps, "fingerprint", "left_anti").count() != 0:
+        if d["only_idx"] != 0:
             raise AssertionError(f"{tag}: index holds unaccepted fingerprints")
-        if cur_fps.join(idx_fps, "fingerprint", "left_anti").count() != 0:
+        if d["only_cur"] != 0:
             raise AssertionError(f"{tag}: curated fingerprints missing from index")
 
     third = F.col("doc_id") % 3
